@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology: one warm-up pass of a trivial action to absorb JVM/session
+startup, then each query timed end-to-end (plan + execute + collect-to-
+count). Queries run via the same registry the driver checks, so bench
+numbers describe the exact code path graded for correctness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+# Headline set: the heavy/representative queries per tier (joins, aggs,
+# windows, text, vectors) — not the trivial scans.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_outer_order_counts",
+    "agg_events_stats",
+    "rollup_revenue_region_nation",
+    "window_top3_orders_per_customer",
+    "window_user_running_totals",
+    "window_hourly_event_counts",
+    "topk_orders_by_price",
+    "json_events_extract",
+    "array_embedding_stats",
+    "cdc_latest_state",
+    "dedup_exact_documents",
+    "text_quality_stats",
+    "minhash_near_dup_candidates",
+    "vector_cosine_topk",
+    "simhash_signatures",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from postgre_to_clickhouse_spark.queries import QUERIES
+    from postgre_to_clickhouse_spark.session import get_spark
+
+    spark = get_spark("p2c-bench")
+    spark.range(1).count()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""Deduplication family for training-data pipelines (SURVEY.md C1/C2).
+
+- :func:`exact_dedup` — content-hash groupBy, deterministic survivor.
+- :func:`minhash_near_dup` — shingle → MinHash → banded LSH → bucket
+  join, the classic near-dup pipeline, built from JVM expressions
+  (xxhash64-based minhash, no Python row path).
+- :func:`simhash` — 64-bit SimHash over tokens, again JVM-side: explode
+  tokens, per-bit weighted sums, sign-pack.
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard over candidate
+  pairs (verification stage after LSH, or standalone on small sets).
+
+Scale posture: every step is explode/groupBy/join — shuffles on
+bounded-size keys (shingle hashes, band signatures), never a cross
+product. The LSH band join is the 100 TB path: candidate pairs ∝ true
+near-dups, not N².
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """One survivor per distinct content (lowest ``order_col`` wins).
+
+    Hash-groupBy shape: at scale this shuffles on a digest of the
+    content, not the content itself.
+    """
+    digest = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]), 256)
+    w = Window.partitionBy(digest).orderBy(F.col(order_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (lowercased, \\w+ tokens), JVM-side."""
+    toks = F.split(F.lower(text_col if isinstance(text_col, Column) else F.col(text_col)), r"\W+")
+    toks = F.filter(toks, lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """num_hashes independent min-hashes per document.
+
+    hᵢ(s) = xxhash64(s, seedᵢ) — a seeded JVM hash family, no Python.
+    Shape matters at scale: explode the (distinct) shingle set ONCE and
+    take 32 mins in a single groupBy — each shingle is tokenized and
+    hashed exactly once. (The naive per-column formulation re-derives
+    the shingle array per hash function: 32× the regex work — measured
+    280 s vs ~2 s at sf0.1.) Documents with no tokens yield no rows.
+    """
+    sh_rows = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n_shingle))).alias("s")
+    )
+    return sh_rows.groupBy(id_col).agg(
+        *[F.min(F.xxhash64("s", F.lit(seed + i))).alias(f"mh{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Returns (id_a, id_b, n_bands_matched) with id_a < id_b. Documents
+    sharing ≥1 band signature are candidates; rows/band = num_hashes//bands
+    sets the similarity threshold (~(1/bands)^(1/rows)).
+    """
+    rows_per_band = num_hashes // bands
+    base = minhash_signatures(df, text_col, id_col, n_shingle, num_hashes, seed)
+
+    # band signature = hash of its rows_per_band minhashes
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = base.select(id_col, *band_cols)
+    # explode to (band_idx, band_sig, id) and self-join per bucket
+    kv = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("sig")) for b in range(bands)])
+        ).alias("e"),
+    ).select(id_col, F.col("e.b").alias("b"), F.col("e.sig").alias("sig"))
+    a = kv.select(F.col(id_col).alias("id_a"), "b", "sig")
+    bb = kv.select(F.col(id_col).alias("id_b"), "b", "sig")
+    pairs = (
+        a.join(bb, ["b", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side.
+
+    tokens → xxhash64 → per-bit ±1 sums → sign bits packed to a long.
+    Implemented with explode + groupBy (one shuffle on id); near-dup
+    detection = hamming distance on the signature (see
+    :func:`hamming64`).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: t != "")).alias("tok"),
+    ).select(id_col, F.xxhash64("tok").alias("h"))
+
+    def _bit(i: int):  # bit 63 = sign bit: 1<<63 overflows a py4j long literal
+        return F.lit(1 << i if i < 63 else -(2**63)).cast("long")
+
+    # bit i contribution: +1 if set, -1 otherwise
+    agg = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("h").bitwiseAND(_bit(i)) != 0, 1).otherwise(-1)).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"s{i}") > 0, _bit(i)).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for candidate (id_a, id_b) pairs."""
+    sh = df.select(F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = candidate_pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select("id_a", "id_b", (inter / union).alias("jaccard"))

@@ -1,0 +1,95 @@
+"""Text analysis for training-data pipelines (SURVEY.md C4) — language
+ID, quality scoring, token counting, fingerprinting. All JVM-side
+built-ins (regexp/length/md5) — zero Python in the row path, so these
+fuse into the scan under whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language ID. Deliberately small + deterministic.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "las", "una", "es"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "zh": [],  # CJK detected by script, not stopwords
+}
+
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (a simplification of the GPT-2 split pattern that both Java regex and
+# RE2 interpret identically).
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count(text: Column | str, pattern: str = TOKEN_PATTERN) -> Column:
+    """Whitespace-robust token count via the BPE-ish regex."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def word_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"\w+"))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: lengths, word/token counts, punct and
+    stopword ratios, mean word length. Deterministic double arithmetic."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = word_count(t)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_stop = F.regexp_count(F.concat(F.lit(" "), F.lower(t), F.lit(" ")), F.lit(r" (the|and|of|to|is|a|in) "))
+    total_word_chars = n_chars - F.regexp_count(t, F.lit(r"[\W]"))
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_words.alias("q_words"),
+        token_count(t).alias("q_tokens"),
+        (n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")).alias("q_punct_ratio"),
+        (n_stop.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")).alias("q_stopword_ratio"),
+        (total_word_chars.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")).alias("q_mean_word_len"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Heuristic language ID: CJK by script; otherwise argmax of per-lang
+    stopword hit counts (deterministic tie-break by language code)."""
+    t = F.lower(F.col(text_col))
+    padded = F.concat(F.lit(" "), t, F.lit(" "))
+    scores = []
+    for i, (lang, words) in enumerate(sorted(_LANG_MARKERS.items())):
+        if not words:
+            continue
+        pat = " (" + "|".join(words) + ") "
+        scores.append(
+            F.struct(
+                F.regexp_count(padded, F.lit(pat)).alias("score"),
+                F.lit(-i).alias("nb"),  # ties → earliest language code wins
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    cjk = F.regexp_count(F.col(text_col), F.lit(r"[一-鿿]"))
+    pred = (
+        F.when(cjk > 0, F.lit("zh"))
+        .when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(F.lit("und"))
+    )
+    return df.withColumn(out_col, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 + sha256 of the normalized text, and a
+    prefix fingerprint for rolling/chunked comparison."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    return df.select(
+        "*",
+        F.md5(norm).alias("fp_md5"),
+        F.sha2(norm, 256).alias("fp_sha256"),
+        F.md5(F.substring(norm, 1, 128)).alias("fp_prefix128"),
+    )

@@ -1,0 +1,65 @@
+"""SparkSession construction and runtime tuning.
+
+Scale posture (100 TB design, tested on local[32]):
+- AQE on: runtime re-planning handles skew joins and coalesces
+  post-shuffle partitions, so a fixed ``shuffle.partitions`` is only a
+  ceiling, not a latency floor, on small SFs.
+- Broadcast threshold left at default (10 MB): tiny dims (region, nation,
+  supplier at low SF) broadcast automatically; genuinely large tables
+  shuffle. We additionally hint ``F.broadcast`` where a dim is known-small
+  by construction.
+- Arrow enabled for any pandas interchange (Tier-C operators).
+
+Every query callable runs :func:`configure` on the session it receives —
+the driver owns the session, so only runtime-settable confs are used
+there. ``get_spark`` is for tests/bench where we own the builder.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to *any* session (including the
+# driver's). Keep to confs that SparkSession.conf.set accepts post-start.
+_RUNTIME_CONF: dict[str, str] = {
+    # Deterministic timestamp semantics vs the DuckDB oracle (naive µs
+    # timestamps in parquet): treat everything as UTC.
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # local[N] testing: 32 is plenty for <=sf0.1; at cluster scale this is
+    # overridden by --conf and AQE coalescing makes it a ceiling anyway.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The fixture generator writes events.ts as parquet TIMESTAMP(NANOS),
+    # which Spark has no native type for — read as epoch-nanos long and
+    # convert in catalog.load (µs truncation, matching DuckDB).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (driver-owned or ours)."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf not settable at runtime in this build — skip
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "p2c-spark") -> SparkSession:
+    """Build a local session (tests / bench). Honors SPARK_GRAFT_CPUS."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    )
+    return configure(builder.getOrCreate())

@@ -1,0 +1,132 @@
+"""The CDC ingest pipeline, streaming form (SURVEY.md §3.2 Spark mapping).
+
+Source options:
+- file stream of Debezium-shaped JSON events (tests / fixture replay —
+  stands in for the Kafka topic exactly like the reference's seed data);
+- Kafka (``streaming.kafka``) when the connector jar + broker exist.
+
+The transform chain is the *batch* operators unchanged (unwrap →
+mv_users) — batch-first design means streaming reuses them verbatim.
+The sink is ``foreachBatch`` → idempotent parquet upsert with per-batch
+redelivery dedup (A19) applied against the batch, and the ``latest``
+view (A20) computed at read time.
+
+Exactly-once posture: checkpointing + deterministic batch dedup +
+last-wins merge on rewrite. At 100 TB the sink becomes a MERGE-capable
+table format partitioned by entity-key bucket and date; the
+`foreachBatch` body is the only piece that changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark.cdc import dedup_redelivery, latest, mv_users, unwrap
+from postgre_to_clickhouse_spark.cdc.schemas import KAFKA_CDC_RECORD
+
+
+def read_json_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based change stream: one JSON event per line, shaped like
+    KAFKA_CDC_RECORD (the Kafka-topic stand-in for tests/replay)."""
+    reader = spark.readStream.schema(KAFKA_CDC_RECORD).option("multiLine", "false")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
+def transform(stream_df: DataFrame) -> DataFrame:
+    """The standing query of the materialized view — identical code for
+    batch and streaming inputs (A12–A18)."""
+    return mv_users(unwrap(stream_df))
+
+
+def write_events_as_json(events: DataFrame, path: str, n_files: int = 1) -> None:
+    """Fixture helper: materialize a CDC event DataFrame as a JSON file
+    stream source directory (one file per micro-batch when n_files>1)."""
+    os.makedirs(path, exist_ok=True)
+    rows = [r.asDict(recursive=True) for r in events.collect()]
+    chunks = [rows[i::n_files] for i in range(n_files)]
+    for i, chunk in enumerate(chunks):
+        with open(os.path.join(path, f"batch_{i:05d}.json"), "w") as f:
+            for r in chunk:
+                if r.get("kafka_timestamp") is not None:
+                    r["kafka_timestamp"] = r["kafka_timestamp"].strftime("%Y-%m-%dT%H:%M:%S.%f")
+                f.write(json.dumps(r) + "\n")
+
+
+def upsert_batch(table_path: str, sort_key=("user_id", "updated_at"), arrival=("kafka_offset",)):
+    """foreachBatch body: idempotent last-wins upsert into a parquet table.
+
+    Merge strategy (local parquet stand-in for a MERGE-capable format):
+    union the existing table with the deduped batch, re-dedup on the
+    sort key keeping the *highest* arrival (so redelivered batches are
+    idempotent), rewrite atomically via overwrite. Deterministic ⇒
+    replaying a batch after a crash converges to the same table.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = dedup_redelivery(batch_df, sort_key, arrival)
+        try:
+            existing = spark.read.parquet(table_path)
+            merged = existing.unionByName(batch)
+        except Exception:  # first batch — table doesn't exist yet
+            merged = batch
+        # same (sort_key, arrival) appearing twice (redelivered batch) → one copy
+        merged = dedup_redelivery(merged, sort_key, arrival)
+        merged.persist()
+        merged.count()  # materialize before overwriting the input path
+        merged.write.mode("overwrite").parquet(table_path + ".tmp")
+        merged.unpersist()
+        # atomic-ish swap (local FS); a real deployment uses a transactional format
+        import shutil
+
+        if os.path.exists(table_path):
+            shutil.rmtree(table_path)
+        os.rename(table_path + ".tmp", table_path)
+
+    return _apply
+
+
+def run_pipeline(
+    spark: SparkSession,
+    source_path: str,
+    table_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+    batch_hook: Callable[[DataFrame, int], None] | None = None,
+):
+    """End-to-end: file stream → unwrap → MV transform → upsert sink.
+
+    ``available_now=True`` drains the source and stops (test mode /
+    backfill); otherwise runs continuous micro-batches (A24).
+    """
+    stream = transform(read_json_event_stream(spark, source_path))
+    sink = batch_hook or upsert_batch(table_path)
+    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_path)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="5 seconds").start()
+
+
+def read_latest(spark: SparkSession, table_path: str) -> DataFrame:
+    """The FINAL/latest-state view over the ingested table (A20)."""
+    return latest(spark.read.parquet(table_path))
+
+
+def read_all_versions(spark: SparkSession, table_path: str) -> DataFrame:
+    """All version rows (the reference's plain SELECT *, A21)."""
+    return spark.read.parquet(table_path).select(
+        "user_id", "username", "account_type", "updated_at", "created_at", "kafka_time", "kafka_offset"
+    )
