@@ -136,7 +136,10 @@ def vector_lsh_topk(spark, sf_dir):
     import random
 
     rnd = random.Random(42)
-    planes_tables = [[[rnd.gauss(0, 1) for _ in range(64)] for _ in range(8)] for _ in range(4)]
+    # 8 tables × 4 hyperplanes: collision prob per table (1-θ/π)^4 — tuned
+    # for the fixture's moderate-cosine neighbors (recall ≥ 0.5 asserted
+    # in tests); at scale, bits/tables trade candidate volume vs recall.
+    planes_tables = [[[rnd.gauss(0, 1) for _ in range(64)] for _ in range(4)] for _ in range(8)]
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")

@@ -1,0 +1,49 @@
+"""C5: multimodal column plumbing — schema contract, Arrow batch path,
+determinism, null payloads, byte-aware repartition."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark.operators import multimodal as M
+
+
+def test_media_schema_roundtrip(spark):
+    media = M.synthetic_media(spark, 16)
+    assert media.schema == M.MEDIA_SCHEMA
+    assert media.count() == 16
+    img = media.filter(F.col("modality") == "image").first()
+    assert img.image_meta.width == 8 and img.audio_meta is None
+
+
+def test_feature_extraction_shape_and_determinism(spark):
+    media = M.synthetic_media(spark, 16)
+    f1 = {r.media_id: r.feature for r in M.extract_features(media).collect()}
+    f2 = {r.media_id: r.feature for r in M.extract_features(media).collect()}
+    assert set(f1) == set(range(16))
+    assert all(len(v) == M.FEATURE_DIM for v in f1.values())
+    assert f1 == f2  # content-derived fake decode → reproducible
+
+
+def test_feature_extraction_null_payload(spark):
+    media = M.synthetic_media(spark, 4).withColumn(
+        "payload", F.when(F.col("media_id") == 0, None).otherwise(F.col("payload"))
+    )
+    out = {r.media_id: r for r in M.extract_features(media).collect()}
+    assert out[0].feature is None and out[0].payload_bytes is None
+    assert out[1].feature is not None
+
+
+def test_media_repartition_spreads_rows(spark):
+    media = M.synthetic_media(spark, 64)
+    out = M.media_repartition(media, target_bytes=512)  # force multiple buckets
+    assert out.count() == 64
+    assert out.rdd.getNumPartitions() > 1
+
+
+def test_feature_path_is_arrow_not_row_python(spark):
+    media = M.synthetic_media(spark, 4)
+    df = M.extract_features(media)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    assert "BatchEvalPython" not in plan

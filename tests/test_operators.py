@@ -1,0 +1,152 @@
+"""Operator-level semantics tests: as-of join goldens + cross-impl
+equivalence, band-join vs naive theta join, LSH recall vs brute force,
+minhash candidate quality vs exact Jaccard, lang-id accuracy."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.operators.asof import asof_join, asof_join_pandas
+from postgre_to_clickhouse_spark.operators.range_join import band_join
+from tests.conftest import SF_SMALL
+
+
+def _ts(d):
+    return dt.datetime(2024, 1, d)
+
+
+@pytest.fixture(scope="module")
+def asof_fixture(spark):
+    fact = spark.createDataFrame(
+        [(1, _ts(5), "f1"), (1, _ts(10), "f2"), (1, _ts(2), "f0"), (2, _ts(7), "g1"), (3, _ts(4), "h1")],
+        "k int, t timestamp, fval string",
+    )
+    dim = spark.createDataFrame(
+        [
+            (1, _ts(1), 100), (1, _ts(5), 150), (1, _ts(8), 180),  # interleaved versions
+            (2, _ts(9), 900),  # only AFTER the fact → null match
+        ],
+        "k int, vt timestamp, price int",
+    )
+    return fact, dim
+
+
+def test_asof_join_golden(spark, asof_fixture):
+    fact, dim = asof_fixture
+    out = asof_join(fact, dim, on="k", fact_time="t", dim_time="vt", dim_cols=["vt", "price"])
+    got = {r.fval: (r.price_asof, r.vt_asof and r.vt_asof.day) for r in out.collect()}
+    assert got == {
+        "f0": (100, 1),   # t=2 → version@1
+        "f1": (150, 5),   # t=5 → version@5 (<= matches at equal time)
+        "f2": (180, 8),   # t=10 → version@8
+        "g1": (None, None),  # dim version only at t=9 > 7
+        "h1": (None, None),  # no dim rows for key 3
+    }
+
+
+def test_asof_join_equal_time_tiebreak(spark):
+    fact = spark.createDataFrame([(1, _ts(5), "f")], "k int, t timestamp, fval string")
+    dim = spark.createDataFrame(
+        [(1, _ts(5), 10, 1), (1, _ts(5), 20, 2), (1, _ts(3), 5, 3)],
+        "k int, vt timestamp, price int, ver int",
+    )
+    out = asof_join(fact, dim, on="k", fact_time="t", dim_time="vt", dim_cols=["price"], tiebreak="ver")
+    assert out.collect()[0].price_asof == 20  # highest tiebreak among equal times
+
+
+def test_asof_join_matches_pandas_reference(spark, asof_fixture):
+    fact, dim = asof_fixture
+    a = asof_join(fact, dim, on="k", fact_time="t", dim_time="vt", dim_cols=["price"])
+    b = asof_join_pandas(fact, dim, on="k", fact_time="t", dim_time="vt", dim_cols=["price"])
+    assert sorted((r.fval, r.price_asof) for r in a.collect()) == sorted(
+        (r.fval, r.price_asof) for r in b.collect()
+    )
+
+
+def test_band_join_equals_naive_theta(spark):
+    s = catalog.load(spark, SF_SMALL, "supplier")
+    c = catalog.load(spark, SF_SMALL, "customer")
+    banded = band_join(s, c, "s_acctbal", "c_acctbal", width=75.0).select("s_suppkey", "c_custkey")
+    naive = s.join(c, F.abs(F.col("c_acctbal") - F.col("s_acctbal")) <= 75.0).select("s_suppkey", "c_custkey")
+    assert sorted(map(tuple, banded.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_lsh_recall_vs_brute_force(spark):
+    from postgre_to_clickhouse_spark.queries import QUERIES
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["vector_cosine_topk"](spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["vector_lsh_topk"](spark, SF_SMALL).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall {recall} too low"  # 8 tables × 4 bits on 500 vecs
+
+
+def test_minhash_candidates_have_high_jaccard(spark):
+    """Banded MinHash candidates (≥2 bands of 8×4) should be enriched in
+    genuinely similar pairs relative to random pairs."""
+    from postgre_to_clickhouse_spark.operators.dedup import minhash_near_dup, ngram_jaccard_pairs
+
+    d = catalog.load(spark, SF_SMALL, "documents")
+    cand = minhash_near_dup(d, num_hashes=32, bands=8)
+    strong = cand.filter(F.col("n_bands_matched") >= 2).select("id_a", "id_b")
+    if strong.count() == 0:
+        pytest.skip("no strong candidates at this SF")
+    jac = ngram_jaccard_pairs(d, strong, n=3)
+    avg_cand = jac.agg(F.avg("jaccard")).collect()[0][0]
+    assert avg_cand > 0.2, f"candidate avg jaccard {avg_cand}"
+
+
+def test_simhash_similar_docs_close(spark):
+    from postgre_to_clickhouse_spark.operators.dedup import hamming64, simhash
+
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "the quick brown fox jumps over the lazy dog near the river shore"),
+            (3, "completely different content about spark query engines and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = simhash(d)
+    a, b, c = [r.simhash for r in sig.orderBy("doc_id").collect()]
+    near = spark.range(1).select(hamming64(F.lit(a), F.lit(b)).alias("h")).collect()[0].h
+    far = spark.range(1).select(hamming64(F.lit(a), F.lit(c)).alias("h")).collect()[0].h
+    assert near < far, f"simhash near={near} far={far}"
+
+
+def test_lang_id_accuracy_on_labels(spark):
+    from postgre_to_clickhouse_spark.operators.text import lang_id
+
+    d = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is big", "en"),
+            (2, "le chat et la maison des amis est grande", "fr"),
+            (3, "el gato y la casa de los amigos es una maravilla", "es"),
+            (4, "der hund und die katze das haus ist groß", "de"),
+            (5, "这是一个中文文档的例子", "zh"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = lang_id(d)
+    got = {r.doc_id: r.pred_lang for r in out.collect()}
+    assert got == {1: "en", 2: "fr", 3: "es", 4: "de", 5: "zh"}
+
+
+def test_exact_dedup_synthetic_duplicates(spark):
+    from postgre_to_clickhouse_spark.operators.dedup import exact_dedup
+
+    d = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(d, content_cols=("text",), order_col="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [1, 3]

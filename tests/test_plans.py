@@ -1,0 +1,67 @@
+"""Physical-plan quality gates (the 100 TB posture, SURVEY.md §4):
+filters push to the parquet scan, projections prune columns, small dims
+broadcast, top-k avoids global sort, and NO registered query ever drops
+to a row-at-a-time Python UDF."""
+
+from __future__ import annotations
+
+import pytest
+
+from postgre_to_clickhouse_spark.queries import ORACLES, QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_schema_pruned(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # only the 7 needed columns reach the scan — not all 11
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q5_broadcasts_small_dims(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan  # nation/region explicitly hinted
+
+
+def test_topk_plans_take_ordered(spark):
+    plan = _plan(spark, "topk_orders_by_price")
+    assert "TakeOrderedAndProject" in plan  # no global sort materialization
+
+
+def test_exists_subquery_becomes_semi_join(spark):
+    plan = _plan(spark, "exists_subquery_sql")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # HashAggregate appears twice: partial (map-side) + final
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_python_row_udf_in_any_query(spark, name):
+    """Python in the row path kills throughput at scale — every operator
+    must stay JVM-side (Arrow/pandas paths show as ArrowEvalPython /
+    FlatMapGroupsInPandas, which are the sanctioned exceptions)."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+
+
+def test_oracle_queries_have_no_python_at_all(spark):
+    """The driver-graded oracle set must be 100% JVM (not even Arrow)."""
+    for name in sorted(ORACLES):
+        plan = _plan(spark, name)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"{name} contains {marker}"

@@ -1,0 +1,111 @@
+"""Streaming parity tests (SURVEY.md §5.2.4): the same operators driven
+through Structured Streaming with availableNow triggers, asserting
+batch ≡ streaming results, checkpoint restart idempotency, and the
+watermarked windowed aggregation mode (B18)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark.cdc import mv_users, unwrap
+from postgre_to_clickhouse_spark.cdc.fixtures import GOLDEN_LATEST, users_cdc_events
+from postgre_to_clickhouse_spark.streaming import pipeline as P
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    return str(tmp_path / "src"), str(tmp_path / "tbl"), str(tmp_path / "ckpt")
+
+
+def _latest_map(df):
+    return {
+        r.user_id: (r.username, r.account_type, r.updated_at.strftime("%Y-%m-%d %H:%M:%S"))
+        for r in df.collect()
+    }
+
+
+def test_streaming_pipeline_matches_batch_golden(spark, stream_dirs):
+    src, tbl, ckpt = stream_dirs
+    events = users_cdc_events(spark)
+    P.write_events_as_json(events, src, n_files=3)  # 3 micro-batches
+    P.run_pipeline(spark, src, tbl, ckpt)
+    assert _latest_map(P.read_latest(spark, tbl)) == GOLDEN_LATEST
+    # all-versions view matches the batch pipeline applied directly
+    batch = P.read_all_versions(spark, tbl)
+    assert batch.count() == 6  # GOLDEN_ALL_VERSIONS cardinality
+
+
+def test_streaming_restart_is_idempotent(spark, stream_dirs):
+    src, tbl, ckpt = stream_dirs
+    P.write_events_as_json(users_cdc_events(spark), src, n_files=2)
+    P.run_pipeline(spark, src, tbl, ckpt)
+    n1 = P.read_all_versions(spark, tbl).count()
+    P.run_pipeline(spark, src, tbl, ckpt)  # same checkpoint: no new data
+    n2 = P.read_all_versions(spark, tbl).count()
+    assert n1 == n2 == 6
+
+
+def test_streaming_redelivered_batch_is_idempotent(spark, stream_dirs):
+    """Replaying the same source into a FRESH checkpoint (simulating
+    at-least-once redelivery of every batch) must converge to the same
+    table — the upsert merge is deterministic."""
+    src, tbl, ckpt = stream_dirs
+    P.write_events_as_json(users_cdc_events(spark), src, n_files=1)
+    P.run_pipeline(spark, src, tbl, ckpt)
+    P.run_pipeline(spark, src, tbl, ckpt + "_2")  # fresh checkpoint → full replay
+    assert P.read_all_versions(spark, tbl).count() == 6
+    assert _latest_map(P.read_latest(spark, tbl)) == GOLDEN_LATEST
+
+
+def test_streaming_transform_equals_batch_transform(spark, stream_dirs):
+    """A27 unification: identical operator chain under read vs readStream."""
+    src, tbl, ckpt = stream_dirs
+    events = users_cdc_events(spark)
+    P.write_events_as_json(events, src, n_files=2)
+
+    batch_out = mv_users(unwrap(events)).orderBy("kafka_offset").collect()
+
+    collected = []
+    P.run_pipeline(
+        spark, src, tbl, ckpt,
+        batch_hook=lambda df, bid: collected.extend(df.collect()),
+    )
+    stream_out = sorted(collected, key=lambda r: r.kafka_offset)
+    assert [tuple(r) for r in stream_out] == [tuple(r) for r in batch_out]
+
+
+def test_watermarked_window_agg_stream(spark, tmp_path):
+    """B18: tumbling-window count with a watermark over a file stream of
+    events; availableNow drain must equal the batch window agg."""
+    from postgre_to_clickhouse_spark import catalog
+    from tests.conftest import SF_SMALL
+
+    ev = catalog.load(spark, SF_SMALL, "events").select("event_id", "ts", "event_type")
+    src = str(tmp_path / "ev")
+    ev.coalesce(2).write.json(src)
+
+    batch = {
+        (r.ws, r.event_type): r.n
+        for r in ev.groupBy(F.window("ts", "1 hour").start.alias("ws"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .json(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").start.alias("ws"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("winagg")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.ws, r.event_type): r.n for r in spark.table("winagg").collect()}
+    assert got == batch
