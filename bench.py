@@ -42,6 +42,15 @@ HEADLINE = [
     "minhash_near_dup_candidates",
     "vector_cosine_topk",
     "simhash_signatures",
+    "ngram_jaccard_same_source",
+    "tfidf_top_terms",
+    "embedding_near_dup_pairs",
+    "asof_events_last_order",
+    "band_join_acctbal",
+    "sessionize_events",
+    "vector_ivf_topk",
+    "window_range_frame",
+    "percentiles_quantity",
 ]
 
 

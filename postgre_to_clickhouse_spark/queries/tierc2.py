@@ -1,0 +1,163 @@
+"""Tier C continued: IVF ANN, embedding-cosine near-dup, TF-IDF top
+terms, and the sanctioned pandas-UDF demo (B19)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.queries.registry import register
+from postgre_to_clickhouse_spark.session import configure
+
+
+def _t(spark, sf_dir, name):
+    configure(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+@register("vector_ivf_topk")  # learned index — rows-only; recall asserted in tests
+def vector_ivf_topk(spark, sf_dir):
+    """C3 scale path #2: IVF (k-means cells, probe nearest n_probe,
+    exact rerank). Seeded k-means → deterministic."""
+    from postgre_to_clickhouse_spark.operators.ann import assign_lists, fit_ivf_centroids, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = fit_ivf_centroids(e, n_lists=8, seed=42)
+    indexed = assign_lists(e, cents)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(indexed, cents, q, k=10, n_probe=3).select("query_id", "vec_id", "cosine", "rank")
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+           9) AS cosine_r
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, len(a.embedding)+1),
+                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+          > 0.95
+    """,
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    """C2 embedding-cosine near-dup: pairs with cosine > 0.95, blocked by
+    label (the blocking key stands in for an LSH bucket at scale —
+    bounded pair count, never N²). JVM higher-order fns only."""
+    from postgre_to_clickhouse_spark.operators.similarity import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+    cos = cosine_similarity("ea", "eb")
+    return pairs.select("id_a", "id_b", cos.alias("__c")).filter(F.col("__c") > 0.95).select(
+        "id_a", "id_b", F.round("__c", 9).alias("cosine_r")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT d.doc_id, t.term,
+             len(list_filter(regexp_extract_all(lower(d.text), '[a-z0-9]+'), x -> x = t.term)) AS tf
+      FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+    ),
+    df_ AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df,
+           round(tf * ln((SELECT n_docs FROM n) / df), 6) AS tfidf_r
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, df_.df,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ln((SELECT n_docs FROM n) / df_.df) DESC,
+                                         tf.term) AS rn
+      FROM tf JOIN df_ USING (term)
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """C4: top-3 TF-IDF terms per document — explode/groupBy term counts,
+    document frequency join, windowed top-k. ln() is computed on
+    identical double operands in both engines and rounded to 6dp.
+    Scale: two shuffles (term counts, doc top-k); df table is tiny and
+    broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "__s", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("__s").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("__s", 6).alias("tfidf_r"))
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sid AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS s
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+    FROM sid GROUP BY user_id, s
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization batch twin over events (30-min gap) — identical
+    semantics to the streaming applyInPandasWithState operator (tested
+    equivalent); one shuffle on user_id, µs-exact gap arithmetic."""
+    from postgre_to_clickhouse_spark.streaming.stateful import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize_batch(ev, gap_minutes=30)
+
+
+@register("pandas_udf_zscore")  # B19 demo — Arrow path, rows-only by design
+def pandas_udf_zscore(spark, sf_dir):
+    """B19: grouped-map pandas UDF (Arrow-batched) — per-event-type
+    z-score of value. The sanctioned Python escape hatch, used only
+    where JVM expressions genuinely can't express the op (here it can —
+    this entry exists to exercise/benchmark the Arrow path; see plan
+    test exempting non-oracle queries)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def zscore(pdf):
+        m, s = pdf["value"].mean(), pdf["value"].std(ddof=0) or 1.0
+        pdf["z"] = (pdf["value"] - m) / s
+        return pdf[["event_id", "event_type", "value", "z"]]
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, schema="event_id long, event_type string, value double, z double"
+    )

