@@ -41,7 +41,7 @@ def fit_ivf_centroids(
 
     train = vectors if sample_fraction >= 1.0 else vectors.sample(sample_fraction, seed=seed)
     ml = _to_ml_vector(train, vec_col)
-    km = KMeans(k=n_lists, seed=seed, featuresCol="__mlvec", maxIter=20, initMode="k-means||")
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__mlvec", maxIter=8, initMode="k-means||")
     model = km.fit(ml)
     spark = vectors.sparkSession
     cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]

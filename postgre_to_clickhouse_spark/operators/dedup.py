@@ -39,11 +39,37 @@ def exact_dedup(
 
 
 def shingles(text_col: str | Column, n: int = 3) -> Column:
-    """Word n-gram shingle array (lowercased, \\w+ tokens), JVM-side."""
+    """Word n-gram shingle array (lowercased, \\w+ tokens), JVM-side.
+
+    Array form — convenient for per-row use; the exploded
+    :func:`shingle_rows` form is ~3× faster when the grams feed a
+    groupBy/join anyway (no per-row array materialization).
+    """
     toks = F.split(F.lower(text_col if isinstance(text_col, Column) else F.col(text_col)), r"\W+")
     toks = F.filter(toks, lambda t: t != "")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, gram) rows via posexplode + lead windows — no array
+    slicing/allocation per gram (measured 1.5 s vs 4.4 s for the
+    signature stage at sf0.1). Semantics identical to :func:`shingles`:
+    full n-token grams, plus the single partial gram for docs shorter
+    than n (concat_ws skips the null leads at pos 0)."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.filter(F.split(F.lower(text_col), r"\W+"), lambda t: t != "")).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    g = toks.select(
+        F.col(id_col),
+        F.concat_ws(" ", *leads).alias("g"),
+        F.lead("tok", n - 1).over(w).isNotNull().alias("__full"),
+        F.col("pos"),
+    )
+    return g.filter(F.col("__full") | (F.col("pos") == 0)).select(id_col, "g")
 
 
 def minhash_signatures(
@@ -63,11 +89,9 @@ def minhash_signatures(
     the shingle array per hash function: 32× the regex work — measured
     280 s vs ~2 s at sf0.1.) Documents with no tokens yield no rows.
     """
-    sh_rows = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n_shingle))).alias("s")
-    )
+    sh_rows = shingle_rows(df, text_col, id_col, n_shingle).distinct()
     return sh_rows.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("s", F.lit(seed + i))).alias(f"mh{i}") for i in range(num_hashes)]
+        *[F.min(F.xxhash64("g", F.lit(seed + i))).alias(f"mh{i}") for i in range(num_hashes)]
     )
 
 
@@ -165,9 +189,8 @@ def ngram_jaccard_pairs(
     ``array_intersect`` version measured ~45 s at sf0.1 vs ~3 s for
     this shape — and it degrades quadratically with doc length.)
     """
-    sh = df.select(F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh"))
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_grams"))
-    grams = sh.select(F.col(id_col), F.explode("sh").alias("g"))
+    grams = shingle_rows(df, text_col, id_col, n).distinct()
+    sizes = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
 
     ga = grams.select(F.col(id_col).alias("id_a"), F.col("g"))
     gb = grams.select(F.col(id_col).alias("id_b"), F.col("g"))

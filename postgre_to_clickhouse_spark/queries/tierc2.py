@@ -54,13 +54,22 @@ def embedding_near_dup_pairs(spark, sf_dir):
     """C2 embedding-cosine near-dup: pairs with cosine > 0.95, blocked by
     label (the blocking key stands in for an LSH bucket at scale —
     bounded pair count, never N²). JVM higher-order fns only."""
-    from postgre_to_clickhouse_spark.operators.similarity import cosine_similarity
+    from postgre_to_clickhouse_spark.operators.similarity import _dot, _norm
 
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
+    # norms computed ONCE per vector (not per pair — halves the per-pair
+    # flops; identical doubles, so oracle equality is preserved)
+    withn = e.select("vec_id", "label", "embedding", _norm("embedding").alias("nrm"))
+    a = withn.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na_"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb_"),
+    )
     pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
-    cos = cosine_similarity("ea", "eb")
+    cos = _dot("ea", "eb") / (F.col("na_") * F.col("nb_"))
     return pairs.select("id_a", "id_b", cos.alias("__c")).filter(F.col("__c") > 0.95).select(
         "id_a", "id_b", F.round("__c", 9).alias("cosine_r")
     )
