@@ -51,6 +51,10 @@ HEADLINE = [
     "vector_ivf_topk",
     "window_range_frame",
     "percentiles_quantity",
+    "document_chunks",
+    "vocabulary_top_terms",
+    "quality_filter_documents",
+    "window_rank_family",
 ]
 
 

@@ -1,0 +1,174 @@
+"""Tier B completion: full-outer join, rank/dense_rank/ntile, UNION
+DISTINCT, extended string/array functions, typed from_json extraction."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.queries.registry import dsum, register
+from postgre_to_clickhouse_spark.session import configure
+
+
+def _t(spark, sf_dir, name):
+    configure(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+@register(
+    "join_full_outer_nation_activity",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_cust, 0) AS n_customers,
+           COALESCE(s.n_supp, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """B3: FULL OUTER join preserving both unmatched sides."""
+    c = _t(spark, sf_dir, "customer").groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = _t(spark, sf_dir, "supplier").groupBy(F.col("s_nationkey").alias("nk2")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return c.join(s, c.nk == s.nk2, "full_outer").select(
+        F.coalesce("nk", "nk2").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+    """,
+)
+def window_rank_family(spark, sf_dir):
+    """B10: rank / dense_rank / ntile / percent_rank (ties on price
+    handled identically — rank windows don't need a unique order)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    wt = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+    )
+
+
+@register(
+    "setop_union_distinct_keys",
+    oracle="""
+    SELECT nk FROM (
+      SELECT c_nationkey AS nk FROM customer
+      UNION
+      SELECT s_nationkey AS nk FROM supplier
+    )
+    """,
+)
+def setop_union_distinct(spark, sf_dir):
+    """B12: UNION (distinct) — dedup across both inputs."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct()
+
+
+@register(
+    "string_funcs_extended",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           rpad(p_type, 10, '.') AS type_pad,
+           split_part(p_name, ' ', 1) AS name_first,
+           split_part(p_name, ' ', -1) AS name_last,
+           CAST(position(' ' IN p_name) AS INTEGER) AS space_pos,
+           reverse(p_brand) AS brand_rev,
+           repeat(p_brand, 2) AS brand_twice,
+           left(p_name, 3) AS name_l3,
+           right(p_name, 3) AS name_r3,
+           CAST(ascii(p_name) AS INTEGER) AS first_char_code
+    FROM part
+    """,
+)
+def string_funcs_extended(spark, sf_dir):
+    """B13 extended: pad/split_part/position/reverse/repeat/left/right/ascii."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.rpad("p_type", 10, ".").alias("type_pad"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("name_first"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1)).alias("name_last"),
+        F.instr("p_name", " ").cast("int").alias("space_pos"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.substring("p_name", 1, 3).alias("name_l3"),
+        F.substring(F.col("p_name"), -3, 3).alias("name_r3"),
+        F.ascii("p_name").cast("int").alias("first_char_code"),
+    )
+
+
+@register(
+    "json_typed_extraction",
+    oracle="""
+    SELECT event_id,
+           CAST(props::JSON->>'k' AS INTEGER) AS k_typed,
+           CAST(json_valid(props) AS BOOLEAN) AS is_valid,
+           json_array_length('[1,2,3]') AS arr_len
+    FROM events
+    """,
+)
+def json_typed_extraction(spark, sf_dir):
+    """B16: schema'd from_json (typed struct, not string extraction) +
+    validity probe + array length on a JSON literal."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+        F.json_array_length(F.lit("[1,2,3]")).alias("arr_len"),
+    )
+
+
+@register(
+    "array_manipulation",
+    oracle="""
+    SELECT vec_id,
+           list_sort(list_transform(embedding[1:5], x -> CAST(x AS DOUBLE))) AS first5_sorted,
+           list_reverse_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)))[1] AS max_of_3,
+           len(flatten([embedding[1:2], embedding[3:4]])) AS flat_len,
+           list_contains(list_transform(embedding, x -> x > 0), true) AS has_positive,
+           CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) AS first_two_sum
+    FROM embeddings
+    """,
+)
+def array_manipulation(spark, sf_dir):
+    """B17 extended: slice/sort_array/flatten/exists + element math."""
+    e = _t(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.slice("embedding", 1, 5), lambda x: x.cast("double"))
+    first3 = F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.sort_array(emb_d).alias("first5_sorted"),
+        F.sort_array(first3, asc=False)[0].alias("max_of_3"),
+        F.size(F.flatten(F.array(F.slice("embedding", 1, 2), F.slice("embedding", 3, 2)))).alias("flat_len"),
+        F.exists("embedding", lambda x: x > 0).alias("has_positive"),
+        (F.col("embedding")[0].cast("double") + F.col("embedding")[1].cast("double")).alias("first_two_sum"),
+    )

@@ -1,0 +1,122 @@
+"""Tier C completion: document chunking, quality filtering, vocabulary
+building, and the reference's own users CDC pipeline surfaced as a
+driver-visible query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.queries.registry import register
+from postgre_to_clickhouse_spark.session import configure
+
+
+def _t(spark, sf_dir, name):
+    configure(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+@register(
+    "document_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    )
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS chunk_start,
+           array_to_string(t[i : i + 63], ' ') AS chunk_text,
+           len(t[i : i + 63]) AS chunk_tokens
+    FROM toks, LATERAL (
+      SELECT unnest(range(1, greatest(len(t), 1) + 1, 48)) AS i
+    )
+    """,
+)
+def document_chunks(spark, sf_dir):
+    """Training-data chunking: fixed 64-token windows with stride 48
+    (16-token overlap) — the standard LLM pretokenization shape.
+    Explode over chunk starts; tokens sliced per chunk. One narrow
+    shuffle-free map stage (sequence + transform are per-row)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != "")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(48))
+    return (
+        d.select("doc_id", toks.alias("t"), F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            (F.col("i") - 1).cast("int").alias("chunk_start"),
+            F.concat_ws(" ", F.slice("t", F.col("i"), 64)).alias("chunk_text"),
+            F.size(F.slice("t", F.col("i"), 64)).alias("chunk_tokens"),
+        )
+    )
+
+
+@register(
+    "quality_filter_documents",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE length(text) BETWEEN 100 AND 2000
+      AND len(regexp_extract_all(text, '\\w+')) >= 20
+      AND CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+          / greatest(length(text), 1) < 0.1
+    """,
+)
+def quality_filter_documents(spark, sf_dir):
+    """C4 quality gate: the filter stage a pretraining pipeline runs —
+    length band, minimum word count, punctuation-ratio cap. All
+    predicates pushed into one codegen'd scan stage."""
+    from postgre_to_clickhouse_spark.operators.text import quality_stats
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_stats(d)
+    return q.filter(
+        (F.col("q_chars") >= 100) & (F.col("q_chars") <= 2000)
+        & (F.col("q_words") >= 20)
+        & (F.col("q_punct_ratio") < 0.1)
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "vocabulary_top_terms",
+    oracle="""
+    SELECT term, n_docs, total_tf FROM (
+      SELECT term, COUNT(*) AS n_docs, CAST(SUM(tf) AS BIGINT) AS total_tf,
+             row_number() OVER (ORDER BY SUM(tf) DESC, term) AS rn
+      FROM (
+        SELECT doc_id, term, COUNT(*) AS tf FROM (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+          FROM documents
+        ) GROUP BY doc_id, term
+      ) GROUP BY term
+    ) WHERE rn <= 50
+    """,
+)
+def vocabulary_top_terms(spark, sf_dir):
+    """C4 vocab building: corpus-wide top-50 terms by total frequency
+    (doc frequency alongside). Two-level agg with map-side partials;
+    final top-k is TakeOrdered on the tiny term table."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    agg = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("tf").alias("total_tf")
+    )
+    return (
+        agg.orderBy(F.col("total_tf").desc(), F.col("term"))
+        .limit(50)
+        .select("term", "n_docs", "total_tf")
+    )
+
+
+@register("cdc_users_pipeline")  # reference-fixture pipeline — rows-only
+def cdc_users_pipeline(spark, sf_dir):
+    """The reference's verified end-to-end behavior (README.md:237-243)
+    as a driver-visible query: seed inserts + updates + redelivery +
+    out-of-order + delete fixture → unwrap → MV transform → redelivery
+    dedup → latest-wins. Deterministic fixture (no sf_dir dependency);
+    golden-tested in tests/test_cdc_pipeline.py."""
+    configure(spark)
+    from postgre_to_clickhouse_spark.cdc import dedup_redelivery, latest, mv_users, unwrap
+    from postgre_to_clickhouse_spark.cdc.fixtures import users_cdc_events
+
+    return latest(dedup_redelivery(mv_users(unwrap(users_cdc_events(spark))))).orderBy("user_id")
