@@ -45,6 +45,18 @@ def frame(avro_binary: bytes, schema_id_: int) -> bytes:
     return MAGIC_BYTE + struct.pack(">I", schema_id_) + avro_binary
 
 
+def encode_confluent_avro(struct_col: Column, schema_json: str, schema_id_: int) -> Column:
+    """Typed struct → Confluent-framed Avro bytes (A5, the producer path):
+    to_avro payload prefixed with magic 0x0 + 4-byte BE schema id, all as
+    JVM column expressions (concat on binary)."""
+    try:
+        from pyspark.sql.avro.functions import to_avro
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("pyspark.sql.avro requires the spark-avro jar on the classpath") from e
+    header = bytes(MAGIC_BYTE) + struct.pack(">I", schema_id_)
+    return F.concat(F.lit(bytearray(header)), to_avro(struct_col, schema_json))
+
+
 def decode_confluent_avro(value_col: str, reader_schema_json: str) -> Column:
     """Framed Kafka value → typed struct column via spark-avro's from_avro.
 
