@@ -47,16 +47,23 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-def dsum(col: Column | str, scale: int = 2, precision: int = 30) -> Column:
+def dsum(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     """Order-independent, engine-exact sum of a double column.
 
-    SQL mirror: ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)``.
+    SQL mirror: ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)`` — the
+    oracle side uses DECIMAL(30,s); per-value rounding and the exact sum
+    are identical at any precision wide enough for the values, so only
+    the Spark-side width matters for speed: precision ≤ 18 keeps Spark
+    on the Long-backed compact Decimal (measured ~1.5× faster than the
+    BigDecimal path at sf0.1). Overflow headroom: the sum type widens to
+    DECIMAL(28,s) ≈ 1e26 — comfortable for 100 TB fact tables whose
+    per-row values fit DECIMAL(18,s).
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
 
 
-def davg(col: Column | str, scale: int = 2, precision: int = 30) -> Column:
+def davg(col: Column | str, scale: int = 2, precision: int = 18) -> Column:
     """Exact-sum-based average. SQL mirror:
     ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE) / COUNT(*)``."""
     c = F.col(col) if isinstance(col, str) else col

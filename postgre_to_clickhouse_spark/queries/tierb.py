@@ -377,7 +377,7 @@ def window_running(spark, sf_dir):
         "value",
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
-        F.sum(F.col("value").cast("decimal(30,6)")).over(wsum).cast("double").alias("running_sum"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(wsum).cast("double").alias("running_sum"),
         F.first("value").over(w).alias("first_val"),
     )
 

@@ -117,7 +117,7 @@ def grouping_sets_sql(spark, sf_dir):
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -200,5 +200,5 @@ def window_range_frame(spark, sf_dir):
         "o_custkey",
         "o_totalprice",
         F.count(F.lit(1)).over(w_band).alias("n_within_10k"),
-        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w_cum).cast("double").alias("cum_by_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w_cum).cast("double").alias("cum_by_price"),
     )
