@@ -27,10 +27,16 @@ def band_join(
 ) -> DataFrame:
     """Equi-join rewrite of ``|left_val - right_val| <= width``.
 
-    Left rows are replicated into their own + two adjacent buckets
-    (explode ×3); right rows keep their single bucket; the bucket
-    equi-join then covers every possible band match, and the exact
-    predicate removes false candidates.
+    Left rows are replicated into their own + adjacent buckets; right
+    rows keep their single bucket; the bucket equi-join then covers
+    every possible band match, and the exact predicate removes false
+    candidates.
+
+    Candidate window is ±2 buckets, not ±1: the match predicate is a
+    double subtraction, so a pair whose exact-real distance is a hair
+    over ``width`` can still satisfy ``|l-r| <= width`` after rounding
+    (e.g. l=1.0, r=-5e-324, width=1.0 — found by the property test);
+    rounding slop is ≤1 ulp, so the bucket-quotient difference is ≤2.
     """
     if width <= 0:
         raise ValueError("band_join width must be > 0 — for exact equality use a plain equi-join")
@@ -38,7 +44,7 @@ def band_join(
     r = right.select("*", bucket_r)
     lb = F.floor(F.col(left_val) / F.lit(width))
     l = left.select(
-        "*", F.explode(F.array(lb - 1, lb, lb + 1)).alias("__bucket")
+        "*", F.explode(F.array(lb - 2, lb - 1, lb, lb + 1, lb + 2)).alias("__bucket")
     )
     joined = l.join(r, "__bucket", how)
     exact = F.abs(F.col(left_val) - F.col(right_val)) <= F.lit(width)

@@ -125,6 +125,68 @@ def string_funcs_extended(spark, sf_dir):
 
 
 @register(
+    "pivot_qty_by_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(30,2)) ELSE 0 END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(30,2)) ELSE 0 END) AS DOUBLE) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_qty_by_status(spark, sf_dir):
+    """B7/B9: pivot — one column per linestatus value (explicit value
+    list keeps the plan static; never pivot on unbounded cardinality)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.coalesce(F.sum(F.col("l_quantity").cast("decimal(18,2)")), F.lit(0)).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@register(
+    "unpivot_balances",
+    oracle="""
+    SELECT n_nationkey, metric, val FROM (
+      SELECT n.n_nationkey,
+             CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS cust_bal,
+             CAST(COALESCE(SUM(CAST(s.s_acctbal AS DECIMAL(30,2))), 0) AS DOUBLE) AS supp_bal
+      FROM nation n
+        LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey AND s.s_suppkey = -1
+      GROUP BY n.n_nationkey
+    ) UNPIVOT (val FOR metric IN (cust_bal, supp_bal))
+    """,
+)
+def unpivot_balances(spark, sf_dir):
+    """B9: unpivot via stack() — wide metrics to long (metric, val) rows.
+    (The supplier side is an intentionally empty LEFT JOIN aggregated to
+    0 so the unpivot has two metrics with deterministic values.)"""
+    configure(spark)
+    n = catalog.load(spark, sf_dir, "nation")
+    c = catalog.load(spark, sf_dir, "customer")
+    s = catalog.load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") == -1)
+    wide = (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("n_nationkey")
+        .agg(
+            dsum("c_acctbal").alias("cust_bal"),
+            F.coalesce(dsum("s_acctbal"), F.lit(0.0)).alias("supp_bal"),
+        )
+    )
+    return wide.selectExpr(
+        "n_nationkey",
+        "stack(2, 'cust_bal', cust_bal, 'supp_bal', supp_bal) AS (metric, val)",
+    )
+
+
+@register(
     "json_typed_extraction",
     oracle="""
     SELECT event_id,

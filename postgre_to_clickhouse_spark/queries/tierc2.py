@@ -153,6 +153,45 @@ def sessionize_events(spark, sf_dir):
     return sessionize_batch(ev, gap_minutes=30)
 
 
+@register(
+    "session_window_native",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sid AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS s
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end_padded,
+           count(*) AS n_events
+    FROM sid GROUP BY user_id, s
+    """,
+)
+def session_window_native(spark, sf_dir):
+    """B18: Spark's NATIVE session_window (gap-based grouping built into
+    the engine; the streaming form takes a watermark). Spark defines the
+    window end as last-event + gap, hence the padded alias; otherwise
+    identical sessions to the custom operator (oracle = same lag/cumsum
+    construction)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end_padded"),
+            "n_events",
+        )
+    )
+
+
 @register("pandas_udf_zscore")  # B19 demo — Arrow path, rows-only by design
 def pandas_udf_zscore(spark, sf_dir):
     """B19: grouped-map pandas UDF (Arrow-batched) — per-event-type
