@@ -55,6 +55,9 @@ HEADLINE = [
     "vocabulary_top_terms",
     "quality_filter_documents",
     "window_rank_family",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume_orders",
 ]
 
 

@@ -129,6 +129,77 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select(*cols).mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pixels", T.ArrayType(T.IntegerType()), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 4, height: int = 4) -> DataFrame:
+    """Image resize plumbing (C5): decode → nearest-neighbor resample →
+    flat pixel array. Decode is the deterministic stub; the resampling
+    math (index grid) is real and swaps cleanly for a PIL-backed decode."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {"media_id": [], "width": [], "height": [], "pixels": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out_rows["media_id"].append(mid)
+                if payload is None:
+                    out_rows["width"].append(None)
+                    out_rows["height"].append(None)
+                    out_rows["pixels"].append(None)
+                    continue
+                img = _decode_image(bytes(payload))  # HxWx3 uint8
+                ys = (np.arange(height) * img.shape[0] // height).astype(int)
+                xs = (np.arange(width) * img.shape[1] // width).astype(int)
+                small = img[np.ix_(ys, xs)]
+                out_rows["width"].append(width)
+                out_rows["height"].append(height)
+                out_rows["pixels"].append([int(v) for v in small.ravel()])
+            yield pd.DataFrame(out_rows)
+
+    return media.filter(F.col("modality") == "image").select("media_id", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video frame sampling plumbing (C5): one output row per sampled
+    frame (uniform stride), each with a feature vector. The frame decode
+    is stubbed (content+index derived) — the explode shape, schema and
+    batch flow are the real pipeline."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "frame_feature": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                for i in range(n_frames):
+                    frame = _decode_image(raw + i.to_bytes(4, "big"))
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_feature"].append(_feature_vector(frame).tolist())
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def media_repartition(media: DataFrame, target_bytes: int = 128 * 1024 * 1024) -> DataFrame:
     """Partition by cumulative payload size, not row count: computes a
     byte-bucket id from a running estimate (length-based salt) so a few

@@ -11,6 +11,7 @@ from postgre_to_clickhouse_spark.queries import tierb  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierb2  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierb3  # noqa: E402,F401
+from postgre_to_clickhouse_spark.queries import tpch_extra  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc2  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc3  # noqa: E402,F401
 

@@ -47,3 +47,25 @@ def test_feature_path_is_arrow_not_row_python(spark):
     plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
     assert "BatchEvalPython" not in plan
+
+
+def test_resize_images_shape(spark):
+    media = M.synthetic_media(spark, 8)
+    out = {r.media_id: r for r in M.resize_images(media, width=4, height=4).collect()}
+    assert set(out) == {0, 2, 4, 6}  # images only (even ids)
+    assert all(len(r.pixels) == 4 * 4 * 3 for r in out.values())
+    # deterministic
+    out2 = {r.media_id: r.pixels for r in M.resize_images(media, 4, 4).collect()}
+    assert {k: v.pixels for k, v in out.items()} == out2
+
+
+def test_sample_video_frames_explodes(spark):
+    media = M.synthetic_media(spark, 4)
+    out = M.sample_video_frames(media, n_frames=3).collect()
+    assert len(out) == 4 * 3
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    assert all(sorted(v) == [0, 1, 2] for v in by_media.values())
+    feats = {(r.media_id, r.frame_idx): tuple(r.frame_feature) for r in out}
+    assert len(set(feats.values())) == len(feats)  # frames differ per index
