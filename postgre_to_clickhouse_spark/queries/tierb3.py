@@ -125,6 +125,99 @@ def string_funcs_extended(spark, sf_dir):
 
 
 @register(
+    "stats_aggregates",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 6) AS sd_value,
+           round(var_samp(value), 6) AS var_value,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS covar_vu,
+           round(skewness(value), 6) AS skew_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stats_aggregates(spark, sf_dir):
+    """B7 statistical aggregates: stddev/variance/corr/covar/skewness.
+    These are streaming-moment computations whose accumulation order
+    differs per engine → rounded to 6dp (documented tolerance, unlike
+    the exact-decimal sums)."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id").cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    # Spark skewness is the population form (g1); DuckDB returns the
+    # sample-corrected G1 = g1·√(n(n−1))/(n−2) — apply the correction.
+    skew_sample = F.skewness("value") * F.sqrt(n * (n - 1)) / (n - 2)
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+        F.round(F.covar_samp(F.col("value"), u), 6).alias("covar_vu"),
+        F.round(skew_sample, 6).alias("skew_value"),
+    )
+
+
+@register(
+    "conditional_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'large'
+                WHEN o_totalprice > 100000 THEN 'medium'
+                ELSE 'small' END AS size_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           IF(o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%', 1, 0) AS is_urgent,
+           LEAST(o_totalprice, 250000.0) AS capped_price,
+           GREATEST(o_totalprice, 50000.0) AS floored_price
+    FROM orders
+    """,
+)
+def conditional_funcs(spark, sf_dir):
+    """B15/B2: CASE/NULLIF/COALESCE/IF/LEAST/GREATEST conditional family."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "large")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("small")
+        .alias("size_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.when(F.col("o_orderpriority").like("1%") | F.col("o_orderpriority").like("2%"), 1)
+        .otherwise(0)
+        .alias("is_urgent"),
+        F.least("o_totalprice", F.lit(250000.0)).alias("capped_price"),
+        F.greatest("o_totalprice", F.lit(50000.0)).alias("floored_price"),
+    )
+
+
+@register(
+    "correlated_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def correlated_scalar_subquery(spark, sf_dir):
+    """B4/B7: correlated scalar subquery — orders 1.5× above the same
+    customer's exact-decimal average (Catalyst decorrelates to an agg +
+    join; the average uses the engine-exact dsum/count so the predicate
+    threshold is identical across engines)."""
+    configure(spark)
+    catalog.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (
+          SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
     "pivot_qty_by_status",
     oracle="""
     SELECT l_returnflag,
