@@ -58,6 +58,12 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q10_returned_items",
     "q18_large_volume_orders",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_supplier",
 ]
 
 

@@ -12,6 +12,7 @@ from postgre_to_clickhouse_spark.queries import tierb2  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierb3  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tpch_extra  # noqa: E402,F401
+from postgre_to_clickhouse_spark.queries import tpch_suite  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc2  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc3  # noqa: E402,F401
 

@@ -1,0 +1,724 @@
+"""Remaining TPC-H query shapes (Q2,4,7,8,9,11-17,19-22 analogues).
+
+Together with q1/q3/q5 (tiera) and q6/q10/q18 (tpch_extra) this gives
+the full 22-shape TPC-H surface the reference's ClickHouse endpoint
+serves interactively (SURVEY.md §2.5, reference `README.md:156`).
+
+The fixtures diverge from canonical TPC-H (TESTDATA.md): no `partsupp`
+table, no `l_commitdate`/`l_receiptdate`, no `p_container`/`c_phone`.
+Queries needing those are *adapted*, keeping the canonical plan shape:
+- part↔supplier relations (Q2/Q11/Q16/Q20) derive from `lineitem`
+  (l_partkey, l_suppkey) instead of partsupp;
+- "late delivery" (Q4/Q21) = shipped > N days after order date;
+- "country code" (Q22) = c_nationkey.
+
+Determinism rules are the registry's (exact decimal sums; ratios =
+division of two exact doubles; no transcendentals; unique ORDER BY
+keys wherever LIMIT appears).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.queries.registry import dsum, register
+from postgre_to_clickhouse_spark.session import configure
+
+
+def _t(spark, sf_dir, name):
+    configure(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+def _rev():
+    """Lazy: F.col needs an active SparkContext (classic mode), so no
+    module-level Column constants."""
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+_REV_SQL = "l_extendedprice * (1.0 - l_discount)"
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, MIN(unit_cost) AS best_cost FROM costs GROUP BY l_partkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+    FROM costs c
+      JOIN best b ON c.l_partkey = b.l_partkey AND c.unit_cost = b.best_cost
+      JOIN part p ON p.p_partkey = c.l_partkey
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND r.r_name = 'EUROPE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (partsupp-free): cheapest observed supplier per
+    part (unit cost from lineitem), restricted to one region. Double
+    division + MIN are IEEE-exact, so the min-cost equality join is
+    engine-stable. Scale: costs agg shuffles on (part,supp); part/
+    supplier/nation/region are broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("best_cost")).withColumnRenamed(
+        "l_partkey", "b_partkey"
+    )
+    p = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_size").between(10, 20)))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    return (
+        costs.join(
+            best,
+            (costs.l_partkey == F.col("b_partkey")) & (costs.unit_cost == F.col("best_cost")),
+        )
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: priority counts of orders with a late shipment
+    (EXISTS → left-semi join; 'late' adapted to ship > orderdate+60d
+    since the fixture has no commit/receipt dates)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST({_REV_SQL} AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year — double nation join (both broadcast), disjunctive pair
+    predicate evaluated after, group on (supp,cust,year)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").withColumnRenamed("n_name", "supp_nation"))
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .withColumnRenamed("n_name", "cust_nation")
+        .withColumnRenamed("n_nationkey", "n2_nationkey")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        F.broadcast(s)
+        .join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == n1.n_nationkey)
+        .join(n2, F.col("c_nationkey") == F.col("n2_nationkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(_rev(), scale=4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_5' THEN {_REV_SQL} ELSE 0.0 END
+                         AS DECIMAL(30,4))) AS DOUBLE)
+           / CAST(SUM(CAST({_REV_SQL} AS DECIMAL(30,4))) AS DOUBLE) AS mkt_share
+    FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of regional PROMO revenue by
+    year. The share is a ratio of two exact-decimal sums → the double
+    division is IEEE-exact and engine-stable."""
+    p = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").withColumnRenamed("n_name", "supp_nation"))
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .withColumnRenamed("n_name", "cust_nation")
+        .withColumnRenamed("n_nationkey", "n2_nationkey")
+        .withColumnRenamed("n_regionkey", "n2_regionkey")
+    )
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_5", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(p, F.col("l_partkey") == p.p_partkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == n1.n_nationkey)
+        .join(n2, F.col("c_nationkey") == F.col("n2_nationkey"))
+        .join(r, F.col("n2_regionkey") == r.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(nation_rev, scale=4) / dsum(_rev(), scale=4)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(({_REV_SQL}) * (1.0 - l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS profit
+    FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (supplycost-free): after-tax profit on a part
+    family by supplier nation × year. The 3-factor product is evaluated
+    with identical association in both engines → bit-identical
+    addends before the exact decimal sum."""
+    p = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")))
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    o = _t(spark, sf_dir, "orders")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    profit = _rev() * (F.lit(1.0) - F.col("l_tax"))
+    return (
+        li.join(p, F.col("l_partkey") == p.p_partkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit, scale=6).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH asia_li AS (
+      SELECT l.l_partkey, {_REV_SQL} AS v
+      FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT l_partkey, CAST(SUM(CAST(v AS DECIMAL(30,4))) AS DOUBLE) AS part_value
+    FROM asia_li
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(v AS DECIMAL(30,4))) AS DOUBLE) >
+           (SELECT CAST(SUM(CAST(v AS DECIMAL(30,4))) AS DOUBLE) * CAST(0.001 AS DOUBLE)
+            FROM asia_li)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (partsupp-free): parts whose traded value from
+    one region's suppliers exceeds 0.1% of the regional total. Both the
+    per-part and the global value are exact decimal sums, so the
+    threshold compare is engine-stable. Scale: the global scalar is a
+    1-row broadcast cross join, not a driver collect."""
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .join(r, F.col("n_regionkey") == r.r_regionkey)
+        .select("l_partkey", _rev().alias("v"))
+    )
+    per_part = li.groupBy("l_partkey").agg(dsum("v", scale=4).alias("part_value"))
+    total = li.agg((dsum("v", scale=4) * F.lit(0.001)).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: priority mix per line status (fixture has no
+    l_shipmode → l_linestatus carries the grouping role). Pure integer
+    conditional counts — exact by construction."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts with
+    a join-condition filter (LEFT JOIN ... AND, not WHERE — customers
+    with zero qualifying orders must survive as c_count=0)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.0 AS DOUBLE) *
+           CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO' THEN {_REV_SQL} ELSE 0.0 END
+                         AS DECIMAL(30,4))) AS DOUBLE)
+           / CAST(SUM(CAST({_REV_SQL} AS DECIMAL(30,4))) AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo share of one month's revenue — ratio of
+    exact sums times 100 (both factors exact doubles)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(p, F.col("l_partkey") == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * dsum(promo, scale=4) / dsum(_rev(), scale=4)).alias(
+                "promo_revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST({_REV_SQL} AS DECIMAL(30,4))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with max quarterly revenue — the
+    view + scalar-max pattern. MAX over exact doubles is exact, so the
+    equality selection is engine-stable; the max is a 1-row broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev(), scale=4).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3' AND p.p_type NOT LIKE 'MEDIUM%'
+      AND p.p_size IN (1, 5, 9, 14, 20, 25, 30, 40)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_count(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp-free): distinct supplier counts per
+    part profile, excluding 'complaint' suppliers (negative acctbal
+    stands in for the comment scan) via broadcast anti-join."""
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#3")
+            & ~F.col("p_type").like("MEDIUM%")
+            & F.col("p_size").isin(1, 5, 9, 14, 20, 25, 30, 40)
+        )
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        li.join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey,
+             CAST(0.2 AS DOUBLE) *
+             (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS qty_gate
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+           / CAST(7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN pavg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#7' AND p.p_size < 10
+      AND l.l_quantity < a.qty_gate
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue impact of below-20%-of-average-quantity
+    orders. The correlated AVG is decorrelated into a per-part exact
+    average (exact sum / count — identical IEEE ops per engine) joined
+    back on partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    pavg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_gate")
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter((F.col("p_brand") == "Brand#7") & (F.col("p_size") < 10))
+    )
+    return (
+        li.join(p, F.col("l_partkey") == p.p_partkey)
+        .join(pavg, F.col("l_partkey") == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_gate"))
+        .agg(
+            (dsum("l_extendedprice", scale=4) / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CAST({_REV_SQL} AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of three brand/size/quantity bands
+    over an equi-join — the classic test that OR-of-ANDs still runs as
+    a hash join with a post-join filter, not a cartesian product."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    band = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+    )
+    return (
+        li.join(p, F.col("l_partkey") == p.p_partkey)
+        .filter(band)
+        .agg(dsum(_rev(), scale=4).alias("revenue"))
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'red%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 80)
+    ORDER BY s_name
+    """,
+)
+def q20_excess_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (partsupp-free): suppliers in one nation who
+    shipped a large volume of a part family in a year — HAVING-derived
+    key set broadcast-semi-joined into the dimension."""
+    p = F.broadcast(_t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    heavy = (
+        li.join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 80)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3"))
+    return (
+        s.join(n, F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    ), nsupp AS (
+      SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS ns FROM lineitem GROUP BY l_orderkey
+    ), nlate AS (
+      SELECT l_orderkey, COUNT(*) AS nl FROM late GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late
+      JOIN nsupp ON nsupp.l_orderkey = late.l_orderkey
+      JOIN nlate ON nlate.l_orderkey = late.l_orderkey
+      JOIN supplier s ON s.s_suppkey = late.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE nsupp.ns > 1 AND nlate.nl = 1 AND n.n_name IN ('NATION_4','NATION_5','NATION_6')
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    completed multi-supplier order ('late' = shipped >90d after order
+    date). The EXISTS/NOT-EXISTS pair is decorrelated into per-order
+    supplier / late-supplier counts — one pass each, no correlated
+    re-scan per row (the shape that matters at 100 TB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    nsupp = li.groupBy(F.col("l_orderkey").alias("ns_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("ns")
+    )
+    nlate = late.groupBy(F.col("l_orderkey").alias("nl_orderkey")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(
+        _t(spark, sf_dir, "nation").filter(
+            F.col("n_name").isin("NATION_4", "NATION_5", "NATION_6")
+        )
+    )
+    return (
+        late.join(nsupp, F.col("l_orderkey") == F.col("ns_orderkey"))
+        .join(nlate, F.col("l_orderkey") == F.col("nl_orderkey"))
+        .filter((F.col("ns") > 1) & (F.col("nl") == 1))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0.0
+          AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY cntrycode ORDER BY cntrycode
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: rich customers with no orders, by 'country
+    code' (c_nationkey — the fixture has no c_phone). Scalar exact
+    average broadcast, anti-join against orders."""
+    codes = [1, 3, 5, 7, 9, 11, 13]
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(codes))
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
