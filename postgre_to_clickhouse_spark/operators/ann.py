@@ -7,20 +7,23 @@ candidate list. Complements the hyperplane-LSH path in ``similarity``:
 IVF adapts to the data distribution (learned centroids) where LSH is
 data-oblivious.
 
-Scale: the centroid fit samples the corpus (k-means on a bounded
-sample); assignment is one broadcast-join map pass; the query probe
-turns a full scan into ``n_probe/n_lists`` of the data — the standard
-way to search billions of vectors. All distance math is JVM-side
-(``zip_with``/``aggregate``); k-means itself is pyspark.ml (seeded,
-deterministic).
+Scale: the centroid fit samples the corpus (k-means on a bounded,
+cached sample); everything downstream treats the centroid table as
+what it is — a driver-size constant (``n_lists`` rows, never data-
+proportional). Assignment and query probing are therefore pure map
+passes over literal centroid arrays: ZERO shuffle, no cross-join row
+blow-up, no window sort. The only shuffles left in the whole search
+are the candidate hash-join on list_id and the final per-query top-k.
+All distance math is JVM-side (``zip_with``/``aggregate``); k-means
+itself is pyspark.ml (seeded, deterministic).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from postgre_to_clickhouse_spark.operators.similarity import _dot, _norm, cosine_similarity
+from postgre_to_clickhouse_spark.operators.similarity import _norm, cosine_similarity
 
 
 def _to_ml_vector(df: DataFrame, vec_col: str, out: str = "__mlvec") -> DataFrame:
@@ -36,16 +39,56 @@ def fit_ivf_centroids(
     seed: int = 42,
     sample_fraction: float = 1.0,
 ) -> DataFrame:
-    """K-means coarse quantizer → DataFrame (list_id, centroid array)."""
+    """K-means coarse quantizer → DataFrame (list_id, centroid array).
+
+    The training set is cached for the fit: k-means is iterative, and
+    without the cache every iteration re-reads and re-decodes the
+    source (at 100 TB: pass ``sample_fraction`` so the cached sample is
+    bounded — IVF centroid quality needs only a sample anyway).
+    """
     from pyspark.ml.clustering import KMeans
 
     train = vectors if sample_fraction >= 1.0 else vectors.sample(sample_fraction, seed=seed)
-    ml = _to_ml_vector(train, vec_col)
-    km = KMeans(k=n_lists, seed=seed, featuresCol="__mlvec", maxIter=8, initMode="k-means||")
-    model = km.fit(ml)
+    ml = _to_ml_vector(train.select(vec_col), vec_col).cache()
+    try:
+        km = KMeans(k=n_lists, seed=seed, featuresCol="__mlvec", maxIter=8, initMode="k-means||")
+        model = km.fit(ml)
+    finally:
+        ml.unpersist()
     spark = vectors.sparkSession
     cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     return spark.createDataFrame(cents, "list_id int, centroid array<double>")
+
+
+def _centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Materialize the centroid table (bounded: n_lists rows — a model
+    constant, not data). Sorted by list_id for a stable literal order."""
+    return sorted(
+        ((r["list_id"], list(r["centroid"])) for r in centroids.collect()), key=lambda t: t[0]
+    )
+
+
+def _cosine_to_literal(vec_col: str, centroid: list[float]) -> Column:
+    """cos(vec, constant centroid) with the centroid folded into the
+    expression as literals — evaluated per row inside codegen, no join.
+    The centroid's own norm is computed in Python once (exact same
+    IEEE double value as the JVM would produce for the same literals is
+    NOT required — it's a constant shared by every row, so rankings are
+    self-consistent and deterministic)."""
+    import math
+
+    prods = F.zip_with(
+        F.col(vec_col),
+        F.array(*[F.lit(x) for x in centroid]),
+        lambda a, b: a.cast("double") * b,
+    )
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    cnorm = math.sqrt(math.fsum(x * x for x in centroid))
+    return dot / (_norm(vec_col) * F.lit(cnorm))
+
+
+def _sims_array(vec_col: str, cents: list[tuple[int, list[float]]]) -> Column:
+    return F.array(*[_cosine_to_literal(vec_col, c) for _, c in cents])
 
 
 def assign_lists(
@@ -54,17 +97,19 @@ def assign_lists(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Attach nearest-centroid list_id to every vector (broadcast join +
-    window argmin — one map-side pass, no shuffle of the corpus)."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "__d", _dot(vec_col, "centroid") / (_norm(vec_col) * _norm("centroid"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__d").desc(), F.col("list_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__d", "centroid")
-    )
+    """Attach nearest-centroid list_id to every vector.
+
+    Pure map pass: the similarity to each centroid is a literal-array
+    expression, argmax = first index of the max (ties → lowest
+    list_id, matching the previous window tie-break). No shuffle — the
+    corpus never moves, which is the property that matters when
+    'corpus' means 100 TB."""
+    cents = _centroid_rows(centroids)
+    ids = [lid for lid, _ in cents]
+    sims = _sims_array(vec_col, cents)
+    idx = F.array_position(sims, F.array_max(sims)).cast("int")  # 1-based, first max
+    list_id = F.element_at(F.array(*[F.lit(i) for i in ids]), idx)
+    return vectors.withColumn("list_id", list_id)
 
 
 def ivf_topk(
@@ -81,15 +126,23 @@ def ivf_topk(
     """Probe the ``n_probe`` nearest lists per query, exact-rerank.
 
     ``indexed`` = output of :func:`assign_lists` (vectors + list_id).
+    Probe selection is a per-row top-n over the literal centroid sims
+    (sort struct(-sim, list_id) ascending = sim desc, list_id asc — the
+    previous window tie-break), then candidates come from ONE hash join
+    on list_id against the broadcast probe set.
     """
-    qc = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "__d", _dot(query_vec_col, "centroid") / (_norm(query_vec_col) * _norm("centroid"))
+    cents = _centroid_rows(centroids)
+    sims = _sims_array(query_vec_col, cents)
+    ranked = F.array_sort(
+        F.zip_with(
+            sims,
+            F.array(*[F.lit(lid) for lid, _ in cents]),
+            lambda s, lid: F.struct((-s).alias("neg"), lid.alias("list_id")),
+        )
     )
-    wq = Window.partitionBy(query_id_col).orderBy(F.col("__d").desc(), F.col("list_id"))
     probes = (
-        qc.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= n_probe)
-        .select(query_id_col, query_vec_col, "list_id")
+        queries.withColumn("__probe", F.explode(F.slice(ranked, 1, n_probe)))
+        .select(query_id_col, query_vec_col, F.col("__probe.list_id").alias("list_id"))
     )
     cand = indexed.join(F.broadcast(probes), "list_id").filter(F.col(id_col) != F.col(query_id_col))
     scored = cand.select(
