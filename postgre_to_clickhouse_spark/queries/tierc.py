@@ -85,11 +85,37 @@ def text_fingerprints(spark, sf_dir):
     return X.fingerprint(d).select("doc_id", "fp_md5", "fp_sha256", "fp_prefix128")
 
 
-@register("text_lang_id")  # heuristic — no SQL oracle; accuracy asserted in tests
+def _lang_id_oracle() -> str:
+    """DuckDB twin of :func:`operators.text.lang_id`, generated from the
+    same ``_LANG_MARKERS`` table so the two can never drift. Both engines
+    count non-overlapping leftmost regex matches (Java regex / RE2 agree
+    on plain alternation), and the argmax tie-break is the identical
+    (score, -index, lang) struct ordering."""
+    structs = []
+    for i, (lang, words) in enumerate(sorted(X._LANG_MARKERS.items())):
+        if not words:
+            continue
+        pat = " (" + "|".join(words) + ") "
+        structs.append(
+            f"{{'score': len(regexp_extract_all(' ' || lower(text) || ' ', '{pat}')), "
+            f"'nb': {-i}, 'lang': '{lang}'}}"
+        )
+    arr = "[" + ", ".join(structs) + "]"
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+                WHEN best.score > 0 THEN best.lang
+                ELSE 'und' END AS pred_lang
+    FROM (SELECT doc_id, lang, text, list_reverse_sort({arr})[1] AS best FROM documents)
+    """
+
+
+@register("text_lang_id", oracle=_lang_id_oracle())
 def text_lang_id(spark, sf_dir):
     """Language ID heuristic (C4): CJK script detection + stopword argmax.
-    Rows-only driver check; tests assert agreement with the `lang` label
-    where markers exist."""
+    Oracle-exact: the DuckDB twin is generated from the same marker table
+    (see :func:`_lang_id_oracle`); tests additionally assert agreement
+    with the `lang` label where markers exist."""
     d = _t(spark, sf_dir, "documents")
     return X.lang_id(d).select("doc_id", "lang", "pred_lang")
 

@@ -97,6 +97,54 @@ def upsert_batch(table_path: str, sort_key=("user_id", "updated_at"), arrival=("
     return _apply
 
 
+def upsert_batch_bucketed(
+    table_path: str,
+    sort_key=("user_id", "updated_at"),
+    arrival=("kafka_offset",),
+    key_col: str = "user_id",
+    n_buckets: int = 16,
+):
+    """foreachBatch body: partition-pruned last-wins upsert.
+
+    The table is laid out as parquet partitioned by
+    ``__bucket = pmod(xxhash64(key), n_buckets)``. Each micro-batch:
+
+    1. dedups the batch (A19) and computes the bucket of every key;
+    2. reads ONLY the touched buckets of the existing table (the
+       ``isin`` filter prunes at the partition-directory level — the
+       scan never opens untouched buckets);
+    3. merges last-wins and rewrites JUST those buckets via dynamic
+       partition overwrite.
+
+    A micro-batch touching 1% of the key space rewrites ~1% of the
+    table instead of 100% — this is the parquet stand-in for a
+    MERGE-capable format at 100 TB (``upsert_batch`` above is the
+    whole-table rewrite it replaces). Idempotency story is identical:
+    deterministic dedup ⇒ replaying a batch converges, and a crash
+    mid-commit is healed by the replay for the same reason.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch = dedup_redelivery(batch_df, sort_key, arrival).withColumn(
+            "__bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+        )
+        # bounded by n_buckets (a layout constant), never by batch size
+        touched = [r["__bucket"] for r in batch.select("__bucket").distinct().collect()]
+        try:
+            existing = spark.read.parquet(table_path).filter(F.col("__bucket").isin(touched))
+            merged = existing.unionByName(batch)
+        except Exception:  # first batch — table doesn't exist yet
+            merged = batch
+        merged = dedup_redelivery(merged, sort_key, arrival)
+        # sever lineage from the files about to be overwritten (eager)
+        merged = merged.localCheckpoint()
+        merged.write.mode("overwrite").partitionBy("__bucket").parquet(table_path)
+
+    return _apply
+
+
 def run_pipeline(
     spark: SparkSession,
     source_path: str,
