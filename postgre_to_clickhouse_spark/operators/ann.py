@@ -44,17 +44,26 @@ def fit_ivf_centroids(
     The training set is cached for the fit: k-means is iterative, and
     without the cache every iteration re-reads and re-decodes the
     source (at 100 TB: pass ``sample_fraction`` so the cached sample is
-    bounded — IVF centroid quality needs only a sample anyway).
+    bounded — IVF centroid quality needs only a sample anyway). The
+    cached sample is also re-coalesced to match its actual row count:
+    every k-means iteration is a full job over the sample, and a small
+    sample scattered across hundreds of source partitions pays
+    scheduling overhead per iteration instead of compute. Init is
+    seeded random rather than k-means|| — the || init costs extra
+    distributed passes to optimize a coarse quantizer whose cells get
+    exact-reranked anyway.
     """
     from pyspark.ml.clustering import KMeans
 
     train = vectors if sample_fraction >= 1.0 else vectors.sample(sample_fraction, seed=seed)
-    ml = _to_ml_vector(train.select(vec_col), vec_col).cache()
+    cached = _to_ml_vector(train.select(vec_col), vec_col).cache()
     try:
-        km = KMeans(k=n_lists, seed=seed, featuresCol="__mlvec", maxIter=8, initMode="k-means||")
+        n = cached.count()  # materializes the cache; sizes the coalesce
+        ml = cached.coalesce(max(1, min(int(n // 20_000) + 1, 256)))
+        km = KMeans(k=n_lists, seed=seed, featuresCol="__mlvec", maxIter=8, initMode="random")
         model = km.fit(ml)
     finally:
-        ml.unpersist()
+        cached.unpersist()
     spark = vectors.sparkSession
     cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     return spark.createDataFrame(cents, "list_id int, centroid array<double>")

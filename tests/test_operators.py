@@ -150,3 +150,20 @@ def test_exact_dedup_synthetic_duplicates(spark):
     )
     out = exact_dedup(d, content_cols=("text",), order_col="doc_id")
     assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF (n_probe=3 of 8 lists) must recover ≥0.5 of the exact cosine
+    top-10 — guards centroid-fit regressions (init mode, sampling)."""
+    from postgre_to_clickhouse_spark.queries import QUERIES
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["vector_cosine_topk"](spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in QUERIES["vector_ivf_topk"](spark, SF_SMALL).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
