@@ -119,22 +119,36 @@ def minhash_near_dup(
         for b in range(bands)
     ]
     banded = base.select(id_col, *band_cols)
-    # explode to (band_idx, band_sig, id) and self-join per bucket
+    # explode to (band_idx, band_sig, id), then collect each LSH bucket
+    # and emit pairs from WITHIN it. A self-join formulation plans the
+    # shingle→minhash pipeline twice (the broadcast side can't reuse
+    # the shuffle exchange) and broadcasts the full signature table —
+    # data-proportional, dead at 100 TB. This shape computes signatures
+    # once and shuffles only (bucket_key, id); bucket sizes are the
+    # near-dup cluster sizes, small by construction (giant buckets mean
+    # exact dups, which exact_dedup removes upstream).
     kv = banded.select(
         id_col,
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("sig")) for b in range(bands)])
         ).alias("e"),
     ).select(id_col, F.col("e.b").alias("b"), F.col("e.sig").alias("sig"))
-    a = kv.select(F.col(id_col).alias("id_a"), "b", "sig")
-    bb = kv.select(F.col(id_col).alias("id_b"), "b", "sig")
-    pairs = (
-        a.join(bb, ["b", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
+    buckets = kv.groupBy("b", "sig").agg(F.collect_list(id_col).alias("ids")).filter(F.size("ids") > 1)
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "ids",
+                lambda x: F.transform("ids", lambda y: F.struct(x.alias("id_a"), y.alias("id_b"))),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands_matched"))
     )
-    return pairs
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
