@@ -192,6 +192,67 @@ def session_window_native(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_components_knn",
+    oracle="""
+    WITH RECURSIVE wn AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / (a.nrm * b.nrm) AS c
+      FROM wn a JOIN wn b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    und AS (SELECT id_a AS u, id_b AS v FROM nn UNION SELECT id_b, id_a FROM nn),
+    reach(n, m) AS (
+      SELECT u, u FROM und
+      UNION
+      SELECT r.n, e.v FROM reach r JOIN und e ON r.m = e.u
+    )
+    SELECT n AS vec_id, min(m) AS component_id FROM reach GROUP BY n
+    """,
+)
+def dedup_components_knn(spark, sf_dir):
+    """Dedup-cluster resolution (C2 closure stage): build the 1-NN
+    cosine graph within each label block, then resolve components with
+    the iterative min-label-propagation operator
+    (:mod:`operators.graph`). Oracle = DuckDB recursive-CTE transitive
+    closure over the identical edge set — the converged fixpoint is
+    schedule-independent, so a distributed iterative algorithm gets a
+    full value-hash check. Component id = min vec_id reachable."""
+    from postgre_to_clickhouse_spark.operators.graph import connected_components
+    from postgre_to_clickhouse_spark.operators.similarity import _dot, _norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    withn = e.select("vec_id", "label", "embedding", _norm("embedding").alias("nrm"))
+    a = withn.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na_"),
+    )
+    b = withn.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb_"),
+    )
+    scored = a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") != F.col("id_b"))).select(
+        "id_a", "id_b", (_dot("ea", "eb") / (F.col("na_") * F.col("nb_"))).alias("__c")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("__c").desc(), "id_b")
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("id_a", "id_b")
+    return connected_components(nn, "id_a", "id_b").select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("component_id")
+    )
+
+
 @register("pandas_udf_zscore")  # B19 demo — Arrow path, rows-only by design
 def pandas_udf_zscore(spark, sf_dir):
     """B19: grouped-map pandas UDF (Arrow-batched) — per-event-type

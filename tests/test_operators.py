@@ -167,3 +167,17 @@ def test_ivf_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall} too low"
+
+
+def test_connected_components_hand_graph(spark):
+    """Chain 1-2-3-4 (multi-hop propagation), triangle 10-11-12 (cycle),
+    pair 20-21: components must be the min reachable id, found only
+    after >1 propagation round for the chain."""
+    from postgre_to_clickhouse_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (21, 20)],
+        "src long, dst long",
+    )
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
