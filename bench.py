@@ -65,6 +65,7 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q21_waiting_supplier",
     "dedup_components_knn",
+    "pack_sequences",
 ]
 
 

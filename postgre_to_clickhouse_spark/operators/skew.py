@@ -51,6 +51,34 @@ def salted_agg(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: replicate ``small`` across the salt range,
+    salt ``big`` per row, join on (keys + salt).
+
+    For the case AQE's skew split can't fix and broadcast can't reach:
+    ``small`` too large to broadcast AND hot keys in ``big``. Each hot
+    key's rows spread over ``n_salts`` reducers instead of pinning one.
+    Cost: ``small`` is shuffled ``n_salts``× — pick the smallest salt
+    range that dissolves the hot partition. Only inner/left joins: the
+    replicated build side makes right/full multiplicities wrong.
+    Results are identical to the unsalted join (each big row meets each
+    matching small row exactly once — in exactly one salt bucket).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left; got {how!r}")
+    exploded = small.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).cast("int")
+    )
+    return salted.join(exploded, [*on, "__salt"], how).drop("__salt")
+
+
 def salted_broadcast_left(
     small: DataFrame,
     n_salts: int,

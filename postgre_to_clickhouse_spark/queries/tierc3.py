@@ -120,3 +120,48 @@ def cdc_users_pipeline(spark, sf_dir):
     from postgre_to_clickhouse_spark.cdc.fixtures import users_cdc_events
 
     return latest(dedup_redelivery(mv_users(unwrap(users_cdc_events(spark))))).orderBy("user_id")
+
+
+@register(
+    "pack_sequences",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS c
+      FROM tok
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR((c - n_tokens) / 512.0) AS BIGINT) AS bin_id
+    FROM cum
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Training-sequence packing (C4): concatenate-and-slice documents
+    into 512-token bins — each doc lands in the bin where its first
+    token falls, the standard pretraining packing shape. Packing runs
+    independently WITHIN each source shard (window partitioned by
+    source), so the sort never globalizes: at 100 TB every shard packs
+    in parallel, exactly how a sharded corpus is packed in practice.
+    Integer-exact math ⇒ full oracle."""
+    from pyspark.sql import Window
+
+    from postgre_to_clickhouse_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = d.select("doc_id", "source", token_count("text").alias("n_tokens"))
+    cum = tok.withColumn("c", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id", "source", "n_tokens",
+        F.floor((F.col("c") - F.col("n_tokens")) / F.lit(512.0)).alias("bin_id"),
+    )

@@ -78,3 +78,21 @@ def test_compaction_preserves_data(spark, tmp_path):
     assert len(files) == n_files < 37
     after = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert after == before
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join on a hot-keyed fact (one key = 50% of rows) must be
+    row-identical to the plain join, for inner and left."""
+    from postgre_to_clickhouse_spark.operators.skew import salted_join
+
+    big = spark.range(2000).select(
+        F.when(F.col("id") < 1000, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(40).select(F.col("id").alias("k"), (F.col("id") * 10).alias("dim"))
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, big.join(small, ["k"], how).collect()))
+        salted = sorted(map(tuple, salted_join(big, small, ["k"], n_salts=8, how=how).collect()))
+        assert salted == plain, how
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, ["k"], how="full")
