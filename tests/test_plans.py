@@ -65,3 +65,34 @@ def test_oracle_queries_have_no_python_at_all(spark):
         plan = _plan(spark, name)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
             assert marker not in plan, f"{name} contains {marker}"
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    """assign_lists must stay a pure map pass (centroids folded in as
+    literals): no Exchange, no join, no window sort in the plan."""
+    from postgre_to_clickhouse_spark import catalog
+    from postgre_to_clickhouse_spark.operators.ann import assign_lists, fit_ivf_centroids
+
+    e = catalog.load(spark, SF_SMALL, "embeddings")
+    cents = fit_ivf_centroids(e, n_lists=4, seed=42)
+    indexed = assign_lists(e, cents)
+    plan = indexed._sc._jvm.PythonSQLUtils.explainString(indexed._jdf.queryExecution(), "formatted")
+    for marker in ("Exchange", "Join", "Window"):
+        assert marker not in plan, f"assign_lists plan contains {marker}"
+
+
+def test_minhash_single_scan(spark):
+    """The LSH bucket-grouped pair generation computes the shingle →
+    minhash pipeline exactly once (the self-join formulation planned it
+    twice and broadcast the full signature table)."""
+    from postgre_to_clickhouse_spark import catalog
+    from postgre_to_clickhouse_spark.operators.dedup import minhash_near_dup
+
+    d = catalog.load(spark, SF_SMALL, "documents")
+    out = minhash_near_dup(d, num_hashes=32, bands=8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    # formatted mode prints each node once in the tree and once in the
+    # detail section — count detail headers "(N) Scan parquet"
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
