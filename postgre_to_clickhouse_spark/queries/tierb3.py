@@ -327,3 +327,33 @@ def array_manipulation(spark, sf_dir):
         F.exists("embedding", lambda x: x > 0).alias("has_positive"),
         (F.col("embedding")[0].cast("double") + F.col("embedding")[1].cast("double")).alias("first_two_sum"),
     )
+
+
+@register(
+    "safe_cast_funcs",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_name AS INTEGER) AS name_int,
+           TRY_CAST(substring(p_brand, 7, 2) AS INTEGER) AS brand_num,
+           TRY_CAST(p_type AS DATE) AS type_date,
+           TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_roundtrip,
+           TRY_CAST('2024-13-45' AS DATE) AS bad_date
+    FROM part
+    """,
+)
+def safe_cast_funcs(spark, sf_dir):
+    """Error-safe cast family (B13/B15 parity with ClickHouse's
+    ``toInt32OrNull``/``toDateOrNull``): Spark ``try_cast`` returns NULL
+    where a plain CAST would throw under ANSI or silently corrupt.
+    Identical null-production semantics to DuckDB TRY_CAST on every
+    shape exercised (non-numeric string, parsed digits, bad date
+    literal, numeric round-trip)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("try_cast(p_name AS int)").alias("name_int"),
+        F.expr("try_cast(substring(p_brand, 7, 2) AS int)").alias("brand_num"),
+        F.expr("try_cast(p_type AS date)").alias("type_date"),
+        F.expr("try_cast(cast(p_size AS string) AS int)").alias("size_roundtrip"),
+        F.expr("try_cast('2024-13-45' AS date)").alias("bad_date"),
+    )
