@@ -47,23 +47,24 @@ def connected_components(
     sym = sym.localCheckpoint()
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn("comp", F.col("node"))
     for _ in range(max_iter):
+        # change detection folded into the SAME aggregation that computes
+        # the new labels: the old label rides along as a second column
+        # (non-null on exactly the one row contributed by `labels`), so no
+        # extra join/shuffle per round — the count below scans only the
+        # just-checkpointed in-memory result.
         neighbor_min = (
             sym.join(labels.withColumnRenamed("node", "v"), "v")
-            .select(F.col("u").alias("node"), "comp")
+            .select(F.col("u").alias("node"), "comp", F.lit(None).cast("long").alias("old"))
         )
+        mine = labels.select("node", "comp", F.col("comp").alias("old"))
         new = (
-            labels.unionByName(neighbor_min)
+            mine.unionByName(neighbor_min)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.max("old").alias("old"))
             .localCheckpoint()
         )
-        changed = (
-            new.withColumnRenamed("comp", "comp_new")
-            .join(labels, "node")
-            .filter(F.col("comp_new") != F.col("comp"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("comp") != F.col("old")).count()
+        labels = new.select("node", "comp")
         if changed == 0:
             break
     return labels

@@ -62,7 +62,14 @@ def interval_overlap_join(
 ) -> DataFrame:
     """Interval-overlap join via bucket blocking: each interval registers
     in every bucket it spans; overlapping intervals share ≥1 bucket.
-    Candidates deduped before the exact overlap filter."""
+
+    A pair sharing k buckets would surface k times, so candidates are
+    restricted to their CANONICAL bucket — the first bucket both
+    intervals occupy, ``floor(max(starts)/width)`` (floor is monotonic,
+    so that equals ``max`` of the per-side first buckets). Each matching
+    pair of input ROWS therefore appears exactly once: true join
+    multiplicity is preserved even when either side contains identical
+    rows (a full-row ``dropDuplicates`` here would collapse those)."""
     def buckets(s: str, e: str) -> Column:
         return F.sequence(
             F.floor(F.col(s) / F.lit(bucket_width)), F.floor(F.col(e) / F.lit(bucket_width))
@@ -70,6 +77,9 @@ def interval_overlap_join(
 
     l = left.select("*", F.explode(buckets(left_start, left_end)).alias("__bucket"))
     r = right.select("*", F.explode(buckets(right_start, right_end)).alias("__bucket"))
-    joined = l.join(r, "__bucket").drop("__bucket").dropDuplicates()
+    canonical = F.col("__bucket") == F.greatest(
+        F.floor(F.col(left_start) / F.lit(bucket_width)),
+        F.floor(F.col(right_start) / F.lit(bucket_width)),
+    )
     overlap = (F.col(left_start) <= F.col(right_end)) & (F.col(right_start) <= F.col(left_end))
-    return joined.filter(overlap)
+    return l.join(r, "__bucket").filter(canonical & overlap).drop("__bucket")

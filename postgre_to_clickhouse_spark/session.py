@@ -63,12 +63,24 @@ def _ship_package(spark: SparkSession) -> None:
     """
     if getattr(spark, "_p2c_pkg_shipped", False):
         return
+    import hashlib
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
-    zpath = os.path.join(tempfile.gettempdir(), "p2c_spark_pkg.zip")
+    # content-addressed archive name: editing any package source produces
+    # a fresh zip, so executors never import stale code from a previous
+    # driver process's archive
+    digest = hashlib.sha256()
+    for dirpath, _, files in sorted(os.walk(pkg_dir)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                digest.update(full.encode())
+                with open(full, "rb") as f:
+                    digest.update(f.read())
+    zpath = os.path.join(tempfile.gettempdir(), f"p2c_spark_pkg_{digest.hexdigest()[:16]}.zip")
     if not os.path.exists(zpath):
         tmp = zpath + f".tmp{os.getpid()}"
         with zipfile.ZipFile(tmp, "w") as z:

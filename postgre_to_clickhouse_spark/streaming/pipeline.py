@@ -63,23 +63,53 @@ def write_events_as_json(events: DataFrame, path: str, n_files: int = 1) -> None
                 f.write(json.dumps(r) + "\n")
 
 
+def _recover_swap(table_path: str) -> None:
+    """Heal a crash that happened mid-swap: if the table dir is missing
+    but the renamed-away previous version exists, restore it. Leftover
+    ``.tmp`` writes are discarded (the micro-batch that produced them
+    will be replayed from the checkpoint)."""
+    import shutil
+
+    old = table_path + ".old"
+    if not os.path.exists(table_path) and os.path.exists(old):
+        os.rename(old, table_path)
+    elif os.path.exists(old):
+        shutil.rmtree(old)
+    tmp = table_path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+
 def upsert_batch(table_path: str, sort_key=("user_id", "updated_at"), arrival=("kafka_offset",)):
-    """foreachBatch body: idempotent last-wins upsert into a parquet table.
+    """foreachBatch body: idempotent upsert into a parquet table
+    (whole-table rewrite — test helper / tiny tables; production path is
+    :func:`upsert_batch_bucketed`, which rewrites only touched buckets).
 
     Merge strategy (local parquet stand-in for a MERGE-capable format):
     union the existing table with the deduped batch, re-dedup on the
-    sort key keeping the *highest* arrival (so redelivered batches are
-    idempotent), rewrite atomically via overwrite. Deterministic ⇒
-    replaying a batch after a crash converges to the same table.
+    sort key keeping the LOWEST arrival (first-delivered wins —
+    ``dedup_redelivery`` orders ascending; versions are distinguished by
+    ``updated_at`` in the sort key, so redelivered copies of the same
+    version are the only conflicts and idempotency holds). Deterministic
+    ⇒ replaying a batch after a crash converges to the same table.
+
+    Crash safety: write-new → rename-old-away → rename-new-in →
+    delete-old. At every instant either ``table_path`` or
+    ``table_path + ".old"`` holds a complete previous version;
+    :func:`_recover_swap` (run at the start of every batch) restores it.
     """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover_swap(table_path)
         batch = dedup_redelivery(batch_df, sort_key, arrival)
-        try:
+        if os.path.exists(table_path):
+            # any read error here is real (corrupt footer, FS hiccup) —
+            # re-raise so the micro-batch fails and is retried, instead of
+            # silently replacing the table with just this batch
             existing = spark.read.parquet(table_path)
             merged = existing.unionByName(batch)
-        except Exception:  # first batch — table doesn't exist yet
+        else:  # first batch — table doesn't exist yet
             merged = batch
         # same (sort_key, arrival) appearing twice (redelivered batch) → one copy
         merged = dedup_redelivery(merged, sort_key, arrival)
@@ -87,12 +117,13 @@ def upsert_batch(table_path: str, sort_key=("user_id", "updated_at"), arrival=("
         merged.count()  # materialize before overwriting the input path
         merged.write.mode("overwrite").parquet(table_path + ".tmp")
         merged.unpersist()
-        # atomic-ish swap (local FS); a real deployment uses a transactional format
         import shutil
 
         if os.path.exists(table_path):
-            shutil.rmtree(table_path)
+            os.rename(table_path, table_path + ".old")
         os.rename(table_path + ".tmp", table_path)
+        if os.path.exists(table_path + ".old"):
+            shutil.rmtree(table_path + ".old")
 
     return _apply
 
@@ -132,10 +163,12 @@ def upsert_batch_bucketed(
         )
         # bounded by n_buckets (a layout constant), never by batch size
         touched = [r["__bucket"] for r in batch.select("__bucket").distinct().collect()]
-        try:
+        if os.path.exists(table_path):
+            # re-raise real read errors (see upsert_batch) — only a missing
+            # table means "first batch"
             existing = spark.read.parquet(table_path).filter(F.col("__bucket").isin(touched))
             merged = existing.unionByName(batch)
-        except Exception:  # first batch — table doesn't exist yet
+        else:  # first batch — table doesn't exist yet
             merged = batch
         merged = dedup_redelivery(merged, sort_key, arrival)
         # sever lineage from the files about to be overwritten (eager)
@@ -159,7 +192,7 @@ def run_pipeline(
     backfill); otherwise runs continuous micro-batches (A24).
     """
     stream = transform(read_json_event_stream(spark, source_path))
-    sink = batch_hook or upsert_batch(table_path)
+    sink = batch_hook or upsert_batch_bucketed(table_path)
     writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_path)
     if available_now:
         q = writer.trigger(availableNow=True).start()
@@ -169,8 +202,13 @@ def run_pipeline(
 
 
 def read_latest(spark: SparkSession, table_path: str) -> DataFrame:
-    """The FINAL/latest-state view over the ingested table (A20)."""
-    return latest(spark.read.parquet(table_path))
+    """The FINAL/latest-state view over the ingested table (A20).
+    Transparent to the physical layout: the bucketed sink's ``__bucket``
+    partition column is an implementation detail and is dropped."""
+    df = spark.read.parquet(table_path)
+    if "__bucket" in df.columns:
+        df = df.drop("__bucket")
+    return latest(df)
 
 
 def read_all_versions(spark: SparkSession, table_path: str) -> DataFrame:

@@ -78,7 +78,13 @@ def sessionize_stream(
                     closed.append((start, end, n))
                     start, end, n = ts, ts, 1
                 else:
-                    end, n = ts, n + 1
+                    # ts may be EARLIER than the open session's bounds when a
+                    # late (within-watermark) event arrives in a later
+                    # micro-batch — extend with min/max, never move end
+                    # backwards (a backwards end would spuriously split the
+                    # session on the next event). Matches sessionize_batch,
+                    # which computes min(ts)/max(ts) per session.
+                    start, end, n = min(start, ts), max(end, ts), n + 1
         state.update((start, end, n))
         # clamp above the watermark: a session already older than WM (late
         # data admitted this batch) times out on the next tick, not "now"

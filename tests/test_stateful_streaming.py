@@ -103,6 +103,59 @@ def test_sessionize_stream_closes_on_data_path(spark, tmp_path):
     assert got <= GOLDEN
 
 
+def test_sessionize_stream_late_event_does_not_move_end_backwards(spark, tmp_path):
+    """Out-of-order ACROSS micro-batches: a within-watermark event with
+    ts < the open session's current end arrives in a later batch. The
+    session must extend via min/max (end stays 10:20), matching
+    sessionize_batch on the same event set — a backwards end would make
+    the closing event split the session at the wrong boundary."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def _line(u, ts):
+        return _json.dumps({"user_id": u, "ts": ts.strftime("%Y-%m-%dT%H:%M:%S.000Z")})
+
+    batch1 = [_line(1, base), _line(1, base + dt.timedelta(minutes=20))]
+    # 10:10 is LATE (earlier than the session's current end 10:20) but
+    # within the 2 h watermark; 11:30 then crosses the 30-min gap and
+    # closes the session on the data path.
+    batch2 = [_line(1, base + dt.timedelta(minutes=10)), _line(1, base + dt.timedelta(minutes=90))]
+    (src / "00_first.json").write_text("\n".join(batch1) + "\n")
+    (src / "01_late.json").write_text("\n".join(batch2) + "\n")
+    now = _time.time()
+    _os.utime(src / "00_first.json", (now - 10, now - 10))
+    _os.utime(src / "01_late.json", (now, now))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30, watermark="2 hours")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_late")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = _norm(spark.table("sess_late").collect())
+    all_events = spark.createDataFrame(
+        [(1, base), (1, base + dt.timedelta(minutes=20)),
+         (1, base + dt.timedelta(minutes=10)), (1, base + dt.timedelta(minutes=90))],
+        "user_id long, ts timestamp",
+    )
+    batch_golden = _norm(sessionize_batch(all_events, gap_minutes=30).collect())
+    assert (1, "10:00", "10:20", 3) in got  # end NOT moved backwards by the late 10:10
+    assert got <= batch_golden  # every closed session matches the batch twin
+
+
 def test_sessionize_batch_matches_stream_after_full_close(spark):
     """The batch twin IS the final state once every session closes —
     assert its totals are consistent (events conserved)."""

@@ -111,6 +111,40 @@ def test_watermarked_window_agg_stream(spark, tmp_path):
     assert got == batch
 
 
+def test_upsert_crash_window_recovery(spark, tmp_path):
+    """Kill-between-write-and-swap simulation: at every instant of the
+    swap protocol either the table dir or its ``.old`` sibling holds a
+    complete previous version, and replaying the batch after any of the
+    three possible crash points converges back to the golden state."""
+    import os
+    import shutil
+
+    tbl = str(tmp_path / "tbl")
+    full = mv_users(unwrap(users_cdc_events(spark)))
+    sink = P.upsert_batch(tbl)
+    sink(full, 0)
+    assert _latest_map(P.read_latest(spark, tbl)) == GOLDEN_LATEST
+
+    # crash point 1: tmp written, swap not started
+    shutil.copytree(tbl, tbl + ".tmp")
+    sink(full, 1)
+    assert _latest_map(P.read_latest(spark, tbl)) == GOLDEN_LATEST
+    assert not os.path.exists(tbl + ".tmp") and not os.path.exists(tbl + ".old")
+
+    # crash point 2: old renamed away, new not yet renamed in (table MISSING)
+    shutil.copytree(tbl, tbl + ".tmp")
+    os.rename(tbl, tbl + ".old")
+    sink(full, 2)
+    assert _latest_map(P.read_latest(spark, tbl)) == GOLDEN_LATEST
+    assert not os.path.exists(tbl + ".tmp") and not os.path.exists(tbl + ".old")
+
+    # crash point 3: new renamed in, old not yet deleted
+    shutil.copytree(tbl, tbl + ".old")
+    sink(full, 3)
+    assert _latest_map(P.read_latest(spark, tbl)) == GOLDEN_LATEST
+    assert not os.path.exists(tbl + ".old")
+
+
 def _bucket_snapshot(tbl):
     """(relative file path → (size, mtime_ns)) per bucket directory."""
     import os
