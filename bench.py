@@ -66,6 +66,9 @@ HEADLINE = [
     "q21_waiting_supplier",
     "dedup_components_knn",
     "pack_sequences",
+    "scalar_funcs_composite",
+    "text_analysis_composite",
+    "multimodal_image_stats",
 ]
 
 

@@ -69,6 +69,53 @@ def fit_ivf_centroids(
     return spark.createDataFrame(cents, "list_id int, centroid array<double>")
 
 
+def fit_ivf_centroids_deterministic(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_lists: int = 16,
+    seed: int = 42,
+    max_sample: int = 100_000,
+    max_iter: int = 8,
+) -> DataFrame:
+    """Layout-independent coarse-quantizer fit: deterministic Lloyd's
+    k-means on a bounded, deterministically-chosen sample.
+
+    :func:`fit_ivf_centroids` (pyspark.ml) is partition-sensitive — its
+    seeded random init samples per partition, so the same data read with
+    a different parallelism yields different centroids. For a learned
+    index that must be REPRODUCIBLE (committed-golden correctness, or
+    re-building the same index on a different cluster size), select the
+    sample by content (``xxhash64(id) % m``, never ``.sample()``), sort
+    it, and run the small fit in numpy on the driver. The sample is
+    bounded by ``max_sample`` (model constant, not data-proportional) —
+    identical scale posture to the ml path: centroid quality only needs
+    a sample, and everything downstream is unchanged.
+    """
+    n = vectors.count()
+    m = max(1, n // max_sample)
+    sampled = vectors if m == 1 else vectors.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+    rows = sorted(
+        (r[0], list(r[1])) for r in sampled.select(id_col, vec_col).collect()
+    )
+    import numpy as np
+
+    x = np.asarray([v for _, v in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(max_iter):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.array(
+            [x[assign == j].mean(axis=0) if (assign == j).any() else cents[j] for j in range(len(cents))]
+        )
+        if np.array_equal(new, cents):
+            break
+        cents = new
+    out = [(i, [float(v) for v in c]) for i, c in enumerate(cents)]
+    return vectors.sparkSession.createDataFrame(out, "list_id int, centroid array<double>")
+
+
 def _centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
     """Materialize the centroid table (bounded: n_lists rows — a model
     constant, not data). Sorted by list_id for a stable literal order."""

@@ -2,12 +2,14 @@
 ``binary`` payloads + typed metadata structs, processed via Arrow-batched
 ``mapInPandas``.
 
-The Spark-side plumbing — schemas, partitioning, UDF signatures, batch
-shapes — is real and tested; the actual codec work (JPEG decode, audio
-resample, video frame-sample) is stubbed behind ``DETERMINISTIC_FAKE``
-because no image/audio libraries exist in this container. The stub is a
-seeded, content-derived fake so pipelines built on it are testable and
-reproducible; swapping in PIL/librosa/pyav changes only ``_decode_*``.
+Codecs: REAL, dependency-free implementations of the uncompressed
+container formats — 24-bit BMP and binary PPM (P6) for images, RIFF/WAV
+PCM16 for audio — written with ``struct``/numpy only, so decode →
+feature-extract → resize → frame-sample runs end-to-end on actual bytes
+in this container. Compressed formats (JPEG/PNG/FLAC/MP4) need external
+libraries that are absent here; those payloads fall back to a seeded,
+content-derived fake when ``DETERMINISTIC_FAKE`` is on (clearly marked
+— swapping in PIL/librosa/pyav changes only the ``_decode_*`` dispatch).
 
 Scale posture: payloads stay columnar binary end-to-end (no base64, no
 Python strings); decode runs per Arrow batch (``mapInPandas``) so batch
@@ -19,6 +21,7 @@ partitions by *bytes*, not rows, since payload skew (4 KB thumbnails vs
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -28,7 +31,116 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-DETERMINISTIC_FAKE = True  # no codec libs in this container (see module doc)
+DETERMINISTIC_FAKE = True  # fallback for COMPRESSED formats only (see module doc)
+
+
+# --------------------------------------------------------------------------
+# Real codecs (uncompressed containers, struct/numpy only)
+# --------------------------------------------------------------------------
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 (RGB, top-down) → 24-bit BI_RGB Windows BMP bytes
+    (bottom-up rows, BGR channel order, rows padded to 4-byte stride)."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects HxWx3 RGB")
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    bgr = arr[:, :, ::-1]  # RGB → BGR
+    for y in range(h - 1, -1, -1):  # bottom-up
+        rows += bgr[y].tobytes() + pad
+    return header + info + bytes(rows)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit BI_RGB BMP → HxWx3 uint8 RGB (top-down). Handles the
+    bottom-up/top-down height sign and row padding."""
+    magic, _, _, _, offset = struct.unpack_from("<2sIHHI", data, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (got bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=offset)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img[:, :, ::-1])  # BGR → RGB
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → binary PPM (P6)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) → HxWx3 uint8 RGB."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval — whitespace separated, then
+    # exactly one whitespace byte before the raster
+    fields, i = [], 2
+    while len(fields) < 3:
+        while data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment line
+            i = data.index(b"\n", i) + 1
+            continue
+        j = i
+        while not data[j : j + 1].isspace():
+            j += 1
+        fields.append(int(data[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    return np.frombuffer(data, dtype=np.uint8, count=h * w * 3, offset=i).reshape(h, w, 3)
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """int16 PCM (1-D mono or [n, channels]) → RIFF/WAVE bytes."""
+    pcm = np.asarray(pcm, dtype="<i2")
+    channels = 1 if pcm.ndim == 1 else pcm.shape[1]
+    data = pcm.tobytes()
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * block, block, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 → (int16 array [n] or [n, channels], sample_rate).
+    Walks the chunk list (fmt may be followed by LIST/fact before data)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, raw = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 WAV supported")
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    pcm = np.frombuffer(raw, dtype="<i2")
+    if channels and channels > 1:
+        pcm = pcm.reshape(-1, channels)
+    return pcm, rate
 
 # Typed metadata per modality — the schema contract for media tables.
 IMAGE_META = T.StructType(
@@ -68,18 +180,30 @@ FEATURES_SCHEMA = T.StructType(_FEATURES_FIELDS)
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """JPEG/PNG → HxWx3 array. STUB: deterministic content-derived fake."""
+    """Image bytes → HxWx3 uint8, dispatched on magic bytes. BMP and PPM
+    decode for REAL (codecs above); compressed formats (JPEG/PNG) need
+    external libs absent here → deterministic content-derived fake."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
     if not DETERMINISTIC_FAKE:
-        raise NotImplementedError("image codec not available in this environment")
+        raise NotImplementedError("compressed image codec not available in this environment")
     h = hashlib.sha256(payload).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
     return rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
 
 
 def _decode_audio(payload: bytes) -> np.ndarray:
-    """Audio bytes → 1-D PCM array. STUB: deterministic fake."""
+    """Audio bytes → 1-D float32 PCM in [-1, 1). RIFF/WAV decodes for
+    REAL; compressed formats → deterministic fake."""
+    if payload[:4] == b"RIFF":
+        pcm, _ = decode_wav(payload)
+        if pcm.ndim > 1:
+            pcm = pcm.mean(axis=1)
+        return (pcm.astype(np.float32)) / 32768.0
     if not DETERMINISTIC_FAKE:
-        raise NotImplementedError("audio codec not available in this environment")
+        raise NotImplementedError("compressed audio codec not available in this environment")
     h = hashlib.sha256(payload).digest()
     rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
     return rng.standard_normal(256).astype(np.float32)
@@ -179,9 +303,11 @@ FRAME_SCHEMA = T.StructType(
 
 def sample_video_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     """Video frame sampling plumbing (C5): one output row per sampled
-    frame (uniform stride), each with a feature vector. The frame decode
-    is stubbed (content+index derived) — the explode shape, schema and
-    batch flow are the real pipeline."""
+    frame (uniform stride), each with a feature vector. No real video
+    container exists in this environment, so the payload decodes as a
+    single image (real BMP/PPM codec) and frame ``i`` is a deterministic
+    row-roll of it — the explode shape, schema and batch flow are the
+    real pipeline; a pyav-backed decode changes only this inner loop."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -189,15 +315,74 @@ def sample_video_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                raw = bytes(payload)
+                base = _decode_image(bytes(payload))
                 for i in range(n_frames):
-                    frame = _decode_image(raw + i.to_bytes(4, "big"))
+                    frame = np.roll(base, shift=i, axis=0) + np.uint8(i)
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)
                     rows["frame_feature"].append(_feature_vector(frame).tolist())
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload_bytes", T.IntegerType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("corner_tl", T.IntegerType(), True),
+        T.StructField("corner_br", T.IntegerType(), True),
+    ]
+)
+
+
+def media_from_ids(ids: DataFrame, id_col: str = "doc_id", height: int = 8, width: int = 8) -> DataFrame:
+    """Deterministic image table keyed by an id column: pixel[i] =
+    (id*7 + i) mod 256 over the row-major H·W·3 flattening, encoded as a
+    REAL 24-bit BMP per row (Arrow-batched). The pixel rule is closed-form,
+    so a SQL oracle can recompute every downstream stat without any image
+    library — that is what makes the full encode→decode path
+    driver-checkable."""
+    n_vals = height * width * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n_vals, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                vals = ((int(i) * 7 + idx) % 256).astype(np.uint8)
+                payloads.append(encode_bmp(vals.reshape(height, width, 3)))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(run, schema=f"{id_col} long, payload binary")
+
+
+def image_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each image payload (real BMP/PPM codec) and emit exact,
+    integer-only stats: dimensions, container byte count, pixel sum and
+    the two corner pixels (position-sensitive — a row-order or channel-
+    order decode bug flips them, which the oracle catches)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in IMAGE_STATS_SCHEMA.fields}
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload)
+                arr = _decode_image(raw)
+                flat = arr.reshape(-1).astype(np.int64)
+                out["doc_id"].append(int(i))
+                out["width"].append(arr.shape[1])
+                out["height"].append(arr.shape[0])
+                out["payload_bytes"].append(len(raw))
+                out["pixel_sum"].append(int(flat.sum()))
+                out["corner_tl"].append(int(flat[0]))
+                out["corner_br"].append(int(flat[-1]))
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "payload").mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
 
 
 def media_repartition(media: DataFrame, target_bytes: int = 128 * 1024 * 1024) -> DataFrame:
@@ -214,13 +399,23 @@ def media_repartition(media: DataFrame, target_bytes: int = 128 * 1024 * 1024) -
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fixture: content-addressed fake payloads."""
+    """Deterministic fixture: REAL BMP images and WAV audio payloads
+    (plus the occasional PPM) built with the codecs above — decode paths
+    run on actual container bytes, not fakes."""
     rows = []
     for i in range(n):
         modality = ["image", "audio"][i % 2]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 5)
-        img = {"width": 8, "height": 8, "format": "fake"} if modality == "image" else None
-        aud = {"sample_rate": 16000, "n_samples": 256, "channels": 1} if modality == "audio" else None
+        rng = np.random.default_rng(i)
+        if modality == "image":
+            arr = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+            payload = encode_ppm(arr) if i % 4 == 2 else encode_bmp(arr)
+            img = {"width": 8, "height": 8, "format": "ppm" if i % 4 == 2 else "bmp"}
+            aud = None
+        else:
+            pcm = (rng.standard_normal(256) * 8192).astype(np.int16)
+            payload = encode_wav(pcm, 16000)
+            img = None
+            aud = {"sample_rate": 16000, "n_samples": 256, "channels": 1}
         rows.append(
             {
                 "media_id": i,

@@ -1,11 +1,18 @@
 """Driver-facing query battery (SURVEY.md §2 inventory → `queries()`).
 
-Importing this package populates the registry from the tier modules.
+Importing this package populates the registry from the tier modules,
+then reorders it so the driver's CORRECTNESS window (the first 50
+registered queries) covers every SURVEY §2 operator class — the CDC
+spine, all 22 TPC-H shapes, one representative per Tier B family
+(composites pack the scalar-function families into single slots), and
+the full Tier C training-data battery including the golden-backed
+hash-family operators and the multimodal codec path. Everything after
+slot 50 stays registered and oracle-gated in pytest.
 """
 
 from postgre_to_clickhouse_spark.queries.registry import ORACLES, QUERIES
 
-# Populate registries (import order = presentation order).
+# Populate registries.
 from postgre_to_clickhouse_spark.queries import tiera  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierb  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierb2  # noqa: E402,F401
@@ -15,5 +22,81 @@ from postgre_to_clickhouse_spark.queries import tpch_extra  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tpch_suite  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc2  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc3  # noqa: E402,F401
+from postgre_to_clickhouse_spark.queries import composites  # noqa: E402,F401
+from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
+
+# The driver checks the FIRST 50 registered queries; this is the curated
+# window — one green row per operator class. Sources: VERDICT.md r1 #1.
+_WINDOW = [
+    # Tier A — CDC spine (A11–A21)
+    "cdc_full_scan",
+    "cdc_mv_transform",
+    "cdc_dedup_redelivery",
+    "cdc_latest_state",
+    # Tier B — all 22 TPC-H shapes (B1–B4, B7, B11 + decorrelation)
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    # Tier B — one per remaining family
+    "band_join_acctbal",          # B5 theta/range
+    "asof_events_last_order",     # B6 as-of
+    "percentiles_quantity",       # B8 quantiles
+    "agg_approx_distinct",        # B8 HLL (golden)
+    "grouping_sets_sql",          # B9 + A22 SQL surface
+    "window_rank_family",         # B10
+    "setop_nation_presence",      # B12
+    "scalar_funcs_composite",     # B13+B14+B15+conditional+try_cast
+    "json_typed_extraction",      # B16
+    "array_manipulation",         # B17
+    "session_window_native",      # B18 native session windows
+    "pandas_udf_zscore",          # B19 Arrow path (golden)
+    # Tier C — training-data pipeline
+    "dedup_exact_documents",      # C1
+    "minhash_near_dup_candidates",  # C2 (golden)
+    "simhash_signatures",         # C2 (golden)
+    "dedup_components_knn",       # C2 closure
+    "vector_cosine_topk",         # C3 exact
+    "vector_lsh_topk",            # C3 LSH (golden)
+    "vector_ivf_topk",            # C3 IVF (golden)
+    "text_analysis_composite",    # C4 quality+lang-id+fingerprints
+    "tfidf_top_terms",            # C4
+    "sessionize_events",          # A26/B18 custom stateful (batch twin)
+    "pack_sequences",             # C4 packing
+    "multimodal_image_stats",     # C5 real codec path
+]
+
+
+def _reorder() -> None:
+    missing = [n for n in _WINDOW if n not in QUERIES]
+    if missing:
+        raise KeyError(f"window names not registered: {missing}")
+    ordered = {n: QUERIES[n] for n in _WINDOW}
+    for n, fn in QUERIES.items():
+        if n not in ordered:
+            ordered[n] = fn
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_reorder()
 
 __all__ = ["QUERIES", "ORACLES"]

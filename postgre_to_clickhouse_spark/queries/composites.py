@@ -1,0 +1,178 @@
+"""Composite driver-window queries + the multimodal driver query.
+
+The driver's CORRECTNESS check covers the first 50 registered queries;
+these composites pack whole function FAMILIES (SURVEY.md B13–B15 +
+conditional + error-safe casts; C4 quality/lang-id/fingerprints) into
+one slot each so every operator class fits inside the window. The
+single-family showcases they subsume stay registered (after the window)
+and stay green in the pytest oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.operators import text as X
+from postgre_to_clickhouse_spark.queries.registry import register
+from postgre_to_clickhouse_spark.session import configure
+
+
+def _t(spark, sf_dir, name):
+    configure(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+@register(
+    "scalar_funcs_composite",
+    oracle="""
+    SELECT o_orderkey,
+           lower(o_orderpriority) AS prio_lc,
+           substring(o_orderpriority, 1, 1) AS prio_digit,
+           length(o_orderpriority) AS prio_len,
+           concat(o_orderstatus, ':', o_orderpriority) AS status_prio,
+           (o_orderpriority LIKE '1%') AS is_p1,
+           regexp_extract(o_orderpriority, '([A-Z]+)', 1) AS prio_word,
+           replace(o_orderpriority, 'URGENT', 'URG') AS prio_short,
+           round(o_totalprice, 1) AS price_r1,
+           abs(o_totalprice - 100000.0) AS price_dev,
+           CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+           sqrt(o_totalprice) AS price_sqrt,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 7 AS DOUBLE) AS price_mod7,
+           CAST(sign(o_totalprice - 150000.0) AS INTEGER) AS price_sign,
+           year(o_orderdate) AS order_year,
+           quarter(o_orderdate) AS order_quarter,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CASE WHEN o_totalprice > 300000 THEN 'large'
+                WHEN o_totalprice > 100000 THEN 'medium'
+                ELSE 'small' END AS size_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           LEAST(o_totalprice, 250000.0) AS capped_price,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
+           TRY_CAST('2024-13-45' AS DATE) AS bad_date
+    FROM orders
+    """,
+)
+def scalar_funcs_composite(spark, sf_dir):
+    """One-slot composite of the scalar-function families (B13 string,
+    B14 date, B15 math, conditional, error-safe cast) — every expression
+    mirrors a member of the dedicated showcases (``string_funcs_*``,
+    ``date_funcs_orders``, ``math_funcs_lineitem``, ``conditional_funcs``,
+    ``safe_cast_funcs``), which remain registered and pytest-gated."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lower("o_orderpriority").alias("prio_lc"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_digit"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws(":", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.col("o_orderpriority").like("1%").alias("is_p1"),
+        F.regexp_extract("o_orderpriority", "([A-Z]+)", 1).alias("prio_word"),
+        F.replace(F.col("o_orderpriority"), F.lit("URGENT"), F.lit("URG")).alias("prio_short"),
+        F.round("o_totalprice", 1).alias("price_r1"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("price_dev"),
+        F.ceil("o_totalprice").alias("price_ceil"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        (F.col("o_totalprice").cast("decimal(18,2)") % 7).cast("double").alias("price_mod7"),
+        F.signum(F.col("o_totalprice") - 150000.0).cast("int").alias("price_sign"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")).alias(
+            "days_since_95"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.when(F.col("o_totalprice") > 300000, "large")
+        .when(F.col("o_totalprice") > 100000, "medium")
+        .otherwise("small")
+        .alias("size_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.least("o_totalprice", F.lit(250000.0)).alias("capped_price"),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS int)").alias("prio_num"),
+        F.expr("try_cast(o_orderstatus AS int)").alias("status_num"),
+        F.expr("try_cast('2024-13-45' AS date)").alias("bad_date"),
+    )
+
+
+def _text_composite_oracle() -> str:
+    """Quality + fingerprint + lang-id columns in one pass over documents
+    — lang-id oracle generated from the SAME marker table as the Spark
+    operator (see tierc._lang_id_oracle), so they cannot drift."""
+    structs = []
+    for i, (lang, words) in enumerate(sorted(X._LANG_MARKERS.items())):
+        if not words:
+            continue
+        pat = " (" + "|".join(words) + ") "
+        structs.append(
+            f"{{'score': len(regexp_extract_all(' ' || lower(text) || ' ', '{pat}')), "
+            f"'nb': {-i}, 'lang': '{lang}'}}"
+        )
+    arr = "[" + ", ".join(structs) + "]"
+    return f"""
+    SELECT doc_id, lang,
+           length(text) AS q_chars,
+           len(regexp_extract_all(text, '\\w+')) AS q_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS q_tokens,
+           CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+             / greatest(length(text), 1) AS q_punct_ratio,
+           CAST(len(regexp_extract_all(' ' || lower(text) || ' ', ' (the|and|of|to|is|a|in) ')) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '\\w+')), 1) AS q_stopword_ratio,
+           md5(lower(trim(text))) AS fp_md5,
+           sha256(lower(trim(text))) AS fp_sha256,
+           md5(substring(lower(trim(text)), 1, 128)) AS fp_prefix128,
+           CASE WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+                WHEN best.score > 0 THEN best.lang
+                ELSE 'und' END AS pred_lang
+    FROM (SELECT doc_id, lang, text, list_reverse_sort({arr})[1] AS best FROM documents)
+    """
+
+
+@register("text_analysis_composite", oracle=_text_composite_oracle())
+def text_analysis_composite(spark, sf_dir):
+    """One-slot C4 composite: quality metrics + content fingerprints +
+    language ID, chained through the same ``operators.text`` functions
+    the dedicated showcases use — one scan, all JVM regexp/digest
+    built-ins, zero Python in the row path."""
+    d = _t(spark, sf_dir, "documents")
+    out = X.lang_id(X.fingerprint(X.quality_stats(d)))
+    return out.select(
+        "doc_id", "lang",
+        "q_chars", "q_words", "q_tokens", "q_punct_ratio", "q_stopword_ratio",
+        "fp_md5", "fp_sha256", "fp_prefix128",
+        "pred_lang",
+    )
+
+
+@register(
+    "multimodal_image_stats",
+    oracle="""
+    SELECT d.doc_id,
+           8 AS width,
+           8 AS height,
+           246 AS payload_bytes,
+           CAST(SUM((d.doc_id * 7 + t.i) % 256) AS BIGINT) AS pixel_sum,
+           CAST(MIN(CASE WHEN t.i = 0 THEN (d.doc_id * 7 + t.i) % 256 END) AS INTEGER) AS corner_tl,
+           CAST(MIN(CASE WHEN t.i = 191 THEN (d.doc_id * 7 + t.i) % 256 END) AS INTEGER) AS corner_br
+    FROM documents d, range(192) t(i)
+    GROUP BY d.doc_id
+    """,
+)
+def multimodal_image_stats(spark, sf_dir):
+    """C5 end-to-end on REAL bytes: build a BMP image per document
+    (pixel[i] = (doc_id*7 + i) mod 256 — closed form, so plain SQL can
+    recompute every stat), encode with the dependency-free BMP codec,
+    decode it back, and emit integer-exact stats. ``corner_tl``/
+    ``corner_br`` are position-sensitive: a bottom-up/top-down or
+    BGR/RGB decode bug flips them, which the oracle catches. Both
+    mapInPandas stages are Arrow-batched; payload bytes never leave the
+    executors (only the compact stats row comes back)."""
+    from postgre_to_clickhouse_spark.operators.multimodal import image_stats, media_from_ids
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    media = media_from_ids(d, id_col="doc_id", height=8, width=8)
+    return image_stats(media, id_col="doc_id")

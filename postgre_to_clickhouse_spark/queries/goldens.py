@@ -1,0 +1,68 @@
+"""Committed-golden oracles for the seeded-deterministic query family.
+
+MinHash/SimHash/LSH/IVF results are engine-specific hash functions with
+no DuckDB analogue, and HLL sketches / grouped float reductions are not
+SQL-reproducible — but every one of these queries is DETERMINISTIC
+(seeded hash families, layout-independent fits, sorted-group reductions),
+so their exact output is checkable against a committed golden parquet:
+generated once by ``tests/golden/generate.py``, reviewed, and read back
+by the oracle via DuckDB ``read_parquet``. The driver's value-hash
+comparison then covers them like any SQL-expressible query (this is the
+VERDICT r1 #4 mechanism). Accuracy (recall/jaccard floors vs exact
+baselines) is separately asserted in ``tests/``.
+
+The oracle picks the golden matching the scale factor it is being run
+against via a guard subquery on the ``events`` view (its row count is
+unique per SF: 1 000 at sf0.001, 10 000 at sf0.01). Running at any other
+SF selects no golden and fails loudly rather than comparing against the
+wrong answer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from postgre_to_clickhouse_spark.queries.registry import ORACLES
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "golden",
+)
+
+# query name → events-view row count per supported SF
+_SF_GUARDS = {"sf0_001": 1000, "sf0_01": 10000}
+
+GOLDEN_QUERIES = [
+    "agg_approx_distinct",
+    "minhash_near_dup_candidates",
+    "simhash_signatures",
+    "vector_lsh_topk",
+    "vector_ivf_topk",
+    "pandas_udf_zscore",
+    "cdc_users_pipeline",
+]
+
+
+def _golden_oracle(name: str) -> str:
+    arms = [
+        f"SELECT * FROM read_parquet('{GOLDEN_DIR}/{name}.{sf}.parquet') "
+        f"WHERE (SELECT count(*) FROM events) = {guard}"
+        for sf, guard in _SF_GUARDS.items()
+    ]
+    return " UNION ALL ".join(arms)
+
+
+def install_golden_oracles() -> list[str]:
+    """Attach golden oracles for every query whose golden files exist
+    (both SFs required — a half-generated set stays rows-only)."""
+    installed = []
+    for name in GOLDEN_QUERIES:
+        paths = [os.path.join(GOLDEN_DIR, f"{name}.{sf}.parquet") for sf in _SF_GUARDS]
+        if all(os.path.exists(p) for p in paths):
+            ORACLES[name] = " ".join(_golden_oracle(name).split())
+            installed.append(name)
+    return installed
+
+
+install_golden_oracles()

@@ -16,14 +16,21 @@ def _t(spark, sf_dir, name):
     return catalog.load(spark, sf_dir, name)
 
 
-@register("vector_ivf_topk")  # learned index — rows-only; recall asserted in tests
+@register("vector_ivf_topk")  # learned index — golden-parquet oracle (see goldens.py)
 def vector_ivf_topk(spark, sf_dir):
     """C3 scale path #2: IVF (k-means cells, probe nearest n_probe,
-    exact rerank). Seeded k-means → deterministic."""
-    from postgre_to_clickhouse_spark.operators.ann import assign_lists, fit_ivf_centroids, ivf_topk
+    exact rerank). Layout-independent deterministic fit
+    (:func:`fit_ivf_centroids_deterministic`) so the result is
+    bit-reproducible on any cluster size — checked against a committed
+    golden parquet."""
+    from postgre_to_clickhouse_spark.operators.ann import (
+        assign_lists,
+        fit_ivf_centroids_deterministic,
+        ivf_topk,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
-    cents = fit_ivf_centroids(e, n_lists=8, seed=42)
+    cents = fit_ivf_centroids_deterministic(e, n_lists=8, seed=42)
     indexed = assign_lists(e, cents)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -263,6 +270,11 @@ def pandas_udf_zscore(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
 
     def zscore(pdf):
+        # sort before reducing: float sums are order-dependent, and the
+        # row order a group arrives in depends on the shuffle — sorting
+        # by the key makes the result bit-identical on any cluster
+        # layout (required for the committed-golden oracle).
+        pdf = pdf.sort_values("event_id").reset_index(drop=True)
         m, s = pdf["value"].mean(), pdf["value"].std(ddof=0) or 1.0
         pdf["z"] = (pdf["value"] - m) / s
         return pdf[["event_id", "event_type", "value", "z"]]

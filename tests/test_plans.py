@@ -59,9 +59,16 @@ def test_no_python_row_udf_in_any_query(spark, name):
     assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
 
 
+# Oracle-backed queries whose POINT is the Arrow-batched Python path —
+# B19's sanctioned pandas demo and the C5 codec pipeline. Everything
+# else in the oracle set must stay 100% JVM.
+_SANCTIONED_ARROW = {"pandas_udf_zscore", "multimodal_image_stats"}
+
+
 def test_oracle_queries_have_no_python_at_all(spark):
-    """The driver-graded oracle set must be 100% JVM (not even Arrow)."""
-    for name in sorted(ORACLES):
+    """The driver-graded oracle set must be 100% JVM (not even Arrow),
+    except the two operators that exist to exercise the Arrow path."""
+    for name in sorted(set(ORACLES) - _SANCTIONED_ARROW):
         plan = _plan(spark, name)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
             assert marker not in plan, f"{name} contains {marker}"
