@@ -69,6 +69,7 @@ HEADLINE = [
     "scalar_funcs_composite",
     "text_analysis_composite",
     "multimodal_image_stats",
+    "skew_salted_agg_events",
 ]
 
 

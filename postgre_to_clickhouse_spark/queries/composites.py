@@ -149,6 +149,41 @@ def text_analysis_composite(spark, sf_dir):
 
 
 @register(
+    "skew_salted_agg_events",
+    oracle="""
+    SELECT CASE WHEN user_id % 100 < 50 THEN 0 ELSE user_id END AS k,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def skew_salted_agg_events(spark, sf_dir):
+    """Skew-safe two-phase aggregation on a deliberately skewed key:
+    half of all events collapse onto the hot key 0 (a bot-user shape —
+    at 100 TB a plain groupBy pins one reducer with ~50% of the table).
+    ``salted_agg`` spreads the hot key over the salt range in phase 1;
+    the plan gate (test_plans.py) asserts the pre-shuffle partitioning
+    really includes ``__salt``. Results identical to the direct groupBy
+    (decimal partials ⇒ exact), checked by the plain-SQL oracle."""
+    from postgre_to_clickhouse_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    skewed = ev.select(
+        F.when(F.col("user_id") % 100 < 50, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        F.col("value").cast("decimal(18,6)").alias("__vdec"),
+    )
+    out = salted_agg(
+        skewed,
+        keys=["k"],
+        aggs={"n_events": ("__vdec", "count"), "sum_value": ("__vdec", "sum")},
+        n_salts=16,
+    )
+    return out.select("k", "n_events", F.col("sum_value").cast("double").alias("sum_value"))
+
+
+@register(
     "multimodal_image_stats",
     oracle="""
     SELECT d.doc_id,

@@ -1,0 +1,198 @@
+"""Manifest-committed MERGE table — the transactional swap point the
+parquet upsert sinks stand in for (SURVEY.md A8; VERDICT r1 #8).
+
+The reference's ClickHouse target is a ReplacingMergeTree
+(`/root/reference/README.md:176-177`): writers append, the engine
+resolves versions. At 100 TB on a data lake the equivalent is a
+MERGE-capable table format (Delta/Iceberg/Hudi). None ships in this
+container, so this module implements the essential protocol those
+formats share, dependency-free:
+
+- **Immutable data files** under ``data/``, each owned by exactly one
+  key-hash bucket (name-encoded). Files are never modified or
+  overwritten — a MERGE writes NEW files for the touched buckets only.
+- **Versioned manifests** under ``_manifests/v{N}.json`` listing the
+  files that make up that snapshot (plus lineage metadata).
+- **Atomic commit**: a snapshot becomes current only when the
+  ``_latest`` pointer is atomically replaced (``os.replace`` — POSIX
+  rename atomicity; object stores use put-if-absent on the manifest
+  name instead). A crash at ANY earlier point leaves the previous
+  snapshot fully intact and merely orphans data files, which
+  :meth:`ManifestTable.vacuum` reclaims. Readers always see a complete
+  snapshot — no half-written table, ever.
+- **Idempotent MERGE**: last-wins dedup on (sort_key, arrival) is
+  deterministic, so replaying a micro-batch after a crash commits a
+  snapshot with identical content.
+
+Scale: a batch touching b of ``n_buckets`` buckets reads and rewrites
+only those buckets' files (manifest-level pruning — the untouched
+files are carried into the new manifest by reference). The manifest
+itself is O(files), kept in one JSON per version like Delta's
+checkpointed log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark.cdc import dedup_redelivery, latest
+
+_LATEST = "_latest"
+_MANIFESTS = "_manifests"
+_DATA = "data"
+
+
+class ManifestTable:
+    """A bucketed, manifest-committed table rooted at ``path``."""
+
+    def __init__(self, path: str, key_col: str = "user_id", n_buckets: int = 16):
+        self.path = path
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA), exist_ok=True)
+
+    # -- snapshot bookkeeping ------------------------------------------------
+    def current_version(self) -> int:
+        try:
+            with open(os.path.join(self.path, _LATEST)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, _MANIFESTS, f"v{version}.json")
+
+    def current_manifest(self) -> dict:
+        v = self.current_version()
+        if v < 0:
+            return {"version": -1, "files": []}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def _commit(self, files: list[dict], note: str) -> int:
+        """Write manifest v{N+1}, then atomically flip the pointer."""
+        v = self.current_version() + 1
+        manifest = {
+            "version": v,
+            "committed_at": time.time(),
+            "note": note,
+            "files": sorted(files, key=lambda f: f["name"]),
+        }
+        with open(self._manifest_path(v), "w") as f:
+            json.dump(manifest, f)
+        tmp = os.path.join(self.path, f"{_LATEST}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, os.path.join(self.path, _LATEST))  # THE commit point
+        return v
+
+    # -- read path -----------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        m = self.current_manifest()
+        if not m["files"]:
+            raise FileNotFoundError(f"manifest table at {self.path} has no committed snapshot")
+        paths = [os.path.join(self.path, _DATA, f["name"]) for f in m["files"]]
+        return spark.read.parquet(*paths)
+
+    def read_latest(
+        self,
+        spark: SparkSession,
+        entity_key=("user_id",),
+        version_cols=("updated_at", "kafka_offset"),
+    ) -> DataFrame:
+        return latest(self.read(spark), entity_key, version_cols)
+
+    # -- write path ----------------------------------------------------------
+    def _bucket_of(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+
+    def _write_bucket_files(self, df: DataFrame, buckets: list[int]) -> list[dict]:
+        """One new immutable file per touched bucket. Buckets write in a
+        single Spark job (repartition by bucket), then the part files are
+        renamed into content-addressed names under data/."""
+        import glob
+        import shutil
+
+        staging = os.path.join(self.path, f"_staging.{uuid.uuid4().hex[:12]}")
+        (
+            df.withColumn("__bucket", self._bucket_of(F.col(self.key_col)))
+            .repartition(max(len(buckets), 1), F.col("__bucket"))
+            .write.mode("overwrite")
+            .partitionBy("__bucket")
+            .parquet(staging)
+        )
+        out = []
+        try:
+            for bdir in glob.glob(os.path.join(staging, "__bucket=*")):
+                b = int(bdir.rsplit("=", 1)[1])
+                parts = glob.glob(os.path.join(bdir, "part-*.parquet"))
+                for i, part in enumerate(sorted(parts)):
+                    name = f"b{b:05d}-{uuid.uuid4().hex}-{i}.parquet"
+                    shutil.move(part, os.path.join(self.path, _DATA, name))
+                    out.append({"name": name, "bucket": b})
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    def merge_upsert(self, sort_key=("user_id", "updated_at"), arrival=("kafka_offset",)):
+        """foreachBatch body: transactional last-wins MERGE.
+
+        Reads ONLY the touched buckets' current files, merges with the
+        deduped batch, writes new files for those buckets, and commits a
+        manifest carrying every untouched file forward by reference.
+        The pointer flip is the single atomic commit point.
+        """
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            spark = batch_df.sparkSession
+            batch = dedup_redelivery(batch_df, sort_key, arrival)
+            with_bucket = batch.withColumn("__bucket", self._bucket_of(F.col(self.key_col)))
+            touched = sorted(
+                r["__bucket"] for r in with_bucket.select("__bucket").distinct().collect()
+            )  # bounded by n_buckets — a layout constant
+            m = self.current_manifest()
+            touched_files = [f for f in m["files"] if f["bucket"] in touched]
+            kept_files = [f for f in m["files"] if f["bucket"] not in touched]
+            if touched_files:
+                paths = [os.path.join(self.path, _DATA, f["name"]) for f in touched_files]
+                existing = spark.read.parquet(*paths)
+                merged = existing.unionByName(batch)
+            else:
+                merged = batch
+            merged = dedup_redelivery(merged, sort_key, arrival)
+            new_files = self._write_bucket_files(merged, touched)
+            self._commit(kept_files + new_files, note=f"merge batch_id={batch_id}")
+
+        return _apply
+
+    # -- maintenance ---------------------------------------------------------
+    def vacuum(self, keep_versions: int = 2) -> list[str]:
+        """Delete data files referenced by NO retained manifest (crash
+        orphans and files superseded more than ``keep_versions`` ago).
+        Safe concurrently with readers of retained versions — the
+        current snapshot's files are never touched."""
+        current = self.current_version()
+        keep = set()
+        removed_manifests = []
+        for v_name in sorted(os.listdir(os.path.join(self.path, _MANIFESTS))):
+            v = int(v_name[1:-5])
+            if v > current:  # manifest written but never committed (crash)
+                os.remove(self._manifest_path(v))
+                removed_manifests.append(v_name)
+                continue
+            if v > current - keep_versions:
+                with open(self._manifest_path(v)) as f:
+                    keep.update(ff["name"] for ff in json.load(f)["files"])
+        removed = []
+        for name in os.listdir(os.path.join(self.path, _DATA)):
+            if name not in keep:
+                os.remove(os.path.join(self.path, _DATA, name))
+                removed.append(name)
+        return removed

@@ -1,0 +1,115 @@
+"""Manifest-committed MERGE sink (sinks/manifest.py): golden
+convergence, streaming restart idempotency, snapshot isolation under
+crashes at every protocol step, bucket-level pruning, and vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark.cdc import mv_users, unwrap
+from postgre_to_clickhouse_spark.cdc.fixtures import GOLDEN_LATEST, users_cdc_events
+from postgre_to_clickhouse_spark.sinks.manifest import ManifestTable
+from postgre_to_clickhouse_spark.streaming import pipeline as P
+
+
+def _latest_map(df):
+    return {
+        r.user_id: (r.username, r.account_type, r.updated_at.strftime("%Y-%m-%d %H:%M:%S"))
+        for r in df.collect()
+    }
+
+
+def _full(spark):
+    return mv_users(unwrap(users_cdc_events(spark)))
+
+
+def test_merge_converges_to_golden_and_is_idempotent(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    sink = t.merge_upsert()
+    sink(_full(spark), 0)
+    assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST
+    v1, n1 = t.current_version(), t.read(spark).count()
+    sink(_full(spark), 1)  # full redelivery → new version, identical content
+    assert t.current_version() == v1 + 1
+    assert t.read(spark).count() == n1
+    assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST
+
+
+def test_merge_prunes_untouched_buckets(spark, tmp_path):
+    """A single-key batch must carry every untouched bucket's files into
+    the new manifest BY REFERENCE (same immutable file names)."""
+    t = ManifestTable(str(tmp_path / "t"))
+    sink = t.merge_upsert()
+    full = _full(spark)
+    sink(full, 0)
+    before = {f["name"]: f["bucket"] for f in t.current_manifest()["files"]}
+
+    one = full.orderBy(F.col("kafka_offset").desc()).limit(1)
+    key = one.collect()[0].user_id
+    sink(one, 1)
+    after = {f["name"]: f["bucket"] for f in t.current_manifest()["files"]}
+
+    touched_bucket = (
+        ManifestTable(str(tmp_path / "t")).read(spark)
+        .filter(F.col("user_id") == key)
+        .select(F.pmod(F.xxhash64(F.col("user_id")), F.lit(16)).cast("int"))
+        .distinct()
+        .collect()[0][0]
+    )
+    untouched_before = {n for n, b in before.items() if b != touched_bucket}
+    untouched_after = {n for n, b in after.items() if b != touched_bucket}
+    assert untouched_before, "fixture keys all hashed to one bucket — raise n_buckets"
+    assert untouched_before == untouched_after  # carried by reference, never rewritten
+    assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST
+
+
+def test_crash_before_pointer_flip_preserves_snapshot(spark, tmp_path):
+    """Data files written + manifest written, but pointer NOT flipped
+    (crash just before the commit point): readers still see the old
+    snapshot; replaying the batch converges; vacuum reclaims orphans."""
+    t = ManifestTable(str(tmp_path / "t"))
+    sink = t.merge_upsert()
+    sink(_full(spark), 0)
+    v_before = t.current_version()
+    files_before = {f["name"] for f in t.current_manifest()["files"]}
+
+    # simulate the crash: write orphan data files + an uncommitted manifest
+    orphans = t._write_bucket_files(t.read(spark), list(range(t.n_buckets)))
+    with open(t._manifest_path(v_before + 1), "w") as f:
+        json.dump({"version": v_before + 1, "files": orphans, "note": "crash"}, f)
+
+    # reader is unaffected — pointer still names the old complete snapshot
+    assert t.current_version() == v_before
+    assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST
+
+    # replay commits OVER the crashed version; vacuum removes its leavings
+    sink(_full(spark), 1)
+    assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST
+    removed = t.vacuum(keep_versions=1)
+    assert {o["name"] for o in orphans} <= set(removed) | files_before
+    data_dir = os.path.join(t.path, "data")
+    live = {f["name"] for f in t.current_manifest()["files"]}
+    assert live <= set(os.listdir(data_dir))
+    assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST  # still readable post-vacuum
+
+
+def test_streaming_pipeline_through_manifest_sink(spark, tmp_path):
+    """run_pipeline with the manifest MERGE as the foreachBatch body:
+    checkpoint restart must not change the committed content."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t = ManifestTable(str(tmp_path / "t"))
+    P.write_events_as_json(users_cdc_events(spark), src, n_files=3)
+    P.run_pipeline(spark, src, str(tmp_path / "unused"), ckpt, batch_hook=t.merge_upsert())
+    assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST
+    n1, v1 = t.read(spark).count(), t.current_version()
+    # restart on the same checkpoint: no new data → no new commits
+    P.run_pipeline(spark, src, str(tmp_path / "unused"), ckpt, batch_hook=t.merge_upsert())
+    assert (t.read(spark).count(), t.current_version()) == (n1, v1)
+    # fresh checkpoint: full redelivery → same content, higher version
+    P.run_pipeline(spark, src, str(tmp_path / "unused"), ckpt + "2", batch_hook=t.merge_upsert())
+    assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST
+    assert t.read(spark).count() == n1

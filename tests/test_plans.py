@@ -74,6 +74,18 @@ def test_oracle_queries_have_no_python_at_all(spark):
             assert marker not in plan, f"{name} contains {marker}"
 
 
+def test_salted_agg_splits_hot_key(spark):
+    """The skew-salted aggregation must shuffle on (key, __salt) in
+    phase 1 — that partitioning is WHAT dissolves the hot key — and run
+    two aggregate phases (partial+final × salt/merge)."""
+    import re
+
+    plan = _plan(spark, "skew_salted_agg_events")
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("__salt" in p for p in parts), f"no salted exchange in plan: {parts}"
+    assert plan.count("HashAggregate") >= 4  # partial+final for both phases
+
+
 def test_ivf_assignment_is_shuffle_free(spark):
     """assign_lists must stay a pure map pass (centroids folded in as
     literals): no Exchange, no join, no window sort in the plan."""
