@@ -70,6 +70,11 @@ HEADLINE = [
     "text_analysis_composite",
     "multimodal_image_stats",
     "skew_salted_agg_events",
+    "split_train_val_test",
+    "text_clean_documents",
+    "embedding_quantize_int8",
+    "vector_int8_topk",
+    "dedup_pipeline_canonical",
 ]
 
 

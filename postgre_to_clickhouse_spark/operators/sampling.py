@@ -1,0 +1,105 @@
+"""Deterministic sampling & dataset splitting (training-data pipeline).
+
+A pretraining pipeline needs REPRODUCIBLE randomness: the same document
+must land in the same train/val/test split on every run, on any cluster
+size, from any engine — otherwise eval sets leak into training between
+pipeline versions. ``rand()`` fails all of that (per-task RNG), and
+``df.sample`` is partition-dependent. These operators derive all
+randomness from a cryptographic hash of (seed, row id):
+
+- content-addressed → rerunning, re-partitioning, or re-ordering the
+  input cannot move a row between splits;
+- engine-portable → md5 exists everywhere (the DuckDB oracles recompute
+  the exact assignment), so a Spark pipeline and a warehouse SQL job
+  agree row-for-row;
+- shuffle-free → assignment is a map-only projection; stratified
+  sampling adds exactly one shuffle (the per-stratum rank).
+
+At 100 TB: split assignment fuses into the scan (no shuffle, no state);
+stratified sampling shuffles only (strata, hash) pairs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 8 hex chars → 32-bit space; plenty of resolution for per-myriad splits
+_HASH_SPACE = 16**8
+
+
+def split_hash(id_col: Column | str, seed: str) -> Column:
+    """Deterministic uniform [0, 1) double from (seed, id) via md5.
+
+    First 8 hex chars → int → /16^8. Identical in DuckDB:
+    ``CAST(from_hex(substring(md5(seed || CAST(id AS VARCHAR)), 1, 8)) AS ...``
+    — the oracle uses the same conv-from-hex construction.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), c.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(float(_HASH_SPACE))
+
+
+def deterministic_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: str = "split-v1",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with the given weights.
+
+    Content-addressed: moving to a bigger cluster, adding rows, or
+    re-running cannot reassign an existing row (each row's fate depends
+    only on (seed, its id)). Changing ``seed`` draws a fresh assignment.
+    """
+    total = sum(weights.values())
+    if not weights or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1.0, got {total}")
+    u = split_hash(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        expr = F.when(u < acc, name) if expr is None else expr.when(u < acc, name)
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    id_col: str,
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, deterministically.
+
+    Rows are ranked inside each stratum by the content hash (a seeded
+    uniform order) with the id as tiebreak — a reproducible 'random'
+    sample that any engine reproduces bit-for-bit. One shuffle (the
+    per-stratum window); at 100 TB pre-aggregation isn't needed because
+    the window ranks within hash partitions without a global sort.
+    """
+    u = split_hash(id_col, seed).alias("__u")
+    w = Window.partitionBy(*strata_cols).orderBy(F.col("__u"), F.col(id_col))
+    return (
+        df.withColumn("__u", u)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__u", "__rk")
+    )
+
+
+def sample_fraction(
+    df: DataFrame, id_col: str, fraction: float, seed: str = "sample-v1"
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows (content-addressed
+    Bernoulli — the scalable path: map-only, no shuffle, stable under
+    re-partitioning, union of disjoint fractions composes exactly)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(split_hash(id_col, seed) < F.lit(fraction))

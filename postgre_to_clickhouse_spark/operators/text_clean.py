@@ -1,0 +1,91 @@
+"""Text cleaning & repetition filters (training-data pipeline, C4).
+
+The standard pretraining cleanup stages between raw crawl and
+tokenization: HTML stripping, entity unescape, control-char removal,
+whitespace normalization, PII masking, and repetition metrics (the
+Gopher/C4-style quality signals — documents dominated by repeated lines
+are boilerplate). All pure JVM ``regexp_replace``/``split``/higher-order
+expressions — they fuse into the scan under whole-stage codegen, so at
+100 TB cleaning is bandwidth-bound, not CPU/Python-bound.
+
+Regexes stay inside the RE2 ∩ Java-regex common subset (no backrefs, no
+lookaround) so the DuckDB oracles run the IDENTICAL pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HTML_TAG_RE = r"<[^>]+>"
+CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+_ENTITIES = [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def strip_html(col: Column | str) -> Column:
+    """Drop tags, unescape the common entities. (A real crawl pipeline
+    puts a proper parser behind the same column contract; tag-strip +
+    entity table is the standard cheap first pass.)"""
+    t = F.regexp_replace(_c(col), HTML_TAG_RE, " ")
+    for ent, ch in _ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return t
+
+
+def remove_control_chars(col: Column | str) -> Column:
+    return F.regexp_replace(_c(col), CONTROL_RE, "")
+
+
+def normalize_whitespace(col: Column | str) -> Column:
+    return F.trim(F.regexp_replace(_c(col), r"\s+", " "))
+
+
+def mask_pii(col: Column | str) -> Column:
+    """Replace emails and IPv4s with typed placeholder tokens."""
+    t = F.regexp_replace(_c(col), EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(t, IPV4_RE, "<IP>")
+
+
+def clean_text(col: Column | str) -> Column:
+    """The composed standard pass: strip → de-control → mask → normalize."""
+    return normalize_whitespace(mask_pii(remove_control_chars(strip_html(col))))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Line-level repetition signals (boilerplate detectors):
+
+    - ``n_lines`` / ``n_distinct_lines`` and the duplicate-line ratio —
+      the Gopher rule rejects docs whose mass is repeated lines;
+    - ``max_line_chars`` — single-line walls of text (minified JS);
+    - ``dup_word_ratio`` — fraction of word occurrences beyond each
+      word's first (whole-doc lexical repetition).
+
+    All higher-order array expressions over one split — no shuffle, no
+    Python; runs inside the scan stage.
+    """
+    t = _c(text_col)
+    lines = F.split(t, r"\n")
+    words = F.filter(F.split(F.lower(t), r"[^a-z0-9]+"), lambda w: w != "")
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    n_words = F.size(words)
+    n_distinct_words = F.size(F.array_distinct(words))
+    return df.select(
+        "*",
+        n_lines.alias("n_lines"),
+        n_distinct.alias("n_distinct_lines"),
+        (
+            (n_lines - n_distinct).cast("double") / F.greatest(n_lines, F.lit(1)).cast("double")
+        ).alias("dup_line_ratio"),
+        F.array_max(F.transform(lines, F.length)).alias("max_line_chars"),
+        (
+            (n_words - n_distinct_words).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+        ).alias("dup_word_ratio"),
+    )

@@ -41,6 +41,7 @@ GOLDEN_QUERIES = [
     "vector_ivf_topk",
     "pandas_udf_zscore",
     "cdc_users_pipeline",
+    "dedup_pipeline_canonical",
 ]
 
 

@@ -1,0 +1,273 @@
+"""Tier C continued (round 2): deterministic splits & sampling, text
+cleaning / PII masking / repetition filters, int8 embedding
+quantization, and the end-to-end dedup canonicalization pipeline.
+
+All registered AFTER the driver window (the window already has one green
+row per operator class) — these are pytest-oracle-gated and bench-visible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.operators import sampling as SM
+from postgre_to_clickhouse_spark.operators import text_clean as TC
+from postgre_to_clickhouse_spark.queries.registry import register
+from postgre_to_clickhouse_spark.session import configure
+
+
+def _t(spark, sf_dir, name):
+    configure(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+def _horner_u(seed: str, id_expr: str) -> str:
+    """DuckDB twin of sampling.split_hash: rebuild the first 8 md5 hex
+    chars as an integer via Horner (DuckDB has no conv()); exact-integer
+    then one double divide — bit-identical to Spark's conv()/divide."""
+    h = f"md5('{seed}' || ':' || CAST({id_expr} AS VARCHAR))"
+    expr = "0"
+    for i in range(1, 9):
+        expr = f"(({expr}) * 16 + (strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1))"
+    return f"(CAST({expr} AS DOUBLE) / 4294967296.0)"
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_horner_u("split-v1", "doc_id")} < 0.9 THEN 'train'
+                WHEN {_horner_u("split-v1", "doc_id")} < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Content-addressed 90/5/5 split: the same doc lands in the same
+    split on every run, any cluster size, any engine (the oracle
+    recomputes the md5-derived assignment exactly). Map-only — fuses
+    into the scan; no shuffle at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    out = SM.deterministic_split(
+        d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed="split-v1"
+    )
+    return out.select("doc_id", "split")
+
+
+@register(
+    "stratified_sample_documents",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_horner_u("sample-v1", "doc_id")}, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def stratified_sample_documents(spark, sf_dir):
+    """Deterministic stratified sample: exactly min(20, |stratum|) docs
+    per language, chosen by seeded content-hash order — reproducible
+    'randomness' any engine can recompute. One shuffle (per-stratum
+    rank)."""
+    d = _t(spark, sf_dir, "documents")
+    out = SM.stratified_sample(d, ["lang"], n_per_stratum=20, id_col="doc_id", seed="sample-v1")
+    return out.select("doc_id", "lang", "source")
+
+
+# Deterministic synthetic dirt so the cleaning operators do real work on
+# the fixture corpus (its text is already clean): tags + an email + an ip
+# derived from doc_id. The oracle constructs the identical dirty string.
+_DIRTY_SPARK = lambda: F.concat(  # noqa: E731
+    F.lit("<p class='x'>"),
+    F.col("text"),
+    F.lit("</p> <script>var x=1;</script> contact: user"),
+    F.col("doc_id").cast("string"),
+    F.lit("@example.com from 10.0.0."),
+    (F.col("doc_id") % 256).cast("string"),
+)
+_DIRTY_SQL = (
+    "'<p class=''x''>' || text || '</p> <script>var x=1;</script> contact: user' "
+    "|| CAST(doc_id AS VARCHAR) || '@example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+)
+
+
+@register(
+    "text_clean_documents",
+    oracle=f"""
+    WITH dirty AS (SELECT doc_id, {_DIRTY_SQL} AS t FROM documents)
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '<[^>]+>', ' ', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '<IP>', 'g'),
+             '\\s+', ' ', 'g')) AS clean,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+           len(regexp_extract_all(t, '<[^>]+>')) AS n_tags
+    FROM dirty
+    """,
+)
+def text_clean_documents(spark, sf_dir):
+    """C4 cleaning pass on deterministically-dirtied fixture text:
+    HTML strip → control-char removal → PII masking (email, IPv4) →
+    whitespace normalization, plus found-PII counts. Pure regexp
+    built-ins (RE2 ∩ Java subset so the oracle runs the same patterns);
+    fuses into the scan — cleaning at 100 TB is bandwidth-bound."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", _DIRTY_SPARK().alias("t"))
+    return d.select(
+        "doc_id",
+        TC.clean_text("t").alias("clean"),
+        F.regexp_count("t", F.lit(TC.EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("t", F.lit(TC.HTML_TAG_RE)).alias("n_tags"),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH lined AS (
+      SELECT doc_id, regexp_replace(text, ' (batch|join) ', chr(10), 'g') AS t
+      FROM documents
+    ),
+    split_ AS (
+      SELECT doc_id, string_split(t, chr(10)) AS lines,
+             list_filter(string_split(regexp_replace(lower(t), '[^a-z0-9]+', ' ', 'g'), ' '),
+                         w -> w <> '') AS words
+      FROM lined
+    )
+    SELECT doc_id,
+           len(lines) AS n_lines,
+           len(list_distinct(lines)) AS n_distinct_lines,
+           CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+             / greatest(len(lines), 1) AS dup_line_ratio,
+           list_max(list_transform(lines, x -> length(x))) AS max_line_chars,
+           CAST(len(words) - len(list_distinct(words)) AS DOUBLE)
+             / greatest(len(words), 1) AS dup_word_ratio
+    FROM split_
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher/C4-style repetition signals over a deterministically
+    line-broken version of the fixture text (the corpus is single-line,
+    so ' batch '/' join ' become newlines first — both engines apply the
+    identical rewrite). Duplicate-line and duplicate-word mass are THE
+    boilerplate detectors a pretraining filter runs; all higher-order
+    array expressions, no shuffle."""
+    from postgre_to_clickhouse_spark.operators.text_clean import repetition_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", r" (batch|join) ", "\n").alias("t")
+    )
+    out = repetition_stats(d, text_col="t")
+    return out.select(
+        "doc_id", "n_lines", "n_distinct_lines", "dup_line_ratio", "max_line_chars", "dup_word_ratio"
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS q_scale
+      FROM embeddings
+    )
+    SELECT vec_id, q_scale,
+           list_transform(embedding, x -> CAST(greatest(-127, least(127,
+               floor(CAST(x AS DOUBLE) / (CASE WHEN q_scale = 0 THEN 1.0 ELSE q_scale END) + 0.5)
+           )) AS INTEGER)) AS q_codes,
+           list_max(list_transform(list_zip(embedding,
+             list_transform(embedding, x -> CAST(greatest(-127, least(127,
+                 floor(CAST(x AS DOUBLE) / (CASE WHEN q_scale = 0 THEN 1.0 ELSE q_scale END) + 0.5)
+             )) AS INTEGER))),
+             p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * q_scale))) AS max_abs_err
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """C3 compression: symmetric per-vector int8 quantization (4× less
+    scan/shuffle/cache bandwidth at 100 TB) with the exact per-vector
+    reconstruction-error bound. floor-based rounding and plain IEEE
+    arithmetic only, so the oracle reproduces every code and error
+    bit-for-bit."""
+    from postgre_to_clickhouse_spark.operators.quantize import quantized_table
+
+    e = _t(spark, sf_dir, "embeddings")
+    qt = quantized_table(e)
+    err = F.array_max(
+        F.zip_with(
+            "embedding",
+            "q_codes",
+            lambda x, q: F.abs(x.cast("double") - q.cast("double") * F.col("q_scale")),
+        )
+    )
+    return qt.select("vec_id", "q_scale", "q_codes", err.alias("max_abs_err"))
+
+
+@register(
+    "vector_int8_topk",
+    oracle="""
+    WITH qt AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS q_scale,
+             list_transform(embedding, x -> CAST(greatest(-127, least(127,
+                 floor(CAST(x AS DOUBLE) /
+                   (CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 = 0
+                         THEN 1.0
+                         ELSE list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) / 127.0 END)
+                 + 0.5))) AS INTEGER)) AS q_codes
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             CAST(list_sum(list_transform(list_zip(c.q_codes, q.q_codes),
+                  p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT))) AS BIGINT) AS dot_i
+      FROM qt c JOIN qt q ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, vec_id, dot_i, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dot_i DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def vector_int8_topk(spark, sf_dir):
+    """C3 quantized search: top-10 per query by EXACT integer dot product
+    over int8 codes — the memory-bandwidth-bound scan shape (4× smaller
+    than float32; the float column is only touched by an exact re-rank
+    stage when needed). Integer scoring ⇒ full SQL oracle, no goldens."""
+    from postgre_to_clickhouse_spark.operators.quantize import int8_topk, quantized_table
+
+    e = _t(spark, sf_dir, "embeddings")
+    qt = quantized_table(e)
+    queries = qt.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "q_codes", "q_scale"
+    )
+    out = int8_topk(qt, queries, k=10)
+    return out.select("query_id", "vec_id", "dot_i", "rank")
+
+
+@register("dedup_pipeline_canonical")  # golden oracle installed by goldens.py
+def dedup_pipeline_canonical(spark, sf_dir):
+    """The END-TO-END near-dup pipeline a pretraining corpus runs:
+    MinHash-LSH candidates → exact n-gram-Jaccard verification (≥ 0.5)
+    → connected-components closure → canonical survivor = min doc_id
+    per cluster. Every stage is the scale-shaped operator (bucketed LSH,
+    pair-bounded verify, iterative CC with constant plan depth); the
+    composition is seeded-deterministic ⇒ committed-golden oracle."""
+    from postgre_to_clickhouse_spark.operators.dedup import minhash_near_dup, ngram_jaccard_pairs
+    from postgre_to_clickhouse_spark.operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_near_dup(d, num_hashes=32, bands=8)
+    verified = ngram_jaccard_pairs(d, cand.select("id_a", "id_b"), n=3).filter(
+        F.col("jaccard") >= 0.5
+    )
+    comps = connected_components(verified, "id_a", "id_b")
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("component_id"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    ).orderBy("doc_id")

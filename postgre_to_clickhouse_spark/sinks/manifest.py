@@ -70,10 +70,14 @@ class ManifestTable:
         return os.path.join(self.path, _MANIFESTS, f"v{version}.json")
 
     def current_manifest(self) -> dict:
-        v = self.current_version()
-        if v < 0:
+        return self.manifest_at(self.current_version())
+
+    def manifest_at(self, version: int) -> dict:
+        if version < 0:
             return {"version": -1, "files": []}
-        with open(self._manifest_path(v)) as f:
+        if version > self.current_version():
+            raise ValueError(f"version {version} not committed (current={self.current_version()})")
+        with open(self._manifest_path(version)) as f:
             return json.load(f)
 
     def _commit(self, files: list[dict], note: str) -> int:
@@ -94,8 +98,12 @@ class ManifestTable:
         return v
 
     # -- read path -----------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame:
-        m = self.current_manifest()
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read a snapshot — the current one, or TIME TRAVEL to any
+        retained ``version`` (manifests are immutable and data files are
+        only reclaimed by vacuum, so every retained version stays
+        byte-stable — the Delta/Iceberg `VERSION AS OF` semantics)."""
+        m = self.current_manifest() if version is None else self.manifest_at(version)
         if not m["files"]:
             raise FileNotFoundError(f"manifest table at {self.path} has no committed snapshot")
         paths = [os.path.join(self.path, _DATA, f["name"]) for f in m["files"]]

@@ -33,14 +33,26 @@ def main() -> None:
 
     spark = get_spark("golden-gen")
     os.makedirs(GOLDEN_DIR, exist_ok=True)
+    import duckdb
+
     for name in GOLDEN_QUERIES:
         for sf_tag, sf_dir in SFS.items():
             df = QUERIES[name](spark, sf_dir)
+            dest = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
+            if os.path.exists(dest):
+                # value-identical regeneration is a no-op: parquet BYTES
+                # vary with physical row order/chunking, values must not
+                fresh = sorted(map(str, (tuple(r) for r in df.collect())))
+                con = duckdb.connect()
+                old_rows = con.execute(f"SELECT * FROM '{dest}'").fetchall()
+                con.close()
+                if fresh == sorted(map(str, old_rows)):
+                    print(f"unchanged {dest}")
+                    continue
             tmp = tempfile.mkdtemp(prefix=f"golden_{name}_")
             try:
                 df.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "out"))
                 (part,) = glob.glob(os.path.join(tmp, "out", "part-*.parquet"))
-                dest = os.path.join(GOLDEN_DIR, f"{name}.{sf_tag}.parquet")
                 shutil.copyfile(part, dest)
                 print(f"wrote {dest} ({df.count()} rows)")
             finally:

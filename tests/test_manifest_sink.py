@@ -96,6 +96,27 @@ def test_crash_before_pointer_flip_preserves_snapshot(spark, tmp_path):
     assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST  # still readable post-vacuum
 
 
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    """VERSION AS OF semantics: every retained snapshot reads back
+    exactly as committed, even after later merges change the table."""
+    t = ManifestTable(str(tmp_path / "t"))
+    sink = t.merge_upsert()
+    full = _full(spark)
+    first = full.orderBy("kafka_offset").limit(3)
+    sink(first, 0)
+    v0_rows = sorted(map(tuple, t.read(spark).collect()))
+    sink(full, 1)
+    assert t.current_version() == 1
+    # the old snapshot is unchanged; the new one differs
+    assert sorted(map(tuple, t.read(spark, version=0).collect())) == v0_rows
+    assert t.read(spark).count() >= t.read(spark, version=0).count()
+    assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.manifest_at(99)
+
+
 def test_streaming_pipeline_through_manifest_sink(spark, tmp_path):
     """run_pipeline with the manifest MERGE as the foreachBatch body:
     checkpoint restart must not change the committed content."""

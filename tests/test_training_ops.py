@@ -1,0 +1,132 @@
+"""Round-2 training-data operators: deterministic splits/sampling,
+text cleaning/PII masking/repetition, int8 quantization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.operators import sampling as SM
+from postgre_to_clickhouse_spark.operators import text_clean as TC
+from postgre_to_clickhouse_spark.operators import quantize as Q
+from tests.conftest import SF_SMALL
+
+
+def _docs(spark):
+    return catalog.load(spark, SF_SMALL, "documents")
+
+
+# -- splits ----------------------------------------------------------------
+def test_split_is_layout_and_membership_independent(spark):
+    d = _docs(spark)
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    base = {r.doc_id: r.split for r in SM.deterministic_split(d, "doc_id", w).collect()}
+    # different physical layout → identical assignment
+    shuffled = {
+        r.doc_id: r.split
+        for r in SM.deterministic_split(d.repartition(17).orderBy(F.rand(3)), "doc_id", w).collect()
+    }
+    assert base == shuffled
+    # subset of rows → existing rows keep their split (content-addressed)
+    half = {r.doc_id: r.split for r in SM.deterministic_split(d.filter("doc_id % 2 = 0"), "doc_id", w).collect()}
+    assert all(base[k] == v for k, v in half.items())
+
+
+def test_split_proportions_and_totality(spark):
+    d = _docs(spark)
+    out = SM.deterministic_split(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == d.count()
+    assert counts["train"] > 400  # ~450 of 500
+    assert set(counts) == {"train", "val", "test"}
+
+
+def test_split_seed_changes_assignment(spark):
+    d = _docs(spark)
+    w = {"a": 0.5, "b": 0.5}
+    s1 = {r.doc_id: r.split for r in SM.deterministic_split(d, "doc_id", w, seed="s1").collect()}
+    s2 = {r.doc_id: r.split for r in SM.deterministic_split(d, "doc_id", w, seed="s2").collect()}
+    assert s1 != s2  # a fresh seed redraws
+
+
+# -- stratified sampling ---------------------------------------------------
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    d = _docs(spark)
+    out = SM.stratified_sample(d, ["lang"], n_per_stratum=20, id_col="doc_id")
+    per = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(per[lang] == min(20, full[lang]) for lang in full)
+    again = SM.stratified_sample(d.repartition(7), ["lang"], n_per_stratum=20, id_col="doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
+
+
+def test_sample_fraction_composes_disjointly(spark):
+    d = _docs(spark)
+    a = set(r.doc_id for r in SM.sample_fraction(d, "doc_id", 0.3).collect())
+    b = set(r.doc_id for r in SM.sample_fraction(d, "doc_id", 0.7).collect())
+    assert a <= b  # nested thresholds nest exactly
+    assert 0.15 < len(a) / d.count() < 0.45
+
+
+# -- text cleaning ---------------------------------------------------------
+def test_clean_text_golden(spark):
+    rows = [
+        (1, "<p>Hello &amp; welcome</p> mail me at bob.smith+x@corp.example.org now"),
+        (2, "server at 192.168.0.1 said\x07 hi   \t there"),
+        (3, "plain text stays"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = {r.id: r.c for r in df.select("id", TC.clean_text("t").alias("c")).collect()}
+    assert out[1] == "Hello & welcome mail me at <EMAIL> now"
+    assert out[2] == "server at <IP> said hi there"
+    assert out[3] == "plain text stays"
+
+
+def test_repetition_stats_golden(spark):
+    df = spark.createDataFrame(
+        [(1, "a b\na b\nc d"), (2, "x y\nz w")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in TC.repetition_stats(df).collect()}
+    assert out[1].n_lines == 3 and out[1].n_distinct_lines == 2
+    assert abs(out[1].dup_line_ratio - 1 / 3) < 1e-12
+    assert out[1].max_line_chars == 3
+    assert out[2].dup_line_ratio == 0.0 and out[2].dup_word_ratio == 0.0
+
+
+# -- int8 quantization -----------------------------------------------------
+def test_quantize_roundtrip_error_bound(spark):
+    e = catalog.load(spark, SF_SMALL, "embeddings")
+    qt = Q.quantized_table(e)
+    err = qt.select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    "embedding",
+                    "q_codes",
+                    lambda x, q: F.abs(x.cast("double") - q.cast("double") * F.col("q_scale")),
+                )
+            )
+            / F.col("q_scale")
+        ).alias("worst_ratio"),
+        F.min(F.array_min("q_codes")).alias("lo"),
+        F.max(F.array_max("q_codes")).alias("hi"),
+    ).collect()[0]
+    assert err.worst_ratio <= 0.5 + 1e-9  # half-ulp of the int8 grid
+    assert -127 <= err.lo and err.hi <= 127
+
+
+def test_int8_topk_recall_vs_exact(spark):
+    from postgre_to_clickhouse_spark.operators.similarity import cosine_topk
+
+    e = catalog.load(spark, SF_SMALL, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(e, q, k=10).collect()
+    }
+    qt = Q.quantized_table(e)
+    qq = qt.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "q_codes", "q_scale")
+    approx = {(r.query_id, r.vec_id) for r in Q.int8_topk(qt, qq, k=10).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"int8 recall {recall}"
