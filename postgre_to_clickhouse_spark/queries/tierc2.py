@@ -238,23 +238,12 @@ def dedup_components_knn(spark, sf_dir):
     schedule-independent, so a distributed iterative algorithm gets a
     full value-hash check. Component id = min vec_id reachable."""
     from postgre_to_clickhouse_spark.operators.graph import connected_components
-    from postgre_to_clickhouse_spark.operators.similarity import _dot, _norm
+    from postgre_to_clickhouse_spark.operators.similarity import block_knn
 
     e = _t(spark, sf_dir, "embeddings")
-    withn = e.select("vec_id", "label", "embedding", _norm("embedding").alias("nrm"))
-    a = withn.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
-        F.col("embedding").alias("ea"), F.col("nrm").alias("na_"),
-    )
-    b = withn.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"), F.col("nrm").alias("nb_"),
-    )
-    scored = a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") != F.col("id_b"))).select(
-        "id_a", "id_b", (_dot("ea", "eb") / (F.col("na_") * F.col("nb_"))).alias("__c")
-    )
-    w = Window.partitionBy("id_a").orderBy(F.col("__c").desc(), "id_b")
-    nn = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("id_a", "id_b")
+    nn = block_knn(
+        e, block_col="label", id_col="vec_id", vec_col="embedding", k=1, dim=64
+    ).select("id_a", "id_b")
     return connected_components(nn, "id_a", "id_b").select(
         F.col("node").alias("vec_id"), F.col("comp").alias("component_id")
     )

@@ -181,3 +181,47 @@ def test_connected_components_hand_graph(spark):
     )
     got = {r.node: r.comp for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_block_knn_salting_preserves_pairs_and_parallelism(spark):
+    """The salted self-join must produce exactly the same neighbor set as
+    the straightforward blocked join (no pair lost or duplicated by the
+    salt replication), and the physical join keys must include the salt
+    column so the heavy dot-product stage isn't bounded by the number of
+    distinct blocks."""
+    from postgre_to_clickhouse_spark.operators.similarity import (
+        block_knn,
+        cosine_similarity,
+    )
+
+    e = catalog.load(spark, SF_SMALL, "embeddings")
+    salted = block_knn(e, block_col="label", id_col="vec_id", vec_col="embedding", k=2)
+    jvm = block_knn(
+        e, block_col="label", id_col="vec_id", vec_col="embedding", k=2, arrow=False
+    )
+
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    )
+    from pyspark.sql import Window
+
+    naive = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") != F.col("id_b")))
+        .select("id_a", "id_b", cosine_similarity("ea", "eb").alias("cosine"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
+            ),
+        )
+        .filter(F.col("rank") <= 2)
+    )
+    expect = sorted((r.id_a, r.id_b, r.rank) for r in naive.collect())
+    assert sorted((r.id_a, r.id_b, r.rank) for r in salted.collect()) == expect
+    assert sorted((r.id_a, r.id_b, r.rank) for r in jvm.collect()) == expect
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, "salt column missing from physical plan"
