@@ -75,6 +75,9 @@ HEADLINE = [
     "embedding_quantize_int8",
     "vector_int8_topk",
     "dedup_pipeline_canonical",
+    "decontaminate_eval_overlap",
+    "lm_unigram_nll",
+    "mix_rebalance_lang",
 ]
 
 

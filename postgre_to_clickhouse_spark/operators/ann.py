@@ -124,27 +124,35 @@ def _centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
     )
 
 
-def _cosine_to_literal(vec_col: str, centroid: list[float]) -> Column:
-    """cos(vec, constant centroid) with the centroid folded into the
-    expression as literals — evaluated per row inside codegen, no join.
-    The centroid's own norm is computed in Python once (exact same
-    IEEE double value as the JVM would produce for the same literals is
-    NOT required — it's a constant shared by every row, so rankings are
-    self-consistent and deterministic)."""
+def _sims_array(vec_col: str, cents: list[tuple[int, list[float]]]) -> Column:
+    """cos(vec, cᵢ) for every centroid as ONE compact expression.
+
+    Centroids are pre-normalized in Python (they're model constants, so
+    the division by |cᵢ| folds away) and shipped as a single
+    array-of-array literals: cos(v, cᵢ) = dot(v, ĉᵢ) / |v|. Two wins
+    over building a separate dot/norm expression per centroid: the row
+    norm |v| is evaluated once per row instead of once per centroid,
+    and the expression tree is one `lit` per centroid instead of one
+    per *element* — which dominated py4j plan construction and codegen
+    time for realistic (n_lists × dim) sizes. Still a pure projection:
+    no join, no shuffle."""
     import math
 
-    prods = F.zip_with(
-        F.col(vec_col),
-        F.array(*[F.lit(x) for x in centroid]),
-        lambda a, b: a.cast("double") * b,
+    normed = []
+    for _, c in cents:
+        n = math.sqrt(math.fsum(x * x for x in c))
+        normed.append([float(x) / n for x in c])
+    arr = F.array(*[F.lit(row) for row in normed])
+    nrm = _norm(vec_col)
+    return F.transform(
+        arr,
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / nrm,
     )
-    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-    cnorm = math.sqrt(math.fsum(x * x for x in centroid))
-    return dot / (_norm(vec_col) * F.lit(cnorm))
-
-
-def _sims_array(vec_col: str, cents: list[tuple[int, list[float]]]) -> Column:
-    return F.array(*[_cosine_to_literal(vec_col, c) for _, c in cents])
 
 
 def assign_lists(

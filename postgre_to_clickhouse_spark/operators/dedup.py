@@ -220,3 +220,53 @@ def ngram_jaccard_pairs(
     )
     jac = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double")
     return out.select("id_a", "id_b", jac.alias("jaccard"))
+
+
+def ngram_overlap_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    n: int = 8,
+) -> DataFrame:
+    """Eval-set decontamination: which corpus documents share word
+    n-grams with a benchmark/eval document, and how much of that eval
+    document they cover. The standard pre-training hygiene pass
+    (13-gram overlap in GPT-3/PaLM writeups; ``n`` is a knob because
+    fixture documents are short).
+
+    Output: (doc_id, eval_id, n_overlap, eval_grams, eval_frac) — one
+    row per (corpus doc, eval doc) pair sharing ≥1 distinct n-gram;
+    ``eval_frac`` = fraction of the eval doc's distinct grams found in
+    the corpus doc. Callers threshold (e.g. drop ``eval_frac > 0.5``).
+
+    Scale shape: corpus grams are built IN-ROW (``array_distinct`` over
+    the shingle array, then explode — no window, unlike
+    :func:`shingle_rows`) and probe a BROADCAST of the eval gram set —
+    eval suites are MBs against a 100 TB corpus, so the corpus NEVER
+    shuffles before the probe; the only data-proportional shuffle in
+    the whole plan is the final groupBy on (doc_id, eval_id), whose row
+    count is the number of actual gram collisions (≈ contaminated
+    pairs), not corpus size. Plan-gated in ``tests/test_plans.py``.
+    """
+    cg = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("g")
+    )
+    eg = eval_df.select(
+        F.col(eval_id_col), F.explode(F.array_distinct(shingles(eval_text_col, n))).alias("g")
+    )
+    sizes = eg.groupBy(eval_id_col).agg(F.count(F.lit(1)).alias("eval_grams"))
+    hits = (
+        cg.join(F.broadcast(eg), "g")
+        .groupBy(id_col, eval_id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.join(F.broadcast(sizes), eval_id_col).select(
+        id_col,
+        eval_id_col,
+        "n_overlap",
+        "eval_grams",
+        (F.col("n_overlap").cast("double") / F.col("eval_grams").cast("double")).alias("eval_frac"),
+    )

@@ -103,3 +103,40 @@ def sample_fraction(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
     return df.filter(split_hash(id_col, seed) < F.lit(fraction))
+
+
+def rebalance_mix(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    seed: str = "mix-v1",
+) -> DataFrame:
+    """Data-mixing rebalance: deterministically downsample every stratum
+    to the size of the SMALLEST one, flattening a skewed source/language
+    mix to uniform (in expectation) — the "mixture weights" step of a
+    training-data pipeline, done as a filter instead of a sampler so it
+    is reproducible and engine-checkable.
+
+    Per stratum s: keep_frac(s) = min_count / count(s); a row survives
+    iff its content-addressed uniform (:func:`split_hash`) is below its
+    stratum's keep_frac. Same row set on any cluster size, any re-run,
+    any engine (the DuckDB oracle recomputes the md5 assignment).
+
+    Shape: one count aggregation on the stratum key, the min as a
+    one-row broadcast, per-stratum fractions as a broadcast join back
+    onto the data (strata counts are tiny — a handful of sources or
+    languages), then a map-side filter. The corpus itself never
+    shuffles.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    m = counts.agg(F.min("__n").alias("__target"))
+    fracs = counts.crossJoin(F.broadcast(m)).select(
+        stratum_col,
+        (F.col("__target").cast("double") / F.col("__n").cast("double")).alias("__keep_frac"),
+    )
+    u = split_hash(id_col, seed)
+    return (
+        df.join(F.broadcast(fracs), stratum_col)
+        .filter(u < F.col("__keep_frac"))
+        .drop("__keep_frac")
+    )

@@ -140,40 +140,59 @@ def block_knn(
     """
     from pyspark.sql import Window
 
-    if partitions is None:
-        partitions = vectors.sparkSession.sparkContext.defaultParallelism
-    nrm = (lambda c: _norm_unrolled(c, dim)) if dim else _norm
-    dot = (lambda x, y: _dot_unrolled(x, y, dim)) if dim else _dot
-    s = F.lit(int(salt_buckets))
     if arrow:
         return _block_knn_arrow(vectors, block_col, id_col, vec_col, int(k), int(salt_buckets))
+    nrm = (lambda c: _norm_unrolled(c, dim)) if dim else _norm
+    dot = (lambda x, y: _dot_unrolled(x, y, dim)) if dim else _dot
+    pairs = salted_block_pairs(
+        vectors, block_col, id_col, vec_col, salt_buckets, partitions, norm_fn=nrm
+    )
+    scored = pairs.filter(F.col("id_a") != F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        (dot("__ea", "__eb") / (F.col("__na") * F.col("__nb"))).alias("cosine"),
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def salted_block_pairs(
+    vectors: DataFrame,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+    salt_buckets: int = 16,
+    partitions: int | None = None,
+    norm_fn=None,
+) -> DataFrame:
+    """All ordered within-block pairs via the salted self-join (see
+    :func:`block_knn` for why), with the embeddings and their
+    precomputed norms carried through: (id_a, id_b, __ea, __eb, __na,
+    __nb). Callers filter (``id_a != id_b`` for neighbor search,
+    ``id_a < id_b`` for unordered pair output) and score. Norms use
+    :func:`_norm` unless a bit-compatible variant is passed."""
+    if partitions is None:
+        partitions = vectors.sparkSession.sparkContext.defaultParallelism
+    if norm_fn is None:
+        norm_fn = _norm
+    s = F.lit(int(salt_buckets))
     a = vectors.select(
         F.col(id_col).alias("id_a"),
         F.col(block_col).alias("__blk"),
         F.col(vec_col).alias("__ea"),
-        nrm(vec_col).alias("__na"),
+        norm_fn(vec_col).alias("__na"),
         F.pmod(F.xxhash64(F.col(id_col)), s).alias("__salt"),
     )
     b = vectors.select(
         F.col(id_col).alias("id_b"),
         F.col(block_col).alias("__blk"),
         F.col(vec_col).alias("__eb"),
-        nrm(vec_col).alias("__nb"),
+        norm_fn(vec_col).alias("__nb"),
         F.explode(F.sequence(F.lit(0).cast("long"), s.cast("long") - 1)).alias("__salt"),
     )
     a = a.repartition(partitions, "__blk", "__salt")
     b = b.repartition(partitions, "__blk", "__salt")
-    scored = (
-        a.join(b, ["__blk", "__salt"])
-        .filter(F.col("id_a") != F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (dot("__ea", "__eb") / (F.col("__na") * F.col("__nb"))).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return a.join(b, ["__blk", "__salt"])
 
 
 def _block_knn_arrow(

@@ -93,3 +93,38 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sha2(norm, 256).alias("fp_sha256"),
         F.md5(F.substring(norm, 1, 128)).alias("fp_prefix128"),
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean negative log-likelihood under a unigram LM fit
+    on the corpus itself — the CCNet-style perplexity quality signal
+    (docs far from the corpus distribution score high = suspicious).
+
+    Output: (id, n_tokens, mean_nll) where
+    mean_nll = avg over tokens of −ln(count(tok) / total_tokens).
+
+    Shape: tokens exploded once; vocabulary counts are one groupBy on
+    the token (Zipf-bounded key space); the corpus total is a single
+    scalar broadcast (one row — never data-proportional); token→count
+    attach is a hash join on the token, and the per-doc reduce is one
+    groupBy on the id. At 100 TB the vocab count table after min-count
+    pruning fits in memory, so the attach join can broadcast and the
+    only corpus shuffles left are the vocab count and the per-doc
+    reduce.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.lower(text_col), r"\W+"), lambda t: t != "")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c").alias("__total"))
+    scored = toks.join(counts, "tok").crossJoin(F.broadcast(total))
+    nll = -F.log(F.col("__c").cast("double") / F.col("__total").cast("double"))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(nll).alias("mean_nll"),
+    )

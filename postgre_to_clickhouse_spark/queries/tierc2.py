@@ -60,23 +60,18 @@ def vector_ivf_topk(spark, sf_dir):
 def embedding_near_dup_pairs(spark, sf_dir):
     """C2 embedding-cosine near-dup: pairs with cosine > 0.95, blocked by
     label (the blocking key stands in for an LSH bucket at scale —
-    bounded pair count, never N²). JVM higher-order fns only."""
-    from postgre_to_clickhouse_spark.operators.similarity import _dot, _norm
+    bounded pair count, never N²). JVM higher-order fns only — the
+    oracle checks cosine values, so the dot stays the bit-exact
+    sequential fold; the salted pair generation
+    (:func:`operators.similarity.salted_block_pairs`) only fixes
+    parallelism, not math."""
+    from postgre_to_clickhouse_spark.operators.similarity import _dot, salted_block_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    # norms computed ONCE per vector (not per pair — halves the per-pair
-    # flops; identical doubles, so oracle equality is preserved)
-    withn = e.select("vec_id", "label", "embedding", _norm("embedding").alias("nrm"))
-    a = withn.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
-        F.col("embedding").alias("ea"), F.col("nrm").alias("na_"),
+    pairs = salted_block_pairs(e, "label", "vec_id", "embedding").filter(
+        F.col("id_a") < F.col("id_b")
     )
-    b = withn.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"), F.col("nrm").alias("nb_"),
-    )
-    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
-    cos = _dot("ea", "eb") / (F.col("na_") * F.col("nb_"))
+    cos = _dot("__ea", "__eb") / (F.col("__na") * F.col("__nb"))
     return pairs.select("id_a", "id_b", cos.alias("__c")).filter(F.col("__c") > 0.95).select(
         "id_a", "id_b", F.round("__c", 9).alias("cosine_r")
     )

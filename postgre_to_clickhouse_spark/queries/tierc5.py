@@ -271,3 +271,97 @@ def dedup_pipeline_canonical(spark, sf_dir):
         F.col("comp").alias("component_id"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 1) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS g
+      FROM toks
+    ),
+    eg AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % 25 = 0),
+    sizes AS (SELECT eval_id, count(*) AS eval_grams FROM eg GROUP BY eval_id),
+    hits AS (
+      SELECT c.doc_id, e.eval_id, count(*) AS n_overlap
+      FROM grams c JOIN eg e USING (g)
+      WHERE c.doc_id <> e.eval_id
+      GROUP BY c.doc_id, e.eval_id
+    )
+    SELECT h.doc_id, h.eval_id, h.n_overlap, s.eval_grams,
+           round(CAST(h.n_overlap AS DOUBLE) / s.eval_grams, 9) AS eval_frac_r
+    FROM hits h JOIN sizes s USING (eval_id)
+    """,
+)
+def decontaminate_eval_overlap(spark, sf_dir):
+    """Eval-set decontamination (training-pipeline hygiene): 3-gram
+    overlap of every corpus document against a held-out "benchmark"
+    subset (doc_id % 25 = 0 stands in for the eval suite; self-pairs
+    excluded). Corpus grams probe a BROADCAST eval gram set — the
+    corpus never shuffles (see
+    :func:`operators.dedup.ngram_overlap_contamination`)."""
+    from postgre_to_clickhouse_spark.operators.dedup import ngram_overlap_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    out = ngram_overlap_contamination(d, ev, n=3).filter(F.col("doc_id") != F.col("eval_id"))
+    return out.select(
+        "doc_id", "eval_id", "n_overlap", "eval_grams", F.round("eval_frac", 9).alias("eval_frac_r")
+    )
+
+
+@register(
+    "lm_unigram_nll",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT count(*) AS total FROM toks)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(-ln(CAST(c.c AS DOUBLE) / (SELECT total FROM tot))), 6) AS mean_nll_r
+    FROM toks t JOIN counts c USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def lm_unigram_nll(spark, sf_dir):
+    """Unigram-LM perplexity quality signal (CCNet-style): each doc's
+    mean −ln p(token) under the corpus's own unigram distribution.
+    High scorers are far from the corpus distribution → candidates for
+    quality filtering. See
+    :func:`operators.text.unigram_lm_scores` for the scale shape."""
+    from postgre_to_clickhouse_spark.operators.text import unigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = unigram_lm_scores(d)
+    return out.select("doc_id", "n_tokens", F.round("mean_nll", 6).alias("mean_nll_r"))
+
+
+@register(
+    "mix_rebalance_lang",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT min(n) AS target FROM c),
+    f AS (SELECT lang, CAST((SELECT target FROM m) AS DOUBLE) / n AS keep_frac FROM c)
+    SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+    WHERE {_horner_u("mix-v1", "d.doc_id")} < f.keep_frac
+    """,
+)
+def mix_rebalance_lang(spark, sf_dir):
+    """Data-mixing rebalance: flatten the skewed language mix to the
+    smallest language's size by deterministic content-addressed
+    downsampling (:func:`operators.sampling.rebalance_mix`) — every
+    surviving row is recomputable by the oracle, so the mix step of the
+    pipeline is fully engine-checkable."""
+    d = _t(spark, sf_dir, "documents")
+    out = SM.rebalance_mix(d, "lang", "doc_id", seed="mix-v1")
+    return out.select("doc_id", "lang")
