@@ -78,6 +78,8 @@ HEADLINE = [
     "decontaminate_eval_overlap",
     "lm_unigram_nll",
     "mix_rebalance_lang",
+    "dedup_incremental_batch",
+    "cap_per_source_skewsafe",
 ]
 
 

@@ -270,3 +270,30 @@ def ngram_overlap_contamination(
         "eval_grams",
         (F.col("n_overlap").cast("double") / F.col("eval_grams").cast("double")).alias("eval_frac"),
     )
+
+
+def dedup_against_corpus(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    content_cols: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """Incremental ingestion dedup: survivors of ``new_batch`` whose
+    content digest appears neither in the already-ingested ``corpus``
+    nor earlier (by ``order_col``) in the batch itself.
+
+    This is the continuous form of :func:`exact_dedup` — a training
+    corpus is never rebuilt from scratch, so day-N ingestion dedups the
+    day's crawl against the standing corpus. Shape: the within-batch
+    pass is the usual digest-window; the corpus probe is a LEFT ANTI
+    join on the 32-byte digest — both sides shuffle digests only, never
+    content, and at 100 TB the corpus side prunes to its digest column
+    (column-pruned scan of a digest manifest, not a re-read of text).
+    """
+
+    digest = F.sha2(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]), 256
+    )
+    fresh = exact_dedup(new_batch, content_cols, order_col).withColumn("__d", digest)
+    seen = corpus.select(digest.alias("__d"))
+    return fresh.join(seen, "__d", "left_anti").drop("__d")

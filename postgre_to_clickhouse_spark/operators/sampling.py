@@ -140,3 +140,47 @@ def rebalance_mix(
         .filter(u < F.col("__keep_frac"))
         .drop("__keep_frac")
     )
+
+
+def capped_per_stratum_skewsafe(
+    df: DataFrame,
+    stratum_col: str,
+    cap: int,
+    id_col: str,
+    seed: str = "cap-v1",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Exact deterministic per-stratum cap (crawl-style "at most ``cap``
+    documents per domain") that survives a hot stratum.
+
+    Semantics are identical to :func:`stratified_sample` on a single
+    stratum column — keep the ``cap`` rows with the smallest
+    (content-hash, id) per stratum — but the single-window formulation
+    puts an entire stratum in one task, and at 100 TB one domain can be
+    10% of the corpus. Two-phase exact top-k instead:
+
+    1. Salt by ``xxhash64(id) % salt_buckets`` and take the local
+       top-``cap`` within each (stratum, salt) — bounded partitions,
+       no hot key.
+    2. The survivors (≤ ``salt_buckets × cap`` rows per stratum — a
+       constant, not data-proportional) go through the exact top-
+       ``cap`` window on the stratum alone.
+
+    Every row of the true global top-``cap`` is in its bucket's local
+    top-``cap``, so phase 2 sees all of them: the result is EXACTLY the
+    single-window answer (same rows on any cluster, any bucket count),
+    just never materializing a data-proportional stratum partition.
+    """
+    u = split_hash(id_col, seed).alias("__u")
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt_buckets)))
+    w1 = Window.partitionBy(stratum_col, "__salt").orderBy(F.col("__u"), F.col(id_col))
+    w2 = Window.partitionBy(stratum_col).orderBy(F.col("__u"), F.col(id_col))
+    return (
+        df.withColumn("__u", u)
+        .withColumn("__salt", salt)
+        .withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= cap)
+        .withColumn("__rk2", F.row_number().over(w2))
+        .filter(F.col("__rk2") <= cap)
+        .drop("__u", "__salt", "__rk", "__rk2")
+    )

@@ -365,3 +365,58 @@ def mix_rebalance_lang(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     out = SM.rebalance_mix(d, "lang", "doc_id", seed="mix-v1")
     return out.select("doc_id", "lang")
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH newb AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
+    corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+    within AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM newb
+      ) WHERE rn = 1
+    )
+    SELECT w.doc_id, w.lang, w.source FROM within w
+    WHERE NOT EXISTS (
+      SELECT 1 FROM corpus c WHERE sha256(c.text) = sha256(w.text)
+    )
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental ingestion dedup (the continuous form of C1): today's
+    batch (doc_id % 5 = 4 stands in for the new crawl) deduped within
+    itself AND anti-joined on content digest against the standing
+    corpus (the other 80%). See
+    :func:`operators.dedup.dedup_against_corpus` — digests shuffle,
+    content never does."""
+    from postgre_to_clickhouse_spark.operators.dedup import dedup_against_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    newb = d.filter(F.col("doc_id") % 5 == 4)
+    corpus = d.filter(F.col("doc_id") % 5 != 4)
+    out = dedup_against_corpus(newb, corpus, content_cols=("text",), order_col="doc_id")
+    return out.select("doc_id", "lang", "source")
+
+
+@register(
+    "cap_per_source_skewsafe",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_horner_u("cap-v1", "doc_id")}, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 25
+    """,
+)
+def cap_per_source_skewsafe(spark, sf_dir):
+    """Crawl-style per-domain cap: at most 25 deterministic survivors
+    per source, via the two-phase exact skew-safe top-k
+    (:func:`operators.sampling.capped_per_stratum_skewsafe`) — the
+    oracle is the plain single-window formulation, proving the salted
+    two-phase plan computes EXACTLY the same rows."""
+    d = _t(spark, sf_dir, "documents")
+    out = SM.capped_per_stratum_skewsafe(d, "source", cap=25, id_col="doc_id", seed="cap-v1")
+    return out.select("doc_id", "source")

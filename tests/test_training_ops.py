@@ -130,3 +130,62 @@ def test_int8_topk_recall_vs_exact(spark):
     approx = {(r.query_id, r.vec_id) for r in Q.int8_topk(qt, qq, k=10).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"int8 recall {recall}"
+
+
+# -- skew-safe per-stratum cap ---------------------------------------------
+def test_capped_per_stratum_matches_single_window(spark):
+    """The salted two-phase top-k must return EXACTLY the single-window
+    rows — including on a deliberately skewed stratum mix and for any
+    bucket count."""
+    d = _docs(spark)
+    # skew: collapse 80% of rows into one hot stratum
+    skewed = d.withColumn(
+        "dom", F.when(F.col("doc_id") % 5 != 4, F.lit("hot.example")).otherwise(F.col("source"))
+    )
+    want = {
+        r.doc_id
+        for r in SM.stratified_sample(skewed, ["dom"], 25, "doc_id", seed="cap-v1").collect()
+    }
+    for buckets in (1, 4, 16):
+        got = {
+            r.doc_id
+            for r in SM.capped_per_stratum_skewsafe(
+                skewed, "dom", 25, "doc_id", seed="cap-v1", salt_buckets=buckets
+            ).collect()
+        }
+        assert got == want
+
+
+def test_capped_per_stratum_small_strata_untouched(spark):
+    d = _docs(spark).filter(F.col("doc_id") < 40)
+    out = SM.capped_per_stratum_skewsafe(d, "source", 1000, "doc_id")
+    assert out.count() == d.count()
+
+
+# -- incremental corpus dedup ----------------------------------------------
+def test_dedup_against_corpus_drops_seen_and_within_batch(spark):
+    from postgre_to_clickhouse_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["doc_id", "text"]
+    )
+    newb = spark.createDataFrame(
+        [(10, "alpha"),   # already in corpus -> dropped
+         (11, "gamma"),   # fresh
+         (12, "gamma"),   # duplicate within batch -> 11 survives
+         (13, "delta")],
+        ["doc_id", "text"],
+    )
+    out = dedup_against_corpus(newb, corpus, content_cols=("text",), order_col="doc_id")
+    assert {r.doc_id for r in out.collect()} == {11, 13}
+
+
+def test_dedup_against_corpus_idempotent(spark):
+    """Re-ingesting an already-deduped batch against corpus ∪ batch
+    yields nothing — the day-N+1 no-op."""
+    from postgre_to_clickhouse_spark.operators.dedup import dedup_against_corpus
+
+    d = _docs(spark)
+    newb = d.filter(F.col("doc_id") % 5 == 4)
+    corpus = d  # batch already ingested
+    assert dedup_against_corpus(newb, corpus, ("text",), "doc_id").count() == 0
