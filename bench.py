@@ -80,6 +80,7 @@ HEADLINE = [
     "mix_rebalance_lang",
     "dedup_incremental_batch",
     "cap_per_source_skewsafe",
+    "embedding_random_projection",
 ]
 
 

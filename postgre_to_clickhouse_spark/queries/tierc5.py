@@ -420,3 +420,35 @@ def cap_per_source_skewsafe(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     out = SM.capped_per_stratum_skewsafe(d, "source", cap=25, id_col="doc_id", seed="cap-v1")
     return out.select("doc_id", "source")
+
+
+@register(
+    "embedding_random_projection",
+    oracle="""
+    WITH m AS (
+      SELECT i, list_transform(range(64), j ->
+               CASE WHEN strpos('01234567',
+                      substring(md5('rp-v1:' || i || ':' || j), 1, 1)) > 0
+                    THEN 1.0 ELSE -1.0 END) AS s
+      FROM range(16) t(i)
+    )
+    SELECT e.vec_id, CAST(m.i AS INT) AS out_i,
+           round(list_sum(list_transform(list_zip(e.embedding, m.s),
+                 p -> CAST(p[1] AS DOUBLE) * p[2])), 9) AS y_r
+    FROM embeddings e, m
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """C3 scale path: 64 → 16 Johnson-Lindenstrauss ±1 sign projection
+    with the seeded matrix folded into literal expressions — a pure
+    map, zero exchanges (plan-gated). The oracle REBUILDS the matrix
+    from md5(seed:i:j) in SQL, proving the projection is a
+    content-addressed model constant, not engine state. Output exploded
+    to (vec_id, out_i, y) for scalar value-hash comparison."""
+    from postgre_to_clickhouse_spark.operators.projection import random_projection
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = random_projection(e, "embedding", "vec_id", out_dim=16, in_dim=64, seed="rp-v1")
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("out_i", "__y")
+    ).select("vec_id", "out_i", F.round("__y", 9).alias("y_r"))

@@ -225,3 +225,33 @@ def test_block_knn_salting_preserves_pairs_and_parallelism(spark):
 
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan, "salt column missing from physical plan"
+
+
+def test_random_projection_recall_vs_brute_force(spark):
+    """RP is a CANDIDATE-GENERATION stage: over-retrieve top-(10·k) in
+    the 32-dim projected space, re-rank exactly, and the true top-k
+    must be substantially recovered. (Direct top-k in projected space
+    is NOT the contract — the synthetic embeddings have near-uniform
+    neighbor gaps, which is exactly the regime where you re-rank.)
+    Exactness of the projection itself is oracle-checked separately."""
+    from postgre_to_clickhouse_spark.operators.projection import random_projection
+    from postgre_to_clickhouse_spark.operators.similarity import cosine_topk
+
+    e = catalog.load(spark, SF_SMALL, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(e, queries, k=10).select("query_id", "vec_id").collect()
+    }
+    ep = random_projection(e, out_dim=32).withColumnRenamed("proj", "embedding")
+    qp = random_projection(queries, vec_col="query_vec", id_col="query_id", out_dim=32).select(
+        "query_id", F.col("proj").alias("query_vec")
+    )
+    candidates = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(ep, qp, k=100).select("query_id", "vec_id").collect()
+    }
+    recall = len(exact & candidates) / len(exact)
+    assert recall >= 0.6, f"RP candidate recall {recall} too low"

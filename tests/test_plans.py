@@ -130,3 +130,11 @@ def test_decontaminate_corpus_never_shuffles_before_probe(spark):
     ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)  # numbered detail entries, once per node
     assert ops.count("BroadcastHashJoin") == 2  # gram probe + eval-size attach
     assert ops.count("Exchange") <= 2, f"unexpected shuffles: {ops}"
+
+
+def test_random_projection_is_pure_map(spark):
+    """The JL projection folds its sign matrix into literals — the plan
+    must contain NO exchange at all (a pure projection over the scan)."""
+    plan = _plan(spark, "embedding_random_projection")
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
