@@ -81,6 +81,7 @@ HEADLINE = [
     "dedup_incremental_batch",
     "cap_per_source_skewsafe",
     "embedding_random_projection",
+    "multimodal_audio_stats",
 ]
 
 

@@ -426,3 +426,63 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             }
         )
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("payload_bytes", T.IntegerType(), False),
+        T.StructField("sample_sum", T.LongType(), False),
+        T.StructField("first_sample", T.IntegerType(), False),
+        T.StructField("last_sample", T.IntegerType(), False),
+    ]
+)
+
+
+def audio_from_ids(
+    ids: DataFrame, id_col: str = "doc_id", n_samples: int = 256, sample_rate: int = 16000
+) -> DataFrame:
+    """Deterministic mono WAV table keyed by an id column: sample[i] =
+    ((id*13 + i*7) mod 65536) − 32768 (closed form, int16 range), encoded
+    as REAL RIFF/WAVE PCM16 bytes per row. Same design as
+    :func:`media_from_ids`: the closed form lets a SQL oracle recompute
+    every downstream stat, making the full encode→decode audio path
+    driver-checkable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                pcm = (((int(i) * 13 + idx * 7) % 65536) - 32768).astype(np.int16)
+                payloads.append(encode_wav(pcm, sample_rate))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(run, schema=f"{id_col} long, payload binary")
+
+
+def audio_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode each WAV payload (real RIFF parser) and emit exact
+    integer stats: sample count, rate, container bytes, sample sum and
+    the first/last samples (position-sensitive — an endianness or
+    header-offset bug flips them, which the oracle catches)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_STATS_SCHEMA.fields}
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload)
+                pcm, rate = decode_wav(raw)
+                flat = pcm.reshape(-1).astype(np.int64)
+                out["doc_id"].append(int(i))
+                out["n_samples"].append(int(flat.shape[0]))
+                out["sample_rate"].append(int(rate))
+                out["payload_bytes"].append(len(raw))
+                out["sample_sum"].append(int(flat.sum()))
+                out["first_sample"].append(int(flat[0]))
+                out["last_sample"].append(int(flat[-1]))
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "payload").mapInPandas(run, schema=AUDIO_STATS_SCHEMA)

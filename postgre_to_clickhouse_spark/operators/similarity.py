@@ -152,6 +152,28 @@ def block_knn(
         "id_b",
         (dot("__ea", "__eb") / (F.col("__na") * F.col("__nb"))).alias("cosine"),
     )
+    from pyspark.sql.types import NumericType
+
+    if k == 1 and isinstance(scored.schema["id_b"].dataType, NumericType):
+        # 1-NN (the dedup-graph case): max(struct) instead of a window.
+        # A window shuffles EVERY scored pair to sort per id_a; the
+        # group-by gets a map-side partial aggregate (SortAggregate —
+        # struct buffers aren't hash-mutable — but partial all the
+        # same), and because the left side of the salted join is
+        # partitioned by its own (block, salt(id_a)), all of an id_a's
+        # pairs sit in one partition — the exchange carries exactly one
+        # row per vector, not one per pair. Tiebreak matches the
+        # window's (cosine DESC, id_b ASC): struct comparison takes the
+        # max cosine, then the max of -id_b = the min id_b.
+        best = scored.groupBy("id_a").agg(
+            F.max(F.struct(F.col("cosine"), (-F.col("id_b")).alias("__nb"))).alias("__m")
+        )
+        return best.select(
+            "id_a",
+            (-F.col("__m.__nb")).alias("id_b"),
+            F.col("__m.cosine").alias("cosine"),
+            F.lit(1).alias("rank"),
+        )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

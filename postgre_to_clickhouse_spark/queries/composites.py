@@ -211,3 +211,32 @@ def multimodal_image_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
     media = media_from_ids(d, id_col="doc_id", height=8, width=8)
     return image_stats(media, id_col="doc_id")
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle="""
+    SELECT d.doc_id,
+           256 AS n_samples,
+           16000 AS sample_rate,
+           556 AS payload_bytes,
+           CAST(SUM(((d.doc_id * 13 + t.i * 7) % 65536) - 32768) AS BIGINT) AS sample_sum,
+           CAST(MIN(CASE WHEN t.i = 0 THEN ((d.doc_id * 13 + t.i * 7) % 65536) - 32768 END) AS INTEGER) AS first_sample,
+           CAST(MIN(CASE WHEN t.i = 255 THEN ((d.doc_id * 13 + t.i * 7) % 65536) - 32768 END) AS INTEGER) AS last_sample
+    FROM documents d, range(256) t(i)
+    GROUP BY d.doc_id
+    """,
+)
+def multimodal_audio_stats(spark, sf_dir):
+    """C5 audio path end-to-end on REAL bytes: synthesize mono PCM16
+    per document (sample[i] = ((doc_id*13 + 7i) mod 65536) − 32768 —
+    closed form), encode with the dependency-free RIFF/WAVE codec,
+    decode it back, and emit integer-exact stats. ``first_sample``/
+    ``last_sample`` are position-sensitive: an endianness or
+    header-offset decode bug flips them, which the oracle catches.
+    Arrow-batched both ways; payloads never leave the executors."""
+    from postgre_to_clickhouse_spark.operators.multimodal import audio_from_ids, audio_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    media = audio_from_ids(d, id_col="doc_id", n_samples=256, sample_rate=16000)
+    return audio_stats(media, id_col="doc_id")

@@ -38,6 +38,9 @@ _RUNTIME_CONF: dict[str, str] = {
     # which Spark has no native type for — read as epoch-nanos long and
     # convert in catalog.load (µs truncation, matching DuckDB).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # answer bare MIN/MAX/COUNT from parquet footers instead of scanning
+    # row groups (no effect on filtered/grouped aggs; exact semantics)
+    "spark.sql.parquet.aggregatePushdown": "true",
 }
 
 

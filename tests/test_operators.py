@@ -255,3 +255,22 @@ def test_random_projection_recall_vs_brute_force(spark):
     }
     recall = len(exact & candidates) / len(exact)
     assert recall >= 0.6, f"RP candidate recall {recall} too low"
+
+
+def test_block_knn_k1_agg_path_matches_window_path(spark):
+    """The k=1 max(struct) aggregation must return exactly the window
+    formulation's rank-1 rows (including the cosine-tie id_b tiebreak)."""
+    from postgre_to_clickhouse_spark.operators.similarity import block_knn
+
+    e = catalog.load(spark, SF_SMALL, "embeddings")
+    k1 = {
+        (r.id_a, r.id_b)
+        for r in block_knn(e, "label", "vec_id", "embedding", k=1, arrow=False).collect()
+    }
+    via_k2 = {
+        (r.id_a, r.id_b)
+        for r in block_knn(e, "label", "vec_id", "embedding", k=2, arrow=False)
+        .filter(F.col("rank") == 1)
+        .collect()
+    }
+    assert k1 == via_k2

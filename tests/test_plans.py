@@ -138,3 +138,21 @@ def test_random_projection_is_pure_map(spark):
     plan = _plan(spark, "embedding_random_projection")
     assert "Exchange" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_block_knn_k1_has_partial_aggregate_no_window(spark):
+    """k=1 block k-NN must plan as partial+final hash aggregate (map-side
+    combine collapses pairs to one row per vector before the exchange),
+    with NO window/sort over the pair set."""
+    from postgre_to_clickhouse_spark import catalog
+    from postgre_to_clickhouse_spark.operators.similarity import block_knn
+    from tests.conftest import SF_SMALL
+
+    e = catalog.load(spark, SF_SMALL, "embeddings")
+    df = block_knn(e, "label", "vec_id", "embedding", k=1, arrow=False)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "Window" not in plan
+    # struct-max buffers aren't hash-aggregable, so Spark plans
+    # SortAggregate — what matters is that it appears TWICE (partial +
+    # final): the pair set collapses map-side before the exchange
+    assert plan.count("SortAggregate") >= 2
