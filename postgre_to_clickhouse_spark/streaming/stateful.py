@@ -141,3 +141,62 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .drop("__sid")
     )
+
+
+def dedup_stream_ttl(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "updated_at"),
+    arrival_col: str = "kafka_offset",
+    ttl_minutes: int = 60,
+) -> DataFrame:
+    """Streaming redelivery dedup on the Spark 4 ``transformWithState``
+    API: first-delivered row per key wins; duplicates are dropped for
+    as long as the key's state lives.
+
+    vs ``dropDuplicatesWithinWatermark`` (the built-in used elsewhere):
+    state TTL here is PROCESSING-time based and per-key, so the horizon
+    does not depend on event-time watermark progress — the right shape
+    when redelivery lag (broker retries, consumer rebalance) is a
+    wall-clock property, as in the reference's Kafka at-least-once
+    ingestion (SURVEY.md A19/A23). State = one byte per live key with
+    native TTL eviction — O(keys seen in the TTL window), no timers,
+    no manual cleanup code.
+
+    Emits the min-``arrival_col`` row the first time a key appears;
+    a redelivery after TTL expiry re-emits (bounded-state tradeoff,
+    identical to the watermark variant's) — downstream ``upsert_batch``
+    idempotency absorbs it.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = df.schema
+    ttl_ms = int(ttl_minutes) * 60_000
+
+    class _FirstDelivered(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "hit tinyint", ttlDurationMs=ttl_ms)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._seen.exists():
+                return
+            best = None
+            for pdf in rows:
+                cand = pdf.sort_values(arrival_col).head(1)
+                if best is None or cand[arrival_col].iloc[0] < best[arrival_col].iloc[0]:
+                    best = cand
+            if best is not None:
+                self._seen.update((1,))
+                yield best
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(*[F.col(c) for c in key_cols]).transformWithStateInPandas(
+        _FirstDelivered(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="ProcessingTime",
+    )
