@@ -89,7 +89,12 @@ def minhash_signatures(
     the shingle array per hash function: 32× the regex work — measured
     280 s vs ~2 s at sf0.1.) Documents with no tokens yield no rows.
     """
-    sh_rows = shingle_rows(df, text_col, id_col, n_shingle).distinct()
+    # NO .distinct(): min(hash(g)) over a multiset equals min over the
+    # set, so deduping grams first would only add an exchange — and
+    # without it the groupBy reuses shingle_rows' window partitioning
+    # (hashpartitioning on the id), leaving ONE corpus-proportional
+    # exchange in the whole signature stage.
+    sh_rows = shingle_rows(df, text_col, id_col, n_shingle)
     return sh_rows.groupBy(id_col).agg(
         *[F.min(F.xxhash64("g", F.lit(seed + i))).alias(f"mh{i}") for i in range(num_hashes)]
     )
