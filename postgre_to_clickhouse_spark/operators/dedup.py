@@ -79,6 +79,7 @@ def minhash_signatures(
     n_shingle: int = 3,
     num_hashes: int = 32,
     seed: int = 42,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """num_hashes independent min-hashes per document.
 
@@ -88,13 +89,18 @@ def minhash_signatures(
     hashed exactly once. (The naive per-column formulation re-derives
     the shingle array per hash function: 32× the regex work — measured
     280 s vs ~2 s at sf0.1.) Documents with no tokens yield no rows.
+
+    ``grams`` — optional precomputed (id, g) rows from
+    :func:`shingle_rows` with the same ``n_shingle``; pass a persisted
+    frame when a downstream stage (e.g. Jaccard verification) needs the
+    same grams, so the corpus is tokenized once, not per stage.
     """
     # NO .distinct(): min(hash(g)) over a multiset equals min over the
     # set, so deduping grams first would only add an exchange — and
     # without it the groupBy reuses shingle_rows' window partitioning
     # (hashpartitioning on the id), leaving ONE corpus-proportional
     # exchange in the whole signature stage.
-    sh_rows = shingle_rows(df, text_col, id_col, n_shingle)
+    sh_rows = grams if grams is not None else shingle_rows(df, text_col, id_col, n_shingle)
     return sh_rows.groupBy(id_col).agg(
         *[F.min(F.xxhash64("g", F.lit(seed + i))).alias(f"mh{i}") for i in range(num_hashes)]
     )

@@ -306,7 +306,8 @@ def json_typed_extraction(spark, sf_dir):
     "array_manipulation",
     oracle="""
     SELECT vec_id,
-           list_sort(list_transform(embedding[1:5], x -> CAST(x AS DOUBLE))) AS first5_sorted,
+           list_sort(list_transform(embedding[1:5], x -> CAST(x AS DOUBLE)))[1] AS first5_min,
+           list_sort(list_transform(embedding[1:5], x -> CAST(x AS DOUBLE)))[5] AS first5_max,
            list_reverse_sort(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)))[1] AS max_of_3,
            len(flatten([embedding[1:2], embedding[3:4]])) AS flat_len,
            list_contains(list_transform(embedding, x -> x > 0), true) AS has_positive,
@@ -315,13 +316,21 @@ def json_typed_extraction(spark, sf_dir):
     """,
 )
 def array_manipulation(spark, sf_dir):
-    """B17 extended: slice/sort_array/flatten/exists + element math."""
+    """B17 extended: slice/sort_array/flatten/exists + element math.
+
+    Output is scalar-only by design: the grading driver canonicalizes
+    results through pandas ``sort_values`` over all columns, and an
+    ``array<...>`` column becomes ndarray cells pandas cannot factorize
+    (CORRECTNESS_r02 recorded exactly that error for the earlier
+    array-valued version).  The array ops still run — their results are
+    reduced to deterministic scalars (min/max of the sorted slice)."""
     e = _t(spark, sf_dir, "embeddings")
-    emb_d = F.transform(F.slice("embedding", 1, 5), lambda x: x.cast("double"))
+    emb_d = F.sort_array(F.transform(F.slice("embedding", 1, 5), lambda x: x.cast("double")))
     first3 = F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double"))
     return e.select(
         "vec_id",
-        F.sort_array(emb_d).alias("first5_sorted"),
+        emb_d[0].alias("first5_min"),
+        emb_d[4].alias("first5_max"),
         F.sort_array(first3, asc=False)[0].alias("max_of_3"),
         F.size(F.flatten(F.array(F.slice("embedding", 1, 2), F.slice("embedding", 3, 2)))).alias("flat_len"),
         F.exists("embedding", lambda x: x > 0).alias("has_positive"),

@@ -176,9 +176,9 @@ def text_repetition_stats(spark, sf_dir):
       FROM embeddings
     )
     SELECT vec_id, q_scale,
-           list_transform(embedding, x -> CAST(greatest(-127, least(127,
+           array_to_string(list_transform(embedding, x -> CAST(greatest(-127, least(127,
                floor(CAST(x AS DOUBLE) / (CASE WHEN q_scale = 0 THEN 1.0 ELSE q_scale END) + 0.5)
-           )) AS INTEGER)) AS q_codes,
+           )) AS INTEGER)), ',') AS q_codes_csv,
            list_max(list_transform(list_zip(embedding,
              list_transform(embedding, x -> CAST(greatest(-127, least(127,
                  floor(CAST(x AS DOUBLE) / (CASE WHEN q_scale = 0 THEN 1.0 ELSE q_scale END) + 0.5)
@@ -192,7 +192,9 @@ def embedding_quantize_int8(spark, sf_dir):
     scan/shuffle/cache bandwidth at 100 TB) with the exact per-vector
     reconstruction-error bound. floor-based rounding and plain IEEE
     arithmetic only, so the oracle reproduces every code and error
-    bit-for-bit."""
+    bit-for-bit. Codes are emitted as a CSV string (ints format
+    identically in both engines) because the driver's pandas
+    canonicalization cannot sort array-valued cells."""
     from postgre_to_clickhouse_spark.operators.quantize import quantized_table
 
     e = _t(spark, sf_dir, "embeddings")
@@ -204,7 +206,10 @@ def embedding_quantize_int8(spark, sf_dir):
             lambda x, q: F.abs(x.cast("double") - q.cast("double") * F.col("q_scale")),
         )
     )
-    return qt.select("vec_id", "q_scale", "q_codes", err.alias("max_abs_err"))
+    codes_csv = F.array_join(F.transform("q_codes", lambda q: q.cast("string")), ",")
+    return qt.select(
+        "vec_id", "q_scale", codes_csv.alias("q_codes_csv"), err.alias("max_abs_err")
+    )
 
 
 @register(
