@@ -41,16 +41,28 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Parquet TIMESTAMP(NANOS) (e.g. events.ts) is unreadable by Spark's
-    # vectorized reader; with legacy nanosAsLong (set in session.configure)
-    # it surfaces as epoch-nanos LongType. Normalize to µs-precision
-    # TimestampType — the same truncation DuckDB applies reading ns→µs.
+    # Timestamp normalization. The fixture generator has shipped the same
+    # logical column under several physical encodings across rounds:
+    #   - TIMESTAMP(NANOS): with legacy nanosAsLong (session.configure) it
+    #     surfaces as epoch-nanos LongType — convert with µs truncation,
+    #     the same truncation DuckDB applies reading ns→µs.
+    #   - naive TIMESTAMP(MICROS): Spark 4 reads it as TIMESTAMP_NTZ
+    #     (inferTimestampNTZ) — functions like unix_micros/to_utc_timestamp
+    #     require TIMESTAMP, so cast. Session tz is pinned to UTC
+    #     (session.configure), making the cast a pure type-tag change that
+    #     matches DuckDB's naive-as-UTC interpretation.
+    # Normalizing here keeps every downstream operator engine-agnostic.
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
+    casts = {}
     for field in df.schema.fields:
         if isinstance(field.dataType, LongType) and field.name in _NANO_TS_COLS.get(name, ()):
-            df = df.withColumn(field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000")))
+            casts[field.name] = F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+        elif isinstance(field.dataType, TimestampNTZType):
+            casts[field.name] = F.col(field.name).cast("timestamp")
+    if casts:
+        df = df.withColumns(casts)
     return df
 
 
