@@ -82,6 +82,8 @@ HEADLINE = [
     "cap_per_source_skewsafe",
     "embedding_random_projection",
     "multimodal_audio_stats",
+    "bm25_topk",
+    "semdedup_prune",
 ]
 
 
@@ -97,26 +99,32 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        # One failing query must not lose the whole round's numbers:
+        # record the error and keep benchmarking the rest.
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+            assert n >= 0
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -35,19 +35,67 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Edge-count bound under which the closure finishes on the driver with
+# union-find instead of paying per-round distributed job latency. The
+# candidate-pair graph after LSH/k-NN is orders of magnitude smaller
+# than the corpus (pairs ∝ true near-dups), so even 100 TB corpora
+# often land under this; the distributed pointer-jumping path is the
+# unchanged fallback above it. 1M edges ≈ 16 MB of longs — trivially
+# driver-safe (same rationale as the broadcast-join threshold).
+SMALL_GRAPH_EDGES = 1_000_000
+
+
+def _cc_union_find(sym: DataFrame) -> DataFrame:
+    """Exact union-find on a collected (bounded) symmetric edge list.
+    Produces the identical fixpoint to the iterative path: component =
+    min reachable node id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in sym.collect():
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:  # union by min id so the root IS the component id
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    out = [(n, find(n)) for n in parent]
+    return sym.sparkSession.createDataFrame(out, "node long, comp long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
-    node id reachable. Undirected: edges are symmetrized internally."""
+    node id reachable. Undirected: edges are symmetrized internally.
+
+    Hybrid execution: the edge set is materialized once (needed by every
+    iteration anyway); if it is small enough to fit on the driver the
+    closure runs as in-memory union-find (one job instead of ~2 per
+    round), else the distributed pointer-jumping loop below. Both paths
+    return the same fixpoint (equivalence-tested)."""
     half = edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
     sym = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     # sever the (possibly expensive) edge-derivation lineage once; every
     # iteration re-reads this materialized edge set
     sym = sym.localCheckpoint()
+    if sym.count() <= small_graph_edges:
+        return _cc_union_find(sym)
     # seed = min(self, direct neighbors): the first propagation round for
     # free, inside the same aggregation that enumerates the node set
     labels = (

@@ -42,6 +42,7 @@ GOLDEN_QUERIES = [
     "pandas_udf_zscore",
     "cdc_users_pipeline",
     "dedup_pipeline_canonical",
+    "semdedup_prune",
 ]
 
 

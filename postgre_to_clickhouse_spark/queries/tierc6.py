@@ -1,0 +1,99 @@
+"""Tier C continued (round 4): lexical retrieval (BM25) and semantic
+dedup (SemDedup). Registered AFTER the driver's 50-slot window — the
+window already covers each operator class; these are pytest-oracle-gated
+and bench-visible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.operators import retrieval as R
+from postgre_to_clickhouse_spark.queries.registry import register
+from postgre_to_clickhouse_spark.session import configure
+
+
+def _t(spark, sf_dir, name):
+    configure(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+# The identical contribution text runs on both engines (see
+# operators/retrieval.py for the determinism argument); only the
+# decimal width differs (30 vs 18 — same per-value rounding, both
+# exact; see queries/registry.py::dsum).
+_BM25_ORACLE = f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{R.TOKEN_RE}') AS t FROM documents
+    ),
+    lens AS (SELECT doc_id, len(t) AS __dl FROM tk),
+    st AS (
+      SELECT count(*) AS __n,
+             CAST(SUM(__dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS __avgdl
+      FROM lens
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM tk)
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    q AS (
+      SELECT DISTINCT doc_id AS query_id, term
+      FROM (SELECT doc_id, unnest(t) AS term FROM tk WHERE doc_id < 5)
+    ),
+    scored AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(SUM(CAST({R._contrib_sql().replace('__n', 's.__n').replace('__dl', 'l.__dl').replace('__avgdl', 's.__avgdl')}
+               AS DECIMAL(30,9))) AS DOUBLE) AS score
+      FROM tf t
+      JOIN dfreq d USING (term)
+      JOIN lens l ON t.doc_id = l.doc_id
+      JOIN q ON q.term = t.term
+      CROSS JOIN st s
+      WHERE t.doc_id <> q.query_id
+      GROUP BY q.query_id, t.doc_id
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+"""
+
+
+@register("bm25_topk", oracle=_BM25_ORACLE)
+def bm25_topk(spark, sf_dir):
+    """Lexical retrieval: BM25 top-10 per query (queries = documents
+    with doc_id < 5, self excluded). Inverted-index shape — postings
+    shuffled once, query terms broadcast; full cross-engine value-hash
+    via exact-decimal score sums and the raw odds-ratio idf (see
+    operators/retrieval.py)."""
+    d = _t(spark, sf_dir, "documents")
+    queries = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    scored = R.bm25_scores(d, queries).filter(F.col("doc_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+@register("semdedup_prune")  # golden oracle installed by goldens.py
+def semdedup_prune(spark, sf_dir):
+    """SemDedup (arXiv:2303.09540) over the embeddings table: k-means
+    clusters bound the pairwise work, earlier-id shadowing keeps one
+    representative per semantic-duplicate group. Deterministic
+    (layout-independent centroid fit + sequential-fold cosine) ⇒
+    committed-golden oracle."""
+    from postgre_to_clickhouse_spark.operators.semdedup import semdedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semdedup(e, n_lists=16, threshold=0.9).select(
+        "vec_id", "cluster_id", "is_kept"
+    )

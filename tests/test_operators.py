@@ -183,6 +183,26 @@ def test_connected_components_hand_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_paths_agree(spark):
+    """The driver union-find fast path and the distributed pointer-
+    jumping loop must converge to the identical fixpoint on a random
+    graph (the fast path is an execution strategy, not a semantics
+    change)."""
+    import random
+
+    from postgre_to_clickhouse_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    fast = {r.node: r.comp for r in connected_components(edges).collect()}
+    dist = {
+        r.node: r.comp
+        for r in connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert fast == dist and fast
+
+
 def test_block_knn_salting_preserves_pairs_and_parallelism(spark):
     """The salted self-join must produce exactly the same neighbor set as
     the straightforward blocked join (no pair lost or duplicated by the

@@ -189,3 +189,55 @@ def test_dedup_against_corpus_idempotent(spark):
     newb = d.filter(F.col("doc_id") % 5 == 4)
     corpus = d  # batch already ingested
     assert dedup_against_corpus(newb, corpus, ("text",), "doc_id").count() == 0
+
+
+# -- SemDedup (round 4) ----------------------------------------------------
+def test_semdedup_prunes_known_duplicates(spark):
+    """Two near-identical vectors land in one cluster; the higher id is
+    shadowed. Orthogonal vectors survive."""
+    from postgre_to_clickhouse_spark.operators.semdedup import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1 -> pruned
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.is_kept for r in semdedup(df, n_lists=2, threshold=0.95).collect()}
+    assert out[2] is False
+    assert out[1] and out[3] and out[4]
+
+
+def test_semdedup_deterministic_across_layouts(spark):
+    """Same corpus at different partitioning -> identical prune set
+    (required for the committed-golden oracle)."""
+    from postgre_to_clickhouse_spark import catalog
+    from postgre_to_clickhouse_spark.operators.semdedup import semdedup
+
+    e = catalog.load(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(map(tuple, semdedup(e).collect()))
+    b = sorted(map(tuple, semdedup(e.repartition(7)).collect()))
+    assert a == b and len(a) == e.count()
+
+
+# -- BM25 (round 4) --------------------------------------------------------
+def test_bm25_ranks_shared_rare_term_highest(spark):
+    """A query sharing a RARE term with one doc must rank that doc above
+    docs sharing only common terms (idf dominates)."""
+    from postgre_to_clickhouse_spark.operators.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the slow brown dog"),
+            (3, "the zzyzx protocol"),      # rare term zzyzx
+            (4, "the the the the"),
+        ],
+        ["doc_id", "text"],
+    )
+    q = spark.createDataFrame([(100, "zzyzx brown")], ["query_id", "text"])
+    got = {r.doc_id: r.score for r in bm25_scores(docs, q).collect()}
+    assert got[3] == max(got.values())  # rare-term doc wins
+    # doc 4 shares no query term -> absent from candidates entirely
+    assert set(got) == {1, 2, 3}
