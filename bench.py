@@ -84,6 +84,7 @@ HEADLINE = [
     "multimodal_audio_stats",
     "bm25_topk",
     "semdedup_prune",
+    "shuffle_training_order",
 ]
 
 

@@ -84,6 +84,31 @@ def bm25_topk(spark, sf_dir):
     )
 
 
+@register(
+    "shuffle_training_order",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5('epoch1:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS shuffle_pos
+    FROM documents
+    """,
+)
+def shuffle_training_order(spark, sf_dir):
+    """Deterministic global shuffle for training order: position = rank
+    of md5(seed:id). Content-addressed like the split/sampling family
+    (operators/sampling.py) — the permutation is reproducible on any
+    engine or cluster layout, and a new seed per epoch is a new
+    permutation with no state carried. At 100 TB this is the standard
+    one-range-partition-sort-per-epoch job (or use the key as a shard
+    assignment and sort within shards for an embarrassingly parallel
+    approximation)."""
+    d = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(key, F.col("doc_id"))
+    return d.select("doc_id", F.row_number().over(w).alias("shuffle_pos"))
+
+
 @register("semdedup_prune")  # golden oracle installed by goldens.py
 def semdedup_prune(spark, sf_dir):
     """SemDedup (arXiv:2303.09540) over the embeddings table: k-means
