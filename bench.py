@@ -85,6 +85,7 @@ HEADLINE = [
     "bm25_topk",
     "semdedup_prune",
     "shuffle_training_order",
+    "multimodal_video_frames",
 ]
 
 

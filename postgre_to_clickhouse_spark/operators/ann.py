@@ -103,8 +103,14 @@ def fit_ivf_centroids_deterministic(
     x = np.asarray([v for _, v in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    # squared distance via ||x||² + ||c||² − 2x·c: an (n, k) matrix from
+    # one BLAS matmul — the broadcasted (x − c)² form materializes an
+    # (n, k, dim) tensor, a memory cliff the 20× scale smoke hit
+    # (~6.5 GB per iteration at 40k × 320 × 64)
+    x2 = (x * x).sum(axis=1)
     for _ in range(max_iter):
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        c2 = (cents * cents).sum(axis=1)
+        d2 = x2[:, None] + c2[None, :] - 2.0 * (x @ cents.T)
         assign = d2.argmin(axis=1)
         new = np.array(
             [x[assign == j].mean(axis=0) if (assign == j).any() else cents[j] for j in range(len(cents))]

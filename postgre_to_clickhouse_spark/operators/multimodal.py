@@ -326,6 +326,50 @@ def sample_video_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+VIDEO_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_px", T.IntegerType(), True),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("first_px", T.IntegerType(), True),
+    ]
+)
+
+
+def video_frame_stats(media: DataFrame, n_frames: int = 4, id_col: str = "doc_id") -> DataFrame:
+    """Integer-exact per-frame stats over the SAME decode → roll-frame
+    synthesis as :func:`sample_video_frames`. Because the frame pixels
+    stay in closed form (frame[i] pixel at flat j of the roll =
+    (base_px + i) mod 256, and the roll only permutes rows), a plain
+    SQL oracle recomputes every stat — the mechanism that makes the
+    video path driver-checkable, like ``image_stats``/``audio_stats``.
+    ``first_px`` is position-sensitive: it moves with the roll, so a
+    wrong shift direction or axis flips it."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "n_px": [], "px_sum": [], "first_px": []
+            }
+            for mid, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:
+                    continue
+                base = _decode_image(bytes(payload))
+                for i in range(n_frames):
+                    frame = np.roll(base, shift=i, axis=0) + np.uint8(i)
+                    rows["doc_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["n_px"].append(int(frame.size))
+                    rows["px_sum"].append(int(frame.sum()))
+                    rows["first_px"].append(int(frame[0, 0, 0]))
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, "payload").mapInPandas(
+        run, schema=VIDEO_FRAME_STATS_SCHEMA
+    )
+
+
 IMAGE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

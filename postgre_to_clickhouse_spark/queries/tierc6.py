@@ -109,6 +109,37 @@ def shuffle_training_order(spark, sf_dir):
     return d.select("doc_id", F.row_number().over(w).alias("shuffle_pos"))
 
 
+@register(
+    "multimodal_video_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(f.i AS INTEGER) AS frame_idx,
+           192 AS n_px,
+           CAST(SUM(((d.doc_id * 7 + t.j) % 256 + f.i) % 256) AS BIGINT) AS px_sum,
+           CAST(MIN(CASE WHEN t.j = 0
+             THEN ((d.doc_id * 7 + ((8 - (f.i % 8)) % 8) * 24) % 256 + f.i) % 256
+           END) AS INTEGER) AS first_px
+    FROM documents d, range(4) f(i), range(192) t(j)
+    GROUP BY d.doc_id, f.i
+    """,
+)
+def multimodal_video_frames(spark, sf_dir):
+    """C5 video path end-to-end on REAL bytes: BMP-encode a closed-form
+    image per document, decode it, and emit integer-exact stats for 4
+    uniformly-sampled frames (frame i = row-roll by i, +i mod 256 —
+    same synthesis as operators.multimodal.sample_video_frames, whose
+    feature variant stands in for a pyav decode). ``first_px`` moves
+    with the roll, so the oracle catches a wrong shift direction."""
+    from postgre_to_clickhouse_spark.operators.multimodal import (
+        media_from_ids,
+        video_frame_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    media = media_from_ids(d, id_col="doc_id", height=8, width=8)
+    return video_frame_stats(media, n_frames=4)
+
+
 @register("semdedup_prune")  # golden oracle installed by goldens.py
 def semdedup_prune(spark, sf_dir):
     """SemDedup (arXiv:2303.09540) over the embeddings table: k-means

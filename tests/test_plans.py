@@ -60,9 +60,11 @@ def test_no_python_row_udf_in_any_query(spark, name):
 
 
 # Oracle-backed queries whose POINT is the Arrow-batched Python path —
-# B19's sanctioned pandas demo and the C5 codec pipeline. Everything
-# else in the oracle set must stay 100% JVM.
-_SANCTIONED_ARROW = {"pandas_udf_zscore", "multimodal_image_stats"}
+# B19's sanctioned pandas demo, the C5 codec pipeline, and the C12
+# BLAS-backed semantic dedup (per-cluster matmul is the sanctioned
+# escape hatch for brute-force group scoring, like block_knn).
+# Everything else in the oracle set must stay 100% JVM.
+_SANCTIONED_ARROW = {"pandas_udf_zscore", "multimodal_image_stats", "semdedup_prune"}
 
 
 def test_oracle_queries_have_no_python_at_all(spark):

@@ -241,3 +241,16 @@ def test_bm25_ranks_shared_rare_term_highest(spark):
     assert got[3] == max(got.values())  # rare-term doc wins
     # doc 4 shares no query term -> absent from candidates entirely
     assert set(got) == {1, 2, 3}
+
+
+def test_semdedup_arrow_jvm_paths_agree(spark):
+    """The BLAS group scorer and the JVM self-join fold must produce the
+    same prune set (threshold decisions differ only if a pair sits
+    within float-rounding of tau, which the fixtures don't)."""
+    from postgre_to_clickhouse_spark import catalog
+    from postgre_to_clickhouse_spark.operators.semdedup import semdedup
+
+    e = catalog.load(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(map(tuple, semdedup(e, arrow=True).collect()))
+    j = sorted(map(tuple, semdedup(e, arrow=False).collect()))
+    assert a == j

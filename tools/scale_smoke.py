@@ -157,6 +157,14 @@ def main() -> None:
             "id_b",
         ),
     )
+    from postgre_to_clickhouse_spark.operators.retrieval import bm25_scores
+    from postgre_to_clickhouse_spark.operators.semdedup import semdedup
+
+    qdocs = docs.filter(F.col("doc_id") < 5).select(F.col("doc_id").alias("query_id"), "text")
+    run("bm25_scores", lambda: bm25_scores(docs, qdocs))
+    # n_lists grows with the corpus so expected cluster size stays
+    # constant (the SemDedup scaling contract)
+    run("semdedup", lambda: semdedup(vecs, n_lists=max(16, sizes["embeddings"] // 125)))
 
     print(
         json.dumps(
