@@ -86,6 +86,7 @@ HEADLINE = [
     "semdedup_prune",
     "shuffle_training_order",
     "multimodal_video_frames",
+    "token_budget_per_lang",
 ]
 
 

@@ -184,3 +184,43 @@ def capped_per_stratum_skewsafe(
         .filter(F.col("__rk2") <= cap)
         .drop("__u", "__salt", "__rk", "__rk2")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "budget-v1",
+) -> DataFrame:
+    """Per-stratum sample up to a TOKEN budget (not a row count) — how
+    pretraining mixtures are actually drawn: "200B tokens of lang=X".
+
+    Rows are ordered by md5(seed:id) within the stratum (the same
+    content-addressed randomness as every sampler here, so membership
+    is engine/layout-independent) and kept while the inclusive running
+    token count stays ≤ ``budget_tokens``. Output carries ``n_tokens``
+    and ``cum_tokens`` for auditability.
+
+    Scale: the running sum is a per-stratum sequential window. Strata
+    (languages, sources) are few and the window carries only (key,
+    n_tokens) — at 100 TB either accept one task per stratum after the
+    window shuffle, or split the budget across k salted sub-strata
+    (budget/k each) for a bounded approximation; the exact form here is
+    the oracle-checkable contract.
+    """
+    key = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    ntok = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+    ).cast("bigint")
+    w = (
+        Window.partitionBy(*strata_cols)
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("n_tokens", ntok)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+    )

@@ -140,6 +140,39 @@ def multimodal_video_frames(spark, sf_dir):
     return video_frame_stats(media, n_frames=4)
 
 
+@register(
+    "token_budget_per_lang",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+             md5('budget-v1:' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 5000
+    """,
+)
+def token_budget_per_lang(spark, sf_dir):
+    """Mixture sampling by TOKEN budget: per language, keep a
+    content-addressed random sample while the running token count stays
+    ≤ 5000 — the "N tokens of lang X" draw a pretraining mixture
+    actually specifies (operators/sampling.py::token_budget_sample)."""
+    from postgre_to_clickhouse_spark.operators.sampling import token_budget_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return token_budget_sample(d, ["lang"], budget_tokens=5000).select(
+        "doc_id", "lang", "n_tokens", "cum_tokens"
+    )
+
+
 @register("semdedup_prune")  # golden oracle installed by goldens.py
 def semdedup_prune(spark, sf_dir):
     """SemDedup (arXiv:2303.09540) over the embeddings table: k-means
