@@ -87,6 +87,8 @@ HEADLINE = [
     "shuffle_training_order",
     "multimodal_video_frames",
     "token_budget_per_lang",
+    "funnel_view_click_purchase",
+    "retention_view_cohorts",
 ]
 
 

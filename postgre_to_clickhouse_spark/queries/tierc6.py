@@ -173,6 +173,64 @@ def token_budget_per_lang(spark, sf_dir):
     )
 
 
+_FUNNEL_W = 6 * 3600 * 1_000_000  # 6 h in µs
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id,
+        list(epoch_us(ts)) FILTER (WHERE event_type='view') AS s0,
+        list(epoch_us(ts)) FILTER (WHERE event_type='click') AS s1,
+        list(epoch_us(ts)) FILTER (WHERE event_type='purchase') AS s2
+      FROM events GROUP BY user_id)
+    SELECT user_id,
+      CAST(COALESCE(list_max(list_transform(s0, t1 -> (
+        CASE WHEN list_min(list_filter(s1, x -> x > t1 AND x <= t1 + {_FUNNEL_W})) IS NULL THEN 1
+             WHEN list_min(list_filter(s2, x -> x > list_min(list_filter(s1, x2 -> x2 > t1 AND x2 <= t1 + {_FUNNEL_W}))
+                                             AND x <= t1 + {_FUNNEL_W})) IS NULL THEN 2
+             ELSE 3 END))), 0) AS INTEGER) AS funnel_level
+    FROM base
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """ClickHouse ``windowFunnel`` parity: deepest view→click→purchase
+    chain per user within 6 h of the chain's first view, timestamps
+    strictly increasing, chains may start at any view event
+    (operators/funnel.py — exact, chain-start enumeration + greedy
+    extension, all JVM higher-order expressions after one groupBy)."""
+    from postgre_to_clickhouse_spark.operators.funnel import window_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return window_funnel(ev, ["view", "click", "purchase"], window_us=_FUNNEL_W)
+
+
+@register(
+    "retention_view_cohorts",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+        max(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS r0,
+        max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS r1,
+        max(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS r2
+      FROM events GROUP BY user_id)
+    SELECT CAST(SUM(r0) AS BIGINT) AS n_cond1,
+           CAST(SUM(r0 * r1) AS BIGINT) AS n_cond1_and_2,
+           CAST(SUM(r0 * r2) AS BIGINT) AS n_cond1_and_3
+    FROM per_user
+    """,
+)
+def retention_view_cohorts(spark, sf_dir):
+    """ClickHouse ``retention`` parity: cohort counts — users with a
+    view event, and of those, users who also purchased / signed up
+    (r_i = cond_1 AND cond_i)."""
+    from postgre_to_clickhouse_spark.operators.funnel import retention
+
+    ev = _t(spark, sf_dir, "events")
+    return retention(ev, ["view", "purchase", "signup"])
+
+
 @register("semdedup_prune")  # golden oracle installed by goldens.py
 def semdedup_prune(spark, sf_dir):
     """SemDedup (arXiv:2303.09540) over the embeddings table: k-means

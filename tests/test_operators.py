@@ -294,3 +294,38 @@ def test_block_knn_k1_agg_path_matches_window_path(spark):
         .collect()
     }
     assert k1 == via_k2
+
+
+def test_window_funnel_chain_start_enumeration(spark):
+    """A later step-1 event can reach deeper than the earliest one: the
+    operator must enumerate chain starts (ClickHouse windowFunnel
+    semantics), not greedily pick the first step-1 event. Timestamps
+    must be strictly increasing and within the window of the START."""
+    from pyspark.sql import functions as F
+
+    from postgre_to_clickhouse_spark.operators.funnel import retention, window_funnel
+
+    rows = [
+        # user 1: A@0, B@100s (outside 10s window of A@0), A@95s, B@99s
+        # -> wait B@99s > A@95s and within 10s => level 2 via the LATER A
+        (1, 0, "A"), (1, 95, "A"), (1, 99, "B"), (1, 100, "B"),
+        # user 2: full chain A@0 B@3 C@7 inside 10s
+        (2, 0, "A"), (2, 3, "B"), (2, 7, "C"),
+        # user 3: B before A only -> level 1 (strictly increasing)
+        (3, 5, "A"), (3, 2, "B"),
+        # user 4: no A at all -> level 0
+        (4, 1, "B"), (4, 2, "C"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, sec long, event_type string").select(
+        "user_id", F.timestamp_seconds(F.col("sec")).alias("ts"), "event_type"
+    )
+    got = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(ev, ["A", "B", "C"], window_us=10_000_000).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 1, 4: 0}
+
+    ret = retention(ev, ["A", "B", "C"]).collect()[0]
+    # retention is presence-based (no ordering): user 3's B-before-A
+    # still counts for cond1 AND cond2
+    assert (ret.n_cond1, ret.n_cond1_and_2, ret.n_cond1_and_3) == (3, 3, 1)
