@@ -62,7 +62,9 @@ _WINDOW = [
     "band_join_acctbal",          # B5 theta/range
     "asof_events_last_order",     # B6 as-of
     "percentiles_quantity",       # B8 quantiles
-    "agg_approx_distinct",        # B8 HLL (golden)
+    "funnel_view_click_purchase",  # B21 windowFunnel parity (r4; B8-HLL
+                                   # rep agg_approx_distinct moved out —
+                                   # golden+accuracy-gated in pytest)
     "grouping_sets_sql",          # B9 + A22 SQL surface
     "window_rank_family",         # B10
     "setop_nation_presence",      # B12
@@ -74,10 +76,13 @@ _WINDOW = [
     # Tier C — training-data pipeline
     "dedup_exact_documents",      # C1
     "minhash_near_dup_candidates",  # C2 (golden)
-    "simhash_signatures",         # C2 (golden)
+    "semdedup_prune",             # C12 semantic dedup (golden; r4 —
+                                   # C2's simhash rep moved out, stays
+                                   # golden-gated in pytest)
     "dedup_components_knn",       # C2 closure
     "vector_cosine_topk",         # C3 exact
-    "vector_lsh_topk",            # C3 LSH (golden)
+    "bm25_topk",                  # C11 lexical retrieval (r4 — C3's
+                                   # LSH rep moved out, golden-gated)
     "vector_ivf_topk",            # C3 IVF (golden)
     "text_analysis_composite",    # C4 quality+lang-id+fingerprints
     "tfidf_top_terms",            # C4
