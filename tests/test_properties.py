@@ -120,3 +120,99 @@ def test_band_join_equals_naive_property(spark, lefts, rights, width):
         (i, j) for i, lv in enumerate(lefts) for j, rv in enumerate(rights) if abs(lv - rv) <= width
     )
     assert got == expect
+
+
+# -- windowFunnel (round 4) -------------------------------------------------
+funnel_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # user_id
+        st.integers(min_value=0, max_value=40),     # second
+        st.sampled_from(["A", "B", "C", "X"]),      # event type (X = noise)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _funnel_ref(rows, steps, window_s):
+    """Brute-force reference: try every chain start, greedy-earliest
+    extension (optimal for a fixed start), max over starts."""
+    out = {}
+    for u in {r[0] for r in rows}:
+        per_step = [sorted(s for (uu, s, t) in rows if uu == u and t == step) for step in steps]
+        best = 0 if not per_step[0] else 1
+        for t1 in per_step[0]:
+            lvl, prev = 1, t1
+            for i in range(1, len(steps)):
+                nxt = [x for x in per_step[i] if x > prev and x <= t1 + window_s]
+                if not nxt:
+                    break
+                prev = min(nxt)
+                lvl = i + 1
+            best = max(best, lvl)
+        out[u] = best
+    return out
+
+
+@given(events=funnel_events_strategy)
+@settings(**_SETTINGS)
+def test_window_funnel_matches_bruteforce(spark, events):
+    from postgre_to_clickhouse_spark.operators.funnel import window_funnel
+
+    df = spark.createDataFrame(events, "user_id long, sec long, event_type string").select(
+        "user_id", F.timestamp_seconds(F.col("sec")).alias("ts"), "event_type"
+    )
+    got = {
+        r.user_id: r.funnel_level
+        for r in window_funnel(df, ["A", "B", "C"], window_us=10_000_000).collect()
+    }
+    assert got == _funnel_ref(events, ["A", "B", "C"], 10)
+
+
+# -- BM25 (round 4) ---------------------------------------------------------
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.lists(st.sampled_from("alpha beta gamma delta".split()), min_size=1, max_size=6),
+    ),
+    min_size=2,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=docs_strategy)
+@settings(**_SETTINGS)
+def test_bm25_matches_reference(spark, docs):
+    """Scores must equal the straight per-(query, doc) loop over the
+    textbook formula (raw odds-ratio idf variant) to float tolerance —
+    the exact-decimal sum only canonicalizes ordering, it must not
+    change the value beyond rounding at scale 9."""
+    import math
+
+    from postgre_to_clickhouse_spark.operators.retrieval import B, K1, bm25_scores
+
+    rows = [(i, " ".join(words)) for i, words in docs]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame([rows[0]], "query_id long, text string")
+    got = {r.doc_id: r.score for r in bm25_scores(d, q).collect()}
+
+    n = len(rows)
+    toks = {i: words for i, words in docs}
+    avgdl = sum(len(w) for w in toks.values()) / n
+    dfreq: dict[str, int] = {}
+    for words in toks.values():
+        for t in set(words):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    qterms = set(toks[docs[0][0]])
+    for i, words in docs:
+        score = 0.0
+        for t in qterms:
+            tf = words.count(t)
+            if tf == 0:
+                continue
+            idf = (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            score += idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * len(words) / avgdl))
+        if score > 0.0:
+            assert i in got
+            assert math.isclose(got[i], score, rel_tol=1e-7, abs_tol=1e-7), (i, got[i], score)
