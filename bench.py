@@ -89,6 +89,7 @@ HEADLINE = [
     "token_budget_per_lang",
     "funnel_view_click_purchase",
     "retention_view_cohorts",
+    "histogram_event_values",
 ]
 
 

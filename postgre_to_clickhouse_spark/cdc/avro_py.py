@@ -241,3 +241,95 @@ def decode_confluent_avro_arrow(
             yield pd.DataFrame(rows)
 
     return frames.select(value_col).mapInPandas(run, schema=ddl)
+
+
+# --------------------------------------------------------------------------
+# schema evolution (reader/writer resolution)
+# --------------------------------------------------------------------------
+
+# Avro numeric promotions the resolver applies (Avro 1.11 spec, "Schema
+# Resolution"). string<->bytes is deliberately omitted: Debezium value
+# schemas never evolve across that pair.
+_PROMOTIONS = {
+    ("int", "long"): int,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): float,
+}
+
+
+def _eff_type(schema) -> str:
+    """Type name for promotion lookup; ["null", X] unions resolve to X
+    (the only union shape Debezium value fields use)."""
+    if isinstance(schema, list) and len(schema) == 2 and "null" in schema:
+        other = schema[0] if schema[1] == "null" else schema[1]
+        return _eff_type(other)
+    return _type_of(schema)
+
+
+def resolve_to_reader(rec: dict, writer_schema, reader_schema) -> dict:
+    """Avro schema resolution for records: reader fields take the
+    writer's value when present (with numeric promotion), else the
+    reader default; writer-only fields are dropped. This is the
+    BACKWARD/FORWARD-compatible evolution surface the reference's
+    schema registry enforces by default (compatibility checks —
+    ``/root/reference/README.md:260``)."""
+    w_types = {f["name"]: _eff_type(f["type"]) for f in writer_schema["fields"]}
+    out = {}
+    for f in reader_schema["fields"]:
+        n = f["name"]
+        if n in rec:
+            v = rec[n]
+            promote = _PROMOTIONS.get((w_types.get(n), _eff_type(f["type"])))
+            out[n] = promote(v) if (promote and v is not None) else v
+        elif "default" in f:
+            out[n] = f["default"]
+        else:
+            raise ValueError(
+                f"reader field {n!r} absent from writer schema and has no default"
+            )
+    return out
+
+
+def decode_confluent_avro_arrow_evolving(
+    frames: DataFrame,
+    schemas_by_id: dict[int, str],
+    reader_schema_json: str,
+    value_col: str = "value",
+) -> DataFrame:
+    """Mixed-version Confluent topic → typed columns under ONE reader
+    schema.
+
+    Real CDC topics carry records written under different schema
+    versions (columns added/dropped over time); the Confluent header's
+    schema id says which. Each record is decoded with ITS writer schema
+    (dispatched per record, exactly what the registry-aware consumer
+    does) and resolved to the reader schema via :func:`resolve_to_reader`
+    — so one streaming query keeps working across a schema migration
+    instead of failing on the first new-format record.
+    """
+    import pandas as pd
+
+    reader = json.loads(reader_schema_json)
+    writers = {int(i): json.loads(s) for i, s in schemas_by_id.items()}
+    names = [f["name"] for f in reader["fields"]]
+    ddl = spark_schema_ddl(reader_schema_json)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {n: [] for n in names}
+            for framed in pdf[value_col]:
+                b = bytes(framed)
+                sid = struct.unpack(">I", b[1:HEADER_LEN])[0]
+                writer = writers.get(sid)
+                if writer is None:
+                    raise ValueError(f"unknown schema id {sid} (known: {sorted(writers)})")
+                rec, _ = decode(b[HEADER_LEN:], writer)
+                rec = resolve_to_reader(rec, writer, reader)
+                for n in names:
+                    rows[n].append(rec[n])
+            yield pd.DataFrame(rows)
+
+    return frames.select(value_col).mapInPandas(run, schema=ddl)

@@ -231,6 +231,37 @@ def retention_view_cohorts(spark, sf_dir):
     return retention(ev, ["view", "purchase", "signup"])
 
 
+# bucket arithmetic as ONE shared SQL text: evaluation order (and thus
+# float bits) is identical on both engines
+_HIST_BUCKET = (
+    "LEAST(CAST(FLOOR((value - __lo) / ((__hi - __lo) / 16.0)) AS INTEGER), 15)"
+)
+
+
+@register(
+    "histogram_event_values",
+    oracle=f"""
+    WITH b AS (SELECT min(value) AS __lo, max(value) AS __hi FROM events)
+    SELECT {_HIST_BUCKET} AS bucket, CAST(count(*) AS BIGINT) AS n
+    FROM events, b
+    GROUP BY bucket
+    """,
+)
+def histogram_event_values(spark, sf_dir):
+    """ClickHouse ``histogram`` parity: equal-width 16-bucket histogram
+    of events.value with data-derived bounds. Bounds come from one
+    global agg broadcast as a scalar row (same pattern as BM25 stats);
+    bucketing is a map pass; one count shuffle on the 16 buckets."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select(F.expr(_HIST_BUCKET).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @register("semdedup_prune")  # golden oracle installed by goldens.py
 def semdedup_prune(spark, sf_dir):
     """SemDedup (arXiv:2303.09540) over the embeddings table: k-means

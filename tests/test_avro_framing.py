@@ -143,3 +143,59 @@ def test_avro_py_end_to_end_confluent_decode(spark):
     # Arrow path, not row-at-a-time Python
     plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
     assert "BatchEvalPython" not in plan
+
+
+# -- schema evolution (round 4) ---------------------------------------------
+USERS_V2_AVRO_SCHEMA = """
+{
+  "type": "record",
+  "name": "Value",
+  "namespace": "shop.public.users",
+  "fields": [
+    {"name": "user_id", "type": "long"},
+    {"name": "username", "type": ["null", "string"], "default": null},
+    {"name": "account_type", "type": ["null", "string"], "default": null},
+    {"name": "updated_at", "type": "long"},
+    {"name": "created_at", "type": "long"},
+    {"name": "email", "type": ["null", "string"], "default": null}
+  ]
+}
+"""
+
+
+def test_evolving_decode_mixed_versions(spark):
+    """A topic carrying v1 (5 fields, int user_id) and v2 (adds nullable
+    email, widens user_id to long) records must decode under the v2
+    reader in one pass: v1 rows get email=null and promoted ids, v2
+    rows keep their values. Per-record schema-id dispatch."""
+    from postgre_to_clickhouse_spark.cdc import avro as A
+    from postgre_to_clickhouse_spark.cdc import avro_py as AP
+    from postgre_to_clickhouse_spark.cdc.schemas import USERS_AVRO_SCHEMA
+
+    v1_rows = [
+        {"user_id": 1, "username": "ann", "account_type": "free", "updated_at": 10, "created_at": 1},
+        {"user_id": 2, "username": "bob", "account_type": "pro", "updated_at": 20, "created_at": 2},
+    ]
+    v2_rows = [
+        {"user_id": 3, "username": "cat", "account_type": "pro", "updated_at": 30,
+         "created_at": 3, "email": "cat@example.org"},
+        {"user_id": 4, "username": None, "account_type": None, "updated_at": 40,
+         "created_at": 4, "email": None},
+    ]
+    framed = [(bytearray(A.frame(AP.encode_record(r, USERS_AVRO_SCHEMA), 1)),) for r in v1_rows]
+    framed += [(bytearray(A.frame(AP.encode_record(r, USERS_V2_AVRO_SCHEMA), 2)),) for r in v2_rows]
+    df = spark.createDataFrame(framed, "value binary")
+
+    out = AP.decode_confluent_avro_arrow_evolving(
+        df, {1: USERS_AVRO_SCHEMA, 2: USERS_V2_AVRO_SCHEMA}, USERS_V2_AVRO_SCHEMA
+    )
+    got = {r.user_id: (r.username, r.email) for r in out.collect()}
+    assert got == {1: ("ann", None), 2: ("bob", None),
+                   3: ("cat", "cat@example.org"), 4: (None, None)}
+    assert dict(out.dtypes)["user_id"] == "bigint"  # int -> long promotion
+
+    # FORWARD direction: old reader over new records drops the column
+    back = AP.decode_confluent_avro_arrow_evolving(
+        df, {1: USERS_AVRO_SCHEMA, 2: USERS_V2_AVRO_SCHEMA}, USERS_AVRO_SCHEMA
+    )
+    assert "email" not in back.columns and back.count() == 4
