@@ -254,3 +254,26 @@ def test_semdedup_arrow_jvm_paths_agree(spark):
     a = sorted(map(tuple, semdedup(e, arrow=True).collect()))
     j = sorted(map(tuple, semdedup(e, arrow=False).collect()))
     assert a == j
+
+
+# -- token-budget sampling (round 4) ---------------------------------------
+def test_token_budget_sample_prefix_and_bound(spark):
+    """Kept rows per stratum must be exactly the md5-order prefix whose
+    inclusive running token count fits the budget: order-prefix closed
+    (no kept row after a dropped one in hash order) and bounded."""
+    d = _docs(spark)
+    out = SM.token_budget_sample(d, ["lang"], budget_tokens=3000)
+    rows = out.select("lang", "cum_tokens", "n_tokens").collect()
+    assert rows, "budget too small for any doc?"
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        assert max(r.cum_tokens for r in rs) <= 3000
+        # cum of the kept set is contiguous: sorted cums == running sum
+        cums = sorted(r.cum_tokens for r in rs)
+        toks = [r.n_tokens for r in sorted(rs, key=lambda x: x.cum_tokens)]
+        run = 0
+        for c, t in zip(cums, toks):
+            run += t
+            assert c == run, f"{lang}: gap in prefix (kept set not hash-order closed)"
