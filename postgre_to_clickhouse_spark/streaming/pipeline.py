@@ -216,3 +216,47 @@ def read_all_versions(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.read.parquet(table_path).select(
         "user_id", "username", "account_type", "updated_at", "created_at", "kafka_time", "kafka_offset"
     )
+
+
+def run_pipeline_avro_frames(
+    spark: SparkSession,
+    frames_path: str,
+    table_path: str,
+    checkpoint_path: str,
+    schemas_by_id: dict[int, str],
+    reader_schema_json: str,
+    available_now: bool = True,
+):
+    """Kafka-replay shape with SCHEMA EVOLUTION: a stream of Confluent-
+    framed Avro values (``value binary`` — exactly what the Kafka source
+    yields) decodes per record under its writer schema, resolves to one
+    reader schema (``cdc.avro_py.decode_confluent_avro_arrow_evolving``),
+    and upserts through the same bucketed last-wins sink as the JSON
+    pipeline. One streaming query keeps ingesting across a CDC schema
+    migration mid-topic — the registry-compatibility behavior the
+    reference delegates to Confluent SR + AvroConfluent
+    (``/root/reference/README.md:189-202,260``).
+    """
+    from postgre_to_clickhouse_spark.cdc.avro_py import (
+        decode_confluent_avro_arrow_evolving,
+    )
+
+    stream = spark.readStream.schema("value binary").format("parquet").load(frames_path)
+    upsert = upsert_batch_bucketed(
+        table_path, sort_key=("user_id", "updated_at"), arrival=("created_at",)
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        decoded = decode_confluent_avro_arrow_evolving(
+            batch_df, schemas_by_id, reader_schema_json
+        )
+        upsert(decoded, batch_id)
+
+    writer = stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="5 seconds").start()

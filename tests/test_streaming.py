@@ -190,3 +190,52 @@ def test_bucketed_upsert_matches_golden_and_prunes_rewrites(spark, tmp_path):
     assert untouched_before, "fixture keys all hashed to one bucket — raise n_buckets"
     assert untouched_before == untouched_after  # byte-identical: never rewritten
     assert _latest_map(P.read_latest(spark, tbl)) == GOLDEN_LATEST
+
+
+# -- Avro-framed streaming with schema evolution (round 4) ------------------
+def test_streaming_avro_frames_schema_evolution(spark, tmp_path):
+    """Two micro-batch files: v1-schema records then v2 (adds nullable
+    email, widens user_id). One streaming query ingests both, the final
+    latest-state table carries the reader-schema columns, and replaying
+    with the same checkpoint is a no-op (restart idempotency)."""
+    from postgre_to_clickhouse_spark.cdc import avro as A
+    from postgre_to_clickhouse_spark.cdc import avro_py as AP
+    from postgre_to_clickhouse_spark.cdc.schemas import USERS_AVRO_SCHEMA
+    from postgre_to_clickhouse_spark.streaming.pipeline import run_pipeline_avro_frames
+    from tests.test_avro_framing import USERS_V2_AVRO_SCHEMA
+
+    frames_dir = str(tmp_path / "frames")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    v1 = [
+        {"user_id": 1, "username": "ann", "account_type": "free", "updated_at": 10, "created_at": 1},
+        {"user_id": 2, "username": "bob", "account_type": "pro", "updated_at": 20, "created_at": 2},
+    ]
+    v2 = [
+        # update of user 1 under the NEW schema (higher updated_at wins)
+        {"user_id": 1, "username": "ann2", "account_type": "pro", "updated_at": 15,
+         "created_at": 1, "email": "ann@example.org"},
+        {"user_id": 3, "username": "cat", "account_type": "free", "updated_at": 30,
+         "created_at": 3, "email": None},
+    ]
+    f1 = [(bytearray(A.frame(AP.encode_record(r, USERS_AVRO_SCHEMA), 1)),) for r in v1]
+    f2 = [(bytearray(A.frame(AP.encode_record(r, USERS_V2_AVRO_SCHEMA), 2)),) for r in v2]
+    spark.createDataFrame(f1, "value binary").coalesce(1).write.mode("append").parquet(frames_dir)
+    spark.createDataFrame(f2, "value binary").coalesce(1).write.mode("append").parquet(frames_dir)
+
+    schemas = {1: USERS_AVRO_SCHEMA, 2: USERS_V2_AVRO_SCHEMA}
+    run_pipeline_avro_frames(spark, frames_dir, table, ckpt, schemas, USERS_V2_AVRO_SCHEMA)
+
+    from postgre_to_clickhouse_spark.cdc.dedup import latest
+
+    final = latest(
+        spark.read.parquet(table), entity_key=("user_id",), version_cols=("updated_at",)
+    )
+    got = {r.user_id: (r.username, r.email) for r in final.collect()}
+    assert got == {1: ("ann2", "ann@example.org"), 2: ("bob", None), 3: ("cat", None)}
+
+    n_before = spark.read.parquet(table).count()
+    # restart with the SAME checkpoint: source fully drained -> no-op
+    run_pipeline_avro_frames(spark, frames_dir, table, ckpt, schemas, USERS_V2_AVRO_SCHEMA)
+    assert spark.read.parquet(table).count() == n_before
