@@ -100,9 +100,10 @@ def main() -> None:
 
     spark = get_spark("p2c-bench")
     spark.range(1).count()  # JVM warm-up
-    # parquet-reader + codegen warm-up on the smallest table, so the
-    # first timed query measures the query, not one-time init
+    # parquet-reader + codegen warm-up (smallest and largest tables), so
+    # the first timed query measures the query, not one-time init
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
