@@ -163,3 +163,36 @@ def test_block_knn_k1_has_partial_aggregate_no_window(spark):
     # SortAggregate — what matters is that it appears TWICE (partial +
     # final): the pair set collapses map-side before the exchange
     assert plan.count("SortAggregate") >= 2
+
+
+# -- round-4 operator plan shapes -------------------------------------------
+def test_bm25_broadcasts_query_terms(spark):
+    """The corpus-side postings must probe a BROADCAST query-term set —
+    a shuffled join here would re-shuffle the corpus per query batch."""
+    plan = _plan(spark, "bm25_topk")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semdedup_plan_is_two_arrow_stages_no_join(spark):
+    """SemDedup's arrow path: BLAS assignment (MapInPandas) + per-cluster
+    prune (FlatMapGroupsInPandas), ONE exchange on list_id, and no join
+    anywhere — the rejoin shape it replaced evaluated assignment twice."""
+    plan = _plan(spark, "semdedup_prune")
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" in plan
+    for marker in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert marker not in plan, f"semdedup plan contains {marker}"
+
+
+def test_funnel_plan_single_aggregation_no_join(spark):
+    """windowFunnel = one groupBy collecting per-step arrays + JVM
+    higher-order exprs: no join, no window sort, no Python."""
+    plan = _plan(spark, "funnel_view_click_purchase")
+    for marker in ("SortMergeJoin", "BroadcastHashJoin", "Window", "EvalPython"):
+        assert marker not in plan, f"funnel plan contains {marker}"
+
+
+def test_histogram_bounds_broadcast(spark):
+    """Histogram bounds are a scalar row broadcast into a map pass —
+    the bucket computation must not shuffle the fact table twice."""
+    plan = _plan(spark, "histogram_event_values")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
