@@ -90,6 +90,7 @@ HEADLINE = [
     "funnel_view_click_purchase",
     "retention_view_cohorts",
     "histogram_event_values",
+    "sequence_match_view_purchase",
 ]
 
 

@@ -231,6 +231,34 @@ def retention_view_cohorts(spark, sf_dir):
     return retention(ev, ["view", "purchase", "signup"])
 
 
+@register(
+    "sequence_match_view_purchase",
+    oracle=f"""
+    WITH hit AS (
+      SELECT DISTINCT a.user_id
+      FROM events a JOIN events b ON a.user_id = b.user_id
+      WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+        AND epoch_us(b.ts) > epoch_us(a.ts)
+        AND epoch_us(b.ts) <= epoch_us(a.ts) + {_FUNNEL_W}
+    )
+    SELECT u.user_id, (h.user_id IS NOT NULL) AS matched
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN hit h USING (user_id)
+    """,
+)
+def sequence_match_view_purchase(spark, sf_dir):
+    """ClickHouse ``sequenceMatch('(?1)(?2)')`` parity: did a purchase
+    follow a view within the window, per user. Implemented as the
+    2-step funnel (level ≥ 2); the oracle is an INDEPENDENT join-based
+    formulation, so the funnel machinery is cross-checked against a
+    structurally different computation."""
+    from postgre_to_clickhouse_spark.operators.funnel import window_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    out = window_funnel(ev, ["view", "purchase"], window_us=_FUNNEL_W)
+    return out.select("user_id", (F.col("funnel_level") >= 2).alias("matched"))
+
+
 # bucket arithmetic as ONE shared SQL text: evaluation order (and thus
 # float bits) is identical on both engines
 _HIST_BUCKET = (
