@@ -22,12 +22,20 @@ join. Neither changes the semantics below.
 
 Determinism (full DuckDB oracle, no goldens): the BM25 idf is used in
 its raw odds-ratio form ``(N - df + 0.5)/(df + 0.5)`` — a monotone
-per-term transform of the usual ``ln`` idf that keeps every arithmetic
+PER-TERM transform of the usual ``ln`` idf that keeps every arithmetic
 step an IEEE-exact operation (+ - * /), so identical operand sequences
 produce bit-identical doubles on Spark and DuckDB (``ln`` is not
 correctly rounded cross-engine; see queries/registry.py). Per-term
 contributions are summed with the exact-decimal ``dsum`` convention,
 making the score independent of summation order.
+
+NOTE on ranking semantics: because the per-term transform is applied
+BEFORE the sum, multi-term query scores are a BM25 *variant*, not a
+monotone transform of Robertson/ln-idf BM25 — rankings can differ from
+a standard implementation on multi-term queries (single-term rankings
+are identical). This is the deliberate trade for a bit-exact
+cross-engine oracle; a production deployment wanting textbook scores
+computes ``ln`` idf on one engine and accepts tolerance-based checks.
 """
 
 from __future__ import annotations
@@ -47,14 +55,23 @@ K1P1 = K1 + 1.0
 ONE_MINUS_B = 1.0 - B
 
 
-def _contrib_sql() -> str:
+def _contrib_sql(
+    n: str = "__n",
+    df: str = "df",
+    tf: str = "tf",
+    dl: str = "__dl",
+    avgdl: str = "__avgdl",
+) -> str:
     """The per-(term, doc) BM25 contribution as SQL text, valid verbatim
-    on Spark and DuckDB over columns (__n, df, tf, __dl, __avgdl)."""
+    on Spark and DuckDB. Column references are parameters so an oracle
+    can qualify them with its own table aliases (``df="d.df"``) instead
+    of string-replacing the shared text — a rename inside the formula
+    can then never silently qualify the wrong column."""
     return (
-        f"((CAST(__n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))"
-        f" * ((CAST(tf AS DOUBLE) * {K1P1!r})"
-        f" / (CAST(tf AS DOUBLE) + {K1!r}"
-        f" * ({ONE_MINUS_B!r} + {B!r} * CAST(__dl AS DOUBLE) / __avgdl)))"
+        f"((CAST({n} - {df} AS DOUBLE) + 0.5) / (CAST({df} AS DOUBLE) + 0.5))"
+        f" * ((CAST({tf} AS DOUBLE) * {K1P1!r})"
+        f" / (CAST({tf} AS DOUBLE) + {K1!r}"
+        f" * ({ONE_MINUS_B!r} + {B!r} * CAST({dl} AS DOUBLE) / {avgdl})))"
     )
 
 
@@ -98,6 +115,12 @@ def bm25_scores(
         .join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy(query_id_col, id_col)
-        .agg(dsum(F.expr(_contrib_sql()), scale=9).alias("score"))
+        # precision 28 (not dsum's compact-decimal default 18): the
+        # per-term contribution ≈ 2.2·(N−df)/(df+0.5) needs integer
+        # digits ∝ corpus size — 9 digits overflow (→ NULL under
+        # non-ANSI casts, silently dropping terms) past ~5e8 docs,
+        # while 19 digits cover any corpus this module's 100 TB framing
+        # contemplates. Worth the BigDecimal path on this one agg.
+        .agg(dsum(F.expr(_contrib_sql()), scale=9, precision=28).alias("score"))
     )
     return scored

@@ -9,8 +9,15 @@ The clustering bounds the quadratic term: pair work is
 (and therefore per-cluster cost) constant as the corpus grows — the
 same inverted-file trick as ``operators/ann``.
 
-Pipeline (all deterministic, so the output is committed-golden
-checkable):
+Pipeline (deterministic for a FIXED platform, so the output is
+committed-golden checkable — with one caveat: the Arrow path's float64
+BLAS matmuls (assignment argmax, pairwise cosine vs the threshold) are
+not bit-stable across BLAS builds, so a near-tie assignment or a
+cosine landing within an ulp of the threshold could flip on a machine
+with a different BLAS than the one that generated the goldens. The
+``arrow=False`` JVM path uses the sequential-fold convention and is
+the bit-stable reference; regenerate goldens from it if a platform
+move ever breaks them):
 
 1. centroids = layout-independent Lloyd's fit on a bounded,
    content-selected sample (``ann.fit_ivf_centroids_deterministic``);
@@ -146,5 +153,5 @@ def semdedup(
     return assigned.join(shadowed, id_col, "left").select(
         F.col(id_col),
         F.col("list_id").alias("cluster_id"),
-        F.coalesce(F.col("__dropped") == F.lit(False), F.lit(True)).alias("is_kept"),
+        F.col("__dropped").isNull().alias("is_kept"),
     )

@@ -46,7 +46,7 @@ _BM25_ORACLE = f"""
     ),
     scored AS (
       SELECT q.query_id, t.doc_id,
-             CAST(SUM(CAST({R._contrib_sql().replace('__n', 's.__n').replace('__dl', 'l.__dl').replace('__avgdl', 's.__avgdl')}
+             CAST(SUM(CAST({R._contrib_sql(n="s.__n", dl="l.__dl", avgdl="s.__avgdl")}
                AS DECIMAL(30,9))) AS DOUBLE) AS score
       FROM tf t
       JOIN dfreq d USING (term)
@@ -260,9 +260,14 @@ def sequence_match_view_purchase(spark, sf_dir):
 
 
 # bucket arithmetic as ONE shared SQL text: evaluation order (and thus
-# float bits) is identical on both engines
+# float bits) is identical on both engines. Degenerate input (min ==
+# max) is guarded — the width would be 0 and (value-__lo)/0 = NaN, which
+# Spark's non-ANSI cast folds to bucket 0 while DuckDB errors; with the
+# CASE both engines agree on bucket 0 for every row.
 _HIST_BUCKET = (
-    "LEAST(CAST(FLOOR((value - __lo) / ((__hi - __lo) / 16.0)) AS INTEGER), 15)"
+    "LEAST(CAST(FLOOR((value - __lo) / "
+    "(CASE WHEN __hi = __lo THEN 1.0 ELSE (__hi - __lo) / 16.0 END)"
+    ") AS INTEGER), 15)"
 )
 
 
