@@ -3,30 +3,61 @@ parity (Tier B endpoint surface).
 
 The reference provisions ClickHouse 24.3 as its terminal analytics
 endpoint (`/root/reference/docker-compose.yml:156-167`), whose
-signature event-analytics functions are ``windowFunnel`` and
-``retention``. Both re-expressed Spark-first here:
+signature event-analytics functions are ``windowFunnel``, ``retention``
+and ``sequenceMatch``. All re-expressed Spark-first here:
 
-- :func:`window_funnel` — max number of consecutive funnel steps a
-  user completes with every step inside ``window_us`` of the chain's
-  FIRST step and timestamps strictly increasing (ClickHouse
-  ``windowFunnel(window)(ts, cond1, cond2, …)`` semantics, default
-  mode). Chains may start at ANY step-1 event, so the operator
-  evaluates the greedy extension for every step-1 timestamp and takes
-  the best — greedy-earliest extension is optimal for a fixed start,
-  making this exact, not heuristic.
+- :func:`window_funnel` / :func:`window_funnel_modes` — max number of
+  consecutive funnel steps a user completes with every step inside
+  ``window_us`` of the chain's FIRST step. All four ClickHouse modes:
+
+  * ``default`` — a step may share its predecessor's timestamp
+    (ClickHouse walks events sorted by time and only checks the
+    window against the chain start, so an equal-timestamp event later
+    in sort order extends the chain);
+  * ``strict_increase`` — timestamps strictly increasing;
+  * ``strict_dedup`` — an event repeating an already-matched
+    condition interrupts the chain (its level up to that point still
+    counts);
+  * ``strict_order`` — ANY intervening event that is not the next
+    expected condition (including non-funnel events) interrupts.
+
+  Chains may start at ANY step-1 event; the operator evaluates every
+  start and takes the best. For ``default``/``strict_increase`` the
+  greedy-earliest extension is optimal for a fixed start (the window
+  is anchored to the start, so an earlier pick never shrinks later
+  candidate sets) — making the cheap per-step-array formulation exact.
+  The strict modes depend on events BETWEEN matches, so they fold over
+  one time-sorted per-user event array instead.
+
+  Determinism note: ClickHouse's own result on equal-timestamp events
+  depends on input order. Here ties are resolved by the fixed sort key
+  ``(timestamp, step_index)`` — deterministic, and equal to ClickHouse
+  under the ordering that sorts a step-k event before a step-k+1 event
+  at the same instant. Step types must be distinct.
+
 - :func:`retention` — per-user boolean chain ``r_i = cond_1 AND
   cond_i`` aggregated to cohort counts (ClickHouse
   ``retention(cond1, …)`` semantics).
 
-Shape: ONE groupBy(user) collecting per-step timestamp arrays, then
-pure JVM higher-order expressions (``filter``/``transform``/
+- :func:`sequence_match` — ClickHouse ``sequenceMatch('(?1)(?t<=G)(?2)
+  …')``: does an ordered chain of typed events exist, with optional
+  per-adjacent-pair time guards. Greedy does NOT work under chained
+  guards (an earlier step-2 pick can close the guard window for step
+  3), so this computes the FEASIBLE-SET dynamic program: feasible
+  timestamps for step i+1 = events of that type reachable from some
+  feasible step-i timestamp — exact for arbitrary guard chains, still
+  pure JVM higher-order expressions.
+
+Shape: ONE groupBy(user) collecting per-step timestamp arrays (and,
+for the strict modes, one sorted (ts, step) struct array), then pure
+JVM higher-order expressions (``filter``/``transform``/``aggregate``/
 ``array_min``/``array_max``) — no Python, no self-joins, no windows.
 Per-user arrays are bounded by events-per-user within the analysis
 horizon (at 100 TB: pre-filter the scan to the funnel's time range and
 event types — predicate pushdown keeps the collected arrays small; a
 corpus-wide unbounded horizon is a query bug, not an operator limit).
-Only min/max run over the arrays, so collect_list's nondeterministic
-order cannot affect results.
+Arrays are either reduced by min/max or explicitly sorted before the
+fold, so collect_list's nondeterministic order cannot affect results.
 """
 
 from __future__ import annotations
@@ -34,10 +65,139 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+MODES = ("default", "strict_increase", "strict_dedup", "strict_order")
+
 
 def _step_list(type_col: str, ts_us: Column, step: str) -> Column:
     # collect_list drops nulls: one array of step timestamps per user
     return F.collect_list(F.when(F.col(type_col) == step, ts_us))
+
+
+def _step_index(type_col: str, steps: list[str]) -> Column:
+    """Event type → funnel step index, -1 for non-funnel events."""
+    expr: Column = F.lit(-1)
+    for i in range(len(steps) - 1, -1, -1):
+        expr = F.when(F.col(type_col) == steps[i], F.lit(i)).otherwise(expr)
+    return expr
+
+
+def _greedy_level(t1: Column, n_steps: int, window_us: int, strict: bool) -> Column:
+    """default / strict_increase: greedy-earliest extension from a fixed
+    chain start over the per-step arrays __s1..__s{n-1}."""
+
+    def _in_window(prev: Column, t1: Column):
+        # single-arg lambda via closure (pyspark counts default args as
+        # lambda parameters, so defaults can't carry the captures)
+        if strict:
+            return lambda x: (x > prev) & (x <= t1 + F.lit(window_us))
+        return lambda x: (x >= prev) & (x <= t1 + F.lit(window_us))
+
+    lvl = F.lit(1)
+    prev = t1
+    for i in range(1, n_steps):
+        nxt = F.array_min(F.filter(F.col(f"__s{i}"), _in_window(prev, t1)))
+        lvl = F.when(nxt.isNull(), lvl).otherwise(F.lit(i + 1))
+        # once a level is missed the chain stops: make later filters
+        # empty by propagating NULL (NULL comparisons are false)
+        prev = nxt
+    return lvl
+
+
+def _fold_level(t1: Column, idx: Column, window_us: int, mode: str) -> Column:
+    """strict_dedup / strict_order: scan the sorted per-user event array
+    from the chain start, advancing on the next expected condition and
+    dying on the mode's interrupt rule. State = (lvl, prev, dead)."""
+    rest = F.slice(F.col("__ev"), idx + F.lit(2), F.size("__ev"))
+    init = F.struct(
+        F.lit(1).cast("int").alias("lvl"),
+        t1.cast("long").alias("prev"),
+        F.lit(False).alias("dead"),
+    )
+
+    def step(acc: Column, e: Column) -> Column:
+        lvl, prev, dead = acc["lvl"], acc["prev"], acc["dead"]
+        t, s = e["t"], e["s"]
+        adv = F.struct(
+            (lvl + F.lit(1)).cast("int").alias("lvl"),
+            t.cast("long").alias("prev"),
+            F.lit(False).alias("dead"),
+        )
+        die = F.struct(lvl.alias("lvl"), prev.alias("prev"), F.lit(True).alias("dead"))
+        matched = s == lvl  # next expected 0-based condition == current level
+        if mode == "strict_dedup":
+            # an event repeating an already-matched condition interrupts
+            interrupt = (s >= F.lit(0)) & (s < lvl)
+        else:  # strict_order
+            # any event that is not the next expected condition interrupts
+            interrupt = F.lit(True)
+        return (
+            F.when(dead, acc)
+            .when(t > t1 + F.lit(window_us), die)
+            .when(matched, adv)
+            .when(interrupt, die)
+            .otherwise(acc)
+        )
+
+    return F.aggregate(rest, init, step)["lvl"]
+
+
+def window_funnel_modes(
+    events: DataFrame,
+    steps: list[str],
+    window_us: int,
+    modes: tuple[str, ...] = ("default",),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user, funnel_<mode> …): deepest step chain completed within the
+    window, one column per requested mode, ONE pass over the events.
+    Level 0 = no step-1 event."""
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel steps must be distinct event types")
+    bad = [m for m in modes if m not in MODES]
+    if bad:
+        raise ValueError(f"unknown windowFunnel mode(s) {bad}; valid: {MODES}")
+    ts_us = F.unix_micros(F.col(ts_col))
+    aggs = []
+    if any(m in ("default", "strict_increase") for m in modes):
+        aggs += [
+            _step_list(type_col, ts_us, s).alias(f"__s{i}") for i, s in enumerate(steps)
+        ]
+    need_fold = any(m in ("strict_dedup", "strict_order") for m in modes)
+    if need_fold:
+        # one sorted (ts, step) array; struct sort = (t, s) lexicographic,
+        # the deterministic tie-break documented in the module docstring.
+        # strict_order needs the non-funnel (-1) events; strict_dedup
+        # ignores them in the fold, so sharing one array costs nothing
+        # beyond what strict_order requires anyway.
+        aggs.append(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(ts_us.alias("t"), _step_index(type_col, steps).alias("s"))
+                )
+            ).alias("__ev")
+        )
+    agg = events.groupBy(user_col).agg(*aggs)
+
+    cols = [F.col(user_col)]
+    for m in modes:
+        if m in ("default", "strict_increase"):
+            levels = F.transform(
+                F.col("__s0"),
+                lambda t1: _greedy_level(t1, len(steps), window_us, m == "strict_increase"),
+            )
+        else:
+            levels = F.transform(
+                F.col("__ev"),
+                lambda x, i: F.when(
+                    x["s"] == F.lit(0), _fold_level(x["t"], i, window_us, m)
+                ),
+            )
+        cols.append(
+            F.coalesce(F.array_max(levels), F.lit(0)).cast("int").alias(f"funnel_{m}")
+        )
+    return agg.select(*cols)
 
 
 def window_funnel(
@@ -47,34 +207,68 @@ def window_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    mode: str = "default",
 ) -> DataFrame:
     """(user, funnel_level): deepest step chain completed within the
-    window. Level 0 = no step-1 event."""
+    window under ``mode`` (see module docstring). Level 0 = no step-1
+    event."""
+    out = window_funnel_modes(
+        events, steps, window_us, (mode,), user_col, ts_col, type_col
+    )
+    return out.select(F.col(user_col), F.col(f"funnel_{mode}").alias("funnel_level"))
+
+
+def sequence_match(
+    events: DataFrame,
+    steps: list[str],
+    guards: list[tuple[int | None, int | None]] | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user, matched): ClickHouse ``sequenceMatch`` — does an ordered
+    chain ``steps[0] → steps[1] → …`` exist, where ``guards[i]`` =
+    ``(min_gap_us, max_gap_us)`` bounds ``t[i+1] - t[i]`` (either side
+    None = unbounded; default guard = (0, None), i.e. plain ``>=``
+    ordering like the pattern ``(?1)(?2)``).
+
+    Exact under arbitrary guard chains via the feasible-set DP (see
+    module docstring); per-user cost is O(steps · events²) on arrays
+    already bounded by the query horizon. Repeated step types are
+    allowed ONLY when not adjacent (adjacent repeats of one type would
+    let a single event match both pattern slots under a (0, ·) guard)."""
+    n = len(steps)
+    if guards is None:
+        guards = [(0, None)] * (n - 1)
+    if len(guards) != n - 1:
+        raise ValueError(f"need {n - 1} guards for {n} steps, got {len(guards)}")
+    for i in range(n - 1):
+        if steps[i] == steps[i + 1] and (guards[i][0] or 0) <= 0:
+            raise ValueError(
+                "adjacent repeated step types need a positive min gap "
+                "(a single event would otherwise match both pattern slots)"
+            )
     ts_us = F.unix_micros(F.col(ts_col))
     agg = events.groupBy(user_col).agg(
         *[_step_list(type_col, ts_us, s).alias(f"__s{i}") for i, s in enumerate(steps)]
     )
 
-    def _in_window(prev: Column, t1: Column):
-        # single-arg lambda via closure (pyspark counts default args as
-        # lambda parameters, so defaults can't carry the captures)
-        return lambda x: (x > prev) & (x <= t1 + F.lit(window_us))
+    def _reachable(feas: Column, lo: int | None, hi: int | None):
+        def ok(y: Column, x: Column) -> Column:
+            c = x >= y + F.lit(lo or 0)
+            if hi is not None:
+                c = c & (x <= y + F.lit(hi))
+            return c
 
-    def level_from(t1: Column) -> Column:
-        # greedy-earliest extension from a fixed chain start t1
-        lvl = F.lit(1)
-        prev = t1
-        for i in range(1, len(steps)):
-            nxt = F.array_min(F.filter(F.col(f"__s{i}"), _in_window(prev, t1)))
-            lvl = F.when(nxt.isNull(), lvl).otherwise(F.lit(i + 1))
-            # once a level is missed the chain stops: make later filters
-            # empty by propagating NULL (NULL comparisons are false)
-            prev = nxt
-        return lvl
+        return lambda x: F.exists(feas, lambda y: ok(y, x))
 
-    levels = F.transform(F.col("__s0"), level_from)
-    funnel = F.coalesce(F.array_max(levels), F.lit(0))
-    return agg.select(F.col(user_col), funnel.cast("int").alias("funnel_level"))
+    feasible = F.col("__s0")
+    for i in range(1, n):
+        lo, hi = guards[i - 1]
+        feasible = F.filter(F.col(f"__s{i}"), _reachable(feasible, lo, hi))
+    return agg.select(
+        F.col(user_col), (F.size(feasible) > F.lit(0)).alias("matched")
+    )
 
 
 def retention(

@@ -14,7 +14,7 @@ the full quantize → score → top-k pipeline bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -68,12 +68,38 @@ def int8_topk(
     k: int = 10,
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Top-k by EXACT integer dot product of int8 codes, scaled back to
     an approximate float score (`score ≈ cosine numerator`). Ranking
     ties break on id → fully deterministic. The query side (its codes +
-    scale) is broadcast; the corpus scan never shuffles until the final
-    per-query top-k."""
+    scale) is broadcast, so the corpus scan itself never shuffles.
+
+    The top-k is a salted two-phase aggregate, NOT a window: a window
+    partitioned by query_id would shuffle every scored (corpus × query)
+    row into #queries partitions — with a handful of queries that is a
+    handful of tasks doing ALL the sort work, the hot-partition shape
+    that regressed the r4 bench 4.8×. Instead:
+
+    1. local top-k per (query, salt(id)) — ``slice(array_sort(...), k)``
+       over a groupBy whose key count is #queries × ``salt_buckets``,
+       so the one unavoidable shuffle of scored rows is spread evenly
+       and every task sorts only its own slice;
+    2. global top-k per query over the surviving #salts × k rows — a
+       trivially small second aggregate.
+
+    Exact by algebra (an element of the global top-k is in the top-k of
+    its salt bucket), deterministic for any salt assignment, and the
+    sort key ``(-dot_i, id)`` reproduces the window's ordering
+    including tie-breaks. Size ``salt_buckets`` so a bucket's share of
+    one query's corpus fits an executor (default: 4× parallelism).
+    Remaining 100 TB lever (documented, not needed here): for tiny
+    query counts a map-side percentile_approx threshold can pre-prune
+    the scored rows before this shuffle — but it re-scores or caches
+    the corpus, only worth it when the shuffle dominates the dots.
+    """
+    if salt_buckets is None:
+        salt_buckets = 4 * quantized.sparkSession.sparkContext.defaultParallelism
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
@@ -95,5 +121,31 @@ def int8_topk(
             query_id_col, id_col, "dot_i", (F.col("dot_i").cast("double") * F.col("__ss")).alias("score")
         )
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("dot_i").desc(), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # struct sorts lexicographically; (-dot_i, id) is already a total
+    # order (ids unique), so the payload fields never tie-break.
+    item = F.struct(
+        (-F.col("dot_i")).alias("__nd"),
+        F.col(id_col).alias("__id"),
+        F.col("dot_i").alias("dot_i"),
+        F.col("score").alias("score"),
+    )
+    topk = lambda c: F.slice(F.array_sort(c), 1, int(k))  # noqa: E731
+    local = (
+        scored.withColumn("__salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(salt_buckets))))
+        .groupBy(query_id_col, "__salt")
+        .agg(topk(F.collect_list(item)).alias("__top"))
+    )
+    merged = (
+        local.select(query_id_col, F.explode("__top").alias("__e"))
+        .groupBy(query_id_col)
+        .agg(topk(F.collect_list("__e")).alias("__top"))
+    )
+    return merged.select(
+        query_id_col, F.posexplode("__top").alias("__pos", "__e")
+    ).select(
+        query_id_col,
+        F.col("__e.__id").alias(id_col),
+        F.col("__e.dot_i").alias("dot_i"),
+        F.col("__e.score").alias("score"),
+        (F.col("__pos") + 1).alias("rank"),
+    )

@@ -187,19 +187,23 @@ _FUNNEL_W = 6 * 3600 * 1_000_000  # 6 h in µs
       FROM events GROUP BY user_id)
     SELECT user_id,
       CAST(COALESCE(list_max(list_transform(s0, t1 -> (
-        CASE WHEN list_min(list_filter(s1, x -> x > t1 AND x <= t1 + {_FUNNEL_W})) IS NULL THEN 1
-             WHEN list_min(list_filter(s2, x -> x > list_min(list_filter(s1, x2 -> x2 > t1 AND x2 <= t1 + {_FUNNEL_W}))
+        CASE WHEN list_min(list_filter(s1, x -> x >= t1 AND x <= t1 + {_FUNNEL_W})) IS NULL THEN 1
+             WHEN list_min(list_filter(s2, x -> x >= list_min(list_filter(s1, x2 -> x2 >= t1 AND x2 <= t1 + {_FUNNEL_W}))
                                              AND x <= t1 + {_FUNNEL_W})) IS NULL THEN 2
              ELSE 3 END))), 0) AS INTEGER) AS funnel_level
     FROM base
     """,
 )
 def funnel_view_click_purchase(spark, sf_dir):
-    """ClickHouse ``windowFunnel`` parity: deepest view→click→purchase
-    chain per user within 6 h of the chain's first view, timestamps
-    strictly increasing, chains may start at any view event
-    (operators/funnel.py — exact, chain-start enumeration + greedy
-    extension, all JVM higher-order expressions after one groupBy)."""
+    """ClickHouse ``windowFunnel`` parity (default mode): deepest
+    view→click→purchase chain per user within 6 h of the chain's first
+    view; an equal-timestamp event may extend the chain (ClickHouse
+    default walks time-sorted events and only checks the window against
+    the chain start — strictly-increasing is the ``strict_increase``
+    mode, covered by ``funnel_strict_modes``). Chains may start at any
+    view event (operators/funnel.py — exact, chain-start enumeration +
+    greedy extension, all JVM higher-order expressions after one
+    groupBy)."""
     from postgre_to_clickhouse_spark.operators.funnel import window_funnel
 
     ev = _t(spark, sf_dir, "events")
@@ -238,7 +242,7 @@ def retention_view_cohorts(spark, sf_dir):
       SELECT DISTINCT a.user_id
       FROM events a JOIN events b ON a.user_id = b.user_id
       WHERE a.event_type = 'view' AND b.event_type = 'purchase'
-        AND epoch_us(b.ts) > epoch_us(a.ts)
+        AND epoch_us(b.ts) >= epoch_us(a.ts)
         AND epoch_us(b.ts) <= epoch_us(a.ts) + {_FUNNEL_W}
     )
     SELECT u.user_id, (h.user_id IS NOT NULL) AS matched
@@ -247,11 +251,12 @@ def retention_view_cohorts(spark, sf_dir):
     """,
 )
 def sequence_match_view_purchase(spark, sf_dir):
-    """ClickHouse ``sequenceMatch('(?1)(?2)')`` parity: did a purchase
-    follow a view within the window, per user. Implemented as the
-    2-step funnel (level ≥ 2); the oracle is an INDEPENDENT join-based
-    formulation, so the funnel machinery is cross-checked against a
-    structurally different computation."""
+    """ClickHouse ``sequenceMatch('(?1)(?t<=W)(?2)')`` parity: did a
+    purchase follow a view within the window, per user (equal-timestamp
+    follows count, matching windowFunnel default-mode time semantics).
+    Implemented as the 2-step funnel (level ≥ 2); the oracle is an
+    INDEPENDENT join-based formulation, so the funnel machinery is
+    cross-checked against a structurally different computation."""
     from postgre_to_clickhouse_spark.operators.funnel import window_funnel
 
     ev = _t(spark, sf_dir, "events")
@@ -307,4 +312,125 @@ def semdedup_prune(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return semdedup(e, n_lists=16, threshold=0.9).select(
         "vec_id", "cluster_id", "is_kept"
+    )
+
+
+# The DuckDB mirror of the strict-mode fold: one accumulator struct
+# carries (lvl, t1, dead) plus null (t, s) slots so list_reduce can
+# run over a uniformly-typed list (init prepended to the mapped
+# events). The interrupt branch is the only difference between the two
+# strict modes. IMPORTANT: the fold runs at the TOP level of a SELECT
+# over an unnested (one row per chain start) relation — DuckDB 1.0's
+# vectorized evaluation of list_reduce NESTED inside a list_transform
+# lambda returns batch-dependent wrong results (correct on a 2-row
+# slice, wrong over the full table), reproduced and worked around in
+# round 5.
+def _fold_sql(interrupt_branch: str) -> str:
+    return f"""(list_reduce(
+         list_prepend({{'lvl': 1, 't1': t1, 'dead': false, 't': CAST(NULL AS BIGINT), 's': CAST(NULL AS INTEGER)}},
+           list_transform(rest, e -> {{'lvl': CAST(NULL AS INTEGER), 't1': CAST(NULL AS BIGINT), 'dead': CAST(NULL AS BOOLEAN), 't': e.t, 's': e.s}})),
+         (acc, e) -> CASE
+            WHEN acc.dead THEN acc
+            WHEN e.t > acc.t1 + {_FUNNEL_W} THEN {{'lvl': acc.lvl, 't1': acc.t1, 'dead': true, 't': acc.t, 's': acc.s}}
+            WHEN e.s = acc.lvl THEN {{'lvl': acc.lvl + 1, 't1': acc.t1, 'dead': false, 't': acc.t, 's': acc.s}}
+            {interrupt_branch}
+            ELSE acc END
+      )).lvl"""
+
+
+def _greedy_sql(cmp: str) -> str:
+    return f"""COALESCE(list_max(list_transform(s0, t1 -> (
+        CASE WHEN list_min(list_filter(s1, x -> x {cmp} t1 AND x <= t1 + {_FUNNEL_W})) IS NULL THEN 1
+             WHEN list_min(list_filter(s2, x -> x {cmp} list_min(list_filter(s1, x2 -> x2 {cmp} t1 AND x2 <= t1 + {_FUNNEL_W}))
+                                             AND x <= t1 + {_FUNNEL_W})) IS NULL THEN 2
+             ELSE 3 END))), 0)"""
+
+
+@register(
+    "funnel_strict_modes",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id,
+        list_sort(list(struct_pack(t := epoch_us(ts),
+          s := CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1 WHEN 'purchase' THEN 2 ELSE -1 END))) AS ev,
+        list(epoch_us(ts)) FILTER (WHERE event_type='view') AS s0,
+        list(epoch_us(ts)) FILTER (WHERE event_type='click') AS s1,
+        list(epoch_us(ts)) FILTER (WHERE event_type='purchase') AS s2
+      FROM events GROUP BY user_id),
+    starts AS (
+      SELECT user_id, ev[u.i].t AS t1, list_slice(ev, u.i + 1, len(ev)) AS rest
+      FROM base, unnest(range(1, len(ev)+1)) AS u(i)
+      WHERE ev[u.i].s = 0),
+    folded AS (
+      SELECT user_id,
+        MAX({_fold_sql("WHEN e.s >= 0 AND e.s < acc.lvl THEN {'lvl': acc.lvl, 't1': acc.t1, 'dead': true, 't': acc.t, 's': acc.s}")}) AS dd,
+        MAX({_fold_sql("WHEN true THEN {'lvl': acc.lvl, 't1': acc.t1, 'dead': true, 't': acc.t, 's': acc.s}")}) AS oo
+      FROM starts GROUP BY user_id)
+    SELECT b.user_id,
+      CAST({_greedy_sql('>=')} AS INTEGER) AS funnel_default,
+      CAST({_greedy_sql('>')} AS INTEGER) AS funnel_strict_increase,
+      CAST(COALESCE(f.dd, 0) AS INTEGER) AS funnel_strict_dedup,
+      CAST(COALESCE(f.oo, 0) AS INTEGER) AS funnel_strict_order
+    FROM base b LEFT JOIN folded f USING (user_id)
+    """,
+)
+def funnel_strict_modes(spark, sf_dir):
+    """All four ClickHouse ``windowFunnel`` modes in ONE pass (r5 —
+    closes the r4 gap where only the default chain comparison existed):
+    ``default`` (equal-ts extends), ``strict_increase`` (ts strictly
+    increasing), ``strict_dedup`` (a repeat of an already-matched
+    condition interrupts), ``strict_order`` (ANY intervening event
+    interrupts). One groupBy collects the per-step arrays plus one
+    (ts, step)-sorted struct array; the strict modes fold over it with
+    an (lvl, prev, dead) accumulator — all JVM higher-order
+    expressions, no joins/windows/Python. The oracle mirrors the fold
+    with DuckDB ``list_reduce`` — an independent lambda engine — so
+    the interrupt rules are cross-checked expression by expression."""
+    from postgre_to_clickhouse_spark.operators.funnel import MODES, window_funnel_modes
+
+    ev = _t(spark, sf_dir, "events")
+    return window_funnel_modes(
+        ev, ["view", "click", "purchase"], window_us=_FUNNEL_W, modes=MODES
+    )
+
+
+_SEQ_GUARD = 3600 * 1_000_000  # 1 h in µs: the (?t<=3600) between view and click
+
+
+@register(
+    "sequence_match_3step",
+    oracle=f"""
+    WITH hit AS (
+      SELECT DISTINCT a.user_id
+      FROM events a
+      JOIN events b ON a.user_id = b.user_id
+      JOIN events c ON a.user_id = c.user_id
+      WHERE a.event_type = 'view' AND b.event_type = 'click' AND c.event_type = 'purchase'
+        AND epoch_us(b.ts) >= epoch_us(a.ts)
+        AND epoch_us(b.ts) <= epoch_us(a.ts) + {_SEQ_GUARD}
+        AND epoch_us(c.ts) >= epoch_us(b.ts)
+    )
+    SELECT u.user_id, (h.user_id IS NOT NULL) AS matched
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN hit h USING (user_id)
+    """,
+)
+def sequence_match_3step(spark, sf_dir):
+    """ClickHouse ``sequenceMatch('(?1)(?t<=3600)(?2)(?3)')`` parity
+    (r5 — the general guarded pattern the r4 query lacked): a view,
+    then a click within 1 h OF THAT VIEW, then a purchase any time
+    later. Greedy chaining is wrong under pair guards (choosing the
+    earliest click can strand a later view whose guard window actually
+    reaches a click), so the operator runs the feasible-set DP
+    (operators/funnel.py::sequence_match). The oracle is an INDEPENDENT
+    3-way join — a structurally different computation that agrees
+    exactly because both sides use the same deterministic >= time
+    semantics."""
+    from postgre_to_clickhouse_spark.operators.funnel import sequence_match
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_match(
+        ev,
+        ["view", "click", "purchase"],
+        guards=[(0, _SEQ_GUARD), (0, None)],
     )

@@ -196,3 +196,31 @@ def test_histogram_bounds_broadcast(spark):
     the bucket computation must not shuffle the fact table twice."""
     plan = _plan(spark, "histogram_event_values")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# -- round-5 operator plan shapes -------------------------------------------
+def test_int8_topk_salted_two_phase_no_window(spark):
+    """int8 top-k must NOT plan a window partitioned by query_id (all
+    scored corpus×query rows would shuffle into #queries hot
+    partitions — the r4 bench regression). The salted two-phase shape:
+    no Window anywhere, and the first exchange of scored rows is keyed
+    by (query_id, __salt) so the sort work spreads evenly."""
+    plan = _plan(spark, "vector_int8_topk")
+    assert "Window" not in plan
+    assert "__salt" in plan, "salted local top-k key missing from plan"
+
+
+def test_funnel_strict_modes_single_aggregation_no_join(spark):
+    """All four windowFunnel modes compute from ONE groupBy (per-step
+    arrays + one sorted struct array) — no join, no window, no Python."""
+    plan = _plan(spark, "funnel_strict_modes")
+    for marker in ("SortMergeJoin", "BroadcastHashJoin", "Window", "EvalPython"):
+        assert marker not in plan, f"funnel_strict_modes plan contains {marker}"
+
+
+def test_sequence_match_single_aggregation_no_join(spark):
+    """The guarded sequenceMatch DP is higher-order expressions over
+    per-step arrays from ONE groupBy — no join, no window, no Python."""
+    plan = _plan(spark, "sequence_match_3step")
+    for marker in ("SortMergeJoin", "BroadcastHashJoin", "Window", "EvalPython"):
+        assert marker not in plan, f"sequence_match plan contains {marker}"

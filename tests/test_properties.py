@@ -134,21 +134,54 @@ funnel_events_strategy = st.lists(
 )
 
 
-def _funnel_ref(rows, steps, window_s):
-    """Brute-force reference: try every chain start, greedy-earliest
-    extension (optimal for a fixed start), max over starts."""
+def _funnel_ref(rows, steps, window_s, mode="default"):
+    """Per-mode brute-force reference, structurally independent of the
+    Spark expression encoding:
+
+    - default / strict_increase: per-step timestamp SETS, greedy-earliest
+      extension per chain start (optimal — the window is anchored to the
+      start), max over starts;
+    - strict_dedup / strict_order: a plain-Python scan over the
+      (ts, step)-sorted event list per chain start with the mode's
+      interrupt rule — same semantics the fold expression must encode.
+    """
+    sidx = {s: i for i, s in enumerate(steps)}
     out = {}
     for u in {r[0] for r in rows}:
-        per_step = [sorted(s for (uu, s, t) in rows if uu == u and t == step) for step in steps]
-        best = 0 if not per_step[0] else 1
-        for t1 in per_step[0]:
-            lvl, prev = 1, t1
-            for i in range(1, len(steps)):
-                nxt = [x for x in per_step[i] if x > prev and x <= t1 + window_s]
-                if not nxt:
+        if mode in ("default", "strict_increase"):
+            per_step = [
+                sorted(s for (uu, s, t) in rows if uu == u and t == step) for step in steps
+            ]
+            best = 0 if not per_step[0] else 1
+            for t1 in per_step[0]:
+                lvl, prev = 1, t1
+                for i in range(1, len(steps)):
+                    if mode == "strict_increase":
+                        nxt = [x for x in per_step[i] if x > prev and x <= t1 + window_s]
+                    else:
+                        nxt = [x for x in per_step[i] if x >= prev and x <= t1 + window_s]
+                    if not nxt:
+                        break
+                    prev = min(nxt)
+                    lvl = i + 1
+                best = max(best, lvl)
+            out[u] = best
+            continue
+        arr = sorted((s, sidx.get(t, -1)) for (uu, s, t) in rows if uu == u)
+        best = 0
+        for i, (t1, s1) in enumerate(arr):
+            if s1 != 0:
+                continue
+            lvl = 1
+            for t, s in arr[i + 1 :]:
+                if t > t1 + window_s:
                     break
-                prev = min(nxt)
-                lvl = i + 1
+                if s == lvl:
+                    lvl += 1
+                elif mode == "strict_dedup" and 0 <= s < lvl:
+                    break
+                elif mode == "strict_order":
+                    break
             best = max(best, lvl)
         out[u] = best
     return out
@@ -156,17 +189,60 @@ def _funnel_ref(rows, steps, window_s):
 
 @given(events=funnel_events_strategy)
 @settings(**_SETTINGS)
-def test_window_funnel_matches_bruteforce(spark, events):
-    from postgre_to_clickhouse_spark.operators.funnel import window_funnel
+def test_window_funnel_all_modes_match_bruteforce(spark, events):
+    from postgre_to_clickhouse_spark.operators.funnel import MODES, window_funnel_modes
 
     df = spark.createDataFrame(events, "user_id long, sec long, event_type string").select(
         "user_id", F.timestamp_seconds(F.col("sec")).alias("ts"), "event_type"
     )
+    rows = window_funnel_modes(
+        df, ["A", "B", "C"], window_us=10_000_000, modes=MODES
+    ).collect()
+    for mode in MODES:
+        got = {r["user_id"]: r[f"funnel_{mode}"] for r in rows}
+        assert got == _funnel_ref(events, ["A", "B", "C"], 10, mode), mode
+
+
+def _seq_match_ref(rows, steps, guards, window_s=None):
+    """Brute force: enumerate every index-increasing chain over the
+    per-user (ts, type)-sorted events (exponential, fine at test size)."""
+    import itertools
+
+    out = {}
+    for u in {r[0] for r in rows}:
+
+        def ok(chain):
+            for i, (lo, hi) in enumerate(guards):
+                gap = chain[i + 1] - chain[i]
+                if gap < (lo or 0) or (hi is not None and gap > hi):
+                    return False
+            return True
+
+        cands = [sorted(s for (uu, s, t) in rows if uu == u and t == st) for st in steps]
+        matched = any(
+            all(c[i + 1] >= c[i] for i in range(len(c) - 1)) and ok(c)
+            for c in itertools.product(*cands)
+        )
+        out[u] = matched
+    return out
+
+
+@given(events=funnel_events_strategy)
+@settings(**_SETTINGS)
+def test_sequence_match_guards_match_bruteforce(spark, events):
+    from postgre_to_clickhouse_spark.operators.funnel import sequence_match
+
+    guards = [(0, 5), (2, None)]
+    df = spark.createDataFrame(events, "user_id long, sec long, event_type string").select(
+        "user_id", F.timestamp_seconds(F.col("sec")).alias("ts"), "event_type"
+    )
     got = {
-        r.user_id: r.funnel_level
-        for r in window_funnel(df, ["A", "B", "C"], window_us=10_000_000).collect()
+        r.user_id: r.matched
+        for r in sequence_match(
+            df, ["A", "B", "C"], guards=[(0, 5_000_000), (2_000_000, None)]
+        ).collect()
     }
-    assert got == _funnel_ref(events, ["A", "B", "C"], 10)
+    assert got == _seq_match_ref(events, ["A", "B", "C"], guards)
 
 
 # -- BM25 (round 4) ---------------------------------------------------------
