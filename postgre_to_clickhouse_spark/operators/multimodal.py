@@ -2,14 +2,16 @@
 ``binary`` payloads + typed metadata structs, processed via Arrow-batched
 ``mapInPandas``.
 
-Codecs: REAL, dependency-free implementations of the uncompressed
-container formats — 24-bit BMP and binary PPM (P6) for images, RIFF/WAV
-PCM16 for audio — written with ``struct``/numpy only, so decode →
-feature-extract → resize → frame-sample runs end-to-end on actual bytes
-in this container. Compressed formats (JPEG/PNG/FLAC/MP4) need external
-libraries that are absent here; those payloads fall back to a seeded,
-content-derived fake when ``DETERMINISTIC_FAKE`` is on (clearly marked
-— swapping in PIL/librosa/pyav changes only the ``_decode_*`` dispatch).
+Codecs: REAL, dependency-free implementations — 24-bit BMP, binary PPM
+(P6) and (since r5) 8-bit PNG for images, RIFF/WAV PCM16 for audio —
+written with ``struct``/``zlib``/numpy only, so decode →
+feature-extract → resize → frame-sample runs end-to-end on actual
+bytes in this container. PNG is a full stdlib implementation: zlib
+inflate + per-scanline defilter (all five filter types), grayscale and
+truecolor. Formats needing codecs the stdlib lacks (JPEG/FLAC/MP4)
+fall back to a seeded, content-derived fake when ``DETERMINISTIC_FAKE``
+is on (clearly marked — swapping in PIL/librosa/pyav changes only the
+``_decode_*`` dispatch).
 
 Scale posture: payloads stay columnar binary end-to-end (no base64, no
 Python strings); decode runs per Arrow batch (``mapInPandas``) so batch
@@ -72,6 +74,139 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if bottom_up:
         img = img[::-1]
     return np.ascontiguousarray(img[:, :, ::-1])  # BGR → RGB
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + typ
+        + body
+        + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    arr: np.ndarray, compress_level: int = 0, filters: list[int] | None = None
+) -> bytes:
+    """HxWx3 uint8 RGB → PNG bytes (8-bit truecolor, non-interlaced).
+
+    ``compress_level=0`` emits zlib STORED blocks — fully deterministic
+    byte count (2 zlib header + 5 per stored block + raw + 4 adler),
+    which is what lets a SQL oracle predict ``payload_bytes`` in the
+    driver queries. ``filters`` optionally names the PNG filter type
+    per scanline (default all 0) so tests can exercise every defilter
+    path in :func:`decode_png`."""
+    import zlib
+
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_png expects HxWx3 RGB")
+    arr = arr.astype(np.uint8)
+    if filters is None:
+        filters = [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for y in range(h):
+        cur = arr[y].reshape(-1)
+        f = filters[y]
+        line = cur.astype(np.int64)
+        left = np.concatenate([np.zeros(c, dtype=np.int64), line[:-c]])
+        up = prev.astype(np.int64)
+        upleft = np.concatenate([np.zeros(c, dtype=np.int64), up[:-c]])
+        if f == 0:
+            out = line
+        elif f == 1:  # Sub
+            out = line - left
+        elif f == 2:  # Up
+            out = line - up
+        elif f == 3:  # Average
+            out = line - (left + up) // 2
+        elif f == 4:  # Paeth
+            p = left + up - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+            out = line - pred
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        raw += bytes([f]) + (out & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(bytes(raw), compress_level)
+    return PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat) + _png_chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → HxWx3 uint8 RGB. Real stdlib decode: chunk walk, zlib
+    inflate of the concatenated IDAT stream, then per-scanline
+    defiltering (None/Sub/Up/Average/Paeth). Supports 8-bit truecolor
+    (color type 2) and grayscale (0, replicated to 3 channels),
+    non-interlaced — the PNG subset a pixel-stats pipeline needs; other
+    color types raise rather than silently mis-decode."""
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = ct = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bitd, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if bitd != 8 or ct not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG subset: 8-bit gray/truecolor non-interlaced "
+                    f"(got depth={bitd} color={ct} interlace={interlace})"
+                )
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    ch = 3 if ct == 2 else 1
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG raster length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        cur = np.frombuffer(raw, np.uint8, stride, y * (1 + stride) + 1).copy()
+        if f == 0:
+            pass
+        elif f == 2:  # Up — vectorized (uint8 addition wraps mod 256)
+            cur += prev
+        elif f in (1, 3, 4):  # Sub/Average/Paeth need the running left
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = cur
+        prev = cur
+    img = out.reshape(h, w, ch)
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img)
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:
@@ -180,13 +315,16 @@ FEATURES_SCHEMA = T.StructType(_FEATURES_FIELDS)
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Image bytes → HxWx3 uint8, dispatched on magic bytes. BMP and PPM
-    decode for REAL (codecs above); compressed formats (JPEG/PNG) need
-    external libs absent here → deterministic content-derived fake."""
+    """Image bytes → HxWx3 uint8, dispatched on magic bytes. BMP, PPM
+    and PNG decode for REAL (codecs above — PNG via stdlib zlib +
+    defilter); JPEG needs an external lib absent here → deterministic
+    content-derived fake."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     if not DETERMINISTIC_FAKE:
         raise NotImplementedError("compressed image codec not available in this environment")
     h = hashlib.sha256(payload).digest()
@@ -383,13 +521,24 @@ IMAGE_STATS_SCHEMA = T.StructType(
 )
 
 
-def media_from_ids(ids: DataFrame, id_col: str = "doc_id", height: int = 8, width: int = 8) -> DataFrame:
+def media_from_ids(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    height: int = 8,
+    width: int = 8,
+    fmt: str = "bmp",
+) -> DataFrame:
     """Deterministic image table keyed by an id column: pixel[i] =
-    (id*7 + i) mod 256 over the row-major H·W·3 flattening, encoded as a
-    REAL 24-bit BMP per row (Arrow-batched). The pixel rule is closed-form,
-    so a SQL oracle can recompute every downstream stat without any image
+    (id*7 + i) mod 256 over the row-major H·W·3 flattening, encoded as
+    a REAL container per row (Arrow-batched). ``fmt``: ``"bmp"``,
+    ``"png"`` (stored-deflate, so the byte count stays closed-form) or
+    ``"mix"`` (odd ids → PNG, even → BMP — exercises per-row magic-byte
+    dispatch in one table). The pixel rule is closed-form, so a SQL
+    oracle can recompute every downstream stat without any image
     library — that is what makes the full encode→decode path
     driver-checkable."""
+    if fmt not in ("bmp", "png", "mix"):
+        raise ValueError(f"fmt must be bmp|png|mix, got {fmt!r}")
     n_vals = height * width * 3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -398,7 +547,11 @@ def media_from_ids(ids: DataFrame, id_col: str = "doc_id", height: int = 8, widt
             payloads = []
             for i in pdf[id_col]:
                 vals = ((int(i) * 7 + idx) % 256).astype(np.uint8)
-                payloads.append(encode_bmp(vals.reshape(height, width, 3)))
+                img = vals.reshape(height, width, 3)
+                as_png = fmt == "png" or (fmt == "mix" and int(i) % 2 == 1)
+                payloads.append(
+                    encode_png(img, compress_level=0) if as_png else encode_bmp(img)
+                )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
     return ids.select(id_col).mapInPandas(run, schema=f"{id_col} long, payload binary")

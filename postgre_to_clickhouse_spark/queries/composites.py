@@ -189,7 +189,7 @@ def skew_salted_agg_events(spark, sf_dir):
     SELECT d.doc_id,
            8 AS width,
            8 AS height,
-           246 AS payload_bytes,
+           CASE WHEN d.doc_id % 2 = 1 THEN 268 ELSE 246 END AS payload_bytes,
            CAST(SUM((d.doc_id * 7 + t.i) % 256) AS BIGINT) AS pixel_sum,
            CAST(MIN(CASE WHEN t.i = 0 THEN (d.doc_id * 7 + t.i) % 256 END) AS INTEGER) AS corner_tl,
            CAST(MIN(CASE WHEN t.i = 191 THEN (d.doc_id * 7 + t.i) % 256 END) AS INTEGER) AS corner_br
@@ -198,18 +198,22 @@ def skew_salted_agg_events(spark, sf_dir):
     """,
 )
 def multimodal_image_stats(spark, sf_dir):
-    """C5 end-to-end on REAL bytes: build a BMP image per document
-    (pixel[i] = (doc_id*7 + i) mod 256 — closed form, so plain SQL can
-    recompute every stat), encode with the dependency-free BMP codec,
-    decode it back, and emit integer-exact stats. ``corner_tl``/
-    ``corner_br`` are position-sensitive: a bottom-up/top-down or
-    BGR/RGB decode bug flips them, which the oracle catches. Both
-    mapInPandas stages are Arrow-batched; payload bytes never leave the
-    executors (only the compact stats row comes back)."""
+    """C5 end-to-end on REAL bytes, two container formats in one table:
+    build an image per document (pixel[i] = (doc_id*7 + i) mod 256 —
+    closed form, so plain SQL can recompute every stat), encode odd ids
+    as PNG (r5 — real stdlib zlib decode, stored-deflate so the byte
+    count stays closed-form: 268 for 8×8 vs BMP's 246) and even ids as
+    BMP, decode back via per-row magic-byte dispatch, and emit
+    integer-exact stats. ``corner_tl``/``corner_br`` are
+    position-sensitive: a bottom-up/top-down or BGR/RGB decode bug
+    flips them, and ``payload_bytes`` pins the container format per
+    row, which the oracle catches. Both mapInPandas stages are
+    Arrow-batched; payload bytes never leave the executors (only the
+    compact stats row comes back)."""
     from postgre_to_clickhouse_spark.operators.multimodal import image_stats, media_from_ids
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    media = media_from_ids(d, id_col="doc_id", height=8, width=8)
+    media = media_from_ids(d, id_col="doc_id", height=8, width=8, fmt="mix")
     return image_stats(media, id_col="doc_id")
 
 

@@ -117,3 +117,94 @@ def test_sample_video_frames_explodes(spark):
     assert all(sorted(v) == [0, 1, 2] for v in by_media.values())
     feats = {(r.media_id, r.frame_idx): tuple(r.frame_feature) for r in out}
     assert len(set(feats.values())) == len(feats)  # frames differ per index
+
+
+def test_png_codec_roundtrip_all_filters_and_levels():
+    """Encode→decode must be the identity for every PNG filter type
+    (None/Sub/Up/Average/Paeth), mixed per-scanline filters, and both
+    stored (level 0) and compressed deflate streams."""
+    import numpy as np
+
+    from postgre_to_clickhouse_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for h, w in [(8, 8), (5, 3), (1, 1), (16, 7)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for level in (0, 9):
+            for filters in (None, [1] * h, [2] * h, [3] * h, [4] * h,
+                            [y % 5 for y in range(h)]):
+                out = decode_png(encode_png(img, compress_level=level, filters=filters))
+                assert np.array_equal(out, img), (h, w, level, filters)
+
+
+def test_png_stored_size_closed_form():
+    """Level-0 (stored deflate) PNG byte count is closed-form — the
+    contract the multimodal_image_stats oracle's payload_bytes CASE
+    relies on: 8 sig + 25 IHDR + 12+len(idat) IDAT + 12 IEND, with
+    idat = 2 + 5·ceil(n/65535) + n + 4 for n raw filtered bytes."""
+    import numpy as np
+
+    from postgre_to_clickhouse_spark.operators.multimodal import encode_png
+
+    for h, w in [(8, 8), (4, 16), (64, 80)]:
+        n = h * (1 + w * 3)
+        blocks = -(-n // 65535)
+        expect = 8 + 25 + 12 + (2 + 5 * blocks + n + 4) + 12
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        assert len(encode_png(img, compress_level=0)) == expect
+
+
+def test_png_grayscale_decodes_to_rgb():
+    """Color-type-0 (grayscale) PNGs decode with channels replicated —
+    hand-built via the chunk writer so the decoder, not the encoder,
+    is what's under test."""
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    from postgre_to_clickhouse_spark.operators.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(3))
+    data = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == (3, 4, 3)
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 1], gray)
+    assert np.array_equal(out[:, :, 2], gray)
+
+
+def test_media_from_ids_mix_dispatch(spark):
+    """fmt='mix' emits PNG for odd ids, BMP for even, and image_stats
+    decodes both to identical pixel content (same closed-form rule)."""
+    from postgre_to_clickhouse_spark.operators.multimodal import (
+        PNG_SIG,
+        image_stats,
+        media_from_ids,
+    )
+
+    ids = spark.range(0, 6).withColumnRenamed("id", "doc_id")
+    media = media_from_ids(ids, id_col="doc_id", height=8, width=8, fmt="mix")
+    rows = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    for i, payload in rows.items():
+        if i % 2 == 1:
+            assert payload[:8] == PNG_SIG
+            assert len(payload) == 268
+        else:
+            assert payload[:2] == b"BM"
+            assert len(payload) == 246
+    stats = {r.doc_id: r for r in image_stats(media).collect()}
+    for i in range(6):
+        expect = sum((i * 7 + j) % 256 for j in range(192))
+        assert stats[i].pixel_sum == expect, i
+        assert stats[i].corner_tl == (i * 7) % 256
