@@ -91,6 +91,8 @@ HEADLINE = [
     "retention_view_cohorts",
     "histogram_event_values",
     "sequence_match_view_purchase",
+    "funnel_strict_modes",
+    "sequence_match_3step",
 ]
 
 
@@ -132,7 +134,16 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # The driver captures a bounded stdout tail; with 60+ per-query
+    # timings the head of the JSON can scroll out of it (BENCH_r04 lost
+    # its first 4 queries). A sidecar file keeps the full record
+    # available in-repo regardless of how much stdout survives.
+    try:
+        (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout remains the primary channel
     spark.stop()
 
 

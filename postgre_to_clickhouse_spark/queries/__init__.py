@@ -28,67 +28,70 @@ from postgre_to_clickhouse_spark.queries import tierc6  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 
 # The driver checks the FIRST 50 registered queries; this is the curated
-# window — one green row per operator class. Sources: VERDICT.md r1 #1.
+# window. r5 rotation (VERDICT r4 #1): the 22 TPC-H shapes are green in
+# BOTH r1/r2-era and r4 windows, so all but three representatives
+# rotate out to seat the 27 queries that had never had a driver-green
+# CORRECTNESS row, plus the two new r5 operators. Queries whose
+# semantics changed in r5 (funnel default mode, PNG-mix image stats,
+# BM25 precision, int8 top-k shape) stay/enter the window so the change
+# itself gets re-verified by the driver. Everything rotated out remains
+# registered and oracle-gated in pytest.
 _WINDOW = [
     # Tier A — CDC spine (A11–A21)
     "cdc_full_scan",
     "cdc_mv_transform",
     "cdc_dedup_redelivery",
     "cdc_latest_state",
-    # Tier B — all 22 TPC-H shapes (B1–B4, B7, B11 + decorrelation)
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
+    "cdc_users_pipeline",         # A11-A20 composed end-to-end (never windowed)
+    # Tier B — TPC-H representatives (full suite green r1+r4; rest rotated out)
+    "q1_pricing_summary",         # B1/B2/B7 scan+filter+agg
+    "q4_order_priority",          # B4 semi join
+    "q9_product_profit",          # B3 multi-join profit
     # Tier B — one per remaining family
     "band_join_acctbal",          # B5 theta/range
     "asof_events_last_order",     # B6 as-of
     "percentiles_quantity",       # B8 quantiles
-    "funnel_view_click_purchase",  # B21 windowFunnel parity (r4; B8-HLL
-                                   # rep agg_approx_distinct moved out —
-                                   # golden+accuracy-gated in pytest)
     "grouping_sets_sql",          # B9 + A22 SQL surface
     "window_rank_family",         # B10
     "setop_nation_presence",      # B12
     "scalar_funcs_composite",     # B13+B14+B15+conditional+try_cast
+    "safe_cast_funcs",            # B13 try_cast family (never windowed)
     "json_typed_extraction",      # B16
     "array_manipulation",         # B17
     "session_window_native",      # B18 native session windows
     "pandas_udf_zscore",          # B19 Arrow path (golden)
-    # Tier C — training-data pipeline
-    "dedup_exact_documents",      # C1
-    "minhash_near_dup_candidates",  # C2 (golden)
-    "semdedup_prune",             # C12 semantic dedup (golden; r4 —
-                                   # C2's simhash rep moved out, stays
-                                   # golden-gated in pytest)
-    "dedup_components_knn",       # C2 closure
-    "vector_cosine_topk",         # C3 exact
-    "bm25_topk",                  # C11 lexical retrieval (r4 — C3's
-                                   # LSH rep moved out, golden-gated)
-    "vector_ivf_topk",            # C3 IVF (golden)
-    "text_analysis_composite",    # C4 quality+lang-id+fingerprints
-    "tfidf_top_terms",            # C4
-    "sessionize_events",          # A26/B18 custom stateful (batch twin)
-    "pack_sequences",             # C4 packing
-    "multimodal_image_stats",     # C5 real codec path
+    "skew_salted_agg_events",     # B7 skew salting (never windowed)
+    # ClickHouse endpoint analytics (r4/r5 operators)
+    "funnel_view_click_purchase",  # B21 windowFunnel default (r5: >= semantics)
+    "funnel_strict_modes",        # B21 strict_increase/dedup/order (new r5)
+    "sequence_match_view_purchase",  # B21 sequenceMatch 2-step (never windowed)
+    "sequence_match_3step",       # B21 guarded 3-step DP (new r5)
+    "retention_view_cohorts",     # B21 retention (never windowed)
+    "histogram_event_values",     # B21 histogram (never windowed)
+    # Tier C — training-data pipeline (never-windowed set + changed-in-r5)
+    "bm25_topk",                  # C11 lexical retrieval (r5: precision 28)
+    "vector_int8_topk",           # C3 quantized top-k (r5: salted two-phase)
+    "embedding_quantize_int8",    # C3 int8 quantization
+    "embedding_random_projection",  # C3 JL projection
+    "embedding_near_dup_pairs",   # C2 embedding-cosine near-dup
+    "dedup_incremental_batch",    # C1 incremental digest anti-join
+    "dedup_pipeline_canonical",   # C2 LSH→verify→CC→survivor (golden)
+    "decontaminate_eval_overlap",  # C4 eval-set decontamination
+    "lm_unigram_nll",             # C4 unigram-LM scoring
+    "quality_filter_documents",   # C4 quality scoring
+    "text_clean_documents",       # C4 cleaning
+    "text_repetition_stats",      # C4 repetition stats
+    "vocabulary_top_terms",       # C4 vocabulary
+    "document_chunks",            # C4 chunking
+    "shuffle_training_order",     # C6 deterministic epoch shuffle
+    "split_train_val_test",       # C6 content-addressed splits
+    "stratified_sample_documents",  # C6 stratified sampling
+    "cap_per_source_skewsafe",    # C6 per-source cap
+    "mix_rebalance_lang",         # C6 mixture rebalancing
+    "token_budget_per_lang",      # C6 token-budget sampling
+    "multimodal_image_stats",     # C5 real codec path (r5: BMP+PNG mix)
+    "multimodal_audio_stats",     # C5 real WAV path (never windowed)
+    "multimodal_video_frames",    # C5 video frame path (never windowed)
 ]
 
 

@@ -166,6 +166,33 @@ def main() -> None:
     # constant (the SemDedup scaling contract)
     run("semdedup", lambda: semdedup(vecs, n_lists=max(16, sizes["embeddings"] // 125)))
 
+    from postgre_to_clickhouse_spark.operators.funnel import (
+        MODES,
+        sequence_match,
+        window_funnel_modes,
+    )
+    from postgre_to_clickhouse_spark.operators.quantize import int8_topk, quantized_table
+
+    _W = 6 * 3600 * 1_000_000
+    run(
+        "funnel_all_modes",
+        lambda: window_funnel_modes(
+            events, ["view", "click", "purchase"], window_us=_W, modes=MODES
+        ),
+    )
+    run(
+        "sequence_match_3step",
+        lambda: sequence_match(
+            events, ["view", "click", "purchase"], guards=[(0, _W), (0, None)]
+        ),
+    )
+    run("token_budget", lambda: SM.token_budget_sample(docs, ["lang"], budget_tokens=5000))
+    qt = quantized_table(vecs)
+    qq = qt.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "q_codes", "q_scale"
+    )
+    run("int8_topk", lambda: int8_topk(qt, qq, k=10))
+
     print(
         json.dumps(
             {
