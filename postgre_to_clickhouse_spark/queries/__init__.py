@@ -25,6 +25,7 @@ from postgre_to_clickhouse_spark.queries import tierc3  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import composites  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc5  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc6  # noqa: E402,F401
+from postgre_to_clickhouse_spark.queries import tierc7  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 
 # The driver checks the FIRST 50 registered queries; this is the curated

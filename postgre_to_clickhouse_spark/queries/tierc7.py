@@ -1,0 +1,160 @@
+"""Tier C round-5 additions: cross-document duplicated-span coverage
+(ExactSubstr-style), CCNet perplexity bucketing, and ClickHouse
+``sumMap``-family parity.
+
+Reference context: the reference pipeline lands CDC rows in ClickHouse
+(`/root/reference/README.md:176-177`) where users run aggregate
+analytics; `sumMap`/`SummingMergeTree` is the ClickHouse idiom for
+keyed-sum rollups mirrored here. The span/perplexity operators extend
+the LLM training-data battery (SURVEY.md §2.6 Tier C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.operators.spans import dup_span_coverage
+from postgre_to_clickhouse_spark.queries.registry import register
+from postgre_to_clickhouse_spark.session import configure
+
+
+def _t(spark, sf_dir, name):
+    configure(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+@register(
+    "dup_span_coverage",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i : i + 7], ' ') AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT doc_id, pos AS s, pos + 7 AS e FROM grams
+      WHERE g IN (SELECT g FROM dup)
+    ),
+    isl AS (
+      SELECT doc_id,
+             greatest(e - greatest(coalesce(max(e) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1), s - 1), 0) AS c
+      FROM hits
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS dup_grams, sum(c) AS covered FROM isl GROUP BY doc_id
+    ),
+    ntok AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+    SELECT n.doc_id,
+           CAST(n.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.dup_grams, 0) AS BIGINT) AS dup_grams,
+           CAST(coalesce(p.covered, 0) AS BIGINT) AS covered_tokens,
+           CAST(coalesce(p.covered, 0) AS DOUBLE)
+             / CAST(greatest(n.n_tokens, 1) AS DOUBLE) AS coverage
+    FROM ntok n LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def dup_span_coverage_q(spark, sf_dir):
+    """Per-document fraction of tokens covered by 8-gram spans shared
+    with at least one OTHER document — the distributed approximation of
+    ExactSubstr dedup (Lee et al. 2022). Downstream filters prune or
+    trim documents whose training value is mostly corpus boilerplate.
+    See :mod:`operators.spans` for the 100 TB shape."""
+    d = _t(spark, sf_dir, "documents")
+    return dup_span_coverage(d, n=8, min_docs=2)
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT count(*) AS total FROM toks),
+    nll AS (
+      SELECT t.doc_id,
+             round(avg(-ln(CAST(c.c AS DOUBLE) / (SELECT total FROM tot))), 6)
+               AS mean_nll_r
+      FROM toks t JOIN counts c USING (tok) GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, d.lang, n.mean_nll_r,
+           CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY n.mean_nll_r, d.doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+    FROM nll n JOIN documents d USING (doc_id)
+    """,
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet-style quality tiers: per-language ntile(3) over the
+    unigram-LM mean NLL — head (closest to the corpus distribution),
+    middle, tail. CCNet trains a KenLM per language and keeps the head
+    for pretraining; the unigram LM here is the engine-checkable stand-
+    in with the same bucketing mechanics. Ordering ties are broken by
+    doc_id so the tiling is total and engine-independent; the NLL is
+    rounded before ordering so both engines tile the same key. Scale:
+    the score is :func:`operators.text.unigram_lm_scores` (vocab-
+    bounded shuffles); the tiling is one per-language window — at 100
+    TB replace ntile with the two-pass percentile cut (approx quantiles
+    -> broadcast thresholds) to avoid a per-language global sort."""
+    d = _t(spark, sf_dir, "documents")
+    from postgre_to_clickhouse_spark.operators.text import unigram_lm_scores
+
+    scores = unigram_lm_scores(d)
+    j = scores.join(d.select("doc_id", "lang"), "doc_id")
+    nll_r = F.round(F.col("mean_nll"), 6)
+    w = Window.partitionBy("lang").orderBy(nll_r.asc(), F.col("doc_id").asc())
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.ntile(3).over(w)
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        nll_r.alias("mean_nll_r"),
+        bucket.alias("ppl_bucket"),
+    )
+
+
+@register(
+    "summap_event_values",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS s
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_types,
+           string_agg(event_type || ':' || s, ','
+                      ORDER BY event_type || ':' || s) AS sum_map
+    FROM per GROUP BY user_id
+    """,
+)
+def summap_event_values(spark, sf_dir):
+    """ClickHouse ``sumMap`` / SummingMergeTree parity: per-user keyed
+    sums of ``value`` by ``event_type``, emitted as one canonical
+    sorted ``k:v`` string per user (map-typed cells cannot cross the
+    driver's pandas sort, and the sorted text IS the canonical map
+    encoding both engines can produce byte-identically — sums stay
+    exact DECIMAL end-to-end, never reformatted through double).
+
+    Scale: two-phase aggregate — (user, type) partial sums first (map-
+    side combine collapses the fact rows), then one groupBy(user) whose
+    payload is #distinct-types-per-user entries, bounded by the event-
+    type vocabulary, not by row count."""
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("__s")
+    )
+    entry = F.concat_ws(":", F.col("event_type"), F.col("__s").cast("string"))
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.concat_ws(",", F.sort_array(F.collect_list(entry))).alias("sum_map"),
+    )

@@ -277,3 +277,52 @@ def test_token_budget_sample_prefix_and_bound(spark):
         for c, t in zip(cums, toks):
             run += t
             assert c == run, f"{lang}: gap in prefix (kept set not hash-order closed)"
+
+
+# -- cross-doc duplicated spans (r5) ---------------------------------------
+def test_dup_span_coverage_union_not_double_counted(spark):
+    from postgre_to_clickhouse_spark.operators.spans import dup_span_coverage
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"  # 10 tokens -> 3 dup 8-grams
+    rows = [
+        (1, shared + " a1 a2 a3 a4 a5"),       # 15 tokens, 10 covered
+        (2, "b1 b2 b3 b4 b5 " + shared),       # 15 tokens, 10 covered
+        (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9"),     # unique -> coverage 0
+        (4, "short doc"),                       # < n tokens -> no grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dup_span_coverage(df, n=8).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # 3 overlapping grams cover the union [0,9] / [5,14]: 10 tokens, not 24
+    assert out[1].dup_grams == 3 and out[1].covered_tokens == 10
+    assert out[2].dup_grams == 3 and out[2].covered_tokens == 10
+    assert abs(out[1].coverage - 10 / 15) < 1e-15
+    assert out[3].covered_tokens == 0 and out[3].coverage == 0.0
+    assert out[4].n_tokens == 2 and out[4].covered_tokens == 0
+
+
+def test_dup_span_within_doc_repeat_is_not_cross_doc(spark):
+    from postgre_to_clickhouse_spark.operators.spans import dup_span_coverage
+
+    rep = " ".join(["r1 r2 r3 r4 r5 r6 r7 r8"] * 2)  # same 8-gram twice, ONE doc
+    df = spark.createDataFrame(
+        [(1, rep), (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in dup_span_coverage(df, n=8).collect()}
+    # min_docs counts DISTINCT docs -> within-doc repetition alone is not a dup
+    assert out[1].covered_tokens == 0 and out[2].covered_tokens == 0
+
+
+def test_dup_span_disjoint_islands_sum(spark):
+    from postgre_to_clickhouse_spark.operators.spans import dup_span_coverage
+
+    s1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    s2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [
+        (1, s1 + " gap1 gap2 " + s2),  # two disjoint shared islands: 8 + 8
+        (2, s1 + " zz " + "q1 q2 q3 q4 q5 q6 q7"),
+        (3, s2 + " yy"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dup_span_coverage(df, n=8).collect()}
+    assert out[1].covered_tokens == 16 and out[1].dup_grams == 2
