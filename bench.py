@@ -93,7 +93,23 @@ HEADLINE = [
     "sequence_match_view_purchase",
     "funnel_strict_modes",
     "sequence_match_3step",
+    "dup_span_coverage",
+    "ccnet_perplexity_buckets",
+    "summap_event_values",
+    "approx_topk_tokens",
 ]
+
+# count()-based timing lets Catalyst prune columns the count doesn't
+# need — for queries whose row count is derivable WITHOUT the expensive
+# part (a cardinality-preserving join, a pruned aggregate expression),
+# a semantically-no-op filter on a computed column forces the real
+# plan. Applied only to entries added in r5+ so earlier rounds' numbers
+# stay comparable.
+FORCE_EVAL = {
+    "dup_span_coverage": "covered_tokens >= 0",     # left join is unique-key -> eliminable
+    "ccnet_perplexity_buckets": "ppl_bucket IS NOT NULL",  # window otherwise pruned
+    "summap_event_values": "length(sum_map) >= 0",  # agg exprs otherwise pruned
+}
 
 
 def main() -> None:
@@ -117,6 +133,8 @@ def main() -> None:
         # record the error and keep benchmarking the rest.
         try:
             df = fn(spark, sf_dir)
+            if name in FORCE_EVAL:
+                df = df.filter(FORCE_EVAL[name])
             n = df.count()
             assert n >= 0
         except Exception as exc:  # noqa: BLE001

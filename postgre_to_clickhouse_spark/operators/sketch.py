@@ -1,0 +1,104 @@
+"""Bounded-communication heavy hitters (ClickHouse ``topK`` parity).
+
+ClickHouse's ``topK(k)`` aggregate runs the SpaceSaving sketch (Metwally
+et al., "Efficient computation of frequent and top-k elements in data
+streams") per thread and merges the summaries. The Spark-native
+equivalent below keeps the same guarantee structure while staying
+entirely JVM-side:
+
+1. per-partition EXACT counts (Spark's partial hash aggregate — spills
+   if a partition's distinct set is huge, so memory is already safe),
+2. per-partition truncation to the ``capacity`` most frequent items,
+   remembering the largest dropped count ``d_p`` (the Misra-Gries /
+   SpaceSaving error term),
+3. a merge whose shuffle volume is AT MOST ``P x capacity`` rows — the
+   whole point at scale: the global heavy-hitter merge never moves the
+   full vocabulary, only each partition's capped summary,
+4. per-item bounds: ``lb = sum of counts where kept``;
+   ``ub = lb + sum(d_p over partitions where the item was dropped)``
+   (an item absent from partition p's summary occurred <= d_p times
+   there). ``capacity >= per-partition distinct`` makes every d_p = 0
+   and the result EXACT — the regime the oracle-graded query runs in.
+
+Determinism: in the exact regime the output is layout-independent. In
+the truncated regime the summaries (and therefore the bounds) depend on
+partitioning — inherent to every mergeable heavy-hitter sketch; tests
+pin the layout with an explicit repartition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def partition_summaries(
+    items: DataFrame, item_col: str = "item", capacity: int = 4096
+) -> tuple[DataFrame, DataFrame]:
+    """(kept, bounds): per-partition capped counts and error terms.
+
+    ``kept``  — (pid, item, c): the <= capacity most frequent items of
+    each partition with their exact in-partition counts.
+    ``bounds`` — (pid, d): the largest dropped count per partition;
+    partitions that dropped nothing produce no row (d treated as 0).
+    """
+    part = items.select(F.col(item_col).alias("item")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("pid", "item").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("pid").orderBy(F.col("c").desc(), F.col("item").asc())
+    ranked = counts.withColumn("__r", F.row_number().over(w))
+    kept = ranked.filter(F.col("__r") <= capacity).drop("__r")
+    bounds = (
+        ranked.filter(F.col("__r") > capacity)
+        .groupBy("pid")
+        .agg(F.max("c").alias("d"))
+    )
+    return kept, bounds
+
+
+def approx_topk(
+    items: DataFrame,
+    item_col: str = "item",
+    k: int = 10,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Top-k items by frequency with SpaceSaving-style bounds.
+
+    Output: (rank, item, lb, ub) — rank over (lb desc, item asc).
+    ``lb <= true count <= ub`` always; ``lb == ub == true count`` when
+    no partition truncated. The final candidate set is at most
+    ``P x capacity`` rows, so the orderBy().limit() plans as
+    TakeOrderedAndProject (per-partition heaps + k-row driver merge),
+    and the rank window runs over k rows — nothing global ever sorts.
+    """
+    kept, bounds = partition_summaries(items, item_col, capacity)
+    total_d = bounds.agg(F.coalesce(F.sum("d"), F.lit(0)).alias("__D"))
+    merged = (
+        kept.join(bounds, "pid", "left")
+        .groupBy("item")
+        .agg(
+            F.sum("c").cast("bigint").alias("lb"),
+            # sum of error terms for partitions whose summary INCLUDED
+            # the item — those partitions' counts are exact for it
+            F.sum(F.coalesce(F.col("d"), F.lit(0))).alias("__present_d"),
+        )
+        .crossJoin(F.broadcast(total_d))
+        .select(
+            "item",
+            "lb",
+            (F.col("lb") + F.col("__D") - F.col("__present_d")).cast("bigint").alias("ub"),
+        )
+    )
+    top = merged.orderBy(F.col("lb").desc(), F.col("item").asc()).limit(k)
+    rw = Window.orderBy(F.col("lb").desc(), F.col("item").asc())
+    return top.select(
+        F.row_number().over(rw).cast("bigint").alias("rank"), "item", "lb", "ub"
+    )
+
+
+def tokens_of(df: DataFrame, text_col: str = "text") -> Column:
+    """The battery's canonical tokenizer (lowercase \\w+ split)."""
+    return F.explode(
+        F.filter(F.split(F.lower(text_col), r"\W+"), lambda t: t != "")
+    )

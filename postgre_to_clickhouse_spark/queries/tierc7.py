@@ -158,3 +158,38 @@ def summap_event_values(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         F.concat_ws(",", F.sort_array(F.collect_list(entry))).alias("sum_map"),
     )
+
+
+@register(
+    "approx_topk_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    r AS (
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS rank,
+             tok, cnt
+      FROM c
+    )
+    SELECT rank, tok, cnt AS cnt_lb, cnt AS cnt_ub FROM r WHERE rank <= 20
+    """,
+)
+def approx_topk_tokens(spark, sf_dir):
+    """ClickHouse ``topK`` parity: the 20 most frequent tokens via the
+    bounded-communication heavy-hitter merge (:mod:`operators.sketch`).
+    Run in the exact regime (capacity >> per-partition distinct), so
+    lb == ub == the true count and the full-SQL oracle hash-matches;
+    the truncated sketch regime is bound-checked in pytest."""
+    from postgre_to_clickhouse_spark.operators.sketch import approx_topk, tokens_of
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(tokens_of(d).alias("item"))
+    out = approx_topk(toks, "item", k=20, capacity=4096)
+    return out.select(
+        "rank",
+        F.col("item").alias("tok"),
+        F.col("lb").alias("cnt_lb"),
+        F.col("ub").alias("cnt_ub"),
+    )

@@ -1,0 +1,180 @@
+"""Incremental aggregate materialized view — ClickHouse
+AggregatingMergeTree / SummingMergeTree parity.
+
+The reference's users wire ClickHouse materialized views to fold a
+stream into pre-aggregated tables; the engine stores PARTIAL aggregate
+STATE per part and merges states at read (or during background
+merges), so ingest cost is O(batch groups), never O(history). This
+module is the Spark-native equivalent on a plain filesystem:
+
+- each micro-batch reduces to one partial-state row per group it
+  touches — (exact decimal sum, count, min, max) is a mergeable state
+  for the sum/count/avg/min/max family (associative + commutative, so
+  batch boundaries can never leak into final results),
+- states land as an immutable part directory named by ``batch_id`` and
+  become visible only via an atomic rename — a replayed batch sees its
+  directory already committed and SKIPS, which upgrades foreachBatch's
+  at-least-once delivery to exactly-once state (the same
+  deterministic-batch-id trick the upsert sinks use),
+- ``read_final`` merges all committed parts and finalizes
+  (avg = exact sum / count); ``compact`` folds the accumulated parts
+  into one without changing any read result.
+
+Scale: the part log grows with batches x touched-groups, independent
+of fact-table size; compaction bounds read fan-in. A 100 TB stream
+with a 1e6-group key space stores megabytes of state.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_PARTS = "parts"
+
+
+class AggregateMV:
+    """Keyed sum/count/min/max/avg view over a value column."""
+
+    def __init__(self, path: str, keys: tuple[str, ...], value_col: str, scale: int = 2):
+        self.path = path
+        self.keys = list(keys)
+        self.value_col = value_col
+        self.scale = scale
+        os.makedirs(os.path.join(path, _PARTS), exist_ok=True)
+
+    # -- state algebra -------------------------------------------------------
+    def _partial(self, df: DataFrame) -> DataFrame:
+        """One mergeable state row per group in ``df``. The sum state is
+        an exact DECIMAL so merge order can never perturb the result."""
+        v = F.col(self.value_col)
+        return df.groupBy(*self.keys).agg(
+            F.sum(v.cast(f"decimal(18,{self.scale})")).alias("s_sum"),
+            F.count(v).alias("s_cnt"),
+            F.min(v).alias("s_min"),
+            F.max(v).alias("s_max"),
+        )
+
+    def _merge(self, states: DataFrame) -> DataFrame:
+        return states.groupBy(*self.keys).agg(
+            F.sum("s_sum").alias("s_sum"),
+            F.sum("s_cnt").alias("s_cnt"),
+            F.min("s_min").alias("s_min"),
+            F.max("s_max").alias("s_max"),
+        )
+
+    # -- write path ----------------------------------------------------------
+    def _part_dir(self, batch_id: int | str) -> str:
+        return os.path.join(self.path, _PARTS, f"b{batch_id}")
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> bool:
+        """foreachBatch body. Returns False when the batch was already
+        committed (replay after a crash/restart) — state is NOT applied
+        twice, which is what makes the at-least-once source exactly-once
+        in the view."""
+        final_dir = self._part_dir(batch_id)
+        if os.path.exists(final_dir):
+            return False
+        staging = os.path.join(self.path, f"_staging.{uuid.uuid4().hex[:12]}")
+        try:
+            self._partial(batch_df).coalesce(1).write.mode("overwrite").parquet(staging)
+            os.replace(staging, final_dir)  # atomic publish
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        return True
+
+    def sink(self):
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            self.apply_batch(batch_df, batch_id)
+
+        return _apply
+
+    # -- read path -----------------------------------------------------------
+    def _committed_parts(self) -> list[str]:
+        """Committed part dirs, excluding any input a compacted part
+        replaces — so a crash between publishing a compaction and
+        cleaning up its inputs can never double count."""
+        import json
+
+        root = os.path.join(self.path, _PARTS)
+        dirs = sorted(d for d in os.listdir(root) if d.startswith("b"))
+        replaced: set[str] = set()
+        for d in dirs:
+            rj = os.path.join(root, d, "_replaces.json")
+            if os.path.exists(rj):
+                with open(rj) as f:
+                    replaced.update(json.load(f))
+        return [os.path.join(root, d) for d in dirs if d not in replaced]
+
+    def read_states(self, spark: SparkSession) -> DataFrame:
+        parts = self._committed_parts()
+        if not parts:
+            raise FileNotFoundError(f"aggregate MV at {self.path} has no committed parts")
+        return self._merge(spark.read.parquet(*parts))
+
+    def read_final(self, spark: SparkSession) -> DataFrame:
+        """Finalized view: sum/count/min/max/avg per group. The exact
+        decimal sum is surfaced as double; avg divides the exact sum by
+        the count in double arithmetic (deterministic IEEE)."""
+        m = self.read_states(spark)
+        return m.select(
+            *self.keys,
+            F.col("s_sum").cast("double").alias("value_sum"),
+            F.col("s_cnt").alias("value_count"),
+            F.col("s_min").alias("value_min"),
+            F.col("s_max").alias("value_max"),
+            (F.col("s_sum").cast("double") / F.col("s_cnt")).alias("value_avg"),
+        )
+
+    # -- maintenance ---------------------------------------------------------
+    def compact(self, spark: SparkSession) -> int:
+        """Fold all committed parts into one (the background merge an
+        AggregatingMergeTree runs). Associativity makes this a pure
+        re-layout: reads before and after are identical. Returns the
+        number of parts folded."""
+        import json
+
+        parts = self._committed_parts()
+        if len(parts) <= 1:
+            return len(parts)
+        merged = self._merge(spark.read.parquet(*parts))
+        staging = os.path.join(self.path, f"_staging.{uuid.uuid4().hex[:12]}")
+        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        # The folded part carries the list of inputs it replaces
+        # (underscore-prefixed so Spark's reader ignores it); readers
+        # exclude replaced inputs, so the single atomic rename below is
+        # the whole commit — a crash before it changes nothing, a crash
+        # after it (before cleanup) leaves inputs that readers already
+        # ignore. Deleting the inputs is pure garbage collection.
+        with open(os.path.join(staging, "_replaces.json"), "w") as f:
+            json.dump([os.path.basename(p) for p in parts], f)
+        compacted = os.path.join(self.path, _PARTS, f"b{uuid.uuid4().hex[:8]}.compact")
+        os.replace(staging, compacted)
+        for p in parts:
+            shutil.rmtree(p, ignore_errors=True)
+        return len(parts)
+
+    def vacuum(self) -> list[str]:
+        """Garbage-collect part dirs a compaction replaced but a crash
+        left on disk. Readers already ignore them; this just reclaims
+        space."""
+        import json
+
+        root = os.path.join(self.path, _PARTS)
+        replaced: set[str] = set()
+        for d in os.listdir(root):
+            rj = os.path.join(root, d, "_replaces.json")
+            if os.path.exists(rj):
+                with open(rj) as f:
+                    replaced.update(json.load(f))
+        removed = []
+        for d in sorted(replaced):
+            p = os.path.join(root, d)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+                removed.append(d)
+        return removed

@@ -180,7 +180,130 @@ class ManifestTable:
 
         return _apply
 
+    def append_parts(self, sort_key=("user_id", "updated_at"), arrival=("kafka_offset",)):
+        """foreachBatch body: ClickHouse-style PART ingest.
+
+        This is how a MergeTree actually ingests: each batch lands as
+        new immutable part files — NO read of existing data, so write
+        cost is O(batch) regardless of table size (``merge_upsert``
+        pays a read-merge-write of every touched bucket per batch,
+        which is the right trade only for small batch rates). Version
+        resolution is deferred: ``read_latest`` collapses at query time
+        (ReplacingMergeTree ``FINAL``), and :meth:`compact` folds parts
+        together in the background exactly like the engine's merges.
+        Within-batch redeliveries are still deduped before the write —
+        that state is batch-bounded.
+        """
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            batch = dedup_redelivery(batch_df, sort_key, arrival)
+            with_bucket = batch.withColumn("__bucket", self._bucket_of(F.col(self.key_col)))
+            touched = sorted(
+                r["__bucket"] for r in with_bucket.select("__bucket").distinct().collect()
+            )
+            new_files = self._write_bucket_files(batch, touched)
+            self._commit(
+                self.current_manifest()["files"] + new_files,
+                note=f"append batch_id={batch_id}",
+            )
+
+        return _apply
+
     # -- maintenance ---------------------------------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        final: bool = False,
+        sort_key=("user_id", "updated_at"),
+        arrival=("kafka_offset",),
+        min_files_per_bucket: int = 2,
+    ) -> int:
+        """ClickHouse background-merge parity: rewrite each bucket that
+        has accumulated ``min_files_per_bucket`` or more files into one
+        file. With ``final=True`` the rewrite also collapses version
+        history to the last-wins row per entity — ClickHouse's
+        ``OPTIMIZE TABLE ... FINAL`` on a ReplacingMergeTree
+        (`/root/reference/README.md:176-177`); ``final=False`` preserves
+        content byte-for-byte and only reduces file count (the routine
+        merge ClickHouse runs in the background, Delta's OPTIMIZE).
+
+        Same commit protocol as merges — new immutable files, untouched
+        buckets carried by reference, atomic pointer flip; a crash at
+        any point leaves the previous snapshot intact. Readers of
+        retained versions are unaffected (their files are reclaimed
+        only by a later vacuum). Returns the new version, or the
+        current one if nothing needed compacting.
+
+        Scale: compaction is per-bucket-parallel and touches only the
+        fragmented buckets' bytes — the small-file problem grows with
+        micro-batch count, not table size, so the rewrite volume is
+        bounded by ingest-rate x compaction-interval, never 100 TB.
+        """
+        m = self.current_manifest()
+        per_bucket: dict[int, int] = {}
+        for f in m["files"]:
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+        touched = sorted(b for b, n in per_bucket.items() if n >= min_files_per_bucket)
+        if not touched and not final:
+            return self.current_version()
+        if final:  # a FINAL collapse rewrites every non-empty bucket
+            touched = sorted(per_bucket)
+        touched_files = [f for f in m["files"] if f["bucket"] in touched]
+        kept_files = [f for f in m["files"] if f["bucket"] not in touched]
+        if not touched_files:
+            return self.current_version()
+        paths = [os.path.join(self.path, _DATA, f["name"]) for f in touched_files]
+        data = spark.read.parquet(*paths)
+        if final:
+            data = latest(data, entity_key=(self.key_col,), version_cols=sort_key[1:] + arrival)
+        new_files = self._write_bucket_files(data, touched)
+        return self._commit(
+            kept_files + new_files,
+            note=f"compact final={final} buckets={len(touched)}",
+        )
+
+    def delete_where(self, spark: SparkSession, predicate: str) -> int:
+        """Transactional row delete — the mechanism behind ClickHouse
+        row TTL (``TTL updated_at + INTERVAL ...``) and Delta's DELETE.
+
+        One pruned scan finds which FILES contain matching rows (the
+        predicate and the file-name virtual column are the only things
+        read); only those files' buckets rewrite — a table where the
+        expired rows cluster in old files (the natural layout for
+        time-keyed data) rewrites a small tail, not 100 TB. Returns the
+        new version (unchanged if nothing matched).
+        """
+        m = self.current_manifest()
+        if not m["files"]:
+            return self.current_version()
+        by_name = {f["name"]: f for f in m["files"]}
+        paths = [os.path.join(self.path, _DATA, f["name"]) for f in m["files"]]
+        hit_paths = (
+            spark.read.parquet(*paths)
+            .filter(predicate)
+            .select(F.input_file_name().alias("__f"))
+            .distinct()
+            .collect()
+        )  # bounded by file count, not row count
+        hit_names = {os.path.basename(r["__f"]) for r in hit_paths}
+        if not hit_names:
+            return self.current_version()
+        touched = sorted({by_name[n]["bucket"] for n in hit_names})
+        touched_files = [f for f in m["files"] if f["bucket"] in touched]
+        kept_files = [f for f in m["files"] if f["bucket"] not in touched]
+        tpaths = [os.path.join(self.path, _DATA, f["name"]) for f in touched_files]
+        survivors = spark.read.parquet(*tpaths).filter(f"NOT ({predicate})")
+        new_files = self._write_bucket_files(survivors, touched)
+        return self._commit(
+            kept_files + new_files, note=f"delete_where buckets={len(touched)}"
+        )
+
+    def apply_ttl(self, spark: SparkSession, ts_col: str, older_than: str) -> int:
+        """Row TTL: drop rows with ``ts_col`` strictly before
+        ``older_than`` (a TIMESTAMP literal string) — ClickHouse
+        ``TTL`` clause semantics expressed as a transactional delete."""
+        return self.delete_where(spark, f"{ts_col} < TIMESTAMP '{older_than}'")
+
     def vacuum(self, keep_versions: int = 2) -> list[str]:
         """Delete data files referenced by NO retained manifest (crash
         orphans and files superseded more than ``keep_versions`` ago).

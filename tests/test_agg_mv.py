@@ -1,0 +1,92 @@
+"""Incremental aggregate MV (sinks/agg_mv.py): stream-fold equals the
+batch aggregate, replayed batches apply exactly once, compaction is a
+pure re-layout even when its cleanup crashes."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.sinks.agg_mv import AggregateMV
+from tests.conftest import SF_SMALL
+
+
+def _events(spark):
+    return catalog.load(spark, SF_SMALL, "events").select("event_id", "event_type", "value")
+
+
+def _truth(ev):
+    return {
+        r.event_type: (
+            round(r.s, 2),
+            r.c,
+            r.mn,
+            r.mx,
+        )
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("s"),
+            F.count("value").alias("c"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+
+
+def _got(mv, spark):
+    return {
+        r.event_type: (round(r.value_sum, 2), r.value_count, r.value_min, r.value_max)
+        for r in mv.read_final(spark).collect()
+    }
+
+
+def test_stream_fold_equals_batch_aggregate(spark, tmp_path):
+    ev = _events(spark)
+    mv = AggregateMV(str(tmp_path / "mv"), keys=("event_type",), value_col="value")
+    for i in range(3):  # three micro-batches partitioning the stream
+        assert mv.apply_batch(ev.filter(F.col("event_id") % 3 == i), i)
+    assert _got(mv, spark) == _truth(ev)
+    # avg finalization = exact sum / count in double
+    avgs = {r.event_type: r.value_avg for r in mv.read_final(spark).collect()}
+    sums = {r.event_type: (r.value_sum, r.value_count) for r in mv.read_final(spark).collect()}
+    for k, (s, c) in sums.items():
+        assert avgs[k] == s / c
+
+
+def test_replayed_batch_applies_exactly_once(spark, tmp_path):
+    ev = _events(spark)
+    mv = AggregateMV(str(tmp_path / "mv"), keys=("event_type",), value_col="value")
+    b0 = ev.filter("event_id % 3 = 0")
+    assert mv.apply_batch(b0, 0)
+    before = _got(mv, spark)
+    assert not mv.apply_batch(b0, 0)  # restart replays the same batch_id
+    assert _got(mv, spark) == before
+
+
+def test_compact_preserves_reads_and_survives_cleanup_crash(spark, tmp_path, monkeypatch):
+    ev = _events(spark)
+    mv = AggregateMV(str(tmp_path / "mv"), keys=("event_type",), value_col="value")
+    for i in range(4):
+        mv.apply_batch(ev.filter(F.col("event_id") % 4 == i), i)
+    truth = _got(mv, spark)
+
+    # crash AFTER the compacted part publishes, BEFORE inputs delete:
+    # leftovers must be ignored by readers (no double counting)
+    monkeypatch.setattr(shutil, "rmtree", lambda *a, **k: None)
+    assert mv.compact(spark) == 4
+    monkeypatch.undo()
+    leftover_dirs = [p for p in (tmp_path / "mv" / "parts").iterdir()]
+    assert len(leftover_dirs) == 5  # 4 inputs still on disk + 1 compacted
+    assert _got(mv, spark) == truth
+
+    # vacuum garbage-collects the ignored leftovers; reads unchanged
+    removed = mv.vacuum()
+    assert len(removed) == 4
+    assert _got(mv, spark) == truth
+
+    # an empty batch commits an empty part and changes nothing
+    assert mv.apply_batch(ev.filter("event_id = -1"), 99)
+    assert _got(mv, spark) == truth

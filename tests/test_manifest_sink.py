@@ -134,3 +134,76 @@ def test_streaming_pipeline_through_manifest_sink(spark, tmp_path):
     P.run_pipeline(spark, src, str(tmp_path / "unused"), ckpt + "2", batch_hook=t.merge_upsert())
     assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST
     assert t.read(spark).count() == n1
+
+
+# -- compaction + TTL (r5: ClickHouse background-merge / TTL parity) -------
+def _multiset(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_compact_reduces_files_preserves_content(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    sink = t.append_parts()  # part-per-batch ingest -> buckets fragment
+    full = _full(spark)
+    # split by arrival (every user in every batch) -> same buckets hit thrice
+    for i, cond in enumerate(["kafka_offset % 3 = 0", "kafka_offset % 3 = 1", "kafka_offset % 3 = 2"]):
+        sink(full.filter(cond), i)
+    before = _multiset(t.read(spark))
+    m0 = t.current_manifest()
+    assert len(m0["files"]) > len({f["bucket"] for f in m0["files"]})  # fragmented
+    v = t.compact(spark)
+    assert v == t.current_version() and v > m0["version"]
+    m1 = t.current_manifest()
+    per_bucket = {}
+    for f in m1["files"]:
+        per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + 1
+    assert all(n == 1 for n in per_bucket.values())
+    assert _multiset(t.read(spark)) == before  # byte-level content preserved
+    assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST
+    # idempotent: nothing left to compact -> version unchanged
+    assert t.compact(spark) == v
+
+
+def test_compact_final_collapses_to_latest(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    t.merge_upsert()(_full(spark), 0)
+    latest_before = _latest_map(t.read_latest(spark))
+    raw_before = t.read(spark).count()
+    v = t.compact(spark, final=True)
+    assert v == t.current_version()
+    # FINAL == ReplacingMergeTree OPTIMIZE FINAL: history collapsed
+    assert t.read(spark).count() == len(GOLDEN_LATEST) < raw_before
+    assert _latest_map(t.read_latest(spark)) == latest_before == GOLDEN_LATEST
+
+
+def test_ttl_delete_is_transactional_and_pruned(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    t.merge_upsert()(_full(spark), 0)
+    v0 = t.current_version()
+    rows = t.read(spark).select("updated_at").collect()
+    cutoff = sorted(r.updated_at for r in rows)[len(rows) // 2]
+    n_old = sum(1 for r in rows if r.updated_at < cutoff)
+    assert n_old > 0
+    v1 = t.apply_ttl(spark, "updated_at", cutoff.strftime("%Y-%m-%d %H:%M:%S"))
+    assert v1 == v0 + 1
+    after = t.read(spark)
+    assert after.count() == len(rows) - n_old
+    assert after.filter(F.col("updated_at") < F.lit(cutoff)).count() == 0
+    # time travel: the pre-TTL snapshot is still byte-stable
+    assert t.read(spark, version=v0).count() == len(rows)
+    # no-match delete is a no-op version-wise
+    assert t.delete_where(spark, "user_id < 0") == v1
+
+
+def test_append_ingest_defers_dedup_to_read_and_compact(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    sink = t.append_parts()
+    sink(_full(spark), 0)
+    sink(_full(spark), 1)  # full redelivery appends parts, no merge read
+    # query-time FINAL resolves versions across redundant parts
+    assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST
+    raw = t.read(spark).count()
+    v = t.compact(spark, final=True)
+    assert v == t.current_version()
+    assert t.read(spark).count() == len(GOLDEN_LATEST) < raw
+    assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST

@@ -224,3 +224,25 @@ def test_sequence_match_single_aggregation_no_join(spark):
     plan = _plan(spark, "sequence_match_3step")
     for marker in ("SortMergeJoin", "BroadcastHashJoin", "Window", "EvalPython"):
         assert marker not in plan, f"sequence_match plan contains {marker}"
+
+
+def test_approx_topk_takes_ordered_no_global_sort(spark):
+    """The heavy-hitter merge must end in TakeOrderedAndProject (per-
+    partition heaps), never a global Sort over the candidate set."""
+    plan = _plan(spark, "approx_topk_tokens")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dup_span_no_cartesian(spark):
+    """Gram-dup detection is hash-join shaped — a nested-loop or
+    cartesian here would be the quadratic all-pairs formulation."""
+    plan = _plan(spark, "dup_span_coverage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_summap_two_phase_aggregation(spark):
+    """(user,type) partial sums must combine map-side before the user-
+    level map assembly (shuffle carries groups, not fact rows)."""
+    plan = _plan(spark, "summap_event_values")
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 3

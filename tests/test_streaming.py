@@ -239,3 +239,46 @@ def test_streaming_avro_frames_schema_evolution(spark, tmp_path):
     # restart with the SAME checkpoint: source fully drained -> no-op
     run_pipeline_avro_frames(spark, frames_dir, table, ckpt, schemas, USERS_V2_AVRO_SCHEMA)
     assert spark.read.parquet(table).count() == n_before
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """B18 depth: watermarked stream-stream INNER join with an interval
+    condition (view -> click by the same user within 1 hour). The
+    availableNow drain must produce exactly the batch join. State shape
+    at scale: both sides keyed by user, retention bounded by watermark +
+    interval — state is O(events in the window), never the full stream."""
+    from postgre_to_clickhouse_spark import catalog
+    from tests.conftest import SF_SMALL
+
+    ev = catalog.load(spark, SF_SMALL, "events").select("event_id", "ts", "user_id", "event_type")
+    views = ev.filter("event_type = 'view'").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    vsrc, csrc = str(tmp_path / "v"), str(tmp_path / "c")
+    views.coalesce(2).write.json(vsrc)
+    clicks.coalesce(2).write.json(csrc)
+
+    cond = "user_id = c_user AND c_ts >= v_ts AND c_ts <= v_ts + INTERVAL 1 HOUR"
+    batch = sorted((r.view_id, r.click_id) for r in views.join(clicks, F.expr(cond)).collect())
+    assert batch, "fixture produced no view->click pairs — widen the interval"
+
+    sv = (
+        spark.readStream.schema("user_id long, v_ts timestamp, view_id long")
+        .json(vsrc).withWatermark("v_ts", "2 hours")
+    )
+    sc_ = (
+        spark.readStream.schema("c_user long, c_ts timestamp, click_id long")
+        .json(csrc).withWatermark("c_ts", "2 hours")
+    )
+    q = (
+        sv.join(sc_, F.expr(cond))
+        .writeStream.outputMode("append").format("memory").queryName("ssjoin")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted((r.view_id, r.click_id) for r in spark.table("ssjoin").collect())
+    assert got == batch

@@ -326,3 +326,39 @@ def test_dup_span_disjoint_islands_sum(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     out = {r.doc_id: r for r in dup_span_coverage(df, n=8).collect()}
     assert out[1].covered_tokens == 16 and out[1].dup_grams == 2
+
+
+# -- heavy-hitter sketch (r5) ----------------------------------------------
+def test_approx_topk_exact_regime_matches_groupby(spark):
+    from postgre_to_clickhouse_spark.operators.sketch import approx_topk
+
+    d = _docs(spark)
+    toks = d.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != "")).alias("item")
+    )
+    truth = {
+        r.item: r.cnt
+        for r in toks.groupBy("item").agg(F.count("*").alias("cnt")).collect()
+    }
+    out = approx_topk(toks, "item", k=10, capacity=100_000).collect()
+    assert len(out) == 10
+    expected = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    for row, (tok, cnt) in zip(out, expected):
+        assert (row.item, row.lb, row.ub) == (tok, cnt, cnt)
+
+
+def test_approx_topk_truncated_bounds_contain_truth(spark):
+    from pyspark.sql import Row
+    from postgre_to_clickhouse_spark.operators.sketch import approx_topk
+
+    # Zipf-ish: item_i appears (50 - i) times, 40 items, capacity 8 << 40
+    rows = [Row(item=f"t{i:02d}") for i in range(40) for _ in range(50 - i)]
+    df = spark.createDataFrame(rows).repartition(4, "item")
+    truth = {f"t{i:02d}": 50 - i for i in range(40)}
+    out = approx_topk(df, "item", k=15, capacity=8).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r.lb <= truth[r.item] <= r.ub, (r.item, r.lb, truth[r.item], r.ub)
+    # heavy head must survive truncation: top-5 true items present
+    got = {r.item for r in out}
+    assert {f"t{i:02d}" for i in range(5)} <= got

@@ -112,7 +112,11 @@ def main() -> None:
 
     docs = spark.read.parquet(os.path.join(work, "documents.parquet"))
     vecs = spark.read.parquet(os.path.join(work, "embeddings.parquet"))
-    events = spark.read.parquet(os.path.join(work, "events.parquet"))
+    # same NTZ normalization catalog.load applies to the real fixtures —
+    # the funnel/sessionize family needs a zoned TIMESTAMP for unix_micros
+    events = spark.read.parquet(os.path.join(work, "events.parquet")).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     sizes = {"documents": docs.count(), "embeddings": vecs.count(), "events": events.count()}
 
     from postgre_to_clickhouse_spark.operators import sampling as SM
@@ -192,6 +196,16 @@ def main() -> None:
         F.col("vec_id").alias("query_id"), "q_codes", "q_scale"
     )
     run("int8_topk", lambda: int8_topk(qt, qq, k=10))
+
+    from postgre_to_clickhouse_spark.operators.sketch import approx_topk, tokens_of
+    from postgre_to_clickhouse_spark.operators.spans import dup_span_coverage
+
+    # filter on the computed column: under a bare count() Catalyst
+    # eliminates the unique-key left join (and with it the whole gram
+    # pipeline), timing a parquet count instead of the operator
+    run("dup_span_coverage", lambda: dup_span_coverage(docs, n=8).where("covered_tokens >= 0"))
+    toks = docs.select(tokens_of(docs).alias("item"))
+    run("approx_topk", lambda: approx_topk(toks, "item", k=20, capacity=4096))
 
     print(
         json.dumps(
