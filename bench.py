@@ -97,6 +97,8 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "summap_event_values",
     "approx_topk_tokens",
+    "mixture_sample_weights",
+    "semantic_decontaminate_eval",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't
@@ -109,6 +111,7 @@ FORCE_EVAL = {
     "dup_span_coverage": "covered_tokens >= 0",     # left join is unique-key -> eliminable
     "ccnet_perplexity_buckets": "ppl_bucket IS NOT NULL",  # window otherwise pruned
     "summap_event_values": "length(sum_map) >= 0",  # agg exprs otherwise pruned
+    "semantic_decontaminate_eval": "max_eval_cosine_r >= -2",  # cosine agg otherwise pruned
 }
 
 

@@ -224,3 +224,50 @@ def token_budget_sample(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w))
         .filter(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    seed: str = "mixw-v1",
+) -> DataFrame:
+    """Target-weight mixture sampling — the general form of
+    :func:`rebalance_mix` (which is the uniform-weights special case).
+
+    Given target mixture proportions w_s, the largest corpus satisfying
+    them without upsampling is N = min_s count_s / w_s; each stratum
+    keeps w_s * N / count_s of its rows (in expectation), selected by
+    the content-addressed :func:`split_hash` filter so the surviving
+    set is identical on any cluster, rerun, or engine. Strata absent
+    from ``weights`` are dropped (weight 0).
+
+    This is how training mixtures are actually specified (fixed domain
+    weights decided offline — the output of a DoReMi/UniMax-style
+    study), rather than "flatten to the minimum".
+
+    Shape: one count aggregate on the stratum key, the weight table and
+    the scalar N broadcast, then a map-side filter — the corpus never
+    shuffles.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())], [stratum_col, "__w"]
+    )
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    j = counts.join(F.broadcast(wdf), stratum_col)
+    nmax = j.agg(F.min(F.col("__n").cast("double") / F.col("__w")).alias("__nmax"))
+    fracs = j.crossJoin(F.broadcast(nmax)).select(
+        stratum_col,
+        F.least(
+            F.lit(1.0),
+            F.col("__w") * F.col("__nmax") / F.col("__n").cast("double"),
+        ).alias("__keep_frac"),
+    )
+    u = split_hash(id_col, seed)
+    return (
+        df.join(F.broadcast(fracs), stratum_col)
+        .filter(u < F.col("__keep_frac"))
+        .drop("__keep_frac")
+    )

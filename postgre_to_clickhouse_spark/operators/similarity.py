@@ -342,3 +342,41 @@ def lsh_topk(
     scored = cand.select(query_id_col, id_col, cosine_similarity(vec_col, query_vec_col).alias("cosine"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_vec_col: str = "ev_vec",
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus rows whose cosine to
+    ANY eval-set vector reaches ``threshold`` — the semantic complement
+    of the n-gram overlap check (``dedup.ngram_overlap_contamination``),
+    catching paraphrased test-set leakage that token overlap misses.
+
+    Output: one row per corpus vector — (id, max_eval_cosine,
+    contaminated). Keeping the full frame (rather than survivors only)
+    lets the caller audit near-misses before choosing the threshold.
+
+    Shape: eval suites are small (thousands) — the eval side BROADCASTS
+    and each corpus partition scores locally; the per-id max collapses
+    map-side (each corpus id lives in one partition), so the only
+    exchange carries one row per corpus vector. Corpus never reshuffles,
+    mirroring the n-gram decontamination plan.
+    """
+    ev = F.broadcast(eval_set.select(eval_vec_col))
+    cos = cosine_similarity(vec_col, eval_vec_col)
+    return (
+        corpus.select(id_col, vec_col)
+        .crossJoin(ev)
+        .groupBy(id_col)
+        .agg(F.max(cos).alias("max_eval_cosine"))
+        .select(
+            id_col,
+            "max_eval_cosine",
+            (F.col("max_eval_cosine") >= F.lit(threshold)).alias("contaminated"),
+        )
+    )

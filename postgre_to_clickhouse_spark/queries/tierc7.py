@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from postgre_to_clickhouse_spark import catalog
 from postgre_to_clickhouse_spark.operators.spans import dup_span_coverage
 from postgre_to_clickhouse_spark.queries.registry import register
+from postgre_to_clickhouse_spark.queries.tierc5 import _horner_u
 from postgre_to_clickhouse_spark.session import configure
 
 
@@ -192,4 +193,75 @@ def approx_topk_tokens(spark, sf_dir):
         F.col("item").alias("tok"),
         F.col("lb").alias("cnt_lb"),
         F.col("ub").alias("cnt_ub"),
+    )
+
+
+@register(
+    "mixture_sample_weights",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    w AS (SELECT * FROM (VALUES
+      ('de', CAST(0.15 AS DOUBLE)), ('en', CAST(0.30 AS DOUBLE)),
+      ('es', CAST(0.20 AS DOUBLE)), ('fr', CAST(0.10 AS DOUBLE)),
+      ('zh', CAST(0.25 AS DOUBLE))) AS t(lang, w)),
+    j AS (SELECT c.lang, c.n, w.w FROM c JOIN w USING (lang)),
+    m AS (SELECT min(CAST(n AS DOUBLE) / w) AS nmax FROM j),
+    f AS (SELECT lang,
+                 least(1.0, w * (SELECT nmax FROM m) / CAST(n AS DOUBLE)) AS kf
+          FROM j)
+    SELECT d.doc_id, d.lang FROM documents d JOIN f USING (lang)
+    WHERE {_horner_u('mixw-v1', 'd.doc_id')} < f.kf
+    """,
+)
+def mixture_sample_weights(spark, sf_dir):
+    """Target-weight training mixture (DoReMi/UniMax-style fixed domain
+    weights): largest corpus honoring {{en:.30, zh:.25, es:.20, de:.15,
+    fr:.10}} without upsampling, selected content-addressed so the row
+    set is engine/cluster/rerun-identical. See
+    :func:`operators.sampling.mixture_sample` for the broadcast shape."""
+    from postgre_to_clickhouse_spark.operators import sampling as SM
+
+    d = _t(spark, sf_dir, "documents")
+    out = SM.mixture_sample(
+        d, "lang", "doc_id",
+        {"en": 0.30, "zh": 0.25, "es": 0.20, "de": 0.15, "fr": 0.10},
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "semantic_decontaminate_eval",
+    oracle="""
+    WITH ev AS (SELECT embedding AS ev_vec FROM embeddings WHERE vec_id % 97 = 0),
+    corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+    scored AS (
+      SELECT c.vec_id,
+             max(list_sum(list_transform(list_zip(c.embedding, ev.ev_vec),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(ev.ev_vec, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))))
+               AS mc
+      FROM corpus c CROSS JOIN ev
+      GROUP BY c.vec_id
+    )
+    SELECT vec_id, round(mc, 9) AS max_eval_cosine_r, mc >= 0.95 AS contaminated
+    FROM scored
+    """,
+)
+def semantic_decontaminate_eval(spark, sf_dir):
+    """Embedding-space eval-set decontamination (the semantic complement
+    of `decontaminate_eval_overlap`): every corpus vector scored by its
+    max cosine to the broadcast eval suite; rows at >= 0.95 are
+    paraphrase-level leaks the n-gram check cannot see. See
+    :func:`operators.similarity.semantic_decontaminate`."""
+    from postgre_to_clickhouse_spark.operators.similarity import semantic_decontaminate
+
+    e = _t(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 97 == 0).select(F.col("embedding").alias("ev_vec"))
+    corpus = e.filter(F.col("vec_id") % 97 != 0)
+    out = semantic_decontaminate(corpus, ev, threshold=0.95)
+    return out.select(
+        "vec_id",
+        F.round("max_eval_cosine", 9).alias("max_eval_cosine_r"),
+        "contaminated",
     )

@@ -362,3 +362,43 @@ def test_approx_topk_truncated_bounds_contain_truth(spark):
     # heavy head must survive truncation: top-5 true items present
     got = {r.item for r in out}
     assert {f"t{i:02d}" for i in range(5)} <= got
+
+
+# -- target-weight mixture + semantic decontamination (r5) ------------------
+def test_mixture_sample_hits_target_proportions(spark):
+    d = _docs(spark)
+    w = {"en": 0.30, "zh": 0.25, "es": 0.20, "de": 0.15, "fr": 0.10}
+    out = SM.mixture_sample(d, "lang", "doc_id", w)
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(got.values())
+    # binding stratum (smallest n/w) kept whole; others near target share
+    counts = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    binding = min(counts, key=lambda s: counts[s] / w[s])
+    assert got[binding] == counts[binding]
+    for s, ws in w.items():
+        assert abs(got[s] / total - ws) < 0.08, (s, got[s] / total, ws)
+
+
+def test_mixture_sample_is_layout_independent_and_drops_unweighted(spark):
+    d = _docs(spark)
+    w = {"en": 0.5, "de": 0.5}  # zh/es/fr unweighted -> dropped
+    base = sorted(r.doc_id for r in SM.mixture_sample(d, "lang", "doc_id", w).collect())
+    shuf = sorted(
+        r.doc_id
+        for r in SM.mixture_sample(d.repartition(13).orderBy(F.rand(7)), "lang", "doc_id", w).collect()
+    )
+    assert base == shuf and base
+    langs = {r.lang for r in SM.mixture_sample(d, "lang", "doc_id", w).select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+
+
+def test_semantic_decontaminate_flags_planted_dup(spark):
+    from postgre_to_clickhouse_spark.operators.similarity import semantic_decontaminate
+
+    vecs = catalog.load(spark, SF_SMALL, "embeddings")
+    # plant the eval set as exact copies of corpus vectors 1..3
+    ev = vecs.filter("vec_id IN (1,2,3)").select(F.col("embedding").alias("ev_vec"))
+    out = semantic_decontaminate(vecs, ev, threshold=0.999999)
+    flagged = {r.vec_id for r in out.filter("contaminated").collect()}
+    assert {1, 2, 3} <= flagged  # identical vectors: cosine == 1
+    assert out.count() == vecs.count()  # audit frame keeps every row

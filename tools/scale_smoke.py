@@ -207,6 +207,14 @@ def main() -> None:
     toks = docs.select(tokens_of(docs).alias("item"))
     run("approx_topk", lambda: approx_topk(toks, "item", k=20, capacity=4096))
 
+    from postgre_to_clickhouse_spark.operators.similarity import semantic_decontaminate
+
+    ev = vecs.filter(F.col("vec_id") % 997 == 0).select(F.col("embedding").alias("ev_vec"))
+    run(
+        "semantic_decontam",
+        lambda: semantic_decontaminate(vecs, ev).where("max_eval_cosine >= -2"),
+    )
+
     print(
         json.dumps(
             {
