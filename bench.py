@@ -99,6 +99,9 @@ HEADLINE = [
     "approx_topk_tokens",
     "mixture_sample_weights",
     "semantic_decontaminate_eval",
+    "weighted_quantile_events",
+    "argminmax_events",
+    "minhash_incremental_candidates",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -307,3 +307,63 @@ def dedup_against_corpus(
     fresh = exact_dedup(new_batch, content_cols, order_col).withColumn("__d", digest)
     seen = corpus.select(digest.alias("__d"))
     return fresh.join(seen, "__d", "left_anti").drop("__d")
+
+
+def minhash_incremental_candidates(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shingle: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidates of a NEW ingest batch against the standing
+    corpus — the continuous form of :func:`minhash_near_dup`, pairing
+    with :func:`dedup_against_corpus` the way LSH pairs with exact
+    digests.
+
+    Returns (new_id, corpus_id, n_bands_matched): every corpus document
+    sharing >= 1 band signature with a batch document. Within-batch
+    pairs are the existing :func:`minhash_near_dup` on the batch alone.
+
+    Scale shape: the corpus side here recomputes signatures for
+    checkability, but in production the (id, band, sig) table is the
+    PERSISTED state of the standing corpus — appended as batches are
+    admitted, never recomputed — so a batch costs
+    O(batch shingles + matched buckets): the batch's band keys hash-join
+    against the corpus band table (bucketed on (band, sig) so the probe
+    is shuffle-free on the corpus side), and nothing corpus-sized moves.
+    MinHash signatures are order/layout-independent, which is what makes
+    the persisted-state form equal to the recompute form row-for-row.
+    """
+    def _banded_kv(df: DataFrame, out_id: str) -> DataFrame:
+        rows_per_band = num_hashes // bands
+        base = minhash_signatures(df, text_col, id_col, n_shingle, num_hashes, seed)
+        band_cols = [
+            F.xxhash64(
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        banded = base.select(id_col, *band_cols)
+        return banded.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("sig"))
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("e"),
+        ).select(out_id, F.col("e.b").alias("b"), F.col("e.sig").alias("sig"))
+
+    kv_new = _banded_kv(new_batch, "new_id")
+    kv_corp = _banded_kv(corpus, "corpus_id")
+    return (
+        kv_new.join(kv_corp, ["b", "sig"])
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )

@@ -26,6 +26,7 @@ from postgre_to_clickhouse_spark.queries import composites  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc5  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc6  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc7  # noqa: E402,F401
+from postgre_to_clickhouse_spark.queries import tierb4  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 
 # The driver checks the FIRST 50 registered queries; this is the curated
@@ -94,6 +95,12 @@ _WINDOW = [
     "multimodal_audio_stats",     # C5 real WAV path (never windowed)
     "multimodal_video_frames",    # C5 video frame path (never windowed)
 ]
+# r6 rotation candidates (registered after the window, all oracle-backed,
+# never driver-checked): dup_span_coverage, ccnet_perplexity_buckets,
+# summap_event_values, approx_topk_tokens, mixture_sample_weights,
+# semantic_decontaminate_eval, weighted_quantile_events,
+# argminmax_events, minhash_incremental_candidates. Evict TPC-H/CDC
+# slots that are double-green after r5 confirms this window.
 
 
 def _reorder() -> None:

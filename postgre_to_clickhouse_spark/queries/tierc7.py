@@ -265,3 +265,19 @@ def semantic_decontaminate_eval(spark, sf_dir):
         F.round("max_eval_cosine", 9).alias("max_eval_cosine_r"),
         "contaminated",
     )
+
+
+@register("minhash_incremental_candidates")  # golden oracle installed by goldens.py
+def minhash_incremental_candidates_q(spark, sf_dir):
+    """Continuous-ingest near-dup: today's batch (doc_id % 5 = 4, the
+    same stand-in `dedup_incremental_batch` uses) LSH-probed against the
+    standing corpus's band table. Seeded xxhash64 family -> exactly
+    reproducible -> committed-golden checkable. See
+    :func:`operators.dedup.minhash_incremental_candidates` for the
+    persisted-band-state production shape."""
+    from postgre_to_clickhouse_spark.operators.dedup import minhash_incremental_candidates
+
+    d = _t(spark, sf_dir, "documents")
+    newb = d.filter(F.col("doc_id") % 5 == 4)
+    corpus = d.filter(F.col("doc_id") % 5 != 4)
+    return minhash_incremental_candidates(newb, corpus)

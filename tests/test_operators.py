@@ -329,3 +329,27 @@ def test_window_funnel_chain_start_enumeration(spark):
     # retention is presence-based (no ordering): user 3's B-before-A
     # still counts for cond1 AND cond2
     assert (ret.n_cond1, ret.n_cond1_and_2, ret.n_cond1_and_3) == (3, 3, 1)
+
+
+# -- incremental MinHash (r5) ----------------------------------------------
+def test_minhash_incremental_finds_cross_side_dup_only(spark):
+    from postgre_to_clickhouse_spark.operators.dedup import (
+        minhash_incremental_candidates,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    batch = spark.createDataFrame(
+        [(100, base), (101, "completely different text about spark shuffles and parquet"),
+         (102, base + " extra")],  # near-dup of 100 but SAME side
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "unrelated corpus document mentioning clickhouse merges")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.new_id, r.corpus_id) for r in minhash_incremental_candidates(batch, corpus).collect()}
+    assert (100, 1) in pairs          # exact dup across sides
+    assert (102, 1) in pairs          # near-dup across sides
+    assert all(c in (1, 2) for _, c in pairs)  # corpus ids only on the right
+    assert (100, 102) not in pairs and (102, 100) not in pairs  # within-batch excluded
+    assert not any(n == 101 for n, _ in pairs)
