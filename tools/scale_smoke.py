@@ -215,6 +215,13 @@ def main() -> None:
         lambda: semantic_decontaminate(vecs, ev).where("max_eval_cosine >= -2"),
     )
 
+    from postgre_to_clickhouse_spark.operators.dedup import minhash_incremental_candidates
+
+    run(
+        "minhash_incremental",
+        lambda: minhash_incremental_candidates(newb, corp),
+    )
+
     print(
         json.dumps(
             {
