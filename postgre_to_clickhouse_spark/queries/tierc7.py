@@ -259,7 +259,7 @@ def semantic_decontaminate_eval(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     ev = e.filter(F.col("vec_id") % 97 == 0).select(F.col("embedding").alias("ev_vec"))
     corpus = e.filter(F.col("vec_id") % 97 != 0)
-    out = semantic_decontaminate(corpus, ev, threshold=0.95)
+    out = semantic_decontaminate(corpus, ev, threshold=0.95, dim=64)
     return out.select(
         "vec_id",
         F.round("max_eval_cosine", 9).alias("max_eval_cosine_r"),

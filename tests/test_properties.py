@@ -292,3 +292,64 @@ def test_bm25_matches_reference(spark, docs):
         if score > 0.0:
             assert i in got
             assert math.isclose(got[i], score, rel_tol=1e-7, abs_tol=1e-7), (i, got[i], score)
+
+
+# -- r5: duplicated-span coverage vs brute force ---------------------------
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=0, max_size=20),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _brute_coverage(docs: list[list[str]], n: int) -> dict[int, tuple[int, int]]:
+    """(dup_grams, covered) per doc by literal enumeration."""
+    grams: dict[tuple, set[int]] = {}
+    for i, toks in enumerate(docs):
+        for p in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[p : p + n]), set()).add(i)
+    out = {}
+    for i, toks in enumerate(docs):
+        hits = [
+            p for p in range(len(toks) - n + 1) if len(grams[tuple(toks[p : p + n])]) >= 2
+        ]
+        covered = set()
+        for p in hits:
+            covered.update(range(p, p + n))
+        out[i] = (len(hits), len(covered))
+    return out
+
+
+@given(docs=corpus_strategy)
+@settings(**_SETTINGS)
+def test_dup_span_coverage_matches_brute_force(spark, docs):
+    from postgre_to_clickhouse_spark.operators.spans import dup_span_coverage
+
+    n = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: (r.dup_grams, r.covered_tokens) for r in dup_span_coverage(df, n=n).collect()}
+    want = _brute_coverage(docs, n)
+    assert got == want
+
+
+# -- r5: heavy-hitter sketch bounds under random truncation ----------------
+@given(
+    items=st.lists(st.sampled_from([f"i{j}" for j in range(12)]), min_size=1, max_size=80),
+    capacity=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_approx_topk_bounds_always_contain_truth(spark, items, capacity):
+    from collections import Counter
+
+    from postgre_to_clickhouse_spark.operators.sketch import approx_topk
+
+    truth = Counter(items)
+    df = spark.createDataFrame([(x,) for x in items], ["item"]).repartition(3, "item")
+    out = approx_topk(df, "item", k=12, capacity=capacity).collect()
+    for r in out:
+        assert r.lb <= truth[r.item] <= r.ub, (r.item, r.lb, truth[r.item], r.ub)
+    # the true max item is never displaced below rank len(out)
+    top_true = max(truth.values())
+    assert any(truth[r.item] == top_true for r in out)

@@ -210,9 +210,14 @@ def main() -> None:
     from postgre_to_clickhouse_spark.operators.similarity import semantic_decontaminate
 
     ev = vecs.filter(F.col("vec_id") % 997 == 0).select(F.col("embedding").alias("ev_vec"))
+    # amplified parquet lands in ~2 files; the broadcast-join probe's
+    # parallelism follows input splits (thousands at real scale), so
+    # present realistic splits rather than timing a 2-core artifact
     run(
         "semantic_decontam",
-        lambda: semantic_decontaminate(vecs, ev).where("max_eval_cosine >= -2"),
+        lambda: semantic_decontaminate(vecs.repartition(64), ev, dim=64).where(
+            "max_eval_cosine >= -2"
+        ),
     )
 
     from postgre_to_clickhouse_spark.operators.dedup import minhash_incremental_candidates
