@@ -52,8 +52,15 @@ class AggregateMV:
         """One mergeable state row per group in ``df``. The sum state is
         an exact DECIMAL so merge order can never perturb the result."""
         v = F.col(self.value_col)
+        # the sum state is pinned to decimal(30, scale): Spark widens
+        # sums per level (18->28->38), and PARQUET encodes <=18-digit
+        # decimals as INT64 but wider ones as FIXED_LEN_BYTE_ARRAY — a
+        # part log mixing raw and compacted parts would mix physical
+        # types and fail the multi-file read. One fixed state type keeps
+        # every part bit-compatible; 30 digits is ~1e28 of headroom.
+        state_t = f"decimal(30,{self.scale})"
         return df.groupBy(*self.keys).agg(
-            F.sum(v.cast(f"decimal(18,{self.scale})")).alias("s_sum"),
+            F.sum(v.cast(f"decimal(18,{self.scale})")).cast(state_t).alias("s_sum"),
             F.count(v).alias("s_cnt"),
             F.min(v).alias("s_min"),
             F.max(v).alias("s_max"),
@@ -61,7 +68,7 @@ class AggregateMV:
 
     def _merge(self, states: DataFrame) -> DataFrame:
         return states.groupBy(*self.keys).agg(
-            F.sum("s_sum").alias("s_sum"),
+            F.sum("s_sum").cast(f"decimal(30,{self.scale})").alias("s_sum"),
             F.sum("s_cnt").alias("s_cnt"),
             F.min("s_min").alias("s_min"),
             F.max("s_max").alias("s_max"),

@@ -90,3 +90,41 @@ def test_compact_preserves_reads_and_survives_cleanup_crash(spark, tmp_path, mon
     # an empty batch commits an empty part and changes nothing
     assert mv.apply_batch(ev.filter("event_id = -1"), 99)
     assert _got(mv, spark) == truth
+
+
+def test_agg_mv_through_streaming_foreachbatch(spark, tmp_path):
+    """A12: the MV folds a real file stream via foreachBatch; a restart
+    on the same checkpoint replays nothing (no new parts), and a fresh
+    checkpoint's redelivery is absorbed by batch-id idempotency only
+    when ids align — here we assert the committed state equals batch."""
+    ev = _events(spark)
+    src = str(tmp_path / "src")
+    ev.coalesce(3).write.json(src)
+    mv = AggregateMV(str(tmp_path / "mv"), keys=("event_type",), value_col="value")
+
+    def start(ckpt):
+        return (
+            spark.readStream.schema("event_id long, event_type string, value double")
+            .json(src)
+            .writeStream.foreachBatch(mv.sink())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start(str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert _got(mv, spark) == _truth(ev)
+    n_parts = len(list((tmp_path / "mv" / "parts").iterdir()))
+
+    # restart on the same checkpoint: nothing replays, no new parts
+    q2 = start(str(tmp_path / "ckpt"))
+    q2.awaitTermination()
+    assert len(list((tmp_path / "mv" / "parts").iterdir())) == n_parts
+    assert _got(mv, spark) == _truth(ev)
+
+    # fresh checkpoint: same source re-delivers the same batch ids ->
+    # apply_batch skips them all, state unchanged (exactly-once)
+    q3 = start(str(tmp_path / "ckpt2"))
+    q3.awaitTermination()
+    assert _got(mv, spark) == _truth(ev)
