@@ -102,6 +102,9 @@ HEADLINE = [
     "weighted_quantile_events",
     "argminmax_events",
     "minhash_incremental_candidates",
+    "dataset_card_summary",
+    "timeseries_gap_fill",
+    "multimodal_audio_dsp",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

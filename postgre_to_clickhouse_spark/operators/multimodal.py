@@ -683,3 +683,40 @@ def audio_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select(id_col, "payload").mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
+AUDIO_DSP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("autocorr_lag1", T.LongType(), False),
+        T.StructField("peak_index", T.IntegerType(), False),
+    ]
+)
+
+
+def audio_dsp_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Classic DSP quality signals off the decoded PCM — zero-crossing
+    count (noisiness), total energy, lag-1 autocorrelation (tonality),
+    and the first peak position. All integer-exact on int64, so the
+    closed-form payload's SQL oracle recomputes them bit-for-bit —
+    feature EXTRACTION parity, not just container decode. Same Arrow
+    shape as ``audio_stats``: payloads stay on executors, one compact
+    feature row per clip returns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_DSP_SCHEMA.fields}
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                pcm, _ = decode_wav(bytes(payload))
+                s = pcm.reshape(-1).astype(np.int64)
+                nonneg = s >= 0
+                out["doc_id"].append(int(i))
+                out["zero_crossings"].append(int((nonneg[:-1] != nonneg[1:]).sum()))
+                out["energy"].append(int((s * s).sum()))
+                out["autocorr_lag1"].append(int((s[:-1] * s[1:]).sum()))
+                out["peak_index"].append(int(np.argmax(np.abs(s))))
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "payload").mapInPandas(run, schema=AUDIO_DSP_SCHEMA)

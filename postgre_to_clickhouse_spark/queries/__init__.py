@@ -99,7 +99,9 @@ _WINDOW = [
 # never driver-checked): dup_span_coverage, ccnet_perplexity_buckets,
 # summap_event_values, approx_topk_tokens, mixture_sample_weights,
 # semantic_decontaminate_eval, weighted_quantile_events,
-# argminmax_events, minhash_incremental_candidates. Evict TPC-H/CDC
+# argminmax_events, minhash_incremental_candidates,
+# dataset_card_summary, timeseries_gap_fill, multimodal_audio_dsp.
+# Evict TPC-H/CDC
 # slots that are double-green after r5 confirms this window.
 
 

@@ -120,3 +120,58 @@ def argminmax_events(spark, sf_dir):
         F.max(F.when(F.col("rmin") == 1, F.col("user_id"))).alias("argmin_user"),
         F.max(F.when(F.col("rmin") == 1, F.col("value"))).alias("min_value"),
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL 1 HOUR)) AS h
+      ) g
+    )
+    SELECT g.event_type, CAST(g.h AS TIMESTAMP) AS hour_ts,
+           CAST(coalesce(hy.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN hourly hy ON g.event_type = hy.event_type AND g.h = hy.h
+    """,
+)
+def timeseries_gap_fill(spark, sf_dir):
+    """ClickHouse ``ORDER BY ... WITH FILL`` parity: a dense hourly
+    series per event type over the table's [min, max] hour range, empty
+    hours filled with zero — dashboards break on sparse series, so the
+    endpoint engine fills the grid. The calendar is a one-row
+    min/max aggregate exploded into a sequence (rows = hours x types,
+    data-independent), cross-joined with the distinct type list and
+    left-joined against the real hourly rollup — the fact table is
+    touched once. At 100 TB partition pruning bounds the scan by the
+    dashboard's time window, and the grid stays tiny regardless."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    grid_hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(grid_hours))
+    return grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        F.col("h").alias("hour_ts"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+    )

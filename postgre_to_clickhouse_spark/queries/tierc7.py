@@ -281,3 +281,90 @@ def minhash_incremental_candidates_q(spark, sf_dir):
     newb = d.filter(F.col("doc_id") % 5 == 4)
     corpus = d.filter(F.col("doc_id") % 5 != 4)
     return minhash_incremental_candidates(newb, corpus)
+
+
+@register(
+    "dataset_card_summary",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks,
+             length(text) AS chars,
+             count(*) OVER (PARTITION BY sha256(text)) > 1 AS is_dup
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(chars AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_chars,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup_docs
+    FROM base GROUP BY source, lang
+    """,
+)
+def dataset_card_summary(spark, sf_dir):
+    """The dataset-card rollup every corpus release ships: per
+    (source, language) document counts, token volume, size profile, and
+    exact-duplicate incidence — the numbers a datasheet/data-statement
+    reports. One digest window + one grouped aggregate; every
+    ingredient is an operator verified elsewhere in the battery, so
+    this is the composition users actually run over the finished table.
+    Scale: the dup flag shuffles digests (32 B), not bodies; the rollup
+    is a partial-aggregable groupBy on a tiny key space."""
+    from postgre_to_clickhouse_spark.queries.registry import davg
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != ""))
+    w = Window.partitionBy(F.sha2(F.col("text"), 256))
+    base = d.select(
+        "source",
+        "lang",
+        toks.alias("toks"),
+        F.length("text").alias("chars"),
+        (F.count(F.lit(1)).over(w) > 1).alias("is_dup"),
+    )
+    return base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        davg("chars").alias("avg_chars"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).cast("bigint").alias("exact_dup_docs"),
+    )
+
+
+@register(
+    "multimodal_audio_dsp",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id, t.i,
+             ((d.doc_id * 13 + t.i * 7) % 65536) - 32768 AS v
+      FROM documents d, range(256) t(i)
+    ),
+    w AS (
+      SELECT doc_id, i, v,
+             lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv,
+             max(abs(v)) OVER (PARTITION BY doc_id) AS pk
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN nv IS NOT NULL AND ((v >= 0) <> (nv >= 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(sum(CASE WHEN nv IS NOT NULL THEN v * nv ELSE 0 END) AS BIGINT)
+             AS autocorr_lag1,
+           CAST(min(CASE WHEN abs(v) = pk THEN i END) AS INTEGER) AS peak_index
+    FROM w GROUP BY doc_id
+    """,
+)
+def multimodal_audio_dsp(spark, sf_dir):
+    """C5 feature-extraction depth: decode the real WAV container, then
+    compute zero crossings / energy / lag-1 autocorrelation / peak
+    position on the PCM — the screening features an audio curation
+    pipeline filters on (silence, clipping, tonality). Integer-exact,
+    so the closed-form oracle checks the MATH, not just the decode."""
+    from postgre_to_clickhouse_spark.operators.multimodal import (
+        audio_dsp_features,
+        audio_from_ids,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    media = audio_from_ids(d, id_col="doc_id", n_samples=256, sample_rate=16000)
+    return audio_dsp_features(media, id_col="doc_id")
