@@ -59,7 +59,12 @@ def _cc_union_find(sym: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for u, v in sym.collect():
+    # Arrow materialization: py4j row conversion of a large edge list is
+    # seconds of driver time; toPandas moves the same longs in one Arrow
+    # batch. Result is order-independent (union by min id -> the root is
+    # the component minimum regardless of edge order).
+    pdf = sym.toPandas()
+    for u, v in zip(pdf.iloc[:, 0].astype(int), pdf.iloc[:, 1].astype(int)):
         if u not in parent:
             parent[u] = u
         if v not in parent:
