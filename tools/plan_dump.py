@@ -1,0 +1,84 @@
+"""Regenerate PLANS.md: physical-plan skeletons for representative
+queries, so the 100 TB posture (pushdown, pruning, broadcasts, partial
+aggregation, no global sorts, no row-Python) is reviewable without
+running anything. `tests/test_plans.py` asserts these properties; this
+file is the human-readable evidence.
+
+    python tools/plan_dump.py
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHOWCASE = [
+    ("q1_pricing_summary", "filter pushed to parquet, pruned schema, two-phase HashAggregate"),
+    ("q5_local_supplier_volume", "small dims broadcast; the only big shuffle is fact-fact"),
+    ("topk_orders_by_price", "TakeOrderedAndProject — per-partition heaps, no global sort"),
+    ("minhash_near_dup_candidates", "single corpus scan; only (id, gram/band) rows shuffle"),
+    ("vector_ivf_topk", "centroids folded into the plan as literals — assignment is a map pass"),
+    ("bm25_topk", "query terms broadcast; corpus postings shuffled once"),
+    ("vector_int8_topk", "salted two-phase top-k — no Window, no hot partition"),
+    ("dup_span_coverage", "gram hash joins + per-doc window; no nested-loop anywhere"),
+    ("approx_topk_tokens", "bounded P x capacity merge ends in TakeOrderedAndProject"),
+    ("decontaminate_eval_overlap", "eval grams broadcast; corpus exchanges once"),
+    ("semdedup_prune", "two Arrow stages, zero joins"),
+    ("funnel_strict_modes", "one groupBy + JVM fold — no joins, no windows"),
+]
+
+STRIP = re.compile(r"#\d+L?|\[plan_id=\d+\]")
+
+
+def skeleton(df) -> str:
+    """Compact physical tree + the scan details that matter."""
+    qe = df._jdf.queryExecution()
+    jvm = df._sc._jvm
+    simple = jvm.PythonSQLUtils.explainString(qe, "simple")
+    formatted = jvm.PythonSQLUtils.explainString(qe, "formatted")
+    tree = [
+        STRIP.sub("", ln).rstrip()
+        for ln in simple.splitlines()
+        if ln.strip() and "== Physical Plan ==" not in ln
+    ]
+    details = [
+        ln.strip()[:160]
+        for ln in formatted.splitlines()
+        if ("PushedFilters" in ln or "ReadSchema" in ln) and "[]" not in ln
+    ]
+    return "\n".join(tree[:40] + (["..."] if len(tree) > 40 else []) + details)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from postgre_to_clickhouse_spark.queries import QUERIES
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    sf = "/root/testdata/sf0.001"
+    out = [
+        "# PLANS — physical-plan evidence for the 100 TB posture",
+        "",
+        "Regenerate with `python tools/plan_dump.py` (plans at sf0.001;",
+        "shapes are SF-independent, AQE may re-plan sizes at runtime).",
+        "Structural properties are ASSERTED in `tests/test_plans.py`;",
+        "this file is the reviewable rendering.",
+        "",
+    ]
+    for name, why in SHOWCASE:
+        df = QUERIES[name](spark, sf)
+        out += [f"## {name}", "", f"_{why}_", "", "```", skeleton(df), "```", ""]
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("PLANS.md written")
+
+
+if __name__ == "__main__":
+    main()
