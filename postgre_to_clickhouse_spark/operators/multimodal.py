@@ -358,13 +358,23 @@ def _feature_vector(arr: np.ndarray) -> np.ndarray:
     return np.asarray(feats[:FEATURE_DIM], dtype=np.float32)
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, on_error: str = "fail") -> DataFrame:
     """media table → per-item feature vectors, Arrow-batched mapInPandas.
 
     Selects only (media_id, modality, payload) before the Python stage —
     metadata stays JVM-side — and emits a compact feature row, so the
     expensive binary column crosses the Arrow boundary exactly once.
+
+    ``on_error="null"`` turns per-row decode failures (truncated blobs,
+    lying magic bytes) into null feature/size cells instead of task
+    failures — at 100 TB a handful of corrupt payloads is a certainty,
+    and one bad blob must not kill a stage; filter ``feature IS NULL``
+    afterwards to quarantine (same split-and-replay posture as
+    ``sources/quarantine.py``). Default stays "fail": loud is right in
+    tests and golden paths.
     """
+    if on_error not in ("fail", "null"):
+        raise ValueError(f"on_error must be 'fail' or 'null', got {on_error!r}")
     cols = ["media_id", "modality", "payload"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -376,7 +386,16 @@ def extract_features(media: DataFrame) -> DataFrame:
                     sizes.append(None)
                     continue
                 raw = bytes(payload)
-                arr = _decode_audio(raw) if modality == "audio" else _decode_image(raw)
+                try:
+                    arr = _decode_audio(raw) if modality == "audio" else _decode_image(raw)
+                except NotImplementedError:
+                    raise  # missing codec is a config error, never quarantined
+                except Exception:
+                    if on_error == "fail":
+                        raise
+                    feats.append(None)
+                    sizes.append(None)
+                    continue
                 feats.append(_feature_vector(arr).tolist())
                 sizes.append(len(raw))
             yield pd.DataFrame(

@@ -208,3 +208,26 @@ def test_media_from_ids_mix_dispatch(spark):
         expect = sum((i * 7 + j) % 256 for j in range(192))
         assert stats[i].pixel_sum == expect, i
         assert stats[i].corner_tl == (i * 7) % 256
+
+
+def test_extract_features_quarantines_corrupt_payloads(spark):
+    """on_error='null': truncated/garbage blobs yield null cells, valid
+    rows in the SAME batch still decode; default mode stays loud."""
+    import numpy as np
+    import pytest as _pytest
+
+    good = M.encode_bmp(np.full((4, 4, 3), 7, dtype=np.uint8))
+    rows = [
+        (1, "image", bytearray(good)),
+        (2, "image", bytearray(good[:10])),          # truncated BMP header
+        (3, "image", bytearray(b"P6 garbage not a ppm")),  # lying magic
+        (4, "image", None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, modality string, payload binary")
+    out = {r.media_id: r for r in M.extract_features(media, on_error="null").collect()}
+    assert out[1].feature is not None and out[1].payload_bytes == len(good)
+    assert out[2].feature is None and out[2].payload_bytes is None
+    assert out[3].feature is None
+    assert out[4].feature is None
+    with _pytest.raises(Exception):
+        M.extract_features(media).collect()  # default: loud
