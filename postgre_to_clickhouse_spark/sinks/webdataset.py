@@ -40,19 +40,28 @@ def write_webdataset_shards(
     df: DataFrame,
     path: str,
     id_col: str = "doc_id",
-    text_col: str = "text",
+    text_col: str | None = "text",
     meta_cols: tuple[str, ...] = ("lang", "source"),
+    binary_col: str | None = None,
+    binary_ext: str = ".bin",
     shards: int = 8,
     seed: str = "wds-v1",
 ) -> dict:
     """Write ``df`` as WebDataset tar shards + ``_wds.json`` manifest.
 
+    ``text_col`` -> a ``{key}.txt`` member; ``binary_col`` (e.g. an
+    encoded image payload) -> a ``{key}{binary_ext}`` member — the
+    canonical multimodal shard is exactly (``{key}.png``/``.jpg`` +
+    ``{key}.json``). Either may be omitted; metadata always ships.
+
     Returns the manifest dict: one entry per shard with file name,
     sample count, and sha256 of the tar bytes. Re-running on the same
     data produces byte-identical shards (asserted in tests)."""
+    if text_col is None and binary_col is None:
+        raise ValueError("at least one of text_col/binary_col is required")
     os.makedirs(path, exist_ok=True)
     u = split_hash(id_col, seed).alias("__u")
-    cols = [id_col, text_col, *meta_cols]
+    cols = [id_col, *([text_col] if text_col else []), *([binary_col] if binary_col else []), *meta_cols]
     ordered = (
         df.select(*cols)
         .withColumn("__u", u)
@@ -73,7 +82,11 @@ def write_webdataset_shards(
                 for row in pdf.itertuples(index=False):
                     rec = dict(zip(pdf.columns, row))
                     key = f"{int(rec[id_col]):012d}"
-                    payload = str(rec[text_col]).encode("utf-8")
+                    members = []
+                    if text_col:
+                        members.append((".txt", str(rec[text_col]).encode("utf-8")))
+                    if binary_col:
+                        members.append((binary_ext, bytes(rec[binary_col])))
                     meta = json.dumps(
                         # .item() unwraps numpy scalars pandas hands back
                         {
@@ -82,7 +95,7 @@ def write_webdataset_shards(
                         },
                         sort_keys=True,
                     ).encode("utf-8")
-                    for ext, body in ((".txt", payload), (".json", meta)):
+                    for ext, body in (*members, (".json", meta)):
                         ti = tarfile.TarInfo(name=key + ext)
                         ti.size = len(body)
                         ti.mtime = 0  # zeroed metadata -> reproducible bytes

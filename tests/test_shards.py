@@ -91,3 +91,35 @@ def test_webdataset_roundtrip_and_byte_determinism(spark, tmp_path):
     )
     assert [e["sha256"] for e in m1["shards"]] == [e["sha256"] for e in m2["shards"]]
     assert [e["samples"] for e in m1["shards"]] == [e["samples"] for e in m2["shards"]]
+
+
+def test_webdataset_multimodal_binary_members(spark, tmp_path):
+    import hashlib
+    import tarfile
+
+    import numpy as np
+
+    from postgre_to_clickhouse_spark.operators import multimodal as M
+    from postgre_to_clickhouse_spark.sinks.webdataset import write_webdataset_shards
+
+    rows = [
+        (i, bytearray(M.encode_bmp(np.full((4, 4, 3), i % 256, dtype=np.uint8))), "img")
+        for i in range(20)
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary, source string")
+    m = write_webdataset_shards(
+        media, str(tmp_path / "wds"), text_col=None, meta_cols=("source",),
+        binary_col="payload", binary_ext=".bmp", shards=2,
+    )
+    assert m["total_samples"] == 20
+    # tar members round-trip the exact encoded bytes, grouped by key
+    seen = 0
+    for e in m["shards"]:
+        with tarfile.open(str(tmp_path / "wds" / e["shard"])) as tar:
+            for mem in tar.getmembers():
+                if mem.name.endswith(".bmp"):
+                    body = tar.extractfile(mem).read()
+                    i = int(mem.name.split(".")[0])
+                    assert body == bytes(rows[i][1])
+                    seen += 1
+    assert seen == 20
