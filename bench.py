@@ -105,6 +105,7 @@ HEADLINE = [
     "dataset_card_summary",
     "timeseries_gap_fill",
     "multimodal_audio_dsp",
+    "uniq_merge_rollup",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

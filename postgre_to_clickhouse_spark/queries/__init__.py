@@ -100,7 +100,8 @@ _WINDOW = [
 # summap_event_values, approx_topk_tokens, mixture_sample_weights,
 # semantic_decontaminate_eval, weighted_quantile_events,
 # argminmax_events, minhash_incremental_candidates,
-# dataset_card_summary, timeseries_gap_fill, multimodal_audio_dsp.
+# dataset_card_summary, timeseries_gap_fill, multimodal_audio_dsp,
+# uniq_merge_rollup.
 # Evict TPC-H/CDC
 # slots that are double-green after r5 confirms this window.
 

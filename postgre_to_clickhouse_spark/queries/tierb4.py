@@ -175,3 +175,40 @@ def timeseries_gap_fill(spark, sf_dir):
         F.col("h").alias("hour_ts"),
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "uniq_merge_rollup",
+    oracle="""
+    SELECT event_type AS scope,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__all__' AS scope, CAST(count(DISTINCT user_id) AS BIGINT)
+    FROM events
+    """,
+)
+def uniq_merge_rollup(spark, sf_dir):
+    """ClickHouse ``uniqState``/``uniqMerge`` (AggregatingMergeTree)
+    parity on Spark's Datasketches HLL: per-type sketches built ONCE,
+    and the corpus-wide distinct computed by MERGING those states —
+    never rescanning the fact table. That is the materialized-view
+    pattern the endpoint engine runs: store uniqState per partition
+    key, uniqMerge at query time for any rollup.
+
+    Sketch updates are commutative/idempotent (per-register max), so
+    the result is layout-independent; at the fixtures' cardinality the
+    Datasketches HLL sits in its exact sparse regime, making the full
+    SQL oracle an equality check (the approximate regime's 3%% bound
+    and merge==whole determinism are pytest-gated at 100k ids)."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    per = sk.select(
+        F.col("event_type").alias("scope"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("uniq_users"),
+    )
+    total = sk.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("__all__").alias("scope"),
+        F.hll_sketch_estimate("u").cast("bigint").alias("uniq_users"),
+    )
+    return per.unionByName(total)

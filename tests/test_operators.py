@@ -353,3 +353,20 @@ def test_minhash_incremental_finds_cross_side_dup_only(spark):
     assert all(c in (1, 2) for _, c in pairs)  # corpus ids only on the right
     assert (100, 102) not in pairs and (102, 100) not in pairs  # within-batch excluded
     assert not any(n == 101 for n, _ in pairs)
+
+
+# -- HLL uniqState/uniqMerge (r5) ------------------------------------------
+def test_hll_union_of_parts_equals_sketch_of_whole(spark):
+    """Mergeability determinism: uniqMerge over per-part states gives
+    the SAME estimate as one sketch over the whole — the property the
+    AggregatingMergeTree pattern rests on — and the approximate regime
+    stays within 3% of truth at 100k distinct ids."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(300_000).select((F.col("id") % 100_000).alias("v"),
+                                     (F.col("id") % 7).alias("part"))
+    parts = df.groupBy("part").agg(F.hll_sketch_agg("v").alias("sk"))
+    merged = parts.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")).collect()[0].e
+    whole = df.agg(F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("e")).collect()[0].e
+    assert merged == whole  # state merge is exact, not approximate-on-approximate
+    assert abs(merged - 100_000) / 100_000 < 0.03
