@@ -106,6 +106,7 @@ HEADLINE = [
     "timeseries_gap_fill",
     "multimodal_audio_dsp",
     "uniq_merge_rollup",
+    "approx_topk_weighted_tokens",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

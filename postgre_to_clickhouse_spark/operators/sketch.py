@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 
 
 def partition_summaries(
-    items: DataFrame, item_col: str = "item", capacity: int = 4096
+    items: DataFrame,
+    item_col: str = "item",
+    capacity: int = 4096,
+    weight_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(kept, bounds): per-partition capped counts and error terms.
 
@@ -41,11 +44,16 @@ def partition_summaries(
     each partition with their exact in-partition counts.
     ``bounds`` — (pid, d): the largest dropped count per partition;
     partitions that dropped nothing produce no row (d treated as 0).
+    ``weight_col`` switches the mass from row counts to an integer
+    weight sum — ClickHouse ``topKWeighted``; every bound argument
+    holds verbatim with "count" read as "weight mass".
     """
-    part = items.select(F.col(item_col).alias("item")).withColumn(
-        "pid", F.spark_partition_id()
+    sel = [F.col(item_col).alias("item")] + (
+        [F.col(weight_col).alias("__w")] if weight_col else []
     )
-    counts = part.groupBy("pid", "item").agg(F.count(F.lit(1)).alias("c"))
+    part = items.select(*sel).withColumn("pid", F.spark_partition_id())
+    mass = F.sum("__w") if weight_col else F.count(F.lit(1))
+    counts = part.groupBy("pid", "item").agg(mass.cast("long").alias("c"))
     w = Window.partitionBy("pid").orderBy(F.col("c").desc(), F.col("item").asc())
     ranked = counts.withColumn("__r", F.row_number().over(w))
     kept = ranked.filter(F.col("__r") <= capacity).drop("__r")
@@ -62,6 +70,7 @@ def approx_topk(
     item_col: str = "item",
     k: int = 10,
     capacity: int = 4096,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Top-k items by frequency with SpaceSaving-style bounds.
 
@@ -72,7 +81,7 @@ def approx_topk(
     TakeOrderedAndProject (per-partition heaps + k-row driver merge),
     and the rank window runs over k rows — nothing global ever sorts.
     """
-    kept, bounds = partition_summaries(items, item_col, capacity)
+    kept, bounds = partition_summaries(items, item_col, capacity, weight_col)
     total_d = bounds.agg(F.coalesce(F.sum("d"), F.lit(0)).alias("__D"))
     merged = (
         kept.join(bounds, "pid", "left")

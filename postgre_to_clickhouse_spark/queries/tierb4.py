@@ -212,3 +212,39 @@ def uniq_merge_rollup(spark, sf_dir):
         F.hll_sketch_estimate("u").cast("bigint").alias("uniq_users"),
     )
     return per.unionByName(total)
+
+
+@register(
+    "approx_topk_weighted_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS tok,
+             d.doc_id % 7 + 1 AS wt
+      FROM documents d
+    ),
+    c AS (SELECT tok, CAST(sum(wt) AS BIGINT) AS mass FROM toks GROUP BY tok),
+    r AS (
+      SELECT CAST(row_number() OVER (ORDER BY mass DESC, tok) AS BIGINT) AS rank,
+             tok, mass
+      FROM c
+    )
+    SELECT rank, tok, mass AS mass_lb, mass AS mass_ub FROM r WHERE rank <= 15
+    """,
+)
+def approx_topk_weighted_tokens(spark, sf_dir):
+    """ClickHouse ``topKWeighted`` parity: heaviest tokens by a per-row
+    integer weight (doc_id-derived here; bytes/tokens/importance in a
+    real pipeline) through the same bounded-communication summary merge
+    as ``approx_topk_tokens`` — mass instead of count, identical
+    [lb, ub] guarantee structure, exact regime for the SQL oracle."""
+    from postgre_to_clickhouse_spark.operators.sketch import approx_topk, tokens_of
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(tokens_of(d).alias("item"), (F.col("doc_id") % 7 + 1).alias("wt"))
+    out = approx_topk(toks, "item", k=15, capacity=4096, weight_col="wt")
+    return out.select(
+        "rank",
+        F.col("item").alias("tok"),
+        F.col("lb").alias("mass_lb"),
+        F.col("ub").alias("mass_ub"),
+    )
