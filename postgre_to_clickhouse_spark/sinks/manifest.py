@@ -81,15 +81,33 @@ class ManifestTable:
             return json.load(f)
 
     def _commit(self, files: list[dict], note: str) -> int:
-        """Write manifest v{N+1}, then atomically flip the pointer."""
+        """Write manifest v{N+1}, then atomically flip the pointer.
+
+        The manifest file is claimed with O_EXCL, skipping slots left by
+        crashed committers (a v{N+1} written but never flipped) — replay
+        after a crash claims the next free slot instead of overwriting
+        evidence, and two simultaneous writers can never write the SAME
+        manifest file. The pointer flip remains the single commit
+        point; it is last-writer-wins, so the concurrency contract is
+        one committer at a time (the streaming foreachBatch driver) —
+        true multi-writer needs compare-and-swap on the pointer, which
+        object stores provide as put-if-absent/ETag and POSIX rename
+        does not.
+        """
         v = self.current_version() + 1
+        while True:
+            try:
+                fd = os.open(self._manifest_path(v), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                v += 1  # crashed or concurrent claim — take the next slot
         manifest = {
             "version": v,
             "committed_at": time.time(),
             "note": note,
             "files": sorted(files, key=lambda f: f["name"]),
         }
-        with open(self._manifest_path(v), "w") as f:
+        with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
         tmp = os.path.join(self.path, f"{_LATEST}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:

@@ -85,8 +85,10 @@ def test_crash_before_pointer_flip_preserves_snapshot(spark, tmp_path):
     assert t.current_version() == v_before
     assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST
 
-    # replay commits OVER the crashed version; vacuum removes its leavings
+    # replay claims the NEXT free version (O_EXCL skips the crashed
+    # claim rather than overwriting evidence); vacuum removes leavings
     sink(_full(spark), 1)
+    assert t.current_version() == v_before + 2
     assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST
     removed = t.vacuum(keep_versions=1)
     assert {o["name"] for o in orphans} <= set(removed) | files_before
