@@ -107,6 +107,7 @@ HEADLINE = [
     "multimodal_audio_dsp",
     "uniq_merge_rollup",
     "approx_topk_weighted_tokens",
+    "interleave_datasets_order",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

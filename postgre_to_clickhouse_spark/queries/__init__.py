@@ -101,7 +101,7 @@ _WINDOW = [
 # semantic_decontaminate_eval, weighted_quantile_events,
 # argminmax_events, minhash_incremental_candidates,
 # dataset_card_summary, timeseries_gap_fill, multimodal_audio_dsp,
-# uniq_merge_rollup, approx_topk_weighted_tokens.
+# uniq_merge_rollup, approx_topk_weighted_tokens, interleave_datasets_order.
 # Evict TPC-H/CDC
 # slots that are double-green after r5 confirms this window.
 

@@ -368,3 +368,57 @@ def multimodal_audio_dsp(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
     media = audio_from_ids(d, id_col="doc_id", n_samples=256, sample_rate=16000)
     return audio_dsp_features(media, id_col="doc_id")
+
+
+@register(
+    "interleave_datasets_order",
+    oracle="""
+    WITH w AS (SELECT * FROM (VALUES
+      ('de', CAST(0.15 AS DOUBLE)), ('en', CAST(0.30 AS DOUBLE)),
+      ('es', CAST(0.20 AS DOUBLE)), ('fr', CAST(0.10 AS DOUBLE)),
+      ('zh', CAST(0.25 AS DOUBLE))) AS t(lang, w)),
+    r AS (
+      SELECT d.doc_id, d.lang,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY md5('il1:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rn
+      FROM documents d
+    ),
+    k AS (
+      SELECT r.doc_id, r.lang, CAST(r.rn AS DOUBLE) / w.w AS key
+      FROM r JOIN w USING (lang)
+    )
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT) AS interleave_pos
+    FROM k
+    """,
+)
+def interleave_datasets_order(spark, sf_dir):
+    """Deterministic multi-source interleaving — the
+    ``interleave_datasets`` primitive every training loader exposes:
+    each language's rows stream in content-addressed order, and the
+    streams merge by stride scheduling (the i-th row of source s sorts
+    at i / w_s), so any prefix of the epoch holds each source in
+    ~target proportion — the property that keeps per-batch mixtures on
+    target instead of exhausting one source first. Fully content-
+    addressed like the split/shuffle family: the same epoch order on
+    any engine, cluster, or rerun. The global rank window matches
+    `shuffle_training_order`'s fixture-scale form; at 100 TB emit the
+    (key, doc_id) sort key itself and let the shard writer range-
+    partition it (`sinks/shards.py`)."""
+    d = _t(spark, sf_dir, "documents")
+    weights = {"en": 0.30, "zh": 0.25, "es": 0.20, "de": 0.15, "fr": 0.10}
+    wdf = F.broadcast(
+        spark.createDataFrame([(k, float(v)) for k, v in sorted(weights.items())], ["lang", "__w"])
+    )
+    h = F.md5(F.concat(F.lit("il1:"), F.col("doc_id").cast("string")))
+    per = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    r = d.select("doc_id", "lang", F.row_number().over(per).alias("__rn"))
+    k = r.join(wdf, "lang").select(
+        "doc_id", "lang", (F.col("__rn").cast("double") / F.col("__w")).alias("__key")
+    )
+    out = Window.orderBy("__key", "doc_id")
+    return k.select(
+        "doc_id", "lang", F.row_number().over(out).cast("bigint").alias("interleave_pos")
+    )

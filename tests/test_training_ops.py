@@ -402,3 +402,29 @@ def test_semantic_decontaminate_flags_planted_dup(spark):
     flagged = {r.vec_id for r in out.filter("contaminated").collect()}
     assert {1, 2, 3} <= flagged  # identical vectors: cosine == 1
     assert out.count() == vecs.count()  # audit frame keeps every row
+
+
+def test_interleave_prefixes_track_target_mixture(spark):
+    """Stride scheduling: every reasonable epoch prefix holds each
+    language in ~target proportion (the property exhaust-one-source
+    interleaving lacks), and each language's internal order is the
+    content-addressed hash order (monotone positions)."""
+    from postgre_to_clickhouse_spark.queries.registry import QUERIES
+
+    out = QUERIES["interleave_datasets_order"](spark, "/root/testdata/sf0.01").collect()
+    rows = sorted(out, key=lambda r: r.interleave_pos)
+    w = {"en": 0.30, "zh": 0.25, "es": 0.20, "de": 0.15, "fr": 0.10}
+    # binding source caps the usable epoch; prefixes up to ~50% of it
+    for frac in (0.2, 0.5):
+        n = int(len(rows) * frac)
+        prefix = rows[:n]
+        for lang, ws in w.items():
+            got = sum(1 for r in prefix if r.lang == lang) / n
+            assert abs(got - ws) < 0.07, (frac, lang, got, ws)
+    # per-language positions strictly increase in hash order
+    import hashlib
+
+    for lang in w:
+        seq = [r.doc_id for r in rows if r.lang == lang]
+        keyed = sorted(seq, key=lambda i: (hashlib.md5(f"il1:{i}".encode()).hexdigest(), i))
+        assert seq == keyed
