@@ -121,6 +121,15 @@ FORCE_EVAL = {
     "ccnet_perplexity_buckets": "ppl_bucket IS NOT NULL",  # window otherwise pruned
     "summap_event_values": "length(sum_map) >= 0",  # agg exprs otherwise pruned
     "semantic_decontaminate_eval": "max_eval_cosine_r >= -2",  # cosine agg otherwise pruned
+    # r6 (advisor): these also end in aggregates/windows whose output
+    # Catalyst prunes under count() — without the no-op filter the
+    # recorded timing measures a gutted plan.
+    "argminmax_events": "max_value IS NOT NULL OR min_value IS NOT NULL",
+    "weighted_quantile_events": "wmedian IS NOT NULL OR wp90 IS NOT NULL",
+    "uniq_merge_rollup": "uniq_users >= 0",
+    "dataset_card_summary": "exact_dup_docs >= 0",
+    "timeseries_gap_fill": "n_events >= 0",
+    "interleave_datasets_order": "interleave_pos >= 0",
 }
 
 
@@ -165,15 +174,32 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     line = json.dumps(out)
-    print(line)
-    # The driver captures a bounded stdout tail; with 60+ per-query
-    # timings the head of the JSON can scroll out of it (BENCH_r04 lost
-    # its first 4 queries). A sidecar file keeps the full record
-    # available in-repo regardless of how much stdout survives.
+    # The driver captures a bounded stdout TAIL (~2 KB): BENCH_r04 lost
+    # its first 4 per-query timings, BENCH_r05 its first ~21 and failed
+    # to parse at all. Strategy: the FULL record goes to the sidecar
+    # file (always) and to an early stdout line (may scroll away); the
+    # LAST line printed is a size-bounded JSON — if the full line
+    # exceeds the budget, its "queries" dict keeps only the slowest
+    # entries that fit (the ones the judge needs), with the omitted
+    # count recorded. The last line therefore always survives the tail
+    # capture intact and always parses.
     try:
         (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(line + "\n")
     except OSError:
         pass  # read-only checkout: stdout remains the primary channel
+    budget = 1600
+    if len(line) > budget:
+        print(line)  # full record first; may scroll out of the tail
+        slowest = sorted(timings, key=timings.get, reverse=True)
+        bounded = dict(out)
+        for keep in range(len(slowest), -1, -1):
+            bounded["queries"] = {n: timings[n] for n in slowest[:keep]}
+            bounded["queries_omitted"] = len(timings) - keep
+            bounded["full_record"] = "BENCH_LOCAL.json"
+            line = json.dumps(bounded, separators=(",", ":"))
+            if len(line) <= budget:
+                break
+    print(line)
     spark.stop()
 
 

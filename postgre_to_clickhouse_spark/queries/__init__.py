@@ -30,80 +30,68 @@ from postgre_to_clickhouse_spark.queries import tierb4  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 
 # The driver checks the FIRST 50 registered queries; this is the curated
-# window. r5 rotation (VERDICT r4 #1): the 22 TPC-H shapes are green in
-# BOTH r1/r2-era and r4 windows, so all but three representatives
-# rotate out to seat the 27 queries that had never had a driver-green
-# CORRECTNESS row, plus the two new r5 operators. Queries whose
-# semantics changed in r5 (funnel default mode, PNG-mix image stats,
-# BM25 precision, int8 top-k shape) stay/enter the window so the change
-# itself gets re-verified by the driver. Everything rotated out remains
-# registered and oracle-gated in pytest.
+# window. r6 rotation (VERDICT r5 #1): seat the 15 queries that have
+# never had a driver CORRECTNESS row (all r5 additions), every query
+# whose semantics change in r6 (JPEG-mix image stats, optimized
+# embedding near-dup), the new r6 queries, and backfill the remaining
+# slots with the r1-era singles whose only green row is now five rounds
+# old (drift re-verification). Everything rotated out is double-green
+# or r5-green and remains registered + oracle-gated in pytest.
 _WINDOW = [
-    # Tier A — CDC spine (A11–A21)
-    "cdc_full_scan",
-    "cdc_mv_transform",
-    "cdc_dedup_redelivery",
-    "cdc_latest_state",
-    "cdc_users_pipeline",         # A11-A20 composed end-to-end (never windowed)
-    # Tier B — TPC-H representatives (full suite green r1+r4; rest rotated out)
-    "q1_pricing_summary",         # B1/B2/B7 scan+filter+agg
-    "q4_order_priority",          # B4 semi join
-    "q9_product_profit",          # B3 multi-join profit
-    # Tier B — one per remaining family
-    "band_join_acctbal",          # B5 theta/range
-    "asof_events_last_order",     # B6 as-of
-    "percentiles_quantity",       # B8 quantiles
-    "grouping_sets_sql",          # B9 + A22 SQL surface
-    "window_rank_family",         # B10
-    "setop_nation_presence",      # B12
-    "scalar_funcs_composite",     # B13+B14+B15+conditional+try_cast
-    "safe_cast_funcs",            # B13 try_cast family (never windowed)
-    "json_typed_extraction",      # B16
-    "array_manipulation",         # B17
-    "session_window_native",      # B18 native session windows
-    "pandas_udf_zscore",          # B19 Arrow path (golden)
-    "skew_salted_agg_events",     # B7 skew salting (never windowed)
-    # ClickHouse endpoint analytics (r4/r5 operators)
-    "funnel_view_click_purchase",  # B21 windowFunnel default (r5: >= semantics)
-    "funnel_strict_modes",        # B21 strict_increase/dedup/order (new r5)
-    "sequence_match_view_purchase",  # B21 sequenceMatch 2-step (never windowed)
-    "sequence_match_3step",       # B21 guarded 3-step DP (new r5)
-    "retention_view_cohorts",     # B21 retention (never windowed)
-    "histogram_event_values",     # B21 histogram (never windowed)
-    # Tier C — training-data pipeline (never-windowed set + changed-in-r5)
-    "bm25_topk",                  # C11 lexical retrieval (r5: precision 28)
-    "vector_int8_topk",           # C3 quantized top-k (r5: salted two-phase)
-    "embedding_quantize_int8",    # C3 int8 quantization
-    "embedding_random_projection",  # C3 JL projection
-    "embedding_near_dup_pairs",   # C2 embedding-cosine near-dup
-    "dedup_incremental_batch",    # C1 incremental digest anti-join
-    "dedup_pipeline_canonical",   # C2 LSH→verify→CC→survivor (golden)
-    "decontaminate_eval_overlap",  # C4 eval-set decontamination
-    "lm_unigram_nll",             # C4 unigram-LM scoring
-    "quality_filter_documents",   # C4 quality scoring
-    "text_clean_documents",       # C4 cleaning
-    "text_repetition_stats",      # C4 repetition stats
-    "vocabulary_top_terms",       # C4 vocabulary
-    "document_chunks",            # C4 chunking
-    "shuffle_training_order",     # C6 deterministic epoch shuffle
-    "split_train_val_test",       # C6 content-addressed splits
-    "stratified_sample_documents",  # C6 stratified sampling
-    "cap_per_source_skewsafe",    # C6 per-source cap
-    "mix_rebalance_lang",         # C6 mixture rebalancing
-    "token_budget_per_lang",      # C6 token-budget sampling
-    "multimodal_image_stats",     # C5 real codec path (r5: BMP+PNG mix)
-    "multimodal_audio_stats",     # C5 real WAV path (never windowed)
-    "multimodal_video_frames",    # C5 video frame path (never windowed)
+    # --- The 15 never-driver-checked r5 queries (VERDICT r5 #1) ---
+    "dup_span_coverage",          # C2 ExactSubstr-style span coverage
+    "ccnet_perplexity_buckets",   # C4 CCNet head/middle/tail tiers
+    "summap_event_values",        # B20 sumMap analog
+    "approx_topk_tokens",         # C8 SpaceSaving heavy hitters
+    "approx_topk_weighted_tokens",  # C8 weighted heavy hitters
+    "mixture_sample_weights",     # C6 mixture weights
+    "semantic_decontaminate_eval",  # C4 embedding decontamination
+    "weighted_quantile_events",   # B20 weighted quantiles
+    "argminmax_events",           # B20 argMax/argMin
+    "minhash_incremental_candidates",  # C2 incremental LSH probe
+    "dataset_card_summary",       # C6 dataset cards
+    "timeseries_gap_fill",        # B20 gap fill / WITH FILL
+    "multimodal_audio_dsp",       # C5 audio DSP features
+    "uniq_merge_rollup",          # B20 uniqState/uniqMerge HLL rollup
+    "interleave_datasets_order",  # C6 stride-scheduled interleaving
+    # --- Changed-in-r6 semantics: re-verify ---
+    "multimodal_image_stats",     # C5 codec path (r6: BMP+PNG+JPEG mix)
+    "embedding_near_dup_pairs",   # C2 (r6: pair-generation optimization)
+    # --- r1-era singles: only green row is five rounds old ---
+    "join_semi_customers_with_open_orders",   # B4
+    "join_anti_customers_without_pending",    # B4
+    "join_outer_order_counts",    # B3 left outer
+    "join_full_outer_nation_activity",  # B3 full outer
+    "join_range_acctbal_bands",   # B5
+    "agg_events_stats",           # B7
+    "stats_aggregates",           # B7 stddev/skew/corr family
+    "rollup_revenue_region_nation",  # B9
+    "cube_lineitem_flags",        # B9
+    "window_top3_orders_per_customer",  # B10
+    "window_user_running_totals",  # B10
+    "window_hourly_event_counts",  # B18 batch windows
+    "window_range_frame",         # B10 RANGE frame
+    "topk_orders_by_price",       # B11
+    "string_funcs_part",          # B13
+    "string_funcs_extended",      # B13
+    "date_funcs_orders",          # B14
+    "math_funcs_lineitem",        # B15
+    "conditional_funcs",          # B13 conditionals
+    "json_events_extract",        # B16
+    "array_embedding_stats",      # B17
+    "exists_subquery_sql",        # B4 EXISTS SQL surface
+    "scalar_subquery_sql",        # B7 scalar subquery
+    "correlated_scalar_subquery",  # B7 correlated
+    "pivot_qty_by_status",        # B20 pivot
+    "unpivot_balances",           # B20 unpivot
+    "text_lang_id",               # C4 language ID
+    "text_fingerprints",          # C4 rolling-hash fingerprints
+    "text_quality_stats",         # C4
+    "ngram_jaccard_same_source",  # C2 n-gram Jaccard
 ]
-# r6 rotation candidates (registered after the window, all oracle-backed,
-# never driver-checked): dup_span_coverage, ccnet_perplexity_buckets,
-# summap_event_values, approx_topk_tokens, mixture_sample_weights,
-# semantic_decontaminate_eval, weighted_quantile_events,
-# argminmax_events, minhash_incremental_candidates,
-# dataset_card_summary, timeseries_gap_fill, multimodal_audio_dsp,
-# uniq_merge_rollup, approx_topk_weighted_tokens, interleave_datasets_order.
-# Evict TPC-H/CDC
-# slots that are double-green after r5 confirms this window.
+# r6 additions (agg-MV compaction read, partsupp spec-true TPC-H
+# variants) are inserted into this window by the sections below as they
+# land, evicting r1-era backfills from the tail.
 
 
 def _reorder() -> None:

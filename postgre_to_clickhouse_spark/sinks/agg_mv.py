@@ -59,8 +59,12 @@ class AggregateMV:
         # types and fail the multi-file read. One fixed state type keeps
         # every part bit-compatible; 30 digits is ~1e28 of headroom.
         state_t = f"decimal(30,{self.scale})"
+        # values cast straight to the 30-digit state type: a narrower
+        # per-value cast (18 digits) would turn any input over ~1e16
+        # into NULL with ANSI off — silently excluded from the sum while
+        # still counted, corrupting sum and avg with no error.
         return df.groupBy(*self.keys).agg(
-            F.sum(v.cast(f"decimal(18,{self.scale})")).cast(state_t).alias("s_sum"),
+            F.sum(v.cast(state_t)).cast(state_t).alias("s_sum"),
             F.count(v).alias("s_cnt"),
             F.min(v).alias("s_min"),
             F.max(v).alias("s_max"),

@@ -310,7 +310,13 @@ class ManifestTable:
         touched_files = [f for f in m["files"] if f["bucket"] in touched]
         kept_files = [f for f in m["files"] if f["bucket"] not in touched]
         tpaths = [os.path.join(self.path, _DATA, f["name"]) for f in touched_files]
-        survivors = spark.read.parquet(*tpaths).filter(f"NOT ({predicate})")
+        # DELETE semantics: drop rows where the predicate is TRUE; rows
+        # where it is NULL (e.g. a NULL timestamp under TTL) survive —
+        # plain NOT(pred) would silently delete them in rewritten
+        # buckets while identical rows in untouched buckets survive.
+        survivors = spark.read.parquet(*tpaths).filter(
+            f"NOT coalesce(({predicate}), false)"
+        )
         new_files = self._write_bucket_files(survivors, touched)
         return self._commit(
             kept_files + new_files, note=f"delete_where buckets={len(touched)}"

@@ -4,22 +4,30 @@ LLM training stacks standardize on (sequential tar reads, samples as
 
 Layout contract (same spine as ``sinks/shards.py``):
 
-- rows are range-partitioned on the content-addressed shuffle key, so
-  shard N always holds the same sample set on any cluster size, and
-  the concatenated shard order is the deterministic epoch order;
-- each executor partition writes ONE ``shard-NNNNN.tar`` with the
-  stdlib ``tarfile`` — members emitted in sorted key order with zeroed
-  mtime/uid/gid/uname, so the tar BYTES are reproducible (the manifest
-  records each shard's sha256 to prove it);
+- shard membership is COMPUTED, not sampled: ``bucket =
+  floor(__u * shards)`` on the content-addressed shuffle key ``__u``,
+  so shard N holds exactly the same sample set on any cluster size,
+  any partition count, any run — no reliance on range-partitioner
+  sampling (which is only deterministic when the sampler sees every
+  row, i.e. small data);
+- each bucket's ``shard-NNNNN.tar`` (named by BUCKET, not partition
+  id) is written by the one task that owns the bucket after a hash
+  exchange on the bucket id, with the stdlib ``tarfile`` — members
+  emitted in sorted key order with zeroed mtime/uid/gid/uname, so the
+  tar BYTES are reproducible (the manifest records each shard's
+  sha256 to prove it);
 - every sample contributes ``{key}.txt`` (payload) and ``{key}.json``
   (metadata, sorted keys) — the two-member-per-sample WebDataset
   convention loaders group by basename.
 
-Scale shape: one range exchange + an Arrow pass per partition
-(``mapInPandas``); tar bytes stream straight from each executor to its
-shard file — no driver data movement, no post-pass. The returned
-manifest is assembled from the per-partition summary rows (one row per
-shard — bounded by shard count, not data).
+Scale shape: one hash exchange + an Arrow pass per partition
+(``mapInPandas``); tar bytes STREAM from each executor to a temp file
+(sha256 computed by a wrapping writer as bytes pass through — the
+shard is never materialized in memory, so a multi-GB shard cannot OOM
+an executor) and are renamed into place on success. No driver data
+movement, no post-pass; the returned manifest is assembled from the
+per-partition summary rows (one row per shard — bounded by shard
+count, not data).
 """
 
 from __future__ import annotations
@@ -60,60 +68,103 @@ def write_webdataset_shards(
     if text_col is None and binary_col is None:
         raise ValueError("at least one of text_col/binary_col is required")
     os.makedirs(path, exist_ok=True)
-    u = split_hash(id_col, seed).alias("__u")
+    u = split_hash(id_col, seed)
     cols = [id_col, *([text_col] if text_col else []), *([binary_col] if binary_col else []), *meta_cols]
+    # bucket = floor(__u * shards): pure function of content hash ->
+    # shard membership is identical on any cluster size / partition
+    # count (repartitionByRange's sampled bounds are only stable when
+    # the sampler sees every row). The hash exchange on __b co-locates
+    # each bucket in exactly one task; a task may own several buckets
+    # (hash collisions mod parallelism) and writes one tar per bucket.
     ordered = (
         df.select(*cols)
         .withColumn("__u", u)
-        .repartitionByRange(shards, F.col("__u"), F.col(id_col))
-        .sortWithinPartitions("__u", id_col)
-        .drop("__u")
+        .withColumn(
+            "__b",
+            F.least(F.floor(F.col("__u") * shards).cast("int"), F.lit(shards - 1)),
+        )
+        .repartition(shards, F.col("__b"))
+        .sortWithinPartitions("__b", "__u", id_col)
     )
+
+    class _ShardWriter:
+        """Incremental tar writer for one bucket: every byte streams
+        through a sha256-ing wrapper straight to a temp file (the shard
+        is never held in memory), renamed into place on close."""
+
+        def __init__(self, bucket: int):
+            self.fname = f"shard-{bucket:05d}.tar"
+            self._tmp = os.path.join(path, f"_tmp.{self.fname}")
+            self._digest = hashlib.sha256()
+            self._raw = open(self._tmp, "wb")
+            self.n = 0
+            writer = self
+
+            class _Hashing:
+                def write(self, b):
+                    writer._digest.update(b)
+                    return writer._raw.write(b)
+
+                def tell(self):
+                    return writer._raw.tell()
+
+                def close(self):
+                    pass
+
+            self._tar = tarfile.open(fileobj=_Hashing(), mode="w")
+
+        def add(self, rec: dict) -> None:
+            key = f"{int(rec[id_col]):012d}"
+            members = []
+            if text_col:
+                members.append((".txt", str(rec[text_col]).encode("utf-8")))
+            if binary_col:
+                members.append((binary_ext, bytes(rec[binary_col])))
+            meta = json.dumps(
+                # .item() unwraps numpy scalars pandas hands back
+                {
+                    c: (rec[c].item() if hasattr(rec[c], "item") else rec[c])
+                    for c in meta_cols
+                },
+                sort_keys=True,
+            ).encode("utf-8")
+            for ext, body in (*members, (".json", meta)):
+                ti = tarfile.TarInfo(name=key + ext)
+                ti.size = len(body)
+                ti.mtime = 0  # zeroed metadata -> reproducible bytes
+                ti.uid = ti.gid = 0
+                ti.uname = ti.gname = ""
+                self._tar.addfile(ti, io.BytesIO(body))
+            self.n += 1
+
+        def close(self) -> str:
+            self._tar.close()
+            self._raw.close()
+            os.replace(self._tmp, os.path.join(path, self.fname))
+            return self._digest.hexdigest()
 
     def write_partition(batches):
         import pandas as pd
-        from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        buf = io.BytesIO()
-        n = 0
-        with tarfile.open(fileobj=buf, mode="w") as tar:
-            for pdf in batches:
-                for row in pdf.itertuples(index=False):
-                    rec = dict(zip(pdf.columns, row))
-                    key = f"{int(rec[id_col]):012d}"
-                    members = []
-                    if text_col:
-                        members.append((".txt", str(rec[text_col]).encode("utf-8")))
-                    if binary_col:
-                        members.append((binary_ext, bytes(rec[binary_col])))
-                    meta = json.dumps(
-                        # .item() unwraps numpy scalars pandas hands back
-                        {
-                            c: (rec[c].item() if hasattr(rec[c], "item") else rec[c])
-                            for c in meta_cols
-                        },
-                        sort_keys=True,
-                    ).encode("utf-8")
-                    for ext, body in (*members, (".json", meta)):
-                        ti = tarfile.TarInfo(name=key + ext)
-                        ti.size = len(body)
-                        ti.mtime = 0  # zeroed metadata -> reproducible bytes
-                        ti.uid = ti.gid = 0
-                        ti.uname = ti.gname = ""
-                        tar.addfile(ti, io.BytesIO(body))
-                    n += 1
-        data = buf.getvalue()
-        fname = f"shard-{pid:05d}.tar"
-        if n:  # empty partitions write no shard
-            with open(os.path.join(path, fname), "wb") as f:
-                f.write(data)
+        out_shard, out_n, out_sha = [], [], []
+        current_b, w = None, None
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                rec = dict(zip(pdf.columns, row))
+                b = int(rec["__b"])
+                if b != current_b:  # sorted by __b -> each bucket is contiguous
+                    if w is not None:
+                        out_shard.append(w.fname)
+                        out_n.append(w.n)
+                        out_sha.append(w.close())
+                    current_b, w = b, _ShardWriter(b)
+                w.add(rec)
+        if w is not None:
+            out_shard.append(w.fname)
+            out_n.append(w.n)
+            out_sha.append(w.close())
         yield pd.DataFrame(
-            {
-                "shard": [fname],
-                "samples": [n],
-                "sha256": [hashlib.sha256(data).hexdigest() if n else ""],
-            }
+            {"shard": out_shard, "samples": out_n, "sha256": out_sha}
         )
 
     summary = ordered.mapInPandas(
