@@ -27,6 +27,7 @@ from postgre_to_clickhouse_spark.queries import tierc5  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc6  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc7  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierb4  # noqa: E402,F401
+from postgre_to_clickhouse_spark.queries import tpch_spec  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 
 # The driver checks the FIRST 50 registered queries; this is the curated
@@ -54,6 +55,12 @@ _WINDOW = [
     "multimodal_audio_dsp",       # C5 audio DSP features
     "uniq_merge_rollup",          # B20 uniqState/uniqMerge HLL rollup
     "interleave_datasets_order",  # C6 stride-scheduled interleaving
+    # --- New in r6 ---
+    "agg_mv_incremental",         # A12 incremental aggregate MV end-to-end
+    "q2_spec_min_cost_supplier",  # spec-true Q2 over partsupp fixture
+    "q11_spec_important_stock",   # spec-true Q11
+    "q16_spec_supplier_count",    # spec-true Q16
+    "q20_spec_excess_suppliers",  # spec-true Q20
     # --- Changed-in-r6 semantics: re-verify ---
     "multimodal_image_stats",     # C5 codec path (r6: BMP+PNG+JPEG mix)
     "embedding_near_dup_pairs",   # C2 (r6: pair-generation optimization)
@@ -73,7 +80,6 @@ _WINDOW = [
     "window_range_frame",         # B10 RANGE frame
     "topk_orders_by_price",       # B11
     "string_funcs_part",          # B13
-    "string_funcs_extended",      # B13
     "date_funcs_orders",          # B14
     "math_funcs_lineitem",        # B15
     "conditional_funcs",          # B13 conditionals
@@ -86,7 +92,6 @@ _WINDOW = [
     "unpivot_balances",           # B20 unpivot
     "text_lang_id",               # C4 language ID
     "text_fingerprints",          # C4 rolling-hash fingerprints
-    "text_quality_stats",         # C4
     "ngram_jaccard_same_source",  # C2 n-gram Jaccard
 ]
 # r6 additions (agg-MV compaction read, partsupp spec-true TPC-H

@@ -165,3 +165,57 @@ def pack_sequences(spark, sf_dir):
         "doc_id", "source", "n_tokens",
         F.floor((F.col("c") - F.col("n_tokens")) / F.lit(512.0)).alias("bin_id"),
     )
+
+
+@register(
+    "agg_mv_incremental",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS value_sum,
+           COUNT(value) AS value_count,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / COUNT(value)
+             AS value_avg
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_mv_incremental(spark, sf_dir):
+    """A12 incremental aggregate MV end-to-end: the events table is fed
+    through ``AggregateMV`` (ClickHouse AggregatingMergeTree parity —
+    mergeable per-part partial states, exactly-once batch commit,
+    background compaction) as four micro-batches, with one batch
+    REPLAYED (must be a no-op) and a mid-stream compaction folding the
+    first parts, then read back finalized. The oracle recomputes the
+    same aggregates from raw events in DuckDB — equality proves that
+    batch boundaries, replay, and compaction never leak into results
+    (associative exact-decimal states). Reference behavior: ClickHouse
+    materialized views over Kafka streams (/root/reference/README.md,
+    MV + SummingMergeTree pattern)."""
+    import os
+    import shutil
+    import tempfile
+
+    from postgre_to_clickhouse_spark.sinks.agg_mv import AggregateMV
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    path = tempfile.mkdtemp(prefix="p2c_agg_mv_")
+    try:
+        mv = AggregateMV(path, keys=("event_type",), value_col="value", scale=4)
+        # four deterministic micro-batches (id-hash partitioned, like a
+        # Kafka partition split); NULL ids land in batch 0 via coalesce
+        batch_of = F.coalesce(F.pmod("event_id", F.lit(4)), F.lit(0))
+        for b in range(4):
+            applied = mv.apply_batch(ev.filter(batch_of == b), batch_id=b)
+            assert applied
+            if b == 1:  # crash/redelivery replay: must commit nothing
+                assert mv.apply_batch(ev.filter(batch_of == b), batch_id=b) is False
+            if b == 2:  # background merge mid-stream: folds parts 0-2
+                mv.compact(spark)
+        out = mv.read_final(spark)
+        # materialize before the temp part log is deleted (the driver
+        # collects lazily, after this function returns)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
