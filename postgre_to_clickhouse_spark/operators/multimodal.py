@@ -3,14 +3,17 @@
 ``mapInPandas``.
 
 Codecs: REAL, dependency-free implementations — 24-bit BMP, binary PPM
-(P6) and (since r5) 8-bit PNG for images, RIFF/WAV PCM16 for audio —
-written with ``struct``/``zlib``/numpy only, so decode →
-feature-extract → resize → frame-sample runs end-to-end on actual
-bytes in this container. PNG is a full stdlib implementation: zlib
-inflate + per-scanline defilter (all five filter types), grayscale and
-truecolor. Formats needing codecs the stdlib lacks (JPEG/FLAC/MP4)
-fall back to a seeded, content-derived fake when ``DETERMINISTIC_FAKE``
-is on (clearly marked — swapping in PIL/librosa/pyav changes only the
+(P6), 8-bit PNG (r5) and baseline JPEG (r6, ``operators/jpeg.py``) for
+images, RIFF/WAV PCM16 for audio — written with ``struct``/``zlib``/
+numpy only, so decode → feature-extract → resize → frame-sample runs
+end-to-end on actual bytes in this container. PNG is a full stdlib
+implementation: zlib inflate + per-scanline defilter (all five filter
+types), grayscale and truecolor. JPEG is a full T.81 baseline
+sequential codec: Annex K tables, Huffman entropy coding, DRI/RSTn,
+grayscale + YCbCr with box upsampling. Only genuinely uncovered
+streams (progressive/arithmetic JPEG, FLAC/MP4 containers) fall back
+to a seeded, content-derived fake when ``DETERMINISTIC_FAKE`` is on
+(clearly marked — swapping in PIL/librosa/pyav changes only the
 ``_decode_*`` dispatch).
 
 Scale posture: payloads stay columnar binary end-to-end (no base64, no
@@ -315,16 +318,26 @@ FEATURES_SCHEMA = T.StructType(_FEATURES_FIELDS)
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Image bytes → HxWx3 uint8, dispatched on magic bytes. BMP, PPM
-    and PNG decode for REAL (codecs above — PNG via stdlib zlib +
-    defilter); JPEG needs an external lib absent here → deterministic
-    content-derived fake."""
+    """Image bytes → HxWx3 uint8, dispatched on magic bytes. BMP, PPM,
+    PNG and (since r6) baseline JPEG decode for REAL (PNG via stdlib
+    zlib + defilter; JPEG via the dependency-free T.81 sequential
+    decoder in ``operators/jpeg.py``). Only genuinely unsupported
+    streams (progressive/arithmetic JPEG, formats with no codec here)
+    fall to the deterministic content-derived fake."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from postgre_to_clickhouse_spark.operators.jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            if not DETERMINISTIC_FAKE:
+                raise
     if not DETERMINISTIC_FAKE:
         raise NotImplementedError("compressed image codec not available in this environment")
     h = hashlib.sha256(payload).digest()
@@ -555,19 +568,49 @@ def media_from_ids(
     dispatch in one table). The pixel rule is closed-form, so a SQL
     oracle can recompute every downstream stat without any image
     library — that is what makes the full encode→decode path
-    driver-checkable."""
-    if fmt not in ("bmp", "png", "mix"):
-        raise ValueError(f"fmt must be bmp|png|mix, got {fmt!r}")
+    driver-checkable.
+
+    ``"mix3"`` (r6) adds real baseline JPEG to the dispatch mix:
+    id%3==0 → BMP, 1 → PNG (both the HxW gradient above), 2 → a
+    2Hx2W GRAYSCALE JPEG whose four 8x8 blocks are constant
+    ``v + 8*(y//8) + 4*(x//8)`` with ``v = 160 + (id*7)%32`` — block-
+    constant images survive the all-8 quantization EXACTLY (DC-only,
+    power-of-two scales), so the decoded pixels stay closed-form and
+    the payload length is a verified constant (336 bytes for 16x16,
+    asserted in tests across the whole 32-value domain)."""
+    if fmt not in ("bmp", "png", "mix", "mix3"):
+        raise ValueError(f"fmt must be bmp|png|mix|mix3, got {fmt!r}")
+    if fmt == "mix3" and (height, width) != (8, 8):
+        # the JPEG arm's exactness needs its constant regions to align
+        # with the 8x8 DCT blocks (2Hx2W image = 4 MCU-aligned blocks)
+        raise ValueError("fmt='mix3' requires height=width=8")
     n_vals = height * width * 3
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from postgre_to_clickhouse_spark.operators.jpeg import encode_jpeg
+
         idx = np.arange(n_vals, dtype=np.int64)
+        q8 = np.full((8, 8), 8, dtype=np.int32)
         for pdf in batches:
             payloads = []
             for i in pdf[id_col]:
-                vals = ((int(i) * 7 + idx) % 256).astype(np.uint8)
+                i = int(i)
+                if fmt == "mix3" and i % 3 == 2:
+                    v = 160 + (i * 7) % 32
+                    g = np.zeros((2 * height, 2 * width), dtype=np.uint8)
+                    for by in range(2):
+                        for bx in range(2):
+                            g[by * height : (by + 1) * height,
+                              bx * width : (bx + 1) * width] = v + 8 * by + 4 * bx
+                    payloads.append(encode_jpeg(g, quant_lum=q8))
+                    continue
+                vals = ((i * 7 + idx) % 256).astype(np.uint8)
                 img = vals.reshape(height, width, 3)
-                as_png = fmt == "png" or (fmt == "mix" and int(i) % 2 == 1)
+                as_png = (
+                    fmt == "png"
+                    or (fmt == "mix" and i % 2 == 1)
+                    or (fmt == "mix3" and i % 3 == 1)
+                )
                 payloads.append(
                     encode_png(img, compress_level=0) if as_png else encode_bmp(img)
                 )

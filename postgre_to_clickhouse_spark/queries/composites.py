@@ -187,33 +187,45 @@ def skew_salted_agg_events(spark, sf_dir):
     "multimodal_image_stats",
     oracle="""
     SELECT d.doc_id,
-           8 AS width,
-           8 AS height,
-           CASE WHEN d.doc_id % 2 = 1 THEN 268 ELSE 246 END AS payload_bytes,
-           CAST(SUM((d.doc_id * 7 + t.i) % 256) AS BIGINT) AS pixel_sum,
-           CAST(MIN(CASE WHEN t.i = 0 THEN (d.doc_id * 7 + t.i) % 256 END) AS INTEGER) AS corner_tl,
-           CAST(MIN(CASE WHEN t.i = 191 THEN (d.doc_id * 7 + t.i) % 256 END) AS INTEGER) AS corner_br
+           CASE WHEN d.doc_id % 3 = 2 THEN 16 ELSE 8 END AS width,
+           CASE WHEN d.doc_id % 3 = 2 THEN 16 ELSE 8 END AS height,
+           CASE d.doc_id % 3 WHEN 0 THEN 246 WHEN 1 THEN 268 ELSE 336 END
+             AS payload_bytes,
+           CAST(CASE WHEN d.doc_id % 3 = 2
+                THEN 768 * (160 + (d.doc_id * 7) % 32) + 4608
+                ELSE SUM((d.doc_id * 7 + t.i) % 256) END AS BIGINT) AS pixel_sum,
+           CAST(CASE WHEN d.doc_id % 3 = 2
+                THEN 160 + (d.doc_id * 7) % 32
+                ELSE MIN(CASE WHEN t.i = 0 THEN (d.doc_id * 7 + t.i) % 256 END)
+                END AS INTEGER) AS corner_tl,
+           CAST(CASE WHEN d.doc_id % 3 = 2
+                THEN 172 + (d.doc_id * 7) % 32
+                ELSE MIN(CASE WHEN t.i = 191 THEN (d.doc_id * 7 + t.i) % 256 END)
+                END AS INTEGER) AS corner_br
     FROM documents d, range(192) t(i)
     GROUP BY d.doc_id
     """,
 )
 def multimodal_image_stats(spark, sf_dir):
-    """C5 end-to-end on REAL bytes, two container formats in one table:
-    build an image per document (pixel[i] = (doc_id*7 + i) mod 256 —
-    closed form, so plain SQL can recompute every stat), encode odd ids
-    as PNG (r5 — real stdlib zlib decode, stored-deflate so the byte
-    count stays closed-form: 268 for 8×8 vs BMP's 246) and even ids as
-    BMP, decode back via per-row magic-byte dispatch, and emit
-    integer-exact stats. ``corner_tl``/``corner_br`` are
-    position-sensitive: a bottom-up/top-down or BGR/RGB decode bug
-    flips them, and ``payload_bytes`` pins the container format per
-    row, which the oracle catches. Both mapInPandas stages are
-    Arrow-batched; payload bytes never leave the executors (only the
-    compact stats row comes back)."""
+    """C5 end-to-end on REAL bytes, THREE container formats in one
+    table: ids ≡0 (mod 3) encode as BMP and ≡1 as PNG (8×8 gradient,
+    pixel[i] = (doc_id*7 + i) mod 256 — closed form, so plain SQL
+    recomputes every stat; stored-deflate keeps PNG at 268 bytes vs
+    BMP's 246), and ≡2 as REAL baseline JPEG (r6 — the dependency-free
+    T.81 decoder in operators/jpeg.py): a 16×16 grayscale image of four
+    constant 8×8 blocks ``v + 8*(y//8) + 4*(x//8)``, v = 160+(id*7)%32,
+    which survives the all-8 quantization EXACTLY (DC-only blocks,
+    power-of-two IDCT scales), so pixel_sum = 768v+4608 and the corners
+    are v and v+12 in closed form; the 336-byte payload constant is
+    asserted across the whole v-domain in tests. Corner stats are
+    position-sensitive (row-order/channel-order/DC-prediction bugs flip
+    them) and ``payload_bytes`` pins the container per row. Both
+    mapInPandas stages are Arrow-batched; payload bytes never leave the
+    executors (only the compact stats row comes back)."""
     from postgre_to_clickhouse_spark.operators.multimodal import image_stats, media_from_ids
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
-    media = media_from_ids(d, id_col="doc_id", height=8, width=8, fmt="mix")
+    media = media_from_ids(d, id_col="doc_id", height=8, width=8, fmt="mix3")
     return image_stats(media, id_col="doc_id")
 
 

@@ -231,3 +231,136 @@ def test_extract_features_quarantines_corrupt_payloads(spark):
     assert out[4].feature is None
     with _pytest.raises(Exception):
         M.extract_features(media).collect()  # default: loud
+
+
+# --------------------------------------------------------------------------
+# r6: baseline JPEG codec (operators/jpeg.py)
+# --------------------------------------------------------------------------
+def _smooth(img):
+    import numpy as np
+
+    s = img.astype(float)
+    for _ in range(3):
+        s = (np.roll(s, 1, 0) + np.roll(s, -1, 0) + np.roll(s, 1, 1) + np.roll(s, -1, 1) + s) / 5
+    return s.astype(np.uint8)
+
+
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255.0**2 / max(mse, 1e-12))
+
+
+def test_jpeg_block_constant_exact():
+    """Block-constant grayscale survives the all-8 quantization
+    EXACTLY — DC-only blocks, power-of-two IDCT scales (this is what
+    makes the mix3 driver oracle closed-form)."""
+    import numpy as np
+
+    from postgre_to_clickhouse_spark.operators import jpeg as J
+
+    q8 = np.full((8, 8), 8, dtype=np.int32)
+    for v in (0, 32, 127, 160, 191, 243):
+        img = np.zeros((16, 16), dtype=np.uint8)
+        img[:8, :8] = v
+        img[:8, 8:] = min(255, v + 4)
+        img[8:, :8] = min(255, v + 8)
+        img[8:, 8:] = min(255, v + 12)
+        out = J.decode_jpeg(J.encode_jpeg(img, quant_lum=q8))
+        assert (out == np.stack([img] * 3, axis=2)).all(), v
+
+
+def test_jpeg_fixture_payload_length_constant():
+    """The mix3 oracle hardcodes 336 payload bytes; assert it over the
+    ENTIRE v domain (all 32 values) so no doc_id can hit a byte-
+    stuffing length variation."""
+    import numpy as np
+
+    from postgre_to_clickhouse_spark.operators import jpeg as J
+
+    q8 = np.full((8, 8), 8, dtype=np.int32)
+    lens = set()
+    for m in range(32):
+        v = 160 + m
+        img = np.zeros((16, 16), dtype=np.uint8)
+        img[:8, :8] = v
+        img[:8, 8:] = v + 4
+        img[8:, :8] = v + 8
+        img[8:, 8:] = v + 12
+        lens.add(len(J.encode_jpeg(img, quant_lum=q8)))
+    assert lens == {336}
+
+
+def test_jpeg_roundtrip_psnr():
+    """General lossy path: AC coefficients, run-length/ZRL/EOB, odd
+    dimensions (edge-replicated padding), grayscale + RGB 4:4:4."""
+    import numpy as np
+
+    from postgre_to_clickhouse_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(42)
+    gray = _smooth(rng.integers(0, 256, size=(24, 33), dtype=np.uint8))
+    out = J.decode_jpeg(J.encode_jpeg(gray, quality=95))
+    assert out.shape == (24, 33, 3)
+    assert _psnr(out[:, :, 0], gray) > 35
+
+    yy, xx = np.mgrid[0:17, 0:21]
+    rgb = np.stack([(yy * 7) % 256, (xx * 11) % 256, ((yy + xx) * 5) % 256], axis=2).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg(rgb, quality=95))
+    assert out.shape == (17, 21, 3)
+    assert _psnr(out, rgb) > 30
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: byte-aligned restarts with DC-prediction resets decode
+    identically to the unrestarted stream."""
+    import numpy as np
+
+    from postgre_to_clickhouse_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(5)
+    img = _smooth(rng.integers(0, 256, size=(16, 40), dtype=np.uint8))  # 10 MCUs
+    plain = J.decode_jpeg(J.encode_jpeg(img, quality=90))
+    restarted = J.decode_jpeg(J.encode_jpeg(img, quality=90, restart_interval=2))
+    assert (plain == restarted).all()
+
+
+def test_jpeg_rejects_progressive():
+    import numpy as np
+    import pytest as _pytest
+
+    from postgre_to_clickhouse_spark.operators import jpeg as J
+
+    data = bytearray(J.encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    # flip SOF0 (0xC0) to SOF2 (progressive) in place
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(data))
+
+
+def test_media_from_ids_mix3_jpeg_arm(spark):
+    """mix3: per-row three-format dispatch; the JPEG arm decodes back
+    to its closed-form block pattern exactly."""
+    import numpy as np
+
+    from postgre_to_clickhouse_spark.operators.multimodal import (
+        image_stats,
+        media_from_ids,
+    )
+
+    ids = spark.range(9).select(F.col("id").alias("doc_id"))
+    media = media_from_ids(ids, id_col="doc_id", height=8, width=8, fmt="mix3")
+    rows = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    assert rows[0][:2] == b"BM" and rows[3][:2] == b"BM"
+    assert rows[1][:8] == M.PNG_SIG and rows[4][:8] == M.PNG_SIG
+    assert rows[2][:2] == b"\xff\xd8" and len(rows[2]) == 336
+    stats = {r.doc_id: r for r in image_stats(media).collect()}
+    for i in (2, 5, 8):
+        v = 160 + (i * 7) % 32
+        assert stats[i].width == 16 and stats[i].height == 16
+        assert stats[i].pixel_sum == 768 * v + 4608
+        assert stats[i].corner_tl == v and stats[i].corner_br == v + 12
+    for i in (0, 1, 3, 4):
+        assert stats[i].pixel_sum == sum((i * 7 + j) % 256 for j in range(192))
