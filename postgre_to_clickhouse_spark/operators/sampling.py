@@ -271,3 +271,70 @@ def mixture_sample(
         .filter(u < F.col("__keep_frac"))
         .drop("__keep_frac")
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    out_col: str = "pos",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global row_number over a total order WITHOUT the
+    single-partition Window (``Window.orderBy`` with no partitioning
+    moves the entire table to ONE task — the canonical 100 TB cliff).
+
+    Shape: range-partition on the order keys and sort within each
+    partition (the same distributed sort a global ``orderBy`` runs),
+    emit (partition id, within-partition rank) in one Arrow pass, pin
+    the layout with ``localCheckpoint`` so the offset count and the
+    output read the SAME materialization (range-partitioner bounds come
+    from sampling; two independent recomputes of the exchange are not
+    guaranteed to split identically), then add broadcast per-partition
+    offsets. The only driver-side data is one (pid, count) row per
+    partition. The caller's ``order_cols`` must be a total order
+    (include a unique tiebreak) for the result to be deterministic.
+    """
+    import pandas as pd
+
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    out_fields = df.schema.fields
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+    schema += ", __pid int, __rn long"
+
+    def add_rank(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            n = len(pdf)
+            pdf = pdf.copy()
+            pdf["__pid"] = pid
+            pdf["__rn"] = range(seen + 1, seen + n + 1)
+            seen += n
+            yield pdf
+
+    ranked = (
+        df.repartitionByRange(int(partitions), *cols)
+        .sortWithinPartitions(*cols)
+        .mapInPandas(add_rank, schema=schema)
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )  # bounded by partition count, never by rows
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    )
+    return (
+        ranked.join(off, "__pid")
+        .withColumn(out_col, (F.col("__rn") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__rn", "__off")
+    )

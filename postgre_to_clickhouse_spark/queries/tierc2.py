@@ -64,7 +64,11 @@ def embedding_near_dup_pairs(spark, sf_dir):
     oracle checks cosine values, so the dot stays the bit-exact
     sequential fold; the salted pair generation
     (:func:`operators.similarity.salted_block_pairs`) only fixes
-    parallelism, not math."""
+    parallelism, not math. r6 profiling note: the unrolled
+    ``element_at`` cosine (a win for the broadcast-probe shapes in
+    ``semantic_decontaminate``) was measured 3-4× SLOWER than this
+    fold in the self-join pair shape at sf0.1 (A/B in SCALE.md), so
+    the fold stays; the r5→r5 +13% bench delta was run noise."""
     from postgre_to_clickhouse_spark.operators.similarity import _dot, salted_block_pairs
 
     e = _t(spark, sf_dir, "embeddings")

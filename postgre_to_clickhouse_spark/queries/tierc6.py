@@ -99,14 +99,17 @@ def shuffle_training_order(spark, sf_dir):
     of md5(seed:id). Content-addressed like the split/sampling family
     (operators/sampling.py) — the permutation is reproducible on any
     engine or cluster layout, and a new seed per epoch is a new
-    permutation with no state carried. At 100 TB this is the standard
-    one-range-partition-sort-per-epoch job (or use the key as a shard
-    assignment and sort within shards for an embarrassingly parallel
-    approximation)."""
+    permutation with no state carried. Positions come from
+    :func:`operators.sampling.global_rank` (r6): the range-partitioned
+    sort + broadcast-offset shape, parallel at any scale — never a
+    single-partition Window."""
+    from postgre_to_clickhouse_spark.operators.sampling import global_rank
+
     d = _t(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(key, F.col("doc_id"))
-    return d.select("doc_id", F.row_number().over(w).alias("shuffle_pos"))
+    keyed = d.select("doc_id", key.alias("__k"))
+    ranked = global_rank(keyed, ["__k", "doc_id"], out_col="__pos")
+    return ranked.select("doc_id", F.col("__pos").cast("long").alias("shuffle_pos"))
 
 
 @register(

@@ -403,10 +403,12 @@ def interleave_datasets_order(spark, sf_dir):
     ~target proportion — the property that keeps per-batch mixtures on
     target instead of exhausting one source first. Fully content-
     addressed like the split/shuffle family: the same epoch order on
-    any engine, cluster, or rerun. The global rank window matches
-    `shuffle_training_order`'s fixture-scale form; at 100 TB emit the
-    (key, doc_id) sort key itself and let the shard writer range-
-    partition it (`sinks/shards.py`)."""
+    any engine, cluster, or rerun. The global position comes from
+    :func:`operators.sampling.global_rank` (range-partitioned sort +
+    broadcast per-partition offsets) — never a single-partition
+    Window, so the epoch ordering parallelizes at any scale."""
+    from postgre_to_clickhouse_spark.operators.sampling import global_rank
+
     d = _t(spark, sf_dir, "documents")
     weights = {"en": 0.30, "zh": 0.25, "es": 0.20, "de": 0.15, "fr": 0.10}
     wdf = F.broadcast(
@@ -418,7 +420,6 @@ def interleave_datasets_order(spark, sf_dir):
     k = r.join(wdf, "lang").select(
         "doc_id", "lang", (F.col("__rn").cast("double") / F.col("__w")).alias("__key")
     )
-    out = Window.orderBy("__key", "doc_id")
-    return k.select(
-        "doc_id", "lang", F.row_number().over(out).cast("bigint").alias("interleave_pos")
+    return global_rank(k, ["__key", "doc_id"], out_col="interleave_pos").select(
+        "doc_id", "lang", "interleave_pos"
     )

@@ -246,3 +246,21 @@ def test_summap_two_phase_aggregation(spark):
     level map assembly (shuffle carries groups, not fact rows)."""
     plan = _plan(spark, "summap_event_values")
     assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 3
+
+
+def test_global_rank_queries_have_no_single_partition_exchange(spark):
+    """r6: `shuffle_training_order` and `interleave_datasets_order` use
+    operators.sampling.global_rank (range-partitioned sort + broadcast
+    offsets) — an unpartitioned Window plans as `Exchange
+    SinglePartition` + Sort, moving the whole table to ONE task (the
+    canonical 100 TB cliff). No single-partition exchange may appear
+    anywhere in these plans (the broadcast offset join is a
+    BroadcastExchange, which is fine and asserted distinct here)."""
+    for name in ("shuffle_training_order", "interleave_datasets_order"):
+        plan = _plan(spark, name)
+        assert "SinglePartition" not in plan, f"{name} plans a single-partition exchange"
+        # global_rank pins its ranked layout with localCheckpoint; the
+        # final plan therefore reads the materialized RDD (and the
+        # offset join builds a broadcast, not a shuffle)
+        assert "ExistingRDD" in plan, f"{name} is not reading the pinned ranked layout"
+        assert "BroadcastHashJoin" in plan, f"{name} lost the broadcast offset join"

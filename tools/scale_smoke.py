@@ -227,6 +227,22 @@ def main() -> None:
         lambda: minhash_incremental_candidates(newb, corp),
     )
 
+    # r6 (VERDICT r5 #7): the remaining r5 query families, run through
+    # the registry against the amplified dir (they only read
+    # events/documents, which the workdir provides in catalog schema).
+    # Each gets the same force-filter bench.py uses so count() can't
+    # prune the aggregate/window under test.
+    from postgre_to_clickhouse_spark.queries import QUERIES
+
+    for qname, force in [
+        ("uniq_merge_rollup", "uniq_users >= 0"),
+        ("weighted_quantile_events", "wmedian IS NOT NULL OR wp90 IS NOT NULL"),
+        ("summap_event_values", "length(sum_map) >= 0"),
+        ("timeseries_gap_fill", "n_events >= 0"),
+        ("interleave_datasets_order", "interleave_pos >= 0"),
+    ]:
+        run(qname, lambda qn=qname, fl=force: QUERIES[qn](spark, work).where(fl))
+
     print(
         json.dumps(
             {
