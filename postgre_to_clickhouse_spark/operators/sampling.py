@@ -297,7 +297,11 @@ def global_rank(
     import pandas as pd
 
     if partitions is None:
-        partitions = df.sparkSession.sparkContext.defaultParallelism
+        # follow the INPUT's parallelism: at fixture scale (1-2 parquet
+        # splits) a fixed 32-way fan-out pays ~5 jobs of per-task and
+        # python-worker overhead for tiny data; at real scale the input
+        # has thousands of splits and the rank spreads accordingly.
+        partitions = max(1, df.rdd.getNumPartitions())
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     out_fields = df.schema.fields
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
