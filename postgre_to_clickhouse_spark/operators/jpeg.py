@@ -282,18 +282,32 @@ def _dqt_segment(tq: int, q: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
+def _pad_edge(pl, th: int, tw: int):
+    h, w = pl.shape
+    p = np.empty((th, tw))
+    p[:h, :w] = pl
+    if th > h:
+        p[h:, :w] = pl[h - 1 : h, :]
+    if tw > w:
+        p[:, w:] = p[:, w - 1 : w]
+    return np.clip(np.round(p), 0, 255)
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quality: int = 90,
     quant_lum: np.ndarray | None = None,
     restart_interval: int = 0,
+    subsample: bool = False,
 ) -> bytes:
-    """HxW uint8 (grayscale, 1 component) or HxWx3 uint8 RGB (YCbCr
-    4:4:4) → baseline JFIF bytes with the Annex K Huffman tables.
+    """HxW uint8 (grayscale, 1 component) or HxWx3 uint8 RGB (YCbCr)
+    → baseline JFIF bytes with the Annex K Huffman tables.
     ``quant_lum`` overrides the luminance quantization table (fixture
     exactness: all-8 keeps block-constant images lossless);
-    ``restart_interval`` emits DRI + RSTn markers every N MCUs (tests
-    use it to exercise the decoder's restart/DC-reset path)."""
+    ``restart_interval`` emits DRI + RSTn markers every N MCUs;
+    ``subsample`` switches color output from 4:4:4 to 4:2:0 (2x2
+    box-averaged chroma, 16x16 MCUs) — tests use both to exercise the
+    decoder's restart and chroma-upsampling paths on real streams."""
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     qlum = np.asarray(quant_lum, dtype=np.int32) if quant_lum is not None else _scale_quant(QUANT_LUM, quality)
@@ -301,6 +315,7 @@ def encode_jpeg(
     if gray:
         planes = [arr.astype(np.float64)]
         qs, ncomp = [qlum], 1
+        sampling = [(1, 1)]
     else:
         rgb = arr.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
@@ -309,14 +324,23 @@ def encode_jpeg(
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y, cb, cr]
         qs, ncomp = [qlum, qch, qch], 3
-    ph, pw = (h + 7) & ~7, (w + 7) & ~7
+        sampling = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     padded = []
-    for pl in planes:
-        p = np.empty((ph, pw))
-        p[:h, :w] = pl
-        p[h:, :w] = pl[h - 1 : h, :]
-        p[:, w:] = p[:, w - 1 : w]
-        padded.append(np.clip(np.round(p), 0, 255))
+    for ci, pl in enumerate(planes):
+        cs, vs = sampling[ci]
+        ry, rx = vmax // vs, hmax // cs
+        if ry > 1 or rx > 1:  # box-average downsample (pad to even first)
+            pe = _pad_edge(
+                pl,
+                (pl.shape[0] + ry - 1) // ry * ry,
+                (pl.shape[1] + rx - 1) // rx * rx,
+            )
+            pl = pe.reshape(pe.shape[0] // ry, ry, pe.shape[1] // rx, rx).mean(axis=(1, 3))
+        padded.append(_pad_edge(pl, mcuy * 8 * vs, mcux * 8 * cs))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -324,7 +348,8 @@ def encode_jpeg(
     if not gray:
         out += _dqt_segment(1, qch)
     comps = b"".join(
-        bytes([cid + 1, 0x11, 0 if cid == 0 else 1]) for cid in range(ncomp)
+        bytes([cid + 1, (sampling[cid][0] << 4) | sampling[cid][1], 0 if cid == 0 else 1])
+        for cid in range(ncomp)
     )
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp) + comps
     dc0, ac0 = _canonical_codes(*DC_LUM), _canonical_codes(*AC_LUM)
@@ -343,20 +368,23 @@ def encode_jpeg(
 
     bw = _BitWriter()
     preds = [0] * ncomp
-    m = 0
     rst = 0
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            if restart_interval and m and m % restart_interval == 0:
-                bw.flush()
-                out += bw.out + bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                bw = _BitWriter()
-                preds = [0] * ncomp
-            for ci in range(ncomp):
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                preds[ci] = _encode_block(bw, block, qs[ci], preds[ci], *tabs[ci])
-            m += 1
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.out + bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            bw = _BitWriter()
+            preds = [0] * ncomp
+        for ci in range(ncomp):
+            cs, vs = sampling[ci]
+            for by in range(vs):
+                for bx in range(cs):
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * cs + bx) * 8
+                    block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                    preds[ci] = _encode_block(bw, block, qs[ci], preds[ci], *tabs[ci])
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI

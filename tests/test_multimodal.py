@@ -364,3 +364,23 @@ def test_media_from_ids_mix3_jpeg_arm(spark):
         assert stats[i].corner_tl == v and stats[i].corner_br == v + 12
     for i in (0, 1, 3, 4):
         assert stats[i].pixel_sum == sum((i * 7 + j) % 256 for j in range(192))
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 chroma subsampling: 16x16 MCUs (4 Y blocks + Cb + Cr),
+    box-downsampled chroma on encode, box-upsampled on decode — the
+    sampling-factor path real-world JPEGs overwhelmingly use."""
+    import numpy as np
+
+    from postgre_to_clickhouse_spark.operators import jpeg as J
+
+    yy, xx = np.mgrid[0:22, 0:30]
+    rgb = np.stack([(yy * 5) % 256, (xx * 9) % 256, ((yy + xx) * 3) % 256], axis=2).astype(np.uint8)
+    rgb = np.stack([_smooth(rgb[:, :, c]) for c in range(3)], axis=2)
+    enc = J.encode_jpeg(rgb, quality=92, subsample=True)
+    dec = J.decode_jpeg(enc)
+    assert dec.shape == (22, 30, 3)
+    assert _psnr(dec, rgb) > 27
+    # restart markers interleave correctly with multi-block MCUs
+    dec2 = J.decode_jpeg(J.encode_jpeg(rgb, quality=92, subsample=True, restart_interval=1))
+    assert (dec == dec2).all()
