@@ -108,6 +108,12 @@ HEADLINE = [
     "uniq_merge_rollup",
     "approx_topk_weighted_tokens",
     "interleave_datasets_order",
+    "agg_mv_incremental",
+    "q2_spec_min_cost_supplier",
+    "q11_spec_important_stock",
+    "q20_spec_excess_suppliers",
+    "cohort_retention_matrix",
+    "group_array_events",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -248,3 +248,76 @@ def approx_topk_weighted_tokens(spark, sf_dir):
         F.col("lb").alias("mass_lb"),
         F.col("ub").alias("mass_ub"),
     )
+
+
+@register(
+    "cohort_retention_matrix",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events
+    ),
+    f AS (SELECT user_id, MIN(d) AS cohort_day FROM a GROUP BY user_id)
+    SELECT f.cohort_day,
+           COUNT(DISTINCT f.user_id) AS cohort_users,
+           COUNT(DISTINCT CASE WHEN a.d = f.cohort_day + INTERVAL 1 DAY
+                 THEN a.user_id END) AS retained_d1,
+           COUNT(DISTINCT CASE WHEN a.d = f.cohort_day + INTERVAL 7 DAY
+                 THEN a.user_id END) AS retained_d7
+    FROM f JOIN a USING (user_id)
+    GROUP BY f.cohort_day
+    """,
+)
+def cohort_retention_matrix(spark, sf_dir):
+    """r6, B21: the cohort-retention MATRIX (day-N retention per
+    acquisition cohort) — the workload ClickHouse's ``retention``
+    aggregate exists for, here as the full per-cohort table instead of
+    one global row. Users cohort by first active day; retained_dN
+    counts distinct users active exactly N days later.
+
+    Scale shape: the raw table reduces to distinct (user, day) pairs
+    FIRST (shuffle on user_id; days-per-user is bounded), the cohort
+    day is a groupBy on the same key (co-partitioned join back), and
+    the final matrix groupBy touches one row per (user, active-day) —
+    never raw events twice."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    f = a.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    j = a.join(f, "user_id")
+    day = lambda n: F.col("cohort_day") + F.expr(f"INTERVAL {n} DAY")  # noqa: E731
+    return j.groupBy("cohort_day").agg(
+        F.countDistinct("user_id").alias("cohort_users"),
+        F.countDistinct(F.when(F.col("d") == day(1), F.col("user_id"))).alias("retained_d1"),
+        F.countDistinct(F.when(F.col("d") == day(7), F.col("user_id"))).alias("retained_d7"),
+    )
+
+
+@register(
+    "group_array_events",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS event_seq,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def group_array_events(spark, sf_dir):
+    """r6, B20: ClickHouse ``groupArray`` + ``arrayStringConcat`` — the
+    per-entity ordered event sequence (the input shape for journey
+    mining / markov-chain session analysis). Collected with a total
+    (ts, event_id) order so the sequence is deterministic, emitted as a
+    string both engines agree on byte-for-byte.
+
+    Scale: one groupBy on user_id; per-user arrays are bounded by
+    per-entity activity (the same bound every sessionize/funnel
+    operator here already relies on), and nothing global sorts."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(">", seq).alias("event_seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
