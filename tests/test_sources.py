@@ -66,3 +66,22 @@ def test_clickhouse_sink_writer_options(spark):
     assert w is not None
     batch_fn = sink.foreach_batch(num_partitions=2)
     assert callable(batch_fn)
+
+
+def test_partsupp_fixture_matches_generator():
+    """The committed partsupp parquet must stay byte-derivable from the
+    generator (tools/gen_partsupp.py) — the spec-true TPC-H variants and
+    their oracles both read the committed file, so silent drift would
+    invalidate q2/q11/q16/q20_spec."""
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from gen_partsupp import OUT_DIR, gen_one
+
+    for tag, sf_dir in [("sf0_001", "/root/testdata/sf0.001"), ("sf0_01", "/root/testdata/sf0.01")]:
+        fresh = gen_one(sf_dir)
+        committed = pq.read_table(os.path.join(OUT_DIR, f"partsupp.{tag}.parquet"))
+        assert fresh.equals(committed), f"partsupp fixture drift at {tag}"
