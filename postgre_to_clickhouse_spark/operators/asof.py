@@ -37,20 +37,40 @@ def asof_join(
     on_right: str | None = None,
     tiebreak: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """For each fact row: the dim row with max ``(dim_time, tiebreak)``
-    such that ``dim_time`` ≤ ``fact_time`` within the same ``on`` key.
+    """For each fact row: the nearest dim row within the same ``on``
+    key — ``direction="backward"`` (default) takes the dim with max
+    ``(dim_time, tiebreak)`` where ``dim_time <= fact_time``;
+    ``"forward"`` the dim with min ``dim_time`` (highest ``tiebreak``
+    among equals) where ``dim_time >= fact_time``. ``strict=True``
+    excludes the equal-time match (ClickHouse ASOF's ``<`` / ``>``
+    operators; default covers its ``<=`` / ``>=``). ``tolerance_us``
+    nulls the match when |fact_time − dim_time| exceeds the bound in
+    microseconds (pandas ``merge_asof(tolerance=...)`` semantics).
     Output = fact columns + ``dim_cols`` renamed with ``suffix`` (null
-    when no dim row precedes the fact). Key columns: ``on`` when both
-    sides share the name, else ``on_left``/``on_right``."""
+    when nothing matches). Key columns: ``on`` when both sides share
+    the name, else ``on_left``/``on_right``.
+
+    All variants keep the one-shuffle union+window shape: direction
+    only flips the window's time ordering, strictness only flips which
+    side sorts first at equal times, and tolerance is a post-window
+    map-side filter on the carried dim time."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on_left, on_right = (on, on) if on is not None else (on_left, on_right)
     dstruct_t = dim.select(F.struct(*[F.col(c) for c in dim_cols]).alias("s")).schema[0].dataType
     fstruct_t = fact.select(F.struct(*fact.columns).alias("s")).schema[0].dataType
 
+    # at equal __t the side ordered FIRST is visible to the other:
+    # non-strict → dim first (equal-time dim matches), strict → fact first
+    fact_side, dim_side = (1, 0) if not strict else (0, 1)
     f_tagged = fact.select(
         F.col(on_left).alias("__k"),
         F.col(fact_time).alias("__t"),
-        F.lit(1).alias("__side"),  # facts sort after dims at equal time → <= semantics
+        F.lit(fact_side).alias("__side"),
         F.lit(0).cast("long").alias("__tb"),
         F.struct(*fact.columns).alias("__fact"),
         F.lit(None).cast(dstruct_t).alias("__dim"),
@@ -59,23 +79,33 @@ def asof_join(
     d_tagged = dim.select(
         F.col(on_right).alias("__k"),
         F.col(dim_time).alias("__t"),
-        F.lit(0).alias("__side"),
+        F.lit(dim_side).alias("__side"),
         tb.alias("__tb"),
         F.lit(None).cast(fstruct_t).alias("__fact"),
         F.struct(*[F.col(c) for c in dim_cols]).alias("__dim"),
     )
     unioned = f_tagged.unionByName(d_tagged)
+    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t"), F.col("__side"), F.col("__tb"))
+        .orderBy(t_order, F.col("__side"), F.col("__tb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    dim_t = F.when(F.col("__side") == dim_side, F.col("__t"))
     carried = unioned.select(
         "__side",
         "__fact",
+        F.col("__t").alias("__ft"),
         F.last("__dim", ignorenulls=True).over(w).alias("__c"),
+        F.last(dim_t, ignorenulls=True).over(w).alias("__ct"),
     )
-    return carried.filter(F.col("__side") == 1).select(
+    out = carried.filter(F.col("__side") == fact_side)
+    if tolerance_us is not None:
+        gap = F.abs(F.unix_micros(F.col("__ft")) - F.unix_micros(F.col("__ct")))
+        out = out.withColumn(
+            "__c", F.when(gap <= F.lit(int(tolerance_us)), F.col("__c"))
+        )
+    return out.select(
         "__fact.*",
         *[F.col(f"__c.{c}").alias(f"{c}{suffix}") for c in dim_cols],
     )

@@ -202,3 +202,46 @@ def window_range_frame(spark, sf_dir):
         F.count(F.lit(1)).over(w_band).alias("n_within_10k"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w_cum).cast("double").alias("cum_by_price"),
     )
+
+
+@register(
+    "asof_forward_next_order",
+    oracle="""
+    WITH od AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                     ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1)
+    SELECT e.event_id, e.user_id, e.ts,
+           arg_min(o.o_orderkey, o.o_orderdate) AS o_orderkey_next,
+           arg_min(o.o_totalprice, o.o_orderdate) AS o_totalprice_next
+    FROM events e LEFT JOIN od o
+      ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+)
+def asof_forward_next_order(spark, sf_dir):
+    """B6, r6: FORWARD as-of — each event joined to the user's next
+    order at-or-after the event time (the "what did this touchpoint
+    convert into" join). Same one-shuffle union+window operator as the
+    backward form with ``direction="forward"``; the oracle is an
+    independent range-join + arg_min formulation (unique (custkey,
+    orderdate) after the deterministic tie collapse, so both arg_mins
+    pick the same row)."""
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    from postgre_to_clickhouse_spark.cdc import latest as latest_op
+
+    o_dedup = latest_op(o, entity_key=("o_custkey", "o_orderdate"), version_cols=("o_orderkey",))
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        o_dedup,
+        on_left="user_id",
+        on_right="o_custkey",
+        fact_time="ts",
+        dim_time="o_orderdate",
+        dim_cols=["o_orderkey", "o_totalprice"],
+        direction="forward",
+        suffix="_next",
+    )
+    return out.select("event_id", "user_id", "ts", "o_orderkey_next", "o_totalprice_next")

@@ -370,3 +370,56 @@ def test_hll_union_of_parts_equals_sketch_of_whole(spark):
     whole = df.agg(F.hll_sketch_estimate(F.hll_sketch_agg("v")).alias("e")).collect()[0].e
     assert merged == whole  # state merge is exact, not approximate-on-approximate
     assert abs(merged - 100_000) / 100_000 < 0.03
+
+
+def test_asof_join_forward_and_strict(spark, asof_fixture):
+    """r6 direction/strict variants: forward = nearest dim AT-or-AFTER
+    the fact; strict excludes the equal-time match (ClickHouse ASOF
+    </> operators)."""
+    fact, dim = asof_fixture
+    fwd = asof_join(
+        fact, dim, on="k", fact_time="t", dim_time="vt",
+        dim_cols=["vt", "price"], direction="forward",
+    )
+    got = {r.fval: (r.price_asof, r.vt_asof and r.vt_asof.day) for r in fwd.collect()}
+    assert got == {
+        "f0": (150, 5),     # t=2 → next version @5
+        "f1": (150, 5),     # t=5 → >= matches at equal time
+        "f2": (None, None),  # t=10 → nothing after
+        "g1": (900, 9),     # t=7 → version @9
+        "h1": (None, None),
+    }
+    strict_b = asof_join(
+        fact, dim, on="k", fact_time="t", dim_time="vt",
+        dim_cols=["price"], strict=True,
+    )
+    got_b = {r.fval: r.price_asof for r in strict_b.collect()}
+    assert got_b["f1"] == 100  # t=5: equal-time dim @5 EXCLUDED → @1
+    strict_f = asof_join(
+        fact, dim, on="k", fact_time="t", dim_time="vt",
+        dim_cols=["price"], direction="forward", strict=True,
+    )
+    got_f = {r.fval: r.price_asof for r in strict_f.collect()}
+    assert got_f["f1"] == 180  # t=5: equal-time dim @5 EXCLUDED → @8
+
+
+def test_asof_join_tolerance(spark, asof_fixture):
+    """tolerance_us nulls matches farther than the bound — pandas
+    merge_asof(tolerance=...) is the cross-check."""
+    import pandas as pd
+
+    fact, dim = asof_fixture
+    tol_us = 2 * 24 * 3600 * 1_000_000  # 2 days
+    a = asof_join(
+        fact, dim, on="k", fact_time="t", dim_time="vt",
+        dim_cols=["price"], tolerance_us=tol_us,
+    )
+    f_pdf = fact.toPandas().sort_values("t", kind="mergesort")
+    d_pdf = dim.toPandas().sort_values("vt", kind="mergesort")
+    ref = pd.merge_asof(
+        f_pdf, d_pdf, left_on="t", right_on="vt", by="k",
+        tolerance=pd.Timedelta(days=2),
+    )
+    want = {r.fval: (None if pd.isna(r.price) else int(r.price)) for r in ref.itertuples()}
+    got = {r.fval: r.price_asof for r in a.collect()}
+    assert got == want
