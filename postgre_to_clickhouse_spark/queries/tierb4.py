@@ -321,3 +321,51 @@ def group_array_events(spark, sf_dir):
         F.concat_ws(">", seq).alias("event_seq"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "quantile_sketch_events",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, value, COUNT(*) AS w
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, value
+    ),
+    cum AS (
+      SELECT event_type, value,
+             SUM(w) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER (PARTITION BY event_type) AS tw
+      FROM c
+    )
+    SELECT event_type,
+           MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.5 * CAST(tw AS DOUBLE)
+                    THEN value END) AS q50,
+           MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.9 * CAST(tw AS DOUBLE)
+                    THEN value END) AS q90,
+           MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.99 * CAST(tw AS DOUBLE)
+                    THEN value END) AS q99
+    FROM cum GROUP BY event_type
+    """,
+)
+def quantile_sketch_events(spark, sf_dir):
+    """r6, B20: mergeable quantile STATES (the ClickHouse
+    ``quantileState``/``quantileTDigest`` pattern, completing the
+    mergeable-state family next to uniqState-HLL and topK-SpaceSaving):
+    per-partition rank-preserving summaries built independently, merged
+    by concatenation (≤ partitions × capacity rows ever move), then
+    finalized with the quantileExactWeighted rule. At fixture scale
+    every partition's distinct set fits the capacity, so the summary is
+    EXACT and the oracle recomputes the same quantiles from raw events;
+    the truncated regime's rank-error bound is pytest-asserted
+    (tests/test_operators.py)."""
+    from postgre_to_clickhouse_spark.operators.sketch import (
+        quantile_summaries,
+        quantiles_from_summaries,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = quantile_summaries(ev, "value", group_cols=("event_type",))
+    return quantiles_from_summaries(
+        s, [0.5, 0.9, 0.99], group_cols=("event_type",), out_names=["q50", "q90", "q99"]
+    )

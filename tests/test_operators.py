@@ -423,3 +423,29 @@ def test_asof_join_tolerance(spark, asof_fixture):
     want = {r.fval: (None if pd.isna(r.price) else int(r.price)) for r in ref.itertuples()}
     got = {r.fval: r.price_asof for r in a.collect()}
     assert got == want
+
+
+def test_quantile_summaries_exact_regime_and_error_bound(spark):
+    """r6 mergeable quantile states: capacity >= per-partition distinct
+    → exact; truncated regime stays within the per-partition bucket-
+    mass rank bound (P buckets of mass ceil(m/capacity))."""
+    from pyspark.sql import functions as F
+
+    from postgre_to_clickhouse_spark.operators.sketch import (
+        quantile_summaries,
+        quantiles_from_summaries,
+    )
+
+    n = 10_000
+    df = spark.range(n).select(F.col("id").cast("double").alias("v")).repartition(4)
+    # exact regime
+    s = quantile_summaries(df, "v", capacity=65536)
+    out = quantiles_from_summaries(s, [0.5, 0.9], out_names=["q50", "q90"]).collect()[0]
+    assert out.q50 == 4999.0 and out.q90 == 8999.0  # smallest v with cw >= q*n
+    # truncated regime: 4 partitions x ~2500 distinct, capacity 100
+    s2 = quantile_summaries(df, "v", capacity=100)
+    assert s2.count() <= 4 * 100
+    out2 = quantiles_from_summaries(s2, [0.5], out_names=["q50"]).collect()[0]
+    # rank error <= sum of one bucket mass per partition = 4 * ceil(2500/100)
+    bound = 4 * 25
+    assert abs(out2.q50 - 4999.0) <= bound
