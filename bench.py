@@ -114,6 +114,8 @@ HEADLINE = [
     "q20_spec_excess_suppliers",
     "cohort_retention_matrix",
     "group_array_events",
+    "asof_forward_next_order",
+    "quantile_sketch_events",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

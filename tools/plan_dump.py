@@ -28,6 +28,10 @@ SHOWCASE = [
     ("decontaminate_eval_overlap", "eval grams broadcast; corpus exchanges once"),
     ("semdedup_prune", "two Arrow stages, zero joins"),
     ("funnel_strict_modes", "one groupBy + JVM fold — no joins, no windows"),
+    ("interleave_datasets_order", "global_rank: no SinglePartition exchange; broadcast offsets join a pinned ranked layout"),
+    ("q2_spec_min_cost_supplier", "spec-true partsupp Q2: per-part min via groupBy + equi-join, dims broadcast"),
+    ("quantile_sketch_events", "mergeable quantile states: per-partition summaries, bounded concatenation merge"),
+    ("cohort_retention_matrix", "distinct (user, day) reduction before any join; matrix groupBy never rescans raw events"),
 ]
 
 STRIP = re.compile(r"#\d+L?|\[plan_id=\d+\]")
