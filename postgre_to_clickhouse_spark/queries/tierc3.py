@@ -219,3 +219,20 @@ def agg_mv_incremental(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register("bpe_tokenize_documents")  # golden oracle (queries/goldens.py)
+def bpe_tokenize_documents(spark, sf_dir):
+    """C4, r6: REAL byte-pair-encoding tokenization (Sennrich 2016) —
+    train 200 merges on the corpus's aggregated word-frequency table
+    (distributed count, bounded driver merge loop: the two-stage shape
+    every production BPE trainer uses), then encode each document with
+    the greedy lowest-rank merge loop in Arrow batches. Deterministic
+    end-to-end (exact counts; ties to the lexicographically smallest
+    pair), so the exact output is committed-golden-checked like the
+    other seeded hash-family operators."""
+    from postgre_to_clickhouse_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=200)
+    return bpe_encode(d, merges)

@@ -428,3 +428,44 @@ def test_interleave_prefixes_track_target_mixture(spark):
         seq = [r.doc_id for r in rows if r.lang == lang]
         keyed = sorted(seq, key=lambda i: (hashlib.md5(f"il1:{i}".encode()).hexdigest(), i))
         assert seq == keyed
+
+
+def test_bpe_train_and_encode(spark):
+    """r6 BPE: merges learn the frequent pair first (deterministic
+    tie-break), encoding applies them greedily by rank, unseen words
+    fall back to characters."""
+    from postgre_to_clickhouse_spark.operators.bpe import (
+        _encode_word,
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa aa"), (2, "aa ab bb"), (3, "aa aa")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, num_merges=2)
+    # 'aa' x6 makes both (a,a) and (a,</w>) count 6; the deterministic
+    # tie-break takes the lexicographically smaller ('<' < 'a'), then
+    # round two merges the dominant (a, a</w>)
+    assert merges[0] == ("a", "</w>")
+    assert merges[1] == ("a", "a</w>")
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert _encode_word("aa", ranks) == ["aa</w>"]
+    assert _encode_word("ab", ranks) == ["a", "b", "</w>"]
+    assert _encode_word("zq", ranks) == ["z", "q", "</w>"]  # unseen -> chars
+    out = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    assert out[3].n_bpe_tokens == 2 and out[3].first_tokens == "aa</w> aa</w>"
+    assert out[1].n_word_types == 2
+
+
+def test_bpe_train_layout_independent(spark):
+    """Same merges from any partitioning (exact aggregated counts)."""
+    from postgre_to_clickhouse_spark import catalog
+    from postgre_to_clickhouse_spark.operators.bpe import bpe_train
+    from tests.conftest import SF_SMALL
+
+    d = catalog.load(spark, SF_SMALL, "documents")
+    m1 = bpe_train(d, num_merges=50)
+    m2 = bpe_train(d.repartition(13), num_merges=50)
+    assert m1 == m2
