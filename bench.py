@@ -116,6 +116,8 @@ HEADLINE = [
     "group_array_events",
     "asof_forward_next_order",
     "quantile_sketch_events",
+    "bpe_tokenize_documents",
+    "multimodal_video_gif",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -782,3 +782,61 @@ def audio_dsp_features(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select(id_col, "payload").mapInPandas(run, schema=AUDIO_DSP_SCHEMA)
+
+
+def gif_from_ids(ids: DataFrame, id_col: str = "doc_id", n_frames: int = 4) -> DataFrame:
+    """Deterministic animated-GIF table keyed by an id column: frame i
+    is the 8x8 grayscale base ``base(y,x) = (id*7 + y*8 + x) mod 256``
+    row-rolled by i with +i brightness (mod 256) — the same closed-form
+    frame family `sample_video_frames` synthesizes, now packed into a
+    REAL GIF89a container (`operators/gif.py`, lossless LZW), so the
+    video path parses actual animation bytes end-to-end."""
+    from postgre_to_clickhouse_spark.operators.gif import encode_gif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                base = ((int(i) * 7 + idx) % 256).astype(np.uint8).reshape(8, 8)
+                frames = [
+                    ((np.roll(base, -f, axis=0).astype(np.int64) + f) % 256).astype(np.uint8)
+                    for f in range(n_frames)
+                ]
+                payloads.append(encode_gif(frames))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(run, schema=f"{id_col} long, payload binary")
+
+
+GIF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_px", T.IntegerType(), False),
+        T.StructField("px_sum", T.LongType(), True),
+        T.StructField("first_px", T.IntegerType(), True),
+    ]
+)
+
+
+def gif_frame_stats(media: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode every GIF payload (real LZW) and emit per-frame
+    integer-exact stats; ``first_px`` moves with the frame roll, so a
+    wrong shift direction or off-by-one frame order flips it."""
+    from postgre_to_clickhouse_spark.operators.gif import decode_gif
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in GIF_STATS_SCHEMA.fields}
+            for i, payload in zip(pdf[id_col], pdf["payload"]):
+                frames = decode_gif(bytes(payload))
+                for fi, fr in enumerate(frames):
+                    out["doc_id"].append(int(i))
+                    out["frame_idx"].append(fi)
+                    out["n_px"].append(int(fr.size))
+                    out["px_sum"].append(int(fr.astype(np.int64).sum()))
+                    out["first_px"].append(int(fr[0, 0]))
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, "payload").mapInPandas(run, schema=GIF_STATS_SCHEMA)

@@ -437,3 +437,36 @@ def sequence_match_3step(spark, sf_dir):
         ["view", "click", "purchase"],
         guards=[(0, _SEQ_GUARD), (0, None)],
     )
+
+
+@register(
+    "multimodal_video_gif",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(f.i AS INTEGER) AS frame_idx,
+           64 AS n_px,
+           CAST(SUM(((d.doc_id * 7 + t.j) % 256 + f.i) % 256) AS BIGINT) AS px_sum,
+           CAST(MIN(CASE WHEN t.j = 0
+             THEN ((d.doc_id * 7 + (f.i % 8) * 8) % 256 + f.i) % 256
+           END) AS INTEGER) AS first_px
+    FROM documents d, range(4) f(i), range(64) t(j)
+    GROUP BY d.doc_id, f.i
+    """,
+)
+def multimodal_video_gif(spark, sf_dir):
+    """C5, r6: the video path through a REAL animation container —
+    4 closed-form grayscale frames per document packed into GIF89a
+    (dependency-free LZW codec, operators/gif.py), decoded back, and
+    reduced to integer-exact per-frame stats. GIF is lossless, so the
+    SQL oracle recomputes every stat from the frame formula; px_sum is
+    roll-invariant while first_px moves with the roll (a wrong shift
+    direction or frame order flips it). Payload bytes cross Arrow once
+    per stage, exactly like the image path."""
+    from postgre_to_clickhouse_spark.operators.multimodal import (
+        gif_frame_stats,
+        gif_from_ids,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    media = gif_from_ids(d, id_col="doc_id", n_frames=4)
+    return gif_frame_stats(media, id_col="doc_id")

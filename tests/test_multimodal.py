@@ -384,3 +384,44 @@ def test_jpeg_420_subsampled_roundtrip():
     # restart markers interleave correctly with multi-block MCUs
     dec2 = J.decode_jpeg(J.encode_jpeg(rgb, quality=92, subsample=True, restart_interval=1))
     assert (dec == dec2).all()
+
+
+def test_gif_codec_lossless_roundtrip():
+    """r6 GIF89a codec: full LZW (dict build, width growth, KwKwK,
+    clear-on-overflow) — animation roundtrips losslessly."""
+    import numpy as np
+
+    from postgre_to_clickhouse_spark.operators import gif as G
+
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, size=(17, 23), dtype=np.uint8) for _ in range(5)]
+    data = G.encode_gif(frames)
+    assert data[:6] == b"GIF89a"
+    back = G.decode_gif(data)
+    assert len(back) == 5
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+    assert data == G.encode_gif(frames)  # byte-deterministic
+    # long constant runs stress the clear/width path
+    flat = [np.zeros((64, 64), dtype=np.uint8), np.full((64, 64), 255, dtype=np.uint8)]
+    back2 = G.decode_gif(G.encode_gif(flat))
+    assert np.array_equal(back2[0], flat[0]) and np.array_equal(back2[1], flat[1])
+
+
+def test_gif_video_stats_match_frame_formula(spark):
+    import numpy as np
+
+    from postgre_to_clickhouse_spark.operators.multimodal import (
+        gif_frame_stats,
+        gif_from_ids,
+    )
+    from pyspark.sql import functions as F
+
+    ids = spark.range(6).select(F.col("id").alias("doc_id"))
+    stats = {(r.doc_id, r.frame_idx): r for r in gif_frame_stats(gif_from_ids(ids)).collect()}
+    for i in range(6):
+        base = ((i * 7 + np.arange(64)) % 256).reshape(8, 8)
+        for f in range(4):
+            fr = (np.roll(base, -f, axis=0) + f) % 256
+            s = stats[(i, f)]
+            assert s.px_sum == int(fr.sum()) and s.first_px == int(fr[0, 0])
