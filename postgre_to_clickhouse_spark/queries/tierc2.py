@@ -270,3 +270,29 @@ def pandas_udf_zscore(spark, sf_dir):
     return ev.groupBy("event_type").applyInPandas(
         zscore, schema="event_id long, event_type string, value double, z double"
     )
+
+
+@register("vector_pq_topk")  # golden oracle (queries/goldens.py)
+def vector_pq_topk(spark, sf_dir):
+    """C3, r6: product-quantization ANN (Jégou 2011) — m=8 subspace
+    codebooks of k=16 entries (4 bytes per 64-dim vector, fit on a
+    deterministic content-addressed sample), ADC search with broadcast
+    per-query distance tables, per-partition top-k heaps, and a
+    bounded-candidate exact rank, then exact re-rank of the 64-candidate ADC pool (the standard PQ deployment). Deterministic end-to-end →
+    committed-golden oracle; recall floor vs the exact scan asserted in
+    tests/test_training_ops.py."""
+    from postgre_to_clickhouse_spark.operators.pq import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_rerank,
+        pq_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(e, m=8, k=16, seed=42)
+    enc = pq_encode(e, books)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pool = pq_topk(enc, books, q, k=64)
+    return pq_rerank(pool, e, q, k=10)
