@@ -118,6 +118,7 @@ HEADLINE = [
     "quantile_sketch_events",
     "bpe_tokenize_documents",
     "multimodal_video_gif",
+    "vector_pq_topk",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't
