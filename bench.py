@@ -119,6 +119,7 @@ HEADLINE = [
     "bpe_tokenize_documents",
     "multimodal_video_gif",
     "vector_pq_topk",
+    "sequence_count_funnel",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -294,3 +294,60 @@ def retention(
             F.sum(F.col("__r0") * F.col(f"__r{i}")).cast("bigint").alias(f"n_cond1_and_{i + 1}")
         )
     return per_user.agg(*out)
+
+
+def sequence_count(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user, n_matches): ClickHouse ``sequenceCount`` — how many
+    NON-OVERLAPPING ordered ``steps[0] → … → steps[n-1]`` subsequence
+    matches exist in the user's (ts, event_id-free) event order.
+    Greedy left-to-right matching (advance on the next needed step,
+    reset and count on completion) is optimal for non-overlapping
+    subsequence counting (standard exchange argument), so this is
+    exact. One groupBy + a JVM ``aggregate`` fold over the sorted
+    per-user type array — same shape and bounds as the rest of the
+    funnel family (no joins, no windows). Ties at equal timestamps
+    break on step index via the sorted struct, deterministic."""
+    n = len(steps)
+    if n < 2:
+        raise ValueError("need at least 2 steps")
+    step_idx = F.col("__s")
+    arr = F.sort_array(F.collect_list(F.struct(F.col(ts_col), F.col("__s"))))
+    # map each event to its 1-based step index (0 = not a step)
+    m = None
+    for i, s in enumerate(steps):
+        m = F.when(F.col(type_col) == s, F.lit(i + 1)) if m is None else m.when(
+            F.col(type_col) == s, F.lit(i + 1)
+        )
+    m = m.otherwise(F.lit(0))
+    agg = (
+        events.select(F.col(user_col), F.col(ts_col), m.alias("__s"))
+        .filter(step_idx > 0)
+        .groupBy(user_col)
+        .agg(arr.alias("__evs"))
+    )
+    types = F.transform(F.col("__evs"), lambda s: s["__s"])
+    init = F.struct(F.lit(0).alias("p"), F.lit(0).alias("c"))
+
+    def fold(acc, x):
+        return (
+            F.when(
+                (x == acc["p"] + 1) & (x < F.lit(n)),
+                F.struct((acc["p"] + 1).alias("p"), acc["c"].alias("c")),
+            )
+            .when(
+                (x == F.lit(n)) & (acc["p"] == F.lit(n - 1)),
+                F.struct(F.lit(0).alias("p"), (acc["c"] + 1).alias("c")),
+            )
+            .otherwise(acc)
+        )
+
+    folded = F.aggregate(types, init, fold)
+    return agg.select(
+        F.col(user_col), folded["c"].cast("bigint").alias("n_matches")
+    )

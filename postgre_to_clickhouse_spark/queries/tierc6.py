@@ -470,3 +470,49 @@ def multimodal_video_gif(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
     media = gif_from_ids(d, id_col="doc_id", n_frames=4)
     return gif_frame_stats(media, id_col="doc_id")
+
+
+@register(
+    "sequence_count_funnel",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT user_id, s,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, s) AS i
+      FROM (
+        SELECT user_id, ts,
+               CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                               WHEN 'purchase' THEN 3 END AS s
+        FROM events
+        WHERE event_type IN ('view', 'click', 'purchase'))
+    ),
+    n AS (SELECT user_id, max(i) AS mx FROM e GROUP BY user_id),
+    walk AS (
+      SELECT user_id, 0 AS i, 0 AS p, 0 AS c FROM n
+      UNION ALL
+      SELECT w.user_id, w.i + 1,
+             CASE WHEN e.s = w.p + 1 AND e.s < 3 THEN w.p + 1
+                  WHEN e.s = 3 AND w.p = 2 THEN 0
+                  ELSE w.p END,
+             CASE WHEN e.s = 3 AND w.p = 2 THEN w.c + 1 ELSE w.c END
+      FROM walk w JOIN e ON e.user_id = w.user_id AND e.i = w.i + 1
+    )
+    SELECT w.user_id, CAST(w.c AS BIGINT) AS n_matches
+    FROM walk w JOIN n ON n.user_id = w.user_id AND w.i = n.mx
+    """,
+)
+def sequence_count_funnel(spark, sf_dir):
+    """r6, B21: ClickHouse ``sequenceCount`` — non-overlapping
+    view→click→purchase chains per user, single-pointer greedy exactly
+    as ClickHouse scans ("starts searching for the next chain after
+    the current chain is matched"). The oracle walks the same state
+    machine as a recursive CTE (one step per event — an INDEPENDENT
+    sequential replay, the CC-oracle pattern). list_reduce was
+    rejected for this oracle: DuckDB 1.0 returns row-misaligned
+    results for per-row folds at some cardinalities (verified — values
+    swapped between users 7/14 at sf0.001 vs a Python replay, with
+    both list- and scalar-typed accumulators). Ties at equal
+    timestamps break on step index in both engines."""
+    from postgre_to_clickhouse_spark.operators.funnel import sequence_count
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_count(ev, ["view", "click", "purchase"])

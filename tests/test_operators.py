@@ -449,3 +449,25 @@ def test_quantile_summaries_exact_regime_and_error_bound(spark):
     # rank error <= sum of one bucket mass per partition = 4 * ceil(2500/100)
     bound = 4 * 25
     assert abs(out2.q50 - 4999.0) <= bound
+
+
+def test_sequence_count_clickhouse_semantics(spark):
+    """r6 sequenceCount: single-pointer greedy — chains do NOT
+    interleave (ClickHouse restarts the search after a match), so
+    [1,1,2,2,3,3] counts ONE chain, not two."""
+    import datetime as dt
+
+    from postgre_to_clickhouse_spark.operators.funnel import sequence_count
+
+    def ev(uid, i, t):
+        return (uid, dt.datetime(2024, 1, 1, 0, 0, i), t)
+
+    rows = (
+        [ev(1, i, t) for i, t in enumerate(["view", "view", "click", "click", "purchase", "purchase"])]
+        + [ev(2, i, t) for i, t in enumerate(["view", "click", "purchase", "view", "click", "purchase"])]
+        + [ev(3, i, t) for i, t in enumerate(["click", "purchase", "view"])]
+        + [ev(4, i, t) for i, t in enumerate(["view", "other", "click", "other", "purchase"])]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.user_id: r.n_matches for r in sequence_count(df, ["view", "click", "purchase"]).collect()}
+    assert got == {1: 1, 2: 2, 3: 0, 4: 1}
