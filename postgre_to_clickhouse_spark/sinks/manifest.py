@@ -125,7 +125,7 @@ class ManifestTable:
         if not m["files"]:
             raise FileNotFoundError(f"manifest table at {self.path} has no committed snapshot")
         paths = [os.path.join(self.path, _DATA, f["name"]) for f in m["files"]]
-        return spark.read.parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_latest(
         self,
@@ -188,8 +188,12 @@ class ManifestTable:
             kept_files = [f for f in m["files"] if f["bucket"] not in touched]
             if touched_files:
                 paths = [os.path.join(self.path, _DATA, f["name"]) for f in touched_files]
-                existing = spark.read.parquet(*paths)
-                merged = existing.unionByName(batch)
+                existing = spark.read.option("mergeSchema", "true").parquet(*paths)
+                # allowMissingColumns = schema evolution (ClickHouse ALTER ADD
+                # COLUMN / Avro evolved-field semantics): a batch carrying a NEW
+                # column widens the table, old rows read back as NULL; a batch
+                # missing an old column fills NULL for its own rows
+                merged = existing.unionByName(batch, allowMissingColumns=True)
             else:
                 merged = batch
             merged = dedup_redelivery(merged, sort_key, arrival)
@@ -271,7 +275,7 @@ class ManifestTable:
         if not touched_files:
             return self.current_version()
         paths = [os.path.join(self.path, _DATA, f["name"]) for f in touched_files]
-        data = spark.read.parquet(*paths)
+        data = spark.read.option("mergeSchema", "true").parquet(*paths)
         if final:
             data = latest(data, entity_key=(self.key_col,), version_cols=sort_key[1:] + arrival)
         new_files = self._write_bucket_files(data, touched)
@@ -297,7 +301,7 @@ class ManifestTable:
         by_name = {f["name"]: f for f in m["files"]}
         paths = [os.path.join(self.path, _DATA, f["name"]) for f in m["files"]]
         hit_paths = (
-            spark.read.parquet(*paths)
+            spark.read.option("mergeSchema", "true").parquet(*paths)
             .filter(predicate)
             .select(F.input_file_name().alias("__f"))
             .distinct()
@@ -314,7 +318,7 @@ class ManifestTable:
         # where it is NULL (e.g. a NULL timestamp under TTL) survive —
         # plain NOT(pred) would silently delete them in rewritten
         # buckets while identical rows in untouched buckets survive.
-        survivors = spark.read.parquet(*tpaths).filter(
+        survivors = spark.read.option("mergeSchema", "true").parquet(*tpaths).filter(
             f"NOT coalesce(({predicate}), false)"
         )
         new_files = self._write_bucket_files(survivors, touched)

@@ -209,3 +209,49 @@ def test_append_ingest_defers_dedup_to_read_and_compact(spark, tmp_path):
     assert v == t.current_version()
     assert t.read(spark).count() == len(GOLDEN_LATEST) < raw
     assert _latest_map(t.read_latest(spark)) == GOLDEN_LATEST
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    """r6: a batch carrying a NEW column widens the table (ClickHouse
+    ALTER ADD COLUMN / Avro evolved-field semantics) — old rows read
+    back as NULL in the new column, later part files mix with earlier
+    ones via mergeSchema, and latest-wins still resolves correctly."""
+    from postgre_to_clickhouse_spark.sinks.manifest import ManifestTable
+
+    t = ManifestTable(str(tmp_path / "tbl"), key_col="user_id", n_buckets=4)
+    apply = t.merge_upsert(sort_key=("user_id", "updated_at"), arrival=("kafka_offset",))
+    b1 = spark.createDataFrame(
+        [(1, "alice", 100, 1), (2, "bob", 100, 2)],
+        "user_id long, username string, updated_at long, kafka_offset long",
+    )
+    apply(b1, 0)
+    # batch 2 adds an 'email' column and updates user 2
+    b2 = spark.createDataFrame(
+        [(2, "bob2", 200, 3, "bob@x"), (3, "carol", 150, 4, "carol@x")],
+        "user_id long, username string, updated_at long, kafka_offset long, email string",
+    )
+    apply(b2, 1)
+    out = {r.user_id: r for r in t.read_latest(
+        spark, entity_key=("user_id",), version_cols=("updated_at", "kafka_offset")
+    ).collect()}
+    assert out[1].username == "alice" and out[1].email is None
+    assert out[2].username == "bob2" and out[2].email == "bob@x"
+    assert out[3].email == "carol@x"
+    # batch 3 MISSING the new column still merges (null-filled)
+    b3 = spark.createDataFrame(
+        [(4, "dave", 100, 5)],
+        "user_id long, username string, updated_at long, kafka_offset long",
+    )
+    apply(b3, 2)
+    out2 = {r.user_id: r for r in t.read_latest(
+        spark, entity_key=("user_id",), version_cols=("updated_at", "kafka_offset")
+    ).collect()}
+    assert out2[4].email is None and out2[2].email == "bob@x"
+    # compaction over mixed-schema parts keeps results identical
+    t.compact(spark, sort_key=("user_id", "updated_at"), arrival=("kafka_offset",))
+    out3 = {r.user_id: r for r in t.read_latest(
+        spark, entity_key=("user_id",), version_cols=("updated_at", "kafka_offset")
+    ).collect()}
+    assert {u: (r.username, r.email) for u, r in out2.items()} == {
+        u: (r.username, r.email) for u, r in out3.items()
+    }
