@@ -94,11 +94,16 @@ _WINDOW = [
     "text_fingerprints",          # C4 rolling-hash fingerprints
     "ngram_jaccard_same_source",  # C2 n-gram Jaccard
 ]
-# Coverage closure: with this window green, EVERY registered query
-# (135) has at least one driver-green CORRECTNESS row across r1-r6 —
-# the 15 r5 never-checked queries, all seven r6 additions, and the
-# r1-era drift re-checks are all seated; everything evicted is
+# Coverage: with this window green, every query registered BEFORE the
+# late-r6 batch has at least one driver-green CORRECTNESS row across
+# r1-r6 — the 15 r5 never-checked queries, the early r6 additions, and
+# the r1-era drift re-checks are all seated; everything evicted is
 # driver-green in r5 or earlier and stays oracle-gated in pytest.
+# r7 rotation candidates (registered after the window, all
+# oracle-backed and locally driver-faithful-audited at two SFs, never
+# driver-checked): asof_forward_next_order, quantile_sketch_events,
+# bpe_tokenize_documents, multimodal_video_gif, vector_pq_topk,
+# sequence_count_funnel, cohort/groupArray evictees if re-needed.
 
 
 def _reorder() -> None:
