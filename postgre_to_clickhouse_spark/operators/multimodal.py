@@ -806,7 +806,14 @@ def gif_from_ids(ids: DataFrame, id_col: str = "doc_id", n_frames: int = 4) -> D
                 payloads.append(encode_gif(frames))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return ids.select(id_col).mapInPandas(run, schema=f"{id_col} long, payload binary")
+    sel = ids.select(id_col)
+    # per-row Python codec work: when the input is a handful of parquet
+    # splits (fixture scale), spread it across the executor threads; at
+    # real scale the input already has more splits than cores
+    par = sel.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < par:
+        sel = sel.repartition(par)
+    return sel.mapInPandas(run, schema=f"{id_col} long, payload binary")
 
 
 GIF_STATS_SCHEMA = T.StructType(
