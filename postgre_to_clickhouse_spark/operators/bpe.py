@@ -126,7 +126,7 @@ def bpe_encode(
         for pdf in batches:
             n_toks, n_types, first = [], [], []
             for text in pdf[text_col]:
-                words = tok_re.findall(str(text).lower())
+                words = tok_re.findall(str(text).lower()) if text is not None else []
                 toks: list[str] = []
                 for w in words:
                     enc = cache.get(w)

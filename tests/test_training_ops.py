@@ -514,3 +514,12 @@ def test_pq_recall_and_layout_independence(spark):
     assert sum(recalls) / len(recalls) >= 0.7, recalls  # ADC pool + exact re-rank
     # (the fixture embeddings are near-random — PQ's structural worst case;
     # clustered real embeddings recall far higher at the same pool)
+
+
+def test_bpe_encode_null_and_empty_text(spark):
+    from postgre_to_clickhouse_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "ok")], "doc_id long, text string")
+    out = {r.doc_id: r for r in bpe_encode(df, []).collect()}
+    assert out[1].n_bpe_tokens == 0 and out[2].n_bpe_tokens == 0
+    assert out[2].first_tokens == "" and out[3].n_bpe_tokens == 3  # o,k,</w>
