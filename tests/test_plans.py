@@ -264,3 +264,51 @@ def test_global_rank_queries_have_no_single_partition_exchange(spark):
         # offset join builds a broadcast, not a shuffle)
         assert "ExistingRDD" in plan, f"{name} is not reading the pinned ranked layout"
         assert "BroadcastHashJoin" in plan, f"{name} lost the broadcast offset join"
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """r6: the 100 TB co-location story — two tables bucketed (and
+    sorted) by the join key join WITHOUT a shuffle exchange: each
+    bucket pair joins locally (Spark's bucketed SortMergeJoin). This is
+    the `repartition`/bucketing advice in SCALE.md made executable: at
+    scale you pre-bucket the big fact tables once and every subsequent
+    co-keyed join skips both exchanges."""
+    from postgre_to_clickhouse_spark import catalog
+    from tests.conftest import SF_SMALL
+
+    # (warehouse dir is a static conf — tables land in the session's
+    # default warehouse and are dropped in the finally)
+    from pyspark.sql import functions as F
+
+    o = catalog.load(spark, SF_SMALL, "orders")
+    li = catalog.load(spark, SF_SMALL, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+       .mode("overwrite").saveAsTable("b_orders"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+       .mode("overwrite").saveAsTable("b_lineitem"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try:
+        # fixture tables are broadcast-small; the point here is the
+        # SHUFFLE-free sort-merge over buckets, so disable broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        ).select("o_orderkey", "l_quantity")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        # no shuffle on either side: bucket layout satisfies the join's
+        # distribution requirement (broadcast would also hide the point,
+        # so check the join really is sort-merge over the buckets)
+        assert "SortMergeJoin" in plan, plan[:800]
+        assert "Exchange hashpartitioning" not in plan, plan[:1500]
+        # and the result is right
+        expect = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).count()
+        assert j.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
