@@ -120,6 +120,7 @@ HEADLINE = [
     "multimodal_video_gif",
     "vector_pq_topk",
     "sequence_count_funnel",
+    "lm_bigram_nll",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -128,3 +128,53 @@ def unigram_lm_scores(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg(nll).alias("mean_nll"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document mean NLL under an add-k-smoothed BIGRAM LM fit on
+    the corpus itself — one Markov order up from
+    :func:`unigram_lm_scores` (repetitive/templated text scores LOW,
+    shuffled-word salad scores HIGH even when its unigram mix looks
+    normal — the complementary quality signal).
+
+    mean_nll = avg over bigrams of −ln[(C(a,b) + k) / (C(a·) + k·V)]
+    where C(a·) counts token a as a CONTEXT and V is the vocabulary.
+
+    Shape: bigrams come from zipping each token array with its own
+    tail — a pure map, NO window over positions; bigram counts are one
+    groupBy on the (Zipf-bounded) pair space; context counts reduce
+    FROM the bigram table (never rescan); V is a one-row broadcast.
+    Docs with fewer than two tokens have no bigrams and drop out.
+    """
+    toks = F.filter(F.split(F.lower(text_col), r"\W+"), lambda t: t != "")
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.0").alias("a"), F.col("bg.1").alias("b"))
+    bg_counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("__cab"))
+    ctx_counts = bg_counts.groupBy("a").agg(F.sum("__cab").alias("__ca"))
+    vocab = df.select(F.explode(toks).alias("t")).agg(
+        F.countDistinct("t").alias("__v")
+    )
+    scored = (
+        pairs.join(bg_counts, ["a", "b"])
+        .join(ctx_counts, "a")
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (F.col("__cab").cast("double") + F.lit(float(k))) / (
+        F.col("__ca").cast("double") + F.lit(float(k)) * F.col("__v").cast("double")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg(-F.log(p)).alias("mean_nll"),
+    )

@@ -457,3 +457,39 @@ def embedding_random_projection(spark, sf_dir):
     return out.select(
         "vec_id", F.posexplode("proj").alias("out_i", "__y")
     ).select("vec_id", "out_i", F.round("__y", 9).alias("y_r"))
+
+
+@register(
+    "lm_bigram_nll",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, p[1] AS a, p[2] AS b
+      FROM (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p FROM tk)
+    ),
+    cab AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY a, b),
+    ca AS (SELECT a, sum(cab) AS ca FROM cab GROUP BY a),
+    v AS (SELECT count(DISTINCT tok) AS v
+          FROM (SELECT unnest(l) AS tok FROM tk))
+    SELECT p.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(-ln((CAST(cab.cab AS DOUBLE) + 0.5) /
+                         (CAST(ca.ca AS DOUBLE) + 0.5 * (SELECT v FROM v)))), 6)
+             AS mean_nll_r
+    FROM pairs p JOIN cab USING (a, b) JOIN ca USING (a)
+    GROUP BY p.doc_id
+    """,
+)
+def lm_bigram_nll(spark, sf_dir):
+    """C4, r6: add-0.5-smoothed BIGRAM LM perplexity — the Markov-order
+    companion to `lm_unigram_nll` (word-salad scores high even with a
+    normal unigram mix; templated text scores low). Bigrams are built
+    by zipping each token array with its own tail (pure map, no
+    position window); see :func:`operators.text.bigram_lm_scores`."""
+    from postgre_to_clickhouse_spark.operators.text import bigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = bigram_lm_scores(d)
+    return out.select("doc_id", "n_bigrams", F.round("mean_nll", 6).alias("mean_nll_r"))
