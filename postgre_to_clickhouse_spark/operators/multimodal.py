@@ -338,6 +338,11 @@ def _decode_image(payload: bytes) -> np.ndarray:
         except NotImplementedError:
             if not DETERMINISTIC_FAKE:
                 raise
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from postgre_to_clickhouse_spark.operators.gif import decode_gif
+
+        g = decode_gif(payload)[0]  # first frame as the still image
+        return np.stack([g, g, g], axis=2)
     if not DETERMINISTIC_FAKE:
         raise NotImplementedError("compressed image codec not available in this environment")
     h = hashlib.sha256(payload).digest()

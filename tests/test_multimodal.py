@@ -425,3 +425,24 @@ def test_gif_video_stats_match_frame_formula(spark):
             fr = (np.roll(base, -f, axis=0) + f) % 256
             s = stats[(i, f)]
             assert s.px_sum == int(fr.sum()) and s.first_px == int(fr[0, 0])
+
+
+def test_extract_features_decodes_gif_and_jpeg(spark):
+    """The feature extractor's magic-byte dispatch covers all five real
+    codecs — GIF (first frame) and JPEG included since r6."""
+    import numpy as np
+
+    from postgre_to_clickhouse_spark.operators import gif as G
+    from postgre_to_clickhouse_spark.operators import jpeg as J
+
+    gif = G.encode_gif([np.full((8, 8), 5, dtype=np.uint8)])
+    jpg = J.encode_jpeg(np.full((8, 8), 9, dtype=np.uint8),
+                        quant_lum=np.full((8, 8), 8, dtype=np.int32))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(gif)), (2, "image", bytearray(jpg))],
+        "media_id long, modality string, payload binary",
+    )
+    out = {r.media_id: r for r in M.extract_features(media).collect()}
+    # constant images -> per-chunk mean == the constant, std == 0
+    assert abs(out[1].feature[0] - 5.0) < 1e-6 and abs(out[1].feature[1]) < 1e-6
+    assert abs(out[2].feature[0] - 9.0) < 1e-6
