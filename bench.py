@@ -121,6 +121,7 @@ HEADLINE = [
     "vector_pq_topk",
     "sequence_count_funnel",
     "lm_bigram_nll",
+    "array_cumsum_diff_compact",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -369,3 +369,66 @@ def quantile_sketch_events(spark, sf_dir):
     return quantiles_from_summaries(
         s, [0.5, 0.9, 0.99], group_cols=("event_type",), out_names=["q50", "q90", "q99"]
     )
+
+
+@register(
+    "array_cumsum_diff_compact",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(CAST(round(value * 100) AS BIGINT) ORDER BY ts, event_id) AS l
+      FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           array_to_string(list_transform(range(1, len(l) + 1),
+             i -> list_sum(l[1:i])), ',') AS cumsum_csv,
+           array_to_string(list_transform(range(1, len(l) + 1),
+             i -> CASE WHEN i = 1 THEN 0 ELSE l[i] - l[i-1] END), ',')
+             AS diff_csv,
+           array_to_string(list_transform(
+             list_filter(range(1, len(l) + 1),
+                         i -> i = 1 OR l[i] != l[i-1]),
+             i -> l[i]), ',') AS compact_csv
+    FROM seq
+    """,
+)
+def array_cumsum_diff_compact(spark, sf_dir):
+    """r6, B17/B20: ClickHouse ``arrayCumSum`` / ``arrayDifference`` /
+    ``arrayCompact`` over each user's purchase-amount sequence
+    (amounts as exact integer cents via a half-up decimal cast, so
+    every array op is integer-exact). One groupBy builds the ordered
+    sequence; the three array transforms are per-row JVM higher-order
+    functions; results emit as CSV strings so the driver's pandas
+    canonicalization never sees array cells. Differences follow the
+    ClickHouse convention (first element 0)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    seq = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id", cents.alias("v")))),
+                lambda s: s["v"],
+            ).alias("l")
+        )
+    )
+    idx = F.sequence(F.lit(1), F.size("l"))
+    cumsum = F.transform(idx, lambda i: F.aggregate(
+        F.slice("l", 1, i), F.lit(0).cast("bigint"), lambda a, x: a + x
+    ))
+    diff = F.transform(idx, lambda i: F.when(i == 1, F.lit(0).cast("bigint")).otherwise(
+        F.element_at("l", i) - F.element_at("l", i - 1)
+    ))
+    compact = F.transform(
+        F.filter(idx, lambda i: (i == 1) | (F.element_at("l", i) != F.element_at("l", i - 1))),
+        lambda i: F.element_at("l", i),
+    )
+    return seq.select(
+        "user_id",
+        F.concat_ws(",", cumsum).alias("cumsum_csv"),
+        F.concat_ws(",", diff).alias("diff_csv"),
+        F.concat_ws(",", compact).alias("compact_csv"),
+    )
