@@ -158,6 +158,15 @@ def main() -> None:
     # the first timed query measures the query, not one-time init
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # python/Arrow worker-pool warm-up: the first wide mapInPandas stage
+    # otherwise pays ~6 s of worker spawning that belongs to session
+    # init, not to whichever Arrow query happens to run it first
+    par = spark.sparkContext.defaultParallelism
+
+    def _ident(batches):
+        yield from batches
+
+    spark.range(par).repartition(par).mapInPandas(_ident, schema="id long").count()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -103,7 +103,8 @@ _WINDOW = [
 # oracle-backed and locally driver-faithful-audited at two SFs, never
 # driver-checked): asof_forward_next_order, quantile_sketch_events,
 # bpe_tokenize_documents, multimodal_video_gif, vector_pq_topk,
-# sequence_count_funnel, cohort/groupArray evictees if re-needed.
+# sequence_count_funnel, lm_bigram_nll, array_cumsum_diff_compact,
+# cohort/groupArray evictees if re-needed.
 
 
 def _reorder() -> None:
