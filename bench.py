@@ -122,6 +122,7 @@ HEADLINE = [
     "sequence_count_funnel",
     "lm_bigram_nll",
     "array_cumsum_diff_compact",
+    "vector_ivfpq_topk",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

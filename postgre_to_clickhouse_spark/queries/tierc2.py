@@ -296,3 +296,29 @@ def vector_pq_topk(spark, sf_dir):
     )
     pool = pq_topk(enc, books, q, k=64)
     return pq_rerank(pool, e, q, k=10)
+
+
+@register("vector_ivfpq_topk")  # golden oracle (queries/goldens.py)
+def vector_ivfpq_topk(spark, sf_dir):
+    """C3, r6: IVF-PQ — the FAISS-style composition: coarse L2 lists
+    restrict each query's scan to n_probe=3 of 8 inverted lists, ADC
+    over RESIDUAL product codes scores only those rows, and the
+    64-candidate pool re-ranks exactly. One deterministic bounded-
+    sample fit, one map-only encode pass, one filtered Arrow scan —
+    the corpus never shuffles. Golden-checked; recall floor + layout
+    independence in tests."""
+    from postgre_to_clickhouse_spark.operators.pq import (
+        fit_ivfpq,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_rerank,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    coarse, books = fit_ivfpq(e, n_lists=8, m=8, k=16, seed=42)
+    enc = ivfpq_encode(e, coarse, books)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pool = ivfpq_topk(enc, coarse, books, q, k=64, n_probe=3)
+    return pq_rerank(pool, e, q, k=10)

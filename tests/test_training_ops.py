@@ -523,3 +523,45 @@ def test_bpe_encode_null_and_empty_text(spark):
     out = {r.doc_id: r for r in bpe_encode(df, []).collect()}
     assert out[1].n_bpe_tokens == 0 and out[2].n_bpe_tokens == 0
     assert out[2].first_tokens == "" and out[3].n_bpe_tokens == 3  # o,k,</w>
+
+
+def test_ivfpq_recall_and_layout_independence(spark):
+    """r6 IVF-PQ: model identical from any partitioning; probing 3 of 8
+    residual-coded lists with exact re-rank recalls most of the exact
+    top-10 (floor reflects the near-random fixture embeddings — the
+    structural worst case for both IVF and PQ)."""
+    import numpy as np
+
+    from postgre_to_clickhouse_spark import catalog
+    from postgre_to_clickhouse_spark.operators.pq import (
+        fit_ivfpq,
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_rerank,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    e = catalog.load(spark, SF_SMALL, "embeddings")
+    c1, b1 = fit_ivfpq(e, n_lists=8, m=8, k=16)
+    c2, b2 = fit_ivfpq(e.repartition(9), n_lists=8, m=8, k=16)
+    assert np.array_equal(c1, c2) and np.array_equal(b1, b2)
+    enc = ivfpq_encode(e, c1, b1)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = pq_rerank(ivfpq_topk(enc, c1, b1, q, k=64, n_probe=3), e, q, k=10)
+    approx = {}
+    for r in got.collect():
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    pdf = e.select("vec_id", "embedding").toPandas()
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    recalls = []
+    for r in q.collect():
+        qv = np.asarray(r.query_vec, dtype=np.float64)
+        d = ((x - qv[None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        exact = set(ids[order[:10]].tolist())
+        recalls.append(len(exact & approx[r.query_id]) / 10.0)
+    assert sum(recalls) / len(recalls) >= 0.35, recalls  # 3/8 lists probed
