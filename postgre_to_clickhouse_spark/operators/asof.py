@@ -159,3 +159,52 @@ def asof_join_pandas(
         .cogroup(dim_small.groupBy(on))
         .applyInPandas(lambda k, left, right: merge(k, left, right), schema=out_schema)
     )
+
+
+def asof_join_nearest(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_time: str,
+    dim_time: str,
+    dim_cols: list[str],
+    on: str | None = None,
+    on_left: str | None = None,
+    on_right: str | None = None,
+    tiebreak: str | None = None,
+    suffix: str = "_asof",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """pandas ``merge_asof(direction="nearest")`` parity: each fact
+    takes whichever of its backward (≤) and forward (≥) matches is
+    closer in time, ties to the BACKWARD match (pandas' rule). Built
+    as the two directional passes (each one shuffle) + a map-side
+    pick — no new shuffle shape. ``tolerance_us`` bounds both sides."""
+    on_left, on_right = (on, on) if on is not None else (on_left, on_right)
+    kw = dict(
+        fact_time=fact_time,
+        dim_time=dim_time,
+        on_left=on_left,
+        on_right=on_right,
+        tiebreak=tiebreak,
+        tolerance_us=tolerance_us,
+    )
+    # carry each side's dim time so the pick can compare distances
+    aug_cols = list(dict.fromkeys([dim_time, *dim_cols]))
+    back = asof_join(fact, dim, dim_cols=aug_cols, suffix="__b", direction="backward", **kw)
+    fwd = asof_join(back, dim, dim_cols=aug_cols, suffix="__f", direction="forward", **kw)
+    ft = F.unix_micros(F.col(fact_time))
+    bt = F.unix_micros(F.col(f"{dim_time}__b"))
+    ftt = F.unix_micros(F.col(f"{dim_time}__f"))
+    # pick backward when forward is null, or when backward exists and is
+    # at least as close (pandas resolves exact ties backward)
+    use_back = F.col(f"{dim_time}__b").isNotNull() & (
+        F.col(f"{dim_time}__f").isNull() | ((ft - bt) <= (ftt - ft))
+    )
+    out = fwd
+    for c in dim_cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(use_back, F.col(f"{c}__b")).otherwise(F.col(f"{c}__f")),
+        )
+    drop = [f"{c}__b" for c in aug_cols] + [f"{c}__f" for c in aug_cols]
+    return out.drop(*drop)

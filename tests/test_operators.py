@@ -471,3 +471,26 @@ def test_sequence_count_clickhouse_semantics(spark):
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
     got = {r.user_id: r.n_matches for r in sequence_count(df, ["view", "click", "purchase"]).collect()}
     assert got == {1: 1, 2: 2, 3: 0, 4: 1}
+
+
+def test_asof_join_nearest_matches_pandas(spark, asof_fixture):
+    """r6 nearest direction: cross-checked against
+    pandas merge_asof(direction='nearest')."""
+    import pandas as pd
+
+    from postgre_to_clickhouse_spark.operators.asof import asof_join_nearest
+
+    fact, dim = asof_fixture
+    got = {
+        r.fval: r.price_asof
+        for r in asof_join_nearest(
+            fact, dim, on="k", fact_time="t", dim_time="vt", dim_cols=["price"]
+        ).collect()
+    }
+    f_pdf = fact.toPandas().sort_values("t", kind="mergesort")
+    d_pdf = dim.toPandas().sort_values("vt", kind="mergesort")
+    ref = pd.merge_asof(
+        f_pdf, d_pdf, left_on="t", right_on="vt", by="k", direction="nearest"
+    )
+    want = {r.fval: (None if pd.isna(r.price) else int(r.price)) for r in ref.itertuples()}
+    assert got == want
