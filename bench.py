@@ -123,6 +123,7 @@ HEADLINE = [
     "lm_bigram_nll",
     "array_cumsum_diff_compact",
     "vector_ivfpq_topk",
+    "approx_topk_by_lang",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

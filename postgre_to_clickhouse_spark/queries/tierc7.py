@@ -423,3 +423,34 @@ def interleave_datasets_order(spark, sf_dir):
     return global_rank(k, ["__key", "doc_id"], out_col="interleave_pos").select(
         "doc_id", "lang", "interleave_pos"
     )
+
+
+@register(
+    "approx_topk_by_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS item
+      FROM documents
+    ),
+    c AS (SELECT lang, item, count(*) AS n FROM toks GROUP BY lang, item),
+    r AS (
+      SELECT lang, item, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, item) AS rank
+      FROM c
+    )
+    SELECT lang, CAST(rank AS BIGINT) AS rank, item,
+           n AS lb, n AS ub
+    FROM r WHERE rank <= 10
+    """,
+)
+def approx_topk_by_lang(spark, sf_dir):
+    """r6, C8: GROUPED heavy hitters — ClickHouse ``topK(10)(token)
+    GROUP BY lang``. Same mergeable SpaceSaving summaries as the global
+    form, bounded per (partition, group); the fixture runs in the exact
+    regime (capacity ≥ per-partition-per-lang vocabulary), so lb = ub =
+    true count and the plain-SQL oracle checks every value."""
+    from postgre_to_clickhouse_spark.operators.sketch import approx_topk_grouped, tokens_of
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("lang", tokens_of(d).alias("item"))
+    return approx_topk_grouped(toks, "lang", k=10, capacity=65536)
