@@ -124,6 +124,7 @@ HEADLINE = [
     "array_cumsum_diff_compact",
     "vector_ivfpq_topk",
     "approx_topk_by_lang",
+    "curriculum_order_documents",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

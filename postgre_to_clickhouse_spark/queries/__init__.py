@@ -104,7 +104,7 @@ _WINDOW = [
 # driver-checked): asof_forward_next_order, quantile_sketch_events,
 # bpe_tokenize_documents, multimodal_video_gif, vector_pq_topk,
 # sequence_count_funnel, lm_bigram_nll, array_cumsum_diff_compact,
-# vector_ivfpq_topk,
+# vector_ivfpq_topk, approx_topk_by_lang, curriculum_order_documents,
 # cohort/groupArray evictees if re-needed.
 
 

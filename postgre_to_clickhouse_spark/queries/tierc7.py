@@ -454,3 +454,36 @@ def approx_topk_by_lang(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select("lang", tokens_of(d).alias("item"))
     return approx_topk_grouped(toks, "lang", k=10, capacity=65536)
+
+
+@register(
+    "curriculum_order_documents",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS difficulty
+      FROM documents
+    )
+    SELECT doc_id, difficulty,
+           CAST(row_number() OVER (ORDER BY difficulty, doc_id) AS BIGINT)
+             AS curriculum_pos
+    FROM t
+    """,
+)
+def curriculum_order_documents(spark, sf_dir):
+    """r6, C6: curriculum ordering — the easy-to-hard training schedule
+    (Bengio et al. 2009): documents ranked globally by a difficulty
+    signal (token count here; any scored column works) with a doc_id
+    tiebreak. The global position comes from
+    :func:`operators.sampling.global_rank` — range-partitioned sort +
+    broadcast offsets, never a single-partition Window, so the epoch
+    schedule parallelizes at any corpus size."""
+    from postgre_to_clickhouse_spark.operators.sampling import global_rank
+    from postgre_to_clickhouse_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", token_count("text").alias("difficulty"))
+    return global_rank(scored, ["difficulty", "doc_id"], out_col="curriculum_pos").select(
+        "doc_id", "difficulty", "curriculum_pos"
+    )
