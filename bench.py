@@ -125,6 +125,7 @@ HEADLINE = [
     "vector_ivfpq_topk",
     "approx_topk_by_lang",
     "curriculum_order_documents",
+    "moving_agg_events",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -432,3 +432,55 @@ def array_cumsum_diff_compact(spark, sf_dir):
         F.concat_ws(",", diff).alias("diff_csv"),
         F.concat_ws(",", compact).alias("compact_csv"),
     )
+
+
+@register(
+    "moving_agg_events",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER w AS rn,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum5,
+             CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS w_n,
+             CAST(value AS DECIMAL(18,2))
+               - lag(CAST(value AS DECIMAL(18,2))) OVER w AS delta
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, mov_sum5,
+           mov_sum5 / w_n AS mov_avg5,
+           CAST(SUM(CASE WHEN delta > 0 THEN delta ELSE CAST(0.00 AS DECIMAL(18,2)) END)
+                OVER (PARTITION BY user_id ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS delta_sum
+    FROM o
+    """,
+)
+def moving_agg_events(spark, sf_dir):
+    """r6, B10/B21: ClickHouse ``groupArrayMovingSum``/``MovingAvg``
+    (5-row window) and ``deltaSum`` (running sum of POSITIVE steps of
+    the time-ordered series) per user — all in one window pass over
+    (ts, event_id) order. Sums are exact decimals so frame-order and
+    segment-tree evaluation differences between engines cannot perturb
+    a bit; the avg divides the exact sum by the frame count in double.
+
+    Scale: one shuffle on user_id; every window is per-user (bounded
+    partitions), nothing global."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    dec = F.col("value").cast("decimal(18,2)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w5 = w.rowsBetween(-4, 0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    delta = dec - F.lag(dec).over(w)
+    pos_delta = F.when(delta > 0, delta).otherwise(F.lit("0.00").cast("decimal(18,2)"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(dec).over(w5).cast("double").alias("mov_sum5"),
+        (F.sum(dec).over(w5).cast("double") / F.count(F.lit(1)).over(w5)).alias("mov_avg5"),
+        F.sum(pos_delta).over(wcum).cast("double").alias("delta_sum"),
+    )
