@@ -126,6 +126,7 @@ HEADLINE = [
     "approx_topk_by_lang",
     "curriculum_order_documents",
     "moving_agg_events",
+    "entropy_user_event_types",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

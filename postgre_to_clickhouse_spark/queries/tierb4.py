@@ -484,3 +484,42 @@ def moving_agg_events(spark, sf_dir):
         (F.sum(dec).over(w5).cast("double") / F.count(F.lit(1)).over(w5)).alias("mov_avg5"),
         F.sum(pos_delta).over(wcum).cast("double").alias("delta_sum"),
     )
+
+
+@register(
+    "entropy_user_event_types",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, sum(n) AS total FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST((SELECT count(*) FROM c c2 WHERE c2.user_id = c.user_id) AS BIGINT)
+             AS n_types,
+           round(-sum((CAST(n AS DOUBLE) / t.total)
+                      * ln(CAST(n AS DOUBLE) / t.total) / ln(2)), 6) AS entropy_r
+    FROM c JOIN t USING (user_id)
+    GROUP BY c.user_id, t.total
+    """,
+)
+def entropy_user_event_types(spark, sf_dir):
+    """r6, B21: ClickHouse ``entropy()`` aggregate — Shannon entropy
+    (bits) of each user's event-type distribution, the
+    behavioral-diversity signal (bots cluster near 0). Two-phase
+    shape: (user, type) counts collapse map-side, the per-user reduce
+    touches one row per distinct type. ln is computed on identical
+    double operands in both engines and rounded to 6dp (the registry's
+    transcendental rule)."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+    p = F.col("n").cast("double") / F.col("total").cast("double")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "n_types")
+        .agg(F.round(-F.sum(p * F.log(p) / F.log(F.lit(2.0))), 6).alias("entropy_r"))
+        .select("user_id", "n_types", "entropy_r")
+    )
