@@ -127,6 +127,7 @@ HEADLINE = [
     "curriculum_order_documents",
     "moving_agg_events",
     "entropy_user_event_types",
+    "agg_combinators_events",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -523,3 +523,52 @@ def entropy_user_event_types(spark, sf_dir):
         .agg(F.round(-F.sum(p * F.log(p) / F.log(F.lit(2.0))), 6).alias("entropy_r"))
         .select("user_id", "n_types", "entropy_r")
     )
+
+
+@register(
+    "agg_combinators_events",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, value, ts,
+             first_value(value) OVER w AS first_v,
+             last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS purchase_cnt,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2)))
+             FILTER (WHERE event_type = 'purchase'), 0) AS DOUBLE) AS purchase_sum,
+           CAST(LEAST(count(DISTINCT event_type), 4) AS BIGINT) AS types_upto_3,
+           CAST(max(last_v) - max(first_v) AS DOUBLE)
+             / (epoch_us(max(ts)) - epoch_us(min(ts)) + 1) AS bounding_ratio
+    FROM o
+    GROUP BY user_id
+    """,
+)
+def agg_combinators_events(spark, sf_dir):
+    """r6, B21: ClickHouse aggregate-combinator parity in one pass —
+    ``countIf``/``sumIf`` (conditional aggregates; the sum stays exact
+    decimal), ``uniqUpTo(3)`` (distinct count capped at N+1 — the
+    bounded-state cardinality guard), and ``boundingRatio`` (Δvalue/Δt
+    between the first and last event by (ts, event_id) order, +1 µs so
+    single-event users divide exactly instead of by zero). One groupBy,
+    all JVM expressions, every branch engine-exact."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    is_p = F.col("event_type") == "purchase"
+    dec = F.col("value").cast("decimal(18,2)")
+    okey = F.struct("ts", "event_id")
+    us = F.unix_micros
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(is_p, 1)).cast("bigint").alias("purchase_cnt"),
+        F.coalesce(F.sum(F.when(is_p, dec)), F.lit("0").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("purchase_sum"),
+        F.least(F.countDistinct("event_type"), F.lit(4)).cast("bigint").alias("types_upto_3"),
+        (
+            (F.max_by("value", okey) - F.min_by("value", okey)).cast("double")
+            / (us(F.max("ts")) - us(F.min("ts")) + 1)
+        ).alias("bounding_ratio"),
+    )
