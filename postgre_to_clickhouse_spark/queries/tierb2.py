@@ -245,3 +245,41 @@ def asof_forward_next_order(spark, sf_dir):
         suffix="_next",
     )
     return out.select("event_id", "user_id", "ts", "o_orderkey_next", "o_totalprice_next")
+
+
+@register(
+    "range_interval_window_events",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS sum_1h,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_1h
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def range_interval_window_events(spark, sf_dir):
+    """r6, B10/B18: TIME-interval RANGE frame — each event's trailing
+    one-hour sum/count per user (the sliding-window-over-event-time
+    shape; the streaming twin is the watermarked sliding window). The
+    DataFrame API's rangeBetween is numeric, so the frame orders by
+    epoch microseconds with a ±3.6e9 µs bound — semantically identical
+    to DuckDB's ``RANGE INTERVAL 1 HOUR PRECEDING`` (peer rows at equal
+    ts aggregate together either way, which is why the output needs no
+    tiebreak). Exact decimal sums; one shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum_1h"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+    )
