@@ -128,6 +128,7 @@ HEADLINE = [
     "moving_agg_events",
     "entropy_user_event_types",
     "agg_combinators_events",
+    "range_interval_window_events",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't
