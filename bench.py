@@ -129,6 +129,7 @@ HEADLINE = [
     "entropy_user_event_types",
     "agg_combinators_events",
     "range_interval_window_events",
+    "timeseries_forward_fill",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -105,6 +105,8 @@ _WINDOW = [
 # bpe_tokenize_documents, multimodal_video_gif, vector_pq_topk,
 # sequence_count_funnel, lm_bigram_nll, array_cumsum_diff_compact,
 # vector_ivfpq_topk, approx_topk_by_lang, curriculum_order_documents,
+# moving_agg_events, entropy_user_event_types, agg_combinators_events,
+# range_interval_window_events, timeseries_forward_fill,
 # cohort/groupArray evictees if re-needed.
 
 

@@ -572,3 +572,70 @@ def agg_combinators_events(spark, sf_dir):
             / (us(F.max("ts")) - us(F.min("ts")) + 1)
         ).alias("bounding_ratio"),
     )
+
+
+@register(
+    "timeseries_forward_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT CAST(min(date_trunc('hour', ts)) AS TIMESTAMP) AS lo,
+             CAST(max(date_trunc('hour', ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, CAST(g.h AS TIMESTAMP) AS h
+      FROM (SELECT DISTINCT event_type FROM events) t, (
+        SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL 1 HOUR)) AS h) g
+    )
+    SELECT g.event_type, g.h AS hour_ts,
+           last_value(hourly.v IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           CAST(hourly.v IS NULL AS BOOLEAN) AS was_filled
+    FROM grid g LEFT JOIN hourly
+      ON hourly.event_type = g.event_type AND hourly.h = g.h
+    """,
+)
+def timeseries_forward_fill(spark, sf_dir):
+    """r6, B20: gap filling by LAST-OBSERVATION-CARRIED-FORWARD (the
+    fill-forward mode of ClickHouse ``WITH FILL`` / TSDB ``locf``,
+    complementing `timeseries_gap_fill`'s zero-fill): the dense per-type
+    hourly grid takes each empty hour's value from the most recent
+    observed hour (null before the first observation). One fact scan;
+    the fill window runs over the grid (types × hours — data-
+    independent), not the facts."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    )
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = grid.join(hourly, ["event_type", "h"], "left")
+    return j.select(
+        "event_type",
+        F.col("h").alias("hour_ts"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("v").isNull().alias("was_filled"),
+    )
