@@ -130,6 +130,7 @@ HEADLINE = [
     "agg_combinators_events",
     "range_interval_window_events",
     "timeseries_forward_fill",
+    "phrase_search_documents",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

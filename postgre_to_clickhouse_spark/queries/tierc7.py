@@ -487,3 +487,51 @@ def curriculum_order_documents(spark, sf_dir):
     return global_rank(scored, ["difficulty", "doc_id"], out_col="curriculum_pos").select(
         "doc_id", "difficulty", "curriculum_pos"
     )
+
+
+@register(
+    "phrase_search_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+            FROM documents),
+           LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+    )
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(min(a.pos) AS BIGINT) AS first_pos
+    FROM toks a
+      JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+    WHERE a.tok = 'part' AND b.tok = 'filter' AND c.tok = 'scan'
+    GROUP BY a.doc_id
+    """,
+)
+def phrase_search_documents(spark, sf_dir):
+    """r6, C11: exact PHRASE search over a positional inverted index —
+    the retrieval feature BM25's bag-of-words scoring cannot express
+    ("part filter scan" as consecutive tokens). Postings are (doc,
+    pos, term) rows; the phrase match is the textbook positional
+    intersection: self-joins on (doc, pos+i) restricted to each term's
+    postings — at scale each join's build side is ONE term's posting
+    list (the selective term first), never the corpus. Emits per-doc
+    hit counts and the first match position (both integer-exact)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != "")).alias(
+            "pos", "tok"
+        ),
+    )
+    phrase = ["part", "filter", "scan"]
+    a = toks.filter(F.col("tok") == phrase[0]).select("doc_id", F.col("pos").alias("p0"))
+    out = a
+    for i, term in enumerate(phrase[1:], start=1):
+        ti = toks.filter(F.col("tok") == term).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        out = out.join(ti, ["doc_id", "p0"])
+    return out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.min("p0").cast("bigint").alias("first_pos"),
+    )
