@@ -131,6 +131,7 @@ HEADLINE = [
     "range_interval_window_events",
     "timeseries_forward_fill",
     "phrase_search_documents",
+    "dau_wau_stickiness",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

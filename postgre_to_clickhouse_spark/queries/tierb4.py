@@ -639,3 +639,58 @@ def timeseries_forward_fill(spark, sf_dir):
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         F.col("v").isNull().alias("was_filled"),
     )
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM daily)
+    SELECT days.d AS day_ts,
+           CAST(count(DISTINCT CASE WHEN daily.d = days.d
+                 THEN daily.user_id END) AS BIGINT) AS dau,
+           CAST(count(DISTINCT daily.user_id) AS BIGINT) AS wau,
+           round(CAST(count(DISTINCT CASE WHEN daily.d = days.d
+                   THEN daily.user_id END) AS DOUBLE)
+                 / count(DISTINCT daily.user_id), 6) AS stickiness_r
+    FROM days JOIN daily
+      ON daily.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+)
+def dau_wau_stickiness(spark, sf_dir):
+    """r6, B21: DAU/WAU stickiness — per day, distinct actives that day
+    over distinct actives in the trailing 7 days (the engagement ratio
+    every product-analytics ClickHouse deployment computes). The fact
+    table reduces to distinct (day, user) FIRST (days-per-user
+    bounded), then a 7-day band join against the day grid counts both
+    cardinalities in one aggregation. At 100 TB the trailing-window
+    distinct becomes mergeable HLL states per day unioned over the
+    window (`uniq_merge_rollup`'s mechanism) instead of the exact
+    band join — documented trade, exact here."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = daily.select("d").distinct().withColumnRenamed("d", "day_ts")
+    j = days.join(
+        daily,
+        (F.col("d") >= F.col("day_ts") - F.expr("INTERVAL 6 DAY"))
+        & (F.col("d") <= F.col("day_ts")),
+    )
+    return j.groupBy("day_ts").agg(
+        F.countDistinct(F.when(F.col("d") == F.col("day_ts"), F.col("user_id")))
+        .cast("bigint")
+        .alias("dau"),
+        F.countDistinct("user_id").cast("bigint").alias("wau"),
+        F.round(
+            F.countDistinct(
+                F.when(F.col("d") == F.col("day_ts"), F.col("user_id"))
+            ).cast("double")
+            / F.countDistinct("user_id"),
+            6,
+        ).alias("stickiness_r"),
+    )
