@@ -132,6 +132,7 @@ HEADLINE = [
     "timeseries_forward_fill",
     "phrase_search_documents",
     "dau_wau_stickiness",
+    "time_to_conversion",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -107,7 +107,7 @@ _WINDOW = [
 # vector_ivfpq_topk, approx_topk_by_lang, curriculum_order_documents,
 # moving_agg_events, entropy_user_event_types, agg_combinators_events,
 # range_interval_window_events, timeseries_forward_fill,
-# phrase_search_documents, dau_wau_stickiness,
+# phrase_search_documents, dau_wau_stickiness, time_to_conversion,
 # cohort/groupArray evictees if re-needed.
 
 

@@ -694,3 +694,50 @@ def dau_wau_stickiness(spark, sf_dir):
             6,
         ).alias("stickiness_r"),
     )
+
+
+@register(
+    "time_to_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.first_view
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.first_view, p.first_purchase,
+           epoch_us(p.first_purchase) - epoch_us(v.first_view) AS delta_us
+    FROM v JOIN p USING (user_id)
+    """,
+)
+def time_to_conversion(spark, sf_dir):
+    """r6, B21: conversion-lag attribution — each user's first view and
+    the first purchase AT-or-after it, with the integer-µs lag (the
+    input to every time-to-convert funnel distribution). Two bounded
+    aggregations on the same user key (co-partitioned join, no
+    re-shuffle of facts beyond the per-user reduce); deltas are exact
+    integers."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(p, "user_id")
+        .select(
+            "user_id",
+            "first_view",
+            "first_purchase",
+            (F.unix_micros("first_purchase") - F.unix_micros("first_view")).alias("delta_us"),
+        )
+    )
