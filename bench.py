@@ -133,6 +133,7 @@ HEADLINE = [
     "phrase_search_documents",
     "dau_wau_stickiness",
     "time_to_conversion",
+    "ngram_search_documents",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -535,3 +535,56 @@ def phrase_search_documents(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_hits"),
         F.min("p0").cast("bigint").alias("first_pos"),
     )
+
+
+@register(
+    "ngram_search_documents",
+    oracle="""
+    WITH needle AS (
+      SELECT DISTINCT lower('fast table value scan')[i : i + 2] AS g
+      FROM (SELECT unnest(range(1, len('fast table value scan') - 1)) AS i)
+    ),
+    n_total AS (SELECT count(*) AS nt FROM needle),
+    doc_grams AS (
+      SELECT DISTINCT doc_id, lower(text)[i : i + 2] AS g
+      FROM documents, LATERAL (SELECT unnest(range(1, len(text) - 1)) AS i)
+    ),
+    hits AS (
+      SELECT d.doc_id, count(*) AS shared
+      FROM doc_grams d JOIN needle USING (g)
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, CAST(shared AS BIGINT) AS shared_trigrams,
+           round(CAST(shared AS DOUBLE) / (SELECT nt FROM n_total), 6) AS sim_r
+    FROM hits
+    WHERE CAST(shared AS DOUBLE) / (SELECT nt FROM n_total) >= 0.8
+    """,
+)
+def ngram_search_documents(spark, sf_dir):
+    """r6, C4/C11: ClickHouse ``ngramSearch`` parity — fuzzy needle
+    matching by character-trigram containment: sim(doc) = |needle
+    trigrams ∩ doc trigrams| / |needle trigrams|, docs above 0.8
+    returned. The NEEDLE's trigram set is a broadcast constant (tens of
+    rows); each doc contributes its distinct trigrams once, so the probe
+    is a broadcast semi-join + per-doc count — the corpus shuffles only
+    its (doc, matched-gram) hits. Integer counts and a 6dp-rounded
+    ratio keep it engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    needle = "fast table value scan"
+    n_grams = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+    lower = F.lower("text")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(lower) - 2, F.lit(0)))
+    doc_grams = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(idx, lambda i: F.substring(lower, i, 3)))).alias("g"),
+    )
+    needle_df = F.broadcast(
+        d.sparkSession.createDataFrame([(g,) for g in n_grams], "g string")
+    )
+    hits = doc_grams.join(needle_df, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("shared_trigrams")
+    )
+    sim = F.col("shared_trigrams").cast("double") / F.lit(float(len(n_grams)))
+    return hits.filter(sim >= 0.8).select(
+        "doc_id", "shared_trigrams", F.round(sim, 6).alias("sim_r")
+    )
