@@ -134,6 +134,7 @@ HEADLINE = [
     "dau_wau_stickiness",
     "time_to_conversion",
     "ngram_search_documents",
+    "event_transition_matrix",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -741,3 +741,49 @@ def time_to_conversion(spark, sf_dir):
             (F.unix_micros("first_purchase") - F.unix_micros("first_view")).alias("delta_us"),
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events
+    ),
+    c AS (
+      SELECT from_type, to_type, count(*) AS n FROM o
+      WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    ),
+    t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           round(CAST(c.n AS DOUBLE) / t.tot, 6) AS p_r
+    FROM c JOIN t USING (from_type)
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """r6, B21: first-order Markov transition matrix over user event
+    timelines — what ClickHouse's ``sequenceNextNode`` family answers
+    ("after a view, what happens next, how often"). One lead() window
+    per user (bounded partitions) then two vocabulary-bounded
+    aggregations; probabilities are counts over exact totals, rounded
+    per the transcendental-free registry rule (pure division of
+    identical operands)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = o.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(t, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p_r"),
+        )
+    )
