@@ -135,6 +135,7 @@ HEADLINE = [
     "time_to_conversion",
     "ngram_search_documents",
     "event_transition_matrix",
+    "levenshtein_near_match",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

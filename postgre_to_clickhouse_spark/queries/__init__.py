@@ -108,7 +108,7 @@ _WINDOW = [
 # moving_agg_events, entropy_user_event_types, agg_combinators_events,
 # range_interval_window_events, timeseries_forward_fill,
 # phrase_search_documents, dau_wau_stickiness, time_to_conversion,
-# ngram_search_documents, event_transition_matrix,
+# ngram_search_documents, event_transition_matrix, levenshtein_near_match,
 # cohort/groupArray evictees if re-needed.
 
 

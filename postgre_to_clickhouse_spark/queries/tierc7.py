@@ -588,3 +588,45 @@ def ngram_search_documents(spark, sf_dir):
     return hits.filter(sim >= 0.8).select(
         "doc_id", "shared_trigrams", F.round(sim, 6).alias("sim_r")
     )
+
+
+@register(
+    "levenshtein_near_match",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source, lower(text)[1:40] AS prefix FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 5
+    """,
+)
+def levenshtein_near_match(spark, sf_dir):
+    """r6, C2: EDIT-DISTANCE near-duplicate pairs — the dedup flavor
+    the hash families (minhash/simhash/jaccard/embedding) don't cover:
+    documents in the same source whose 40-char prefixes are within
+    Levenshtein distance 5 (the title/boilerplate near-match shape).
+    Blocked by source exactly like the embedding near-dup query — the
+    pair count is bounded by block sizes, never N²; at 100 TB the
+    blocking key becomes an LSH bucket or a length band. Spark's
+    built-in levenshtein is JVM-side and integer-exact, matching
+    DuckDB's."""
+    d = _t(spark, sf_dir, "documents")
+    p = d.select(
+        "doc_id", "source", F.lower(F.substring("text", 1, 40)).alias("prefix")
+    )
+    a = p.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("__s"), F.col("prefix").alias("__pa")
+    )
+    b = p.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("__s"), F.col("prefix").alias("__pb")
+    )
+    dist = F.levenshtein("__pa", "__pb")
+    return (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= 5)
+        .select("id_a", "id_b", dist.cast("bigint").alias("edit_dist"))
+    )
