@@ -106,7 +106,10 @@ def _lzw_decompress(data: bytes, n_px: int, min_code: int = 8) -> bytes:
             if len(table) == (1 << width) and width < 12:
                 width += 1
         prev = entry
-    return bytes(out)
+    # A multi-byte table entry may cross the pixel-count boundary
+    # (foreign encoders end streams mid-entry; self-encoded streams
+    # always end exactly) — tolerate it by slicing to the frame size.
+    return bytes(out[:n_px])
 
 
 def _sub_blocks(payload: bytes) -> bytes:

@@ -109,9 +109,13 @@ def approx_topk(
 
 
 def tokens_of(df: DataFrame, text_col: str = "text") -> Column:
-    """The battery's canonical tokenizer (lowercase \\w+ split)."""
+    """The battery's canonical tokenizer: lowercase [a-z0-9]+ runs —
+    the SAME definition the DuckDB oracles use
+    (``regexp_extract_all(lower(text), '[a-z0-9]+')``), so operator and
+    oracle share one tokenizer even when text contains underscores or
+    non-ASCII word characters."""
     return F.explode(
-        F.filter(F.split(F.lower(text_col), r"\W+"), lambda t: t != "")
+        F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != "")
     )
 
 

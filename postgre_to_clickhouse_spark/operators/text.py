@@ -118,7 +118,7 @@ def unigram_lm_scores(
     """
     toks = df.select(
         F.col(id_col),
-        F.explode(F.filter(F.split(F.lower(text_col), r"\W+"), lambda t: t != "")).alias("tok"),
+        F.explode(F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != "")).alias("tok"),
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
     total = counts.agg(F.sum("__c").alias("__total"))
@@ -151,7 +151,7 @@ def bigram_lm_scores(
     FROM the bigram table (never rescan); V is a one-row broadcast.
     Docs with fewer than two tokens have no bigrams and drop out.
     """
-    toks = F.filter(F.split(F.lower(text_col), r"\W+"), lambda t: t != "")
+    toks = F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != "")
     pairs = df.select(
         F.col(id_col),
         F.explode(

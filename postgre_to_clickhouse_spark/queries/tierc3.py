@@ -207,9 +207,14 @@ def agg_mv_incremental(spark, sf_dir):
         batch_of = F.coalesce(F.pmod("event_id", F.lit(4)), F.lit(0))
         for b in range(4):
             applied = mv.apply_batch(ev.filter(batch_of == b), batch_id=b)
-            assert applied
+            # exactly-once contract enforced with explicit raises (NOT
+            # bare asserts, which `python -O` strips — a double-commit
+            # must fail loudly, not flow into a wrong result)
+            if not applied:
+                raise RuntimeError(f"agg_mv: batch {b} was not applied")
             if b == 1:  # crash/redelivery replay: must commit nothing
-                assert mv.apply_batch(ev.filter(batch_of == b), batch_id=b) is False
+                if mv.apply_batch(ev.filter(batch_of == b), batch_id=b) is not False:
+                    raise RuntimeError("agg_mv: replayed batch 1 double-committed")
             if b == 2:  # background merge mid-stream: folds parts 0-2
                 mv.compact(spark)
         out = mv.read_final(spark)

@@ -313,7 +313,7 @@ def dataset_card_summary(spark, sf_dir):
     from postgre_to_clickhouse_spark.queries.registry import davg
 
     d = _t(spark, sf_dir, "documents")
-    toks = F.size(F.filter(F.split(F.lower("text"), r"\W+"), lambda t: t != ""))
+    toks = F.size(F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"), lambda t: t != ""))
     w = Window.partitionBy(F.sha2(F.col("text"), 256))
     base = d.select(
         "source",

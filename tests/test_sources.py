@@ -85,3 +85,16 @@ def test_partsupp_fixture_matches_generator():
         fresh = gen_one(sf_dir)
         committed = pq.read_table(os.path.join(OUT_DIR, f"partsupp.{tag}.parquet"))
         assert fresh.equals(committed), f"partsupp fixture drift at {tag}"
+        # spec properties the q2/q11/q16/q20_spec claims rest on:
+        # (ps_partkey, ps_suppkey) is a PK and every part has exactly
+        # 4 distinct suppliers (degenerates at tiny S without the
+        # generator's fallback spread)
+        pairs = list(zip(committed.column("ps_partkey").to_pylist(),
+                         committed.column("ps_suppkey").to_pylist()))
+        assert len(set(pairs)) == len(pairs), f"duplicate partsupp PK at {tag}"
+        per_part: dict[int, set[int]] = {}
+        for pk, sk in pairs:
+            per_part.setdefault(pk, set()).add(sk)
+        assert all(len(v) == 4 for v in per_part.values()), (
+            f"some part lacks 4 distinct suppliers at {tag}"
+        )

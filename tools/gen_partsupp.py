@@ -40,12 +40,25 @@ def gen_one(sf_dir: str) -> pa.Table:
     s = len(supp)
     rows_pk, rows_sk, rows_aq, rows_sc = [], [], [], []
     for p in pkeys:
+        # dbgen stride.  At tiny S the stride unit can hit 0 or S/2
+        # (mod S), collapsing the four suppliers onto 1-2 keys and
+        # violating partsupp's (ps_partkey, ps_suppkey) PK plus the
+        # 4-distinct-suppliers-per-part property Q2/Q11/Q16/Q20 rest
+        # on; fall back to a plain consecutive spread in that case.
+        sks = [(p + i * (s // 4 + (p - 1) // s)) % s + 1 for i in range(4)]
+        if len(set(sks)) != 4:
+            sks = [(p - 1 + i) % s + 1 for i in range(4)]
         for i in range(4):
-            sk = (p + i * (s // 4 + (p - 1) // s)) % s + 1
             rows_pk.append(p)
-            rows_sk.append(sk)
+            rows_sk.append(sks[i])
             rows_aq.append((p * 7919 + i * 104729) % 9999 + 1)
             rows_sc.append(round(((p * 6101 + i * 9949) % 99900) / 100.0 + 1.0, 2))
+    pairs = set(zip(rows_pk, rows_sk))
+    if len(pairs) != len(rows_pk):
+        raise AssertionError(
+            f"partsupp PK violated: {len(rows_pk) - len(pairs)} duplicate "
+            "(ps_partkey, ps_suppkey) pairs"
+        )
     return pa.table(
         {
             "ps_partkey": pa.array(rows_pk, pa.int64()),
