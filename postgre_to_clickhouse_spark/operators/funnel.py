@@ -62,6 +62,9 @@ fold, so collect_list's nondeterministic order cannot affect results.
 
 from __future__ import annotations
 
+import re
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -220,11 +223,12 @@ def window_funnel(
 
 def sequence_match(
     events: DataFrame,
-    steps: list[str],
+    steps: list[str | Sequence[str]],
     guards: list[tuple[int | None, int | None]] | None = None,
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    not_between: list[Sequence[str] | None] | None = None,
 ) -> DataFrame:
     """(user, matched): ClickHouse ``sequenceMatch`` — does an ordered
     chain ``steps[0] → steps[1] → …`` exist, where ``guards[i]`` =
@@ -232,32 +236,76 @@ def sequence_match(
     None = unbounded; default guard = (0, None), i.e. plain ``>=``
     ordering like the pattern ``(?1)(?2)``).
 
+    r7 extensions (VERDICT r6 #4 — the funnel family's last documented
+    semantic gap):
+
+    * **Alternation** — a step may be a SET of event types (any one
+      matches), the pattern form ``(?1|?2)``.
+    * **Negation** — ``not_between[i]`` names event types that must NOT
+      occur strictly between the matched step-i and step-i+1 events
+      (pattern form ``(?!N)`` placed between two conditions). The
+      interval is OPEN on both ends: an event at exactly the matched
+      timestamp does not interrupt.
+
+    Both compose with the feasible-set DP without losing exactness:
+    alternation only widens a step's candidate array (the per-step
+    collect takes ``isin`` instead of equality), and negation is a
+    pairwise predicate on (y, x) evaluated inside the same
+    ``exists`` — feasible step-i+1 timestamps remain exactly the set
+    of events that can extend SOME valid prefix, so the recurrence is
+    unchanged.
+
     Exact under arbitrary guard chains via the feasible-set DP (see
     module docstring); per-user cost is O(steps · events²) on arrays
     already bounded by the query horizon. Repeated step types are
-    allowed ONLY when not adjacent (adjacent repeats of one type would
-    let a single event match both pattern slots under a (0, ·) guard)."""
+    allowed ONLY when not adjacent (adjacent steps whose type sets
+    intersect would let a single event match both pattern slots under
+    a (0, ·) guard)."""
     n = len(steps)
+    sets: list[tuple[str, ...]] = [
+        (s,) if isinstance(s, str) else tuple(s) for s in steps
+    ]
+    if any(len(set(s)) != len(s) or not s for s in sets):
+        raise ValueError("each step's alternation set must be non-empty and distinct")
     if guards is None:
         guards = [(0, None)] * (n - 1)
     if len(guards) != n - 1:
         raise ValueError(f"need {n - 1} guards for {n} steps, got {len(guards)}")
+    if not_between is None:
+        not_between = [None] * (n - 1)
+    if len(not_between) != n - 1:
+        raise ValueError(
+            f"need {n - 1} not_between entries for {n} steps, got {len(not_between)}"
+        )
     for i in range(n - 1):
-        if steps[i] == steps[i + 1] and (guards[i][0] or 0) <= 0:
+        if set(sets[i]) & set(sets[i + 1]) and (guards[i][0] or 0) <= 0:
             raise ValueError(
-                "adjacent repeated step types need a positive min gap "
-                "(a single event would otherwise match both pattern slots)"
+                "adjacent steps with overlapping type sets need a positive min "
+                "gap (a single event would otherwise match both pattern slots)"
             )
     ts_us = F.unix_micros(F.col(ts_col))
-    agg = events.groupBy(user_col).agg(
-        *[_step_list(type_col, ts_us, s).alias(f"__s{i}") for i, s in enumerate(steps)]
-    )
+    aggs = [
+        F.collect_list(
+            F.when(F.col(type_col).isin(*s), ts_us)
+        ).alias(f"__s{i}")
+        for i, s in enumerate(sets)
+    ]
+    for i, banned in enumerate(not_between):
+        if banned:
+            aggs.append(
+                F.collect_list(
+                    F.when(F.col(type_col).isin(*banned), ts_us)
+                ).alias(f"__nb{i}")
+            )
+    agg = events.groupBy(user_col).agg(*aggs)
 
-    def _reachable(feas: Column, lo: int | None, hi: int | None):
+    def _reachable(feas: Column, lo: int | None, hi: int | None, nb: Column | None):
         def ok(y: Column, x: Column) -> Column:
             c = x >= y + F.lit(lo or 0)
             if hi is not None:
                 c = c & (x <= y + F.lit(hi))
+            if nb is not None:
+                c = c & ~F.exists(nb, lambda z: (z > y) & (z < x))
             return c
 
         return lambda x: F.exists(feas, lambda y: ok(y, x))
@@ -265,9 +313,131 @@ def sequence_match(
     feasible = F.col("__s0")
     for i in range(1, n):
         lo, hi = guards[i - 1]
-        feasible = F.filter(F.col(f"__s{i}"), _reachable(feasible, lo, hi))
+        nb = F.col(f"__nb{i - 1}") if not_between[i - 1] else None
+        feasible = F.filter(F.col(f"__s{i}"), _reachable(feasible, lo, hi, nb))
     return agg.select(
         F.col(user_col), (F.size(feasible) > F.lit(0)).alias("matched")
+    )
+
+
+_PAT_TOKEN = re.compile(
+    r"""\(\?(?:
+          (?P<alt>\d+(?:\|\?\d+)*)            # (?1) or (?1|?2|?3)
+        | !(?P<neg>\d+)                       # (?!3)
+        | t(?P<op><=|>=|==|<|>)(?P<val>\d+)   # (?t<=3600)
+        )\)
+      | (?P<any>\.\*|\.)""",
+    re.VERBOSE,
+)
+
+
+def parse_sequence_pattern(
+    pattern: str, conds: Sequence[str]
+) -> tuple[list[tuple[str, ...]], list[tuple[int | None, int | None]], list[tuple[str, ...] | None]]:
+    """Compile a ClickHouse-style ``sequenceMatch`` pattern string into
+    the (steps, guards, not_between) triple :func:`sequence_match`
+    takes. ``conds[N-1]`` is the event type condition ``(?N)`` tests
+    (ClickHouse passes conditions as trailing aggregate arguments;
+    here they are event-type names).
+
+    Supported syntax:
+
+    * ``(?N)`` — condition step N;
+    * ``(?N|?M|…)`` — alternation: ONE event matching any listed
+      condition (extension — ClickHouse's own grammar stops at
+      ``(?N)`` / ``.*`` / ``(?t…)``, so migrating users emulate
+      alternation with OR-merged conditions; first-class support
+      closes that);
+    * ``(?t<=S)`` / ``<`` / ``>`` / ``>=`` / ``==`` — time guard in
+      SECONDS between the adjacent conditions (ClickHouse semantics);
+    * ``(?!N)`` — negation: no condition-N event strictly between the
+      adjacent matched conditions (extension, same motivation);
+    * ``.*`` — any events may intervene: a no-op, because unanchored
+      subsequence matching is already this operator's semantics.
+    * ``.`` (exactly-one-any-event) is NOT supported: rejecting it
+      loudly beats silently treating it as ``.*``.
+
+    The pattern must start and end with a condition step; guards and
+    negations bind to the conditions on both sides of them.
+    """
+    steps: list[tuple[str, ...]] = []
+    guards: list[list[int | None]] = []
+    negs: list[set[str]] = []
+
+    def cond(idx_str: str) -> str:
+        i = int(idx_str)
+        if not 1 <= i <= len(conds):
+            raise ValueError(f"pattern references (?{i}) but only {len(conds)} conditions given")
+        return conds[i - 1]
+
+    pos = 0
+    while pos < len(pattern):
+        m = _PAT_TOKEN.match(pattern, pos)
+        if not m:
+            raise ValueError(f"bad sequenceMatch pattern at offset {pos}: {pattern[pos:]!r}")
+        pos = m.end()
+        if m.group("any") == ".":
+            raise NotImplementedError(
+                "'.' (exactly one arbitrary event) is not supported; use '.*'"
+            )
+        if m.group("any") == ".*":
+            continue
+        if m.group("alt") is not None:
+            types = tuple(cond(p.lstrip("?")) for p in m.group("alt").split("|"))
+            steps.append(types)
+            if len(steps) > 1:
+                guards.append(pending_guard)
+                negs.append(pending_neg)
+            pending_guard = [0, None]
+            pending_neg = set()
+            continue
+        if not steps:
+            raise ValueError("pattern must start with a condition step (?N)")
+        if m.group("neg") is not None:
+            pending_neg.add(cond(m.group("neg")))
+            continue
+        op, val_us = m.group("op"), int(m.group("val")) * 1_000_000
+        lo, hi = pending_guard
+        if op == "<=":
+            hi = val_us if hi is None else min(hi, val_us)
+        elif op == "<":
+            hi = val_us - 1 if hi is None else min(hi, val_us - 1)
+        elif op == ">=":
+            lo = max(lo or 0, val_us)
+        elif op == ">":
+            lo = max(lo or 0, val_us + 1)
+        else:  # ==
+            lo, hi = max(lo or 0, val_us), val_us if hi is None else min(hi, val_us)
+        pending_guard = [lo, hi]
+    if len(steps) < 2:
+        raise ValueError("pattern needs at least two condition steps")
+    return (
+        steps,
+        [(g[0], g[1]) for g in guards],
+        [tuple(sorted(s)) if s else None for s in negs],
+    )
+
+
+def sequence_match_pattern(
+    events: DataFrame,
+    pattern: str,
+    conds: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch(pattern)(ts, cond1, …)`` with the
+    pattern supplied as a string — compiles via
+    :func:`parse_sequence_pattern` and runs the feasible-set DP."""
+    steps, guards, not_between = parse_sequence_pattern(pattern, conds)
+    return sequence_match(
+        events,
+        list(steps),
+        guards=guards,
+        user_col=user_col,
+        ts_col=ts_col,
+        type_col=type_col,
+        not_between=not_between,
     )
 
 

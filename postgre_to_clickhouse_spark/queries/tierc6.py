@@ -440,6 +440,59 @@ def sequence_match_3step(spark, sf_dir):
 
 
 @register(
+    "sequence_match_negation",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    hit AS (
+      SELECT DISTINCT a.user_id
+      FROM e a
+      JOIN e b ON a.user_id = b.user_id
+      JOIN e c ON a.user_id = c.user_id
+      WHERE a.event_type = 'signup'
+        AND b.event_type IN ('click', 'view')
+        AND c.event_type = 'purchase'
+        AND b.t >= a.t AND b.t <= a.t + {_SEQ_GUARD}
+        AND c.t >= b.t
+        AND NOT EXISTS (
+          SELECT 1 FROM e z
+          WHERE z.user_id = a.user_id AND z.event_type = 'error'
+            AND z.t > b.t AND z.t < c.t
+        )
+    )
+    SELECT u.user_id, (h.user_id IS NOT NULL) AS matched
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN hit h USING (user_id)
+    """,
+)
+def sequence_match_negation(spark, sf_dir):
+    """r7 (VERDICT r6 #4): ``sequenceMatch`` with ALTERNATION and
+    NEGATION — the funnel family's last documented semantic gap
+    (PARITY.md B21 caveat). Pattern
+    ``(?1)(?t<=3600)(?2|?3)(?!4)(?5)`` over conditions (signup, click,
+    view, error, purchase): a signup, then a click OR view within 1 h
+    of it, then a purchase any time later with NO error event strictly
+    between the middle match and the purchase. Compiled by
+    ``parse_sequence_pattern`` and run through the feasible-set DP —
+    alternation widens a step's candidate array (isin collect),
+    negation is a pairwise open-interval predicate inside the same
+    ``exists``, so the DP recurrence stays exact (a match via click
+    can be error-poisoned while the view path survives — the DP keeps
+    both alive; see test_funnel.py). The oracle is an INDEPENDENT
+    3-way join + NOT EXISTS (per VERDICT r6: join/CTE oracles for
+    state machines, never ``list_reduce``)."""
+    from postgre_to_clickhouse_spark.operators.funnel import sequence_match_pattern
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_match_pattern(
+        ev,
+        "(?1)(?t<=3600)(?2|?3)(?!4)(?5)",
+        ["signup", "click", "view", "error", "purchase"],
+    )
+
+
+@register(
     "multimodal_video_gif",
     oracle="""
     SELECT d.doc_id,

@@ -604,29 +604,76 @@ def ngram_search_documents(spark, sf_dir):
     """,
 )
 def levenshtein_near_match(spark, sf_dir):
-    """r6, C2: EDIT-DISTANCE near-duplicate pairs — the dedup flavor
-    the hash families (minhash/simhash/jaccard/embedding) don't cover:
-    documents in the same source whose 40-char prefixes are within
-    Levenshtein distance 5 (the title/boilerplate near-match shape).
-    Blocked by source exactly like the embedding near-dup query — the
-    pair count is bounded by block sizes, never N²; at 100 TB the
-    blocking key becomes an LSH bucket or a length band. Spark's
-    built-in levenshtein is JVM-side and integer-exact, matching
-    DuckDB's."""
+    """r6, C2 (re-shaped r7 per VERDICT r6 "what's wrong" #1):
+    EDIT-DISTANCE near-duplicate pairs — the dedup flavor the hash
+    families (minhash/simhash/jaccard/embedding) don't cover: documents
+    in the same source whose 40-char prefixes are within Levenshtein
+    distance 5 (the title/boilerplate near-match shape).
+
+    Scale shape (sub-quadratic, unlike the r6 source-only blocking —
+    source cardinality is CONSTANT, so block size grew linearly with
+    data and pair work quadratically):
+
+    1. **Length-band blocking**: ``lev(a,b) <= 5`` implies
+       ``|len(a)-len(b)| <= 5``, so rows block on
+       ``(source, floor(len/5))`` and side A probes its own band plus
+       both neighbors (band diff can be at most 1). Each true pair is
+       produced exactly once: the A-explodes-3-bands x B-keyed-on-own-
+       band join emits BOTH orientations of every cross/same-band pair
+       and ``id_a < id_b`` keeps one.
+    2. **Bag-of-chars lower bound** before the DP: the bag distance
+       ``max(sum_c max(0, ca-cb), sum_c max(0, cb-ca))`` over a 36-slot
+       [a-z0-9] histogram never exceeds the edit distance, and costs
+       ~72 integer ops per pair vs the DP's ~1600 cells. Histograms are
+       computed ONCE per row (map-side, before the join), not per pair.
+    3. **Threshold-banded DP**: Spark's 3-arg ``levenshtein(a, b, 5)``
+       runs the O(len x k) banded algorithm with early exit and returns
+       -1 when the distance exceeds the bound — the survivors pay
+       O(40 x 11), not O(40 x 40).
+
+    The oracle is blocking-agnostic (plain self-join) — banding and the
+    prefilter are lossless, so results are identical. Spark's builtin
+    levenshtein is JVM-side and integer-exact, matching DuckDB's."""
     d = _t(spark, sf_dir, "documents")
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    chars = F.array(*[F.lit(c) for c in alphabet])
+    prefix = F.lower(F.substring("text", 1, 40))
+    hist = F.transform(
+        chars, lambda c: F.length(prefix) - F.length(F.replace(prefix, c, F.lit("")))
+    )
     p = d.select(
-        "doc_id", "source", F.lower(F.substring("text", 1, 40)).alias("prefix")
+        "doc_id",
+        "source",
+        prefix.alias("prefix"),
+        (F.length(prefix) / 5).cast("int").alias("band"),
+        hist.alias("hist"),
     )
     a = p.select(
-        F.col("doc_id").alias("id_a"), F.col("source").alias("__s"), F.col("prefix").alias("__pa")
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("__s"),
+        F.col("prefix").alias("__pa"),
+        F.col("hist").alias("__ha"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("__band"),
     )
     b = p.select(
-        F.col("doc_id").alias("id_b"), F.col("source").alias("__s"), F.col("prefix").alias("__pb")
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("__s"),
+        F.col("prefix").alias("__pb"),
+        F.col("hist").alias("__hb"),
+        F.col("band").alias("__band"),
     )
-    dist = F.levenshtein("__pa", "__pb")
+    bag_over = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda u, v: F.greatest(u - v, F.lit(0))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    bag = F.greatest(bag_over(F.col("__ha"), F.col("__hb")), bag_over(F.col("__hb"), F.col("__ha")))
+    dist = F.levenshtein("__pa", "__pb", 5)
     return (
-        a.join(b, "__s")
+        a.join(b, ["__s", "__band"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dist <= 5)
+        .filter((bag <= 5) & (dist >= 0))
         .select("id_a", "id_b", dist.cast("bigint").alias("edit_dist"))
     )

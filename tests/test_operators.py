@@ -331,6 +331,63 @@ def test_window_funnel_chain_start_enumeration(spark):
     assert (ret.n_cond1, ret.n_cond1_and_2, ret.n_cond1_and_3) == (3, 3, 1)
 
 
+def test_parse_sequence_pattern_surface():
+    """r7: the sequenceMatch pattern compiler — alternation sets,
+    guard intersection, negation binding, and loud rejection of the
+    unsupported/invalid forms."""
+    import pytest
+
+    from postgre_to_clickhouse_spark.operators.funnel import parse_sequence_pattern
+
+    conds = ["a", "b", "c", "d"]
+    steps, guards, negs = parse_sequence_pattern(
+        "(?1)(?t>10)(?t<=100)(?2|?3).*(?!4)(?1)", conds
+    )
+    assert steps == [("a",), ("b", "c"), ("a",)]
+    # >10s and <=100s intersect into one (lo, hi) µs guard
+    assert guards == [(10_000_001, 100_000_000), (0, None)]
+    assert negs == [None, ("d",)]
+
+    with pytest.raises(NotImplementedError):  # '.' = exactly-one-any-event
+        parse_sequence_pattern("(?1).(?2)", conds)
+    with pytest.raises(ValueError):  # guard before any condition
+        parse_sequence_pattern("(?t<=5)(?1)(?2)", conds)
+    with pytest.raises(ValueError):  # out-of-range condition index
+        parse_sequence_pattern("(?1)(?9)", conds)
+    with pytest.raises(ValueError):  # fewer than two condition steps
+        parse_sequence_pattern("(?1)", conds)
+    with pytest.raises(ValueError):  # garbage token
+        parse_sequence_pattern("(?1)(?x)(?2)", conds)
+
+
+def test_sequence_match_negation_open_interval_and_path_revival(spark):
+    """The negation interval is OPEN (a banned event AT the matched
+    timestamp does not interrupt), and the DP must keep alternative
+    middle matches alive when one path is poisoned."""
+    from pyspark.sql import functions as F
+
+    from postgre_to_clickhouse_spark.operators.funnel import sequence_match_pattern
+
+    rows = [
+        # u1: a@0 b@10 e... banned d@10 AT the match ts -> still matches
+        (1, 0, "a"), (1, 10, "b"), (1, 10, "d"), (1, 20, "e"),
+        # u2: a@0 b@10 d@15 e@20 -> d strictly between kills the only path
+        (2, 0, "a"), (2, 10, "b"), (2, 15, "d"), (2, 20, "e"),
+        # u3: a@0 b@10 d@15 c@17 e@20 -> b-path dead, c-path alive
+        (3, 0, "a"), (3, 10, "b"), (3, 15, "d"), (3, 17, "c"), (3, 20, "e"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, sec long, event_type string").select(
+        "user_id", F.timestamp_seconds(F.col("sec")).alias("ts"), "event_type"
+    )
+    got = {
+        r.user_id: r.matched
+        for r in sequence_match_pattern(
+            ev, "(?1)(?2|?3)(?!4)(?5)", ["a", "b", "c", "d", "e"]
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: True}
+
+
 # -- incremental MinHash (r5) ----------------------------------------------
 def test_minhash_incremental_finds_cross_side_dup_only(spark):
     from postgre_to_clickhouse_spark.operators.dedup import (

@@ -245,6 +245,69 @@ def test_sequence_match_guards_match_bruteforce(spark, events):
     assert got == _seq_match_ref(events, ["A", "B", "C"], guards)
 
 
+def _seq_match_ref_ext(rows, step_sets, guards, not_between):
+    """Brute force for the r7 alternation/negation extension: enumerate
+    every tuple over the per-step candidate timestamp sets (a step's
+    candidates = events whose type is IN the step's alternation set),
+    require non-decreasing order + guards + for each banned set no
+    banned-type event STRICTLY between the adjacent chain timestamps."""
+    import itertools
+
+    out = {}
+    for u in {r[0] for r in rows}:
+        cands = [
+            sorted(s for (uu, s, t) in rows if uu == u and t in sset)
+            for sset in step_sets
+        ]
+        banned_ts = [
+            sorted(s for (uu, s, t) in rows if uu == u and nb and t in nb)
+            for nb in not_between
+        ]
+
+        def ok(c):
+            for i, (lo, hi) in enumerate(guards):
+                gap = c[i + 1] - c[i]
+                if gap < (lo or 0) or (hi is not None and gap > hi):
+                    return False
+            for i, zs in enumerate(banned_ts):
+                if any(c[i] < z < c[i + 1] for z in zs):
+                    return False
+            return True
+
+        out[u] = any(
+            all(c[i + 1] >= c[i] for i in range(len(c) - 1)) and ok(c)
+            for c in itertools.product(*cands)
+        )
+    return out
+
+
+@given(events=funnel_events_strategy)
+@settings(**_SETTINGS)
+def test_sequence_match_alternation_negation_match_bruteforce(spark, events):
+    """r7 (VERDICT r6 #4): pattern (?1)(?t<=5)(?2|?3)(?!4)(?1) — an A,
+    then a B OR C within 5 s, then another A with no X strictly between
+    the middle match and the final A — against an exhaustive
+    chain-enumeration reference."""
+    from postgre_to_clickhouse_spark.operators.funnel import sequence_match_pattern
+
+    df = spark.createDataFrame(events, "user_id long, sec long, event_type string").select(
+        "user_id", F.timestamp_seconds(F.col("sec")).alias("ts"), "event_type"
+    )
+    got = {
+        r.user_id: r.matched
+        for r in sequence_match_pattern(
+            df, "(?1)(?t<=5)(?2|?3)(?!4)(?1)", ["A", "B", "C", "X"]
+        ).collect()
+    }
+    ref = _seq_match_ref_ext(
+        events,
+        [{"A"}, {"B", "C"}, {"A"}],
+        [(0, 5), (0, None)],
+        [None, {"X"}],
+    )
+    assert got == ref
+
+
 # -- BM25 (round 4) ---------------------------------------------------------
 docs_strategy = st.lists(
     st.tuples(

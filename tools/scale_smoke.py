@@ -240,6 +240,15 @@ def main() -> None:
         ("summap_event_values", "length(sum_map) >= 0"),
         ("timeseries_gap_fill", "n_events >= 0"),
         ("interleave_datasets_order", "interleave_pos >= 0"),
+        # r7 (VERDICT r6 #5): the r6 heavy operators, plus the
+        # re-blocked levenshtein pair query (VERDICT r6 #2 wants its
+        # measured exponent on record)
+        ("vector_pq_topk", "rank >= 1"),
+        ("vector_ivfpq_topk", "rank >= 1"),
+        ("bpe_tokenize_documents", "n_tokens >= 0"),
+        ("multimodal_video_gif", "frame_idx >= 0"),
+        ("phrase_search_documents", "n_hits >= 0"),
+        ("levenshtein_near_match", "edit_dist >= 0"),
     ]:
         run(qname, lambda qn=qname, fl=force: QUERIES[qn](spark, work).where(fl))
 
