@@ -136,6 +136,8 @@ HEADLINE = [
     "ngram_search_documents",
     "event_transition_matrix",
     "levenshtein_near_match",
+    "sequence_match_negation",
+    "manifest_evolution_read",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't
@@ -160,6 +162,36 @@ FORCE_EVAL = {
     "interleave_datasets_order": "interleave_pos >= 0",
 }
 
+# r7 (VERDICT r6 #8): one 112-query JVM session couples queries to GC
+# pauses and outside load — r6 recorded 6-13x single-query spikes
+# (q9 9.69 s recorded vs 3.09 s on an idle re-run; q13 4.82 vs 0.87)
+# that the judge had to adjudicate as noise by hand. Policy: any query
+# whose FIRST timing exceeds OUTLIER_S is re-run once at the end of
+# the pass and the MINIMUM is recorded (a contention spike does not
+# reproduce; a real cost does). Both samples land in the sidecar
+# record under "reruns".
+OUTLIER_S = 3.0
+
+# r7 (VERDICT r6 #3): same-machine calibration embedded in the record,
+# so BENCH_r07+ carries its own reference total and cross-round deltas
+# decompose into environment vs code without a by-hand re-run of the
+# old commit. The calibration set is queries UNCHANGED since r3-r4
+# whose r6-recorded single-shot times are pinned below (from the
+# committed BENCH_r06 sidecar, commit 17d639c); env_factor =
+# first-run total now / r6 recorded total on the same set. ~1.0 on a
+# machine in r6's condition; the judge's idle re-run of r6 implies
+# ~0.4 on an idle one. Compare per-query times across rounds only
+# after dividing by this factor.
+CALIB_R6_RECORDED = {
+    "q1_pricing_summary": 1.906,
+    "q9_product_profit": 9.688,
+    "q13_customer_distribution": 4.819,
+    "vector_ivf_topk": 8.938,
+    "minhash_near_dup_candidates": 4.616,
+    "bm25_topk": 2.402,
+    "sessionize_events": 0.788,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -182,23 +214,39 @@ def main() -> None:
 
     spark.range(par).repartition(par).mapInPandas(_ident, schema="id long").count()
 
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in HEADLINE:
+    def run_once(name: str) -> float:
         fn = QUERIES[name]
         t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        if name in FORCE_EVAL:
+            df = df.filter(FORCE_EVAL[name])
+        n = df.count()
+        assert n >= 0
+        return round(time.perf_counter() - t0, 3)
+
+    first: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in HEADLINE:
         # One failing query must not lose the whole round's numbers:
         # record the error and keep benchmarking the rest.
         try:
-            df = fn(spark, sf_dir)
-            if name in FORCE_EVAL:
-                df = df.filter(FORCE_EVAL[name])
-            n = df.count()
-            assert n >= 0
+            first[name] = run_once(name)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+
+    # outlier re-run pass (see OUTLIER_S note): min of the two samples
+    timings: dict[str, float] = dict(first)
+    reruns: dict[str, list[float]] = {}
+    for name, t in sorted(first.items(), key=lambda kv: -kv[1]):
+        if t <= OUTLIER_S:
+            break
+        try:
+            t2 = run_once(name)
+        except Exception:  # noqa: BLE001 — keep the first sample
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        reruns[name] = [t, t2]
+        timings[name] = min(t, t2)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -208,6 +256,19 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    # same-machine calibration (single-shot first-run times, matching
+    # the pre-r7 methodology; only meaningful at the sf0.1 the r6
+    # constants were recorded at)
+    if sf == "0.1":
+        calib_now = round(sum(first.get(n, 0.0) for n in CALIB_R6_RECORDED), 3)
+        calib_ref = round(sum(CALIB_R6_RECORDED.values()), 3)
+        out["calib"] = {
+            "set_first_run_now": calib_now,
+            "set_r6_recorded": calib_ref,
+            "env_factor": round(calib_now / calib_ref, 3) if calib_ref else None,
+        }
+    if reruns:
+        out["reruns"] = reruns
     if errors:
         out["errors"] = errors
     line = json.dumps(out)
@@ -229,6 +290,7 @@ def main() -> None:
         print(line)  # full record first; may scroll out of the tail
         slowest = sorted(timings, key=timings.get, reverse=True)
         bounded = dict(out)
+        bounded.pop("reruns", None)  # full samples live in the sidecar
         for keep in range(len(slowest), -1, -1):
             bounded["queries"] = {n: timings[n] for n in slowest[:keep]}
             bounded["queries_omitted"] = len(timings) - keep

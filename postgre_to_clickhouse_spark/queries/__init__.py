@@ -31,85 +31,80 @@ from postgre_to_clickhouse_spark.queries import tpch_spec  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 
 # The driver checks the FIRST 50 registered queries; this is the curated
-# window. r6 rotation (VERDICT r5 #1): seat the 15 queries that have
-# never had a driver CORRECTNESS row (all r5 additions), every query
-# whose semantics change in r6 (JPEG-mix image stats, optimized
-# embedding near-dup), the new r6 queries, and backfill the remaining
-# slots with the r1-era singles whose only green row is now five rounds
-# old (drift re-verification). Everything rotated out is double-green
-# or r5-green and remains registered + oracle-gated in pytest.
+# window. r7 rotation (VERDICT r6 #1): seat ALL 22 queries that have
+# never had a driver CORRECTNESS row (the late-r6 batch), the new r7
+# queries, every query whose semantics changed in r7 (the tokenizer
+# unification), and backfill the remaining slots with the OLDEST green
+# rows (r1/r3/r4 era) for drift re-verification. Everything rotated
+# out is r5/r6-green and remains registered + oracle-gated in pytest.
 _WINDOW = [
-    # --- The 15 never-driver-checked r5 queries (VERDICT r5 #1) ---
-    "dup_span_coverage",          # C2 ExactSubstr-style span coverage
-    "ccnet_perplexity_buckets",   # C4 CCNet head/middle/tail tiers
-    "summap_event_values",        # B20 sumMap analog
-    "approx_topk_tokens",         # C8 SpaceSaving heavy hitters
-    "approx_topk_weighted_tokens",  # C8 weighted heavy hitters
-    "mixture_sample_weights",     # C6 mixture weights
-    "semantic_decontaminate_eval",  # C4 embedding decontamination
-    "weighted_quantile_events",   # B20 weighted quantiles
-    "argminmax_events",           # B20 argMax/argMin
-    "minhash_incremental_candidates",  # C2 incremental LSH probe
-    "dataset_card_summary",       # C6 dataset cards
-    "timeseries_gap_fill",        # B20 gap fill / WITH FILL
-    "multimodal_audio_dsp",       # C5 audio DSP features
-    "uniq_merge_rollup",          # B20 uniqState/uniqMerge HLL rollup
-    "interleave_datasets_order",  # C6 stride-scheduled interleaving
-    # --- New in r6 ---
-    "agg_mv_incremental",         # A12 incremental aggregate MV end-to-end
-    "q2_spec_min_cost_supplier",  # spec-true Q2 over partsupp fixture
-    "q11_spec_important_stock",   # spec-true Q11
-    "q16_spec_supplier_count",    # spec-true Q16
-    "q20_spec_excess_suppliers",  # spec-true Q20
-    "cohort_retention_matrix",    # B21 cohort day-N retention (new r6)
-    "group_array_events",         # B20 groupArray sequence (new r6)
-    # --- Changed-in-r6 semantics: re-verify ---
-    "multimodal_image_stats",     # C5 codec path (r6: BMP+PNG+JPEG mix)
-    "embedding_near_dup_pairs",   # C2 (r6: pair-generation optimization)
-    # --- r1-era singles: only green row is five rounds old ---
-    "join_semi_customers_with_open_orders",   # B4
-    "join_anti_customers_without_pending",    # B4
-    "join_outer_order_counts",    # B3 left outer
-    "join_full_outer_nation_activity",  # B3 full outer
-    "join_range_acctbal_bands",   # B5
-    "agg_events_stats",           # B7
-    "stats_aggregates",           # B7 stddev/skew/corr family
-    "rollup_revenue_region_nation",  # B9
-    "cube_lineitem_flags",        # B9
-    "window_top3_orders_per_customer",  # B10
-    "window_user_running_totals",  # B10
-    "window_range_frame",         # B10 RANGE frame
-    "topk_orders_by_price",       # B11
-    "string_funcs_part",          # B13
-    "date_funcs_orders",          # B14
-    "math_funcs_lineitem",        # B15
-    "conditional_funcs",          # B13 conditionals
-    "array_embedding_stats",      # B17
-    "exists_subquery_sql",        # B4 EXISTS SQL surface
-    "scalar_subquery_sql",        # B7 scalar subquery
-    "correlated_scalar_subquery",  # B7 correlated
-    "pivot_qty_by_status",        # B20 pivot
-    "unpivot_balances",           # B20 unpivot
-    "text_lang_id",               # C4 language ID
-    "text_fingerprints",          # C4 rolling-hash fingerprints
-    "ngram_jaccard_same_source",  # C2 n-gram Jaccard
+    # --- The 22 never-driver-checked late-r6 queries (VERDICT r6 #1:
+    # seating all of them makes every registered query driver-green at
+    # least once -> 157/157 cumulative) ---
+    "asof_forward_next_order",    # B6 forward as-of
+    "quantile_sketch_events",     # B20 mergeable quantile states
+    "bpe_tokenize_documents",     # C4 real BPE (golden oracle)
+    "multimodal_video_gif",       # C5 GIF89a video container
+    "vector_pq_topk",             # C3 product quantization (golden)
+    "vector_ivfpq_topk",          # C3 IVF-PQ (golden)
+    "sequence_count_funnel",      # B21 sequenceCount
+    "lm_bigram_nll",              # C4 bigram LM perplexity
+    "array_cumsum_diff_compact",  # B17 array transforms
+    "approx_topk_by_lang",        # C8 grouped topK
+    "curriculum_order_documents", # C6 curriculum ordering
+    "moving_agg_events",          # B21 moving sum/avg + deltaSum
+    "entropy_user_event_types",   # B21 entropy()
+    "agg_combinators_events",     # B21 countIf/sumIf/uniqUpTo
+    "range_interval_window_events",  # B10 time-interval RANGE frame
+    "timeseries_forward_fill",    # B20 WITH FILL locf
+    "phrase_search_documents",    # C11 positional phrase match
+    "dau_wau_stickiness",         # B21 DAU/WAU
+    "time_to_conversion",         # B21 first-touch conversion lag
+    "ngram_search_documents",     # C11 ngramSearch
+    "event_transition_matrix",    # B21 sequenceNextNode transitions
+    "levenshtein_near_match",     # C2 edit-distance pairs (r7 re-blocked)
+    # --- New in r7 ---
+    "sequence_match_negation",    # B21 alternation+negation patterns (r7)
+    "manifest_evolution_read",    # A8 schema evolution via driver (r7)
+    # --- Changed-in-r7 semantics: tokenizer unification ([^a-z0-9]+
+    # replaces \W+ in tokens_of / unigram / bigram LMs) ---
+    "ccnet_perplexity_buckets",   # C4 (unigram LM tokenizer)
+    "dataset_card_summary",       # C6 (token-volume tokenizer)
+    "approx_topk_tokens",         # C8 (tokens_of)
+    "approx_topk_weighted_tokens",  # C8 (tokens_of)
+    # --- Oldest-green backfill (drift re-verification, oldest first:
+    # r1 singles, r3 trio, then the r4 cohort alphabetically) ---
+    "json_events_extract",        # B16, last green r1
+    "setop_union_distinct_keys",  # B12, last green r1
+    "string_funcs_extended",      # B13, last green r1
+    "text_quality_stats",         # C4, last green r1
+    "window_hourly_event_counts", # B10, last green r1
+    "agg_approx_distinct",        # B8, last green r3
+    "simhash_signatures",         # C2, last green r3
+    "vector_lsh_topk",            # C3, last green r3
+    "dedup_components_knn",       # C2, last green r4
+    "dedup_exact_documents",      # C1, last green r4
+    "minhash_near_dup_candidates",  # C2, last green r4
+    "pack_sequences",             # C4, last green r4
+    "q10_returned_items",         # TPC-H, last green r4
+    "q11_important_stock",        # TPC-H, last green r4
+    "q12_shipmode_priority",      # TPC-H, last green r4
+    "q13_customer_distribution",  # TPC-H, last green r4
+    "q14_promo_revenue",          # TPC-H, last green r4
+    "q15_top_supplier",           # TPC-H, last green r4
+    "q16_supplier_count",         # TPC-H, last green r4
+    "q17_small_quantity_revenue", # TPC-H, last green r4
+    "q18_large_volume_orders",    # TPC-H, last green r4
+    "q19_discounted_revenue",     # TPC-H, last green r4
 ]
-# Coverage: with this window green, every query registered BEFORE the
-# late-r6 batch has at least one driver-green CORRECTNESS row across
-# r1-r6 — the 15 r5 never-checked queries, the early r6 additions, and
-# the r1-era drift re-checks are all seated; everything evicted is
-# driver-green in r5 or earlier and stays oracle-gated in pytest.
-# r7 rotation candidates (registered after the window, all
-# oracle-backed and locally driver-faithful-audited at two SFs, never
-# driver-checked): asof_forward_next_order, quantile_sketch_events,
-# bpe_tokenize_documents, multimodal_video_gif, vector_pq_topk,
-# sequence_count_funnel, lm_bigram_nll, array_cumsum_diff_compact,
-# vector_ivfpq_topk, approx_topk_by_lang, curriculum_order_documents,
-# moving_agg_events, entropy_user_event_types, agg_combinators_events,
-# range_interval_window_events, timeseries_forward_fill,
-# phrase_search_documents, dau_wau_stickiness, time_to_conversion,
-# ngram_search_documents, event_transition_matrix, levenshtein_near_match,
-# cohort/groupArray evictees if re-needed.
+# Coverage: with this window green, EVERY registered query has at least
+# one driver-green CORRECTNESS row across r1-r7 (cumulative 157/157 of
+# the pre-r7 registry, plus the two r7 additions) — the 22 late-r6
+# never-checked queries are seated, the r7 additions
+# (sequence_match_negation, manifest_evolution_read) are seated, the
+# four queries whose tokenizer changed in r7 are re-verified, and the
+# 22 oldest green rows (r1/r3/r4) get drift re-checks. Everything
+# evicted is driver-green in r5/r6 and stays oracle-gated in pytest.
 
 
 def _reorder() -> None:
