@@ -367,3 +367,165 @@ def minhash_incremental_candidates(
         .groupBy("new_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("n_bands_matched"))
     )
+
+
+# -- exact edit-distance pair join (r7) -------------------------------------
+#
+# PassJoin-style partition/probe candidate generation (Li, Deng, Feng,
+# "PASS-JOIN: a partition-based method for similarity joins", 2011 —
+# public algorithm): partition every string into tau+1 segments; if
+# lev(a, b) <= tau then by pigeonhole at least one of b's segments is
+# untouched by the optimal alignment and therefore appears EXACTLY in
+# a, at a start position p whose shift s = p - start_j satisfies
+# |s| + |delta - s| <= tau (edits before the segment >= |s|, edits
+# after >= |delta - s|, delta = len(a) - len(b)). Candidate generation
+# is an EQUALITY join on (block, target-length, slot, content) — cost
+# O(N * tau^2 * (tau+1)) probe keys, never O(sum block^2) pairwise —
+# and every candidate is verified with the exact threshold-banded DP,
+# so the result is identical to the all-pairs form.
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: Column | str,
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    max_dist: int = 5,
+) -> DataFrame:
+    """All (id_a < id_b) pairs within ``block_col`` whose ``text_col``
+    values are within Levenshtein distance ``max_dist``, with
+    PassJoin candidate generation + bag-of-chars prefilter +
+    threshold-banded exact verify. Output: (id_a, id_b, edit_dist)."""
+    tau = int(max_dist)
+    m = tau + 1
+    text = text_col if isinstance(text_col, Column) else F.col(text_col)
+
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    hist = F.transform(
+        F.array(*[F.lit(c) for c in alphabet]),
+        lambda c: F.length(F.col("__txt")) - F.length(F.replace(F.col("__txt"), c, F.lit(""))),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(block_col).alias("__blk"),
+        text.alias("__txt"),
+    ).select("__id", "__blk", "__txt", F.length("__txt").alias("__len"), hist.alias("__hist"))
+
+    def seg_len(length: Column, j: Column) -> Column:
+        b, k = (length / m).cast("int"), length % m
+        return b + F.when(j >= m - k, 1).otherwise(0)
+
+    def seg_start(length: Column, j: Column) -> Column:
+        b, k = (length / m).cast("int"), length % m
+        return j * b + F.greatest(j - (m - k), F.lit(0))
+
+    # index side: each string's m segments
+    js = F.sequence(F.lit(0), F.lit(m - 1))
+    idx = base.select(
+        F.col("__id").alias("__id_b"),
+        "__blk",
+        F.col("__len").alias("__lb"),
+        F.explode(
+            F.transform(
+                js,
+                lambda j: F.struct(
+                    j.alias("j"),
+                    F.substring(
+                        F.col("__txt"), seg_start(F.col("__len"), j) + 1, seg_len(F.col("__len"), j)
+                    ).alias("seg"),
+                ),
+            )
+        ).alias("__s"),
+    ).select("__id_b", "__blk", "__lb", F.col("__s.j").alias("__j"), F.col("__s.seg").alias("__seg"))
+
+    # probe side: for every target length lb in [len-tau, len+tau] and
+    # slot j, substrings at shifts s with |s| + |delta - s| <= tau
+    la = F.col("__len")
+
+    def probe_triples() -> Column:
+        lbs = F.sequence(F.greatest(la - tau, F.lit(0)), la + tau)
+        return F.flatten(
+            F.transform(
+                lbs,
+                lambda lb: F.flatten(
+                    F.transform(
+                        js,
+                        lambda j: F.filter(
+                            F.transform(
+                                F.sequence(F.lit(-tau), F.lit(tau)),
+                                lambda s: F.struct(
+                                    lb.alias("lb"),
+                                    j.alias("j"),
+                                    (seg_start(lb, j) + s).alias("p"),
+                                    seg_len(lb, j).alias("sl"),
+                                    s.alias("s"),
+                                ),
+                            ),
+                            lambda t: (
+                                (F.abs(t["s"]) + F.abs((la - t["lb"]) - t["s"]) <= tau)
+                                & (t["p"] >= 0)
+                                & (t["p"] + t["sl"] <= la)
+                            ),
+                        ),
+                    )
+                ),
+            )
+        )
+
+    probe = base.select(
+        F.col("__id").alias("__id_a"),
+        "__blk",
+        F.explode(probe_triples()).alias("__t"),
+        F.col("__txt").alias("__txt_a"),
+    ).select(
+        "__id_a",
+        "__blk",
+        F.col("__t.lb").alias("__lb"),
+        F.col("__t.j").alias("__j"),
+        F.substring("__txt_a", F.col("__t.p") + 1, F.col("__t.sl")).alias("__seg"),
+    )
+
+    # shuffle-hash, never broadcast: both sides are explode-amplified
+    # (probe ~tau^2*(tau+1) keys/row, index m segments/row) and
+    # Catalyst's size estimate under explode is unreliable — a
+    # mis-chosen broadcast of the probe side OOMs the driver. The
+    # hash side is the smaller index slice per partition.
+    cands = (
+        probe.join(idx.hint("shuffle_hash"), ["__blk", "__lb", "__j", "__seg"])
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .select("__id_a", "__id_b")
+        .distinct()
+    )
+
+    va = base.select(
+        F.col("__id").alias("__id_a"),
+        F.col("__txt").alias("__ta"),
+        F.col("__hist").alias("__ha"),
+    )
+    vb = base.select(
+        F.col("__id").alias("__id_b"),
+        F.col("__txt").alias("__tb"),
+        F.col("__hist").alias("__hb"),
+    )
+
+    def bag_over(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: F.greatest(u - v, F.lit(0))),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+
+    bag = F.greatest(
+        bag_over(F.col("__ha"), F.col("__hb")), bag_over(F.col("__hb"), F.col("__ha"))
+    )
+    dist = F.levenshtein("__ta", "__tb", tau)
+    return (
+        cands.join(va, "__id_a")
+        .join(vb, "__id_b")
+        .filter((bag <= tau) & (dist >= 0))
+        .select(
+            F.col("__id_a").alias("id_a"),
+            F.col("__id_b").alias("id_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+    )

@@ -561,32 +561,40 @@ def phrase_search_documents(spark, sf_dir):
     """,
 )
 def ngram_search_documents(spark, sf_dir):
-    """r6, C4/C11: ClickHouse ``ngramSearch`` parity — fuzzy needle
-    matching by character-trigram containment: sim(doc) = |needle
-    trigrams ∩ doc trigrams| / |needle trigrams|, docs above 0.8
-    returned. The NEEDLE's trigram set is a broadcast constant (tens of
-    rows); each doc contributes its distinct trigrams once, so the probe
-    is a broadcast semi-join + per-doc count — the corpus shuffles only
-    its (doc, matched-gram) hits. Integer counts and a 6dp-rounded
-    ratio keep it engine-exact."""
+    """r6, C4/C11 (re-shaped r7): ClickHouse ``ngramSearch`` parity —
+    fuzzy needle matching by character-trigram containment: sim(doc) =
+    |needle trigrams ∩ doc trigrams| / |needle trigrams|, docs above
+    0.8 returned.
+
+    Shape: the needle's ~20 distinct trigrams are LITERALS, so the
+    shared count is a per-row ``size(filter(grams, g ->
+    contains(text, g)))`` — a pure map over the scan, ZERO shuffles
+    (the r6 form exploded every doc's distinct trigrams and
+    broadcast-joined the needle set, shuffling (doc, matched-gram)
+    hits for a per-doc count; 4.2 s -> sub-second at sf0.1). A
+    substring containment test per literal gram is exactly the
+    distinct-gram intersection because the needle grams are distinct.
+    At 100 TB this is the ngramSearch deployment shape: the filter
+    fuses into the parquet scan under whole-stage codegen and the
+    selective `sim >= 0.8` predicate drops rows before anything
+    leaves the mapper. Integer counts and a 6dp-rounded ratio keep it
+    engine-exact."""
     d = _t(spark, sf_dir, "documents")
     needle = "fast table value scan"
     n_grams = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
     lower = F.lower("text")
-    idx = F.sequence(F.lit(1), F.greatest(F.length(lower) - 2, F.lit(0)))
-    doc_grams = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.transform(idx, lambda i: F.substring(lower, i, 3)))).alias("g"),
-    )
-    needle_df = F.broadcast(
-        d.sparkSession.createDataFrame([(g,) for g in n_grams], "g string")
-    )
-    hits = doc_grams.join(needle_df, "g").groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("shared_trigrams")
-    )
+    shared = F.size(
+        F.filter(
+            F.array(*[F.lit(g) for g in n_grams]),
+            lambda g: F.contains(lower, g),
+        )
+    ).cast("bigint")
     sim = F.col("shared_trigrams").cast("double") / F.lit(float(len(n_grams)))
-    return hits.filter(sim >= 0.8).select(
-        "doc_id", "shared_trigrams", F.round(sim, 6).alias("sim_r")
+    return (
+        d.select("doc_id", shared.alias("shared_trigrams"))
+        .filter(F.col("shared_trigrams") > 0)
+        .filter(sim >= 0.8)
+        .select("doc_id", "shared_trigrams", F.round(sim, 6).alias("sim_r"))
     )
 
 
@@ -610,70 +618,26 @@ def levenshtein_near_match(spark, sf_dir):
     in the same source whose 40-char prefixes are within Levenshtein
     distance 5 (the title/boilerplate near-match shape).
 
-    Scale shape (sub-quadratic, unlike the r6 source-only blocking —
-    source cardinality is CONSTANT, so block size grew linearly with
-    data and pair work quadratically):
+    Scale shape (SUB-QUADRATIC candidate generation — the r6 form
+    blocked by source alone, and source cardinality is constant, so
+    block size grew linearly with data and pair work quadratically;
+    an interim band+prefilter variant only cut the per-pair constant
+    and still measured exponent ~2.3 on the 5x amplified corpus):
+    ``operators/dedup.py::edit_distance_pairs`` — PassJoin (Li, Deng,
+    Feng 2011) pigeonhole segments: every string indexes its 6
+    segments, probes position-bounded substrings for each target
+    length, candidates come from an EQUALITY join on (source, length,
+    slot, content) — O(N·tau²·(tau+1)) probe keys, never
+    O(Σ block²) pairs — then bag-of-chars lower bound + Spark's
+    threshold-banded ``levenshtein(a, b, 5)`` verify each candidate
+    exactly. Brute-force-validated in tests/test_properties.py.
 
-    1. **Length-band blocking**: ``lev(a,b) <= 5`` implies
-       ``|len(a)-len(b)| <= 5``, so rows block on
-       ``(source, floor(len/5))`` and side A probes its own band plus
-       both neighbors (band diff can be at most 1). Each true pair is
-       produced exactly once: the A-explodes-3-bands x B-keyed-on-own-
-       band join emits BOTH orientations of every cross/same-band pair
-       and ``id_a < id_b`` keeps one.
-    2. **Bag-of-chars lower bound** before the DP: the bag distance
-       ``max(sum_c max(0, ca-cb), sum_c max(0, cb-ca))`` over a 36-slot
-       [a-z0-9] histogram never exceeds the edit distance, and costs
-       ~72 integer ops per pair vs the DP's ~1600 cells. Histograms are
-       computed ONCE per row (map-side, before the join), not per pair.
-    3. **Threshold-banded DP**: Spark's 3-arg ``levenshtein(a, b, 5)``
-       runs the O(len x k) banded algorithm with early exit and returns
-       -1 when the distance exceeds the bound — the survivors pay
-       O(40 x 11), not O(40 x 40).
+    The oracle is blocking-agnostic (plain self-join) — candidate
+    generation is provably complete and verification exact, so results
+    are identical. Spark's builtin levenshtein is JVM-side and
+    integer-exact, matching DuckDB's."""
+    from postgre_to_clickhouse_spark.operators.dedup import edit_distance_pairs
 
-    The oracle is blocking-agnostic (plain self-join) — banding and the
-    prefilter are lossless, so results are identical. Spark's builtin
-    levenshtein is JVM-side and integer-exact, matching DuckDB's."""
     d = _t(spark, sf_dir, "documents")
-    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
-    chars = F.array(*[F.lit(c) for c in alphabet])
-    prefix = F.lower(F.substring("text", 1, 40))
-    hist = F.transform(
-        chars, lambda c: F.length(prefix) - F.length(F.replace(prefix, c, F.lit("")))
-    )
-    p = d.select(
-        "doc_id",
-        "source",
-        prefix.alias("prefix"),
-        (F.length(prefix) / 5).cast("int").alias("band"),
-        hist.alias("hist"),
-    )
-    a = p.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("source").alias("__s"),
-        F.col("prefix").alias("__pa"),
-        F.col("hist").alias("__ha"),
-        F.explode(
-            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
-        ).alias("__band"),
-    )
-    b = p.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("source").alias("__s"),
-        F.col("prefix").alias("__pb"),
-        F.col("hist").alias("__hb"),
-        F.col("band").alias("__band"),
-    )
-    bag_over = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda u, v: F.greatest(u - v, F.lit(0))),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    bag = F.greatest(bag_over(F.col("__ha"), F.col("__hb")), bag_over(F.col("__hb"), F.col("__ha")))
-    dist = F.levenshtein("__pa", "__pb", 5)
-    return (
-        a.join(b, ["__s", "__band"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter((bag <= 5) & (dist >= 0))
-        .select("id_a", "id_b", dist.cast("bigint").alias("edit_dist"))
-    )
+    p = d.select("doc_id", "source", F.lower(F.substring("text", 1, 40)).alias("prefix"))
+    return edit_distance_pairs(p, "prefix", id_col="doc_id", block_col="source", max_dist=5)

@@ -312,3 +312,13 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_ngram_search_map_only(spark):
+    """r7: ngramSearch is a pure map over the scan — the needle's
+    trigrams are literals, so the shared-gram count must not shuffle,
+    join, or window (the r6 form exploded doc trigrams and joined the
+    broadcast needle set)."""
+    plan = _plan(spark, "ngram_search_documents")
+    for marker in ("Exchange", "Join", "Window", "Generate"):
+        assert marker not in plan, f"ngram_search plan contains {marker}"

@@ -416,3 +416,53 @@ def test_approx_topk_bounds_always_contain_truth(spark, items, capacity):
     # the true max item is never displaced below rank len(out)
     top_true = max(truth.values())
     assert any(truth[r.item] == top_true for r in out)
+
+
+def test_edit_distance_pairs_match_bruteforce(spark):
+    """r7: PassJoin candidate generation (pigeonhole segments +
+    position-bounded probes) + bag prefilter + threshold-banded verify
+    must return EXACTLY the all-pairs result — including empty/short
+    strings (empty segments), heavy mutation clusters, and cross-block
+    isolation. Fixed-seed mutation corpus, pure-Python DP reference."""
+    import itertools
+    import random
+
+    from postgre_to_clickhouse_spark.operators.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, len(b) + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return d[len(b)]
+
+    rng = random.Random(7)
+    vocab = "spark scan fast table value join agg row col".split()
+    rows = []
+    for i in range(120):
+        t = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 8)))
+        if i % 3 == 0 and rows:  # mutate an earlier string -> true near pairs
+            t = list(rows[rng.randrange(len(rows))][2])
+            for _ in range(rng.randint(0, 6)):
+                if not t:
+                    break
+                op, pos = rng.choice("ids"), rng.randrange(len(t))
+                if op == "i":
+                    t.insert(pos, rng.choice("abcxyz "))
+                elif op == "d":
+                    t.pop(pos)
+                else:
+                    t[pos] = rng.choice("abcxyz ")
+            t = "".join(t)
+        rows.append((i, f"s{i % 3}", t[:40]))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {(r.id_a, r.id_b, r.edit_dist) for r in edit_distance_pairs(df, "text").collect()}
+    exp = {
+        (min(i1, i2), max(i1, i2), lev(t1, t2))
+        for (i1, s1, t1), (i2, s2, t2) in itertools.combinations(rows, 2)
+        if s1 == s2 and lev(t1, t2) <= 5
+    }
+    assert got == exp

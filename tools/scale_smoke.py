@@ -245,7 +245,7 @@ def main() -> None:
         # measured exponent on record)
         ("vector_pq_topk", "rank >= 1"),
         ("vector_ivfpq_topk", "rank >= 1"),
-        ("bpe_tokenize_documents", "n_tokens >= 0"),
+        ("bpe_tokenize_documents", "n_bpe_tokens >= 0"),
         ("multimodal_video_gif", "frame_idx >= 0"),
         ("phrase_search_documents", "n_hits >= 0"),
         ("levenshtein_near_match", "edit_dist >= 0"),
