@@ -138,6 +138,9 @@ HEADLINE = [
     "levenshtein_near_match",
     "sequence_match_negation",
     "manifest_evolution_read",
+    "url_ip_funcs",
+    "audience_overlap_matrix",
+    "geo_funcs",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

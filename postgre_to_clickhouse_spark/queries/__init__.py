@@ -93,18 +93,20 @@ _WINDOW = [
     "q14_promo_revenue",          # TPC-H, last green r4
     "q15_top_supplier",           # TPC-H, last green r4
     "q16_supplier_count",         # TPC-H, last green r4
-    "q17_small_quantity_revenue", # TPC-H, last green r4
-    "q18_large_volume_orders",    # TPC-H, last green r4
-    "q19_discounted_revenue",     # TPC-H, last green r4
+    "url_ip_funcs",               # B25 URL/IP function family (new r7)
+    "audience_overlap_matrix",    # B26 bitmap-intersection workload (new r7)
+    "geo_funcs",                  # B27 geo functions (new r7)
 ]
 # Coverage: with this window green, EVERY registered query has at least
 # one driver-green CORRECTNESS row across r1-r7 (cumulative 157/157 of
-# the pre-r7 registry, plus the two r7 additions) — the 22 late-r6
+# the pre-r7 registry, plus the five r7 additions) — the 22 late-r6
 # never-checked queries are seated, the r7 additions
-# (sequence_match_negation, manifest_evolution_read) are seated, the
-# four queries whose tokenizer changed in r7 are re-verified, and the
-# 22 oldest green rows (r1/r3/r4) get drift re-checks. Everything
-# evicted is driver-green in r5/r6 and stays oracle-gated in pytest.
+# (sequence_match_negation, manifest_evolution_read, url_ip_funcs,
+# audience_overlap_matrix, geo_funcs) are
+# seated, the four queries whose tokenizer changed in r7 are
+# re-verified, and the 19 oldest green rows (r1/r3/r4) get drift
+# re-checks. Everything evicted is driver-green in r5/r6 and stays
+# oracle-gated in pytest.
 
 
 def _reorder() -> None:

@@ -256,3 +256,168 @@ def multimodal_audio_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
     media = audio_from_ids(d, id_col="doc_id", n_samples=256, sample_rate=16000)
     return audio_stats(media, id_col="doc_id")
+
+
+@register(
+    "url_ip_funcs",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || lang || '.' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&ref='
+               || CAST(doc_id % 7 AS VARCHAR) AS url,
+             CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS ip_num
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, 'https://([^/?]+)', 1) AS host,
+           regexp_extract(regexp_extract(url, 'https://([^/?]+)', 1),
+                          '([^.]+)$', 1) AS tld,
+           regexp_extract(regexp_extract(url, 'https://([^/?]+)', 1),
+                          '([^.]+\\.[^.]+)$', 1) AS first_sig_domain,
+           regexp_extract(url, 'https://[^/?]+(/[^?]*)', 1) AS url_path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang,
+           CAST(ip_num // 16777216 AS VARCHAR) || '.'
+             || CAST((ip_num // 65536) % 256 AS VARCHAR) || '.'
+             || CAST((ip_num // 256) % 256 AS VARCHAR) || '.'
+             || CAST(ip_num % 256 AS VARCHAR) AS ip_str,
+           ip_num AS ip_roundtrip
+    FROM u
+    """,
+)
+def url_ip_funcs(spark, sf_dir):
+    """r7, B25: ClickHouse URL/IP function-family parity — ``domain``,
+    ``topLevelDomain``, ``cutToFirstSignificantSubdomain``, ``path``,
+    ``extractURLParameter``, ``IPv4NumToString``/``IPv4StringToNum`` —
+    over URLs synthesized deterministically from fixture columns (the
+    fixtures carry no URL column; the functions, not the data, are
+    under test). Spark mapping: ``parse_url(HOST/PATH/QUERY)`` +
+    ``substring_index`` for the domain family; pure integer bit
+    arithmetic for the IPv4 round-trip (``ip_roundtrip`` re-packs the
+    four octets — any endianness/octet-order bug breaks equality with
+    the untouched ``ip_num``). All string/integer exact; the oracle
+    recomputes with regexes, a structurally different parser. Map-only
+    scan stage — every function fuses into codegen."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("lang"), F.lit("."), F.col("source"),
+        F.lit(".example.com/docs/"), F.col("doc_id").cast("string"),
+        F.lit("?lang="), F.col("lang"), F.lit("&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    ip_num = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)).cast("long")
+    host = F.parse_url(url, F.lit("HOST"))
+    ip_str = F.concat_ws(
+        ".",
+        (ip_num / 16777216).cast("long").cast("string"),
+        ((ip_num / 65536).cast("long") % 256).cast("string"),
+        ((ip_num / 256).cast("long") % 256).cast("string"),
+        (ip_num % 256).cast("string"),
+    )
+    octets = F.split(ip_str, r"\.")
+    roundtrip = (
+        octets[0].cast("long") * 16777216 + octets[1].cast("long") * 65536
+        + octets[2].cast("long") * 256 + octets[3].cast("long")
+    )
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        F.substring_index(host, ".", -1).alias("tld"),
+        F.substring_index(host, ".", -2).alias("first_sig_domain"),
+        F.parse_url(url, F.lit("PATH")).alias("url_path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        ip_str.alias("ip_str"),
+        roundtrip.alias("ip_roundtrip"),
+    )
+
+
+@register(
+    "audience_overlap_matrix",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_both
+    FROM tu a JOIN tu b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def audience_overlap_matrix(spark, sf_dir):
+    """r7, B26: the ClickHouse BITMAP-workload analog — audience
+    overlap: for every pair of event types, the number of users who
+    did BOTH (``bitmapAndCardinality(groupBitmapState(user_id) …)``,
+    the segment-intersection query CH roaring bitmaps exist for).
+    Spark-first shape: reduce to DISTINCT (type, user) FIRST (the
+    bitmap build — one partial-aggregable distinct over a 5-type key
+    space), then self-join the reduced set on user and count per type
+    pair. The join input is |types| x |users|, never the event table;
+    at 100 TB the distinct reduction is the only event-proportional
+    stage and the pair count is bounded by types² x users. The oracle
+    computes the same matrix from raw events independently."""
+    ev = _t(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+
+
+@register(
+    "geo_funcs",
+    oracle="""
+    WITH pts AS (
+      SELECT doc_id,
+             CAST((doc_id * 73 % 160) - 80 + 0.5 AS DOUBLE) AS lat,
+             CAST((doc_id * 37 % 360) - 180 + 0.5 AS DOUBLE) AS lon
+      FROM documents
+    )
+    SELECT doc_id, lat, lon,
+           ROUND(2 * 6371000.0 * asin(sqrt(
+             pow(sin(radians(lat - 48.8566) / 2), 2)
+             + cos(radians(48.8566)) * cos(radians(lat))
+               * pow(sin(radians(lon - 2.3522) / 2), 2)
+           )), 2) AS dist_paris_m,
+           (lat BETWEEN -10 AND 40) AND (lon BETWEEN -20 AND 60)
+             AND (lon - (-20)) * (40 - (-10)) - (lat - (-10)) * (60 - (-20)) >= 0
+             AS in_triangle
+    FROM pts
+    """,
+)
+def geo_funcs(spark, sf_dir):
+    """r7, B27: ClickHouse geo-function family —
+    ``greatCircleDistance`` (haversine, meters from Paris) and a
+    ``pointInPolygon`` case (half-plane + bounding-box test, exact
+    sign arithmetic) — over lat/lon synthesized deterministically from
+    doc_id (the fixtures carry no geo columns; the functions are under
+    test). The distance is the one transcendental in the battery's
+    oracle-checked surface, so it follows the registry rule: 2dp-
+    rounded, with both engines evaluating the same closed form on
+    IEEE-754 doubles (identical operation ORDER on both sides — the
+    rounding absorbs the last-ulp libm differences). Map-only codegen
+    scan."""
+    d = _t(spark, sf_dir, "documents")
+    lat = ((F.col("doc_id") * 73 % 160) - 80 + 0.5).cast("double")
+    lon = ((F.col("doc_id") * 37 % 360) - 180 + 0.5).cast("double")
+    plat, plon = 48.8566, 2.3522
+    dist = 2 * 6371000.0 * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(lat - plat) / 2), 2)
+        + F.cos(F.radians(F.lit(plat))) * F.cos(F.radians(lat))
+        * F.pow(F.sin(F.radians(lon - plon) / 2), 2)
+    ))
+    in_tri = (
+        lat.between(-10, 40) & lon.between(-20, 60)
+        & ((lon - (-20)) * (40 - (-10)) - (lat - (-10)) * (60 - (-20)) >= 0)
+    )
+    return d.select(
+        "doc_id",
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.round(dist, 2).alias("dist_paris_m"),
+        in_tri.alias("in_triangle"),
+    )
