@@ -141,6 +141,14 @@ HEADLINE = [
     "url_ip_funcs",
     "audience_overlap_matrix",
     "geo_funcs",
+    "dictget_customer_enrich",
+    "limit_by_user_events",
+    "timeseries_interpolate",
+    "gopher_ngram_repetition",
+    "encoding_funcs",
+    "bitwise_funcs_agg",
+    "url_canonicalize_dedup",
+    "format_datetime_funcs",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

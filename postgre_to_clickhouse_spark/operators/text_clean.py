@@ -89,3 +89,34 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             (n_words - n_distinct_words).cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
         ).alias("dup_word_ratio"),
     )
+
+
+def canonicalize_url(col: Column | str, strip_prefixes: tuple[str, ...] = ("utm_",)) -> Column:
+    """URL canonicalization for crawl dedup (the normalize-before-hash
+    step every WET/WARC pipeline runs; CH exposes the pieces as
+    ``cutFragment``/``cutURLParameter``): drop the fragment, lowercase
+    scheme+host (path stays case-sensitive per RFC 3986), strip
+    tracking parameters by prefix, SORT the surviving query params
+    (order-insensitive equality), and trim trailing slashes. Pure
+    regexp/split/higher-order ops — fuses into the scan."""
+    u = F.regexp_replace(_c(col), r"#.*$", "")
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    q = F.regexp_extract(u, r"\?(.*)$", 1)
+    hostpart = F.lower(F.regexp_extract(base, r"^(https?://[^/]*)", 1))
+    path = F.regexp_replace(F.regexp_replace(base, r"^https?://[^/]*", ""), r"/+$", "")
+    keep = F.filter(
+        F.split(q, "&"),
+        lambda p: (p != "") & ~_startswith_any(p, strip_prefixes),
+    )
+    canon_q = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        hostpart, path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(F.lit("")),
+    )
+
+
+def _startswith_any(p: Column, prefixes: tuple[str, ...]) -> Column:
+    cond = F.lit(False)
+    for pre in prefixes:
+        cond = cond | p.startswith(pre)
+    return cond

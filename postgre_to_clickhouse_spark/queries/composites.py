@@ -421,3 +421,226 @@ def geo_funcs(spark, sf_dir):
         F.round(dist, 2).alias("dist_paris_m"),
         in_tri.alias("in_triangle"),
     )
+
+
+@register(
+    "dictget_customer_enrich",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS acctbal_sum,
+           CAST(count(CASE WHEN c.c_nationkey < 10 THEN 1 END) AS BIGINT)
+             AS n_tier_a
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def dictget_customer_enrich(spark, sf_dir):
+    """r7, A-surface extension: ClickHouse EXTERNAL DICTIONARIES —
+    ``dictGet``/``dictGetOrDefault``/``dictHas`` — the reference
+    workload's scan-local dimension enrichment (CH pins bounded dims in
+    memory on every server; a dictGet is a hash probe, never a join).
+    Spark-first shape (`operators/dictionary.py`): nation and region
+    are compiled into MAP LITERALS folded into the plan, so every probe
+    is ``element_at`` inside whole-stage codegen — the customer scan
+    has NO join, NO shuffle before the final aggregation (plan-gated in
+    test_plans.py). Chained lookup (nation → regionkey → region name)
+    mirrors CH hierarchical dictionaries; the tier column exercises
+    ``dictGetOrDefault`` over a PARTIAL dictionary (keys < 10 → 'A',
+    missing → default 'B'). The oracle recomputes everything with plain
+    joins — dictionary vs join equivalence is the check."""
+    from postgre_to_clickhouse_spark.operators.dictionary import Dictionary
+
+    c = _t(spark, sf_dir, "customer")
+    nation_dict = Dictionary.from_df(
+        _t(spark, sf_dir, "nation"), "n_nationkey", ["n_name", "n_regionkey"]
+    )
+    region_dict = Dictionary.from_df(
+        _t(spark, sf_dir, "region"), "r_regionkey", ["r_name"]
+    )
+    tier_dict = Dictionary.from_df(
+        _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10),
+        "n_nationkey",
+        ["n_name"],
+    )
+    nkey = F.col("c_nationkey")
+    enriched = c.select(
+        region_dict.get("r_name", nation_dict.get("n_regionkey", nkey)).alias(
+            "region_name"
+        ),
+        nation_dict.get("n_name", nkey).alias("nation_name"),
+        F.when(tier_dict.has(nkey), F.lit("A")).otherwise(F.lit("B")).alias("tier"),
+        "c_acctbal",
+    )
+    return enriched.groupBy("region_name", "nation_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("acctbal_sum"),
+        F.count(F.when(F.col("tier") == "A", 1)).cast("bigint").alias("n_tier_a"),
+    )
+
+
+@register(
+    "encoding_funcs",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(substring(text, 1, 24))) AS b64,
+           CAST(from_base64(base64(encode(substring(text, 1, 24))))
+                AS VARCHAR) AS b64_roundtrip,
+           hex(doc_id * 255 + 16) AS hex_num,
+           CAST(unhex(hex(encode(substring(lang, 1, 2)))) AS VARCHAR)
+             AS hex_roundtrip
+    FROM documents
+    """,
+)
+def encoding_funcs(spark, sf_dir):
+    """r7, B13 extension: the ClickHouse encoding-function family —
+    ``base64Encode``/``base64Decode``, ``hex``/``unhex`` — as
+    round-trips (any padding/alphabet/case disagreement between the
+    engines breaks equality). Spark's uppercase minimal-digit integer
+    hex matches DuckDB's ``hex(BIGINT)``; base64 is RFC 4648 with
+    padding on both. Map-only codegen scan."""
+    d = _t(spark, sf_dir, "documents")
+    snip = F.substring("text", 1, 24).cast("binary")
+    return d.select(
+        "doc_id",
+        F.base64(snip).alias("b64"),
+        F.unbase64(F.base64(snip)).cast("string").alias("b64_roundtrip"),
+        F.hex(F.col("doc_id") * 255 + 16).alias("hex_num"),
+        F.unhex(F.hex(F.substring("lang", 1, 2).cast("binary"))).cast("string").alias("hex_roundtrip"),
+    )
+
+
+@register(
+    "bitwise_funcs_agg",
+    oracle="""
+    SELECT event_type,
+           bit_and(user_id) AS band,
+           bit_or(user_id) AS bor,
+           bit_xor(user_id) AS bxor,
+           bit_and(user_id << 2) AS band_shl,
+           bit_or(user_id >> 1) AS bor_shr,
+           bit_xor(xor(user_id, 2863311530)) AS bxor_mask,
+           bit_and(~user_id) AS band_not
+    FROM events GROUP BY event_type
+    """,
+)
+def bitwise_funcs_agg(spark, sf_dir):
+    """r7, B15 extension: ClickHouse bit functions —
+    ``groupBitAnd``/``groupBitOr``/``groupBitXor`` aggregates composed
+    with the scalar ``bitShiftLeft``/``bitShiftRight``/``bitXor``/
+    ``bitNot`` (the flag-mask idioms of telemetry schemas). All exact
+    64-bit integer ops — identical two's-complement semantics in both
+    engines. One partial-aggregable groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id")
+    return ev.groupBy("event_type").agg(
+        F.bit_and(u).alias("band"),
+        F.bit_or(u).alias("bor"),
+        F.bit_xor(u).alias("bxor"),
+        F.bit_and(F.shiftleft(u, 2)).alias("band_shl"),
+        F.bit_or(F.shiftright(u, 1)).alias("bor_shr"),
+        F.bit_xor(u.bitwiseXOR(F.lit(2863311530))).alias("bxor_mask"),
+        F.bit_and(F.bitwise_not(u)).alias("band_not"),
+    )
+
+
+@register(
+    "url_canonicalize_dedup",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://' || upper(lang) || '.Example.COM/' || source || '/'
+               || CAST(doc_id % 50 AS VARCHAR) || '/?utm_source=feed'
+               || CAST(doc_id AS VARCHAR) || '&b=2&a=1#frag' || CAST(doc_id AS VARCHAR)
+               AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(regexp_extract(regexp_replace(url, '#.*$', ''),
+                     '^([^?]*)', 1), '^(https?://[^/]*)', 1))
+             || regexp_replace(regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''),
+                     '^([^?]*)', 1), '^https?://[^/]*', ''), '/+$', '')
+             || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS curl
+      FROM (
+        SELECT doc_id, url,
+               array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(regexp_replace(url, '#.*$', ''),
+                              '\\?(.*)$', 1), '&'),
+                 p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') AS cq
+        FROM raw)
+    )
+    SELECT curl AS canon_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM canon GROUP BY curl
+    """,
+)
+def url_canonicalize_dedup(spark, sf_dir):
+    """r7, C1/C4: URL canonicalization + dedup — the crawl-pipeline
+    normalize-before-hash step (CH ``cutFragment``/``cutURLParameter``
+    composed; CCNet/RefinedWeb dedup by canonical URL). URLs are
+    synthesized with deliberate mess: uppercase scheme/host, per-doc
+    ``utm_*`` tracking junk, unsorted params, fragments — 50 docs per
+    (lang, source, path-bucket) collapse to one canonical URL only if
+    every normalization step fires. `operators/text_clean.py::
+    canonicalize_url`; the oracle reimplements the pipeline in DuckDB
+    regexp/list ops. Map-only scan + one partial-aggregable groupBy."""
+    from postgre_to_clickhouse_spark.operators.text_clean import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"), F.upper("lang"), F.lit(".Example.COM/"), F.col("source"),
+        F.lit("/"), (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed"), F.col("doc_id").cast("string"),
+        F.lit("&b=2&a=1#frag"), F.col("doc_id").cast("string"),
+    )
+    return (
+        d.select("doc_id", canonicalize_url(url).alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@register(
+    "format_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso_ts,
+           strftime(o_orderdate, '%a %b %d %Y') AS pretty,
+           strftime(o_orderdate, '%j') AS day_of_year,
+           dayname(o_orderdate) AS dow_name,
+           monthname(o_orderdate) AS month_name,
+           CAST(strptime(strftime(o_orderdate, '%d/%m/%Y %H:%M'),
+                         '%d/%m/%Y %H:%M') AS TIMESTAMP) AS parsed_back
+    FROM orders
+    """,
+)
+def format_datetime_funcs(spark, sf_dir):
+    """r7, B14 extension: ClickHouse ``formatDateTime`` /
+    ``parseDateTimeBestEffort`` family — locale-stable text formatting
+    (ISO, pretty, day-of-year, day/month names) plus a format→parse
+    ROUND-TRIP (`to_timestamp` with an explicit pattern ≡ DuckDB
+    ``strptime``; any format-token disagreement surfaces as a value
+    mismatch). Patterns stay inside the Java-SimpleDateFormat ∩
+    strftime subset that renders identically (week-number tokens are
+    excluded — `ww` vs `%W` use different week definitions). English
+    locale on both engines; UTC session. Map-only codegen scan."""
+    o = _t(spark, sf_dir, "orders")
+    t = F.col("o_orderdate")
+    fmt = F.date_format(t, "dd/MM/yyyy HH:mm")
+    return o.select(
+        "o_orderkey",
+        F.date_format(t, "yyyy-MM-dd HH:mm:ss").alias("iso_ts"),
+        F.date_format(t, "EEE MMM dd yyyy").alias("pretty"),
+        F.date_format(t, "DDD").alias("day_of_year"),
+        F.date_format(t, "EEEE").alias("dow_name"),
+        F.date_format(t, "MMMM").alias("month_name"),
+        F.to_timestamp(fmt, "dd/MM/yyyy HH:mm").alias("parsed_back"),
+    )

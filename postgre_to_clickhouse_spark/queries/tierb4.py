@@ -787,3 +787,150 @@ def event_transition_matrix(spark, sf_dir):
             F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p_r"),
         )
     )
+
+
+@register(
+    "limit_by_user_events",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, ts, event_type,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn BETWEEN 2 AND 3
+    """,
+)
+def limit_by_user_events(spark, sf_dir):
+    """r7, B11 extension: ClickHouse ``LIMIT n OFFSET m BY key`` — the
+    per-group limit CLAUSE (here: events 2..3 per user in (ts,
+    event_id) order, i.e. ``LIMIT 2 OFFSET 1 BY user_id``). The plain
+    top-n-per-group (`window_top3_orders_per_customer`) is subsumed;
+    the OFFSET flavor is what that query does NOT cover. Spark shape:
+    one row_number window filtered to the (offset, offset+n] band —
+    Spark 4's WindowGroupLimit pushes the rank filter into a PARTIAL
+    per-partition top-(m+n) before the shuffle, so the exchange carries
+    at most m+n rows per (partition, user), not the whole event
+    history. Deterministic total order (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    n, off = 2, 1
+    return (
+        ev.select(
+            "user_id", "event_id", "ts", "event_type",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter((F.col("rn") > off) & (F.col("rn") <= off + n))
+    )
+
+
+@register(
+    "timeseries_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT CAST(min(date_trunc('hour', ts)) AS TIMESTAMP) AS lo,
+             CAST(max(date_trunc('hour', ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, CAST(g.h AS TIMESTAMP) AS h
+      FROM (SELECT DISTINCT event_type FROM events) t, (
+        SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      INTERVAL 1 HOUR)) AS h) g
+    ),
+    ctx AS (
+      SELECT g.event_type, g.h, hourly.v,
+             last_value(hourly.v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN hourly.v IS NOT NULL THEN g.h END
+                        IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             first_value(hourly.v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN hourly.v IS NOT NULL THEN g.h END
+                         IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM grid g LEFT JOIN hourly
+        ON hourly.event_type = g.event_type AND hourly.h = g.h
+    )
+    SELECT event_type, h AS hour_ts,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv) * (CAST(date_diff('hour', ph, h) AS DOUBLE)
+                                    / CAST(date_diff('hour', ph, nh) AS DOUBLE))
+                ELSE NULL END AS v_interp,
+           CAST(v IS NULL AS BOOLEAN) AS was_filled
+    FROM ctx
+    """,
+)
+def timeseries_interpolate(spark, sf_dir):
+    """r7, B20 completion: ClickHouse ``ORDER BY ... WITH FILL
+    INTERPOLATE`` — LINEAR interpolation between observed points on the
+    dense hourly grid (zero-fill and locf modes are
+    `timeseries_gap_fill` / `timeseries_forward_fill`; this is the
+    third fill mode). Empty hours take
+    ``prev + (next-prev) * Δh_prev/Δh_span``; hours before the first or
+    after the last observation stay NULL. Float determinism: the
+    bracketing values are exact decimal-sum doubles, the hour offsets
+    are exact integers cast to double, and BOTH engines evaluate the
+    identical expression tree of IEEE-correctly-rounded ops (+,-,*,/)
+    in the same order — no transcendental, so the results are
+    bit-identical. Same scale shape as forward-fill: one fact scan; the
+    interpolation windows run over the data-independent types × hours
+    grid."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    )
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = grid.join(hourly, ["event_type", "h"], "left")
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    pv = F.last("v", ignorenulls=True).over(wb)
+    ph = F.last(obs_h, ignorenulls=True).over(wb)
+    nv = F.first("v", ignorenulls=True).over(wf)
+    nh = F.first(obs_h, ignorenulls=True).over(wf)
+    hour_diff = lambda a, b: ((F.unix_micros(a) - F.unix_micros(b)) / F.lit(3600000000)).cast("long")
+    interp = pv + (nv - pv) * (
+        hour_diff(F.col("h"), ph).cast("double") / hour_diff(nh, ph).cast("double")
+    )
+    return j.select(
+        "event_type",
+        F.col("h").alias("hour_ts"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(pv.isNotNull() & nv.isNotNull(), interp)
+        .alias("v_interp"),
+        F.col("v").isNull().alias("was_filled"),
+    )

@@ -493,3 +493,133 @@ def lm_bigram_nll(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     out = bigram_lm_scores(d)
     return out.select("doc_id", "n_bigrams", F.round("mean_nll", 6).alias("mean_nll_r"))
+
+
+@register(
+    "gopher_ngram_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text),
+                         '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    tot AS (
+      SELECT doc_id, length(array_to_string(words, ' ')) AS total_chars
+      FROM w WHERE len(words) >= 3
+    ),
+    g2 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(words) - 1),
+                    i -> words[i + 1] || ' ' || words[i + 2])) AS gram
+      FROM w WHERE len(words) >= 3
+    ),
+    c2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram),
+    top2 AS (
+      SELECT doc_id, max(struct_pack(c := c, g := gram)) AS t
+      FROM c2 GROUP BY doc_id
+    ),
+    g3 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(words) - 2),
+                    i -> words[i + 1] || ' ' || words[i + 2] || ' '
+                         || words[i + 3])) AS gram
+      FROM w WHERE len(words) >= 3
+    ),
+    c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+    dup3 AS (
+      SELECT doc_id,
+             SUM(CASE WHEN c > 1 THEN (c - 1) * length(gram) ELSE 0 END)
+               AS dup_chars
+      FROM c3 GROUP BY doc_id
+    )
+    SELECT tot.doc_id,
+           top2.t.g AS top_bigram,
+           CAST(top2.t.c AS BIGINT) AS top_bigram_count,
+           CAST(top2.t.c * length(top2.t.g) AS DOUBLE)
+             / greatest(tot.total_chars, 1) AS top_bigram_char_frac,
+           CAST(coalesce(dup3.dup_chars, 0) AS DOUBLE)
+             / greatest(tot.total_chars, 1) AS dup_trigram_char_frac
+    FROM tot JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+    """,
+)
+def gopher_ngram_repetition(spark, sf_dir):
+    """r7, C4: the Gopher n-gram REPETITION rules (Rae et al. 2021,
+    table A1) that `text_repetition_stats` does not cover — (a) the
+    fraction of characters attributable to the single most frequent
+    word 2-gram (count × gram length over total word chars; rule
+    family "top n-gram char fraction"), and (b) the fraction of
+    characters in DUPLICATED 3-grams, counted as (count−1) × gram
+    length — the standard non-overlap-corrected approximation of
+    Gopher's "dup n-gram char fraction". Ties for the top bigram break
+    deterministically to the lexicographically LARGEST gram via a
+    (count, gram) struct max — identical comparison semantics in both
+    engines on this ASCII corpus. Docs with < 3 words are excluded
+    (no 3-gram, degenerate 2-gram stats).
+
+    Scale shape: tokenization is map-only; the only movement is the
+    (doc_id, gram) explode → partial-aggregated groupBy — the same
+    volume a tokenizer pass shuffles, with map-side combine collapsing
+    repeated grams before the exchange. The per-doc reduction
+    (struct-max, conditional sum) and the doc-total join are
+    co-partitioned by doc_id after the first shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "), " "),
+        lambda w: w != "",
+    )
+    base = (
+        d.select("doc_id", words.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            "ws",
+            F.length(F.array_join("ws", " ")).alias("total_chars"),
+        )
+    )
+    grams2 = F.zip_with(
+        F.slice("ws", 1, F.size("ws") - 1),
+        F.slice("ws", 2, F.size("ws") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    g2 = base.select("doc_id", F.explode(grams2).alias("gram"))
+    # 3-gram = the 2-gram starting at i joined with the word at i+2:
+    # zip_with(grams2[:-1], ws[3:]) — one pass, no posexplode index math.
+    g3 = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(grams2, 1, F.size("ws") - 2),
+                F.slice("ws", 3, F.size("ws") - 2),
+                lambda a, c: F.concat_ws(" ", a, c),
+            )
+        ).alias("gram"),
+    )
+    c2 = g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    top2 = c2.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("c"), F.col("gram").alias("g"))).alias("t")
+    )
+    c3 = g3.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    dup3 = c3.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("c") > 1, (F.col("c") - 1) * F.length("gram")).otherwise(0)
+        ).alias("dup_chars")
+    )
+    tot = base.select("doc_id", "total_chars")
+    return (
+        tot.join(top2, "doc_id")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("t.g").alias("top_bigram"),
+            F.col("t.c").cast("bigint").alias("top_bigram_count"),
+            (
+                (F.col("t.c") * F.length("t.g")).cast("double")
+                / F.greatest("total_chars", F.lit(1)).cast("double")
+            ).alias("top_bigram_char_frac"),
+            (
+                F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+                / F.greatest("total_chars", F.lit(1)).cast("double")
+            ).alias("dup_trigram_char_frac"),
+        )
+    )

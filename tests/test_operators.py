@@ -551,3 +551,30 @@ def test_asof_join_nearest_matches_pandas(spark, asof_fixture):
     )
     want = {r.fval: (None if pd.isna(r.price) else int(r.price)) for r in ref.itertuples()}
     assert got == want
+
+
+class TestDictionary:
+    def test_from_df_guard_and_lookups(self, spark):
+        from postgre_to_clickhouse_spark.operators.dictionary import Dictionary
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        dim = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, name string, grp int"
+        )
+        d = Dictionary.from_df(dim, "k", ["name", "grp"])
+        facts = spark.createDataFrame([(1,), (3,), (9,)], "k long")
+        rows = {
+            r["k"]: (r["nm"], r["nm_d"], r["has"])
+            for r in facts.select(
+                "k",
+                d.get("name", "k").alias("nm"),
+                d.get_or_default("name", "k", "?").alias("nm_d"),
+                d.has("k").alias("has"),
+            ).collect()
+        }
+        assert rows[1] == ("a", "a", True)
+        assert rows[3] == ("c", "c", True)
+        assert rows[9] == (None, "?", False)  # dictGetOrNull / OrDefault / Has
+        with _pytest.raises(ValueError, match="max_rows"):
+            Dictionary.from_df(dim, "k", ["name"], max_rows=2)

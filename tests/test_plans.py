@@ -322,3 +322,22 @@ def test_ngram_search_map_only(spark):
     plan = _plan(spark, "ngram_search_documents")
     for marker in ("Exchange", "Join", "Window", "Generate"):
         assert marker not in plan, f"ngram_search plan contains {marker}"
+
+
+def test_dictget_no_join_no_pre_agg_exchange(spark):
+    """dictGet is a scan-local map probe, never a join: the customer
+    scan must reach the aggregation with no Join operator anywhere in
+    the plan and at most the single groupBy exchange."""
+    import re
+
+    plan = _plan(spark, "dictget_customer_enrich")
+    assert "Join" not in plan, "dictionary lookup degraded into a join"
+    ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)  # once per node
+    assert ops.count("Exchange") <= 1, f"more than the final-agg exchange: {ops}"
+
+
+def test_limit_by_uses_window_group_limit(spark):
+    """LIMIT n OFFSET m BY must pre-truncate per partition before the
+    shuffle (Spark 4 WindowGroupLimit), not sort whole groups."""
+    plan = _plan(spark, "limit_by_user_events")
+    assert "WindowGroupLimit" in plan
