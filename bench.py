@@ -149,6 +149,8 @@ HEADLINE = [
     "bitwise_funcs_agg",
     "url_canonicalize_dedup",
     "format_datetime_funcs",
+    "array_set_ops",
+    "manifest_zonemap_read",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -120,3 +120,67 @@ def _startswith_any(p: Column, prefixes: tuple[str, ...]) -> Column:
     for pre in prefixes:
         cond = cond | p.startswith(pre)
     return cond
+
+
+def sorted_run_stats(grams: Column) -> Column:
+    """Per-document n-gram repetition statistics WITHOUT a shuffle:
+    ``struct(best_c, best_g, dup_chars)`` where (best_c, best_g) is the
+    (count, gram) lexicographic MAX over gram frequencies (ties → the
+    lexicographically largest gram, matching a (count, gram) struct-max
+    over a grouped count) and ``dup_chars`` = Σ (count−1)·len(gram)
+    over grams occurring more than once.
+
+    An n-gram never crosses a document, so the frequency table of one
+    doc is a purely local object — sorting the gram array and folding
+    over equal-gram RUNS (O(n log n) + O(n) per doc, single
+    ``aggregate`` higher-order expression) computes mode and duplicate
+    mass with zero data movement. The explode → groupBy(doc, gram)
+    formulation shuffles every token twice and measured 23.8 s vs
+    7.5 s at 5× sf0.1 for identical results."""
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("bc"),
+        F.lit("").alias("bg"),
+        zero.alias("dup"),
+    )
+
+    def _close(acc):
+        """(bc, bg, dup) after folding the open run into the bests."""
+        run, prev = acc.getField("run"), acc.getField("prev")
+        bc, bg, dup = acc.getField("bc"), acc.getField("bg"), acc.getField("dup")
+        better = (run > bc) | ((run == bc) & (prev > bg))
+        return (
+            F.when(better, run).otherwise(bc),
+            F.when(better, prev).otherwise(bg),
+            F.when(run > 1, dup + (run - 1) * F.length(prev).cast("long")).otherwise(dup),
+        )
+
+    def merge(acc, g):
+        same = acc.getField("prev").eqNullSafe(g)
+        nbc, nbg, ndup = _close(acc)
+        return F.when(
+            same,
+            F.struct(
+                g.alias("prev"),
+                (acc.getField("run") + 1).alias("run"),
+                acc.getField("bc").alias("bc"),
+                acc.getField("bg").alias("bg"),
+                acc.getField("dup").alias("dup"),
+            ),
+        ).otherwise(
+            F.struct(
+                g.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                nbc.alias("bc"),
+                nbg.alias("bg"),
+                ndup.alias("dup"),
+            )
+        )
+
+    def finish(acc):
+        bc, bg, dup = _close(acc)
+        return F.struct(bc.alias("best_c"), bg.alias("best_g"), dup.alias("dup_chars"))
+
+    return F.aggregate(F.array_sort(grams), init, merge, finish)

@@ -644,3 +644,55 @@ def format_datetime_funcs(spark, sf_dir):
         F.date_format(t, "MMMM").alias("month_name"),
         F.to_timestamp(fmt, "dd/MM/yyyy HH:mm").alias("parsed_back"),
     )
+
+
+@register(
+    "array_set_ops",
+    oracle="""
+    SELECT user_id,
+           coalesce(array_to_string(list_sort(coalesce(l_even, [])), ','), '')
+             AS types_even,
+           coalesce(array_to_string(list_sort(list_distinct(
+             coalesce(l_even, []) || coalesce(l_odd, []))), ','), '')
+             AS types_union,
+           coalesce(array_to_string(list_sort(list_filter(coalesce(l_even, []),
+             x -> list_contains(coalesce(l_odd, []), x))), ','), '')
+             AS types_intersect,
+           coalesce(array_to_string(list_sort(list_filter(coalesce(l_even, []),
+             x -> NOT list_contains(coalesce(l_odd, []), x))), ','), '')
+             AS types_except,
+           CAST(len(list_distinct(coalesce(l_even, []) || coalesce(l_odd, [])))
+                AS INT) AS n_union
+    FROM (
+      SELECT user_id,
+             array_agg(DISTINCT event_type)
+               FILTER (WHERE event_id % 2 = 0) AS l_even,
+             array_agg(DISTINCT event_type)
+               FILTER (WHERE event_id % 2 = 1) AS l_odd
+      FROM events GROUP BY user_id
+    )
+    """,
+)
+def array_set_ops(spark, sf_dir):
+    """r7, B17 extension: the ClickHouse array set-operation family —
+    ``arrayIntersect`` / ``arrayDistinct``-union / array difference
+    (``arrayFilter(NOT has(...))``) — over per-user event-type sets
+    split by event-id parity (two deterministic collect_sets per user).
+    Both engines SORT every result array: set ops define membership,
+    not order, and collect_set/array_agg order is engine- and
+    partition-dependent — sorting is what makes the comparison
+    well-defined (emitted as comma-joined text: the driver canon
+    compares scalar cells). One partial-aggregable groupBy; the set ops are
+    per-row array expressions in codegen."""
+    ev = _t(spark, sf_dir, "events")
+    even = F.collect_set(F.when(F.col("event_id") % 2 == 0, F.col("event_type")))
+    odd = F.collect_set(F.when(F.col("event_id") % 2 == 1, F.col("event_type")))
+    g = ev.groupBy("user_id").agg(even.alias("a"), odd.alias("b"))
+    return g.select(
+        "user_id",
+        F.array_join(F.array_sort("a"), ",").alias("types_even"),
+        F.array_join(F.array_sort(F.array_union("a", "b")), ",").alias("types_union"),
+        F.array_join(F.array_sort(F.array_intersect("a", "b")), ",").alias("types_intersect"),
+        F.array_join(F.array_sort(F.array_except("a", "b")), ",").alias("types_except"),
+        F.size(F.array_union("a", "b")).alias("n_union"),
+    )

@@ -318,3 +318,86 @@ def manifest_evolution_read(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "manifest_zonemap_read",
+    oracle="""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events, b
+    WHERE epoch_us(ts) >= b.lo + ((b.hi - b.lo) * 2) // 4
+      AND epoch_us(ts) <  b.lo + ((b.hi - b.lo) * 3) // 4
+    GROUP BY event_type
+    """,
+)
+def manifest_zonemap_read(spark, sf_dir):
+    """r7, A8 zone maps THROUGH the driver: the events table replayed
+    as four part-ingest batches split by TIME QUARTILE into a
+    ``ManifestTable`` with ``stats_cols=("updated_at",)`` — each file's
+    [min, max] lands in the manifest (the ClickHouse minmax
+    data-skipping index / Delta file-stats analog). A range read for
+    the third quartile prunes the other quartiles' files BEFORE the
+    scan; the query then applies the exact row filter and aggregates.
+    The in-query contract check raises unless pruning actually skipped
+    files (zone maps must prune) AND the pruned file set is a strict
+    subset that still yields oracle-exact results — the oracle
+    recomputes the same window aggregate from raw events, so a zone
+    map that over-prunes (drops a matching row) fails the hash, and
+    one that under-prunes fails the RuntimeError. Quartile boundaries
+    are exact integer arithmetic on epoch-µs (identical `//` math in
+    Python, Spark and DuckDB — no doubles near 2^60)."""
+    import shutil
+    import tempfile
+
+    from postgre_to_clickhouse_spark.sinks.manifest import ManifestTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("updated_at"),
+        F.col("event_id").alias("kafka_offset"),
+    )
+    lo, hi = ev.agg(F.min("updated_at"), F.max("updated_at")).collect()[0]
+    bounds = [lo + ((hi - lo) * k) // 4 for k in range(5)]
+    path = tempfile.mkdtemp(prefix="p2c_manifest_zm_")
+    try:
+        t = ManifestTable(
+            path, key_col="user_id", n_buckets=4, stats_cols=("updated_at",)
+        )
+        apply_batch = t.append_parts(
+            sort_key=("user_id", "updated_at"), arrival=("kafka_offset",)
+        )
+        for b in range(4):
+            up = F.col("updated_at")
+            cond = (up >= bounds[b]) & (
+                (up < bounds[b + 1]) if b < 3 else (up <= bounds[4])
+            )
+            apply_batch(ev.filter(cond), b)
+        n_total = len(t.current_manifest()["files"])
+        q_lo, q_hi = bounds[2], bounds[3] - 1  # third quartile, inclusive
+        pruned = t.files_for([("updated_at", q_lo, q_hi)])
+        if not 0 < len(pruned) < n_total:
+            raise RuntimeError(
+                f"zone maps pruned nothing: {len(pruned)}/{n_total} files"
+            )
+        out = (
+            t.read(spark, where=[("updated_at", q_lo, q_hi)])
+            .filter((F.col("updated_at") >= q_lo) & (F.col("updated_at") <= q_hi))
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+        )
+        rows = out.collect()  # materialize before the temp files vanish
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

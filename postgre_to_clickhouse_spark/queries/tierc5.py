@@ -557,69 +557,48 @@ def gopher_ngram_repetition(spark, sf_dir):
     engines on this ASCII corpus. Docs with < 3 words are excluded
     (no 3-gram, degenerate 2-gram stats).
 
-    Scale shape: tokenization is map-only; the only movement is the
-    (doc_id, gram) explode → partial-aggregated groupBy — the same
-    volume a tokenizer pass shuffles, with map-side combine collapsing
-    repeated grams before the exchange. The per-doc reduction
-    (struct-max, conditional sum) and the doc-total join are
-    co-partitioned by doc_id after the first shuffle."""
+    Scale shape: an n-gram never crosses a document, so this is a pure
+    per-doc computation — the MAP-ONLY sorted-run fold
+    (`text_clean.sorted_run_stats`: array_sort + one `aggregate` HOF
+    per n) computes each doc's gram mode and duplicate mass with ZERO
+    exchanges (plan-gated). The explode → groupBy(doc, gram)
+    formulation — which shuffles every token twice through two
+    gram-keyed aggregations plus re-join — measured 23.8 s vs 7.5 s
+    at 5× sf0.1 for identical results; the oracle still uses it (DuckDB
+    unnest/GROUP BY), keeping the two engines structurally
+    independent."""
+    from postgre_to_clickhouse_spark.operators.text_clean import sorted_run_stats
+
     d = _t(spark, sf_dir, "documents")
     words = F.filter(
         F.split(F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "), " "),
         lambda w: w != "",
     )
-    base = (
-        d.select("doc_id", words.alias("ws"))
-        .filter(F.size("ws") >= 3)
-        .select(
-            "doc_id",
-            "ws",
-            F.length(F.array_join("ws", " ")).alias("total_chars"),
-        )
-    )
+    base = d.select("doc_id", words.alias("ws")).filter(F.size("ws") >= 3)
     grams2 = F.zip_with(
         F.slice("ws", 1, F.size("ws") - 1),
         F.slice("ws", 2, F.size("ws") - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    g2 = base.select("doc_id", F.explode(grams2).alias("gram"))
-    # 3-gram = the 2-gram starting at i joined with the word at i+2:
-    # zip_with(grams2[:-1], ws[3:]) — one pass, no posexplode index math.
-    g3 = base.select(
+    # 3-gram = the 2-gram starting at i joined with the word at i+2
+    grams3 = F.zip_with(
+        F.slice(grams2, 1, F.size("ws") - 2),
+        F.slice("ws", 3, F.size("ws") - 2),
+        lambda a, c: F.concat_ws(" ", a, c),
+    )
+    stats = base.select(
         "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(grams2, 1, F.size("ws") - 2),
-                F.slice("ws", 3, F.size("ws") - 2),
-                lambda a, c: F.concat_ws(" ", a, c),
-            )
-        ).alias("gram"),
+        F.length(F.array_join("ws", " ")).alias("total_chars"),
+        sorted_run_stats(grams2).alias("r2"),
+        sorted_run_stats(grams3).alias("r3"),
     )
-    c2 = g2.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    top2 = c2.groupBy("doc_id").agg(
-        F.max(F.struct(F.col("c"), F.col("gram").alias("g"))).alias("t")
-    )
-    c3 = g3.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    dup3 = c3.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("c") > 1, (F.col("c") - 1) * F.length("gram")).otherwise(0)
-        ).alias("dup_chars")
-    )
-    tot = base.select("doc_id", "total_chars")
-    return (
-        tot.join(top2, "doc_id")
-        .join(dup3, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("t.g").alias("top_bigram"),
-            F.col("t.c").cast("bigint").alias("top_bigram_count"),
-            (
-                (F.col("t.c") * F.length("t.g")).cast("double")
-                / F.greatest("total_chars", F.lit(1)).cast("double")
-            ).alias("top_bigram_char_frac"),
-            (
-                F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
-                / F.greatest("total_chars", F.lit(1)).cast("double")
-            ).alias("dup_trigram_char_frac"),
-        )
+    tot = F.greatest("total_chars", F.lit(1)).cast("double")
+    return stats.select(
+        "doc_id",
+        F.col("r2.best_g").alias("top_bigram"),
+        F.col("r2.best_c").cast("bigint").alias("top_bigram_count"),
+        ((F.col("r2.best_c") * F.length("r2.best_g")).cast("double") / tot).alias(
+            "top_bigram_char_frac"
+        ),
+        (F.col("r3.dup_chars").cast("double") / tot).alias("dup_trigram_char_frac"),
     )

@@ -51,10 +51,21 @@ _DATA = "data"
 class ManifestTable:
     """A bucketed, manifest-committed table rooted at ``path``."""
 
-    def __init__(self, path: str, key_col: str = "user_id", n_buckets: int = 16):
+    def __init__(
+        self,
+        path: str,
+        key_col: str = "user_id",
+        n_buckets: int = 16,
+        stats_cols: tuple[str, ...] = (),
+    ):
         self.path = path
         self.key_col = key_col
         self.n_buckets = n_buckets
+        # zone maps: per-FILE [min, max] recorded in the manifest for
+        # these columns — the ClickHouse minmax data-skipping index /
+        # Delta file-stats analog. Every write path attaches them; reads
+        # with a `where` range prune files whose bounds cannot match.
+        self.stats_cols = tuple(stats_cols)
         os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA), exist_ok=True)
 
@@ -115,16 +126,98 @@ class ManifestTable:
         os.replace(tmp, os.path.join(self.path, _LATEST))  # THE commit point
         return v
 
+    # -- zone maps (minmax data skipping) ------------------------------------
+    @staticmethod
+    def _stat_val(v):
+        """JSON-safe, ORDER-PRESERVING encoding of a stat bound: numbers
+        stay numbers; timestamps/dates become ISO strings (fixed-width →
+        lexicographic order == chronological order); strings stay
+        strings. Probe values go through the same encoding, so pruning
+        comparisons are always like-typed."""
+        if v is None or isinstance(v, (int, float, str)):
+            return v
+        if hasattr(v, "isoformat"):
+            iso = v.isoformat(sep=" ")
+            # pad to fixed width so '…:05' vs '…:05.500000' compare right
+            if ":" in iso and "." not in iso:
+                iso += ".000000"
+            return iso
+        return str(v)
+
+    def _attach_stats(self, spark: SparkSession, files: list[dict]) -> list[dict]:
+        """Per-file [min, max] for ``stats_cols``, read back from the
+        just-written parquet in ONE job grouped by file name. Cost is
+        one scan of the NEW files only (batch-sized, never table-sized)."""
+        if not self.stats_cols or not files:
+            return files
+        paths = [os.path.join(self.path, _DATA, f["name"]) for f in files]
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        present = [c for c in self.stats_cols if c in df.columns]
+        if not present:
+            return files
+        aggs = []
+        for c in present:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        rows = (
+            df.select(F.input_file_name().alias("__f"), *present)
+            .groupBy("__f")
+            .agg(*aggs)
+            .collect()
+        )  # one row per file — bounded by file count
+        by_name = {}
+        for r in rows:
+            by_name[os.path.basename(r["__f"])] = {
+                c: [self._stat_val(r[f"__lo_{c}"]), self._stat_val(r[f"__hi_{c}"])]
+                for c in present
+            }
+        out = []
+        for f in files:
+            st = by_name.get(f["name"])
+            out.append({**f, "stats": st} if st else dict(f))
+        return out
+
+    def files_for(self, where=None, version: int | None = None) -> list[dict]:
+        """Manifest entries a read with ``where`` must scan. ``where`` =
+        iterable of ``(col, lo, hi)`` inclusive range predicates (either
+        bound None = unbounded). A file is skipped only when its
+        recorded [min, max] PROVES no row can match; files with no
+        stats for the column (pre-zone-map manifests, schema-evolution
+        parts missing the column) are always scanned — pruning is an
+        optimization, never a correctness dependency."""
+        m = self.current_manifest() if version is None else self.manifest_at(version)
+        files = m["files"]
+        for col, lo, hi in where or ():
+            lo, hi = self._stat_val(lo), self._stat_val(hi)
+            kept = []
+            for f in files:
+                b = (f.get("stats") or {}).get(col)
+                if b is None or b[0] is None or b[1] is None:
+                    kept.append(f)  # unknown bounds → must scan
+                elif (lo is None or b[1] >= lo) and (hi is None or b[0] <= hi):
+                    kept.append(f)
+            files = kept
+        return files
+
     # -- read path -----------------------------------------------------------
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, version: int | None = None, where=None) -> DataFrame:
         """Read a snapshot — the current one, or TIME TRAVEL to any
         retained ``version`` (manifests are immutable and data files are
         only reclaimed by vacuum, so every retained version stays
-        byte-stable — the Delta/Iceberg `VERSION AS OF` semantics)."""
+        byte-stable — the Delta/Iceberg `VERSION AS OF` semantics).
+
+        ``where`` (optional, ``[(col, lo, hi), ...]``) zone-map-prunes
+        the file list before the scan (see :meth:`files_for`). Pruning
+        only drops files that PROVABLY contain no matching row — the
+        caller still applies its exact row filter; the result is
+        identical to an unpruned read + filter, just cheaper."""
         m = self.current_manifest() if version is None else self.manifest_at(version)
         if not m["files"]:
             raise FileNotFoundError(f"manifest table at {self.path} has no committed snapshot")
-        paths = [os.path.join(self.path, _DATA, f["name"]) for f in m["files"]]
+        files = self.files_for(where, version) if where else m["files"]
+        if not files:  # everything pruned: empty frame, full schema
+            all_paths = [os.path.join(self.path, _DATA, f["name"]) for f in m["files"]]
+            return spark.read.option("mergeSchema", "true").parquet(*all_paths).limit(0)
+        paths = [os.path.join(self.path, _DATA, f["name"]) for f in files]
         return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     def read_latest(
@@ -165,7 +258,9 @@ class ManifestTable:
                     out.append({"name": name, "bucket": b})
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        return out
+        # every write path funnels through here, so zone maps stay
+        # attached across merge/append/compact/delete rewrites
+        return self._attach_stats(df.sparkSession, out)
 
     def merge_upsert(self, sort_key=("user_id", "updated_at"), arrival=("kafka_offset",)):
         """foreachBatch body: transactional last-wins MERGE.

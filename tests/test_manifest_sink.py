@@ -255,3 +255,57 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
     assert {u: (r.username, r.email) for u, r in out2.items()} == {
         u: (r.username, r.email) for u, r in out3.items()
     }
+
+
+def test_zone_map_stats_prune_files_and_preserve_results(spark, tmp_path):
+    """r7 minmax data skipping: per-file [min, max] land in the
+    manifest, range reads prune files that PROVABLY cannot match, and
+    the pruned read + exact filter equals the full read + filter."""
+    t = ManifestTable(
+        str(tmp_path / "t"), key_col="user_id", n_buckets=2,
+        stats_cols=("updated_at", "user_id"),
+    )
+    sink = t.append_parts()
+    full = _full(spark)
+    # four batches with DISJOINT user_id ranges → disjoint zone maps
+    ids = sorted(r.user_id for r in full.select("user_id").distinct().collect())
+    q = max(1, len(ids) // 4)
+    for b in range(4):
+        lo_ids = set(ids[b * q:] if b == 3 else ids[b * q:(b + 1) * q])
+        sink(full.filter(F.col("user_id").isin(lo_ids)), b)
+
+    m = t.current_manifest()
+    assert all("stats" in f and "user_id" in f["stats"] for f in m["files"])
+
+    lo, hi = ids[0], ids[q - 1]  # exactly batch 0's id range
+    pruned = t.files_for([("user_id", lo, hi)])
+    assert 0 < len(pruned) < len(m["files"]), "zone maps pruned nothing"
+
+    got = t.read(spark, where=[("user_id", lo, hi)]).filter(
+        (F.col("user_id") >= lo) & (F.col("user_id") <= hi)
+    )
+    want = t.read(spark).filter((F.col("user_id") >= lo) & (F.col("user_id") <= hi))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # all-pruned range: empty result, schema intact
+    none = t.read(spark, where=[("user_id", max(ids) + 10, max(ids) + 20)])
+    assert none.count() == 0 and none.columns == t.read(spark).columns
+
+    # compaction rewrites files — zone maps must survive it
+    t.compact(spark, min_files_per_bucket=2)
+    assert all("stats" in f for f in t.current_manifest()["files"])
+
+
+def test_zone_map_missing_stats_files_always_scanned(spark, tmp_path):
+    """Files committed WITHOUT stats (pre-zone-map manifests) must
+    never be pruned — pruning is an optimization, not a correctness
+    dependency."""
+    t0 = ManifestTable(str(tmp_path / "t"), key_col="user_id", n_buckets=2)
+    t0.append_parts()(_full(spark), 0)  # no stats_cols → no stats recorded
+    t = ManifestTable(
+        str(tmp_path / "t"), key_col="user_id", n_buckets=2,
+        stats_cols=("user_id",),
+    )
+    m = t.current_manifest()
+    assert all("stats" not in f for f in m["files"])
+    assert len(t.files_for([("user_id", -10, -5)])) == len(m["files"])

@@ -341,3 +341,15 @@ def test_limit_by_uses_window_group_limit(spark):
     shuffle (Spark 4 WindowGroupLimit), not sort whole groups."""
     plan = _plan(spark, "limit_by_user_events")
     assert "WindowGroupLimit" in plan
+
+
+def test_gopher_ngram_map_only(spark):
+    """n-grams never cross documents: the Gopher repetition pass must
+    be a zero-exchange scan (sorted-run fold), not an explode+groupBy
+    shuffle of every token."""
+    import re
+
+    plan = _plan(spark, "gopher_ngram_repetition")
+    ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert ops.count("Exchange") == 0, f"unexpected shuffle: {ops}"
+    assert "Join" not in plan

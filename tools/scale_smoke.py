@@ -249,6 +249,12 @@ def main() -> None:
         ("multimodal_video_gif", "frame_idx >= 0"),
         ("phrase_search_documents", "n_hits >= 0"),
         ("levenshtein_near_match", "edit_dist >= 0"),
+        # r7 late additions: the explode-shaped Gopher n-gram pass, the
+        # canonical-URL dedup, and the distinct-reduced audience
+        # self-join (pair work must stay bounded by types^2 x users)
+        ("gopher_ngram_repetition", "top_bigram_count >= 1"),
+        ("url_canonicalize_dedup", "n_docs >= 1"),
+        ("audience_overlap_matrix", "n_both >= 0"),
     ]:
         run(qname, lambda qn=qname, fl=force: QUERIES[qn](spark, work).where(fl))
 
