@@ -82,31 +82,33 @@ _WINDOW = [
     "agg_approx_distinct",        # B8, last green r3
     "simhash_signatures",         # C2, last green r3
     "vector_lsh_topk",            # C3, last green r3
-    "dedup_components_knn",       # C2, last green r4
-    "dedup_exact_documents",      # C1, last green r4
-    "minhash_near_dup_candidates",  # C2, last green r4
-    "pack_sequences",             # C4, last green r4
-    "q10_returned_items",         # TPC-H, last green r4
-    "q11_important_stock",        # TPC-H, last green r4
-    "q12_shipmode_priority",      # TPC-H, last green r4
-    "q13_customer_distribution",  # TPC-H, last green r4
-    "q14_promo_revenue",          # TPC-H, last green r4
-    "q15_top_supplier",           # TPC-H, last green r4
-    "q16_supplier_count",         # TPC-H, last green r4
+    "dedup_components_knn",       # C2, last green r4 (iterative op — drift-prone)
+    # --- New in r7, later batch (every one seated so r7 closes with
+    # ZERO never-driver-checked queries) ---
     "url_ip_funcs",               # B25 URL/IP function family (new r7)
     "audience_overlap_matrix",    # B26 bitmap-intersection workload (new r7)
     "geo_funcs",                  # B27 geo functions (new r7)
+    "dictget_customer_enrich",    # B28 external dictionaries (new r7)
+    "limit_by_user_events",       # B11 LIMIT n OFFSET m BY (new r7)
+    "timeseries_interpolate",     # B20 WITH FILL INTERPOLATE (new r7)
+    "gopher_ngram_repetition",    # C4 Gopher n-gram repetition (new r7)
+    "encoding_funcs",             # B29 base64/hex round-trips (new r7)
+    "bitwise_funcs_agg",          # B30 groupBitAnd/Or/Xor (new r7)
+    "url_canonicalize_dedup",     # C1/C4 URL canonicalization (new r7)
+    "format_datetime_funcs",      # B31 formatDateTime/parse (new r7)
+    "array_set_ops",              # B32 array set operations (new r7)
+    "manifest_zonemap_read",      # A8 zone-map file skipping (new r7)
 ]
-# Coverage: with this window green, EVERY registered query has at least
-# one driver-green CORRECTNESS row across r1-r7 (cumulative 157/157 of
-# the pre-r7 registry, plus the five r7 additions) — the 22 late-r6
-# never-checked queries are seated, the r7 additions
-# (sequence_match_negation, manifest_evolution_read, url_ip_funcs,
-# audience_overlap_matrix, geo_funcs) are
-# seated, the four queries whose tokenizer changed in r7 are
-# re-verified, and the 19 oldest green rows (r1/r3/r4) get drift
-# re-checks. Everything evicted is driver-green in r5/r6 and stays
-# oracle-gated in pytest.
+# Coverage: with this window green, EVERY registered query — including
+# all 13 r7-late additions — has at least one driver-green CORRECTNESS
+# row across r1-r7, i.e. r7 closes with ZERO never-driver-checked
+# queries. The 22 late-r6 never-checked queries are seated, all 15 r7
+# additions are seated, the four queries whose tokenizer changed in r7
+# are re-verified, and 10 of the oldest green rows (r1/r3/r4) get
+# drift re-checks. The 10 r4-era rows evicted to make room for the
+# r7-late batch (dedup_exact_documents, minhash_near_dup_candidates,
+# pack_sequences, q10-q16) are driver-green in r4 and stay
+# oracle-gated in pytest + bench-visible.
 
 
 def _reorder() -> None:
