@@ -151,6 +151,7 @@ HEADLINE = [
     "format_datetime_funcs",
     "array_set_ops",
     "manifest_zonemap_read",
+    "remove_dup_spans",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -48,13 +48,16 @@ def positioned_grams(
 
     Same lead-window formulation as ``dedup.shingle_rows`` (no per-gram
     array slicing); unlike the MinHash path, the token position is kept
-    because the coverage union needs intervals, and partial grams at
+    because the coverage union needs intervals; tokenizer is the
+    repo-wide unified ``[^a-z0-9]+`` split (r7 — matches the DuckDB
+    oracles' ``[a-z0-9]+`` extraction on ANY corpus, not just
+    underscore-free ASCII), and partial grams at
     the tail are dropped (they are sub-spans of the last full gram).
     """
     toks = df.select(
         F.col(id_col),
         F.posexplode(
-            F.filter(F.split(F.lower(text_col), r"\W+"), lambda t: t != "")
+            F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != "")
         ).alias("pos", "tok"),
     )
     w = Window.partitionBy(id_col).orderBy("pos")
@@ -73,7 +76,7 @@ def positioned_grams(
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, n_tokens) using the same tokenizer as the gram stage."""
-    toks = F.filter(F.split(F.lower(text_col), r"\W+"), lambda t: t != "")
+    toks = F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != "")
     return df.select(F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens"))
 
 
@@ -140,4 +143,84 @@ def dup_span_coverage(
         (covered.cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")).alias(
             "coverage"
         ),
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr REMOVAL (the second half of Lee et al. 2022 —
+    :func:`dup_span_coverage` measures, this trims): tokens covered by
+    any n-gram occurring in >= ``min_docs`` distinct documents are CUT
+    from the document; output is the cleaned token stream.
+
+    Output: (id, n_tokens, kept_tokens, removed_tokens, cleaned_text)
+    where ``removed_tokens`` equals the coverage union length (the
+    gaps-and-islands ``covered_tokens``) by construction — asserted as
+    a cross-operator property test.
+
+    Scale shape: identical to the coverage pass (the only
+    corpus-proportional shuffles carry (gram, id, pos) rows and the
+    interval list joins back on the id key, co-partitioned with the
+    token arrays); the final cut is a per-row higher-order filter,
+    O(tokens × intervals) inside the scan stage. Tokenizer:
+    ``[^a-z0-9]+`` (the repo-wide unified split)."""
+    toks_arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col), toks_arr.alias("__t"))
+    toks = base.select(
+        F.col(id_col), F.posexplode("__t").alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = (
+        toks.select(
+            F.col(id_col),
+            "pos",
+            F.concat_ws(" ", *leads).alias("g"),
+            F.lead("tok", n - 1).over(w).isNotNull().alias("__full"),
+        )
+        .filter("__full")
+        .drop("__full")
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("g")
+    )
+    ivs = (
+        grams.join(dup, "g")
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("pos").alias("s"), (F.col("pos") + n - 1).alias("e"))
+            ).alias("__iv")
+        )
+    )
+    joined = base.join(ivs, id_col, "left").select(
+        F.col(id_col),
+        "__t",
+        F.coalesce("__iv", F.array().cast("array<struct<s:int,e:int>>")).alias("__iv"),
+    )
+    kept = F.filter(
+        F.transform("__t", lambda x, i: F.struct(i.alias("p"), x.alias("tok"))),
+        lambda st: ~F.exists(
+            "__iv",
+            lambda iv: (st.getField("p") >= iv.getField("s"))
+            & (st.getField("p") <= iv.getField("e")),
+        ),
+    )
+    kept_toks = F.transform(kept, lambda st: st.getField("tok"))
+    return joined.select(
+        F.col(id_col),
+        F.size("__t").cast("bigint").alias("n_tokens"),
+        F.size(kept_toks).cast("bigint").alias("kept_tokens"),
+        (F.size("__t") - F.size(kept_toks)).cast("bigint").alias("removed_tokens"),
+        F.array_join(kept_toks, " ").alias("cleaned_text"),
     )

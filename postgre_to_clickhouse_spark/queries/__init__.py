@@ -79,7 +79,7 @@ _WINDOW = [
     "string_funcs_extended",      # B13, last green r1
     "text_quality_stats",         # C4, last green r1
     "window_hourly_event_counts", # B10, last green r1
-    "agg_approx_distinct",        # B8, last green r3
+    "remove_dup_spans",           # C1/C4 ExactSubstr span removal (new r7)
     "simhash_signatures",         # C2, last green r3
     "vector_lsh_topk",            # C3, last green r3
     "dedup_components_knn",       # C2, last green r4 (iterative op — drift-prone)
@@ -100,15 +100,16 @@ _WINDOW = [
     "manifest_zonemap_read",      # A8 zone-map file skipping (new r7)
 ]
 # Coverage: with this window green, EVERY registered query — including
-# all 13 r7-late additions — has at least one driver-green CORRECTNESS
+# all 14 r7-late additions — has at least one driver-green CORRECTNESS
 # row across r1-r7, i.e. r7 closes with ZERO never-driver-checked
-# queries. The 22 late-r6 never-checked queries are seated, all 15 r7
+# queries. The 22 late-r6 never-checked queries are seated, all 16 r7
 # additions are seated, the four queries whose tokenizer changed in r7
-# are re-verified, and 10 of the oldest green rows (r1/r3/r4) get
-# drift re-checks. The 10 r4-era rows evicted to make room for the
-# r7-late batch (dedup_exact_documents, minhash_near_dup_candidates,
-# pack_sequences, q10-q16) are driver-green in r4 and stay
-# oracle-gated in pytest + bench-visible.
+# are re-verified, and the oldest green rows (r1/r3/r4 era) get
+# drift re-checks. The rows evicted to make room for the r7-late
+# batch (dedup_exact_documents, minhash_near_dup_candidates,
+# pack_sequences, q10-q16 — r4-green — and agg_approx_distinct,
+# r3-green with the HLL family re-proven by uniq_merge_rollup in r6)
+# stay oracle-gated in pytest + bench-visible.
 
 
 def _reorder() -> None:

@@ -641,3 +641,54 @@ def levenshtein_near_match(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     p = d.select("doc_id", "source", F.lower(F.substring("text", 1, 40)).alias("prefix"))
     return edit_distance_pairs(p, "prefix", id_col="doc_id", block_col="source", max_dist=5)
+
+
+@register(
+    "remove_dup_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(t[i : i + 7], ' ') AS g
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT doc_id, pos AS s, pos + 7 AS e FROM grams
+      WHERE g IN (SELECT g FROM dup)
+    ),
+    ivs AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS iv
+      FROM hits GROUP BY doc_id
+    ),
+    cut AS (
+      SELECT t.doc_id, t.t,
+             list_filter(t.t, (x, i) -> len(list_filter(
+               coalesce(ivs.iv, []), v -> (i - 1) BETWEEN v.s AND v.e)) = 0)
+               AS kept
+      FROM toks t LEFT JOIN ivs USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS kept_tokens,
+           CAST(len(t) - len(kept) AS BIGINT) AS removed_tokens,
+           coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+    FROM cut
+    """,
+)
+def remove_dup_spans(spark, sf_dir):
+    """r7, C1/C4: ExactSubstr-style duplicated-span REMOVAL (Lee et
+    al. 2022 trim the shared substrings, not just the documents):
+    tokens covered by any 8-gram occurring in >= 2 distinct documents
+    are cut from the token stream
+    (`operators/spans.py::remove_duplicated_spans`). Complements
+    `dup_span_coverage` (same gram/dup/interval machinery; removal ==
+    the coverage union by construction — cross-checked in pytest).
+    Oracle mirrors the definition with DuckDB nested list lambdas over
+    the same CTE pipeline."""
+    from postgre_to_clickhouse_spark.operators.spans import remove_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(d, n=8, min_docs=2)

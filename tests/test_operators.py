@@ -578,3 +578,22 @@ class TestDictionary:
         assert rows[9] == (None, "?", False)  # dictGetOrNull / OrDefault / Has
         with _pytest.raises(ValueError, match="max_rows"):
             Dictionary.from_df(dim, "k", ["name"], max_rows=2)
+
+
+def test_remove_dup_spans_matches_coverage_union(spark):
+    """removed_tokens must equal dup_span_coverage's covered_tokens on
+    every document — the two operators share one definition of the
+    duplicated-span union."""
+    from postgre_to_clickhouse_spark import catalog
+    from postgre_to_clickhouse_spark.operators.spans import (
+        dup_span_coverage,
+        remove_duplicated_spans,
+    )
+    from tests.conftest import SF_SMALL
+
+    d = catalog.load(spark, SF_SMALL, "documents")
+    cov = {r.doc_id: r.covered_tokens for r in dup_span_coverage(d).collect()}
+    rem = {r.doc_id: r.removed_tokens for r in remove_duplicated_spans(d).collect()}
+    assert set(cov) == set(rem)
+    diff = {k: (cov[k], rem[k]) for k in cov if cov[k] != rem[k]}
+    assert not diff, diff

@@ -255,6 +255,7 @@ def main() -> None:
         ("gopher_ngram_repetition", "top_bigram_count >= 1"),
         ("url_canonicalize_dedup", "n_docs >= 1"),
         ("audience_overlap_matrix", "n_both >= 0"),
+        ("remove_dup_spans", "removed_tokens >= 0"),
     ]:
         run(qname, lambda qn=qname, fl=force: QUERIES[qn](spark, work).where(fl))
 
