@@ -152,6 +152,7 @@ HEADLINE = [
     "array_set_ops",
     "manifest_zonemap_read",
     "remove_dup_spans",
+    "line_dedup_corpus",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -184,3 +184,61 @@ def sorted_run_stats(grams: Column) -> Column:
         return F.struct(bc.alias("best_c"), bg.alias("best_g"), dup.alias("dup_chars"))
 
     return F.aggregate(F.array_sort(grams), init, merge, finish)
+
+
+def line_dedup_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style global paragraph dedup (Wenzek et al. 2020 dedup
+    CommonCrawl at the PARAGRAPH level before anything else): every
+    repeated line/paragraph in the corpus keeps exactly its FIRST
+    occurrence — ordered by (id, position) — and every other occurrence
+    is dropped, including repeats inside one document.
+
+    Output: (id, n_lines, kept_lines, removed_lines, cleaned_text)
+    with ``cleaned_text`` = surviving lines in original order joined by
+    ``" | "`` (a separator the driver canon handles as a scalar cell).
+
+    Scale shape: two bounded-width shuffles — occurrences keyed by the
+    line (the keep-first argmin is one partial-aggregable ``min(struct
+    (id, idx))``), then reassembly keyed by the id. At 100 TB the line
+    key becomes ``xxhash64(line)`` to shrink the exchange ~10×; the
+    text key is kept here so the DuckDB oracle can reproduce the join
+    without a seeded hash (same note as :mod:`operators.spans`)."""
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(_c(text_col), sep)).alias("idx", "line"),
+    )
+    keep = occ.groupBy("line").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("idx").alias("x"))).alias("__k"),
+    )
+    marked = occ.join(keep, "line").select(
+        F.col(id_col),
+        "idx",
+        "line",
+        (
+            (F.col("__cnt") == 1)
+            | ((F.col("__k.i") == F.col(id_col)) & (F.col("__k.x") == F.col("idx")))
+        ).alias("__keep"),
+    )
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count(F.when(F.col("__keep"), 1)).cast("bigint").alias("kept_lines"),
+        F.count(F.when(~F.col("__keep"), 1)).cast("bigint").alias("removed_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("idx", "line"))
+                    )
+                ),
+                lambda st: st.getField("line"),
+            ),
+            " | ",
+        ).alias("cleaned_text"),
+    )
+    return per_doc

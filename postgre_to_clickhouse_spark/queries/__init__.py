@@ -80,7 +80,7 @@ _WINDOW = [
     "text_quality_stats",         # C4, last green r1
     "window_hourly_event_counts", # B10, last green r1
     "remove_dup_spans",           # C1/C4 ExactSubstr span removal (new r7)
-    "simhash_signatures",         # C2, last green r3
+    "line_dedup_corpus",          # C1/C4 CCNet paragraph dedup (new r7)
     "vector_lsh_topk",            # C3, last green r3
     "dedup_components_knn",       # C2, last green r4 (iterative op — drift-prone)
     # --- New in r7, later batch (every one seated so r7 closes with
@@ -100,16 +100,16 @@ _WINDOW = [
     "manifest_zonemap_read",      # A8 zone-map file skipping (new r7)
 ]
 # Coverage: with this window green, EVERY registered query — including
-# all 14 r7-late additions — has at least one driver-green CORRECTNESS
+# all 15 r7-late additions — has at least one driver-green CORRECTNESS
 # row across r1-r7, i.e. r7 closes with ZERO never-driver-checked
-# queries. The 22 late-r6 never-checked queries are seated, all 16 r7
+# queries. The 22 late-r6 never-checked queries are seated, all 17 r7
 # additions are seated, the four queries whose tokenizer changed in r7
 # are re-verified, and the oldest green rows (r1/r3/r4 era) get
 # drift re-checks. The rows evicted to make room for the r7-late
 # batch (dedup_exact_documents, minhash_near_dup_candidates,
-# pack_sequences, q10-q16 — r4-green — and agg_approx_distinct,
-# r3-green with the HLL family re-proven by uniq_merge_rollup in r6)
-# stay oracle-gated in pytest + bench-visible.
+# pack_sequences, q10-q16 — r4-green — plus agg_approx_distinct and
+# simhash_signatures, r3-green with their families re-proven by
+# r6/r7-green relatives) stay oracle-gated in pytest + bench-visible.
 
 
 def _reorder() -> None:

@@ -692,3 +692,55 @@ def remove_dup_spans(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return remove_duplicated_spans(d, n=8, min_docs=2)
+
+
+@register(
+    "line_dedup_corpus",
+    oracle="""
+    WITH lined AS (
+      SELECT doc_id, regexp_replace(text, ' (batch|join) ', chr(10), 'g') AS t
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS idx, l[i] AS line
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM lined),
+           LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)
+    ),
+    keep AS (
+      SELECT line, count(*) AS cnt,
+             min(struct_pack(i := doc_id, x := idx)) AS kk
+      FROM occ GROUP BY line
+    ),
+    marked AS (
+      SELECT o.doc_id, o.idx, o.line,
+             (k.cnt = 1 OR (k.kk.i = o.doc_id AND k.kk.x = o.idx)) AS kp
+      FROM occ o JOIN keep k USING (line)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(CASE WHEN kp THEN 1 END) AS BIGINT) AS kept_lines,
+           CAST(count(CASE WHEN NOT kp THEN 1 END) AS BIGINT) AS removed_lines,
+           coalesce(array_to_string(list(line ORDER BY idx)
+                    FILTER (WHERE kp), ' | '), '') AS cleaned_text
+    FROM marked GROUP BY doc_id
+    """,
+)
+def line_dedup_corpus(spark, sf_dir):
+    """r7, C1/C4: CCNet GLOBAL PARAGRAPH DEDUP (Wenzek et al. 2020 —
+    the first stage of the CCNet pipeline dedups CommonCrawl at the
+    paragraph level, keeping one occurrence corpus-wide): every
+    repeated line keeps exactly its FIRST occurrence by (doc_id,
+    position) and every other occurrence is dropped, including repeats
+    within one document (`text_clean.line_dedup_keep_first`). The
+    fixture corpus is single-line, so the same deterministic
+    line-break rewrite as `text_repetition_stats` ( ' batch '/' join '
+    → newline) manufactures multi-line docs first — both engines apply
+    the identical rewrite. Keep-first is one partial-aggregable
+    ``min(struct(doc, idx))`` per line; the oracle mirrors it with
+    DuckDB struct-min + ordered filtered list aggregation."""
+    from postgre_to_clickhouse_spark.operators.text_clean import line_dedup_keep_first
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", r" (batch|join) ", "\n").alias("t")
+    )
+    return line_dedup_keep_first(d, text_col="t", id_col="doc_id")

@@ -256,6 +256,7 @@ def main() -> None:
         ("url_canonicalize_dedup", "n_docs >= 1"),
         ("audience_overlap_matrix", "n_both >= 0"),
         ("remove_dup_spans", "removed_tokens >= 0"),
+        ("line_dedup_corpus", "removed_lines >= 0"),
     ]:
         run(qname, lambda qn=qname, fl=force: QUERIES[qn](spark, work).where(fl))
 
