@@ -175,6 +175,22 @@ FORCE_EVAL = {
     "dataset_card_summary": "exact_dup_docs >= 0",
     "timeseries_gap_fill": "n_events >= 0",
     "interleave_datasets_order": "interleave_pos >= 0",
+    # r7-late: the new map-only function-family queries reduce to a
+    # bare parquet count under count() (every projection pruned), and
+    # the new aggregates lose their agg expressions — force the real
+    # plans so the recorded numbers measure the operators.
+    "url_ip_funcs": "host IS NOT NULL OR ip_roundtrip >= 0",
+    "geo_funcs": "dist_paris_m >= 0 OR in_triangle IS NOT NULL",
+    "encoding_funcs": "length(b64) >= 0 OR length(hex_num) >= 0",
+    "format_datetime_funcs": "length(iso_ts) >= 0 OR parsed_back IS NOT NULL",
+    "dictget_customer_enrich": "acctbal_sum IS NOT NULL OR n_tier_a >= 0",
+    "bitwise_funcs_agg": "band IS NOT NULL OR bxor_mask IS NOT NULL",
+    "audience_overlap_matrix": "n_both >= 0",
+    "gopher_ngram_repetition": "top_bigram_count >= 1 OR dup_trigram_char_frac >= 0",
+    "array_set_ops": "n_union >= 0 OR length(types_intersect) >= 0",
+    "timeseries_interpolate": "v_interp IS NOT NULL OR was_filled IS NOT NULL",
+    "remove_dup_spans": "removed_tokens >= 0 OR length(cleaned_text) >= 0",
+    "line_dedup_corpus": "removed_lines >= 0 OR length(cleaned_text) >= 0",
 }
 
 # r7 (VERDICT r6 #8): one 112-query JVM session couples queries to GC
