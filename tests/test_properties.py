@@ -466,3 +466,96 @@ def test_edit_distance_pairs_match_bruteforce(spark):
         if s1 == s2 and lev(t1, t2) <= 5
     }
     assert got == exp
+
+
+# --- r7-late operators ------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "x"]),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=docs_strategy)
+@settings(**_SETTINGS)
+def test_line_dedup_keep_first_each_line_survives_exactly_once(spark, docs):
+    """Keep-first global line dedup: every DISTINCT line survives in
+    exactly one place corpus-wide — its first (doc_id, idx) occurrence
+    — and per-doc counts reconcile."""
+    from postgre_to_clickhouse_spark.operators.text_clean import line_dedup_keep_first
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup_keep_first(df).collect()}
+
+    # Python reference
+    first: dict[str, tuple[int, int]] = {}
+    for i, lines in enumerate(docs):
+        for x, ln in enumerate(lines):
+            first.setdefault(ln, (i, x))
+    for i, lines in enumerate(docs):
+        kept = [ln for x, ln in enumerate(lines) if first[ln] == (i, x)]
+        r = out[i]
+        assert r.n_lines == len(lines)
+        assert r.kept_lines == len(kept)
+        assert r.removed_lines == len(lines) - len(kept)
+        assert r.cleaned_text == " | ".join(kept)
+    total_kept = sum(out[i].kept_lines for i in out)
+    assert total_kept == len(first)  # each distinct line exactly once
+
+
+@given(
+    tokens=st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=3, max_size=12
+    )
+)
+@settings(**_SETTINGS)
+def test_sorted_run_stats_matches_counter_reference(spark, tokens):
+    """The sorted-run fold equals the Counter-based definition: max
+    (count, gram) lexicographically, and Σ (count−1)·len over repeated
+    grams."""
+    from collections import Counter
+
+    from postgre_to_clickhouse_spark.operators.text_clean import sorted_run_stats
+
+    grams = [f"{a} {b}" for a, b in zip(tokens, tokens[1:])]
+    df = spark.createDataFrame([(grams,)], "g array<string>")
+    r = df.select(sorted_run_stats(F.col("g")).alias("r")).collect()[0].r
+    c = Counter(grams)
+    best_c, best_g = max((n, g) for g, n in c.items())
+    dup = sum((n - 1) * len(g) for g, n in c.items() if n > 1)
+    assert (r.best_c, r.best_g, r.dup_chars) == (best_c, best_g, dup)
+
+
+@given(
+    host=st.sampled_from(["EN.Example.COM", "api.test.ORG"]),
+    path=st.sampled_from(["/a/b", "/a/b/", "/x", ""]),
+    params=st.lists(
+        st.sampled_from(["b=2", "a=1", "utm_source=x", "utm_b=z", "c=3"]),
+        max_size=4,
+        unique=True,
+    ),
+    frag=st.sampled_from(["", "#frag", "#a?b=1"]),
+)
+@settings(**_SETTINGS)
+def test_canonicalize_url_idempotent_and_order_insensitive(spark, host, path, params, frag):
+    """canon(canon(u)) == canon(u), and permuting query params yields
+    the same canonical form."""
+    from postgre_to_clickhouse_spark.operators.text_clean import canonicalize_url
+
+    q = ("?" + "&".join(params)) if params else ""
+    u1 = f"https://{host}{path}{q}{frag}"
+    u2 = f"https://{host}{path}" + (("?" + "&".join(reversed(params))) if params else "") + frag
+    df = spark.createDataFrame([(u1, u2)], "u1 string, u2 string")
+    row = df.select(
+        canonicalize_url(F.col("u1")).alias("c1"),
+        canonicalize_url(F.col("u2")).alias("c2"),
+        canonicalize_url(canonicalize_url(F.col("u1"))).alias("cc"),
+    ).collect()[0]
+    assert row.c1 == row.c2  # param order irrelevant
+    assert row.cc == row.c1  # idempotent
