@@ -153,6 +153,7 @@ HEADLINE = [
     "manifest_zonemap_read",
     "remove_dup_spans",
     "line_dedup_corpus",
+    "uniq_mv_incremental",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -81,7 +81,7 @@ _WINDOW = [
     "window_hourly_event_counts", # B10, last green r1
     "remove_dup_spans",           # C1/C4 ExactSubstr span removal (new r7)
     "line_dedup_corpus",          # C1/C4 CCNet paragraph dedup (new r7)
-    "vector_lsh_topk",            # C3, last green r3
+    "uniq_mv_incremental",        # A12 uniqState/uniqMerge MV (new r7)
     "dedup_components_knn",       # C2, last green r4 (iterative op — drift-prone)
     # --- New in r7, later batch (every one seated so r7 closes with
     # ZERO never-driver-checked queries) ---
@@ -100,15 +100,14 @@ _WINDOW = [
     "manifest_zonemap_read",      # A8 zone-map file skipping (new r7)
 ]
 # Coverage: with this window green, EVERY registered query — including
-# all 15 r7-late additions — has at least one driver-green CORRECTNESS
+# all 16 r7-late additions — has at least one driver-green CORRECTNESS
 # row across r1-r7, i.e. r7 closes with ZERO never-driver-checked
-# queries. The 22 late-r6 never-checked queries are seated, all 17 r7
+# queries. The 22 late-r6 never-checked queries are seated, all 18 r7
 # additions are seated, the four queries whose tokenizer changed in r7
 # are re-verified, and the oldest green rows (r1/r3/r4 era) get
 # drift re-checks. The rows evicted to make room for the r7-late
 # batch (dedup_exact_documents, minhash_near_dup_candidates,
-# pack_sequences, q10-q16 — r4-green — plus agg_approx_distinct and
-# simhash_signatures, r3-green with their families re-proven by
+# pack_sequences, q10-q16 — r4-green — plus agg_approx_distinct, r3-green with their families re-proven by
 # r6/r7-green relatives) stay oracle-gated in pytest + bench-visible.
 
 

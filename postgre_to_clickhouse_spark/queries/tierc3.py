@@ -401,3 +401,51 @@ def manifest_zonemap_read(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "uniq_mv_incremental",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_values
+    FROM events GROUP BY event_type
+    """,
+)
+def uniq_mv_incremental(spark, sf_dir):
+    """r7, A12: the uniqState/uniqMerge MATERIALIZED VIEW — THE
+    canonical ClickHouse AggregatingMergeTree pattern (store a
+    distinct-count state per group, merge at read) — driven end-to-end:
+    events stream through ``UniqMV`` (Datasketches HLL partial states
+    in the same batch-id-addressed part log as the sum/count MV) as
+    four micro-batches with one REPLAYED batch (skip enforced by
+    explicit raise) and a mid-stream compaction, then the finalized
+    per-type distinct-user counts read back. HLL register union is
+    commutative/associative/IDEMPOTENT, so replay, batch boundaries
+    and compaction are all provably invisible; at the fixtures'
+    cardinality the sketch sits in its exact sparse regime, making the
+    DuckDB exact-DISTINCT oracle an equality check (the approximate
+    regime's bounds are pytest-gated in the uniq_merge_rollup family).
+    """
+    import shutil
+    import tempfile
+
+    from postgre_to_clickhouse_spark.sinks.agg_mv import UniqMV
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id", "event_id")
+    path = tempfile.mkdtemp(prefix="p2c_uniq_mv_")
+    try:
+        mv = UniqMV(path, keys=("event_type",), value_col="user_id")
+        batch_of = F.coalesce(F.pmod("event_id", F.lit(4)), F.lit(0))
+        for b in range(4):
+            if not mv.apply_batch(ev.filter(batch_of == b), batch_id=b):
+                raise RuntimeError(f"uniq_mv: batch {b} was not applied")
+            if b == 1:  # redelivery: must be a committed-part skip
+                if mv.apply_batch(ev.filter(batch_of == b), batch_id=b) is not False:
+                    raise RuntimeError("uniq_mv: replayed batch 1 double-committed")
+            if b == 2:
+                mv.compact(spark)
+        out = mv.read_final(spark)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -189,3 +189,41 @@ class AggregateMV:
                 shutil.rmtree(p)
                 removed.append(d)
         return removed
+
+
+class UniqMV(AggregateMV):
+    """ClickHouse ``uniqState``/``uniqMerge`` materialized view — THE
+    canonical AggregatingMergeTree pattern (store a distinct-count
+    STATE per group, merge states at read): the partial state is a
+    Datasketches HLL sketch (Spark-native ``hll_sketch_agg``, binary
+    column in the part files), merge is ``hll_union_agg`` (per-register
+    max — commutative, associative, idempotent, so replayed batches and
+    compactions can never perturb the estimate), finalize is
+    ``hll_sketch_estimate``. Inherits the whole part-log protocol
+    (batch-id-addressed atomic parts → exactly-once state, crash-safe
+    replaces-tombstone compaction, vacuum) unchanged.
+
+    At 100 TB the view stores ``groups × 2^lg_k`` bytes of registers —
+    megabytes — while answering per-group AND rolled-up distinct counts
+    without ever rescanning facts (union the group states for any
+    coarser rollup, `uniq_merge_rollup`'s mechanism)."""
+
+    def __init__(self, path: str, keys: tuple[str, ...], value_col: str, lg_k: int = 12):
+        super().__init__(path, keys, value_col)
+        self.lg_k = lg_k
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        return df.groupBy(*self.keys).agg(
+            F.hll_sketch_agg(self.value_col, F.lit(self.lg_k)).alias("s_hll")
+        )
+
+    def _merge(self, states: DataFrame) -> DataFrame:
+        return states.groupBy(*self.keys).agg(F.hll_union_agg("s_hll").alias("s_hll"))
+
+    def read_final(self, spark: SparkSession) -> DataFrame:
+        """Finalized view: distinct-count estimate per group (exact in
+        the sketch's sparse regime — below ~2^lg_k·0.75 distincts)."""
+        return self.read_states(spark).select(
+            *self.keys,
+            F.hll_sketch_estimate("s_hll").cast("bigint").alias("uniq_values"),
+        )

@@ -128,3 +128,26 @@ def test_agg_mv_through_streaming_foreachbatch(spark, tmp_path):
     q3 = start(str(tmp_path / "ckpt2"))
     q3.awaitTermination()
     assert _got(mv, spark) == _truth(ev)
+
+
+def test_uniq_mv_exactly_once_replay_and_compaction(spark, tmp_path):
+    """uniqState MV: batch-split + replayed batch + mid-stream
+    compaction are all invisible — the finalized view equals the
+    whole-table exact distinct (sparse-exact HLL regime at this
+    cardinality)."""
+    from postgre_to_clickhouse_spark.sinks.agg_mv import UniqMV
+
+    rows = [(i % 7, (i * 13) % 50) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp int, uid int")
+    mv = UniqMV(str(tmp_path / "mv"), keys=("grp",), value_col="uid")
+    for b in range(4):
+        assert mv.apply_batch(df.filter(F.col("uid") % 4 == b), b)
+    assert not mv.apply_batch(df.filter(F.col("uid") % 4 == 1), 1)  # replay skips
+    mv.compact(spark)
+    assert mv.apply_batch(df.filter(F.col("uid") % 4 == 0), 99)  # post-compact batch (idempotent union)
+    got = {r.grp: r.uniq_values for r in mv.read_final(spark).collect()}
+    want = {
+        r.grp: r.n
+        for r in df.groupBy("grp").agg(F.countDistinct("uid").alias("n")).collect()
+    }
+    assert got == want
