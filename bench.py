@@ -154,6 +154,7 @@ HEADLINE = [
     "remove_dup_spans",
     "line_dedup_corpus",
     "uniq_mv_incremental",
+    "cdc_avro_decode_pipeline",
 ]
 
 # count()-based timing lets Catalyst prune columns the count doesn't

@@ -76,7 +76,7 @@ _WINDOW = [
     # r1 singles, r3 trio, then the r4 cohort alphabetically) ---
     "json_events_extract",        # B16, last green r1
     "setop_union_distinct_keys",  # B12, last green r1
-    "string_funcs_extended",      # B13, last green r1
+    "cdc_avro_decode_pipeline",   # A7 jar-free AvroConfluent e2e (new r7)
     "text_quality_stats",         # C4, last green r1
     "window_hourly_event_counts", # B10, last green r1
     "remove_dup_spans",           # C1/C4 ExactSubstr span removal (new r7)
@@ -100,9 +100,9 @@ _WINDOW = [
     "manifest_zonemap_read",      # A8 zone-map file skipping (new r7)
 ]
 # Coverage: with this window green, EVERY registered query — including
-# all 16 r7-late additions — has at least one driver-green CORRECTNESS
+# all 17 r7-late additions — has at least one driver-green CORRECTNESS
 # row across r1-r7, i.e. r7 closes with ZERO never-driver-checked
-# queries. The 22 late-r6 never-checked queries are seated, all 18 r7
+# queries. The 22 late-r6 never-checked queries are seated, all 19 r7
 # additions are seated, the four queries whose tokenizer changed in r7
 # are re-verified, and the oldest green rows (r1/r3/r4 era) get
 # drift re-checks. The rows evicted to make room for the r7-late

@@ -449,3 +449,78 @@ def uniq_mv_incremental(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+_USERS_V2_AVRO = """
+{
+  "type": "record",
+  "name": "Value",
+  "namespace": "shop.public.users",
+  "fields": [
+    {"name": "user_id", "type": "int"},
+    {"name": "username", "type": ["null", "string"], "default": null},
+    {"name": "account_type", "type": ["null", "string"], "default": null},
+    {"name": "updated_at", "type": "long"},
+    {"name": "created_at", "type": "long"},
+    {"name": "plan_rank", "type": "long", "default": 0}
+  ]
+}
+"""
+
+
+@register(
+    "cdc_avro_decode_pipeline",
+    oracle="""
+    SELECT CAST(u AS INTEGER) AS user_id,
+           CASE WHEN (u + 3) % 7 = 0 THEN NULL
+                ELSE 'user' || CAST(u AS VARCHAR) || '_v3' END AS username,
+           CASE (u + 3) % 3 WHEN 0 THEN 'free' WHEN 1 THEN 'premium'
+                ELSE 'vip' END AS account_type,
+           CAST(1700000000000000 + 3 * 1000000 + u AS BIGINT) AS updated_at,
+           CAST(1690000000000000 + u AS BIGINT) AS created_at,
+           CAST(u % 5 AS BIGINT) AS plan_rank
+    FROM range(50) t(u)
+    """,
+)
+def cdc_avro_decode_pipeline(spark, sf_dir):
+    """r7, A7 THROUGH the driver: the jar-free AvroConfluent consumer
+    executed end-to-end on REAL bytes — 200 deterministic CDC value
+    records avro-encoded (`cdc.avro_py.encode_record`), wrapped in
+    Confluent 5-byte frames (`cdc.avro.frame`), written across a SCHEMA
+    MIGRATION (versions v0/v1 under writer schema id 1, v2/v3 under id
+    2 which adds ``plan_rank`` — the registry BACKWARD-compat surface),
+    then decoded per record under its writer schema and resolved to the
+    v2 reader (`decode_confluent_avro_arrow_evolving`: added column
+    reads as its default for old records), and reduced latest-wins per
+    user. Every byte of the Avro binary encoding, zig-zag varints,
+    union branch indices, framing, per-record schema dispatch and
+    resolution rules sits between the closed-form input and the
+    closed-form DuckDB oracle — any encode/decode disagreement breaks
+    the hash. The winning v3 version was written under schema id 2, so
+    ``plan_rank`` carries real decoded values, not defaults."""
+    from postgre_to_clickhouse_spark.cdc import avro as A
+    from postgre_to_clickhouse_spark.cdc import avro_py as AP
+    from postgre_to_clickhouse_spark.cdc.dedup import latest
+    from postgre_to_clickhouse_spark.cdc.schemas import USERS_AVRO_SCHEMA
+
+    configure(spark)
+    frames = []
+    for u in range(50):
+        for v in range(4):
+            rec = {
+                "user_id": u,
+                "username": None if (u + v) % 7 == 0 else f"user{u}_v{v}",
+                "account_type": ["free", "premium", "vip"][(u + v) % 3],
+                "updated_at": 1700000000000000 + v * 1000000 + u,
+                "created_at": 1690000000000000 + u,
+            }
+            if v < 2:
+                frames.append((bytearray(A.frame(AP.encode_record(rec, USERS_AVRO_SCHEMA), 1)),))
+            else:
+                rec["plan_rank"] = u % 5
+                frames.append((bytearray(A.frame(AP.encode_record(rec, _USERS_V2_AVRO), 2)),))
+    df = spark.createDataFrame(frames, "value binary").repartition(8)
+    decoded = AP.decode_confluent_avro_arrow_evolving(
+        df, {1: USERS_AVRO_SCHEMA, 2: _USERS_V2_AVRO}, _USERS_V2_AVRO
+    )
+    return latest(decoded, entity_key=("user_id",), version_cols=("updated_at", "created_at"))
