@@ -379,7 +379,7 @@ class ManifestTable:
             note=f"compact final={final} buckets={len(touched)}",
         )
 
-    def delete_where(self, spark: SparkSession, predicate: str) -> int:
+    def delete_where(self, spark: SparkSession, predicate: str, where=None) -> int:
         """Transactional row delete — the mechanism behind ClickHouse
         row TTL (``TTL updated_at + INTERVAL ...``) and Delta's DELETE.
 
@@ -394,7 +394,15 @@ class ManifestTable:
         if not m["files"]:
             return self.current_version()
         by_name = {f["name"]: f for f in m["files"]}
-        paths = [os.path.join(self.path, _DATA, f["name"]) for f in m["files"]]
+        # Zone-map-accelerated hit finding: files whose [min, max]
+        # PROVABLY contain no row in `where` need not be scanned at
+        # all (a file not scanned cannot contribute a touched bucket,
+        # and the zone maps prove it holds no matching row). The
+        # rewrite below still reads every file of a touched bucket.
+        candidates = self.files_for(where) if where else m["files"]
+        if not candidates:
+            return self.current_version()
+        paths = [os.path.join(self.path, _DATA, f["name"]) for f in candidates]
         hit_paths = (
             spark.read.option("mergeSchema", "true").parquet(*paths)
             .filter(predicate)
@@ -424,8 +432,14 @@ class ManifestTable:
     def apply_ttl(self, spark: SparkSession, ts_col: str, older_than: str) -> int:
         """Row TTL: drop rows with ``ts_col`` strictly before
         ``older_than`` (a TIMESTAMP literal string) — ClickHouse
-        ``TTL`` clause semantics expressed as a transactional delete."""
-        return self.delete_where(spark, f"{ts_col} < TIMESTAMP '{older_than}'")
+        ``TTL`` clause semantics expressed as a transactional delete.
+        When ``ts_col`` is zone-mapped the hit-finding scan reads ONLY
+        files whose [min, max] can reach below the cutoff — on a
+        time-keyed part log that is the expired tail, not the table."""
+        rng = [(ts_col, None, older_than)] if ts_col in self.stats_cols else None
+        return self.delete_where(
+            spark, f"{ts_col} < TIMESTAMP '{older_than}'", where=rng
+        )
 
     def vacuum(self, keep_versions: int = 2) -> list[str]:
         """Delete data files referenced by NO retained manifest (crash

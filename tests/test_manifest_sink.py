@@ -309,3 +309,28 @@ def test_zone_map_missing_stats_files_always_scanned(spark, tmp_path):
     m = t.current_manifest()
     assert all("stats" not in f for f in m["files"])
     assert len(t.files_for([("user_id", -10, -5)])) == len(m["files"])
+
+
+def test_ttl_uses_zone_maps_and_preserves_semantics(spark, tmp_path):
+    """apply_ttl on a zone-mapped time column: the hit-finding scan is
+    range-pruned to files that can reach below the cutoff, and the
+    delete result is identical to the unpruned definition."""
+    import datetime as dt
+
+    t = ManifestTable(
+        str(tmp_path / "t"), key_col="uid", n_buckets=2, stats_cols=("ts",)
+    )
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(days=i // 10)) for i in range(40)]
+    df = spark.createDataFrame(rows, "uid long, ts timestamp")
+    sink = t.append_parts(sort_key=("uid", "ts"), arrival=("uid",))
+    for b in range(4):  # time-ordered batches → disjoint ts zone maps
+        sink(df.filter((F.col("uid") >= b * 10) & (F.col("uid") < (b + 1) * 10)), b)
+
+    cutoff = "2024-01-02 00:00:00"
+    pruned = t.files_for([("ts", None, cutoff)])
+    assert 0 < len(pruned) < len(t.current_manifest()["files"])
+
+    t.apply_ttl(spark, "ts", cutoff)
+    kept = sorted(r.uid for r in t.read(spark).collect())
+    assert kept == [i for i in range(40) if base + dt.timedelta(days=i // 10) >= dt.datetime(2024, 1, 2)]
