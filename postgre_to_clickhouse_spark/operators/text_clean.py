@@ -102,8 +102,13 @@ def canonicalize_url(col: Column | str, strip_prefixes: tuple[str, ...] = ("utm_
     u = F.regexp_replace(_c(col), r"#.*$", "")
     base = F.regexp_extract(u, r"^([^?]*)", 1)
     q = F.regexp_extract(u, r"\?(.*)$", 1)
-    hostpart = F.lower(F.regexp_extract(base, r"^(https?://[^/]*)", 1))
-    path = F.regexp_replace(F.regexp_replace(base, r"^https?://[^/]*", ""), r"/+$", "")
+    # scheme matching is case-INSENSITIVE (RFC 3986 §3.1: scheme and
+    # host compare case-insensitively) — 'HTTPS://Host/x' must unify
+    # with 'https://host/x', so the extraction regex carries (?i) and
+    # the lowercase covers whatever case the input used (r8 ADVICE fix:
+    # a case-sensitive ^https? left the scheme+host inside the path)
+    hostpart = F.lower(F.regexp_extract(base, r"(?i)^(https?://[^/]*)", 1))
+    path = F.regexp_replace(F.regexp_replace(base, r"(?i)^https?://[^/]*", ""), r"/+$", "")
     keep = F.filter(
         F.split(q, "&"),
         lambda p: (p != "") & ~_startswith_any(p, strip_prefixes),

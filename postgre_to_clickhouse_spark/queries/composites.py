@@ -561,9 +561,9 @@ def bitwise_funcs_agg(spark, sf_dir):
     canon AS (
       SELECT doc_id,
              lower(regexp_extract(regexp_extract(regexp_replace(url, '#.*$', ''),
-                     '^([^?]*)', 1), '^(https?://[^/]*)', 1))
+                     '^([^?]*)', 1), '(?i)^(https?://[^/]*)', 1))
              || regexp_replace(regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''),
-                     '^([^?]*)', 1), '^https?://[^/]*', ''), '/+$', '')
+                     '^([^?]*)', 1), '(?i)^https?://[^/]*', ''), '/+$', '')
              || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS curl
       FROM (
         SELECT doc_id, url,

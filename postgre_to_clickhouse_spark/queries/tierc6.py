@@ -493,6 +493,51 @@ def sequence_match_negation(spark, sf_dir):
 
 
 @register(
+    "sequence_match_dot",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ),
+    hit AS (
+      SELECT DISTINCT a.user_id
+      FROM e a
+      JOIN e b ON a.user_id = b.user_id
+      WHERE a.event_type = 'signup'
+        AND b.event_type = 'purchase'
+        AND b.t >= a.t AND b.t <= a.t + {2 * _SEQ_GUARD}
+        AND (SELECT count(*) FROM e z
+             WHERE z.user_id = a.user_id AND z.t > a.t AND z.t < b.t) = 1
+    )
+    SELECT u.user_id, (h.user_id IS NOT NULL) AS matched
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN hit h USING (user_id)
+    """,
+)
+def sequence_match_dot(spark, sf_dir):
+    """r8 (VERDICT r7 #6): the ``.`` token — EXACTLY one visible event
+    strictly between two matched conditions — closing the last
+    sequenceMatch syntax gap (PARITY.md B21). Pattern
+    ``(?1)(?t<=7200).(?2)`` over conditions (signup, purchase): a
+    signup, then a purchase within 2 h with exactly ONE
+    condition-visible event (another signup or purchase — ClickHouse's
+    model, where rows matching no condition never enter the pattern
+    sequence) strictly between them. The dot slots into the
+    feasible-set DP as a pairwise (y, x) count predicate inside the
+    same ``exists`` — extension validity still depends only on the
+    prefix's last element, so the recurrence stays exact. Oracle: an
+    INDEPENDENT self-join + correlated strict-between count (join/CTE
+    oracles for state machines, never ``list_reduce``); brute-force
+    cross-check in test_properties.py."""
+    from postgre_to_clickhouse_spark.operators.funnel import sequence_match_pattern
+
+    ev = _t(spark, sf_dir, "events")
+    return sequence_match_pattern(
+        ev, "(?1)(?t<=7200).(?2)", ["signup", "purchase"]
+    )
+
+
+@register(
     "multimodal_video_gif",
     oracle="""
     SELECT d.doc_id,

@@ -33,8 +33,11 @@ checkpointed log.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import json
 import os
+import re
 import time
 import uuid
 
@@ -46,6 +49,11 @@ from postgre_to_clickhouse_spark.cdc import dedup_redelivery, latest
 _LATEST = "_latest"
 _MANIFESTS = "_manifests"
 _DATA = "data"
+# a string probe that is a timestamp literal — must be padded to the
+# same fixed width the datetime file bounds get (see _stat_val)
+_TS_STRING = re.compile(
+    r"^(?P<base>\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2})(?:\.(?P<frac>\d+))?$"
+)
 
 
 class ManifestTable:
@@ -130,19 +138,39 @@ class ManifestTable:
     @staticmethod
     def _stat_val(v):
         """JSON-safe, ORDER-PRESERVING encoding of a stat bound: numbers
-        stay numbers; timestamps/dates become ISO strings (fixed-width →
-        lexicographic order == chronological order); strings stay
-        strings. Probe values go through the same encoding, so pruning
-        comparisons are always like-typed."""
-        if v is None or isinstance(v, (int, float, str)):
+        stay numbers (Decimal → float — ``str(Decimal)`` is NOT
+        order-preserving: '100.00' < '20'); timestamps/dates become ISO
+        strings (fixed-width → lexicographic order == chronological
+        order); strings stay strings, EXCEPT a string that parses as a
+        timestamp, which gets the same fixed-width fraction padding the
+        file bounds got at write time (an unpadded probe '…:00' vs a
+        padded bound '…:00.000000' would wrongly prune an inclusive
+        upper bound at a whole-second boundary). Unknown types are
+        REFUSED loudly — a silently non-order-preserving encoding would
+        make pruning a correctness dependency (r8 ADVICE fixes)."""
+        if v is None or isinstance(v, (bool, int, float)):
             return v
-        if hasattr(v, "isoformat"):
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, datetime.datetime):
             iso = v.isoformat(sep=" ")
             # pad to fixed width so '…:05' vs '…:05.500000' compare right
-            if ":" in iso and "." not in iso:
+            if "." not in iso:
                 iso += ".000000"
             return iso
-        return str(v)
+        if isinstance(v, datetime.date):
+            return v.isoformat()  # already fixed-width YYYY-MM-DD
+        if isinstance(v, str):
+            m = _TS_STRING.match(v)
+            if m:
+                frac = (m.group("frac") or "")[:6].ljust(6, "0")
+                return f"{m.group('base').replace('T', ' ')}.{frac}"
+            return v
+        raise TypeError(
+            f"unsupported zone-map stat/probe type {type(v).__name__!r}: "
+            "only numeric, datetime/date and string bounds have an "
+            "order-preserving encoding"
+        )
 
     def _attach_stats(self, spark: SparkSession, files: list[dict]) -> list[dict]:
         """Per-file [min, max] for ``stats_cols``, read back from the

@@ -334,3 +334,79 @@ def test_ttl_uses_zone_maps_and_preserves_semantics(spark, tmp_path):
     t.apply_ttl(spark, "ts", cutoff)
     kept = sorted(r.uid for r in t.read(spark).collect())
     assert kept == [i for i in range(40) if base + dt.timedelta(days=i // 10) >= dt.datetime(2024, 1, 2)]
+
+
+def test_stat_val_encoding_is_order_preserving_and_total(spark, tmp_path):
+    """r8 ADVICE fixes on _stat_val: Decimal bounds must compare
+    numerically (str(Decimal) sorts '100.00' < '20'); DateType columns
+    must not crash the write path (date.isoformat takes no sep arg);
+    string probes that parse as timestamps get the same fixed-width
+    fraction padding as datetime file bounds (an unpadded '…:00' probe
+    vs a '…:00.000000' bound wrongly pruned inclusive upper bounds at
+    whole-second boundaries); unknown types are refused loudly."""
+    import datetime as dt
+    import decimal
+
+    import pytest
+
+    sv = ManifestTable._stat_val
+    # Decimal → float, so 20 < 100 (str form would invert)
+    assert sv(decimal.Decimal("100.00")) == 100.0
+    assert sv(decimal.Decimal("20")) < sv(decimal.Decimal("100.00"))
+    # date: no crash, fixed-width ISO
+    assert sv(dt.date(2024, 3, 7)) == "2024-03-07"
+    # timestamp-string probe padded to the datetime bound's width
+    bound = sv(dt.datetime(2024, 1, 2, 0, 0, 0))
+    assert bound == "2024-01-02 00:00:00.000000"
+    assert sv("2024-01-02 00:00:00") == bound
+    assert sv("2024-01-02T00:00:00.5") == "2024-01-02 00:00:00.500000"
+    assert sv("not a timestamp") == "not a timestamp"
+    with pytest.raises(TypeError):
+        sv(object())
+
+    # end-to-end: date + decimal stats columns through append/read
+    t = ManifestTable(
+        str(tmp_path / "t"), key_col="uid", n_buckets=1,
+        stats_cols=("d", "amt"),
+    )
+    rows = [
+        (1, dt.date(2024, 1, 1), decimal.Decimal("20.00")),
+        (2, dt.date(2024, 1, 5), decimal.Decimal("100.00")),
+        (3, dt.date(2024, 2, 1), decimal.Decimal("7.50")),
+    ]
+    df = spark.createDataFrame(rows, "uid long, d date, amt decimal(10,2)")
+    sink = t.append_parts(sort_key=("uid", "d"), arrival=("uid",))
+    for b in range(3):  # one row per file → per-row zone maps
+        sink(df.filter(F.col("uid") == b + 1), b)
+
+    # decimal range [20, 100] must keep files 1 and 2 (str compare
+    # would have pruned the 20.00 file against lo='100.00')
+    kept = t.files_for([("amt", decimal.Decimal("20"), decimal.Decimal("100"))])
+    assert len(kept) == 2
+    got = t.read(spark, where=[("amt", decimal.Decimal("20"), decimal.Decimal("100"))])
+    assert sorted(r.uid for r in got.collect()) == [1, 2]
+    # date upper bound inclusive at an exact file min
+    assert sorted(
+        r.uid
+        for r in t.read(
+            spark, where=[("d", dt.date(2024, 1, 5), None)]
+        ).collect()
+    ) == [2, 3]
+
+
+def test_inclusive_ts_bound_at_whole_second_not_pruned(spark, tmp_path):
+    """A string probe at a whole-second boundary must NOT prune a file
+    whose min equals that instant (r8 ADVICE: padding asymmetry made
+    '…00.000000' <= '…00' false)."""
+    import datetime as dt
+
+    t = ManifestTable(
+        str(tmp_path / "t"), key_col="uid", n_buckets=1, stats_cols=("ts",)
+    )
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2, 0, 0, 0))], "uid long, ts timestamp"
+    )
+    t.append_parts(sort_key=("uid", "ts"), arrival=("uid",))(df, 0)
+    # inclusive upper bound exactly at the file's min
+    assert len(t.files_for([("ts", None, "2024-01-02 00:00:00")])) == 1
+    assert t.read(spark, where=[("ts", None, "2024-01-02 00:00:00")]).count() == 1

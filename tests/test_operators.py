@@ -340,24 +340,42 @@ def test_parse_sequence_pattern_surface():
     from postgre_to_clickhouse_spark.operators.funnel import parse_sequence_pattern
 
     conds = ["a", "b", "c", "d"]
-    steps, guards, negs = parse_sequence_pattern(
+    steps, guards, negs, anys = parse_sequence_pattern(
         "(?1)(?t>10)(?t<=100)(?2|?3).*(?!4)(?1)", conds
     )
     assert steps == [("a",), ("b", "c"), ("a",)]
     # >10s and <=100s intersect into one (lo, hi) µs guard
     assert guards == [(10_000_001, 100_000_000), (0, None)]
     assert negs == [None, ("d",)]
+    assert anys == [None, None]  # '.*' is the unconstrained default
 
-    with pytest.raises(NotImplementedError):  # '.' = exactly-one-any-event
-        parse_sequence_pattern("(?1).(?2)", conds)
+    # r8: '.' = exactly-one-visible-event; runs accumulate
+    steps, guards, negs, anys = parse_sequence_pattern("(?1).(?2)..(?3)", conds)
+    assert steps == [("a",), ("b",), ("c",)]
+    assert anys == [1, 2]
+
     with pytest.raises(ValueError):  # guard before any condition
         parse_sequence_pattern("(?t<=5)(?1)(?2)", conds)
+    with pytest.raises(ValueError):  # dot before any condition
+        parse_sequence_pattern(".(?1)(?2)", conds)
     with pytest.raises(ValueError):  # out-of-range condition index
         parse_sequence_pattern("(?1)(?9)", conds)
     with pytest.raises(ValueError):  # fewer than two condition steps
         parse_sequence_pattern("(?1)", conds)
     with pytest.raises(ValueError):  # garbage token
         parse_sequence_pattern("(?1)(?x)(?2)", conds)
+    # r8 ADVICE fix: trailing guard/negation/dot tokens bind to nothing
+    with pytest.raises(ValueError):
+        parse_sequence_pattern("(?1)(?2)(?t<=5)", conds)
+    with pytest.raises(ValueError):
+        parse_sequence_pattern("(?1)(?2)(?!3)", conds)
+    with pytest.raises(ValueError):
+        parse_sequence_pattern("(?1)(?2).", conds)
+    # mixing '.' and '.*' between one pair is ambiguous — both orders
+    with pytest.raises(ValueError):
+        parse_sequence_pattern("(?1).*.(?2)", conds)
+    with pytest.raises(ValueError):
+        parse_sequence_pattern("(?1)..*(?2)", conds)
 
 
 def test_sequence_match_negation_open_interval_and_path_revival(spark):

@@ -353,3 +353,47 @@ def test_gopher_ngram_map_only(spark):
     ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
     assert ops.count("Exchange") == 0, f"unexpected shuffle: {ops}"
     assert "Join" not in plan
+
+
+def test_no_registered_query_collects_unbounded_frames():
+    """r8 (VERDICT r7 #1): no registered query may materialize a
+    table-proportional frame on the driver. Source audit over every
+    query module: ``.toPandas()`` is banned outright, and ``.collect()``
+    may appear ONLY in the sanctioned 1-row-bounds form (a global
+    ``.agg(...)`` with no grouping, indexed ``[0]`` on the same line).
+    Lifecycle queries that must outlive their tempdir tables pin results
+    with ``localCheckpoint(eager=True)`` (tierc3._pin) — materialized on
+    the executors, never round-tripped through the driver."""
+    import pathlib
+    import re
+
+    import postgre_to_clickhouse_spark.queries as qpkg
+
+    qdir = pathlib.Path(qpkg.__file__).parent
+    offenders = []
+    for path in sorted(qdir.glob("*.py")):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if ".toPandas()" in line:
+                offenders.append(f"{path.name}:{i} toPandas")
+            if ".collect()" in line:
+                sanctioned = re.search(r"\.agg\(.*\)\.collect\(\)\[0\]", line)
+                if not sanctioned:
+                    offenders.append(f"{path.name}:{i} collect: {line.strip()}")
+    assert not offenders, "driver-side materialization outside the 1-row-agg form: " + "; ".join(offenders)
+
+
+def test_lifecycle_queries_return_executor_pinned_results(spark):
+    """The four tierc3 lifecycle queries (tempdir-backed MV/manifest
+    ingest) must return localCheckpoint-pinned frames: the final plan
+    scans the materialized RDD (ExistingRDD), proving no driver
+    round-trip and independence from the deleted temp files."""
+    for name in (
+        "agg_mv_incremental",
+        "manifest_evolution_read",
+        "manifest_zonemap_read",
+        "uniq_mv_incremental",
+    ):
+        plan = _plan(spark, name)
+        assert "ExistingRDD" in plan, f"{name} result is not executor-pinned"
+        # and the pinned result is still readable (temp dirs already gone)
+        assert QUERIES[name](spark, SF_SMALL).count() > 0

@@ -245,14 +245,18 @@ def test_sequence_match_guards_match_bruteforce(spark, events):
     assert got == _seq_match_ref(events, ["A", "B", "C"], guards)
 
 
-def _seq_match_ref_ext(rows, step_sets, guards, not_between):
-    """Brute force for the r7 alternation/negation extension: enumerate
-    every tuple over the per-step candidate timestamp sets (a step's
-    candidates = events whose type is IN the step's alternation set),
-    require non-decreasing order + guards + for each banned set no
-    banned-type event STRICTLY between the adjacent chain timestamps."""
+def _seq_match_ref_ext(rows, step_sets, guards, not_between, any_between=None, universe=None):
+    """Brute force for the r7/r8 alternation/negation/exactly-k
+    extensions: enumerate every tuple over the per-step candidate
+    timestamp sets (a step's candidates = events whose type is IN the
+    step's alternation set), require non-decreasing order + guards +
+    for each banned set no banned-type event STRICTLY between the
+    adjacent chain timestamps + where ``any_between[i] = k``, EXACTLY
+    k universe-visible events (counted with multiplicity) strictly
+    between the adjacent chain timestamps."""
     import itertools
 
+    any_between = any_between or [None] * len(guards)
     out = {}
     for u in {r[0] for r in rows}:
         cands = [
@@ -263,6 +267,9 @@ def _seq_match_ref_ext(rows, step_sets, guards, not_between):
             sorted(s for (uu, s, t) in rows if uu == u and nb and t in nb)
             for nb in not_between
         ]
+        visible_ts = sorted(
+            s for (uu, s, t) in rows if uu == u and t in (universe or ())
+        )
 
         def ok(c):
             for i, (lo, hi) in enumerate(guards):
@@ -271,6 +278,11 @@ def _seq_match_ref_ext(rows, step_sets, guards, not_between):
                     return False
             for i, zs in enumerate(banned_ts):
                 if any(c[i] < z < c[i + 1] for z in zs):
+                    return False
+            for i, k in enumerate(any_between):
+                if k is not None and sum(
+                    1 for z in visible_ts if c[i] < z < c[i + 1]
+                ) != k:
                     return False
             return True
 
@@ -304,6 +316,37 @@ def test_sequence_match_alternation_negation_match_bruteforce(spark, events):
         [{"A"}, {"B", "C"}, {"A"}],
         [(0, 5), (0, None)],
         [None, {"X"}],
+    )
+    assert got == ref
+
+
+@given(events=funnel_events_strategy)
+@settings(**_SETTINGS)
+def test_sequence_match_dot_match_bruteforce(spark, events):
+    """r8 (VERDICT r7 #6): pattern (?1).(?2)..(?3) — an A, then EXACTLY
+    one condition-visible event strictly between it and a B, then
+    EXACTLY two between the B and a C — against the exhaustive
+    chain-enumeration reference. The visibility universe is the conds
+    list (A, B, C, X), so noise X events count toward the dots —
+    ClickHouse's only-described-events-participate model."""
+    from postgre_to_clickhouse_spark.operators.funnel import sequence_match_pattern
+
+    df = spark.createDataFrame(events, "user_id long, sec long, event_type string").select(
+        "user_id", F.timestamp_seconds(F.col("sec")).alias("ts"), "event_type"
+    )
+    got = {
+        r.user_id: r.matched
+        for r in sequence_match_pattern(
+            df, "(?1).(?2)..(?3)", ["A", "B", "C", "X"]
+        ).collect()
+    }
+    ref = _seq_match_ref_ext(
+        events,
+        [{"A"}, {"B"}, {"C"}],
+        [(0, None), (0, None)],
+        [None, None],
+        any_between=[1, 2],
+        universe={"A", "B", "C", "X"},
     )
     assert got == ref
 
@@ -533,6 +576,7 @@ def test_sorted_run_stats_matches_counter_reference(spark, tokens):
 
 
 @given(
+    scheme=st.sampled_from(["https", "HTTPS", "HtTpS", "http", "HTTP"]),
     host=st.sampled_from(["EN.Example.COM", "api.test.ORG"]),
     path=st.sampled_from(["/a/b", "/a/b/", "/x", ""]),
     params=st.lists(
@@ -543,19 +587,25 @@ def test_sorted_run_stats_matches_counter_reference(spark, tokens):
     frag=st.sampled_from(["", "#frag", "#a?b=1"]),
 )
 @settings(**_SETTINGS)
-def test_canonicalize_url_idempotent_and_order_insensitive(spark, host, path, params, frag):
-    """canon(canon(u)) == canon(u), and permuting query params yields
-    the same canonical form."""
+def test_canonicalize_url_idempotent_and_order_insensitive(spark, scheme, host, path, params, frag):
+    """canon(canon(u)) == canon(u), permuting query params yields the
+    same canonical form, and the SCHEME is matched case-insensitively
+    (r8 ADVICE fix: 'HTTPS://Host/…' must unify with its lowercase
+    twin — RFC 3986 scheme/host case-insensitivity)."""
     from postgre_to_clickhouse_spark.operators.text_clean import canonicalize_url
 
     q = ("?" + "&".join(params)) if params else ""
-    u1 = f"https://{host}{path}{q}{frag}"
-    u2 = f"https://{host}{path}" + (("?" + "&".join(reversed(params))) if params else "") + frag
-    df = spark.createDataFrame([(u1, u2)], "u1 string, u2 string")
+    u1 = f"{scheme}://{host}{path}{q}{frag}"
+    u2 = f"{scheme}://{host}{path}" + (("?" + "&".join(reversed(params))) if params else "") + frag
+    u3 = f"{scheme.lower()}://{host.lower()}{path}{q}{frag}"  # pre-canonicalized scheme+host
+    df = spark.createDataFrame([(u1, u2, u3)], "u1 string, u2 string, u3 string")
     row = df.select(
         canonicalize_url(F.col("u1")).alias("c1"),
         canonicalize_url(F.col("u2")).alias("c2"),
+        canonicalize_url(F.col("u3")).alias("c3"),
         canonicalize_url(canonicalize_url(F.col("u1"))).alias("cc"),
     ).collect()[0]
     assert row.c1 == row.c2  # param order irrelevant
     assert row.cc == row.c1  # idempotent
+    assert row.c1 == row.c3  # scheme/host case never splits a dup group
+    assert row.c1.startswith(f"{scheme.lower()}://{host.lower()}")
