@@ -65,6 +65,8 @@ class ManifestTable:
         key_col: str = "user_id",
         n_buckets: int = 16,
         stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
+        token_bloom_cols: tuple[str, ...] = (),
     ):
         self.path = path
         self.key_col = key_col
@@ -74,6 +76,18 @@ class ManifestTable:
         # Delta file-stats analog. Every write path attaches them; reads
         # with a `where` range prune files whose bounds cannot match.
         self.stats_cols = tuple(stats_cols)
+        # r8 (VERDICT r7 #3) bloom-filter skip indexes — the ClickHouse
+        # `INDEX ... TYPE bloom_filter` / `tokenbf_v1` surface minmax
+        # cannot cover: per-FILE fixed-size bitsets over a column's
+        # VALUES (equality probes on high-cardinality unordered columns,
+        # where every file's [min, max] spans the whole domain) and over
+        # its lowercase-alnum TOKENS (hasToken / word-search probes).
+        # Build cost is one distributed scan of the NEW files per batch
+        # (never table-sized); probe cost is manifest-local. A probe
+        # skips a file only when some hash position is PROVABLY unset —
+        # false positives cost a scan, never a wrong result.
+        self.bloom_cols = tuple(bloom_cols)
+        self.token_bloom_cols = tuple(token_bloom_cols)
         os.makedirs(os.path.join(path, _MANIFESTS), exist_ok=True)
         os.makedirs(os.path.join(path, _DATA), exist_ok=True)
 
@@ -204,14 +218,145 @@ class ManifestTable:
             out.append({**f, "stats": st} if st else dict(f))
         return out
 
-    def files_for(self, where=None, version: int | None = None) -> list[dict]:
-        """Manifest entries a read with ``where`` must scan. ``where`` =
-        iterable of ``(col, lo, hi)`` inclusive range predicates (either
-        bound None = unbounded). A file is skipped only when its
-        recorded [min, max] PROVES no row can match; files with no
-        stats for the column (pre-zone-map manifests, schema-evolution
-        parts missing the column) are always scanned — pruning is an
-        optimization, never a correctness dependency."""
+    # -- bloom-filter skip indexes -------------------------------------------
+    # Fixed geometry, shared by write and probe sides. The hash is
+    # sha256 of the value's UTF-8 string form — computed JVM-side at
+    # write time (F.sha2, whole-stage codegen) and in hashlib at probe
+    # time; identical by construction, unlike reimplementing xxhash64
+    # in Python. Double hashing (Kirsch-Mitzenmacher) derives the k
+    # positions from two 32-bit slices of the digest.
+    _BLOOM_BITS = 8192  # 1 KiB/file/col — ~CH bloom_filter(0.025) scale
+    _TBLOOM_BITS = 16384  # tokens are many-per-row; double the bits
+    _BLOOM_K = 3
+
+    @staticmethod
+    def _bloom_positions(value, m: int) -> list[int]:
+        """Probe-side bit positions for ``value`` (int or str — the
+        types whose Spark ``cast('string')`` form equals ``str()``;
+        floats/decimals are refused: their JVM text forms differ)."""
+        import hashlib
+
+        if not isinstance(value, (str, int)) or isinstance(value, bool):
+            raise TypeError(
+                f"bloom probe values must be str or int, got {type(value).__name__!r}"
+            )
+        hx = hashlib.sha256(str(value).encode("utf-8")).hexdigest()
+        h1, h2 = int(hx[:8], 16), int(hx[8:16], 16)
+        return [(h1 + i * h2) % m for i in range(ManifestTable._BLOOM_K)]
+
+    @classmethod
+    def _bloom_pos_expr(cls, col, m: int):
+        """JVM-side positions array for one value column (mirrors
+        :meth:`_bloom_positions` exactly)."""
+        hx = F.sha2(F.col(col).cast("string"), 256)
+        h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        return F.array(
+            *[F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("int") for i in range(cls._BLOOM_K)]
+        )
+
+    @classmethod
+    def _token_pos_expr(cls, col, m: int):
+        """JVM-side positions for every DISTINCT lowercase-alnum token
+        of a text column (the repo-unified ``[a-z0-9]+`` tokenizer —
+        the same stream hasToken/line-dedup probes use)."""
+        toks = F.array_distinct(
+            F.filter(F.split(F.lower(F.col(col)), r"[^a-z0-9]+"), lambda t: t != "")
+        )
+
+        def pos_of(t):
+            hx = F.sha2(t, 256)
+            h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+            h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+            return F.array(
+                *[F.pmod(h1 + F.lit(i) * h2, F.lit(m)).cast("int") for i in range(cls._BLOOM_K)]
+            )
+
+        return F.flatten(F.transform(toks, pos_of))
+
+    @staticmethod
+    def _bitset_hex(positions, m: int) -> str:
+        bits = bytearray(m // 8)
+        for p in positions:
+            bits[p >> 3] |= 1 << (p & 7)
+        return bits.hex()
+
+    @staticmethod
+    def _bits_set(hexset: str, positions: list[int]) -> bool:
+        bits = bytes.fromhex(hexset)
+        return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
+
+    def _attach_blooms(self, spark: SparkSession, files: list[dict]) -> list[dict]:
+        """Per-file bloom bitsets for ``bloom_cols`` / ``token_bloom_cols``,
+        built in ONE distributed job over the just-written files: hash
+        positions are computed per row JVM-side, exploded, and
+        collect_set-aggregated per file (partial aggregation map-side;
+        per-file state is bounded by the bitset geometry, never by row
+        count). The driver only packs position sets into bitsets —
+        O(files × bits), batch-sized."""
+        if not (self.bloom_cols or self.token_bloom_cols) or not files:
+            return files
+        paths = [os.path.join(self.path, _DATA, f["name"]) for f in files]
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        vcols = [c for c in self.bloom_cols if c in df.columns]
+        tcols = [c for c in self.token_bloom_cols if c in df.columns]
+        if not vcols and not tcols:
+            return files
+        pos_structs = [
+            F.struct(
+                F.lit(f"b:{c}").alias("idx"),
+                self._bloom_pos_expr(c, self._BLOOM_BITS).alias("pos"),
+            )
+            for c in vcols
+        ] + [
+            F.struct(
+                F.lit(f"t:{c}").alias("idx"),
+                self._token_pos_expr(c, self._TBLOOM_BITS).alias("pos"),
+            )
+            for c in tcols
+        ]
+        rows = (
+            df.select(
+                F.input_file_name().alias("__f"),
+                F.explode(F.array(*pos_structs)).alias("s"),
+            )
+            .select("__f", F.col("s.idx").alias("idx"), F.explode("s.pos").alias("p"))
+            .groupBy("__f", "idx")
+            .agg(F.collect_set("p").alias("ps"))
+            .collect()
+        )  # ≤ files × index-count rows, each bounded by the bitset size
+        packed: dict[str, dict[str, dict[str, str]]] = {}
+        for r in rows:
+            name = os.path.basename(r["__f"])
+            kind, col = r["idx"].split(":", 1)
+            m = self._BLOOM_BITS if kind == "b" else self._TBLOOM_BITS
+            key = "bloom" if kind == "b" else "tbloom"
+            packed.setdefault(name, {}).setdefault(key, {})[col] = self._bitset_hex(
+                r["ps"], m
+            )
+        return [
+            {**f, **packed[f["name"]]} if f["name"] in packed else dict(f)
+            for f in files
+        ]
+
+    def files_for(
+        self, where=None, version: int | None = None, equals=None, tokens=None
+    ) -> list[dict]:
+        """Manifest entries a read must scan. Three probe families:
+
+        * ``where`` — iterable of ``(col, lo, hi)`` inclusive range
+          predicates (either bound None = unbounded) against the minmax
+          zone maps;
+        * ``equals`` — iterable of ``(col, value)`` equality probes
+          against the ``bloom_cols`` bitsets (CH ``bloom_filter``);
+        * ``tokens`` — iterable of ``(col, token)`` probes against the
+          ``token_bloom_cols`` bitsets (CH ``tokenbf_v1`` / hasToken);
+          the token must be a single lowercase-alnum token.
+
+        A file is skipped only when its index PROVES no row can match;
+        files with no index for the column (pre-index manifests,
+        schema-evolution parts missing the column) are always scanned —
+        pruning is an optimization, never a correctness dependency."""
         m = self.current_manifest() if version is None else self.manifest_at(version)
         files = m["files"]
         for col, lo, hi in where or ():
@@ -224,24 +369,49 @@ class ManifestTable:
                 elif (lo is None or b[1] >= lo) and (hi is None or b[0] <= hi):
                     kept.append(f)
             files = kept
+        for key, probes, bits in (
+            ("bloom", equals, self._BLOOM_BITS),
+            ("tbloom", tokens, self._TBLOOM_BITS),
+        ):
+            for col, value in probes or ():
+                pos = self._bloom_positions(value, bits)
+                files = [
+                    f
+                    for f in files
+                    if (f.get(key) or {}).get(col) is None  # no index → scan
+                    or self._bits_set(f[key][col], pos)
+                ]
         return files
 
     # -- read path -----------------------------------------------------------
-    def read(self, spark: SparkSession, version: int | None = None, where=None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where=None,
+        equals=None,
+        tokens=None,
+    ) -> DataFrame:
         """Read a snapshot — the current one, or TIME TRAVEL to any
         retained ``version`` (manifests are immutable and data files are
         only reclaimed by vacuum, so every retained version stays
         byte-stable — the Delta/Iceberg `VERSION AS OF` semantics).
 
-        ``where`` (optional, ``[(col, lo, hi), ...]``) zone-map-prunes
-        the file list before the scan (see :meth:`files_for`). Pruning
+        ``where`` (``[(col, lo, hi), ...]``) zone-map-prunes,
+        ``equals`` (``[(col, value), ...]``) bloom-prunes, and
+        ``tokens`` (``[(col, token), ...]``) token-bloom-prunes the
+        file list before the scan (see :meth:`files_for`). Pruning
         only drops files that PROVABLY contain no matching row — the
         caller still applies its exact row filter; the result is
         identical to an unpruned read + filter, just cheaper."""
         m = self.current_manifest() if version is None else self.manifest_at(version)
         if not m["files"]:
             raise FileNotFoundError(f"manifest table at {self.path} has no committed snapshot")
-        files = self.files_for(where, version) if where else m["files"]
+        files = (
+            self.files_for(where, version, equals=equals, tokens=tokens)
+            if (where or equals or tokens)
+            else m["files"]
+        )
         if not files:  # everything pruned: empty frame, full schema
             all_paths = [os.path.join(self.path, _DATA, f["name"]) for f in m["files"]]
             return spark.read.option("mergeSchema", "true").parquet(*all_paths).limit(0)
@@ -286,9 +456,11 @@ class ManifestTable:
                     out.append({"name": name, "bucket": b})
         finally:
             shutil.rmtree(staging, ignore_errors=True)
-        # every write path funnels through here, so zone maps stay
-        # attached across merge/append/compact/delete rewrites
-        return self._attach_stats(df.sparkSession, out)
+        # every write path funnels through here, so zone maps and bloom
+        # indexes stay attached across merge/append/compact/delete rewrites
+        return self._attach_blooms(
+            df.sparkSession, self._attach_stats(df.sparkSession, out)
+        )
 
     def merge_upsert(self, sort_key=("user_id", "updated_at"), arrival=("kafka_offset",)):
         """foreachBatch body: transactional last-wins MERGE.
@@ -407,7 +579,9 @@ class ManifestTable:
             note=f"compact final={final} buckets={len(touched)}",
         )
 
-    def delete_where(self, spark: SparkSession, predicate: str, where=None) -> int:
+    def delete_where(
+        self, spark: SparkSession, predicate: str, where=None, equals=None, tokens=None
+    ) -> int:
         """Transactional row delete — the mechanism behind ClickHouse
         row TTL (``TTL updated_at + INTERVAL ...``) and Delta's DELETE.
 
@@ -427,7 +601,11 @@ class ManifestTable:
         # all (a file not scanned cannot contribute a touched bucket,
         # and the zone maps prove it holds no matching row). The
         # rewrite below still reads every file of a touched bucket.
-        candidates = self.files_for(where) if where else m["files"]
+        candidates = (
+            self.files_for(where, equals=equals, tokens=tokens)
+            if (where or equals or tokens)
+            else m["files"]
+        )
         if not candidates:
             return self.current_version()
         paths = [os.path.join(self.path, _DATA, f["name"]) for f in candidates]
