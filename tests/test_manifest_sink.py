@@ -340,10 +340,11 @@ def test_stat_val_encoding_is_order_preserving_and_total(spark, tmp_path):
     """r8 ADVICE fixes on _stat_val: Decimal bounds must compare
     numerically (str(Decimal) sorts '100.00' < '20'); DateType columns
     must not crash the write path (date.isoformat takes no sep arg);
-    string probes that parse as timestamps get the same fixed-width
-    fraction padding as datetime file bounds (an unpadded '…:00' probe
-    vs a '…:00.000000' bound wrongly pruned inclusive upper bounds at
-    whole-second boundaries); unknown types are refused loudly."""
+    unknown types are refused loudly. r9 ADVICE: STRING bounds now stay
+    RAW (blanket padding was non-monotone for genuine string columns —
+    see test_string_column_ts_shaped_values_not_mispruned); a
+    timestamp-literal probe is padded per-comparison, only against a
+    datetime column's padded bound (_probe_forms/_probe_vs_bound)."""
     import datetime as dt
     import decimal
 
@@ -355,12 +356,18 @@ def test_stat_val_encoding_is_order_preserving_and_total(spark, tmp_path):
     assert sv(decimal.Decimal("20")) < sv(decimal.Decimal("100.00"))
     # date: no crash, fixed-width ISO
     assert sv(dt.date(2024, 3, 7)) == "2024-03-07"
-    # timestamp-string probe padded to the datetime bound's width
+    # datetime bounds are fixed-width padded; STRING values stay raw
     bound = sv(dt.datetime(2024, 1, 2, 0, 0, 0))
     assert bound == "2024-01-02 00:00:00.000000"
-    assert sv("2024-01-02 00:00:00") == bound
-    assert sv("2024-01-02T00:00:00.5") == "2024-01-02 00:00:00.500000"
+    assert sv("2024-01-02 00:00:00") == "2024-01-02 00:00:00"
     assert sv("not a timestamp") == "not a timestamp"
+    # probe forms: raw always; padded only for timestamp literals
+    raw, padded = ManifestTable._probe_forms("2024-01-02T00:00:00.5")
+    assert (raw, padded) == ("2024-01-02T00:00:00.5", "2024-01-02 00:00:00.500000")
+    assert ManifestTable._probe_forms("plain")[1] is None
+    # per-bound choice: padded vs a datetime bound, raw vs a string bound
+    assert ManifestTable._probe_vs_bound(raw, padded, bound) == padded
+    assert ManifestTable._probe_vs_bound(raw, padded, "2024-01-02 00:00:00+00:00") == raw
     with pytest.raises(TypeError):
         sv(object())
 
@@ -410,3 +417,233 @@ def test_inclusive_ts_bound_at_whole_second_not_pruned(spark, tmp_path):
     # inclusive upper bound exactly at the file's min
     assert len(t.files_for([("ts", None, "2024-01-02 00:00:00")])) == 1
     assert t.read(spark, where=[("ts", None, "2024-01-02 00:00:00")]).count() == 1
+
+
+def test_string_column_ts_shaped_values_not_mispruned(spark, tmp_path):
+    """r9 ADVICE (medium): a GENUINE string column holding both
+    '…00:00:00' and '…00:00:00+00:00' used to get its min padded
+    ('…00.000000' sorts AFTER the raw '+00:00' form since '+' < '.'),
+    encoding min > max and silently dropping matching rows from
+    read(where=…). String bounds now stay raw; the probe stays raw
+    against them."""
+    t = ManifestTable(
+        str(tmp_path / "t"), key_col="uid", n_buckets=1, stats_cols=("s",)
+    )
+    df = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00"), (2, "2024-01-02 00:00:00+00:00")],
+        "uid long, s string",
+    )
+    t.append_parts(sort_key=("uid", "s"), arrival=("uid",))(df, 0)
+    (f,) = t.current_manifest()["files"]
+    lo, hi = f["stats"]["s"]
+    assert lo <= hi  # raw bounds are monotone again
+    assert lo == "2024-01-02 00:00:00" and hi == "2024-01-02 00:00:00+00:00"
+    # inclusive probe equal to an actual row value must scan the file
+    probe = [("s", "2024-01-02 00:00:00", "2024-01-02 00:00:00")]
+    assert len(t.files_for(probe)) == 1
+    got = t.read(spark, where=probe).filter(F.col("s") == "2024-01-02 00:00:00")
+    assert [r.uid for r in got.collect()] == [1]
+
+
+def test_token_probe_contract_refuses_unindexable_tokens(spark, tmp_path):
+    """r9 (VERDICT r8 #1a + ADVICE): a token probe the write-side
+    lowercase [a-z0-9]+ tokenizer could never have produced must raise,
+    not silently prune files that do contain the token."""
+    import pytest
+
+    t = ManifestTable(
+        str(tmp_path / "t"), key_col="uid", n_buckets=1, token_bloom_cols=("txt",)
+    )
+    df = spark.createDataFrame([(1, "Hello World")], "uid long, txt string")
+    t.append_parts(sort_key=("uid", "txt"), arrival=("uid",))(df, 0)
+    for bad in ("Foo", "foo bar", "", "naïve", 7, None):
+        with pytest.raises((ValueError, TypeError)):
+            t.files_for(tokens=[("txt", bad)])
+    # the normalized single token is accepted and never prunes its file
+    assert len(t.files_for(tokens=[("txt", "hello")])) == 1
+
+
+def test_bloom_positions_jvm_python_mirror(spark):
+    """r9 (VERDICT r8 #1b): the write side computes bloom positions
+    JVM-side (F.sha2 + F.conv) and the probe side in hashlib — the two
+    implementations MUST agree on every value or pruning silently goes
+    false-negative. Checked over a value grid covering ints (sign,
+    zero, 2^31 edges), plain/unicode/long strings, and tokens."""
+    values = [
+        0, 1, -1, 7, 42, 2**31 - 1, -(2**31), 123456789012345,
+        "", "a", "hello", "user_42", "2024-01-02 00:00:00",
+        "x" * 300, "ünïcodé-ştr", "tab\tsep", "line\nbreak",
+    ]
+    for m in (ManifestTable._BLOOM_BITS, ManifestTable._TBLOOM_BITS):
+        df = spark.createDataFrame(
+            [(str(v),) for v in values], "v string"
+        ).withColumn("pos", ManifestTable._bloom_pos_expr("v", m))
+        jvm = {r["v"]: list(r["pos"]) for r in df.collect()}
+        for v in values:
+            py = ManifestTable._bloom_positions(v, m)
+            assert jvm[str(v)] == py, f"JVM/Python bloom mismatch for {v!r} m={m}"
+    # token path: every distinct lowercase token's positions mirror too
+    text = "The quick brown-fox 42 jumps_over; the lazy DOG 42"
+    toks = sorted({t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t})
+    df = spark.createDataFrame([(text,)], "txt string").withColumn(
+        "pos", ManifestTable._token_pos_expr("txt", ManifestTable._TBLOOM_BITS)
+    )
+    flat = list(df.collect()[0]["pos"])
+    k = ManifestTable._BLOOM_K
+    got_sets = {tuple(flat[i : i + k]) for i in range(0, len(flat), k)}
+    want_sets = {
+        tuple(ManifestTable._bloom_positions(t, ManifestTable._TBLOOM_BITS))
+        for t in toks
+    }
+    assert got_sets == want_sets
+
+
+def test_bloom_pruning_never_false_negative_property(spark, tmp_path):
+    """r9 (VERDICT r8 #1c): pruned read + exact filter ≡ unpruned read
+    + exact filter, for EVERY present value and a band of absent ones,
+    over seeded-random data — a false negative (file wrongly pruned)
+    changes the left side; false positives only cost a scan. Also
+    asserts the index earns its keep: absent-value probes prune files."""
+    import random
+
+    rnd = random.Random(90210)
+    words = ["alpha", "bravo", "carol", "delta", "echo99", "fox", "golf", "hotel"]
+    rows = [
+        (
+            i,
+            rnd.randrange(10_000),
+            " ".join(rnd.choice(words) for _ in range(rnd.randrange(1, 6))),
+        )
+        for i in range(120)
+    ]
+    t = ManifestTable(
+        str(tmp_path / "t"),
+        key_col="rid",
+        n_buckets=2,
+        bloom_cols=("val",),
+        token_bloom_cols=("txt",),
+    )
+    df = spark.createDataFrame(rows, "rid long, val long, txt string")
+    sink = t.append_parts(sort_key=("rid", "val"), arrival=("rid",))
+    for b in range(4):
+        sink(df.filter(F.col("rid") % 4 == b), b)
+    n_files = len(t.current_manifest()["files"])
+    assert n_files >= 8
+
+    # equality probes: every present value + absent values
+    present_vals = sorted({v for _, v, _ in rows})
+    for v in present_vals[:25] + [10_001, 99_999, -5]:
+        kept = t.files_for(equals=[("val", v)])
+        got = sorted(
+            r.rid for r in t.read(spark, equals=[("val", v)])
+            .filter(F.col("val") == v).collect()
+        )
+        want = sorted(rid for rid, val, _ in rows if val == v)
+        assert got == want, f"bloom false-negative for val={v}"
+        assert len(kept) <= n_files
+    absents = [t.files_for(equals=[("val", v)]) for v in (10_001, 99_999, -5)]
+    assert min(len(k) for k in absents) < n_files  # absent values prune
+
+    # token probes: every vocabulary token + absent tokens
+    for tok in words + ["zulu", "absent0"]:
+        got = sorted(
+            r.rid for r in t.read(spark, tokens=[("txt", tok)])
+            .filter(F.array_contains(F.split(F.lower("txt"), r"[^a-z0-9]+"), tok))
+            .collect()
+        )
+        want = sorted(rid for rid, _, txt in rows if tok in txt.split())
+        assert got == want, f"token-bloom false-negative for {tok!r}"
+    assert len(t.files_for(tokens=[("txt", "zulu")])) < n_files
+
+
+def test_projection_layout_chosen_and_results_identical(spark, tmp_path):
+    """r9 (VERDICT r8 #3): a projection sorted by a column the base
+    bucket layout interleaves must (a) be chosen at read time for range
+    probes on that column, (b) prune where base cannot, (c) return
+    identical rows, and (d) survive part-merge compaction (which must
+    rebuild it and drop the consumed parts' projection files)."""
+    t = ManifestTable(
+        str(tmp_path / "t"), key_col="uid", n_buckets=4, stats_cols=("seq",)
+    )
+    df = spark.range(200).select(
+        F.col("id").alias("uid"), F.col("id").alias("seq"),
+        (F.col("id") * 3 % 7).alias("v"),
+    )
+    sink = t.append_parts(sort_key=("uid", "seq"), arrival=("uid",))
+    sink(df.filter(F.col("uid") % 2 == 0), 0)  # pre-projection part
+    t.add_projection(spark, "by_seq", "seq", n_files=4)  # backfills
+    sink(df.filter(F.col("uid") % 2 == 1), 1)  # post-projection part
+
+    probe = [("seq", 40, 59)]
+    layout, files = t.choose_layout(where=probe)
+    assert layout == "by_seq"
+    base_pruned = t.files_for(probe)
+    base_total = len([f for f in t.current_manifest()["files"] if not f.get("proj")])
+    # every batch spans the seq range → base zone maps cannot prune
+    assert len(base_pruned) == base_total
+    assert len(files) < base_total
+    got = sorted(
+        r.uid for r in t.read(spark, where=probe)
+        .filter((F.col("seq") >= 40) & (F.col("seq") <= 59)).collect()
+    )
+    assert got == list(range(40, 60))
+
+    v_before = t.current_version()
+    t.compact(spark)  # part-merge mode: rebuilds base + projection
+    assert t.current_version() > v_before
+    m = t.current_manifest()
+    parts = {f.get("part") for f in m["files"] if not f.get("proj")}
+    assert len(parts) == 1  # one merged part
+    assert t._projection_files(m, "by_seq") is not None  # still complete
+    layout2, files2 = t.choose_layout(where=probe)
+    assert layout2 == "by_seq"
+    got2 = sorted(
+        r.uid for r in t.read(spark, where=probe)
+        .filter((F.col("seq") >= 40) & (F.col("seq") <= 59)).collect()
+    )
+    assert got2 == list(range(40, 60))
+    assert t.read(spark).count() == 200  # base unaffected
+
+
+def test_projection_incomplete_falls_back_to_base(spark, tmp_path):
+    """A projection that does not cover every part (e.g. a part written
+    by an engine version without the projection) must be unusable —
+    reads fall back to base rather than silently dropping rows."""
+    t = ManifestTable(
+        str(tmp_path / "t"), key_col="uid", n_buckets=2, stats_cols=("seq",)
+    )
+    df = spark.range(40).select(F.col("id").alias("uid"), F.col("id").alias("seq"))
+    sink = t.append_parts(sort_key=("uid", "seq"), arrival=("uid",))
+    t.add_projection(spark, "by_seq", "seq", n_files=2)
+    sink(df.filter(F.col("uid") < 20), 0)
+    # simulate a foreign writer: append a part with NO projection files
+    t.projections, saved = {}, t.projections
+    try:
+        sink(df.filter(F.col("uid") >= 20), 1)
+    finally:
+        t.projections = saved
+    m = t.current_manifest()
+    assert t._projection_files(m, "by_seq") is None
+    layout, _ = t.choose_layout(where=[("seq", 0, 5)])
+    assert layout == "base"
+    got = sorted(
+        r.uid for r in t.read(spark, where=[("seq", 0, 5)])
+        .filter(F.col("seq") <= 5).collect()
+    )
+    assert got == [0, 1, 2, 3, 4, 5]
+
+
+def test_projection_guards_bucket_scoped_mutations(spark, tmp_path):
+    """merge_upsert/delete_where on a projection-carrying table must
+    refuse loudly (bucket-scoped rewrites would strand projection
+    rows), not corrupt silently."""
+    import pytest
+
+    t = ManifestTable(str(tmp_path / "t"), key_col="uid", n_buckets=2)
+    df = spark.range(10).select(F.col("id").alias("uid"), F.col("id").alias("seq"))
+    t.append_parts(sort_key=("uid", "seq"), arrival=("uid",))(df, 0)
+    t.add_projection(spark, "by_seq", "seq")
+    with pytest.raises(NotImplementedError):
+        t.merge_upsert()
+    with pytest.raises(NotImplementedError):
+        t.delete_where(spark, "seq < 5")
