@@ -155,7 +155,36 @@ HEADLINE = [
     "line_dedup_corpus",
     "uniq_mv_incremental",
     "cdc_avro_decode_pipeline",
+    # r9
+    "manifest_bloom_read",
+    "manifest_projection_read",
+    "sample_keyed_events",
+    "sequence_match_dot",
 ]
+
+# r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the
+# unbenched remainder is policy, not accident — HEADLINE carries every
+# query whose plan contains a heavy operator shape (shuffle, join,
+# window, iterative closure, Arrow/mapInPandas stage, or lifecycle
+# write path) not already timed by a benched family member on the same
+# tables. The remainder is exempt because each is (a) a map-only
+# scalar-function variant whose cost is the parquet scan itself and
+# whose function family is timed by a benched composite
+# (scalar_funcs_composite / text_analysis_composite / the r7
+# encoding/format/url composites), (b) a TPC-H or join/setop shape
+# whose benched sibling times the identical plan skeleton
+# (q2/q11/q16/q20 → their benched *_spec twins; q12/q14/q15/q19/q22 →
+# benched q6/q10/q13/q17/q21 skeletons), or (c) a CDC micro-step timed
+# inside a benched composite (cdc_latest_state, cdc_avro_decode_
+# pipeline). Every bench record emits the exempt list + this rule as
+# machine-readable "coverage" so the omission is auditable per round.
+EXEMPTION_RULE = (
+    "benched = every distinct heavy plan shape (shuffle/join/window/"
+    "iterative/Arrow/lifecycle) once per family; exempt = map-only "
+    "function-family variants covered by a benched composite, sibling "
+    "TPC-H/join shapes sharing a benched plan skeleton, and CDC "
+    "micro-steps timed inside a benched composite"
+)
 
 # count()-based timing lets Catalyst prune columns the count doesn't
 # need — for queries whose row count is derivable WITHOUT the expensive
@@ -202,8 +231,10 @@ FORCE_EVAL = {
 # whose FIRST timing exceeds OUTLIER_S is re-run once at the end of
 # the pass and the MINIMUM is recorded (a contention spike does not
 # reproduce; a real cost does). Both samples land in the sidecar
-# record under "reruns".
-OUTLIER_S = 3.0
+# record under "reruns". r9 (VERDICT r8 #8): threshold lowered 3.0 →
+# 2.0 s so q3-class contention spikes (r8 saw 0.88 → 2.18 s) self-
+# identify with a second sample instead of needing judge adjudication.
+OUTLIER_S = 2.0
 
 # r7 (VERDICT r6 #3): same-machine calibration embedded in the record,
 # so BENCH_r07+ carries its own reference total and cross-round deltas
@@ -304,6 +335,15 @@ def main() -> None:
         out["reruns"] = reruns
     if errors:
         out["errors"] = errors
+    # r9 coverage audit (VERDICT r8 #7): registered-but-unbenched
+    # queries are a stated policy — see EXEMPTION_RULE
+    exempt = sorted(set(QUERIES) - set(HEADLINE))
+    out["coverage"] = {
+        "registered": len(QUERIES),
+        "benched": len([n for n in HEADLINE if n in QUERIES]),
+        "exempt": exempt,
+        "exemption_rule": EXEMPTION_RULE,
+    }
     line = json.dumps(out)
     # The driver captures a bounded stdout TAIL (~2 KB): BENCH_r04 lost
     # its first 4 per-query timings, BENCH_r05 its first ~21 and failed
@@ -324,6 +364,7 @@ def main() -> None:
         slowest = sorted(timings, key=timings.get, reverse=True)
         bounded = dict(out)
         bounded.pop("reruns", None)  # full samples live in the sidecar
+        bounded.pop("coverage", None)  # full exempt list in the sidecar
         for keep in range(len(slowest), -1, -1):
             bounded["queries"] = {n: timings[n] for n in slowest[:keep]}
             bounded["queries_omitted"] = len(timings) - keep

@@ -2,12 +2,22 @@
 
 Importing this package populates the registry from the tier modules,
 then reorders it so the driver's CORRECTNESS window (the first 50
-registered queries) covers every SURVEY §2 operator class — the CDC
-spine, all 22 TPC-H shapes, one representative per Tier B family
-(composites pack the scalar-function families into single slots), and
-the full Tier C training-data battery including the golden-backed
-hash-family operators and the multimodal codec path. Everything after
-slot 50 stays registered and oracle-gated in pytest.
+registered queries) covers every SURVEY §2 operator class. Everything
+after slot 50 stays registered and oracle-gated in pytest.
+
+ROTATION POLICY (r9, VERDICT r8 #2 — a standing rule, not a per-round
+judgment call):
+
+1. Every query that is NEW this round, has NEVER been driver-checked,
+   or whose SEMANTICS or implementation internals changed this round
+   (including operators it transitively exercises) is seated.
+2. Remaining slots backfill OLDEST-GREEN-FIRST from the per-query
+   last-driver-green ledger (reconstructable from CORRECTNESS_r*.json;
+   ties broken alphabetically), so no query's latest green row ages
+   beyond a few rounds and a silent regression has nowhere to hide.
+3. Everything rotated out stays registered, oracle-gated in pytest
+   (tests/test_oracle_correctness.py runs the FULL battery), and
+   bench-visible.
 """
 
 from postgre_to_clickhouse_spark.queries.registry import ORACLES, QUERIES
@@ -28,93 +38,81 @@ from postgre_to_clickhouse_spark.queries import tierc6  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc7  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierb4  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tpch_spec  # noqa: E402,F401
+from postgre_to_clickhouse_spark.queries import tierc8  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 
-# The driver checks the FIRST 50 registered queries; this is the curated
-# window. r7 rotation (VERDICT r6 #1): seat ALL 22 queries that have
-# never had a driver CORRECTNESS row (the late-r6 batch), the new r7
-# queries, every query whose semantics changed in r7 (the tokenizer
-# unification), and backfill the remaining slots with the OLDEST green
-# rows (r1/r3/r4 era) for drift re-verification. Everything rotated
-# out is r5/r6-green and remains registered + oracle-gated in pytest.
+# The r9 window, per the policy above. Ledger at rotation time:
+# last-green r1 ×1, r3 ×3, r4 ×28, r5 ×48, r6 ×46, r8 ×50, plus
+# sequence_match_dot never driver-checked (VERDICT r8 #1 of "missing").
 _WINDOW = [
-    # --- The 22 never-driver-checked late-r6 queries (VERDICT r6 #1:
-    # seating all of them makes every registered query driver-green at
-    # least once -> 157/157 cumulative) ---
-    "asof_forward_next_order",    # B6 forward as-of
-    "quantile_sketch_events",     # B20 mergeable quantile states
-    "bpe_tokenize_documents",     # C4 real BPE (golden oracle)
-    "multimodal_video_gif",       # C5 GIF89a video container
-    "vector_pq_topk",             # C3 product quantization (golden)
-    "vector_ivfpq_topk",          # C3 IVF-PQ (golden)
-    "sequence_count_funnel",      # B21 sequenceCount
-    "lm_bigram_nll",              # C4 bigram LM perplexity
-    "array_cumsum_diff_compact",  # B17 array transforms
-    "approx_topk_by_lang",        # C8 grouped topK
-    "curriculum_order_documents", # C6 curriculum ordering
-    "moving_agg_events",          # B21 moving sum/avg + deltaSum
-    "entropy_user_event_types",   # B21 entropy()
-    "agg_combinators_events",     # B21 countIf/sumIf/uniqUpTo
-    "range_interval_window_events",  # B10 time-interval RANGE frame
-    "timeseries_forward_fill",    # B20 WITH FILL locf
-    "phrase_search_documents",    # C11 positional phrase match
-    "dau_wau_stickiness",         # B21 DAU/WAU
-    "time_to_conversion",         # B21 first-touch conversion lag
-    "ngram_search_documents",     # C11 ngramSearch
-    "event_transition_matrix",    # B21 sequenceNextNode transitions
-    "levenshtein_near_match",     # C2 edit-distance pairs (r7 re-blocked)
-    # --- New in r7 ---
-    "sequence_match_negation",    # B21 alternation+negation patterns (r7)
-    "manifest_evolution_read",    # A8 schema evolution via driver (r7)
-    # --- Changed-in-r7 semantics: tokenizer unification ([^a-z0-9]+
-    # replaces \W+ in tokens_of / unigram / bigram LMs) ---
-    "ccnet_perplexity_buckets",   # C4 (unigram LM tokenizer)
-    "dataset_card_summary",       # C6 (token-volume tokenizer)
-    "approx_topk_tokens",         # C8 (tokens_of)
-    "approx_topk_weighted_tokens",  # C8 (tokens_of)
-    # --- Oldest-green backfill (drift re-verification, oldest first:
-    # r1 singles, r3 trio, then the r4 cohort alphabetically) ---
-    "json_events_extract",        # B16, last green r1
-    "setop_union_distinct_keys",  # B12, last green r1
-    "cdc_avro_decode_pipeline",   # A7 jar-free AvroConfluent e2e (new r7)
-    "text_quality_stats",         # C4, last green r1
-    "window_hourly_event_counts", # B10, last green r1
-    "remove_dup_spans",           # C1/C4 ExactSubstr span removal (new r7)
-    "line_dedup_corpus",          # C1/C4 CCNet paragraph dedup (new r7)
-    "uniq_mv_incremental",        # A12 uniqState/uniqMerge MV (new r7)
-    "dedup_components_knn",       # C2, last green r4 (iterative op — drift-prone)
-    # --- New in r7, later batch (every one seated so r7 closes with
-    # ZERO never-driver-checked queries) ---
-    "url_ip_funcs",               # B25 URL/IP function family (new r7)
-    "audience_overlap_matrix",    # B26 bitmap-intersection workload (new r7)
-    "geo_funcs",                  # B27 geo functions (new r7)
-    "dictget_customer_enrich",    # B28 external dictionaries (new r7)
-    "limit_by_user_events",       # B11 LIMIT n OFFSET m BY (new r7)
-    "timeseries_interpolate",     # B20 WITH FILL INTERPOLATE (new r7)
-    "gopher_ngram_repetition",    # C4 Gopher n-gram repetition (new r7)
-    "encoding_funcs",             # B29 base64/hex round-trips (new r7)
-    "bitwise_funcs_agg",          # B30 groupBitAnd/Or/Xor (new r7)
-    "url_canonicalize_dedup",     # C1/C4 URL canonicalization (new r7)
-    "format_datetime_funcs",      # B31 formatDateTime/parse (new r7)
-    "array_set_ops",              # B32 array set operations (new r7)
-    "manifest_zonemap_read",      # A8 zone-map file skipping (new r7)
+    # --- Rule 1: new in r9 ---
+    "manifest_bloom_read",        # A8 bloom/token-bloom skip indexes (r8 weak → proven)
+    "manifest_projection_read",   # A8 table projections (VERDICT r8 #3)
+    "sample_keyed_events",        # SAMPLE f OFFSET o clause (VERDICT r8 #4)
+    # --- Rule 1: never driver-checked (restores the 178/178 ledger) ---
+    "sequence_match_dot",         # B21 sequenceMatch '.' token (r8)
+    # --- Rule 1: implementation internals changed in r9 (manifest.py
+    # _stat_val string-padding asymmetry + files_for per-bound probes
+    # sit under both lifecycle paths) ---
+    "manifest_evolution_read",    # A8 schema evolution (r8-green, re-verify)
+    "manifest_zonemap_read",      # A8 zone maps (r8-green, re-verify)
+    # --- Rule 2: oldest-green-first backfill. r1/r3 singles ---
+    "string_funcs_extended",      # B13, last green r1
+    "agg_approx_distinct",        # B8, last green r3
+    "simhash_signatures",         # C2, last green r3
+    "vector_lsh_topk",            # C3, last green r3
+    # --- the full r4 cohort (28), alphabetical ---
+    "dedup_exact_documents",      # C1
+    "minhash_near_dup_candidates",  # C2
+    "pack_sequences",             # C4
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "semdedup_prune",             # C2
+    "sessionize_events",          # A26
+    "text_analysis_composite",    # C4
+    "tfidf_top_terms",            # C4
+    "vector_cosine_topk",         # C3
+    "vector_ivf_topk",            # C3
+    # --- r5 cohort, alphabetical first 12 (the remaining 36 r5-greens
+    # rotate in over r10-r11 under rule 2) ---
+    "array_manipulation",         # B17
+    "asof_events_last_order",     # B6
+    "band_join_acctbal",          # B5
+    "bm25_topk",                  # C11
+    "cap_per_source_skewsafe",    # C6
+    "cdc_dedup_redelivery",       # A19
+    "cdc_full_scan",              # A21
+    "cdc_latest_state",           # A20
+    "cdc_mv_transform",           # A13-A16
+    "cdc_users_pipeline",         # A11-A21 composite
+    "decontaminate_eval_overlap", # C2
+    "dedup_incremental_batch",    # C1
 ]
-# Coverage: with this window green, EVERY registered query — including
-# all 17 r7-late additions — has at least one driver-green CORRECTNESS
-# row across r1-r7, i.e. r7 closes with ZERO never-driver-checked
-# queries. The 22 late-r6 never-checked queries are seated, all 19 r7
-# additions are seated, the four queries whose tokenizer changed in r7
-# are re-verified, and the oldest green rows (r1/r3/r4 era) get
-# drift re-checks. The rows evicted to make room for the r7-late
-# batch (dedup_exact_documents, minhash_near_dup_candidates,
-# pack_sequences, q10-q16 — r4-green — plus agg_approx_distinct, r3-green with their families re-proven by
-# r6/r7-green relatives) stay oracle-gated in pytest + bench-visible.
 
 
 def _reorder() -> None:
     missing = [n for n in _WINDOW if n not in QUERIES]
     if missing:
         raise KeyError(f"window names not registered: {missing}")
+    if len(_WINDOW) != 50 or len(set(_WINDOW)) != 50:
+        raise ValueError(f"window must be 50 unique names, got {len(_WINDOW)}")
     ordered = {n: QUERIES[n] for n in _WINDOW}
     for n, fn in QUERIES.items():
         if n not in ordered:

@@ -24,7 +24,18 @@ def _pin(out):
     temp files — NO driver round-trip, so the result stays distributed
     at any cardinality (r8, VERDICT r7 #1: the previous
     ``collect() → createDataFrame`` funneled O(users) rows through the
-    driver — the one scale-killer in an otherwise green battery)."""
+    driver — the one scale-killer in an otherwise green battery).
+
+    Trade-offs, deliberate for this harness (r9 ADVICE): the pinned
+    partitions stay in executor storage until the application exits
+    (the driver consumes the frame once and the session is per-run, so
+    there is no unpersist hook after its collect), and a localCheckpoint
+    is unrecoverable on executor loss (lineage severed). A LONG-LIVED
+    service reusing these operators should either ``unpersist()`` the
+    returned frame's RDD after consumption or use reliable
+    ``checkpoint()`` to a durable dir — the lifecycle itself (write →
+    commit → read) is unaffected; only the returned snapshot's storage
+    is at stake."""
     return out.localCheckpoint(eager=True)
 
 

@@ -446,6 +446,23 @@ class ManifestTable:
             new_base + others + proj_files, note=f"add_projection {name}"
         )
 
+    def drop_projection(self, name: str) -> int:
+        """ClickHouse ``ALTER TABLE ... DROP PROJECTION``: unregister
+        the projection and commit a manifest without its files (the
+        data files themselves are reclaimed by a later vacuum, keeping
+        retained versions time-travel-readable). Dropping the last
+        projection re-enables the bucket-scoped mutation paths
+        (merge_upsert / delete_where)."""
+        if name not in self.projections:
+            raise ValueError(f"projection {name!r} does not exist")
+        del self.projections[name]
+        self._save_projections()
+        m = self.current_manifest()
+        kept = [f for f in m["files"] if f.get("proj") != name]
+        if len(kept) == len(m["files"]):
+            return self.current_version()
+        return self._commit(kept, note=f"drop_projection {name}")
+
     def _write_projection_files(
         self, df: DataFrame, part_id: str, only: str | None = None
     ) -> list[dict]:

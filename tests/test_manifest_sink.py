@@ -469,10 +469,19 @@ def test_bloom_positions_jvm_python_mirror(spark):
     implementations MUST agree on every value or pruning silently goes
     false-negative. Checked over a value grid covering ints (sign,
     zero, 2^31 edges), plain/unicode/long strings, and tokens."""
+    import random
+
+    rnd = random.Random(424242)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 _-ÄöüßÉ中文🙂\t"
+    fuzz = [
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(1, 40)))
+        for _ in range(150)
+    ] + [rnd.randrange(-(2**62), 2**62) for _ in range(50)]
     values = [
         0, 1, -1, 7, 42, 2**31 - 1, -(2**31), 123456789012345,
         "", "a", "hello", "user_42", "2024-01-02 00:00:00",
         "x" * 300, "ünïcodé-ştr", "tab\tsep", "line\nbreak",
+        *fuzz,
     ]
     for m in (ManifestTable._BLOOM_BITS, ManifestTable._TBLOOM_BITS):
         df = spark.createDataFrame(
@@ -647,3 +656,33 @@ def test_projection_guards_bucket_scoped_mutations(spark, tmp_path):
         t.merge_upsert()
     with pytest.raises(NotImplementedError):
         t.delete_where(spark, "seq < 5")
+
+
+def test_drop_projection_reenables_mutations_and_vacuums(spark, tmp_path):
+    """DROP PROJECTION removes the projection's files from the new
+    snapshot (older versions stay time-travel-readable until vacuum),
+    re-enables delete_where, and leaves base results untouched."""
+    t = ManifestTable(
+        str(tmp_path / "t"), key_col="uid", n_buckets=2, stats_cols=("seq",)
+    )
+    df = spark.range(50).select(F.col("id").alias("uid"), F.col("id").alias("seq"))
+    t.append_parts(sort_key=("uid", "seq"), arrival=("uid",))(df, 0)
+    t.add_projection(spark, "by_seq", "seq", n_files=2)
+    v_with = t.current_version()
+    assert any(f.get("proj") for f in t.current_manifest()["files"])
+
+    t.drop_projection("by_seq")
+    assert not any(f.get("proj") for f in t.current_manifest()["files"])
+    assert not t.projections
+    # old version still carries (and can choose) the projection's files
+    assert any(f.get("proj") for f in t.manifest_at(v_with)["files"])
+    # mutations work again; results correct
+    t.delete_where(spark, "seq >= 40")
+    assert t.read(spark).count() == 40
+    # a fresh handle sees the persisted (empty) projection registry
+    assert not ManifestTable(str(tmp_path / "t"), key_col="uid").projections
+    # vacuum reclaims the dropped projection's files with the old versions
+    t.vacuum(keep_versions=1)
+    live = {f["name"] for f in t.current_manifest()["files"]}
+    data = set(os.listdir(os.path.join(t.path, "data")))
+    assert live <= data and not any(n.startswith("p-by_seq-") for n in data)

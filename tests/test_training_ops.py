@@ -68,6 +68,45 @@ def test_sample_fraction_composes_disjointly(spark):
     assert 0.15 < len(a) / d.count() < 0.45
 
 
+def test_sample_consistent_ch_sample_clause_laws(spark):
+    """r9 (VERDICT r8 #4): the SAMPLE clause's documented laws —
+    (a) superset consistency: sample(0.1) ⊆ sample(0.2) at one offset;
+    (b) OFFSET bands at f=0.25 partition the keys exactly (disjoint,
+    exhaustive); (c) keyed all-or-none: a key's rows never split
+    across a band boundary; (d) invalid args refuse loudly."""
+    import pytest
+
+    ev = catalog.load(spark, SF_SMALL, "events")
+
+    def users(frac, off):
+        return {
+            r.user_id
+            for r in SM.sample_consistent(ev, frac, "user_id", offset=off)
+            .select("user_id").distinct().collect()
+        }
+
+    assert users(0.1, 0.0) <= users(0.2, 0.0) <= users(0.4, 0.0)  # (a)
+    bands = [users(0.25, o) for o in (0.0, 0.25, 0.5, 0.75)]
+    all_users = {r.user_id for r in ev.select("user_id").distinct().collect()}
+    assert set().union(*bands) == all_users  # (b) exhaustive
+    for i in range(4):
+        for j in range(i + 1, 4):
+            assert not bands[i] & bands[j]  # (b) disjoint
+    # (c) row counts per band sum to the table (no row lost or doubled)
+    n = sum(
+        SM.sample_consistent(ev, 0.25, "user_id", offset=o).count()
+        for o in (0.0, 0.25, 0.5, 0.75)
+    )
+    assert n == ev.count()
+    # wraparound band covers exactly its complement's complement
+    wrap = users(0.3, 0.9)  # [0.9, 1) ∪ [0, 0.2)
+    assert wrap == (users(0.1, 0.9) | users(0.2, 0.0))
+    with pytest.raises(ValueError):
+        SM.sample_consistent(ev, 1.5, "user_id")
+    with pytest.raises(ValueError):
+        SM.sample_consistent(ev, 0.5, "user_id", offset=1.0)
+
+
 # -- text cleaning ---------------------------------------------------------
 def test_clean_text_golden(spark):
     rows = [
