@@ -160,6 +160,14 @@ HEADLINE = [
     "manifest_projection_read",
     "sample_keyed_events",
     "sequence_match_dot",
+    # r9 session 2: new heavy plan shapes (tierb5). with_totals_status /
+    # welch_ttest_values / cramers_v_association stay exempt — their
+    # plan skeletons (single-col rollup, groupBy+scalar pivot, cell agg
+    # + broadcast marginals) are timed by rollup_revenue_region_nation,
+    # agg_events_stats and cohort_retention_matrix on the same tables.
+    "mann_whitney_values",        # two-phase distributed prefix-sum rank
+    "max_intersections_users",    # interval sweep window over reduced table
+    "ema_user_values",            # per-entity higher-order fold
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

@@ -39,6 +39,7 @@ from postgre_to_clickhouse_spark.queries import tierc7  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierb4  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tpch_spec  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc8  # noqa: E402,F401
+from postgre_to_clickhouse_spark.queries import tierb5  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 
 # The r9 window, per the policy above. Ledger at rotation time:

@@ -1,0 +1,494 @@
+"""Round-9 Tier-B widening: the remaining ClickHouse analytics
+aggregates with no row yet in PARITY.md — ``WITH TOTALS``,
+``maxIntersections``/``maxIntersectionsPosition``, the statistical
+test family (``welchTTest``, ``mannWhitneyUTest``, ``cramersV``), and
+``exponentialMovingAverage`` — each as a full-SQL-oracle driver query.
+
+Reference anchor: the reference's terminal is ClickHouse 24.3.3
+(/root/reference/docker-compose.yml:157), whose SELECT surface ships
+every one of these; the reference itself delegates all query execution
+to that engine (README.md:216-243 runs plain SELECTs against it).
+
+Cross-engine float rules follow queries/registry.py: exact-decimal
+sums via dsum, fixed literal op order for double arithmetic (IEEE
+multiply/divide/sqrt are correctly rounded, hence engine-identical),
+6dp rounding only where a transcendental or engine-reassociable sum
+would otherwise risk a last-ulp flip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.queries.registry import dsum, register
+from postgre_to_clickhouse_spark.session import configure
+
+
+def _t(spark, sf_dir, name):
+    configure(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+@register(
+    "with_totals_status",
+    oracle="""
+    SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'TOTALS'
+                ELSE o_orderstatus END AS status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus)
+    """,
+)
+def with_totals_status(spark, sf_dir):
+    """r9, B9+: ClickHouse ``GROUP BY ... WITH TOTALS`` (an extra row
+    aggregating across ALL groups, docs/sql-reference/statements/
+    select/group-by#with-totals-modifier). Mapped to a single-column
+    ``rollup`` — grouping sets {(status), ()} — which Catalyst executes
+    as ONE scan with partial aggregation (an Expand + partial/final
+    HashAggregate), not a groupBy-plus-global-agg union that would read
+    the table twice. The totals row is keyed 'TOTALS' via the grouping
+    indicator (CH emits it out-of-band in the wire format; a sentinel
+    key is the DataFrame-shaped equivalent).
+
+    Scale: identical plan shape to any grouped agg — partial aggs
+    map-side, one shuffle on the grouping-set key."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus")
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("o_orderstatus").alias("_g"),
+        )
+        .select(
+            F.when(F.col("_g") == 1, F.lit("TOTALS"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "max_intersections_users",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             MIN(ts) AS s, MAX(ts) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    pts AS (
+      SELECT d, s AS point, 1 AS delta FROM iv
+      UNION ALL
+      SELECT d, e AS point, -1 AS delta FROM iv
+    ),
+    sweep AS (
+      SELECT d, point, delta,
+             SUM(delta) OVER (PARTITION BY d ORDER BY point, delta DESC
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts
+    ),
+    best AS (SELECT MAX(conc) AS mx FROM sweep)
+    SELECT CAST(mx AS BIGINT) AS max_intersections,
+           (SELECT MIN(point) FROM sweep, best WHERE conc = mx)
+             AS position_ts
+    FROM best
+    """,
+)
+def max_intersections_users(spark, sf_dir):
+    """r9, B21: ClickHouse ``maxIntersections(start, end)`` +
+    ``maxIntersectionsPosition`` — peak concurrency over intervals and
+    the first point where it is reached. Intervals here are per-user
+    daily activity spans [min ts, max ts]; the classic sweep (+1 at
+    start, -1 at end, running max) runs as a window over the REDUCED
+    intervals table, never the fact table. Tie semantics are fixed
+    deterministically: intervals are closed, and at an equal point
+    starts are processed before ends (delta DESC), so touching
+    intervals count as intersecting — within ClickHouse's admissible
+    orderings, which sorts (point, delta) pairs the same way.
+
+    Scale: the sweep needs a prefix sum over endpooints — partitioned
+    by day (a per-user daily span cannot cross its day, so concurrency
+    at any instant only involves that day's intervals), there is no
+    single-partition window; per-day endpoint counts are bounded by
+    users. The final max-of-maxes is a one-row agg."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    pts = iv.select("d", F.col("s").alias("point"), F.lit(1).alias("delta")).unionAll(
+        iv.select("d", F.col("e").alias("point"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy(F.col("point").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = pts.withColumn("conc", F.sum("delta").over(w))
+    # One-pass argmax: max over (conc, -epoch) structs picks the highest
+    # concurrency and, within it, the earliest point.
+    best = sweep.agg(
+        F.max(
+            F.struct(
+                F.col("conc").alias("conc"),
+                (-F.unix_micros("point")).alias("np"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        F.col("b.conc").alias("max_intersections"),
+        F.timestamp_micros(-F.col("b.np")).alias("position_ts"),
+    )
+
+
+@register(
+    "welch_ttest_values",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
+               AS s2
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY event_type
+    ),
+    p AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'view' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = 'view' THEN s1 END) AS a1,
+        MAX(CASE WHEN event_type = 'purchase' THEN s1 END) AS a2,
+        MAX(CASE WHEN event_type = 'view' THEN s2 END) AS q1,
+        MAX(CASE WHEN event_type = 'purchase' THEN s2 END) AS q2
+      FROM g
+    ),
+    m AS (
+      SELECT n1, n2,
+             a1 / n1 AS m1, a2 / n2 AS m2,
+             (q1 - (a1 / n1) * a1) / (n1 - 1) AS v1,
+             (q2 - (a2 / n2) * a2) / (n2 - 1) AS v2
+      FROM p
+    )
+    SELECT n1, n2,
+           ROUND(m1 - m2, 6) AS mean_diff,
+           ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)) /
+                 ((v1 / n1) * (v1 / n1) / (n1 - 1) +
+                  (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS dof
+    FROM m
+    """,
+)
+def welch_ttest_values(spark, sf_dir):
+    """r9, B21: ClickHouse ``welchTTest(value, group)`` — the unequal-
+    variance two-sample t statistic with Welch–Satterthwaite degrees of
+    freedom, comparing 'view' vs 'purchase' event values. Group moments
+    come from ONE partial-aggregable pass (count, exact-decimal Σx and
+    Σx²); the statistic is pure scalar arithmetic on the two-row result
+    pivoted to one row. Σx² uses the double product x*x cast to decimal
+    — the product's IEEE rounding is identical in both engines, the sum
+    is then exact and order-free. t and dof round at 6dp (POWER is
+    transcendental-class per the registry rule; every other op is
+    correctly-rounded IEEE in a fixed literal order).
+
+    Scale: one scan + one 2-row shuffle; nothing else moves."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", scale=6).alias("s1"),
+        dsum(F.col("value") * F.col("value"), scale=6).alias("s2"),
+    )
+
+    def pick(col, et):
+        return F.max(F.when(F.col("event_type") == et, F.col(col)))
+
+    p = g.agg(
+        pick("n", "view").alias("n1"),
+        pick("n", "purchase").alias("n2"),
+        pick("s1", "view").alias("a1"),
+        pick("s1", "purchase").alias("a2"),
+        pick("s2", "view").alias("q1"),
+        pick("s2", "purchase").alias("q2"),
+    )
+    m1 = F.col("a1") / F.col("n1")
+    m2 = F.col("a2") / F.col("n2")
+    v1 = (F.col("q1") - m1 * F.col("a1")) / (F.col("n1") - 1)
+    v2 = (F.col("q2") - m2 * F.col("a2")) / (F.col("n2") - 1)
+    se2 = v1 / F.col("n1") + v2 / F.col("n2")
+    w1 = v1 / F.col("n1")
+    w2 = v2 / F.col("n2")
+    return p.select(
+        "n1",
+        "n2",
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round((m1 - m2) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            (se2 * se2)
+            / (w1 * w1 / (F.col("n1") - 1) + w2 * w2 / (F.col("n2") - 1)),
+            6,
+        ).alias("dof"),
+    )
+
+
+@register(
+    "mann_whitney_values",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    r AS (
+      SELECT event_type, value,
+             RANK() OVER (ORDER BY value) AS rk,
+             COUNT(*) OVER (PARTITION BY value) AS c
+      FROM s
+    ),
+    agg AS (
+      SELECT
+        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2,
+        SUM(CASE WHEN event_type = 'view'
+                 THEN rk + (c - 1) / 2.0 ELSE 0 END) AS r1
+      FROM r
+    ),
+    ties AS (
+      SELECT CAST(SUM(CAST(c AS DOUBLE) * c * c - c) AS DOUBLE) AS tsum,
+             COUNT(*) + 0 AS n_distinct
+      FROM (SELECT value, COUNT(*) AS c FROM s GROUP BY value)
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           r1 - n1 * (n1 + 1) / 2.0 AS u1,
+           n1 * CAST(n2 AS DOUBLE) - (r1 - n1 * (n1 + 1) / 2.0) AS u2,
+           ROUND(((r1 - n1 * (n1 + 1) / 2.0) - n1 * CAST(n2 AS DOUBLE) / 2.0)
+                 / SQRT(n1 * CAST(n2 AS DOUBLE) / 12.0 *
+                        ((n1 + n2 + 1) - tsum /
+                         (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6)
+             AS z_stat
+    FROM agg, ties
+    """,
+)
+def mann_whitney_values(spark, sf_dir):
+    """r9, B21: ClickHouse ``mannWhitneyUTest(value, group)`` — the
+    rank-sum U statistic with average ranks for ties and the
+    tie-corrected normal approximation z. Average ranks are exact
+    half-integers (rank + (tie_count-1)/2), so their sum is exact in
+    double and order-free — no decimal detour needed. U1/U2 stay
+    exact; only z (one sqrt) rounds at 6dp.
+
+    Scale: the global rank is computed from the DISTINCT-value table
+    via a two-phase distributed prefix sum (the global_rank pattern,
+    operators/sampling.py:316): values hash into ordered range buckets,
+    tie counts prefix-sum WITHIN each bucket (a partitioned window),
+    and per-bucket offsets — a constant-bounded 1024-row table — add
+    back broadcast. No single-partition window touches anything
+    value-cardinality- or row-sized; ranks then hash-join back to rows,
+    and the fact table is never globally sorted. The oracle uses the
+    textbook RANK() OVER () formulation; both produce the same exact
+    half-integer ranks."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "value")
+    )
+    vc = ev.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+    n_buckets = 1024
+    bounds = vc.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    vcb = vc.crossJoin(F.broadcast(bounds)).withColumn(
+        "bkt",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("value") - F.col("lo")) / step).cast("int"),
+            )
+        ),
+    )
+    bt = vcb.groupBy("bkt").agg(F.sum("c").alias("bc"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bt.withColumn("off", F.coalesce(F.sum("bc").over(wb), F.lit(0)))
+    win = Window.partitionBy("bkt").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = (
+        vcb.join(F.broadcast(offsets.select("bkt", "off")), "bkt")
+        .withColumn("rk", F.col("off") + F.sum("c").over(win) - F.col("c") + 1)
+        .withColumn("avg_rank", F.col("rk") + (F.col("c") - 1) / 2.0)
+    )
+    rows = ev.join(F.broadcast(ranked.select("value", "avg_rank")), "value")
+    agg = rows.agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n2"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("avg_rank")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("r1"),
+    )
+    ties = vc.agg(
+        F.sum(F.col("c").cast("double") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("double")
+        .alias("tsum")
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0)
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nn = F.col("n1") + F.col("n2")
+    var = (
+        F.col("n1") * n2d / F.lit(12.0)
+        * ((nn + 1) - F.col("tsum") / (nn.cast("double") * (nn - 1)))
+    )
+    return agg.crossJoin(ties).select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        (F.col("n1") * n2d - u1).alias("u2"),
+        F.round((u1 - F.col("n1") * n2d / F.lit(2.0)) / F.sqrt(var), 6).alias(
+            "z_stat"
+        ),
+    )
+
+
+@register(
+    "cramers_v_association",
+    oracle="""
+    WITH cell AS (
+      SELECT event_type AS a, dayofweek(ts) AS b, COUNT(*) AS o
+      FROM events GROUP BY event_type, dayofweek(ts)
+    ),
+    rt AS (SELECT a, SUM(o) AS ra FROM cell GROUP BY a),
+    ct AS (SELECT b, SUM(o) AS cb FROM cell GROUP BY b),
+    n AS (SELECT SUM(o) AS n FROM cell),
+    terms AS (
+      SELECT CAST((o - CAST(ra AS DOUBLE) * cb / n)
+                  * (o - CAST(ra AS DOUBLE) * cb / n)
+                  / (CAST(ra AS DOUBLE) * cb / n) AS DECIMAL(30,8)) AS term
+      FROM cell JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN n
+    ),
+    chi AS (SELECT CAST(SUM(term) AS DOUBLE) AS chi2 FROM terms),
+    dims AS (
+      SELECT (SELECT COUNT(*) FROM rt) AS r, (SELECT COUNT(*) FROM ct) AS c
+    )
+    SELECT CAST(n.n AS BIGINT) AS n, dims.r AS r, dims.c AS c,
+           ROUND(chi.chi2, 6) AS chi2,
+           ROUND(SQRT(chi.chi2 / (n.n * (CASE WHEN dims.r < dims.c
+                 THEN dims.r ELSE dims.c END - 1))), 6) AS cramers_v
+    FROM chi, n, dims
+    """,
+)
+def cramers_v_association(spark, sf_dir):
+    """r9, B21: ClickHouse ``cramersV(a, b)`` — association strength
+    between two categoricals (event_type × day-of-week) from the χ²
+    contingency statistic. The contingency table (r×c cells, 35 here)
+    is one partial-aggregable groupBy; marginals are aggregates OF THE
+    CELLS (the fact table is scanned once); χ² terms are doubles in a
+    fixed literal order, cast to decimal so their SUM is order-free,
+    and the final χ²/V round at 6dp (POWER per the registry rule).
+
+    Scale: everything after the one fact scan operates on the
+    category-bounded cell table; marginal joins broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    # Spark dayofweek == DuckDB dayofweek+1 (Spark: Sun=1, DuckDB: Sun=0).
+    cell = ev.groupBy(
+        F.col("event_type").alias("a"),
+        (F.dayofweek("ts") - 1).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = cell.groupBy("a").agg(F.sum("o").alias("ra"))
+    ct = cell.groupBy("b").agg(F.sum("o").alias("cb"))
+    n = cell.agg(F.sum("o").alias("n"))
+    e = F.col("ra").cast("double") * F.col("cb") / F.col("n")
+    terms = (
+        cell.join(F.broadcast(rt), "a")
+        .join(F.broadcast(ct), "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            ((F.col("o") - e) * (F.col("o") - e)).alias("_num"),
+            e.alias("_e"),
+        )
+        .select((F.col("_num") / F.col("_e")).cast("decimal(30,8)").alias("term"))
+    )
+    chi = terms.agg(F.sum("term").cast("double").alias("chi2"))
+    dims = rt.agg(F.count(F.lit(1)).alias("r")).crossJoin(
+        ct.agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        chi.crossJoin(n)
+        .crossJoin(dims)
+        .select(
+            "n",
+            "r",
+            "c",
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n") * (F.least("r", "c") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "ema_user_values",
+    oracle="""
+    WITH RECURSIVE ord AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    cnt AS (SELECT user_id, COUNT(*) AS n_events FROM ord GROUP BY user_id),
+    rec AS (
+      SELECT user_id, rn, value AS ema FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, (r.ema + o.value) * 0.5
+      FROM rec r JOIN ord o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT r.user_id, r.ema AS ema_value, c.n_events
+    FROM rec r
+    JOIN cnt c ON c.user_id = r.user_id AND r.rn = c.n_events
+    """,
+)
+def ema_user_values(spark, sf_dir):
+    """r9, B21: ClickHouse ``exponentialMovingAverage`` — the
+    exponentially-decayed running mean, as the per-user final EMA of
+    event values in (ts, event_id) order with decay α = 1/2:
+    ema₁ = x₁, emaₖ = (emaₖ₋₁ + xₖ)·0.5. The fold is bit-exact across
+    engines with NO rounding: (a+b) rounds identically under IEEE in
+    both, and ·0.5 is an exact exponent decrement — so replicating the
+    op order (oracle: a recursive CTE walking rn) reproduces every
+    intermediate bit. α = 1/2 is the halving decay ClickHouse's
+    x-seconds-halflife form reduces to at unit spacing.
+
+    Scale: one groupBy(user); the fold runs JVM-side via the aggregate
+    higher-order function over the per-user array (bounded by per-user
+    activity, the same bound every funnel operator here relies on) —
+    no Python, no window, no recursion in the engine."""
+    ev = _t(spark, sf_dir, "events")
+    vals = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"],
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(vals.alias("vals"))
+        .select(
+            "user_id",
+            F.expr(
+                "aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+                " (acc, x) -> (acc + x) * 0.5d)"
+            ).alias("ema_value"),
+            F.size("vals").alias("n_events"),
+        )
+    )

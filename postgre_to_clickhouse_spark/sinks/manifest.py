@@ -925,6 +925,98 @@ class ManifestTable:
             kept_files + new_files, note=f"delete_where buckets={len(touched)}"
         )
 
+    def update_where(
+        self,
+        spark: SparkSession,
+        assignments: dict[str, str],
+        predicate: str,
+        where=None,
+        equals=None,
+        tokens=None,
+    ) -> int:
+        """Transactional column update — ClickHouse
+        ``ALTER TABLE ... UPDATE col = expr, ... WHERE pred`` (the
+        mutations surface of the reference's terminal engine;
+        /root/reference/docker-compose.yml:157 ships 24.3, whose
+        mutation rewrite-parts-containing-hits model this mirrors).
+
+        Semantics match CH: every assignment's right-hand side is an
+        SQL expression evaluated against the ORIGINAL row (assignments
+        are simultaneous, not sequential); rows where the predicate is
+        NULL or false are untouched; the updated column keeps its
+        declared type (the expression result is cast to it); the
+        table's bucket key cannot be updated (CH likewise refuses to
+        mutate key columns — the row's placement depends on it).
+
+        Scale shape is delete_where's: zone-map/bloom `where`/`equals`/
+        `tokens` probes bound the hit-finding scan to files that can
+        possibly match, then only TOUCHED buckets rewrite — a mutation
+        whose predicate lives in a time slice rewrites that slice's
+        buckets, not 100 TB. The commit note records
+        ``scanned=M/N`` so callers (and tests) can audit the pruning.
+        Returns the new version (unchanged if nothing matched).
+        """
+        if self.projections:
+            raise NotImplementedError(
+                "update_where on a table with projections is not supported: "
+                "bucket-scoped rewrites would strand the consumed parts' "
+                "projection files. Drop the projection first, update, then "
+                "re-add (CH DROP/MATERIALIZE PROJECTION)."
+            )
+        if self.key_col in assignments:
+            raise ValueError(
+                f"cannot UPDATE bucket key column {self.key_col!r}: row "
+                "placement depends on it (ClickHouse likewise refuses key-"
+                "column mutations). Delete + re-insert instead."
+            )
+        m = self.current_manifest()
+        if not m["files"]:
+            return self.current_version()
+        by_name = {f["name"]: f for f in m["files"]}
+        candidates = (
+            self.files_for(where, equals=equals, tokens=tokens)
+            if (where or equals or tokens)
+            else m["files"]
+        )
+        if not candidates:
+            return self.current_version()
+        paths = [os.path.join(self.path, _DATA, f["name"]) for f in candidates]
+        hit_paths = (
+            spark.read.option("mergeSchema", "true").parquet(*paths)
+            .filter(predicate)
+            .select(F.input_file_name().alias("__f"))
+            .distinct()
+            .collect()
+        )  # bounded by file count, not row count
+        hit_names = {os.path.basename(r["__f"]) for r in hit_paths}
+        if not hit_names:
+            return self.current_version()
+        touched = sorted({by_name[n]["bucket"] for n in hit_names})
+        touched_files = [f for f in m["files"] if f["bucket"] in touched]
+        kept_files = [f for f in m["files"] if f["bucket"] not in touched]
+        tpaths = [os.path.join(self.path, _DATA, f["name"]) for f in touched_files]
+        src = spark.read.option("mergeSchema", "true").parquet(*tpaths)
+        dtypes = dict(src.dtypes)
+        missing = sorted(set(assignments) - set(dtypes))
+        if missing:
+            raise ValueError(f"UPDATE of unknown column(s): {missing}")
+        cond = F.expr(f"coalesce(({predicate}), false)")
+        updated = src.withColumns(
+            {
+                c: F.when(cond, F.expr(e).cast(dtypes[c])).otherwise(F.col(c))
+                for c, e in assignments.items()
+            }
+        )
+        new_files = self._write_bucket_files(updated, touched)
+        return self._commit(
+            kept_files + new_files,
+            note=(
+                f"update_where buckets={len(touched)} "
+                f"cols={sorted(assignments)} "
+                f"scanned={len(candidates)}/{len(m['files'])}"
+            ),
+        )
+
     def apply_ttl(self, spark: SparkSession, ts_col: str, older_than: str) -> int:
         """Row TTL: drop rows with ``ts_col`` strictly before
         ``older_than`` (a TIMESTAMP literal string) — ClickHouse

@@ -686,3 +686,131 @@ def test_drop_projection_reenables_mutations_and_vacuums(spark, tmp_path):
     live = {f["name"] for f in t.current_manifest()["files"]}
     data = set(os.listdir(os.path.join(t.path, "data")))
     assert live <= data and not any(n.startswith("p-by_seq-") for n in data)
+
+
+def test_update_where_mutates_only_matching_rows(spark, tmp_path):
+    """r9: ALTER TABLE ... UPDATE (CH mutations) — assignments hit only
+    predicate-true rows, evaluate against the ORIGINAL row
+    (simultaneous, not sequential), NULL-predicate rows survive
+    untouched, and the pre-mutation snapshot stays readable."""
+    t = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    t.merge_upsert()(_full(spark), 0)
+    v0 = t.current_version()
+    before = {
+        (r.user_id, r.kafka_offset): (r.username, r.account_type)
+        for r in t.read(spark).collect()
+    }
+    v1 = t.update_where(
+        spark,
+        {"username": "upper(username)"},
+        "account_type = 'Gold'",
+    )
+    assert v1 == v0 + 1
+    after = {
+        (r.user_id, r.kafka_offset): (r.username, r.account_type)
+        for r in t.read(spark).collect()
+    }
+    assert set(after) == set(before)
+    for k, (u, a) in before.items():
+        want = u.upper() if a == "Gold" else u
+        assert after[k] == (want, a), k
+    # time travel: pre-update snapshot intact
+    assert {
+        (r.user_id, r.kafka_offset): (r.username, r.account_type)
+        for r in t.read(spark, version=v0).collect()
+    } == before
+    # simultaneous semantics: swapping two columns through each other
+    v2 = t.update_where(
+        spark,
+        {"username": "account_type", "account_type": "username"},
+        "account_type = 'Gold'",
+    )
+    swapped = {
+        (r.user_id, r.kafka_offset): (r.username, r.account_type)
+        for r in t.read(spark).collect()
+    }
+    for k, (u, a) in after.items():
+        want = (a, u) if a == "Gold" else (u, a)
+        assert swapped[k] == want, k
+    # NULL-predicate rows are untouched (mixed true/NULL in one bucket)
+    some_uid = next(iter(before))[0]
+    t.update_where(
+        spark,
+        {"username": "'hit'"},
+        f"CASE WHEN user_id = {some_uid} THEN true ELSE CAST(NULL AS BOOLEAN) END",
+    )
+    final = {
+        (r.user_id, r.kafka_offset): r.username for r in t.read(spark).collect()
+    }
+    for k in swapped:
+        assert final[k] == ("hit" if k[0] == some_uid else swapped[k][0]), k
+    # no-match update is a version no-op
+    assert t.update_where(spark, {"username": "'x'"}, "user_id < 0") == t.current_version()
+    assert v2 == v1 + 1
+
+
+def test_update_where_refusals_and_bucket_pruning(spark, tmp_path):
+    """Key-column and unknown-column updates refuse loudly; projection
+    tables refuse (CH DROP/MATERIALIZE PROJECTION applies); untouched
+    buckets carry into the new manifest BY REFERENCE."""
+    import pytest
+
+    t = ManifestTable(str(tmp_path / "t"), n_buckets=8)
+    t.merge_upsert()(_full(spark), 0)
+    with pytest.raises(ValueError, match="bucket key"):
+        t.update_where(spark, {"user_id": "user_id + 1"}, "true")
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where(spark, {"nope": "1"}, "true")
+
+    before = {f["name"] for f in t.current_manifest()["files"]}
+    key = t.read(spark).select("user_id").distinct().collect()[0][0]
+    t.update_where(spark, {"username": "'z'"}, f"user_id = {key}")
+    after = t.current_manifest()["files"]
+    touched_bucket = (
+        t.read(spark).filter(F.col("user_id") == key)
+        .select(F.pmod(F.xxhash64(F.col("user_id")), F.lit(8)).cast("int"))
+        .distinct().collect()[0][0]
+    )
+    for f in after:
+        if f["bucket"] != touched_bucket:
+            assert f["name"] in before, "untouched bucket was rewritten"
+        else:
+            assert f["name"] not in before
+
+    tp = ManifestTable(str(tmp_path / "p"), key_col="user_id", n_buckets=2)
+    tp.append_parts(sort_key=("user_id", "updated_at"))(_full(spark), 0)
+    tp.add_projection(spark, "by_time", "updated_at", n_files=2)
+    with pytest.raises(NotImplementedError, match="projection"):
+        tp.update_where(spark, {"username": "'z'"}, "true")
+
+
+def test_update_where_zone_map_pruned_hit_finding(spark, tmp_path):
+    """A mutation whose predicate lives in a time slice must hit-scan
+    only the files whose zone maps can reach that slice (the commit
+    note records scanned=M/N), and refreshed stats on rewritten files
+    keep pruning correct for later reads."""
+    t = ManifestTable(
+        str(tmp_path / "t"), key_col="user_id", n_buckets=2,
+        stats_cols=("updated_at",),
+    )
+    sink = t.append_parts()
+    full = _full(spark)
+    times = sorted(r.updated_at for r in full.select("updated_at").collect())
+    cut = times[len(times) // 4]
+    sink(full.filter(F.col("updated_at") <= F.lit(cut)), 0)
+    sink(full.filter(F.col("updated_at") > F.lit(cut)), 1)
+    n_files = len(t.current_manifest()["files"])
+    cut_s = cut.strftime("%Y-%m-%d %H:%M:%S.%f")
+    t.update_where(
+        spark,
+        {"username": "concat(username, '!')"},
+        f"updated_at <= TIMESTAMP '{cut_s}'",
+        where=[("updated_at", None, cut_s)],
+    )
+    note = t.current_manifest()["note"]
+    scanned, total = map(int, note.split("scanned=")[1].split("/"))
+    assert total == n_files and 0 < scanned < total, note
+    # every early row got the suffix, every late row did not
+    got = t.read(spark).select("username", "updated_at").collect()
+    for r in got:
+        assert r.username.endswith("!") == (r.updated_at <= cut), r
