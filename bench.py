@@ -168,6 +168,9 @@ HEADLINE = [
     "mann_whitney_values",        # two-phase distributed prefix-sum rank
     "max_intersections_users",    # interval sweep window over reduced table
     "ema_user_values",            # per-entity higher-order fold
+    "manifest_update_read",       # ALTER UPDATE mutation lifecycle
+    "manifest_ttl_rollup_read",   # TTL GROUP BY rollup lifecycle
+    "manifest_agg_projection_read",  # aggregate-projection lifecycle
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

@@ -45,11 +45,23 @@ from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 # The r9 window, per the policy above. Ledger at rotation time:
 # last-green r1 ×1, r3 ×3, r4 ×28, r5 ×48, r6 ×46, r8 ×50, plus
 # sequence_match_dot never driver-checked (VERDICT r8 #1 of "missing").
+# Session 2 adds 8 more rule-1 seats (tierb5 + the two mutation
+# lifecycle reads), displacing the 8 newest r5 backfills — those stay
+# oracle-gated in pytest and rotate back in r10.
 _WINDOW = [
     # --- Rule 1: new in r9 ---
     "manifest_bloom_read",        # A8 bloom/token-bloom skip indexes (r8 weak → proven)
     "manifest_projection_read",   # A8 table projections (VERDICT r8 #3)
     "sample_keyed_events",        # SAMPLE f OFFSET o clause (VERDICT r8 #4)
+    "manifest_update_read",       # A8 ALTER UPDATE mutation (r9 session 2)
+    "manifest_ttl_rollup_read",   # A8 TTL GROUP BY rollup (r9 session 2)
+    "manifest_agg_projection_read",  # A8 aggregate projections (r9 session 2)
+    "with_totals_status",         # B9 GROUP BY WITH TOTALS
+    "max_intersections_users",    # B21 maxIntersections(+Position)
+    "welch_ttest_values",         # B21 welchTTest
+    "mann_whitney_values",        # B21 mannWhitneyUTest
+    "cramers_v_association",      # B21 cramersV
+    "ema_user_values",            # B21 exponentialMovingAverage
     # --- Rule 1: never driver-checked (restores the 178/178 ledger) ---
     "sequence_match_dot",         # B21 sequenceMatch '.' token (r8)
     # --- Rule 1: implementation internals changed in r9 (manifest.py
@@ -96,15 +108,6 @@ _WINDOW = [
     "array_manipulation",         # B17
     "asof_events_last_order",     # B6
     "band_join_acctbal",          # B5
-    "bm25_topk",                  # C11
-    "cap_per_source_skewsafe",    # C6
-    "cdc_dedup_redelivery",       # A19
-    "cdc_full_scan",              # A21
-    "cdc_latest_state",           # A20
-    "cdc_mv_transform",           # A13-A16
-    "cdc_users_pipeline",         # A11-A21 composite
-    "decontaminate_eval_overlap", # C2
-    "dedup_incremental_batch",    # C1
 ]
 
 

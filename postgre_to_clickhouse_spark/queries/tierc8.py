@@ -238,3 +238,290 @@ def sample_keyed_events(spark, sf_dir):
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         dsum("value").alias("value_sum"),
     )
+
+
+@register(
+    "manifest_update_read",
+    oracle="""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CASE WHEN epoch_us(ts) < b.lo + (b.hi - b.lo) // 4
+                              THEN value * 2 ELSE value END
+                         AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events, b
+    GROUP BY event_type
+    """,
+)
+def manifest_update_read(spark, sf_dir):
+    """r9, A8 mutations THROUGH the driver: the events table ingested
+    as four time-quartile part batches into a zone-mapped
+    ``ManifestTable``, then hit with the ClickHouse
+    ``ALTER TABLE ... UPDATE value = value * 2 WHERE ts < q1`` mutation
+    (:meth:`sinks.manifest.ManifestTable.update_where`). The in-query
+    contract parses the commit note's ``scanned=M/N`` audit and RAISES
+    unless the zone maps actually bounded the hit-finding scan to a
+    strict subset of files (the expired-tail shape), while the DuckDB
+    oracle recomputes the doubled first quartile from raw events — an
+    update that misses rows, touches extra rows, or re-applies breaks
+    the hash. Doubling a 2-decimal double is exact (exponent
+    increment), so sums stay engine-identical via the decimal cast.
+
+    Scale: hit-finding reads only files whose [min, max] reach below
+    the cutoff; only touched buckets rewrite. The quartile bound is
+    exact integer epoch-µs arithmetic in all three engines."""
+    import shutil
+    import tempfile
+
+    from postgre_to_clickhouse_spark.sinks.manifest import ManifestTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("updated_at"),
+        F.col("event_id").alias("kafka_offset"),
+    )
+    lo, hi = ev.agg(F.min("updated_at"), F.max("updated_at")).collect()[0]
+    bounds = [lo + ((hi - lo) * k) // 4 for k in range(5)]
+    path = tempfile.mkdtemp(prefix="p2c_manifest_upd_")
+    try:
+        t = ManifestTable(
+            path, key_col="user_id", n_buckets=4, stats_cols=("updated_at",)
+        )
+        apply_batch = t.append_parts(
+            sort_key=("user_id", "updated_at"), arrival=("kafka_offset",)
+        )
+        for b in range(4):
+            up = F.col("updated_at")
+            cond = (up >= bounds[b]) & (
+                (up < bounds[b + 1]) if b < 3 else (up <= bounds[4])
+            )
+            apply_batch(ev.filter(cond), b)
+        n_total = len(t.current_manifest()["files"])
+        t.update_where(
+            spark,
+            {"value": "value * 2"},
+            f"updated_at < {bounds[1]}",
+            where=[("updated_at", None, bounds[1] - 1)],
+        )
+        note = t.current_manifest()["note"]
+        scanned, total = map(int, note.split("scanned=")[1].split("/"))
+        if not (total == n_total and 0 < scanned < total):
+            raise RuntimeError(f"mutation hit-finding was not pruned: {note}")
+        out = (
+            t.read(spark)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+        )
+        return _pin(out)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "manifest_ttl_rollup_read",
+    oracle="""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+    ),
+    expired AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value
+      FROM events, b
+      WHERE epoch_us(ts) < b.lo + ((b.hi - b.lo) * 2) // 4
+      GROUP BY user_id, event_type
+    ),
+    live AS (
+      SELECT event_type, value FROM events, b
+      WHERE epoch_us(ts) >= b.lo + ((b.hi - b.lo) * 2) // 4
+    ),
+    u AS (
+      SELECT event_type, value FROM expired
+      UNION ALL
+      SELECT event_type, value FROM live
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM u
+    GROUP BY event_type
+    """,
+)
+def manifest_ttl_rollup_read(spark, sf_dir):
+    """r9, A8 rollup TTL THROUGH the driver: ClickHouse ``TTL ts +
+    INTERVAL ... GROUP BY user, type SET value = sum(value)`` — the
+    downsample-on-expiry that collapses the first half of the events
+    table to one row per (user, event_type) while the recent half
+    stays row-level (:meth:`sinks.manifest.ManifestTable.
+    apply_ttl_rollup`). The SET aggregate goes through the exact
+    decimal cast, so the rolled value is the engine-identical sum; the
+    oracle recomputes the collapsed+live union from raw events — a
+    rollup that loses a group, drops a live row, or double-counts
+    breaks either n_rows or value_sum. The in-query contract requires
+    the zone maps to bound hit-finding to a strict file subset.
+
+    Scale: same pruned-mutation shape as manifest_update_read; the
+    collapse is per-bucket partial-agg work on the expired slice."""
+    import shutil
+    import tempfile
+
+    from postgre_to_clickhouse_spark.sinks.manifest import ManifestTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("updated_at"),
+        F.col("event_id").alias("kafka_offset"),
+    )
+    lo, hi = ev.agg(F.min("updated_at"), F.max("updated_at")).collect()[0]
+    bounds = [lo + ((hi - lo) * k) // 4 for k in range(5)]
+    path = tempfile.mkdtemp(prefix="p2c_manifest_ttlr_")
+    try:
+        t = ManifestTable(
+            path, key_col="user_id", n_buckets=4, stats_cols=("updated_at",)
+        )
+        apply_batch = t.append_parts(
+            sort_key=("user_id", "updated_at"), arrival=("kafka_offset",)
+        )
+        for b in range(4):
+            up = F.col("updated_at")
+            cond = (up >= bounds[b]) & (
+                (up < bounds[b + 1]) if b < 3 else (up <= bounds[4])
+            )
+            apply_batch(ev.filter(cond), b)
+        n_total = len(t.current_manifest()["files"])
+        t.apply_ttl_rollup(
+            spark,
+            "updated_at",
+            bounds[2],
+            group_by=("user_id", "event_type"),
+            set_exprs={
+                "value": "cast(sum(cast(value as decimal(18,2))) as double)"
+            },
+        )
+        note = t.current_manifest()["note"]
+        scanned, total = map(int, note.split("scanned=")[1].split("/"))
+        if not (total == n_total and 0 < scanned < total):
+            raise RuntimeError(f"rollup hit-finding was not pruned: {note}")
+        out = (
+            t.read(spark)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+        )
+        return _pin(out)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "manifest_agg_projection_read",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum,
+           CAST(min(event_id) AS BIGINT) AS first_event,
+           CAST(max(event_id) AS BIGINT) AS last_event
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def manifest_agg_projection_read(spark, sf_dir):
+    """r9, A8 AGGREGATE projections THROUGH the driver: the events
+    table ingested as four part batches, with a ClickHouse
+    ``ADD PROJECTION (SELECT user, type, count(), sum(value), min(id),
+    max(id) GROUP BY user, type)`` aggregate projection
+    (:meth:`sinks.manifest.ManifestTable.add_agg_projection`) declared
+    after batch 1 — so backfill (CH ``MATERIALIZE PROJECTION``) covers
+    the existing part and per-batch maintenance covers the rest. The
+    read merges per-part partial states only (``fallback=False``
+    raises if the fast path is unavailable), and the in-query contract
+    additionally requires the merged input to be SMALLER than the base
+    row count — the whole point of the projection. The DuckDB oracle
+    computes the same GROUP BY from raw events: a partial state lost,
+    double-merged, or rebuilt wrong at compaction breaks the hash.
+    Double sums ride exact decimals in the state, so ANY merge order
+    is bit-identical to the direct scan.
+
+    Scale: each part's state is map-side-combinable on that batch; the
+    read touches Σ|groups per part| rows, never the table's."""
+    import os
+    import shutil
+    import tempfile
+
+    from postgre_to_clickhouse_spark.sinks.manifest import ManifestTable
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("updated_at"),
+        F.col("event_id").alias("kafka_offset"),
+    )
+    lo, hi = ev.agg(F.min("updated_at"), F.max("updated_at")).collect()[0]
+    bounds = [lo + ((hi - lo) * k) // 4 for k in range(5)]
+    path = tempfile.mkdtemp(prefix="p2c_manifest_aggp_")
+    try:
+        t = ManifestTable(path, key_col="user_id", n_buckets=4)
+        apply_batch = t.append_parts(
+            sort_key=("user_id", "updated_at"), arrival=("kafka_offset",)
+        )
+
+        def batch(b):
+            up = F.col("updated_at")
+            cond = (up >= bounds[b]) & (
+                (up < bounds[b + 1]) if b < 3 else (up <= bounds[4])
+            )
+            apply_batch(ev.filter(cond), b)
+
+        batch(0)
+        t.add_agg_projection(
+            spark,
+            "by_user_type",
+            ("user_id", "event_type"),
+            {
+                "n_events": ("count", "*"),
+                "value_sum": ("sum", "value"),
+                "first_event": ("min", "kafka_offset"),
+                "last_event": ("max", "kafka_offset"),
+            },
+        )
+        for b in range(1, 4):
+            batch(b)
+        m = t.current_manifest()
+        proj_paths = [
+            os.path.join(t.path, "data", f["name"])
+            for f in m["files"]
+            if f.get("proj") == "by_user_type"
+        ]
+        state_rows = spark.read.parquet(*proj_paths).count()
+        base_rows = ev.count()
+        if not 0 < state_rows < base_rows:
+            raise RuntimeError(
+                f"projection state ({state_rows}) not smaller than base "
+                f"({base_rows}) — pre-aggregation bought nothing"
+            )
+        out = t.read_agg(spark, "by_user_type", fallback=False).select(
+            "user_id",
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "value_sum",
+            F.col("first_event").cast("bigint").alias("first_event"),
+            F.col("last_event").cast("bigint").alias("last_event"),
+        )
+        return _pin(out)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

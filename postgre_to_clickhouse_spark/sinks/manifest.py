@@ -446,6 +446,152 @@ class ManifestTable:
             new_base + others + proj_files, note=f"add_projection {name}"
         )
 
+    _AGG_FNS = ("sum", "count", "min", "max")
+
+    def add_agg_projection(
+        self,
+        spark: SparkSession,
+        name: str,
+        group_by: tuple[str, ...],
+        aggs: dict[str, tuple[str, str]],
+    ) -> int:
+        """ClickHouse AGGREGATE projection parity — ``ALTER TABLE ...
+        ADD PROJECTION p (SELECT k1, k2, sum(v), count() GROUP BY k1,
+        k2)``: each part additionally stores its rows PRE-AGGREGATED by
+        ``group_by``, and :meth:`read_agg` answers the matching GROUP
+        BY query by merging the per-part partial states instead of
+        scanning rows — CH's other projection flavor next to the
+        ORDER BY one (both ship in the reference's terminal 24.3).
+
+        ``aggs`` maps output column → (fn, source column) with fn in
+        sum/count/min/max — the re-aggregatable functions whose partial
+        states merge by sum/sum/min/max (``("count", "*")`` counts
+        rows). Double-typed sums store their partial state as an exact
+        DECIMAL so the merged total is bit-identical to a direct scan
+        in ANY merge order — without this, projection reads and base
+        reads would disagree in the last ulp depending on file layout.
+
+        Existing parts are backfilled immediately (CH ``MATERIALIZE
+        PROJECTION``); ``append_parts`` batches and part-merge
+        compaction maintain it alongside the sort projections. Row
+        reads never touch agg-projection files (:meth:`choose_layout`
+        skips them — their rows are aggregates, not table rows).
+
+        Scale: the per-part partial agg is map-side-combinable work on
+        that batch's rows; a read touches Σ|groups per part| rows —
+        the table's row count never appears on the read path."""
+        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
+            raise ValueError(f"projection name {name!r} must be [A-Za-z0-9_]+")
+        if name in self.projections:
+            raise ValueError(f"projection {name!r} already exists")
+        if not group_by or not aggs:
+            raise ValueError("agg projection needs group_by and aggs")
+        for out, (fn, src) in aggs.items():
+            if fn not in self._AGG_FNS:
+                raise ValueError(
+                    f"agg {out}={fn!r} not re-aggregatable; use one of "
+                    f"{self._AGG_FNS} (CH projections have the same limit)"
+                )
+            if src == "*" and fn != "count":
+                raise ValueError(f"'*' source only valid for count ({out})")
+        overlap = sorted(set(aggs) & set(group_by))
+        if overlap:
+            raise ValueError(f"output column(s) shadow group keys: {overlap}")
+        self.projections[name] = {
+            "kind": "agg",
+            "group_by": list(group_by),
+            "aggs": {k: list(v) for k, v in aggs.items()},
+        }
+        self._save_projections()
+        m = self.current_manifest()
+        base = [f for f in m["files"] if not f.get("proj")]
+        if not base:
+            return self.current_version()
+        groups: dict[str, list[dict]] = {}
+        for f in base:
+            groups.setdefault(f.get("part") or "__legacy__", []).append(f)
+        new_base, proj_files = [], []
+        for gid, fs in sorted(groups.items(), key=lambda kv: kv[0]):
+            pid = uuid.uuid4().hex[:12] if gid == "__legacy__" else gid
+            new_base += [{**f, "part": pid} for f in fs]
+            paths = [os.path.join(self.path, _DATA, f["name"]) for f in fs]
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
+            proj_files += self._write_projection_files(df, pid, only=name)
+        others = [f for f in m["files"] if f.get("proj")]
+        return self._commit(
+            new_base + others + proj_files, note=f"add_agg_projection {name}"
+        )
+
+    def _agg_partial_exprs(self, spec: dict, dtypes: dict[str, str]):
+        """Partial-state expressions for one part's rows."""
+        exprs = []
+        for out, (fn, src) in spec["aggs"].items():
+            if fn == "count":
+                c = F.count(F.lit(1)) if src == "*" else F.count(src)
+            elif fn == "sum" and dtypes.get(src) == "double":
+                c = F.sum(F.col(src).cast("decimal(25,6)"))
+            else:
+                c = getattr(F, fn)(src)
+            exprs.append(c.alias(out))
+        return exprs
+
+    def read_agg(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        fallback: bool = True,
+    ) -> DataFrame:
+        """The aggregate a projection pre-computes, over the whole
+        snapshot: merge the per-part partial states (sum→sum,
+        count→sum, min→min, max→max). When the projection does not
+        COVER the snapshot (legacy files with no part id, or a part it
+        never materialized), falls back to computing the identical
+        result from the base rows (CH's behavior when a projection
+        can't serve a query) — or raises with ``fallback=False`` so
+        callers can assert the fast path was taken. Either path yields
+        bit-identical results (double sums go through exact decimals
+        in both)."""
+        spec = self.projections.get(name)
+        if not spec or spec.get("kind", "sort") != "agg":
+            raise ValueError(f"{name!r} is not an aggregate projection")
+        m = self.current_manifest() if version is None else self.manifest_at(version)
+        pf = self._projection_files(m, name)
+        gb = spec["group_by"]
+        if pf is None:
+            if not fallback:
+                raise RuntimeError(
+                    f"projection {name!r} does not cover the snapshot"
+                )
+            base = [f for f in m["files"] if not f.get("proj")]
+            if not base:
+                raise RuntimeError("empty table")
+            paths = [os.path.join(self.path, _DATA, f["name"]) for f in base]
+            df = spark.read.option("mergeSchema", "true").parquet(*paths)
+            partial = df.groupBy(*gb).agg(
+                *self._agg_partial_exprs(spec, dict(df.dtypes))
+            )
+        else:
+            paths = [os.path.join(self.path, _DATA, f["name"]) for f in pf]
+            parts = spark.read.option("mergeSchema", "true").parquet(*paths)
+            merge = []
+            pdt = dict(parts.dtypes)
+            for out, (fn, _src) in spec["aggs"].items():
+                if fn in ("sum", "count"):
+                    merge.append(F.sum(out).alias(out))
+                else:
+                    merge.append(getattr(F, fn)(out).alias(out))
+            partial = parts.groupBy(*gb).agg(*merge)
+            # re-narrow count/int-sum merges widened by the outer SUM
+            for out, (fn, _src) in spec["aggs"].items():
+                if fn in ("sum", "count") and pdt.get(out) == "bigint":
+                    partial = partial.withColumn(out, F.col(out).cast("bigint"))
+        # exact-decimal double sums surface as doubles
+        for out, (fn, src) in spec["aggs"].items():
+            if fn == "sum" and dict(partial.dtypes)[out].startswith("decimal"):
+                partial = partial.withColumn(out, F.col(out).cast("double"))
+        return partial
+
     def drop_projection(self, name: str) -> int:
         """ClickHouse ``ALTER TABLE ... DROP PROJECTION``: unregister
         the projection and commit a manifest without its files (the
@@ -477,14 +623,18 @@ class ManifestTable:
         for name, spec in self.projections.items():
             if only is not None and name != only:
                 continue
-            sort_col, n_files = spec["sort_col"], spec["n_files"]
             staging = os.path.join(self.path, f"_staging.{uuid.uuid4().hex[:12]}")
-            (
-                df.repartitionByRange(n_files, F.col(sort_col))
-                .sortWithinPartitions(sort_col)
-                .write.mode("overwrite")
-                .parquet(staging)
-            )
+            if spec.get("kind", "sort") == "agg":
+                # aggregate projection: the part's rows pre-grouped to
+                # partial states (map-side-combinable; group-bounded)
+                writer = df.groupBy(*spec["group_by"]).agg(
+                    *self._agg_partial_exprs(spec, dict(df.dtypes))
+                )
+            else:
+                writer = df.repartitionByRange(
+                    spec["n_files"], F.col(spec["sort_col"])
+                ).sortWithinPartitions(spec["sort_col"])
+            writer.write.mode("overwrite").parquet(staging)
             try:
                 for i, part in enumerate(
                     sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
@@ -497,11 +647,29 @@ class ManifestTable:
             finally:
                 shutil.rmtree(staging, ignore_errors=True)
         if out:
-            cols = tuple(
-                {spec["sort_col"] for spec in self.projections.values()}
-                | set(self.stats_cols)
-            )
-            out = self._attach_stats(df.sparkSession, out, cols=cols)
+            # zone maps only on columns every written layout carries:
+            # sort columns exist in row-layout files; agg-projection
+            # files carry only group keys + states, so restrict stats
+            # to the sort cols (stats_cols may not exist there, and
+            # per-file attach tolerates absent columns via the scan —
+            # keep it simple and correct by kind-splitting instead)
+            sort_names = {
+                n for n, sp in self.projections.items()
+                if sp.get("kind", "sort") == "sort"
+            }
+            sort_out = [f for f in out if f["proj"] in sort_names]
+            agg_out = [f for f in out if f["proj"] not in sort_names]
+            if sort_out:
+                cols = tuple(
+                    {
+                        sp["sort_col"]
+                        for n, sp in self.projections.items()
+                        if sp.get("kind", "sort") == "sort"
+                    }
+                    | set(self.stats_cols)
+                )
+                sort_out = self._attach_stats(df.sparkSession, sort_out, cols=cols)
+            out = sort_out + agg_out
         return out
 
     def _projection_files(self, m: dict, name: str) -> list[dict] | None:
@@ -533,7 +701,9 @@ class ManifestTable:
         base = [f for f in m["files"] if not f.get("proj")]
         best = ("base", self._prune(base, where, equals, tokens))
         if where or equals or tokens:
-            for name in self.projections:
+            for name, spec in self.projections.items():
+                if spec.get("kind", "sort") != "sort":
+                    continue  # agg projections hold aggregates, not rows
                 pf = self._projection_files(m, name)
                 if pf is None:
                     continue
@@ -1027,6 +1197,113 @@ class ManifestTable:
         rng = [(ts_col, None, older_than)] if ts_col in self.stats_cols else None
         return self.delete_where(
             spark, f"{ts_col} < TIMESTAMP '{older_than}'", where=rng
+        )
+
+    def apply_ttl_rollup(
+        self,
+        spark: SparkSession,
+        ts_col: str,
+        older_than: "str | int",
+        group_by: tuple[str, ...],
+        set_exprs: dict[str, str],
+    ) -> int:
+        """Rollup TTL — ClickHouse ``TTL ts + INTERVAL ... GROUP BY k1,
+        k2 SET v = sum(v), ...``: expired rows are not dropped but
+        COLLAPSED to one aggregate row per ``group_by`` group, the
+        downsample-on-expiry that keeps year-old data queryable at a
+        fraction of its size (the reference's terminal CH 24.3 ships
+        this TTL form).
+
+        ``set_exprs`` maps columns to aggregate SQL over the expired
+        group (``{"value": "sum(value)"}``); every other non-group
+        column takes ``min(col)`` — a deterministic pick within CH's
+        "any value of the group" latitude (CH leaves it
+        implementation-defined; min makes reruns and engines agree).
+        ``ts_col`` defaults to ``max(ts_col)`` unless SET overrides, so
+        a group's rollup row carries its newest expired timestamp.
+        ``group_by`` must contain the bucket key — the rollup row must
+        land in the bucket its group's rows live in (CH's analogous
+        constraint: TTL GROUP BY must be a primary-key prefix).
+
+        Scale shape: zone-map-pruned hit finding (only files whose
+        [min, max] reach below the cutoff scan), then only touched
+        buckets rewrite; the aggregation is per-bucket partial-agg
+        work on the expired slice, never table-sized. Idempotent:
+        re-running re-collapses already-rolled rows into themselves.
+        Returns the new version (unchanged when nothing is expired).
+        """
+        if self.key_col not in group_by:
+            raise ValueError(
+                f"TTL GROUP BY must contain the bucket key {self.key_col!r} "
+                "so rollup rows stay in their group's bucket (ClickHouse "
+                "likewise requires a primary-key prefix)."
+            )
+        bad = sorted(set(set_exprs) & set(group_by))
+        if bad:
+            raise ValueError(f"SET on GROUP BY column(s): {bad}")
+        if self.projections:
+            raise NotImplementedError(
+                "apply_ttl_rollup on a table with projections is not "
+                "supported: drop the projection first, roll up, re-add."
+            )
+        m = self.current_manifest()
+        if not m["files"]:
+            return self.current_version()
+        by_name = {f["name"]: f for f in m["files"]}
+        # cutoff literal: integer epoch columns take the number as-is,
+        # timestamp columns a TIMESTAMP literal (mirrors apply_ttl)
+        if isinstance(older_than, int) or str(older_than).lstrip("-").isdigit():
+            cut_lit = str(older_than)
+        else:
+            cut_lit = f"TIMESTAMP '{older_than}'"
+        predicate = f"{ts_col} < {cut_lit}"
+        rng = [(ts_col, None, older_than)] if ts_col in self.stats_cols else None
+        candidates = self.files_for(rng) if rng else m["files"]
+        if not candidates:
+            return self.current_version()
+        paths = [os.path.join(self.path, _DATA, f["name"]) for f in candidates]
+        hits = (
+            spark.read.option("mergeSchema", "true").parquet(*paths)
+            .filter(predicate)
+            .select(F.input_file_name().alias("__f"))
+            .distinct()
+            .collect()
+        )
+        hit_names = {os.path.basename(r["__f"]) for r in hits}
+        if not hit_names:
+            return self.current_version()
+        touched = sorted({by_name[n]["bucket"] for n in hit_names})
+        touched_files = [f for f in m["files"] if f["bucket"] in touched]
+        kept_files = [f for f in m["files"] if f["bucket"] not in touched]
+        tpaths = [os.path.join(self.path, _DATA, f["name"]) for f in touched_files]
+        src = spark.read.option("mergeSchema", "true").parquet(*tpaths)
+        dtypes = dict(src.dtypes)
+        missing = sorted((set(set_exprs) | set(group_by)) - set(dtypes))
+        if missing:
+            raise ValueError(f"unknown column(s): {missing}")
+        expired_cond = F.expr(f"coalesce(({predicate}), false)")
+        survivors = src.filter(~expired_cond)
+        expired = src.filter(expired_cond)
+        aggs = []
+        for c in src.columns:
+            if c in group_by:
+                continue
+            if c in set_exprs:
+                e = set_exprs[c]
+            elif c == ts_col:
+                e = f"max({ts_col})"
+            else:
+                e = f"min({c})"
+            aggs.append(F.expr(e).cast(dtypes[c]).alias(c))
+        rolled = expired.groupBy(*group_by).agg(*aggs).select(*src.columns)
+        merged = survivors.select(*src.columns).unionByName(rolled)
+        new_files = self._write_bucket_files(merged, touched)
+        return self._commit(
+            kept_files + new_files,
+            note=(
+                f"ttl_rollup buckets={len(touched)} "
+                f"scanned={len(candidates)}/{len(m['files'])}"
+            ),
         )
 
     def vacuum(self, keep_versions: int = 2) -> list[str]:

@@ -814,3 +814,175 @@ def test_update_where_zone_map_pruned_hit_finding(spark, tmp_path):
     got = t.read(spark).select("username", "updated_at").collect()
     for r in got:
         assert r.username.endswith("!") == (r.updated_at <= cut), r
+
+
+def test_ttl_rollup_collapses_expired_groups(spark, tmp_path):
+    """r9: CH `TTL ... GROUP BY ... SET v = sum(v)` — expired rows
+    collapse to one aggregate row per group (sum where SET says so,
+    deterministic min elsewhere, max(ts) for the TTL column), live rows
+    are untouched, and re-running is content-idempotent."""
+    t = ManifestTable(str(tmp_path / "t"), n_buckets=4)
+    t.append_parts()(_full(spark), 0)
+    rows = t.read(spark).collect()
+    times = sorted(r.updated_at for r in rows)
+    cut = times[len(times) // 2]
+    cut_s = cut.strftime("%Y-%m-%d %H:%M:%S.%f")
+    expired = [r for r in rows if r.updated_at < cut]
+    live = [r for r in rows if r.updated_at >= cut]
+    assert expired and live
+    v = t.apply_ttl_rollup(
+        spark, "updated_at", cut_s,
+        group_by=("user_id",),
+        set_exprs={"kafka_offset": "sum(kafka_offset)"},
+    )
+    assert v == t.current_version()
+    after = t.read(spark).collect()
+    got_live = [r for r in after if r.updated_at >= cut]
+    got_rolled = sorted(
+        (r for r in after if r.updated_at < cut), key=lambda r: r.user_id
+    )
+    assert sorted(map(tuple, got_live)) == sorted(map(tuple, live))
+    # one rollup row per expired user, with the declared aggregates
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for r in expired:
+        groups[r.user_id].append(r)
+    assert [r.user_id for r in got_rolled] == sorted(groups)
+    for r in got_rolled:
+        g = groups[r.user_id]
+        assert r.kafka_offset == sum(x.kafka_offset for x in g)
+        assert r.updated_at == max(x.updated_at for x in g)
+        assert r.username == min(x.username for x in g)
+        assert r.account_type == min(x.account_type for x in g)
+    # content-idempotent: a second rollup re-collapses rows into themselves
+    t.apply_ttl_rollup(
+        spark, "updated_at", cut_s,
+        group_by=("user_id",),
+        set_exprs={"kafka_offset": "sum(kafka_offset)"},
+    )
+    assert sorted(map(tuple, t.read(spark).collect())) == sorted(map(tuple, after))
+
+
+def test_ttl_rollup_refusals_and_pruned_hit_finding(spark, tmp_path):
+    import pytest
+
+    t = ManifestTable(
+        str(tmp_path / "t"), n_buckets=2, stats_cols=("updated_at",)
+    )
+    sink = t.append_parts()
+    full = _full(spark)
+    times = sorted(r.updated_at for r in full.select("updated_at").collect())
+    cut = times[len(times) // 4]
+    sink(full.filter(F.col("updated_at") <= F.lit(cut)), 0)
+    sink(full.filter(F.col("updated_at") > F.lit(cut)), 1)
+    with pytest.raises(ValueError, match="bucket key"):
+        t.apply_ttl_rollup(spark, "updated_at", "2030-01-01", ("username",), {})
+    with pytest.raises(ValueError, match="GROUP BY column"):
+        t.apply_ttl_rollup(
+            spark, "updated_at", "2030-01-01", ("user_id",),
+            {"user_id": "sum(user_id)"},
+        )
+    n_files = len(t.current_manifest()["files"])
+    cut_s = cut.strftime("%Y-%m-%d %H:%M:%S.%f")
+    # rollup everything strictly before an early cutoff: only the old
+    # part's files are hit-scanned
+    t.apply_ttl_rollup(spark, "updated_at", cut_s, ("user_id",), {})
+    note = t.current_manifest()["note"]
+    scanned, total = map(int, note.split("scanned=")[1].split("/"))
+    assert total == n_files and 0 < scanned < total, note
+
+
+def _agg_proj_df(spark):
+    return spark.range(200).select(
+        (F.col("id") % 10).alias("uid"),
+        F.col("id").alias("seq"),
+        (F.col("id") * 0.01 + 0.005).alias("val"),
+        (F.col("id") % 3).cast("string").alias("cat"),
+    )
+
+
+def _agg_proj_direct(t, spark):
+    return (
+        t.read(spark)
+        .groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("v_sum"),
+            F.min("seq").alias("s_min"),
+            F.max("seq").alias("s_max"),
+        )
+    )
+
+
+def test_agg_projection_merges_partial_states_exactly(spark, tmp_path):
+    """r9: CH AGGREGATE projections — per-part partial states merge to
+    the bit-identical result a direct scan computes (double sums ride
+    exact decimals), stay maintained across append and part-merge
+    compaction, and never serve row-level reads."""
+    df = _agg_proj_df(spark)
+    t = ManifestTable(str(tmp_path / "t"), key_col="uid", n_buckets=2)
+    ap = t.append_parts(sort_key=("uid", "seq"), arrival=("uid",))
+    ap(df.filter(F.col("seq") < 100), 0)
+    t.add_agg_projection(
+        spark, "by_cat", ("cat",),
+        {"n": ("count", "*"), "v_sum": ("sum", "val"),
+         "s_min": ("min", "seq"), "s_max": ("max", "seq")},
+    )
+    ap(df.filter(F.col("seq") >= 100), 1)  # maintained on append
+    got = sorted(map(tuple, t.read_agg(spark, "by_cat", fallback=False).collect()))
+    want = sorted(map(tuple, _agg_proj_direct(t, spark).collect()))
+    assert got == want
+    # row reads are untouched by the agg projection's files
+    assert t.read(spark).count() == 200
+    layout, _ = t.choose_layout(where=[("seq", 0, 10)])
+    assert layout == "base"
+    # part-merge compaction rebuilds the states for the merged part
+    t.compact(spark)
+    got2 = sorted(map(tuple, t.read_agg(spark, "by_cat", fallback=False).collect()))
+    assert got2 == want
+    # drop reclaims: spec gone, files out of the manifest
+    t.drop_projection("by_cat")
+    assert not any(f.get("proj") for f in t.current_manifest()["files"])
+
+
+def test_agg_projection_fallback_and_validation(spark, tmp_path):
+    import pytest
+
+    df = _agg_proj_df(spark)
+    t = ManifestTable(str(tmp_path / "t"), key_col="uid", n_buckets=2)
+    t.append_parts(sort_key=("uid", "seq"), arrival=("uid",))(df, 0)
+    with pytest.raises(ValueError, match="re-aggregatable"):
+        t.add_agg_projection(spark, "bad", ("cat",), {"a": ("avg", "val")})
+    with pytest.raises(ValueError, match="count"):
+        t.add_agg_projection(spark, "bad", ("cat",), {"a": ("min", "*")})
+    with pytest.raises(ValueError, match="shadow"):
+        t.add_agg_projection(spark, "bad", ("cat",), {"cat": ("max", "seq")})
+    t.add_agg_projection(
+        spark, "by_cat", ("cat",), {"n": ("count", "*"), "v_sum": ("sum", "val")}
+    )
+    want = sorted(
+        map(tuple, t.read_agg(spark, "by_cat", fallback=False).collect())
+    )
+    # strip the projection's files from the snapshot → incomplete
+    # coverage: strict read raises, fallback recomputes identically
+    m = t.current_manifest()
+    t._commit([f for f in m["files"] if not f.get("proj")], "strip")
+    with pytest.raises(RuntimeError, match="cover"):
+        t.read_agg(spark, "by_cat", fallback=False)
+    assert sorted(map(tuple, t.read_agg(spark, "by_cat").collect())) == want
+    # a sort projection on the same table still serves row reads
+    t2 = ManifestTable(str(tmp_path / "t2"), key_col="uid", n_buckets=2)
+    t2.append_parts(sort_key=("uid", "seq"), arrival=("uid",))(df, 0)
+    t2.add_projection(spark, "by_seq", "seq", n_files=2)
+    t2.add_agg_projection(
+        spark, "by_cat", ("cat",), {"n": ("count", "*")}
+    )
+    layout, files = t2.choose_layout(where=[("seq", 0, 10)])
+    assert layout == "by_seq"
+    assert all(f.get("proj") == "by_seq" for f in files)
+    got = sorted(map(tuple, t2.read_agg(spark, "by_cat", fallback=False).collect()))
+    direct = sorted(
+        map(tuple, t2.read(spark).groupBy("cat").agg(
+            F.count(F.lit(1)).alias("n")).collect())
+    )
+    assert got == direct
