@@ -171,6 +171,8 @@ HEADLINE = [
     "manifest_update_read",       # ALTER UPDATE mutation lifecycle
     "manifest_ttl_rollup_read",   # TTL GROUP BY rollup lifecycle
     "manifest_agg_projection_read",  # aggregate-projection lifecycle
+    "lttb_downsample_events",     # sequential per-series Arrow walk
+    "interval_length_sum_users",  # island-merge union sweep
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

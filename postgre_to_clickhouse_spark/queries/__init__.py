@@ -62,6 +62,8 @@ _WINDOW = [
     "mann_whitney_values",        # B21 mannWhitneyUTest
     "cramers_v_association",      # B21 cramersV
     "ema_user_values",            # B21 exponentialMovingAverage
+    "interval_length_sum_users",  # B21 intervalLengthSum
+    "lttb_downsample_events",     # B21 largestTriangleThreeBuckets
     # --- Rule 1: never driver-checked (restores the 178/178 ledger) ---
     "sequence_match_dot",         # B21 sequenceMatch '.' token (r8)
     # --- Rule 1: implementation internals changed in r9 (manifest.py
@@ -106,8 +108,6 @@ _WINDOW = [
     # --- r5 cohort, alphabetical first 12 (the remaining 36 r5-greens
     # rotate in over r10-r11 under rule 2) ---
     "array_manipulation",         # B17
-    "asof_events_last_order",     # B6
-    "band_join_acctbal",          # B5
 ]
 
 

@@ -492,3 +492,158 @@ def ema_user_values(spark, sf_dir):
             F.size("vals").alias("n_events"),
         )
     )
+
+
+@register(
+    "interval_length_sum_users",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+      FROM events
+      GROUP BY user_id, CAST(ts AS DATE), event_type
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS UNBOUNDED PRECEDING) AS isl
+      FROM marked
+    ),
+    merged AS (
+      SELECT user_id, isl, MAX(e) - MIN(s) AS len
+      FROM islands GROUP BY user_id, isl
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(len) AS BIGINT) AS union_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def interval_length_sum_users(spark, sf_dir):
+    """r9, B21: ClickHouse ``intervalLengthSum(start, end)`` — total
+    length of the UNION of intervals (overlaps counted once). Intervals
+    here are per-(user, day, event_type) activity spans, which overlap
+    heavily within a user's day across event types; the union length is
+    the user's distinct active time. Classic island merge: an interval
+    opens a new island iff its start exceeds the running max end of
+    everything before it (window per user, ordered (s, e)); islands
+    then reduce to max(e)-min(s). Everything is exact integer epoch-µs.
+
+    Scale: the sweep windows are PARTITIONED per user over the reduced
+    intervals table (bounded by user × day × type, not events); the
+    fact table is scanned once into that reduction."""
+    ev = _t(spark, sf_dir, "events")
+    mu = F.unix_micros("ts")
+    iv = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.min(mu).alias("s"), F.max(mu).alias("e"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = marked.withColumn("isl", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "isl").agg(
+        (F.max("e") - F.min("s")).alias("len")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("len").cast("bigint").alias("union_us"),
+    )
+
+
+@register(
+    "lttb_downsample_events",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT event_type AS serie, epoch_us(ts) AS xl, value AS v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY epoch_us(ts), event_id) - 1 AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    bkt AS (
+      SELECT serie, xl, v, i, CAST(((i - 1) * 18) // (n - 2) AS INT) AS b
+      FROM p WHERE i >= 1 AND i <= n - 2
+    ),
+    lastp AS (SELECT serie, xl, v FROM p WHERE i = n - 1),
+    avgs AS (
+      SELECT serie, b,
+             CAST(SUM(xl) AS DOUBLE) / COUNT(*) AS ax,
+             CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / COUNT(*) AS ay
+      FROM bkt GROUP BY serie, b
+    ),
+    nxt AS (
+      SELECT serie, b - 1 AS b, ax AS nx, ay AS ny FROM avgs WHERE b >= 1
+      UNION ALL
+      SELECT serie, 17 AS b, CAST(xl AS DOUBLE) AS nx, v AS ny FROM lastp
+    ),
+    rec AS (
+      SELECT serie, 0 AS step, xl AS sx, v AS sy FROM p WHERE i = 0
+      UNION ALL
+      SELECT q.serie, q.step + 1, q.pick['xl'], q.pick['v']
+      FROM (
+        SELECT r.serie, r.step,
+          (SELECT {'xl': c.xl, 'v': c.v}
+           FROM bkt c JOIN nxt t ON t.serie = c.serie AND t.b = c.b
+           WHERE c.serie = r.serie AND c.b = r.step
+           ORDER BY abs((CAST(r.sx AS DOUBLE) - t.nx) * (c.v - r.sy)
+                      - (CAST(r.sx AS DOUBLE) - CAST(c.xl AS DOUBLE))
+                        * (t.ny - r.sy)) DESC,
+                    c.i ASC
+           LIMIT 1) AS pick
+        FROM rec r WHERE r.step < 18
+      ) q
+    )
+    SELECT serie, CAST(step AS INT) AS pos, sx AS ts_us, sy AS value
+    FROM rec
+    UNION ALL
+    SELECT serie, 19 AS pos, xl AS ts_us, v AS value FROM lastp
+    """,
+)
+def lttb_downsample_events(spark, sf_dir):
+    """r9, B21: ClickHouse ``largestTriangleThreeBuckets(20)(ts,
+    value)`` — per-event-type time series downsampled to 20 points
+    that preserve visual extrema (:mod:`operators.lttb`). The greedy
+    walk is sequential per series, so the engine runs one Arrow
+    ``applyInPandas`` per series (series parallelize; per-series work
+    is a few vector ops per bucket); the DuckDB oracle replays the
+    IDENTICAL walk as a recursive CTE — same integer bucket formula,
+    same exact-sum bucket averages, same literal float op order for
+    the triangle areas, lowest-index tie-break — so both engines
+    select the same points bit-for-bit and the output is raw input
+    (ts, value) pairs, no rounding anywhere.
+
+    Scale: series fan out across executors; per-series state is the
+    series' points (the per-entity bound every sequential operator
+    here rides). A series too long for one task would shard by coarse
+    time windows with per-window LTTB — the standard tiling."""
+    from postgre_to_clickhouse_spark.operators.lttb import lttb_downsample
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+        "event_id",
+    )
+    return lttb_downsample(
+        ev, "event_type", "ts_us", "value", "event_id", n_out=20
+    )

@@ -604,3 +604,87 @@ def test_ivfpq_recall_and_layout_independence(spark):
         exact = set(ids[order[:10]].tolist())
         recalls.append(len(exact & approx[r.query_id]) / 10.0)
     assert sum(recalls) / len(recalls) >= 0.35, recalls  # 3/8 lists probed
+
+
+def test_lttb_properties(spark):
+    """LTTB (operators/lttb.py): endpoints always kept, one point per
+    bucket, short series pass through whole, result is layout- and
+    input-order-independent, and a spike is preserved where a uniform
+    stride would drop it."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from postgre_to_clickhouse_spark.operators.lttb import lttb_downsample
+
+    n = 300
+    rows = []
+    for i in range(n):
+        v = 10.0 + (i % 7) * 0.25
+        if i == 137:
+            v = 500.0  # spike between stride points
+        rows.append(("s", 1_700_000_000_000_000 + i * 60_000_000, v, i))
+    df = spark.createDataFrame(rows, "serie string, x long, v double, i long")
+    out = lttb_downsample(df, "serie", "x", "v", "i", n_out=20)
+    got = sorted(map(tuple, out.collect()), key=lambda t: t[1])
+    assert len(got) == 20
+    assert got[0][2] == rows[0][1] and got[-1][2] == rows[-1][1]  # endpoints
+    assert [g[1] for g in got] == list(range(20))
+    assert any(g[3] == 500.0 for g in got), "spike lost"
+    # strictly increasing ts across selections (one per bucket, ordered)
+    ts = [g[2] for g in got]
+    assert ts == sorted(ts) and len(set(ts)) == 20
+
+    # layout/order independence: shuffled input, more partitions
+    df2 = df.orderBy(F.rand(7)).repartition(13)
+    got2 = sorted(map(tuple, lttb_downsample(
+        df2, "serie", "x", "v", "i", n_out=20).collect()), key=lambda t: t[1])
+    assert got2 == got
+
+    # short series: all points, in order
+    short = spark.createDataFrame(
+        [("t", 100 + k, float(k), k) for k in range(7)],
+        "serie string, x long, v double, i long",
+    )
+    outs = sorted(map(tuple, lttb_downsample(
+        short, "serie", "x", "v", "i", n_out=20).collect()), key=lambda t: t[1])
+    assert [o[2] for o in outs] == [100 + k for k in range(7)]
+
+    import pytest
+    with pytest.raises(ValueError, match="n_out"):
+        lttb_downsample(df, "serie", "x", "v", "i", n_out=2)
+
+
+def test_interval_length_sum_matches_bruteforce(spark):
+    """interval_length_sum_users' island merge vs a brute-force µs
+    membership count on adversarial overlap patterns."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    iv = [  # (user, start, end): nested, chained, disjoint, touching
+        (1, 0, 100), (1, 10, 20), (1, 90, 150), (1, 200, 210),
+        (2, 5, 5), (2, 5, 7), (2, 7, 9), (2, 20, 30),
+        (3, 0, 1000),
+    ]
+    df = spark.createDataFrame(iv, "user_id int, s long, e long")
+    w_prev = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1)
+    w_run = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    marked = df.withColumn(
+        "ni", F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0))
+    merged = (
+        marked.withColumn("isl", F.sum("ni").over(w_run))
+        .groupBy("user_id", "isl")
+        .agg((F.max("e") - F.min("s")).alias("len"))
+        .groupBy("user_id")
+        .agg(F.sum("len").alias("union_len"))
+    )
+    got = {r.user_id: r.union_len for r in merged.collect()}
+    want = {}
+    for u in {t[0] for t in iv}:
+        pts = set()
+        for uu, s, e in iv:
+            if uu == u:
+                pts.update(range(s, e))
+        want[u] = len(pts)
+    assert got == want, (got, want)
