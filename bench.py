@@ -164,7 +164,9 @@ HEADLINE = [
     # welch_ttest_values / cramers_v_association stay exempt — their
     # plan skeletons (single-col rollup, groupBy+scalar pivot, cell agg
     # + broadcast marginals) are timed by rollup_revenue_region_nation,
-    # agg_events_stats and cohort_retention_matrix on the same tables.
+    # agg_events_stats and cohort_retention_matrix on the same tables;
+    # sequence_next_node_events' per-user array fold skeleton is timed
+    # by ema_user_values / group_array_events.
     "mann_whitney_values",        # two-phase distributed prefix-sum rank
     "max_intersections_users",    # interval sweep window over reduced table
     "ema_user_values",            # per-entity higher-order fold

@@ -64,6 +64,7 @@ _WINDOW = [
     "ema_user_values",            # B21 exponentialMovingAverage
     "interval_length_sum_users",  # B21 intervalLengthSum
     "lttb_downsample_events",     # B21 largestTriangleThreeBuckets
+    "sequence_next_node_events",  # B21 sequenceNextNode (consecutive chain)
     # --- Rule 1: never driver-checked (restores the 178/178 ledger) ---
     "sequence_match_dot",         # B21 sequenceMatch '.' token (r8)
     # --- Rule 1: implementation internals changed in r9 (manifest.py
@@ -107,7 +108,6 @@ _WINDOW = [
     "vector_ivf_topk",            # C3
     # --- r5 cohort, alphabetical first 12 (the remaining 36 r5-greens
     # rotate in over r10-r11 under rule 2) ---
-    "array_manipulation",         # B17
 ]
 
 

@@ -647,3 +647,65 @@ def lttb_downsample_events(spark, sf_dir):
     return lttb_downsample(
         ev, "event_type", "ts_us", "value", "event_id", n_out=20
     )
+
+
+@register(
+    "sequence_next_node_events",
+    oracle="""
+    WITH ord AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3,
+             ROW_NUMBER() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    cnt AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+    m AS (
+      SELECT user_id, MIN(rn) AS rn0 FROM ord
+      WHERE event_type = 'view' AND e2 = 'click'
+      GROUP BY user_id
+    )
+    SELECT c.user_id,
+           (SELECT o.e3 FROM ord o JOIN m ON m.user_id = o.user_id
+            WHERE o.user_id = c.user_id AND o.rn = m.rn0) AS next_event,
+           c.n_events
+    FROM cnt c
+    """,
+)
+def sequence_next_node_events(spark, sf_dir):
+    """r9, B21: ClickHouse ``sequenceNextNode('forward', 'first_match')
+    (ts, event, base, 'view', 'click')`` — journey attribution: for
+    each user, the event IMMEDIATELY AFTER the first consecutive
+    view→click pair in the user's (ts, event_id)-ordered stream (NULL
+    when there is no pair, or the pair ends the stream). Unlike
+    sequenceMatch, the chain here is CONSECUTIVE — that is the
+    operator's defining semantics and why it needs its own
+    implementation next to the subsequence-DP funnel family
+    (operators/funnel.py). One groupBy collects the per-user ordered
+    event array; a JVM higher-order filter over candidate positions
+    finds the first chain start, all inside codegen — no join, no
+    window, no Python.
+
+    Scale: per-user arrays (the sessionize/funnel bound); one shuffle.
+    The oracle takes the textbook window-lead formulation instead —
+    structurally different, same answer."""
+    ev = _t(spark, sf_dir, "events")
+    evs = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(evs.alias("evs"))
+        .select(
+            "user_id",
+            F.expr(
+                "try_element_at(evs, try_add(try_element_at("
+                " filter(sequence(1, greatest(size(evs) - 1, 1)),"
+                "        i -> evs[i - 1] = 'view' AND i < size(evs)"
+                "             AND evs[i] = 'click'), 1), 2))"
+            ).alias("next_event"),
+            F.size("evs").alias("n_events"),
+        )
+    )

@@ -1306,6 +1306,47 @@ class ManifestTable:
             ),
         )
 
+    def describe_parts(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Table observability — the ClickHouse ``system.parts`` view
+        (the first thing a CH operator queries when a table misbehaves;
+        the reference's runbook does exactly that on its target,
+        /root/reference/README.md:237-243): one row per live file with
+        its part id, bucket, projection, row count, on-disk bytes, row
+        groups, and the manifest's zone-map bounds.
+
+        Row counts and sizes come from parquet FOOTERS only (no data
+        pages read), walked driver-side — bounded by file count, the
+        same bound every manifest commit already carries. A deployment
+        with very many files would lift the same footer walk into one
+        distributed job over file names; the manifest itself stays the
+        source of truth for membership."""
+        import pyarrow.parquet as papq
+
+        m = self.current_manifest() if version is None else self.manifest_at(version)
+        recs = []
+        for f in m["files"]:
+            p = os.path.join(self.path, _DATA, f["name"])
+            md = papq.ParquetFile(p).metadata
+            recs.append(
+                (
+                    f["name"],
+                    f.get("part"),
+                    int(f["bucket"]),
+                    f.get("proj"),
+                    int(md.num_rows),
+                    int(os.path.getsize(p)),
+                    int(md.num_row_groups),
+                    json.dumps(f.get("stats"), sort_keys=True)
+                    if f.get("stats")
+                    else None,
+                )
+            )
+        return spark.createDataFrame(
+            recs,
+            "name string, part string, bucket int, proj string, "
+            "rows long, bytes long, row_groups int, stats string",
+        )
+
     def vacuum(self, keep_versions: int = 2) -> list[str]:
         """Delete data files referenced by NO retained manifest (crash
         orphans and files superseded more than ``keep_versions`` ago).

@@ -986,3 +986,26 @@ def test_agg_projection_fallback_and_validation(spark, tmp_path):
             F.count(F.lit(1)).alias("n")).collect())
     )
     assert got == direct
+
+
+def test_describe_parts_matches_table_state(spark, tmp_path):
+    """r9: system.parts-style introspection — per-file rows/bytes/part/
+    bucket/projection from footers + manifest, consistent with reads
+    and time travel."""
+    t = ManifestTable(
+        str(tmp_path / "t"), n_buckets=4, stats_cols=("updated_at",)
+    )
+    t.append_parts()(_full(spark), 0)
+    v0 = t.current_version()
+    d = t.describe_parts(spark).collect()
+    assert sum(r.rows for r in d) == t.read(spark).count()
+    assert all(r.bytes > 0 and r.row_groups >= 1 for r in d)
+    assert all(r.proj is None for r in d)
+    assert all(r.stats and "updated_at" in r.stats for r in d)
+    t.add_projection(spark, "by_time", "updated_at", n_files=2)
+    d2 = t.describe_parts(spark).collect()
+    base_rows = sum(r.rows for r in d2 if r.proj is None)
+    proj_rows = sum(r.rows for r in d2 if r.proj == "by_time")
+    assert base_rows == proj_rows == t.read(spark).count()
+    # time travel: the pre-projection snapshot still describes cleanly
+    assert all(r.proj is None for r in t.describe_parts(spark, version=v0).collect())
