@@ -237,6 +237,13 @@ FORCE_EVAL = {
     "timeseries_interpolate": "v_interp IS NOT NULL OR was_filled IS NOT NULL",
     "remove_dup_spans": "removed_tokens >= 0 OR length(cleaned_text) >= 0",
     "line_dedup_corpus": "removed_lines >= 0 OR length(cleaned_text) >= 0",
+    # r9 session 2: the new aggregate-shaped entries end in exprs
+    # count() would prune (the manifest lifecycle queries are pinned
+    # eagerly and LTTB computes inside Arrow — those need no filter).
+    "mann_whitney_values": "z_stat IS NOT NULL OR u1 >= 0",
+    "max_intersections_users": "max_intersections >= 1",
+    "ema_user_values": "ema_value IS NOT NULL",
+    "interval_length_sum_users": "union_us >= 0",
 }
 
 # r7 (VERDICT r6 #8): one 112-query JVM session couples queries to GC

@@ -397,3 +397,42 @@ def test_lifecycle_queries_return_executor_pinned_results(spark):
         assert "ExistingRDD" in plan, f"{name} result is not executor-pinned"
         # and the pinned result is still readable (temp dirs already gone)
         assert QUERIES[name](spark, SF_SMALL).count() > 0
+
+
+def test_ema_fold_is_jvm_side_single_shuffle(spark):
+    """ema_user_values: the per-user EMA fold must run as a JVM
+    higher-order `aggregate` inside the grouped projection — no Python
+    eval, no window, no join; the only exchange is the groupBy."""
+    plan = _plan(spark, "ema_user_values")
+    for marker in ("EvalPython", "ArrowEval", "Window", "Join"):
+        assert marker not in plan, marker
+    assert plan.count("Exchange (") <= 1, plan.count("Exchange (")
+
+
+def test_sequence_next_node_no_join_no_python(spark):
+    """sequence_next_node_events: consecutive-chain matching is a
+    higher-order position filter over the collected array — same
+    contract as the funnel family."""
+    plan = _plan(spark, "sequence_next_node_events")
+    for marker in ("EvalPython", "Join", "Window"):
+        assert marker not in plan, marker
+
+
+def test_lttb_is_arrow_grouped_map(spark):
+    """lttb_downsample_events: the sequential walk must be ONE Arrow
+    grouped-map stage (series fan out), never row-Python."""
+    plan = _plan(spark, "lttb_downsample_events")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange (") <= 1, plan.count("Exchange (")
+
+
+def test_mann_whitney_rank_join_broadcasts(spark):
+    """mann_whitney_values: the rank table joins back to rows as a
+    BROADCAST (the distinct-value table is the small side); the row
+    table itself is never globally sorted (no partitionless sort of
+    the fact table — the only unpartitioned window runs over the
+    constant-bounded 1024-row bucket-offset table)."""
+    plan = _plan(spark, "mann_whitney_values")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

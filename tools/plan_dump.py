@@ -32,6 +32,10 @@ SHOWCASE = [
     ("q2_spec_min_cost_supplier", "spec-true partsupp Q2: per-part min via groupBy + equi-join, dims broadcast"),
     ("quantile_sketch_events", "mergeable quantile states: per-partition summaries, bounded concatenation merge"),
     ("cohort_retention_matrix", "distinct (user, day) reduction before any join; matrix groupBy never rescans raw events"),
+    ("ema_user_values", "r9: EMA fold as a JVM higher-order aggregate — one exchange, no Python/window/join"),
+    ("mann_whitney_values", "r9: rank prefix-sum over range buckets; rank table broadcasts back to rows"),
+    ("lttb_downsample_events", "r9: ONE Arrow grouped-map stage — series fan out, walk stays in numpy"),
+    ("sequence_next_node_events", "r9: consecutive-chain match as a higher-order position filter — no join/window"),
 ]
 
 STRIP = re.compile(r"#\d+L?|\[plan_id=\d+\]")
