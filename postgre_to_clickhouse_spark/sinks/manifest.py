@@ -956,6 +956,7 @@ class ManifestTable:
         sort_key=("user_id", "updated_at"),
         arrival=("kafka_offset",),
         min_files_per_bucket: int = 2,
+        merge_parts: int | None = None,
     ) -> int:
         """ClickHouse background-merge parity: rewrite each bucket that
         has accumulated ``min_files_per_bucket`` or more files into one
@@ -981,10 +982,14 @@ class ManifestTable:
         With PROJECTIONS declared, compaction switches to PART-MERGE
         mode (how ClickHouse merges projection-carrying parts: whole
         parts in, one part out, projections rebuilt for the merged
-        rows) — see :meth:`_compact_parts`.
+        rows) — see :meth:`_compact_parts`. ``merge_parts=k`` selects
+        the INCREMENTAL policy there: only the k smallest parts by
+        bytes merge this round (ClickHouse's background-merge
+        scheduling — it never rewrites the whole table per merge),
+        untouched parts and their projection files carry by reference.
         """
         if self.projections:
-            return self._compact_parts(spark, final, sort_key, arrival)
+            return self._compact_parts(spark, final, sort_key, arrival, merge_parts)
         m = self.current_manifest()
         per_bucket: dict[int, int] = {}
         for f in m["files"]:
@@ -1008,29 +1013,60 @@ class ManifestTable:
             note=f"compact final={final} buckets={len(touched)}",
         )
 
-    def _compact_parts(self, spark: SparkSession, final, sort_key, arrival) -> int:
+    def _compact_parts(
+        self, spark: SparkSession, final, sort_key, arrival, merge_parts=None
+    ) -> int:
         """Part-merge compaction for projection-carrying tables: merge
-        every part into ONE new part, rebuilding the base buckets and
-        each projection's sorted copy for the merged rows, then commit
-        a manifest holding only the new part — the consumed parts' base
-        AND projection files drop together, so a projection can never
-        reference rows its base no longer has. Rewrite volume is the
-        selected parts' bytes (here: all — OPTIMIZE FINAL shape; an
-        incremental policy would pick the smallest-k parts per round,
-        same protocol)."""
+        selected parts into ONE new part, rebuilding the base buckets
+        and each projection's copy for the merged rows, then commit a
+        manifest where the consumed parts' base AND projection files
+        drop together — a projection can never reference rows its base
+        no longer has.
+
+        Selection: ``final`` or ``merge_parts=None`` merges ALL parts
+        (the OPTIMIZE FINAL shape); ``merge_parts=k`` merges only the
+        k SMALLEST parts by on-disk bytes (part-id tiebreak) — the
+        ClickHouse background-merge policy, whose rewrite volume per
+        round is the small parts' bytes regardless of table size.
+        Incremental merges are content-preserving (no version
+        collapse — the FINAL read resolves versions either way)."""
         m = self.current_manifest()
         base = [f for f in m["files"] if not f.get("proj")]
         if not base:
             return self.current_version()
-        if len({f.get("part") for f in base}) <= 1 and not final:
+        groups: dict = {}
+        for f in base:
+            groups.setdefault(f.get("part"), []).append(f)
+        if len(groups) <= 1 and not final:
             return self.current_version()
-        paths = [os.path.join(self.path, _DATA, f["name"]) for f in base]
+        if final or merge_parts is None:
+            chosen = list(groups)
+        else:
+            if merge_parts < 2:
+                raise ValueError("merge_parts must be >= 2")
+            sizes = {
+                pid: sum(
+                    os.path.getsize(os.path.join(self.path, _DATA, f["name"]))
+                    for f in fs
+                )
+                for pid, fs in groups.items()
+            }
+            chosen = sorted(groups, key=lambda p: (sizes[p], str(p)))[:merge_parts]
+            if len(chosen) < 2:
+                return self.current_version()
+        sel = [f for pid in chosen for f in groups[pid]]
+        paths = [os.path.join(self.path, _DATA, f["name"]) for f in sel]
         data = spark.read.option("mergeSchema", "true").parquet(*paths)
         if final:
             data = latest(data, entity_key=(self.key_col,), version_cols=sort_key[1:] + arrival)
-        buckets = sorted({f["bucket"] for f in base})
+        buckets = sorted({f["bucket"] for f in sel})
         new_files = self._write_part(data, buckets)
-        return self._commit(new_files, note=f"compact parts final={final}")
+        chosen_set = set(chosen)
+        kept = [f for f in m["files"] if f.get("part") not in chosen_set]
+        return self._commit(
+            kept + new_files,
+            note=f"compact parts final={final} merged={len(chosen)}/{len(groups)}",
+        )
 
     def delete_where(
         self, spark: SparkSession, predicate: str, where=None, equals=None, tokens=None

@@ -1009,3 +1009,50 @@ def test_describe_parts_matches_table_state(spark, tmp_path):
     assert base_rows == proj_rows == t.read(spark).count()
     # time travel: the pre-projection snapshot still describes cleanly
     assert all(r.proj is None for r in t.describe_parts(spark, version=v0).collect())
+
+
+def test_incremental_part_merge_touches_smallest_parts_only(spark, tmp_path):
+    """r9: CH background-merge policy — merge_parts=k rewrites only the
+    k smallest parts (one new part out), untouched parts' base AND
+    projection files carry by reference, content and projection reads
+    unchanged."""
+    df = _agg_proj_df(spark)
+    t = ManifestTable(str(tmp_path / "t"), key_col="uid", n_buckets=2)
+    t.add_projection(spark, "by_seq", "seq", n_files=2)
+    t.add_agg_projection(spark, "by_cat", ("cat",), {"n": ("count", "*")})
+    ap = t.append_parts(sort_key=("uid", "seq"), arrival=("uid",))
+    ap(df.filter(F.col("seq") < 20), 0)           # small part
+    ap(df.filter((F.col("seq") >= 20) & (F.col("seq") < 40)), 1)  # small
+    ap(df.filter(F.col("seq") >= 40), 2)          # big part (160 rows)
+    before = t.current_manifest()["files"]
+    parts_before = {f.get("part") for f in before if not f.get("proj")}
+    assert len(parts_before) == 3
+    big_part = max(
+        parts_before,
+        key=lambda p: sum(
+            os.path.getsize(os.path.join(t.path, "data", f["name"]))
+            for f in before
+            if f.get("part") == p and not f.get("proj")
+        ),
+    )
+    big_files = {f["name"] for f in before if f.get("part") == big_part}
+
+    v = t.compact(spark, merge_parts=2)
+    assert v == t.current_version()
+    after = t.current_manifest()["files"]
+    parts_after = {f.get("part") for f in after if not f.get("proj")}
+    assert len(parts_after) == 2 and big_part in parts_after
+    # untouched big part: every file (base + projections) by reference
+    assert {f["name"] for f in after if f.get("part") == big_part} == big_files
+    # content preserved; projections still cover; agg read exact
+    assert t.read(spark).count() == 200
+    layout, _ = t.choose_layout(where=[("seq", 0, 10)])
+    assert layout == "by_seq"
+    got = sorted(map(tuple, t.read_agg(spark, "by_cat", fallback=False).collect()))
+    direct = sorted(map(tuple, t.read(spark).groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n")).collect()))
+    assert got == direct
+    # k<2 refuses; merging below 2 eligible parts is a no-op
+    import pytest
+    with pytest.raises(ValueError, match="merge_parts"):
+        t.compact(spark, merge_parts=1)
