@@ -175,6 +175,7 @@ HEADLINE = [
     "manifest_agg_projection_read",  # aggregate-projection lifecycle
     "lttb_downsample_events",     # sequential per-series Arrow walk
     "interval_length_sum_users",  # island-merge union sweep
+    "quantile_mv_incremental",    # histogram-state MV lifecycle
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

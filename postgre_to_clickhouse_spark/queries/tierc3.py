@@ -537,3 +537,68 @@ def cdc_avro_decode_pipeline(spark, sf_dir):
         df, {1: USERS_AVRO_SCHEMA, 2: _USERS_V2_AVRO}, _USERS_V2_AVRO
     )
     return latest(decoded, entity_key=("user_id",), version_cols=("updated_at", "created_at"))
+
+
+@register(
+    "quantile_mv_incremental",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, value AS v, COUNT(*) AS w
+      FROM events GROUP BY event_type, value
+    ),
+    cum AS (
+      SELECT event_type, v,
+             SUM(w) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY event_type) AS tw
+      FROM c
+    )
+    SELECT event_type,
+           MIN(CASE WHEN CAST(cw AS DOUBLE) >= CAST(tw AS DOUBLE) * 0.5
+                    THEN v END) AS p50,
+           MIN(CASE WHEN CAST(cw AS DOUBLE) >= CAST(tw AS DOUBLE) * 0.9
+                    THEN v END) AS p90,
+           MIN(CASE WHEN CAST(cw AS DOUBLE) >= CAST(tw AS DOUBLE) * 0.99
+                    THEN v END) AS p99
+    FROM cum GROUP BY event_type
+    """,
+)
+def quantile_mv_incremental(spark, sf_dir):
+    """r9, A12: the quantileExactWeightedState/-Merge MATERIALIZED VIEW
+    (ClickHouse AggregatingMergeTree's quantile pattern — the state IS
+    a value→count histogram) driven end-to-end: events stream through
+    ``QuantileMV`` as four micro-batches with one REPLAYED batch (skip
+    enforced by explicit raise) and a mid-stream compaction, then
+    p50/p90/p99 per event type read back via the quantileExactWeighted
+    rule (smallest value whose cumulative weight reaches q·W, a JVM
+    fold over the bounded state array — no window, no explode at
+    read). Histogram-count merge is commutative/associative and the
+    part log is exactly-once, so batch boundaries, replay and
+    compaction are provably invisible; every output is a RAW input
+    value, so the DuckDB cumulative-weight oracle is an equality
+    check, not an approximation bound.
+
+    Scale: ingest is O(batch groups × batch-distinct values); the view
+    stores per-group histograms bounded by value cardinality (CH's own
+    quantileExactWeighted bound), never facts."""
+    import shutil
+    import tempfile
+
+    from postgre_to_clickhouse_spark.sinks.agg_mv import QuantileMV
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "event_id")
+    path = tempfile.mkdtemp(prefix="p2c_quantile_mv_")
+    try:
+        mv = QuantileMV(path, keys=("event_type",), value_col="value")
+        batch_of = F.coalesce(F.pmod("event_id", F.lit(4)), F.lit(0))
+        for b in range(4):
+            if not mv.apply_batch(ev.filter(batch_of == b), batch_id=b):
+                raise RuntimeError(f"quantile_mv: batch {b} was not applied")
+            if b == 1:
+                if mv.apply_batch(ev.filter(batch_of == b), batch_id=b) is not False:
+                    raise RuntimeError("quantile_mv: replayed batch 1 double-committed")
+            if b == 2:
+                mv.compact(spark)
+        return _pin(mv.read_final(spark))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -227,3 +227,80 @@ class UniqMV(AggregateMV):
             *self.keys,
             F.hll_sketch_estimate("s_hll").cast("bigint").alias("uniq_values"),
         )
+
+
+class QuantileMV(AggregateMV):
+    """ClickHouse ``quantileExactWeightedState``/``-Merge``
+    materialized view. CH's exact-weighted quantile STATE is literally
+    a value→count histogram (a hash map in the AggregateFunction
+    column); here it is a sorted ``array<struct<v, w>>`` per group —
+    the same information, parquet-friendly. Merge re-sums counts per
+    value (commutative, associative, idempotent per the part-log's
+    exactly-once batches), finalize applies the
+    ``quantileExactWeighted`` rule: the smallest value whose cumulative
+    weight reaches q·W. Every output is a RAW input value — no
+    interpolation, no floats to drift — so the view is bit-identical
+    to recomputing the quantile from all facts.
+
+    State size per group is bounded by the group's VALUE CARDINALITY
+    (ClickHouse's quantileExactWeighted carries the same bound; a
+    truly unbounded domain takes the GK summaries of
+    operators/sketch.py instead). Ingest stays O(batch groups ×
+    batch-distinct values), never O(history)."""
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        c = df.groupBy(*self.keys, self.value_col).agg(
+            F.count(F.lit(1)).alias("w")
+        )
+        return c.groupBy(*self.keys).agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(self.value_col).cast("double").alias("v"),
+                        F.col("w").alias("w"),
+                    )
+                )
+            ).alias("s_q")
+        )
+
+    def _merge(self, states: DataFrame) -> DataFrame:
+        flat = states.select(*self.keys, F.explode("s_q").alias("e")).select(
+            *self.keys, F.col("e.v").alias("v"), F.col("e.w").alias("w")
+        )
+        c = flat.groupBy(*self.keys, "v").agg(F.sum("w").alias("w"))
+        return c.groupBy(*self.keys).agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("v"), F.col("w")))
+            ).alias("s_q")
+        )
+
+    def read_final(
+        self, spark: SparkSession, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+    ) -> DataFrame:
+        """Quantiles per group: for each q, the smallest value whose
+        cumulative weight reaches q·W — computed with JVM higher-order
+        functions over the (bounded) state array, no window, no
+        explode at read time."""
+        m = self.read_states(spark)
+        total = F.aggregate("s_q", F.lit(0).cast("long"), lambda a, x: a + x["w"])
+        cols = [F.col(k) for k in self.keys]
+        m = m.withColumn("_tw", total)
+        for q in qs:
+            # running-sum scan: first element where cum >= q * W
+            pick = F.expr(
+                f"""
+                aggregate(
+                  s_q,
+                  named_struct('cum', cast(0 as long), 'val',
+                               cast(null as double)),
+                  (acc, x) -> IF(
+                    acc.val IS NOT NULL, acc,
+                    IF(cast(acc.cum + x.w as double) >= _tw * {q!r}d,
+                       named_struct('cum', acc.cum + x.w, 'val', x.v),
+                       named_struct('cum', acc.cum + x.w,
+                                    'val', cast(null as double)))),
+                  acc -> acc.val)
+                """
+            )
+            cols.append(pick.alias(f"p{int(round(q * 100))}"))
+        return m.select(*cols)

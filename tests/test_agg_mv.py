@@ -151,3 +151,36 @@ def test_uniq_mv_exactly_once_replay_and_compaction(spark, tmp_path):
         for r in df.groupBy("grp").agg(F.countDistinct("uid").alias("n")).collect()
     }
     assert got == want
+
+
+def test_quantile_mv_exactly_once_replay_and_compaction(spark, tmp_path):
+    """quantileExactWeightedState MV: the value→count histogram state
+    merges across batch splits, replays and compaction without
+    perturbing a single quantile — finalized p50/p90/p99 equal the
+    cumulative-weight rule computed directly over all rows."""
+    from postgre_to_clickhouse_spark.sinks.agg_mv import QuantileMV
+
+    rows = [(i % 3, float((i * 37) % 100) / 4.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp int, v double")
+    mv = QuantileMV(str(tmp_path / "mv"), keys=("grp",), value_col="v")
+    for b in range(4):
+        assert mv.apply_batch(df.filter((F.col("v") * 4).cast("int") % 4 == b), b)
+    assert not mv.apply_batch(df.filter((F.col("v") * 4).cast("int") % 4 == 1), 1)
+    mv.compact(spark)
+    got = {
+        r.grp: (r.p50, r.p90, r.p99)
+        for r in mv.read_final(spark).collect()
+    }
+    import numpy as np
+
+    for g in {r[0] for r in rows}:
+        vals = np.sort(np.array([v for gg, v in rows if gg == g]))
+        w = len(vals)
+        want = []
+        for q in (0.5, 0.9, 0.99):
+            cum = np.arange(1, w + 1, dtype=np.float64)
+            want.append(float(vals[np.argmax(cum >= w * q)]))
+        assert got[g] == tuple(want), (g, got[g], want)
+    # post-compact batch still applies; duplicate VALUES merge weights
+    assert mv.apply_batch(df.limit(50), 99)
+    assert mv.read_states(spark).count() == 3
