@@ -66,6 +66,7 @@ _WINDOW = [
     "lttb_downsample_events",     # B21 largestTriangleThreeBuckets
     "sequence_next_node_events",  # B21 sequenceNextNode (consecutive chain)
     "quantile_mv_incremental",    # A12 quantileExactWeightedState MV
+    "geohash_cells_events",       # B27 geohashEncode/Decode spatial bucketing
     # --- Rule 1: never driver-checked (restores the 178/178 ledger) ---
     "sequence_match_dot",         # B21 sequenceMatch '.' token (r8)
     # --- Rule 1: implementation internals changed in r9 (manifest.py
@@ -105,11 +106,11 @@ _WINDOW = [
     "sessionize_events",          # A26
     "text_analysis_composite",    # C4
     "tfidf_top_terms",            # C4
-    "vector_cosine_topk",         # C3
-    # (vector_ivf_topk — last alphabetical of the r4 cohort — yields
-    # its seat to the 19th rule-1 query; C3 stays covered in-window by
-    # vector_cosine_topk and vector_lsh_topk, and vector_ivf_topk
-    # stays oracle-gated in pytest + benched.)
+    # (vector_cosine_topk and vector_ivf_topk — the alphabetical tail
+    # of the r4 cohort — yield their seats to the 19th/20th rule-1
+    # queries; C3 stays covered in-window by vector_lsh_topk /
+    # vector_pq_topk-era greens, and both stay oracle-gated in pytest
+    # and benched.)
     # --- r5 cohort, alphabetical first 12 (the remaining 36 r5-greens
     # rotate in over r10-r11 under rule 2) ---
 ]

@@ -709,3 +709,90 @@ def sequence_next_node_events(spark, sf_dir):
             F.size("evs").alias("n_events"),
         )
     )
+
+
+def _sql_spread(e: str) -> str:
+    """DuckDB mirror of operators/geo._spread16 (Morton bit spread)."""
+    for sh, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        e = f"(({e} | ({e} << {sh})) & {m})"
+    return e
+
+
+_GH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_CHARS = " || ".join(
+    f"substring('{_GH_ALPHA}', CAST((c >> {25 - 5 * (k + 1)}) & 31 AS INT) + 1, 1)"
+    for k in range(5)
+)
+
+_GEOHASH_ORACLE = f"""
+    WITH pt AS (
+      SELECT user_id,
+             ((user_id * 73 % 160) - 80 + 0.5) + (event_id % 7) * 0.03 AS lat,
+             ((user_id * 37 % 360) - 180 + 0.5) + (event_id % 11) * 0.03 AS lon
+      FROM events
+    ),
+    q AS (
+      SELECT user_id,
+             CAST(LEAST(8191, FLOOR((lon + 180.0) / 360.0 * 8192.0))
+                  AS BIGINT) AS lonq,
+             CAST(LEAST(4095, FLOOR((lat + 90.0) / 180.0 * 4096.0))
+                  AS BIGINT) AS latq
+      FROM pt
+    ),
+    code AS (
+      SELECT user_id, lonq, latq,
+             ({_sql_spread('lonq')} | ({_sql_spread('latq')} << 1)) AS c
+      FROM q
+    ),
+    cell AS (SELECT user_id, lonq, latq, {_GH_CHARS} AS gh FROM code)
+    SELECT gh,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           (CAST(MIN(lonq) AS DOUBLE) + 0.5) * 360.0 / 8192.0 - 180.0
+             AS lon_c,
+           (CAST(MIN(latq) AS DOUBLE) + 0.5) * 180.0 / 4096.0 - 90.0
+             AS lat_c
+    FROM cell GROUP BY gh
+"""
+
+
+@register("geohash_cells_events", oracle=_GEOHASH_ORACLE)
+def geohash_cells_events(spark, sf_dir):
+    """r9, B27+: ClickHouse ``geohashEncode``/``geohashDecode``
+    (operators/geo.py — pure bit arithmetic, no library, whole-stage
+    codegen) driving the classic SPATIAL BUCKETING shape: events get
+    deterministic synthesized coordinates (same integer-derived recipe
+    as geo_funcs), bucket by precision-5 geohash cell, aggregate per
+    cell, and decode each cell key back to its center. The oracle
+    re-derives the Morton interleave and base32 digits with the SAME
+    mask-shift cascade in SQL, and computes centers directly from the
+    quantized indices — so Spark's decode(encode(x)) must agree with
+    the oracle's closed-form center bit-for-bit, proving encode and
+    decode are exact inverses through the group-by.
+
+    Scale: the cell id is a map-only scan column; bucketing is plain
+    hash aggregation — the geo-join analog of MinHash banding (equal
+    cell = candidate neighbors), no distance join anywhere."""
+    from postgre_to_clickhouse_spark.operators.geo import (
+        geohash_decode,
+        geohash_encode,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    lat = ((F.col("user_id") * 73) % 160 - 80 + F.lit(0.5)) + (
+        F.col("event_id") % 7
+    ) * F.lit(0.03)
+    lon = ((F.col("user_id") * 37) % 360 - 180 + F.lit(0.5)) + (
+        F.col("event_id") % 11
+    ) * F.lit(0.03)
+    pts = ev.select(
+        "user_id", geohash_encode(lon, lat, precision=5).alias("gh")
+    )
+    agg = pts.groupBy("gh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    dlon, dlat = geohash_decode(F.col("gh"), precision=5)
+    return agg.select(
+        "gh", "n_events", "n_users", dlon.alias("lon_c"), dlat.alias("lat_c")
+    )

@@ -688,3 +688,58 @@ def test_interval_length_sum_matches_bruteforce(spark):
                 pts.update(range(s, e))
         want[u] = len(pts)
     assert got == want, (got, want)
+
+
+def test_geohash_matches_textbook_and_roundtrips(spark):
+    """operators/geo.py vs the textbook bisection geohash across
+    precisions (incl. odd — lon gets the extra bit) and edge
+    coordinates; decode returns the cell center (re-encodes to the
+    same cell)."""
+    from pyspark.sql import functions as F
+
+    from postgre_to_clickhouse_spark.operators.geo import (
+        geohash_decode,
+        geohash_encode,
+    )
+
+    def ref(lon, lat, p):
+        alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_r, lon_r = [-90.0, 90.0], [-180.0, 180.0]
+        bits, out, even, ch = 0, "", True, 0
+        while len(out) < p:
+            r, v = (lon_r, lon) if even else (lat_r, lat)
+            mid = (r[0] + r[1]) / 2
+            if v >= mid:
+                ch |= (16, 8, 4, 2, 1)[bits]
+                r[0] = mid
+            else:
+                r[1] = mid
+            even = not even
+            if bits < 4:
+                bits += 1
+            else:
+                out += alpha[ch]
+                bits, ch = 0, 0
+        return out
+
+    cases = [(-5.6, 42.6), (13.361389, 38.115556), (0.0, 0.0),
+             (-179.9, -89.9), (179.9, 89.9), (2.3522, 48.8566),
+             (180.0, 90.0)]  # boundary clamps into the last cell
+    df = spark.createDataFrame(cases, "lon double, lat double")
+    for p in (3, 4, 5, 6):
+        enc = df.select(
+            "lon", "lat", geohash_encode(F.col("lon"), F.col("lat"), p).alias("gh")
+        )
+        dl, dlat = geohash_decode(F.col("gh"), p)
+        rows = enc.select("lon", "lat", "gh",
+                          geohash_encode(dl, dlat, p).alias("gh2")).collect()
+        for r in rows:
+            if r.lon < 180.0 and r.lat < 90.0:  # ref doesn't clamp
+                assert r.gh == ref(r.lon, r.lat, p), (p, r.lon, r.lat)
+            assert r.gh2 == r.gh, (p, r.gh)  # center stays in its cell
+
+    import pytest
+    with pytest.raises(ValueError):
+        geohash_encode(F.col("lon"), F.col("lat"), 0)
+    with pytest.raises(NotImplementedError):
+        geohash_encode(F.col("lon"), F.col("lat"), 7)
