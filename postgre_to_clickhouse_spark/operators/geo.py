@@ -44,10 +44,7 @@ def _compact16(c: Column) -> Column:
     return c
 
 
-def geohash_encode(lon: Column, lat: Column, precision: int = 6) -> Column:
-    """Base32 geohash of (lon, lat) at ``precision`` characters.
-    Even precisions split bits evenly (lon and lat get 5p/2 each);
-    odd precisions give longitude the extra bit, per the standard."""
+def _bits(precision: int) -> tuple[int, int, int]:
     if not 1 <= precision <= 12:
         raise ValueError("precision must be in 1..12")
     nbits = 5 * precision
@@ -56,6 +53,10 @@ def geohash_encode(lon: Column, lat: Column, precision: int = 6) -> Column:
     if lon_bits > 16:  # _spread16 handles 16 bits; 12 chars = 30+30
         # split into high/low halves for >16-bit coordinates
         raise NotImplementedError("precision > 6 needs 32-bit spread")
+    return nbits, lon_bits, lat_bits
+
+
+def _quantize(lon: Column, lat: Column, lon_bits: int, lat_bits: int):
     lon_idx = F.least(
         F.lit((1 << lon_bits) - 1),
         F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
@@ -64,6 +65,13 @@ def geohash_encode(lon: Column, lat: Column, precision: int = 6) -> Column:
         F.lit((1 << lat_bits) - 1),
         F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
     ).cast("long")
+    return lon_idx, lat_idx
+
+
+def encode_from_idx(lon_idx: Column, lat_idx: Column, precision: int) -> Column:
+    """Geohash string from already-quantized cell indices (the shared
+    core of :func:`geohash_encode` and :func:`geohashes_in_box`)."""
+    nbits, lon_bits, lat_bits = _bits(precision)
     if lon_bits == lat_bits:
         code = F.shiftleft(_spread16(lon_idx), 1).bitwiseOR(_spread16(lat_idx))
     else:  # odd precision ends on a lon bit: lon at even positions
@@ -78,6 +86,46 @@ def geohash_encode(lon: Column, lat: Column, precision: int = 6) -> Column:
         for k in range(precision)
     ]
     return F.concat(*chars)
+
+
+def geohash_encode(lon: Column, lat: Column, precision: int = 6) -> Column:
+    """Base32 geohash of (lon, lat) at ``precision`` characters.
+    Even precisions split bits evenly (lon and lat get 5p/2 each);
+    odd precisions give longitude the extra bit, per the standard."""
+    nbits, lon_bits, lat_bits = _bits(precision)
+    lon_idx, lat_idx = _quantize(lon, lat, lon_bits, lat_bits)
+    return encode_from_idx(lon_idx, lat_idx, precision)
+
+
+def geohashes_in_box(
+    lon_min: Column,
+    lon_max: Column,
+    lat_min: Column,
+    lat_max: Column,
+    precision: int = 4,
+) -> Column:
+    """ClickHouse ``geohashesInBox(lon_min, lat_min, lon_max, lat_max,
+    precision)``: the array of geohash cells intersecting the box —
+    the spatial PARTITION-PRUNING primitive (probe a cell-bucketed
+    table with this set instead of scanning the world). Cell count is
+    the caller's responsibility at coarse precisions, exactly as CH
+    caps it; sizes here are (lon cells × lat cells) of the quantized
+    ranges. Empty/inverted boxes yield an empty array."""
+    nbits, lon_bits, lat_bits = _bits(precision)
+    lo1, la1 = _quantize(lon_min, lat_min, lon_bits, lat_bits)
+    lo2, la2 = _quantize(lon_max, lat_max, lon_bits, lat_bits)
+    cells = F.flatten(
+        F.transform(
+            F.sequence(lo1, lo2),
+            lambda li: F.transform(
+                F.sequence(la1, la2),
+                lambda la: encode_from_idx(li, la, precision),
+            ),
+        )
+    )
+    return F.when(
+        (lon_min <= lon_max) & (lat_min <= lat_max), cells
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def geohash_decode(gh: Column, precision: int = 6) -> tuple[Column, Column]:

@@ -67,6 +67,7 @@ _WINDOW = [
     "sequence_next_node_events",  # B21 sequenceNextNode (consecutive chain)
     "quantile_mv_incremental",    # A12 quantileExactWeightedState MV
     "geohash_cells_events",       # B27 geohashEncode/Decode spatial bucketing
+    "geohashes_in_box_probe",     # B27 geohashesInBox covering sets
     # --- Rule 1: never driver-checked (restores the 178/178 ledger) ---
     "sequence_match_dot",         # B21 sequenceMatch '.' token (r8)
     # --- Rule 1: implementation internals changed in r9 (manifest.py
@@ -105,7 +106,9 @@ _WINDOW = [
     "semdedup_prune",             # C2
     "sessionize_events",          # A26
     "text_analysis_composite",    # C4
-    "tfidf_top_terms",            # C4
+    # (tfidf_top_terms yields its seat to the 21st rule-1 query; C4
+    # stays covered in-window by pack_sequences/text_analysis_composite
+    # and tfidf stays oracle-gated + benched.)
     # (vector_cosine_topk and vector_ivf_topk — the alphabetical tail
     # of the r4 cohort — yield their seats to the 19th/20th rule-1
     # queries; C3 stays covered in-window by vector_lsh_topk /

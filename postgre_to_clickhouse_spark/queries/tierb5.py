@@ -796,3 +796,106 @@ def geohash_cells_events(spark, sf_dir):
     return agg.select(
         "gh", "n_events", "n_users", dlon.alias("lon_c"), dlat.alias("lat_c")
     )
+
+
+@register(
+    "geohashes_in_box_probe",
+    oracle="""
+    WITH pt AS (
+      SELECT event_type,
+             ((user_id * 73 % 160) - 80 + 0.5) + (event_id % 7) * 0.03 AS lat,
+             ((user_id * 37 % 360) - 180 + 0.5) + (event_id % 11) * 0.03 AS lon
+      FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             CAST(LEAST(31, FLOOR((lon + 180.0) / 360.0 * 32.0)) AS BIGINT)
+               AS lonq,
+             CAST(LEAST(31, FLOOR((lat + 90.0) / 180.0 * 32.0)) AS BIGINT)
+               AS latq
+      FROM pt
+    ),
+    box AS (
+      SELECT event_type,
+             MIN(lonq) AS lo1, MAX(lonq) AS lo2,
+             MIN(latq) AS la1, MAX(latq) AS la2,
+             COUNT(*) AS n_events
+      FROM q GROUP BY event_type
+    )
+    SELECT b.event_type,
+           CAST((b.lo2 - b.lo1 + 1) * (b.la2 - b.la1 + 1) AS BIGINT)
+             AS n_cells,
+           CAST(b.n_events AS BIGINT) AS n_events,
+           CAST((SELECT COUNT(*) FROM q
+                 WHERE q.event_type = b.event_type
+                   AND q.lonq BETWEEN b.lo1 AND b.lo2
+                   AND q.latq BETWEEN b.la1 AND b.la2) AS BIGINT)
+             AS n_inside
+    FROM box b
+    """,
+)
+def geohashes_in_box_probe(spark, sf_dir):
+    """r9, B27+: ClickHouse ``geohashesInBox`` — the covering-cell set
+    of a bounding box, the spatial PARTITION-PRUNING primitive (probe
+    a geohash-bucketed table with the covering set instead of scanning
+    the world). Per event type: the bounding box of its synthesized
+    points, the precision-2 covering cells, and the count of events
+    whose own cell is MEMBER of that set — which must equal the
+    type's event count (a covering set that misses any cell of the box
+    breaks n_inside; one that over-covers breaks n_cells). The oracle
+    works entirely in quantized-index arithmetic: box cell count is
+    closed-form (lon cells × lat cells), membership is a range check —
+    so the Spark side's generate-then-array_contains must reproduce
+    the same geometry exactly.
+
+    Scale: the covering set is computed once per box (group row) and
+    broadcast; membership is a map-side array probe — no distance
+    join, no explode of the cell array against the fact table."""
+    from postgre_to_clickhouse_spark.operators.geo import (
+        geohash_encode,
+        geohashes_in_box,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    lat = ((F.col("user_id") * 73) % 160 - 80 + F.lit(0.5)) + (
+        F.col("event_id") % 7
+    ) * F.lit(0.03)
+    lon = ((F.col("user_id") * 37) % 360 - 180 + F.lit(0.5)) + (
+        F.col("event_id") % 11
+    ) * F.lit(0.03)
+    pts = ev.select(
+        "event_type",
+        lon.alias("lon"),
+        lat.alias("lat"),
+        geohash_encode(lon, lat, precision=2).alias("gh"),
+    )
+    box = pts.groupBy("event_type").agg(
+        F.min("lon").alias("lon1"),
+        F.max("lon").alias("lon2"),
+        F.min("lat").alias("lat1"),
+        F.max("lat").alias("lat2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    boxed = box.select(
+        "event_type",
+        "n_events",
+        geohashes_in_box(
+            F.col("lon1"), F.col("lon2"), F.col("lat1"), F.col("lat2"),
+            precision=2,
+        ).alias("cells"),
+    )
+    inside = (
+        pts.join(F.broadcast(boxed.select("event_type", "cells")), "event_type")
+        .where(F.array_contains("cells", F.col("gh")))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inside"))
+    )
+    return (
+        boxed.join(inside, "event_type")
+        .select(
+            "event_type",
+            F.size("cells").cast("bigint").alias("n_cells"),
+            "n_events",
+            "n_inside",
+        )
+    )

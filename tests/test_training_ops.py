@@ -743,3 +743,45 @@ def test_geohash_matches_textbook_and_roundtrips(spark):
         geohash_encode(F.col("lon"), F.col("lat"), 0)
     with pytest.raises(NotImplementedError):
         geohash_encode(F.col("lon"), F.col("lat"), 7)
+
+
+def test_geohashes_in_box_covers_exactly(spark):
+    """geohashesInBox: every point in the box encodes to a member cell,
+    the set size is the closed-form grid product, and an inverted box
+    is empty."""
+    from pyspark.sql import functions as F
+
+    from postgre_to_clickhouse_spark.operators.geo import (
+        geohash_encode,
+        geohashes_in_box,
+    )
+
+    df = spark.createDataFrame(
+        [(-10.0, 20.0, -5.0, 30.0)], "lon1 double, lon2 double, lat1 double, lat2 double"
+    )
+    cells = df.select(
+        geohashes_in_box(
+            F.col("lon1"), F.col("lon2"), F.col("lat1"), F.col("lat2"), 3
+        ).alias("c")
+    ).collect()[0].c
+    # closed-form grid: p=3 -> lon 8 bits (256 cells/360deg), lat 7 (128/180)
+    import math
+    lo1 = min(255, math.floor((-10.0 + 180) / 360 * 256))
+    lo2 = min(255, math.floor((20.0 + 180) / 360 * 256))
+    la1 = min(127, math.floor((-5.0 + 90) / 180 * 128))
+    la2 = min(127, math.floor((30.0 + 90) / 180 * 128))
+    assert len(cells) == (lo2 - lo1 + 1) * (la2 - la1 + 1)
+    assert len(set(cells)) == len(cells)
+    # every interior sample point's hash is a member
+    pts = [(-10.0 + i * 1.7, -5.0 + i * 1.9) for i in range(18)]
+    pdf = spark.createDataFrame(
+        [p for p in pts if p[0] <= 20 and p[1] <= 30], "lon double, lat double"
+    )
+    got = pdf.select(geohash_encode(F.col("lon"), F.col("lat"), 3).alias("g")).collect()
+    assert all(r.g in set(cells) for r in got)
+    # inverted box -> empty
+    empty = df.select(
+        geohashes_in_box(F.col("lon2"), F.col("lon1"), F.col("lat1"), F.col("lat2"), 3)
+        .alias("c")
+    ).collect()[0].c
+    assert empty == []
