@@ -83,3 +83,63 @@ def test_thrift_sql_endpoint_wire_roundtrip(spark):
     finally:
         ep.stop()
         spark.catalog.dropGlobalTempView("wire_probe")
+
+
+def test_execute_alter_clickhouse_dialect(spark, tmp_path):
+    """r9: the CH ALTER dialect a reference user types — UPDATE/DELETE
+    mutations, sort + aggregate ADD PROJECTION, DROP PROJECTION — all
+    route to the manifest-table ops; anything unrecognized raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from postgre_to_clickhouse_spark.ddl import execute_alter
+    from postgre_to_clickhouse_spark.sinks.manifest import ManifestTable
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("uid"),
+        F.col("id").alias("seq"),
+        (F.col("id") % 3).cast("string").alias("cat"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+    t = ManifestTable(str(tmp_path / "t"), key_col="uid", n_buckets=2)
+    t.append_parts(sort_key=("uid", "seq"), arrival=("uid",))(df, 0)
+
+    execute_alter(
+        spark, t, "ALTER TABLE t UPDATE val = val * 2, cat = upper(cat) WHERE seq < 10"
+    )
+    got = {r.seq: (r.val, r.cat) for r in t.read(spark).collect()}
+    for s in range(100):
+        want = (s * 1.5 * 2, str(s % 3).upper()) if s < 10 else (s * 1.5, str(s % 3))
+        assert got[s] == want, s
+
+    execute_alter(spark, t, "ALTER TABLE t DELETE WHERE seq >= 90;")
+    assert t.read(spark).count() == 90
+
+    execute_alter(spark, t, "ALTER TABLE t ADD PROJECTION by_seq (SELECT * ORDER BY seq)")
+    assert t.projections["by_seq"]["sort_col"] == "seq"
+    execute_alter(
+        spark, t,
+        "ALTER TABLE t ADD PROJECTION by_cat "
+        "(SELECT cat, count(*) AS n, sum(val) AS v, min(seq) GROUP BY cat)",
+    )
+    spec = t.projections["by_cat"]
+    assert spec["kind"] == "agg" and spec["aggs"] == {
+        "n": ["count", "*"], "v": ["sum", "val"], "min_seq": ["min", "seq"]}
+    got = sorted(map(tuple, t.read_agg(spark, "by_cat", fallback=False).collect()))
+    want = sorted(map(tuple, t.read(spark).groupBy("cat").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("decimal(25,6)")).cast("double").alias("v"),
+        F.min("seq").alias("min_seq")).collect()))
+    assert got == want
+
+    execute_alter(spark, t, "ALTER TABLE t DROP PROJECTION by_cat")
+    assert "by_cat" not in t.projections
+
+    for bad in (
+        "SELECT 1",
+        "ALTER TABLE t OPTIMIZE",
+        "ALTER TABLE t ADD PROJECTION p (SELECT avg(val) GROUP BY cat)",
+        "ALTER TABLE t ADD PROJECTION p (SELECT cat)",
+    ):
+        with pytest.raises(ValueError):
+            execute_alter(spark, t, bad)
