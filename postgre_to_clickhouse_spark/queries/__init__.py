@@ -68,6 +68,8 @@ _WINDOW = [
     "quantile_mv_incremental",    # A12 quantileExactWeightedState MV
     "geohash_cells_events",       # B27 geohashEncode/Decode spatial bucketing
     "geohashes_in_box_probe",     # B27 geohashesInBox covering sets
+    "ks_test_values",             # B33 kolmogorovSmirnovTest (exact integer D)
+    "student_ttest_values",       # B33 studentTTest (pooled variance)
     # --- Rule 1: never driver-checked (restores the 178/178 ledger) ---
     "sequence_match_dot",         # B21 sequenceMatch '.' token (r8)
     # --- Rule 1: implementation internals changed in r9 (manifest.py
@@ -101,8 +103,9 @@ _WINDOW = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
+    # (q7_volume_shipping / q8_market_share yield their seats to the
+    # 22nd/23rd rule-1 queries; B20 keeps 14 TPC-H shapes in-window and
+    # both stay oracle-gated + benched.)
     "semdedup_prune",             # C2
     "sessionize_events",          # A26
     "text_analysis_composite",    # C4

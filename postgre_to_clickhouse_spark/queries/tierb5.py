@@ -899,3 +899,199 @@ def geohashes_in_box_probe(spark, sf_dir):
             "n_inside",
         )
     )
+
+
+@register(
+    "ks_test_values",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('view', 'purchase')
+    ),
+    vc AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+      FROM s GROUP BY value
+    ),
+    cum AS (
+      SELECT value,
+             SUM(c1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS f1,
+             SUM(c2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS f2
+      FROM vc
+    ),
+    n AS (
+      SELECT SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n1,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n2
+      FROM s
+    )
+    SELECT CAST(n.n1 AS BIGINT) AS n1,
+           CAST(n.n2 AS BIGINT) AS n2,
+           CAST(MAX(ABS(cum.f1 * n.n2 - cum.f2 * n.n1)) AS BIGINT)
+             AS d_num,
+           CAST(MAX(ABS(cum.f1 * n.n2 - cum.f2 * n.n1)) AS DOUBLE)
+             / (CAST(n.n1 AS DOUBLE) * n.n2) AS d_stat
+    FROM cum, n
+    GROUP BY n.n1, n.n2
+    """,
+)
+def ks_test_values(spark, sf_dir):
+    """r9, B33+: ClickHouse ``kolmogorovSmirnovTest(value, group)`` —
+    the two-sample KS D statistic, computed EXACTLY: D = max over v of
+    |F̂₁(v) − F̂₂(v)|, and with F̂ᵢ = cᵢ/nᵢ the max is taken over the
+    INTEGER cross-product |c₁·n₂ − c₂·n₁| (no float comparison can
+    misorder candidates), divided once at the end (one deterministic
+    IEEE division). Cumulative counts ride the same two-phase
+    distributed prefix sum as the Mann-Whitney ranks: per-value counts
+    bucket by range, prefix-sum within buckets, constant-bounded
+    bucket offsets broadcast back — no single-partition window over
+    anything value- or row-sized.
+
+    Scale: one fact scan to per-value counts; everything after is
+    bounded by value cardinality."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "value")
+    )
+    vc = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "c2"
+        ),
+    )
+    n_buckets = 1024
+    bounds = vc.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    vcb = vc.crossJoin(F.broadcast(bounds)).withColumn(
+        "bkt",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("value") - F.col("lo")) / step).cast("int"),
+            )
+        ),
+    )
+    bt = vcb.groupBy("bkt").agg(
+        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bt.select(
+        "bkt",
+        F.coalesce(F.sum("b1").over(wb), F.lit(0)).alias("o1"),
+        F.coalesce(F.sum("b2").over(wb), F.lit(0)).alias("o2"),
+    )
+    win = Window.partitionBy("bkt").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        vcb.join(F.broadcast(offsets), "bkt")
+        .withColumn("f1", F.col("o1") + F.sum("c1").over(win))
+        .withColumn("f2", F.col("o2") + F.sum("c2").over(win))
+    )
+    n = ev.agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n2"
+        ),
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .agg(
+            F.first("n1").alias("n1"),
+            F.first("n2").alias("n2"),
+            F.max(F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")))
+            .cast("bigint")
+            .alias("d_num"),
+            (
+                F.max(
+                    F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+                ).cast("double")
+                / (F.first("n1").cast("double") * F.first("n2"))
+            ).alias("d_stat"),
+        )
+    )
+
+
+@register(
+    "student_ttest_values",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE)
+               AS s2
+      FROM events
+      WHERE event_type IN ('view', 'purchase')
+      GROUP BY event_type
+    ),
+    p AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'view' THEN n END) AS n1,
+        MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+        MAX(CASE WHEN event_type = 'view' THEN s1 END) AS a1,
+        MAX(CASE WHEN event_type = 'purchase' THEN s1 END) AS a2,
+        MAX(CASE WHEN event_type = 'view' THEN s2 END) AS q1,
+        MAX(CASE WHEN event_type = 'purchase' THEN s2 END) AS q2
+      FROM g
+    ),
+    m AS (
+      SELECT n1, n2,
+             a1 / n1 AS m1, a2 / n2 AS m2,
+             ((q1 - (a1 / n1) * a1) + (q2 - (a2 / n2) * a2))
+               / (n1 + n2 - 2) AS sp2
+      FROM p
+    )
+    SELECT n1, n2,
+           CAST(n1 + n2 - 2 AS BIGINT) AS dof,
+           ROUND(m1 - m2, 6) AS mean_diff,
+           ROUND((m1 - m2) /
+                 SQRT(sp2 * (1.0 / n1 + 1.0 / n2)), 6) AS t_stat
+    FROM m
+    """,
+)
+def student_ttest_values(spark, sf_dir):
+    """r9, B33+: ClickHouse ``studentTTest(value, group)`` — the
+    POOLED-variance two-sample t (CH ships it next to welchTTest; the
+    equal-variance assumption changes the denominator and gives an
+    integer dof n₁+n₂−2). Same one-pass exact-decimal moment
+    collection as welch_ttest_values; the pooled variance adds the two
+    corrected sums of squares in a fixed literal order before one
+    division, so only the final 6dp round guards the sqrt."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", scale=6).alias("s1"),
+        dsum(F.col("value") * F.col("value"), scale=6).alias("s2"),
+    )
+
+    def pick(col, et):
+        return F.max(F.when(F.col("event_type") == et, F.col(col)))
+
+    p = g.agg(
+        pick("n", "view").alias("n1"),
+        pick("n", "purchase").alias("n2"),
+        pick("s1", "view").alias("a1"),
+        pick("s1", "purchase").alias("a2"),
+        pick("s2", "view").alias("q1"),
+        pick("s2", "purchase").alias("q2"),
+    )
+    m1 = F.col("a1") / F.col("n1")
+    m2 = F.col("a2") / F.col("n2")
+    sp2 = (
+        (F.col("q1") - m1 * F.col("a1")) + (F.col("q2") - m2 * F.col("a2"))
+    ) / (F.col("n1") + F.col("n2") - 2)
+    return p.select(
+        "n1",
+        "n2",
+        (F.col("n1") + F.col("n2") - 2).cast("bigint").alias("dof"),
+        F.round(m1 - m2, 6).alias("mean_diff"),
+        F.round(
+            (m1 - m2)
+            / F.sqrt(sp2 * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))),
+            6,
+        ).alias("t_stat"),
+    )

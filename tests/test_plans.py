@@ -64,7 +64,16 @@ def test_no_python_row_udf_in_any_query(spark, name):
 # BLAS-backed semantic dedup (per-cluster matmul is the sanctioned
 # escape hatch for brute-force group scoring, like block_knn).
 # Everything else in the oracle set must stay 100% JVM.
-_SANCTIONED_ARROW = {"pandas_udf_zscore", "multimodal_image_stats", "semdedup_prune"}
+_SANCTIONED_ARROW = {
+    "pandas_udf_zscore",
+    "multimodal_image_stats",
+    "semdedup_prune",
+    # r9: LTTB's greedy walk is inherently sequential per series
+    # (selection i depends on selection i-1) — the sanctioned shape is
+    # ONE Arrow grouped-map stage, asserted by
+    # test_lttb_is_arrow_grouped_map.
+    "lttb_downsample_events",
+}
 
 
 def test_oracle_queries_have_no_python_at_all(spark):
@@ -392,6 +401,13 @@ def test_lifecycle_queries_return_executor_pinned_results(spark):
         "manifest_evolution_read",
         "manifest_zonemap_read",
         "uniq_mv_incremental",
+        # r9 session 2 lifecycle additions — same contract
+        "manifest_bloom_read",
+        "manifest_projection_read",
+        "manifest_update_read",
+        "manifest_ttl_rollup_read",
+        "manifest_agg_projection_read",
+        "quantile_mv_incremental",
     ):
         plan = _plan(spark, name)
         assert "ExistingRDD" in plan, f"{name} result is not executor-pinned"
