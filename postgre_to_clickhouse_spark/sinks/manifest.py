@@ -689,7 +689,8 @@ class ManifestTable:
         return pf if {f["part"] for f in pf} == base_parts else None
 
     def choose_layout(
-        self, where=None, equals=None, tokens=None, version: int | None = None
+        self, where=None, equals=None, tokens=None, version: int | None = None,
+        equals_any=None,
     ) -> tuple[str, list[dict]]:
         """(layout, files) a read with these probes will scan — 'base'
         or a projection name: the layout whose index prunes to the
@@ -699,21 +700,22 @@ class ManifestTable:
         change scan cost, never results."""
         m = self.current_manifest() if version is None else self.manifest_at(version)
         base = [f for f in m["files"] if not f.get("proj")]
-        best = ("base", self._prune(base, where, equals, tokens))
-        if where or equals or tokens:
+        best = ("base", self._prune(base, where, equals, tokens, equals_any))
+        if where or equals or tokens or equals_any:
             for name, spec in self.projections.items():
                 if spec.get("kind", "sort") != "sort":
                     continue  # agg projections hold aggregates, not rows
                 pf = self._projection_files(m, name)
                 if pf is None:
                     continue
-                cand = self._prune(pf, where, equals, tokens)
+                cand = self._prune(pf, where, equals, tokens, equals_any)
                 if len(cand) < len(best[1]):
                     best = (name, cand)
         return best
 
     def files_for(
-        self, where=None, version: int | None = None, equals=None, tokens=None
+        self, where=None, version: int | None = None, equals=None, tokens=None,
+        equals_any=None,
     ) -> list[dict]:
         """Manifest entries a read must scan. Three probe families:
 
@@ -732,10 +734,14 @@ class ManifestTable:
         pruning is an optimization, never a correctness dependency."""
         m = self.current_manifest() if version is None else self.manifest_at(version)
         return self._prune(
-            [f for f in m["files"] if not f.get("proj")], where, equals, tokens
+            [f for f in m["files"] if not f.get("proj")], where, equals, tokens,
+            equals_any,
         )
 
-    def _prune(self, files: list[dict], where=None, equals=None, tokens=None) -> list[dict]:
+    def _prune(
+        self, files: list[dict], where=None, equals=None, tokens=None,
+        equals_any=None,
+    ) -> list[dict]:
         """Apply the zone-map / bloom / token-bloom probes to a given
         file list (one layout — the base buckets or one projection)."""
         for col, lo, hi in where or ():
@@ -778,6 +784,23 @@ class ManifestTable:
                     if (f.get(key) or {}).get(col) is None  # no index → scan
                     or self._bits_set(f[key][col], pos)
                 ]
+        # IN-set probes (CH `col IN (v1, v2, ...)` against a bloom
+        # index): a file survives when ANY candidate value may be
+        # present. An empty candidate set matches no row — everything
+        # prunes (the read path still returns a schema-full empty
+        # frame). This is the spatial-pruning hook: probe a geohash-
+        # celled table with geohashes_in_box(...)'s covering set.
+        for col, values in equals_any or ():
+            values = list(values)
+            if not values:
+                return []
+            poss = [self._bloom_positions(v, self._BLOOM_BITS) for v in values]
+            files = [
+                f
+                for f in files
+                if (f.get("bloom") or {}).get(col) is None
+                or any(self._bits_set(f["bloom"][col], p) for p in poss)
+            ]
         return files
 
     # -- read path -----------------------------------------------------------
@@ -788,6 +811,7 @@ class ManifestTable:
         where=None,
         equals=None,
         tokens=None,
+        equals_any=None,
     ) -> DataFrame:
         """Read a snapshot — the current one, or TIME TRAVEL to any
         retained ``version`` (manifests are immutable and data files are
@@ -809,8 +833,11 @@ class ManifestTable:
         if not base:
             raise FileNotFoundError(f"manifest table at {self.path} has no committed snapshot")
         files = (
-            self.choose_layout(where, equals=equals, tokens=tokens, version=version)[1]
-            if (where or equals or tokens)
+            self.choose_layout(
+                where, equals=equals, tokens=tokens, version=version,
+                equals_any=equals_any,
+            )[1]
+            if (where or equals or tokens or equals_any)
             else base
         )
         if not files:  # everything pruned: empty frame, full schema

@@ -1056,3 +1056,56 @@ def test_incremental_part_merge_touches_smallest_parts_only(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="merge_parts"):
         t.compact(spark, merge_parts=1)
+
+
+def test_equals_any_bloom_probe_spatial_pruning(spark, tmp_path):
+    """r9: IN-set bloom probes (CH `col IN (...)` against a
+    bloom_filter index) — the spatial-pruning hook: a geohash-celled
+    table probed with a box's covering set scans only files whose
+    bloom admits some covering cell; results equal full read + IN
+    filter; an empty candidate set prunes everything but keeps the
+    schema."""
+    from pyspark.sql import functions as F
+
+    from postgre_to_clickhouse_spark.operators.geo import (
+        geohash_encode,
+        geohashes_in_box,
+    )
+
+    # 4 spatial quadrants -> 4 part batches with disjoint cells
+    df = spark.range(400).select(
+        (F.col("id") % 20).alias("uid"),
+        F.col("id").alias("seq"),
+        ((F.col("id") % 4) * 90 - 180 + (F.col("id") % 7) * 2.5 + F.lit(1.0)).alias("lon"),
+        ((F.col("id") % 4) * 45 - 90 + (F.col("id") % 5) * 2.0 + F.lit(1.0)).alias("lat"),
+    ).withColumn("gh", geohash_encode(F.col("lon"), F.col("lat"), 2))
+    t = ManifestTable(
+        str(tmp_path / "t"), key_col="uid", n_buckets=2, bloom_cols=("gh",)
+    )
+    sink = t.append_parts(sort_key=("uid", "seq"), arrival=("uid",))
+    for quad in range(4):
+        sink(df.filter(F.col("id") % 4 == quad), quad)
+
+    n_files = len(t.current_manifest()["files"])
+    # box covering quadrant 0's lon band only
+    cells = df.sparkSession.range(1).select(
+        geohashes_in_box(F.lit(-179.0), F.lit(-150.0), F.lit(-89.0), F.lit(-50.0), 2)
+        .alias("c")
+    ).collect()[0].c
+    pruned = t.files_for(equals_any=[("gh", cells)])
+    assert 0 < len(pruned) < n_files, (len(pruned), n_files)
+
+    got = (
+        t.read(spark, equals_any=[("gh", cells)])
+        .filter(F.col("gh").isin(cells))
+        .select("seq")
+    )
+    want = t.read(spark).filter(F.col("gh").isin(cells)).select("seq")
+    assert sorted(r.seq for r in got.collect()) == sorted(
+        r.seq for r in want.collect()
+    )
+    # empty candidate set: everything pruned, schema intact
+    none = t.read(spark, equals_any=[("gh", [])])
+    assert none.count() == 0 and "gh" in none.columns
+    # unindexed column: probes never prune (scan-everything fallback)
+    assert len(t.files_for(equals_any=[("lon", ["x"])])) == n_files
