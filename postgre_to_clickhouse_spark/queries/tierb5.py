@@ -1095,3 +1095,90 @@ def student_ttest_values(spark, sf_dir):
             6,
         ).alias("t_stat"),
     )
+
+
+@register(
+    "agg_weighted_map_funcs",
+    oracle="""
+    WITH w AS (
+      SELECT event_type, value,
+             (event_id % 5) + 1 AS wt,
+             (event_id % 3) AS k
+    FROM events
+    ),
+    km AS (
+      SELECT event_type, k,
+             MIN(CAST(value AS DECIMAL(18,2))) AS mn,
+             MAX(CAST(value AS DECIMAL(18,2))) AS mx
+      FROM w GROUP BY event_type, k
+    ),
+    maps AS (
+      SELECT event_type,
+             string_agg(CAST(k AS VARCHAR) || ':' || CAST(mn AS VARCHAR),
+                        ',' ORDER BY k) AS min_map,
+             string_agg(CAST(k AS VARCHAR) || ':' || CAST(mx AS VARCHAR),
+                        ',' ORDER BY k) AS max_map
+      FROM km GROUP BY event_type
+    ),
+    aw AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value * wt AS DECIMAL(30,6))) AS DOUBLE)
+               / CAST(SUM(wt) AS DOUBLE) AS avg_weighted
+      FROM w GROUP BY event_type
+    )
+    SELECT maps.event_type, aw.avg_weighted, maps.min_map, maps.max_map
+    FROM maps JOIN aw ON aw.event_type = maps.event_type
+    """,
+)
+def agg_weighted_map_funcs(spark, sf_dir):
+    """r9, B21: the remaining small ClickHouse aggregate trio —
+    ``avgWeighted(x, w)`` (exact-decimal Σx·w over exact Σw, one
+    deterministic division) and ``minMap``/``maxMap`` (keyed min/max
+    merged across rows, emitted as the same canonical sorted k:v text
+    the sumMap query uses). Weights and keys derive from event_id so
+    both engines see identical integers. One partial-aggregable
+    groupBy per map + one for the weighted average.
+
+    Scale: map keys are category-bounded; everything partial-aggs
+    map-side."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        ((F.col("event_id") % 5) + 1).alias("wt"),
+        (F.col("event_id") % 3).alias("k"),
+    )
+    km = ev.groupBy("event_type", "k").agg(
+        F.min(F.col("value").cast("decimal(18,2)")).alias("mn"),
+        F.max(F.col("value").cast("decimal(18,2)")).alias("mx"),
+    )
+    maps = km.groupBy("event_type").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("k", "mn"))),
+                lambda s: F.concat_ws(
+                    ":", s["k"].cast("string"), s["mn"].cast("string")
+                ),
+            ),
+        ).alias("min_map"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("k", "mx"))),
+                lambda s: F.concat_ws(
+                    ":", s["k"].cast("string"), s["mx"].cast("string")
+                ),
+            ),
+        ).alias("max_map"),
+    )
+    aw = ev.groupBy("event_type").agg(
+        (
+            F.sum((F.col("value") * F.col("wt")).cast("decimal(30,6)")).cast(
+                "double"
+            )
+            / F.sum("wt").cast("double")
+        ).alias("avg_weighted")
+    )
+    return maps.join(aw, "event_type").select(
+        "event_type", "avg_weighted", "min_map", "max_map"
+    )

