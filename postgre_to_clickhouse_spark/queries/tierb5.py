@@ -1182,3 +1182,60 @@ def agg_weighted_map_funcs(spark, sf_dir):
     return maps.join(aw, "event_type").select(
         "event_type", "avg_weighted", "min_map", "max_map"
     )
+
+
+@register(
+    "sequence_next_node_backward",
+    oracle="""
+    WITH ord AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lag(event_type, 1) OVER w AS e0,
+             ROW_NUMBER() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    cnt AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+    m AS (
+      SELECT user_id, MAX(rn) AS rn0 FROM ord
+      WHERE event_type = 'view' AND e2 = 'click'
+      GROUP BY user_id
+    )
+    SELECT c.user_id,
+           (SELECT o.e0 FROM ord o JOIN m ON m.user_id = o.user_id
+            WHERE o.user_id = c.user_id AND o.rn = m.rn0) AS prev_event,
+           c.n_events
+    FROM cnt c
+    """,
+)
+def sequence_next_node_backward(spark, sf_dir):
+    """r9, B21: ``sequenceNextNode('backward', 'last_match')`` — the
+    event immediately BEFORE the LAST consecutive view→click pair per
+    user (NULL when no pair exists or the pair opens the stream),
+    completing the direction/base surface next to the forward/
+    first_match variant. Same one-groupBy higher-order shape: the
+    position filter keeps every chain start, ``element_at(..., -1)``
+    takes the last, and the node before it comes from the same
+    collected array.
+
+    Scale: identical to sequence_next_node_events — per-user arrays,
+    one shuffle, no Python."""
+    ev = _t(spark, sf_dir, "events")
+    evs = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(evs.alias("evs"))
+        .select(
+            "user_id",
+            F.expr(
+                "try_element_at(evs, nullif(try_subtract(try_element_at("
+                " filter(sequence(1, greatest(size(evs) - 1, 1)),"
+                "        i -> evs[i - 1] = 'view' AND i < size(evs)"
+                "             AND evs[i] = 'click'), -1), 1), 0))"
+            ).alias("prev_event"),
+            F.size("evs").alias("n_events"),
+        )
+    )
