@@ -75,6 +75,8 @@ _WINDOW = [
     "student_ttest_values",       # B33 studentTTest (pooled variance)
     "agg_weighted_map_funcs",     # B21 avgWeighted + minMap/maxMap
     "sequence_next_node_backward",  # B21 sequenceNextNode backward/last_match
+    "auc_purchase_score",         # B33 arrayAUC (exact rank identity)
+    "tukey_outliers_events",      # B21 seriesOutliersDetectTukey fences
     # --- Rule 1: never driver-checked (restores the 178/178 ledger) ---
     "sequence_match_dot",         # B21 sequenceMatch '.' token (r8)
     # --- Rule 1: implementation internals changed in r9 (manifest.py
@@ -94,11 +96,9 @@ _WINDOW = [
     "q10_returned_items",
     "q11_important_stock",
     "q12_shipmode_priority",
-    "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
-    "q19_discounted_revenue",
     "q20_excess_suppliers",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
@@ -106,8 +106,8 @@ _WINDOW = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    # (q7/q8/q13/q16 yield their seats to rule-1 queries 22-25; B20
-    # keeps 12 TPC-H shapes in-window and all four stay oracle-gated
+    # (q7/q8/q13/q14/q16/q19 yield their seats to rule-1 queries; B20
+    # keeps 10 TPC-H shapes in-window and all six stay oracle-gated
     # + benched.)
     "semdedup_prune",             # C2
     "sessionize_events",          # A26

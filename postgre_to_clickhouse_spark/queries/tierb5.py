@@ -1239,3 +1239,177 @@ def sequence_next_node_backward(spark, sf_dir):
             F.size("evs").alias("n_events"),
         )
     )
+
+
+@register(
+    "auc_purchase_score",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             value AS score
+      FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    r AS (
+      SELECT y,
+             RANK() OVER (ORDER BY score) AS rk,
+             COUNT(*) OVER (PARTITION BY score) AS c
+      FROM s
+    ),
+    agg AS (
+      SELECT SUM(y) AS np,
+             SUM(1 - y) AS nn,
+             SUM(CASE WHEN y = 1 THEN rk + (c - 1) / 2.0 ELSE 0 END) AS rp
+      FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           (rp - np * (np + 1) / 2.0) / (CAST(np AS DOUBLE) * nn) AS auc
+    FROM agg
+    """,
+)
+def auc_purchase_score(spark, sf_dir):
+    """r9, B33+: ClickHouse ``arrayAUC(scores, labels)`` — the ROC AUC
+    of `value` as a score for purchase-vs-view, via the exact rank
+    identity AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋) with tie-averaged
+    ranks. Ranks are exact half-integers from the same two-phase
+    distributed prefix sum the Mann-Whitney test uses (AUC is
+    literally U/(n₊·n₋) — one extra deterministic division), so the
+    result is bit-exact with no rounding.
+
+    Scale: distinct-value-bounded rank table, broadcast back; one
+    fact scan."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+            F.col("value").alias("score"),
+        )
+    )
+    vc = ev.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    n_buckets = 1024
+    bounds = vc.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    step = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    vcb = vc.crossJoin(F.broadcast(bounds)).withColumn(
+        "bkt",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("score") - F.col("lo")) / step).cast("int"),
+            )
+        ),
+    )
+    bt = vcb.groupBy("bkt").agg(F.sum("c").alias("bc"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bt.withColumn("off", F.coalesce(F.sum("bc").over(wb), F.lit(0)))
+    win = Window.partitionBy("bkt").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = (
+        vcb.join(F.broadcast(offsets.select("bkt", "off")), "bkt")
+        .withColumn("rk", F.col("off") + F.sum("c").over(win) - F.col("c") + 1)
+        .withColumn("avg_rank", F.col("rk") + (F.col("c") - 1) / 2.0)
+    )
+    rows = ev.join(F.broadcast(ranked.select("score", "avg_rank")), "score")
+    agg = rows.agg(
+        F.sum("y").alias("np"),
+        F.sum(1 - F.col("y")).alias("nn"),
+        F.sum(F.when(F.col("y") == 1, F.col("avg_rank")).otherwise(0.0)).alias(
+            "rp"
+        ),
+    )
+    return agg.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        (
+            (F.col("rp") - F.col("np") * (F.col("np") + 1) / F.lit(2.0))
+            / (F.col("np").cast("double") * F.col("nn"))
+        ).alias("auc"),
+    )
+
+
+@register(
+    "tukey_outliers_events",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, value AS v, COUNT(*) AS w
+      FROM events GROUP BY event_type, value
+    ),
+    cum AS (
+      SELECT event_type, v,
+             SUM(w) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY event_type) AS tw
+      FROM c
+    ),
+    qs AS (
+      SELECT event_type,
+             MIN(CASE WHEN CAST(cw AS DOUBLE) >= CAST(tw AS DOUBLE) * 0.25
+                      THEN v END) AS q1,
+             MIN(CASE WHEN CAST(cw AS DOUBLE) >= CAST(tw AS DOUBLE) * 0.75
+                      THEN v END) AS q3
+      FROM cum GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, q1, q3,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+      FROM qs
+    )
+    SELECT f.event_type, f.q1, f.q3,
+           CAST(COUNT(CASE WHEN e.value < f.lo OR e.value > f.hi
+                           THEN 1 END) AS BIGINT) AS n_outliers,
+           MAX(CASE WHEN e.value < f.lo OR e.value > f.hi
+                    THEN e.value END) AS max_outlier
+    FROM events e JOIN f ON f.event_type = e.event_type
+    GROUP BY f.event_type, f.q1, f.q3
+    """,
+)
+def tukey_outliers_events(spark, sf_dir):
+    """r9, B21: ClickHouse ``seriesOutliersDetectTukey`` (time-series
+    function set of the 24.x line) — per-series Tukey fences: values
+    outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] flagged as outliers.
+    Quartiles use the quantileExactWeighted rule over per-(type,
+    value) counts (selection returns RAW input values), the fences are
+    fixed-order double arithmetic, and the flag count + extreme
+    outlier come from one broadcast-join pass — every number exact, no
+    rounding.
+
+    Scale: quantile machinery is value-cardinality-bounded per type
+    (partitioned windows, never partitionless); the fences broadcast
+    back to one fact scan."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    win = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("event_type")
+    cum = c.withColumn("cw", F.sum("w").over(win)).withColumn(
+        "tw", F.sum("w").over(tot)
+    )
+    pick = lambda q: F.min(  # noqa: E731 — smallest v reaching q·W
+        F.when(
+            F.col("cw").cast("double") >= F.col("tw").cast("double") * F.lit(q),
+            F.col("v"),
+        )
+    )
+    qs = cum.groupBy("event_type").agg(
+        pick(0.25).alias("q1"), pick(0.75).alias("q3")
+    )
+    f = qs.select(
+        "event_type",
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    out_cond = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(f), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.when(out_cond, 1)).cast("bigint").alias("n_outliers"),
+            F.max(F.when(out_cond, F.col("value"))).alias("max_outlier"),
+        )
+    )
