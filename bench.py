@@ -166,7 +166,14 @@ HEADLINE = [
     # + broadcast marginals) are timed by rollup_revenue_region_nation,
     # agg_events_stats and cohort_retention_matrix on the same tables;
     # sequence_next_node_events' per-user array fold skeleton is timed
-    # by ema_user_values / group_array_events.
+    # by ema_user_values / group_array_events. Later session-2 entries
+    # stay exempt as plan-skeleton siblings of benched family members:
+    # ks_test/auc (two-phase prefix sum → mann_whitney_values),
+    # student_ttest/cramers/agg_weighted_map (groupBy+scalar/maps →
+    # agg_events_stats, summap_event_values), tukey (partitioned
+    # quantile windows → weighted_quantile_events), geohash pair
+    # (map-only cell + hash agg / broadcast membership → composites,
+    # audience_overlap_matrix), sequence_next_node_backward (fold).
     "mann_whitney_values",        # two-phase distributed prefix-sum rank
     "max_intersections_users",    # interval sweep window over reduced table
     "ema_user_values",            # per-entity higher-order fold
@@ -176,6 +183,7 @@ HEADLINE = [
     "lttb_downsample_events",     # sequential per-series Arrow walk
     "interval_length_sum_users",  # island-merge union sweep
     "quantile_mv_incremental",    # histogram-state MV lifecycle
+    "topk_mv_incremental",        # SpaceSaving-state MV lifecycle
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

@@ -77,6 +77,7 @@ _WINDOW = [
     "sequence_next_node_backward",  # B21 sequenceNextNode backward/last_match
     "auc_purchase_score",         # B33 arrayAUC (exact rank identity)
     "tukey_outliers_events",      # B21 seriesOutliersDetectTukey fences
+    "topk_mv_incremental",        # A12 topKState/topKMerge MV
     # --- Rule 1: never driver-checked (restores the 178/178 ledger) ---
     "sequence_match_dot",         # B21 sequenceMatch '.' token (r8)
     # --- Rule 1: implementation internals changed in r9 (manifest.py
@@ -95,7 +96,6 @@ _WINDOW = [
     "pack_sequences",             # C4
     "q10_returned_items",
     "q11_important_stock",
-    "q12_shipmode_priority",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
@@ -106,9 +106,9 @@ _WINDOW = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    # (q7/q8/q13/q14/q16/q19 yield their seats to rule-1 queries; B20
-    # keeps 10 TPC-H shapes in-window and all six stay oracle-gated
-    # + benched.)
+    # (q7/q8/q12/q13/q14/q16/q19 yield their seats to rule-1 queries;
+    # B20 keeps 9 TPC-H shapes in-window and all seven stay oracle-
+    # gated + benched.)
     "semdedup_prune",             # C2
     "sessionize_events",          # A26
     "text_analysis_composite",    # C4

@@ -602,3 +602,70 @@ def quantile_mv_incremental(spark, sf_dir):
         return _pin(mv.read_final(spark))
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "topk_mv_incremental",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS item
+      FROM documents
+    ),
+    c AS (SELECT lang, item, COUNT(*) AS cnt FROM toks GROUP BY lang, item),
+    r AS (
+      SELECT lang, item, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, item ASC) AS rank
+      FROM c
+    )
+    SELECT lang, CAST(rank AS BIGINT) AS rank, item,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM r WHERE rank <= 10
+    """,
+)
+def topk_mv_incremental(spark, sf_dir):
+    """r9, A12: the topKState/topKMerge MATERIALIZED VIEW — the fourth
+    mergeable state family (SpaceSaving summaries) driven end-to-end:
+    per-language document tokens stream through ``TopKMV`` as four
+    micro-batches with one REPLAYED batch (skip enforced by explicit
+    raise) and a mid-stream compaction, then the per-language top-10
+    tokens read back. Capacity 4096 exceeds per-batch vocabularies at
+    this SF, so every error floor is 0 and the conservative
+    SpaceSaving merge is EXACT — the DuckDB exact-count oracle is an
+    equality check (truncated-regime bounds are pytest-gated in
+    test_agg_mv.py); the in-query contract raises if any state left
+    the exact regime.
+
+    Scale: state per group is capacity-bounded regardless of history;
+    batch ingest is one partial agg + per-group top-capacity."""
+    import shutil
+    import tempfile
+
+    from postgre_to_clickhouse_spark.operators.sketch import tokens_of
+    from postgre_to_clickhouse_spark.sinks.agg_mv import TopKMV
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", tokens_of(docs).alias("item"))
+    path = tempfile.mkdtemp(prefix="p2c_topk_mv_")
+    try:
+        mv = TopKMV(path, keys=("lang",), value_col="item", capacity=4096)
+        batch_of = F.pmod("doc_id", F.lit(4))
+        for b in range(4):
+            if not mv.apply_batch(toks.filter(batch_of == b), batch_id=b):
+                raise RuntimeError(f"topk_mv: batch {b} was not applied")
+            if b == 1:
+                if mv.apply_batch(toks.filter(batch_of == b), batch_id=b) is not False:
+                    raise RuntimeError("topk_mv: replayed batch 1 double-committed")
+            if b == 2:
+                mv.compact(spark)
+        floors = mv.read_states(spark).agg(F.max("s_d")).collect()[0][0]
+        if floors != 0:
+            raise RuntimeError(
+                f"topk_mv left the exact regime (max error floor {floors}) — "
+                "raise capacity"
+            )
+        out = mv.read_final(spark, k=10).select("lang", "rank", "item", "cnt")
+        return _pin(out)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

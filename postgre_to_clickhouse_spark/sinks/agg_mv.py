@@ -304,3 +304,133 @@ class QuantileMV(AggregateMV):
             )
             cols.append(pick.alias(f"p{int(round(q * 100))}"))
         return m.select(*cols)
+
+
+class TopKMV(AggregateMV):
+    """ClickHouse ``topKState``/``topKMerge`` materialized view — the
+    SpaceSaving heavy-hitter state as the fourth mergeable family next
+    to the sum/count MV, the HLL uniq MV and the quantile histogram.
+
+    State per group = one capped summary: the ≤ ``capacity`` heaviest
+    items with UPPER-BOUND counts plus an error floor ``d`` (the
+    largest mass the summary may have dropped; 0 in the exact regime).
+    Merging n summaries uses the standard conservative composition:
+    with D = Σ dᵢ, an item's merged upper bound is
+    ``D + Σ_{summaries containing it} (ubᵢ − dᵢ)`` (a summary that
+    missed the item can have seen at most dᵢ of its mass), the result
+    re-caps to ``capacity`` and the new floor is
+    ``max(D, largest evicted ub)``. Invariants (property-tested):
+    true count ≤ merged ub for every kept item, and any item with true
+    count > the floor is PRESENT — the heavy-hitter guarantee. With
+    per-batch distinct items ≤ capacity every d is 0 and the view is
+    EXACT — the regime the oracle-graded query runs in.
+
+    Scale: state is groups × capacity rows regardless of history;
+    ingest is one partial-agg + per-group top-capacity per batch."""
+
+    def __init__(self, path: str, keys: tuple[str, ...], value_col: str, capacity: int = 4096):
+        super().__init__(path, keys, value_col)
+        self.capacity = capacity
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        counts = df.groupBy(*self.keys, self.value_col).agg(
+            F.count(F.lit(1)).cast("long").alias("ub")
+        )
+        w = Window.partitionBy(*self.keys).orderBy(
+            F.col("ub").desc(), F.col(self.value_col).asc()
+        )
+        ranked = counts.withColumn("__r", F.row_number().over(w))
+        kept = ranked.filter(F.col("__r") <= self.capacity)
+        dropped = (
+            ranked.filter(F.col("__r") > self.capacity)
+            .groupBy(*self.keys)
+            .agg(F.max("ub").alias("s_d"))
+        )
+        return (
+            kept.groupBy(*self.keys)
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col(self.value_col).cast("string").alias("item"),
+                            F.col("ub").alias("ub"),
+                        )
+                    )
+                ).alias("s_tk")
+            )
+            .join(dropped, list(self.keys), "left")
+            .withColumn("s_d", F.coalesce("s_d", F.lit(0)).cast("long"))
+        )
+
+    def _merge(self, states: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        gd = states.groupBy(*self.keys).agg(F.sum("s_d").alias("__D"))
+        items = states.select(
+            *self.keys, F.col("s_d"), F.explode("s_tk").alias("e")
+        ).select(
+            *self.keys,
+            F.col("e.item").alias("item"),
+            (F.col("e.ub") - F.col("s_d")).alias("adj"),
+        )
+        merged = (
+            items.groupBy(*self.keys, "item")
+            .agg(F.sum("adj").alias("adj"))
+            .join(gd, list(self.keys))
+            .select(*self.keys, "item", (F.col("__D") + F.col("adj")).alias("ub"))
+        )
+        w = Window.partitionBy(*self.keys).orderBy(
+            F.col("ub").desc(), F.col("item").asc()
+        )
+        ranked = merged.withColumn("__r", F.row_number().over(w))
+        kept = (
+            ranked.filter(F.col("__r") <= self.capacity)
+            .groupBy(*self.keys)
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("item"), F.col("ub")))
+                ).alias("s_tk")
+            )
+        )
+        evicted = (
+            ranked.filter(F.col("__r") > self.capacity)
+            .groupBy(*self.keys)
+            .agg(F.max("ub").alias("__evict"))
+        )
+        return (
+            kept.join(gd, list(self.keys))
+            .join(evicted, list(self.keys), "left")
+            .withColumn(
+                "s_d",
+                F.greatest(F.col("__D"), F.coalesce("__evict", F.lit(0))).cast(
+                    "long"
+                ),
+            )
+            .select(*self.keys, "s_tk", "s_d")
+        )
+
+    def read_final(self, spark: SparkSession, k: int = 10) -> DataFrame:
+        """Per-group top-k by upper-bound mass (ub desc, item asc — the
+        deterministic tie), with the state's error floor attached."""
+        from pyspark.sql import Window
+
+        m = self.read_states(spark)
+        flat = m.select(
+            *self.keys, F.col("s_d").alias("err_floor"), F.explode("s_tk").alias("e")
+        ).select(
+            *self.keys,
+            "err_floor",
+            F.col("e.item").alias("item"),
+            F.col("e.ub").alias("cnt"),
+        )
+        w = Window.partitionBy(*self.keys).orderBy(
+            F.col("cnt").desc(), F.col("item").asc()
+        )
+        return (
+            flat.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(*self.keys, F.col("rank").cast("bigint"), "item", "cnt",
+                    "err_floor")
+        )

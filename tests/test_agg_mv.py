@@ -184,3 +184,47 @@ def test_quantile_mv_exactly_once_replay_and_compaction(spark, tmp_path):
     # post-compact batch still applies; duplicate VALUES merge weights
     assert mv.apply_batch(df.limit(50), 99)
     assert mv.read_states(spark).count() == 3
+
+
+def test_topk_mv_exact_regime_and_truncated_bounds(spark, tmp_path):
+    """topKState MV: in the exact regime (capacity >= per-batch
+    distincts) the finalized top-k equals the true counts; in the
+    truncated regime the SpaceSaving invariants hold — true count <=
+    merged ub for kept items, and every item heavier than the error
+    floor is PRESENT."""
+    from collections import Counter
+
+    from postgre_to_clickhouse_spark.sinks.agg_mv import TopKMV
+
+    rows = [("g", f"i{(x * x) % 23}") for x in range(600)]
+    rows += [("g", "i1")] * 250  # one unambiguous heavy hitter
+    df = spark.createDataFrame(rows, "grp string, item string")
+
+    # exact regime
+    mv = TopKMV(str(tmp_path / "exact"), keys=("grp",), value_col="item",
+                capacity=64)
+    for b in range(3):
+        assert mv.apply_batch(df.filter(F.length("item") % 3 == b), b)
+    assert not mv.apply_batch(df.filter(F.length("item") % 3 == 0), 0)
+    mv.compact(spark)
+    got = [(r.rank, r.item, r.cnt) for r in
+           mv.read_final(spark, k=5).orderBy("rank").collect()]
+    true = Counter(i for _, i in rows)
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert got == [(i + 1, it, c) for i, (it, c) in enumerate(want)]
+    assert all(r.err_floor == 0 for r in mv.read_final(spark).collect())
+
+    # truncated regime: tiny capacity
+    mvt = TopKMV(str(tmp_path / "trunc"), keys=("grp",), value_col="item",
+                 capacity=4)
+    for b in range(3):
+        mvt.apply_batch(df.filter(F.length("item") % 3 == b), b)
+    fin = mvt.read_final(spark, k=4).collect()
+    floor = fin[0].err_floor
+    kept = {r.item: r.cnt for r in fin}
+    for item, ub in kept.items():
+        assert true[item] <= ub, (item, true[item], ub)
+    assert floor > 0  # truncation really happened
+    # the unambiguous heavy hitter (count >> error floor) survives
+    heaviest = max(true.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    assert true[heaviest] > floor and heaviest in kept, (floor, kept)

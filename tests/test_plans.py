@@ -408,6 +408,7 @@ def test_lifecycle_queries_return_executor_pinned_results(spark):
         "manifest_ttl_rollup_read",
         "manifest_agg_projection_read",
         "quantile_mv_incremental",
+        "topk_mv_incremental",
     ):
         plan = _plan(spark, name)
         assert "ExistingRDD" in plan, f"{name} result is not executor-pinned"
