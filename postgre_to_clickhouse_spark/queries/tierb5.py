@@ -298,30 +298,10 @@ def mann_whitney_values(spark, sf_dir):
         .where(F.col("event_type").isin("view", "purchase"))
         .select("event_type", "value")
     )
+    from postgre_to_clickhouse_spark.operators.ranks import tie_averaged_ranks
+
     vc = ev.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
-    n_buckets = 1024
-    bounds = vc.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    step = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
-    vcb = vc.crossJoin(F.broadcast(bounds)).withColumn(
-        "bkt",
-        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col("value") - F.col("lo")) / step).cast("int"),
-            )
-        ),
-    )
-    bt = vcb.groupBy("bkt").agg(F.sum("c").alias("bc"))
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bt.withColumn("off", F.coalesce(F.sum("bc").over(wb), F.lit(0)))
-    win = Window.partitionBy("bkt").orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = (
-        vcb.join(F.broadcast(offsets.select("bkt", "off")), "bkt")
-        .withColumn("rk", F.col("off") + F.sum("c").over(win) - F.col("c") + 1)
-        .withColumn("avg_rank", F.col("rk") + (F.col("c") - 1) / 2.0)
-    )
+    ranked = tie_averaged_ranks(vc, "value", "c")
     rows = ev.join(F.broadcast(ranked.select("value", "avg_rank")), "value")
     agg = rows.agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n1"),
@@ -954,40 +934,18 @@ def ks_test_values(spark, sf_dir):
         .where(F.col("event_type").isin("view", "purchase"))
         .select("event_type", "value")
     )
+    from postgre_to_clickhouse_spark.operators.ranks import bucketed_prefix_sums
+
     vc = ev.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "c2"
         ),
     )
-    n_buckets = 1024
-    bounds = vc.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    step = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
-    vcb = vc.crossJoin(F.broadcast(bounds)).withColumn(
-        "bkt",
-        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col("value") - F.col("lo")) / step).cast("int"),
-            )
-        ),
-    )
-    bt = vcb.groupBy("bkt").agg(
-        F.sum("c1").alias("b1"), F.sum("c2").alias("b2")
-    )
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bt.select(
-        "bkt",
-        F.coalesce(F.sum("b1").over(wb), F.lit(0)).alias("o1"),
-        F.coalesce(F.sum("b2").over(wb), F.lit(0)).alias("o2"),
-    )
-    win = Window.partitionBy("bkt").orderBy("value").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     cum = (
-        vcb.join(F.broadcast(offsets), "bkt")
-        .withColumn("f1", F.col("o1") + F.sum("c1").over(win))
-        .withColumn("f2", F.col("o2") + F.sum("c2").over(win))
+        bucketed_prefix_sums(vc, "value", ["c1", "c2"])
+        .withColumnRenamed("cum_c1", "f1")
+        .withColumnRenamed("cum_c2", "f2")
     )
     n = ev.agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n1"),
@@ -1285,30 +1243,10 @@ def auc_purchase_score(spark, sf_dir):
             F.col("value").alias("score"),
         )
     )
+    from postgre_to_clickhouse_spark.operators.ranks import tie_averaged_ranks
+
     vc = ev.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
-    n_buckets = 1024
-    bounds = vc.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
-    step = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
-    vcb = vc.crossJoin(F.broadcast(bounds)).withColumn(
-        "bkt",
-        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col("score") - F.col("lo")) / step).cast("int"),
-            )
-        ),
-    )
-    bt = vcb.groupBy("bkt").agg(F.sum("c").alias("bc"))
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = bt.withColumn("off", F.coalesce(F.sum("bc").over(wb), F.lit(0)))
-    win = Window.partitionBy("bkt").orderBy("score").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = (
-        vcb.join(F.broadcast(offsets.select("bkt", "off")), "bkt")
-        .withColumn("rk", F.col("off") + F.sum("c").over(win) - F.col("c") + 1)
-        .withColumn("avg_rank", F.col("rk") + (F.col("c") - 1) / 2.0)
-    )
+    ranked = tie_averaged_ranks(vc, "score", "c")
     rows = ev.join(F.broadcast(ranked.select("score", "avg_rank")), "score")
     agg = rows.agg(
         F.sum("y").alias("np"),

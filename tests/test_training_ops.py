@@ -785,3 +785,37 @@ def test_geohashes_in_box_covers_exactly(spark):
         .alias("c")
     ).collect()[0].c
     assert empty == []
+
+
+def test_bucketed_prefix_sums_degenerate_and_exact(spark):
+    """operators/ranks.py: the two-phase prefix sum equals a direct
+    cumulative, including the all-equal-values (single bucket) branch
+    and multi-column sums."""
+    from pyspark.sql import functions as F
+
+    from postgre_to_clickhouse_spark.operators.ranks import (
+        bucketed_prefix_sums,
+        tie_averaged_ranks,
+    )
+
+    rows = [(float(v % 13) * 0.5, v % 3 + 1, (v * v) % 5) for v in range(200)]
+    df = (
+        spark.createDataFrame(rows, "v double, a long, b long")
+        .groupBy("v")
+        .agg(F.sum("a").alias("a"), F.sum("b").alias("b"))
+    )
+    got = {
+        r.v: (r.cum_a, r.cum_b)
+        for r in bucketed_prefix_sums(df, "v", ["a", "b"], n_buckets=8).collect()
+    }
+    acc_a = acc_b = 0
+    for v, a, b in sorted(
+        (r.v, r.a, r.b) for r in df.collect()
+    ):
+        acc_a += a
+        acc_b += b
+        assert got[v] == (acc_a, acc_b), v
+    # degenerate: one distinct value -> hi == lo branch
+    one = spark.createDataFrame([(7.0, 5)], "v double, c long")
+    r = tie_averaged_ranks(one, "v", "c").collect()[0]
+    assert (r.rk, r.avg_rank) == (1, 3.0)
