@@ -78,6 +78,7 @@ _WINDOW = [
     "auc_purchase_score",         # B33 arrayAUC (exact rank identity)
     "tukey_outliers_events",      # B21 seriesOutliersDetectTukey fences
     "topk_mv_incremental",        # A12 topKState/topKMerge MV
+    "sparkbar_hourly_events",     # B21 sparkbar inline activity rendering
     # --- Rule 1: never driver-checked (restores the 178/178 ledger) ---
     "sequence_match_dot",         # B21 sequenceMatch '.' token (r8)
     # --- Rule 1: implementation internals changed in r9 (manifest.py
@@ -96,7 +97,6 @@ _WINDOW = [
     "pack_sequences",             # C4
     "q10_returned_items",
     "q11_important_stock",
-    "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
     "q20_excess_suppliers",
@@ -106,9 +106,9 @@ _WINDOW = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    # (q7/q8/q12/q13/q14/q16/q19 yield their seats to rule-1 queries;
-    # B20 keeps 9 TPC-H shapes in-window and all seven stay oracle-
-    # gated + benched.)
+    # (q7/q8/q12/q13/q14/q15/q16/q19 yield their seats to rule-1
+    # queries; B20 keeps 8 TPC-H shapes in-window and all eight stay
+    # oracle-gated + benched.)
     "semdedup_prune",             # C2
     "sessionize_events",          # A26
     "text_analysis_composite",    # C4

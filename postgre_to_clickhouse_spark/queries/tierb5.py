@@ -1351,3 +1351,79 @@ def tukey_outliers_events(spark, sf_dir):
             F.max(F.when(out_cond, F.col("value"))).alias("max_outlier"),
         )
     )
+
+
+_SPARKBAR_CHARS = "▁▂▃▄▅▆▇█"
+
+
+@register(
+    "sparkbar_hourly_events",
+    oracle="""
+    WITH hours AS (SELECT unnest(range(24)) AS h),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT event_type, h FROM types CROSS JOIN hours),
+    c AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY event_type, EXTRACT(hour FROM ts)
+    ),
+    filled AS (
+      SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+      FROM grid g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h
+    ),
+    mx AS (SELECT event_type, MAX(n) AS mx FROM filled GROUP BY event_type)
+    SELECT f.event_type,
+           string_agg(
+             CASE WHEN f.n = 0 THEN ' '
+                  ELSE substring('▁▂▃▄▅▆▇█',
+                                 CAST((8 * f.n + m.mx - 1) // m.mx AS INT), 1)
+             END, '' ORDER BY f.h) AS bar,
+           CAST(SUM(f.n) AS BIGINT) AS n_events,
+           CAST(MAX(f.n) AS BIGINT) AS peak
+    FROM filled f JOIN mx m ON m.event_type = f.event_type
+    GROUP BY f.event_type
+    """,
+)
+def sparkbar_hourly_events(spark, sf_dir):
+    """r9, B21: ClickHouse ``sparkbar(buckets)(x, y)`` — the inline
+    unicode activity bar (per-type hourly profile over a dense 24-slot
+    grid). Levels are pure integer arithmetic — ``ceil(8·n/max)`` via
+    ``(8n + max − 1) // max`` — over exact counts, so both engines pick
+    identical block characters; empty slots render as a space.
+    Rendering is a JVM higher-order transform over a per-type 24-slot
+    map (one groupBy; the dense grid needs no join on the Spark side).
+
+    Scale: per-group state is the fixed 24-slot histogram; one
+    partial-aggregable pass."""
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", F.hour("ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per = c.groupBy("event_type").agg(
+        F.map_from_entries(F.collect_list(F.struct("h", "n"))).alias("m"),
+        F.max("n").alias("mx"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    bar = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda h: F.when(
+                F.coalesce(F.element_at("m", h), F.lit(0)) == 0, F.lit(" ")
+            ).otherwise(
+                F.substring(
+                    F.lit(_SPARKBAR_CHARS),
+                    (
+                        (F.lit(8) * F.element_at("m", h) + F.col("mx") - 1)
+                        / F.col("mx")
+                    ).cast("int"),
+                    1,
+                )
+            ),
+        ),
+    )
+    return per.select(
+        "event_type",
+        bar.alias("bar"),
+        "n_events",
+        F.col("mx").cast("bigint").alias("peak"),
+    )
