@@ -184,6 +184,15 @@ HEADLINE = [
     "interval_length_sum_users",  # island-merge union sweep
     "quantile_mv_incremental",    # histogram-state MV lifecycle
     "topk_mv_incremental",        # SpaceSaving-state MV lifecycle
+    # r9 session 3 (tierb6): rank_corr runs the two-phase prefix-sum
+    # rank machinery TWICE (both variables) plus two broadcast joins —
+    # a heavier compound of the mann_whitney skeleton, so it benches;
+    # its siblings stay exempt per the rule: simple_linreg /
+    # bounding_ratio / contingency_theils_u are single-scan partial
+    # aggs (→ agg_events_stats / cohort_retention_matrix skeletons),
+    # delta_sum_users is one partitioned window + groupBy
+    # (→ moving_agg_events).
+    "rank_corr_spearman",         # doubled prefix-sum rank + Pearson-on-ranks
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

@@ -40,6 +40,7 @@ from postgre_to_clickhouse_spark.queries import tierb4  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tpch_spec  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc8  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierb5  # noqa: E402,F401
+from postgre_to_clickhouse_spark.queries import tierb6  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 
 # The r9 window, per the policy above. Ledger at rotation time:
@@ -49,8 +50,11 @@ from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 # analytics/stats/geo, the three mutation/agg-projection lifecycle
 # reads, the quantile-state MV — plus the never-checked and
 # internals-changed re-verifies), displacing the r5 backfills and the
-# r4 cohort's tail; every displaced query stays oracle-gated in pytest
-# and bench-visible, and rotates back under rule 2 from r10.
+# r4 cohort's tail; session 3 adds the five tierb6 regression/
+# correlation queries (rule 1 → 31 seats), displacing q17/q20/q22 and
+# semdedup/text_analysis from the r4 backfill. Every displaced query
+# stays oracle-gated in pytest and bench-visible, and rotates back
+# under rule 2 from r10.
 _WINDOW = [
     # --- Rule 1: new in r9 ---
     "manifest_bloom_read",        # A8 bloom/token-bloom skip indexes (r8 weak → proven)
@@ -79,6 +83,12 @@ _WINDOW = [
     "tukey_outliers_events",      # B21 seriesOutliersDetectTukey fences
     "topk_mv_incremental",        # A12 topKState/topKMerge MV
     "sparkbar_hourly_events",     # B21 sparkbar inline activity rendering
+    # --- Rule 1: new in r9 session 3 (tierb6 regression/correlation) ---
+    "rank_corr_spearman",         # B33 rankCorr (Spearman, doubled rank core)
+    "simple_linreg_events",       # B33 simpleLinearRegression
+    "bounding_ratio_users",       # B33 boundingRatio (chord slope)
+    "delta_sum_users",            # B33 deltaSumTimestamp (counter deltas)
+    "contingency_theils_u",       # B33 contingency + theilsU coefficients
     # --- Rule 1: never driver-checked (restores the 178/178 ledger) ---
     "sequence_match_dot",         # B21 sequenceMatch '.' token (r8)
     # --- Rule 1: implementation internals changed in r9 (manifest.py
@@ -97,24 +107,20 @@ _WINDOW = [
     "pack_sequences",             # C4
     "q10_returned_items",
     "q11_important_stock",
-    "q17_small_quantity_revenue",
     "q18_large_volume_orders",
-    "q20_excess_suppliers",
     "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
     "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
-    # (q7/q8/q12/q13/q14/q15/q16/q19 yield their seats to rule-1
-    # queries; B20 keeps 8 TPC-H shapes in-window and all eight stay
-    # oracle-gated + benched.)
-    "semdedup_prune",             # C2
+    # (q7/q8/q12/q13/q14/q15/q16/q19 — and, from session 3, q17/q20/
+    # q22 — yield their seats to rule-1 queries; B20 keeps 8 TPC-H
+    # shapes in-window and all of them stay oracle-gated + benched.)
     "sessionize_events",          # A26
-    "text_analysis_composite",    # C4
-    # (tfidf_top_terms yields its seat to the 21st rule-1 query; C4
-    # stays covered in-window by pack_sequences/text_analysis_composite
-    # and tfidf stays oracle-gated + benched.)
+    # (tfidf_top_terms, semdedup_prune and text_analysis_composite
+    # yield their seats to rule-1 queries; C2 stays covered in-window
+    # by minhash/simhash/vector_lsh, C4 by pack_sequences, and all
+    # three stay oracle-gated + benched/exempt-audited.)
     # (vector_cosine_topk and vector_ivf_topk — the alphabetical tail
     # of the r4 cohort — yield their seats to the 19th/20th rule-1
     # queries; C3 stays covered in-window by vector_lsh_topk /
