@@ -193,6 +193,11 @@ HEADLINE = [
     # delta_sum_users is one partitioned window + groupBy
     # (→ moving_agg_events).
     "rank_corr_spearman",         # doubled prefix-sum rank + Pearson-on-ranks
+    # ch_dialect_hourly / ch_dialect_top_events stay exempt: the CH
+    # SELECT front end COMPILES to the same plan skeletons the benched
+    # window_hourly_event_counts / limit_by_user_events already time
+    # (grouping-set agg over one filtered scan; window band filter) —
+    # the front end itself adds no runtime.
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

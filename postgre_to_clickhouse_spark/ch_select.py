@@ -1,0 +1,676 @@
+"""ClickHouse SELECT-dialect front end (r9, SURVEY A22+/B surface).
+
+The reference's user-facing query language IS ClickHouse SQL — its
+README's operational surface is plain SELECTs against a ClickHouse
+24.3 server (`/root/reference/README.md:216-243`,
+`docker-compose.yml:157`). The battery re-expresses those semantics
+query-by-query as DataFrame programs; THIS module closes the loop for
+a user who wants to keep their CH SQL text: a hand-rolled parser for a
+practical CH SELECT subset that compiles to a Spark plan, mapping
+
+- CH-only clauses to the engine's operators: ``FINAL`` →
+  :func:`cdc.dedup.latest`, ``SAMPLE f [OFFSET o]`` →
+  :func:`operators.sampling.sample_consistent`, ``PREWHERE`` → an
+  ordinary filter (Catalyst pushes it into the scan — the PREWHERE
+  intent, see PARITY B2), ``LIMIT n BY cols`` → a window band filter,
+  ``GROUP BY ... WITH TOTALS`` → grouping sets ``((keys...), ())``;
+- CH function names to Spark SQL builtins (``toStartOfHour`` →
+  ``date_trunc``, ``uniqExact`` → ``COUNT(DISTINCT ..)``, ``argMax``
+  → ``max_by``, the ``-If`` combinator family → ``CASE WHEN`` wrapped
+  aggregates, parameterized ``quantile(q)(x)`` → ``percentile``, ...);
+- everything else (standard SQL expressions, CASE, CAST, IN, LIKE,
+  operators) passes through verbatim to Spark's parser.
+
+Scope is DECLARED, and violations are LOUD (`ChSqlError`), never
+silent misreadings: single-table FROM (joins/subqueries/UNION are
+written natively — the battery's join surface), no WITH FILL (the
+gap-fill operators cover it), no ``-State/-Merge`` combinators (the
+MV sinks own mergeable states), ``SETTINGS`` parsed and dropped (CH
+settings are performance knobs; none of them changes result
+semantics for the supported clause subset). Everything compiled here is a declarative single SELECT, so the
+100 TB posture is inherited from the plan Catalyst builds — the front
+end adds zero runtime of its own.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["ChSqlError", "ChContext", "ch_select"]
+
+
+class ChSqlError(ValueError):
+    """A CH construct outside the declared subset (or malformed SQL).
+    Raised eagerly at parse time — the refuse-loudly convention."""
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+_TOKEN = re.compile(
+    r"""
+      (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
+    | (?P<str>'(?:[^'\\]|\\.|'')*')
+    | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?)
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*|`[^`]+`)
+    | (?P<op><=|>=|!=|==|<>|\|\||->)
+    | (?P<punct>.)
+    """,
+    re.X | re.S,
+)
+
+
+def _tokenize(sql: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(sql):
+        m = _TOKEN.match(sql, pos)
+        if not m:  # pragma: no cover — the punct catch-all matches any char
+            raise ChSqlError(f"cannot tokenize at: {sql[pos:pos+20]!r}")
+        pos = m.end()
+        if m.lastgroup != "ws":
+            out.append(m.group())
+    return out
+
+
+_KEYWORDS = {
+    "SELECT", "DISTINCT", "FROM", "FINAL", "SAMPLE", "PREWHERE", "WHERE",
+    "GROUP", "BY", "WITH", "TOTALS", "ROLLUP", "CUBE", "HAVING", "ORDER",
+    "LIMIT", "OFFSET", "SETTINGS", "AS", "AND", "OR", "NOT", "IN", "IS",
+    "NULL", "LIKE", "RLIKE", "ILIKE", "BETWEEN", "CASE", "WHEN", "THEN",
+    "ELSE", "END", "INTERVAL", "TRUE", "FALSE", "EXISTS", "ASC", "DESC",
+    "NULLS", "FIRST", "LAST", "UNION", "JOIN", "ON", "USING", "ALL", "ANY",
+}
+# keywords that may legitimately precede '(' without being a function
+_CALL_EXEMPT = {"IN", "AND", "OR", "NOT", "WHEN", "THEN", "ELSE", "EXISTS"}
+
+
+def _is_ident(t: str) -> bool:
+    return bool(re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*|`[^`]+`", t))
+
+
+def _kw(t: str) -> str:
+    return t.upper() if _is_ident(t) else t
+
+
+# ---------------------------------------------------------------------------
+# CH -> Spark function mapping. Each entry: callable(args) -> SQL text
+# (args already rewritten). Unknown plain functions pass through
+# verbatim (Spark's parser validates them); unknown PARAMETERIZED
+# functions fail loudly — that syntax exists only in CH.
+def _trunc(unit):
+    return lambda a: f"date_trunc('{unit}', {a[0]})"
+
+
+def _rename(name):
+    return lambda a: f"{name}({', '.join(a)})"
+
+
+def _cast(t):
+    return lambda a: f"cast({a[0]} as {t})"
+
+
+def _multi_if(a):
+    if len(a) < 3 or len(a) % 2 == 0:
+        raise ChSqlError("multiIf needs cond,val pairs + else")
+    parts = ["CASE"]
+    for i in range(0, len(a) - 1, 2):
+        parts.append(f"WHEN {a[i]} THEN {a[i+1]}")
+    parts.append(f"ELSE {a[-1]} END")
+    return " ".join(parts)
+
+
+def _split_by_char(a):
+    m = re.fullmatch(r"'(.)'", a[0])
+    if not m:
+        raise ChSqlError("splitByChar: first arg must be a 1-char literal")
+    return f"split({a[1]}, '{re.escape(m.group(1))}')"
+
+
+_FN: dict = {
+    # date & time
+    "toDate": lambda a: f"to_date({a[0]})",
+    "toDateTime": _cast("timestamp"),
+    "toStartOfMinute": _trunc("MINUTE"),
+    "toStartOfHour": _trunc("HOUR"),
+    "toStartOfDay": _trunc("DAY"),
+    "toStartOfMonth": _trunc("MONTH"),
+    "toStartOfQuarter": _trunc("QUARTER"),
+    "toStartOfYear": _trunc("YEAR"),
+    "toMonday": _trunc("WEEK"),
+    "toHour": _rename("hour"),
+    "toMinute": _rename("minute"),
+    "toSecond": _rename("second"),
+    "toYear": _rename("year"),
+    "toMonth": _rename("month"),
+    "toDayOfMonth": _rename("day"),
+    "toDayOfWeek": lambda a: f"((dayofweek({a[0]}) + 5) % 7 + 1)",  # Mon=1..Sun=7
+    "toYYYYMM": lambda a: f"(year({a[0]}) * 100 + month({a[0]}))",
+    "toUnixTimestamp": _rename("unix_timestamp"),
+    "today": lambda a: "current_date()",
+    "now": lambda a: "current_timestamp()",
+    "yesterday": lambda a: "date_sub(current_date(), 1)",
+    "addDays": _rename("date_add"),
+    "subtractDays": _rename("date_sub"),
+    "dateDiff": _rename("datediff"),  # CH 3-arg (unit,a,b) != Spark 2-arg; Spark validates arity
+    # type conversion (CH unsigned widths map to the signed Spark type
+    # one step wider where needed; exact-width parity is documented)
+    "toString": _cast("string"),
+    "toInt8": _cast("tinyint"),
+    "toInt16": _cast("smallint"),
+    "toInt32": _cast("int"),
+    "toInt64": _cast("bigint"),
+    "toUInt8": _cast("smallint"),
+    "toUInt16": _cast("int"),
+    "toUInt32": _cast("bigint"),
+    "toUInt64": _cast("bigint"),
+    "toFloat32": _cast("float"),
+    "toFloat64": _cast("double"),
+    # conditionals
+    "if": _rename("if"),
+    "multiIf": _multi_if,
+    "ifNull": _rename("nvl"),
+    "nullIf": _rename("nullif"),
+    "assumeNotNull": lambda a: a[0],
+    "coalesce": _rename("coalesce"),
+    # strings
+    "position": lambda a: f"instr({a[0]}, {a[1]})",
+    "positionCaseInsensitive": lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
+    "splitByChar": _split_by_char,
+    "startsWith": _rename("startswith"),
+    "endsWith": _rename("endswith"),
+    "lowerUTF8": _rename("lower"),
+    "upperUTF8": _rename("upper"),
+    "lengthUTF8": _rename("length"),
+    "substringUTF8": _rename("substring"),
+    "trimBoth": _rename("trim"),
+    "empty": lambda a: f"(coalesce(length({a[0]}), 0) = 0)",
+    "notEmpty": lambda a: f"(coalesce(length({a[0]}), 0) > 0)",
+    "extractAll": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)",
+    "match": _rename("rlike"),
+    "replaceAll": _rename("replace"),
+    "replaceRegexpAll": _rename("regexp_replace"),
+    "concatWithSeparator": _rename("concat_ws"),
+    "leftPad": _rename("lpad"),
+    "rightPad": _rename("rpad"),
+    # math
+    "intDiv": lambda a: f"({a[0]} div {a[1]})",
+    "modulo": lambda a: f"({a[0]} % {a[1]})",
+    "plus": lambda a: f"({a[0]} + {a[1]})",
+    "minus": lambda a: f"({a[0]} - {a[1]})",
+    "multiply": lambda a: f"({a[0]} * {a[1]})",
+    "divide": lambda a: f"({a[0]} / {a[1]})",
+    "negate": lambda a: f"(- {a[0]})",
+    # arrays (CH higher-order functions put the lambda FIRST)
+    "has": _rename("array_contains"),
+    "indexOf": _rename("array_position"),  # both return 0 when absent
+    "arrayConcat": _rename("concat"),
+    "arrayDistinct": _rename("array_distinct"),
+    "arraySort": lambda a: f"sort_array({a[0]})",
+    "arrayReverseSort": lambda a: f"sort_array({a[0]}, false)",
+    "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
+    "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
+    "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",
+    "arrayAll": lambda a: f"forall({a[1]}, {a[0]})",
+    "arraySum": lambda a: (
+        f"aggregate({a[0]}, cast(0.0 as double), (acc, x) -> acc + x)"
+    ),
+    "arraySlice": _rename("slice"),
+    "arrayJoin": _rename("explode"),  # valid in SELECT; Spark rejects elsewhere
+    # aggregates
+    "count": lambda a: f"count({', '.join(a) if a else '*'})",  # CH count()
+    "any": _rename("any_value"),
+    "anyLast": _rename("last"),
+    "argMin": _rename("min_by"),
+    "argMax": _rename("max_by"),
+    "uniq": _rename("approx_count_distinct"),
+    "uniqExact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    "groupArray": _rename("collect_list"),
+    "groupUniqArray": _rename("collect_set"),
+    "median": _rename("median"),
+    "medianExact": _rename("median"),
+    "stddevPop": _rename("stddev_pop"),
+    "stddevSamp": _rename("stddev_samp"),
+    "varPop": _rename("var_pop"),
+    "varSamp": _rename("var_samp"),
+    "covarPop": _rename("covar_pop"),
+    "covarSamp": _rename("covar_samp"),
+    # compensated sum -> this engine's strictly-stronger exact-decimal sum
+    "sumKahan": lambda a: (
+        f"cast(sum(cast({a[0]} as decimal(25,6))) as double)"
+    ),
+}
+
+_PARAM_FN: dict = {
+    "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileExactWeighted": lambda p, a: f"percentile({a[0]}, {p[0]}, {a[1]})",
+    "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+}
+
+# aggregates whose -If combinator is supported: base -> needs value arg
+_IF_BASES = {
+    "count", "sum", "avg", "min", "max", "any", "anyLast", "uniq",
+    "uniqExact", "groupArray", "median",
+}
+
+_BARE_MAP = {"==": "=", "<>": "!="}
+
+
+# ---------------------------------------------------------------------------
+# expression rewriting (recursive descent over the token list)
+def _rewrite(tokens: list[str], i: int, stop: tuple[str, ...]) -> tuple[str, int]:
+    """Rewrite tokens[i:] until a top-level token in ``stop`` (or end);
+    returns (text, index-of-stop-token)."""
+    parts: list[str] = []
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t in stop:
+            break
+        if (
+            _is_ident(t)
+            and _kw(t) not in _CALL_EXEMPT
+            and i + 1 < n
+            and tokens[i + 1] == "("
+        ):
+            text, i = _call(tokens, i)
+            parts.append(text)
+            continue
+        if t == "(":
+            inner, i = _paren(tokens, i + 1)
+            parts.append(f"({inner})")
+            continue
+        if t == ")":
+            raise ChSqlError("unbalanced ')'")
+        parts.append(_BARE_MAP.get(t, t))
+        i += 1
+    return " ".join(parts), i
+
+
+def _paren(tokens, i):
+    """Contents of a paren group starting after '(' — comma-joined
+    (covers grouping AND the IN (v1, v2, ...) list)."""
+    items = []
+    while True:
+        text, i = _rewrite(tokens, i, (",", ")"))
+        items.append(text)
+        if i >= len(tokens):
+            raise ChSqlError("unbalanced '('")
+        if tokens[i] == ")":
+            return ", ".join(items), i + 1
+        i += 1  # skip ','
+
+
+def _args(tokens, i):
+    """Argument list starting after '(' — returns ([arg texts], index
+    past ')')."""
+    if i < len(tokens) and tokens[i] == ")":
+        return [], i + 1
+    out = []
+    while True:
+        text, i = _rewrite(tokens, i, (",", ")"))
+        out.append(text)
+        if i >= len(tokens):
+            raise ChSqlError("unbalanced '(' in call")
+        if tokens[i] == ")":
+            return out, i + 1
+        i += 1
+
+
+def _call(tokens, i):
+    name = tokens[i]
+    args, j = _args(tokens, i + 2)
+    if j < len(tokens) and tokens[j] == "(":  # parameterized: name(p)(args)
+        params, j = _args(tokens, j + 1)
+        fn = _PARAM_FN.get(name)
+        if fn is None:
+            raise ChSqlError(
+                f"parameterized function {name!r} is outside the supported "
+                "subset (topK/sketch states live in operators.sketch and "
+                "the MV sinks)"
+            )
+        return fn(args, params), j
+    return _apply(name, args), j
+
+
+def _apply(name: str, args: list[str]) -> str:
+    if name in _FN:
+        try:
+            return _FN[name](args)
+        except IndexError:
+            raise ChSqlError(f"wrong argument count for {name}({len(args)} args)")
+    if name.endswith("If") and name[:-2] in _IF_BASES:
+        base, cond = name[:-2], args[-1]
+        vals = args[:-1]
+        if base == "count":
+            if vals:
+                raise ChSqlError("countIf takes exactly one condition")
+            return f"count(CASE WHEN {cond} THEN 1 END)"
+        if len(vals) != 1:
+            raise ChSqlError(f"{name} needs (value, condition)")
+        return _apply(base, [f"CASE WHEN {cond} THEN {vals[0]} END"])
+    if re.search(r"(State|Merge)$", name):
+        raise ChSqlError(
+            f"{name!r}: -State/-Merge combinators belong to the "
+            "materialized-view sinks (sinks/agg_mv.py), not ad-hoc SELECTs"
+        )
+    return f"{name}({', '.join(args)})"  # standard SQL — Spark validates
+
+
+# ---------------------------------------------------------------------------
+# clause parsing
+# SAMPLE/FINAL/OFFSET are NOT clause starts: SAMPLE f [OFFSET o] and
+# FINAL live inside the FROM body, LIMIT n [OFFSET m] inside LIMIT's.
+_CLAUSE_STARTS = {
+    "FROM", "PREWHERE", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+    "SETTINGS", "UNION", "JOIN",
+}
+
+
+def _top_level_splits(tokens: list[str]) -> list[tuple[str, int]]:
+    """(clause keyword, index) at depth 0, in order."""
+    out, depth = [], 0
+    for i, t in enumerate(tokens):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_ident(t) and _kw(t) in _CLAUSE_STARTS:
+            out.append((_kw(t), i))
+    return out
+
+
+def _split_commas(tokens: list[str]) -> list[list[str]]:
+    out, cur, depth = [], [], 0
+    for t in tokens:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if t == "," and depth == 0:
+            out.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        out.append(cur)
+    return out
+
+
+def _rewrite_all(tokens: list[str]) -> str:
+    text, i = _rewrite(tokens, 0, ())
+    if i != len(tokens):
+        raise ChSqlError(f"trailing tokens: {tokens[i:]}")
+    return text
+
+
+class _Parsed:
+    select: list[tuple[str, str | None]]  # (expr text, alias)
+    distinct = False
+    table = ""
+    final = False
+    sample: tuple[float, float] | None = None
+    prewhere: str | None = None
+    where: str | None = None
+    group_by: list[str]
+    group_mod: str | None = None  # 'ROLLUP' | 'CUBE' | 'TOTALS'
+    having: str | None = None
+    order_by: list[str]
+    limit: int | None = None
+    offset: int | None = None
+    limit_by: tuple[int, list[str]] | None = None
+
+
+def _parse(sql: str) -> _Parsed:
+    tokens = _tokenize(sql.strip().rstrip(";"))
+    if not tokens or _kw(tokens[0]) != "SELECT":
+        raise ChSqlError("only SELECT statements are supported")
+    p = _Parsed()
+    p.select, p.group_by, p.order_by = [], [], []
+    splits = _top_level_splits(tokens)
+    for kw, _ in splits:
+        if kw in ("UNION", "JOIN"):
+            raise ChSqlError(
+                f"{kw} is outside the supported subset — compose joins/"
+                "unions natively with the DataFrame API (the battery's "
+                "Tier-B surface)"
+            )
+    bounds = splits + [("", len(tokens))]
+
+    def clause(kw):
+        for k, (name, start) in enumerate(bounds[:-1]):
+            if name == kw:
+                return tokens[start:bounds[k + 1][1]]
+        return None
+
+    # SELECT list runs to the first clause keyword
+    first = bounds[0][1] if splits else len(tokens)
+    sel = tokens[1:first]
+    if sel and _kw(sel[0]) == "DISTINCT":
+        p.distinct = True
+        sel = sel[1:]
+    if not sel:
+        raise ChSqlError("empty SELECT list")
+    for item in _split_commas(sel):
+        alias = None
+        if len(item) >= 3 and _kw(item[-2]) == "AS" and _is_ident(item[-1]):
+            alias = item[-1]
+            item = item[:-2]
+        if len(item) == 1 and item[0] == "*":
+            p.select.append(("*", None))
+            continue
+        p.select.append((_rewrite_all(item), alias))
+
+    frm = clause("FROM")
+    if frm is None:
+        raise ChSqlError("FROM is required")
+    body = frm[1:]
+    if not body or not _is_ident(body[0]) or body[0] == "(":
+        raise ChSqlError("FROM must name a single table (no subqueries)")
+    p.table = body[0].split(".")[-1]  # db.table -> table
+    rest = body[1:]
+    if rest and _kw(rest[0]) == "FINAL":
+        p.final = True
+        rest = rest[1:]
+    if rest and _kw(rest[0]) == "SAMPLE":
+        if len(rest) < 2:
+            raise ChSqlError("SAMPLE needs a fraction")
+        try:
+            frac = float(rest[1])
+        except ValueError:
+            raise ChSqlError(f"SAMPLE fraction {rest[1]!r} must be numeric in (0,1)")
+        if not 0 < frac < 1:
+            raise ChSqlError("only fractional SAMPLE f in (0,1) is supported")
+        off = 0.0
+        rest = rest[2:]
+        if rest and _kw(rest[0]) == "OFFSET":
+            off = float(rest[1])
+            rest = rest[2:]
+        p.sample = (frac, off)
+    if rest:
+        raise ChSqlError(f"unexpected tokens after FROM: {rest}")
+
+    pre = clause("PREWHERE")
+    if pre is not None:
+        p.prewhere = _rewrite_all(pre[1:])
+    wh = clause("WHERE")
+    if wh is not None:
+        p.where = _rewrite_all(wh[1:])
+
+    gb = clause("GROUP")
+    if gb is not None:
+        if len(gb) < 2 or _kw(gb[1]) != "BY":
+            raise ChSqlError("GROUP must be followed by BY")
+        body = gb[2:]
+        # trailing WITH ROLLUP / WITH CUBE / WITH TOTALS
+        if len(body) >= 2 and _kw(body[-2]) == "WITH" and _kw(body[-1]) in (
+            "ROLLUP", "CUBE", "TOTALS",
+        ):
+            p.group_mod = _kw(body[-1])
+            body = body[:-2]
+        p.group_by = [_rewrite_all(it) for it in _split_commas(body)]
+        if not p.group_by:
+            raise ChSqlError("empty GROUP BY")
+
+    hv = clause("HAVING")
+    if hv is not None:
+        p.having = _rewrite_all(hv[1:])
+
+    ob = clause("ORDER")
+    if ob is not None:
+        if len(ob) < 2 or _kw(ob[1]) != "BY":
+            raise ChSqlError("ORDER must be followed by BY")
+        for it in _split_commas(ob[2:]):
+            tail = []
+            while it and _kw(it[-1]) in ("ASC", "DESC", "NULLS", "FIRST", "LAST"):
+                tail.insert(0, _kw(it[-1]))
+                it = it[:-1]
+            p.order_by.append((_rewrite_all(it) + (" " + " ".join(tail) if tail else "")).strip())
+
+    # every LIMIT clause, in order (LIMIT k BY cols may precede the
+    # final row LIMIT — two separate clauses in the CH grammar)
+    for k, (name, start) in enumerate(bounds[:-1]):
+        if name != "LIMIT":
+            continue
+        body = tokens[start + 1:bounds[k + 1][1]]
+        if len(body) >= 3 and _kw(body[1]) == "BY":
+            if p.limit_by is not None:
+                raise ChSqlError("multiple LIMIT ... BY clauses")
+            n = int(body[0])
+            cols = [_rewrite_all(it) for it in _split_commas(body[2:])]
+            p.limit_by = (n, cols)
+        elif len(body) >= 3 and _kw(body[1]) == "OFFSET":
+            p.limit, p.offset = int(body[0]), int(body[2])
+        elif len(body) == 1:
+            p.limit = int(body[0])
+        elif len(body) == 3 and body[1] == ",":
+            p.offset, p.limit = int(body[0]), int(body[2])  # CH LIMIT m, n
+        else:
+            raise ChSqlError(f"unsupported LIMIT form: {body}")
+
+    st = clause("SETTINGS")
+    if st is not None:
+        # performance knobs only — semantics never depend on them here
+        pass
+    return p
+
+
+# ---------------------------------------------------------------------------
+class ChContext:
+    """Name resolution + per-table CH metadata the clauses need:
+    ``final_specs[t] = (entity_key_cols, version_cols)`` enables
+    ``FINAL``; ``sample_keys[t]`` (the CH ``SAMPLE BY`` column) enables
+    ``SAMPLE``. Tables without the metadata still run plain SELECTs."""
+
+    def __init__(
+        self,
+        tables: dict[str, DataFrame],
+        final_specs: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] | None = None,
+        sample_keys: dict[str, str] | None = None,
+        sample_seed: str = "sample-v1",
+    ):
+        self.tables = tables
+        self.final_specs = final_specs or {}
+        self.sample_keys = sample_keys or {}
+        self.sample_seed = sample_seed
+
+    @classmethod
+    def from_sf_dir(cls, spark: SparkSession, sf_dir: str) -> "ChContext":
+        """The test-fixture context: every TESTDATA table, with the
+        natural SAMPLE BY keys."""
+        from postgre_to_clickhouse_spark import catalog
+        from postgre_to_clickhouse_spark.session import configure
+
+        configure(spark)
+        names = (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split()
+        tables = {n: catalog.load(spark, sf_dir, n) for n in names}
+        return cls(
+            tables,
+            sample_keys={"events": "user_id", "documents": "doc_id",
+                         "customer": "c_custkey"},
+        )
+
+
+def ch_select(spark: SparkSession, sql: str, ctx: ChContext) -> DataFrame:
+    """Compile one ClickHouse-dialect SELECT to a Spark DataFrame."""
+    p = _parse(sql)
+    if p.table not in ctx.tables:
+        raise ChSqlError(f"unknown table {p.table!r}")
+    df = ctx.tables[p.table]
+    if p.final:
+        spec = ctx.final_specs.get(p.table)
+        if spec is None:
+            raise ChSqlError(
+                f"FINAL needs a (entity_key, version_cols) spec for "
+                f"{p.table!r} in ChContext.final_specs"
+            )
+        from postgre_to_clickhouse_spark.cdc import latest
+
+        df = latest(df, spec[0], spec[1])
+    if p.sample is not None:
+        key = ctx.sample_keys.get(p.table)
+        if key is None:
+            raise ChSqlError(
+                f"SAMPLE needs a sample key for {p.table!r} in "
+                "ChContext.sample_keys (the CH `SAMPLE BY` column)"
+            )
+        from postgre_to_clickhouse_spark.operators.sampling import (
+            sample_consistent,
+        )
+
+        df = sample_consistent(df, p.sample[0], key, offset=p.sample[1],
+                               seed=ctx.sample_seed)
+
+    view = f"__ch_src_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
+    cols = ", ".join(
+        e + (f" AS {a}" if a else "") for e, a in p.select
+    )
+    sel = f"SELECT {'DISTINCT ' if p.distinct else ''}{cols} FROM {view}"
+    conds = [c for c in (p.prewhere, p.where) if c]
+    if conds:
+        sel += " WHERE " + " AND ".join(f"({c})" for c in conds)
+    if p.group_by:
+        keys = ", ".join(p.group_by)
+        if p.group_mod == "TOTALS":
+            # CH WITH TOTALS = the full grouping plus one all-groups row
+            # (keys NULL in the DataFrame shape) — grouping sets
+            sel += f" GROUP BY {keys} GROUPING SETS (({keys}), ())"
+        elif p.group_mod in ("ROLLUP", "CUBE"):
+            sel += f" GROUP BY {keys} WITH {p.group_mod}"
+        else:
+            sel += f" GROUP BY {keys}"
+    if p.having:
+        sel += f" HAVING {p.having}"
+    if p.order_by:
+        sel += " ORDER BY " + ", ".join(p.order_by)
+
+    if p.limit_by is not None:
+        if not p.order_by:
+            raise ChSqlError(
+                "LIMIT n BY requires ORDER BY (CH leaves unordered "
+                "LIMIT BY nondeterministic; this engine refuses instead)"
+            )
+        n, bycols = p.limit_by
+        inner_df = spark.sql(sel)
+        inner = f"__ch_lb_{uuid.uuid4().hex[:12]}"
+        inner_df.createOrReplaceTempView(inner)
+        keep = ", ".join(f"`{c}`" for c in inner_df.columns)
+        part = ", ".join(bycols)
+        order = ", ".join(p.order_by)
+        sel = (
+            f"SELECT {keep} FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {part} ORDER BY {order}) AS __ch_rn FROM {inner}) "
+            f"WHERE __ch_rn <= {n} ORDER BY {order}"
+        )
+    if p.limit is not None:
+        sel += f" LIMIT {p.limit}"
+    if p.offset:
+        sel += f" OFFSET {p.offset}"
+    return spark.sql(sel)

@@ -42,6 +42,7 @@ from postgre_to_clickhouse_spark.queries import tierc8  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierb5  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierb6  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
+from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 
 # The r9 window, per the policy above. Ledger at rotation time:
 # last-green r1 ×1, r3 ×3, r4 ×28, r5 ×48, r6 ×46, r8 ×50, plus
@@ -89,6 +90,8 @@ _WINDOW = [
     "bounding_ratio_users",       # B33 boundingRatio (chord slope)
     "delta_sum_users",            # B33 deltaSumTimestamp (counter deltas)
     "contingency_theils_u",       # B33 contingency + theilsU coefficients
+    "ch_dialect_hourly",          # A22+ CH SELECT front end (SAMPLE/PREWHERE/TOTALS)
+    "ch_dialect_top_events",      # A22+ CH SELECT front end (LIMIT BY/multiIf)
     # --- Rule 1: never driver-checked (restores the 178/178 ledger) ---
     "sequence_match_dot",         # B21 sequenceMatch '.' token (r8)
     # --- Rule 1: implementation internals changed in r9 (manifest.py
@@ -106,16 +109,16 @@ _WINDOW = [
     "minhash_near_dup_candidates",  # C2
     "pack_sequences",             # C4
     "q10_returned_items",
-    "q11_important_stock",
     "q18_large_volume_orders",
     "q21_waiting_supplier",
-    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     # (q7/q8/q12/q13/q14/q15/q16/q19 — and, from session 3, q17/q20/
-    # q22 — yield their seats to rule-1 queries; B20 keeps 8 TPC-H
-    # shapes in-window and all of them stay oracle-gated + benched.)
+    # q22 plus q2/q11 (whose *_spec twins with identical plan skeletons
+    # were driver-green r8) — yield their seats to rule-1 queries; B20
+    # keeps 6 TPC-H shapes in-window and all of them stay oracle-gated
+    # + benched.)
     "sessionize_events",          # A26
     # (tfidf_top_terms, semdedup_prune and text_analysis_composite
     # yield their seats to rule-1 queries; C2 stays covered in-window

@@ -1,0 +1,183 @@
+"""ClickHouse SELECT-dialect front end (`ch_select.py`): clause
+compilation, function mapping, and the refuse-loudly boundary."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.ch_select import (
+    ChContext,
+    ChSqlError,
+    ch_select,
+)
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def ctx(spark):
+    return ChContext.from_sf_dir(spark, SF_ORACLE)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_function_mapping_matches_native_sql(spark, ctx):
+    """CH names compile to the exact Spark builtins: value-identical to
+    the hand-written Spark SQL."""
+    got = ch_select(
+        spark,
+        """
+        SELECT toStartOfDay(ts) AS d,
+               countIf(event_type = 'view') AS views,
+               uniqExact(user_id) AS users,
+               argMax(event_type, value) AS top_type,
+               round(quantile(0.5)(value), 6) AS med
+        FROM events
+        WHERE toHour(ts) >= 12
+        GROUP BY d
+        """,
+        ctx,
+    )
+    ev = catalog.load(spark, SF_ORACLE, "events")
+    ev.createOrReplaceTempView("__ev_native")
+    want = spark.sql(
+        """
+        SELECT date_trunc('DAY', ts) AS d,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+               count(DISTINCT user_id) AS users,
+               max_by(event_type, value) AS top_type,
+               round(percentile(value, 0.5), 6) AS med
+        FROM __ev_native WHERE hour(ts) >= 12 GROUP BY d
+        """
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_with_totals_adds_one_global_row(spark, ctx):
+    out = ch_select(
+        spark,
+        "SELECT o_orderstatus, count() AS n FROM orders "
+        "GROUP BY o_orderstatus WITH TOTALS",
+        ctx,
+    ).collect()
+    totals = [r for r in out if r["o_orderstatus"] is None]
+    groups = [r for r in out if r["o_orderstatus"] is not None]
+    assert len(totals) == 1
+    assert totals[0]["n"] == sum(r["n"] for r in groups)
+
+
+def test_limit_by_caps_rows_per_key_and_orders(spark, ctx):
+    out = ch_select(
+        spark,
+        "SELECT user_id, event_id, value FROM events "
+        "PREWHERE value IS NOT NULL "
+        "ORDER BY value DESC, event_id LIMIT 2 BY user_id",
+        ctx,
+    ).collect()
+    per_key: dict = {}
+    for r in out:
+        per_key.setdefault(r["user_id"], []).append(r)
+    assert per_key and all(len(v) <= 2 for v in per_key.values())
+    # each user's kept rows are their top-2 by (value DESC, event_id)
+    ev = catalog.load(spark, SF_ORACLE, "events").where("value IS NOT NULL")
+    for uid, rows in list(per_key.items())[:5]:
+        top = (
+            ev.where(F.col("user_id") == uid)
+            .orderBy(F.col("value").desc(), "event_id")
+            .limit(2)
+            .collect()
+        )
+        assert {r["event_id"] for r in rows} == {r["event_id"] for r in top}
+
+
+def test_sample_equals_operator(spark, ctx):
+    from postgre_to_clickhouse_spark.operators.sampling import sample_consistent
+
+    got = ch_select(
+        spark,
+        "SELECT user_id, event_id FROM events SAMPLE 0.4 OFFSET 0.1",
+        ctx,
+    )
+    ev = catalog.load(spark, SF_ORACLE, "events")
+    want = sample_consistent(ev, 0.4, "user_id", offset=0.1).select(
+        "user_id", "event_id"
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_final_uses_latest_wins(spark, ctx):
+    from postgre_to_clickhouse_spark.cdc import latest
+
+    ev = catalog.load(spark, SF_ORACLE, "events")
+    ctx2 = ChContext(
+        {"events": ev},
+        final_specs={"events": (("user_id",), ("ts", "event_id"))},
+    )
+    got = ch_select(
+        spark, "SELECT user_id, event_id FROM events FINAL", ctx2
+    )
+    want = latest(ev, ("user_id",), ("ts", "event_id")).select(
+        "user_id", "event_id"
+    )
+    assert _rows(got) == _rows(want)
+    # one row per user
+    assert got.count() == ev.select("user_id").distinct().count()
+
+
+def test_multi_if_and_combinator_rollup(spark, ctx):
+    out = ch_select(
+        spark,
+        "SELECT multiIf(value >= 100, 'hi', value >= 10, 'mid', 'lo') AS b, "
+        "sumIf(1, value >= 0) AS nonneg, count() AS n "
+        "FROM events WHERE value IS NOT NULL GROUP BY b",
+        ctx,
+    ).collect()
+    assert {r["b"] for r in out} <= {"hi", "mid", "lo"}
+    assert all(r["nonneg"] == r["n"] for r in out)  # values are >= 0 here
+
+
+def test_array_join_explodes(spark, ctx):
+    out = ch_select(
+        spark,
+        "SELECT vec_id, arrayJoin(arraySlice(embedding, 1, 2)) AS x "
+        "FROM embeddings ORDER BY vec_id LIMIT 6",
+        ctx,
+    ).collect()
+    assert len(out) == 6
+    assert out[0]["vec_id"] == out[1]["vec_id"]  # 2 rows per vec
+
+
+@pytest.mark.parametrize(
+    "bad, frag",
+    [
+        ("SELECT 1 FROM events JOIN orders ON 1=1", "JOIN"),
+        ("SELECT 1 FROM events UNION ALL SELECT 1 FROM orders", "UNION"),
+        ("SELECT topK(5)(event_type) FROM events", "parameterized"),
+        ("SELECT sumState(value) FROM events", "State"),
+        ("SELECT uniqMerge(value) FROM events", "Merge"),
+        ("SELECT value FROM events LIMIT 2 BY user_id", "ORDER BY"),
+        ("SELECT 1 FROM (SELECT 1)", "single table"),
+        ("SELECT 1 FROM nosuch", "unknown table"),
+        ("SELECT 1 FROM orders SAMPLE 0.5", "sample key"),
+        ("SELECT 1 FROM events FINAL", "FINAL"),
+        ("SELECT 1 FROM events SAMPLE 5", "fraction"),
+        ("DELETE FROM events", "SELECT"),
+        ("SELECT multiIf(1, 2) FROM events", "multiIf"),
+        ("SELECT splitByChar('ab', 'x') FROM events", "1-char"),
+    ],
+)
+def test_refuses_loudly(spark, ctx, bad, frag):
+    with pytest.raises(ChSqlError, match=frag.replace("(", "\\(")):
+        ch_select(spark, bad, ctx)
+
+
+def test_settings_ignored_and_semicolon_tolerated(spark, ctx):
+    out = ch_select(
+        spark,
+        "SELECT count() AS n FROM events SETTINGS max_threads = 4;",
+        ctx,
+    ).collect()
+    assert out[0]["n"] == catalog.load(spark, SF_ORACLE, "events").count()
