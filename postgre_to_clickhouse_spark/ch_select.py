@@ -21,9 +21,14 @@ practical CH SELECT subset that compiles to a Spark plan, mapping
 - everything else (standard SQL expressions, CASE, CAST, IN, LIKE,
   operators) passes through verbatim to Spark's parser.
 
-Scope is DECLARED, and violations are LOUD (`ChSqlError`), never
-silent misreadings: single-table FROM (joins/subqueries/UNION are
-written natively — the battery's join surface), no WITH FILL (the
+A ``WITH`` prologue is supported in BOTH ClickHouse forms: CTEs
+(``WITH name AS (SELECT ...)`` — each compiles recursively and becomes
+a resolvable table for later CTEs and the main query) and CH scalar
+aliases (``WITH expr AS name`` — textual substitution, the CH
+semantics). Scope is otherwise DECLARED, and violations are LOUD
+(`ChSqlError`), never silent misreadings: single-table FROM (joins/
+UNION and inline FROM-subqueries are written natively — the battery's
+join surface; name a CTE instead), no WITH FILL (the
 gap-fill operators cover it), no ``-State/-Merge`` combinators (the
 MV sinks own mergeable states), ``SETTINGS`` parsed and dropped (CH
 settings are performance knobs; none of them changes result
@@ -424,8 +429,65 @@ class _Parsed:
     limit_by: tuple[int, list[str]] | None = None
 
 
-def _parse(sql: str) -> _Parsed:
-    tokens = _tokenize(sql.strip().rstrip(";"))
+def _parse_with(tokens: list[str]):
+    """Split a leading ``WITH`` prologue into CTEs (``name AS
+    (SELECT ...)``) and CH scalar aliases (``expr AS name``), returning
+    (ctes, scalars, main-query tokens). Items are comma-separated at
+    depth 0; the prologue ends at the depth-0 SELECT of the main
+    query."""
+    ctes: list[tuple[str, list[str]]] = []
+    scalars: list[tuple[str, list[str]]] = []
+    i, n = 1, len(tokens)
+    while i < n:
+        item, depth = [], 0
+        while i < n:
+            t = tokens[i]
+            if depth == 0 and t == ",":
+                i += 1
+                break
+            if depth == 0 and _is_ident(t) and _kw(t) == "SELECT" and item:
+                break
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            item.append(t)
+            i += 1
+        if (
+            len(item) >= 5
+            and _is_ident(item[0])
+            and _kw(item[1]) == "AS"
+            and item[2] == "("
+            and item[-1] == ")"
+            and _kw(item[3]) in ("SELECT", "WITH")
+        ):
+            ctes.append((item[0], item[3:-1]))
+        elif len(item) >= 3 and _kw(item[-2]) == "AS" and _is_ident(item[-1]):
+            scalars.append((item[-1], item[:-2]))
+        else:
+            raise ChSqlError(
+                f"unsupported WITH item {' '.join(item[:8])!r}...: expected "
+                "`name AS (SELECT ...)` or the CH scalar form `expr AS name`"
+            )
+        if i < n and _is_ident(tokens[i]) and _kw(tokens[i]) == "SELECT":
+            return ctes, scalars, tokens[i:]
+    raise ChSqlError("WITH prologue never reached a SELECT")
+
+
+def _substitute(tokens: list[str], name: str, expr: list[str]) -> list[str]:
+    """CH scalar-alias semantics: every bare use of ``name`` in the
+    main query stands for ``(expr)``."""
+    out: list[str] = []
+    for i, t in enumerate(tokens):
+        # not the alias being (re)defined by `... AS name`
+        if t == name and not (i > 0 and _kw(tokens[i - 1]) == "AS"):
+            out += ["(", *expr, ")"]
+        else:
+            out.append(t)
+    return out
+
+
+def _parse(tokens: list[str]) -> _Parsed:
     if not tokens or _kw(tokens[0]) != "SELECT":
         raise ChSqlError("only SELECT statements are supported")
     p = _Parsed()
@@ -598,8 +660,24 @@ class ChContext:
 
 
 def ch_select(spark: SparkSession, sql: str, ctx: ChContext) -> DataFrame:
-    """Compile one ClickHouse-dialect SELECT to a Spark DataFrame."""
-    p = _parse(sql)
+    """Compile one ClickHouse-dialect SELECT (with an optional WITH
+    prologue of CTEs and/or CH scalar aliases) to a Spark DataFrame."""
+    return _compile(spark, _tokenize(sql.strip().rstrip(";")), ctx)
+
+
+def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFrame:
+    if tokens and _kw(tokens[0]) == "WITH":
+        ctes, scalars, tokens = _parse_with(tokens)
+        for name, sel_toks in ctes:
+            # each CTE compiles through the same pipeline and becomes a
+            # resolvable table for the ones after it and the main query
+            ctx = ChContext(
+                {**ctx.tables, name: _compile(spark, sel_toks, ctx)},
+                ctx.final_specs, ctx.sample_keys, ctx.sample_seed,
+            )
+        for name, expr_toks in scalars:
+            tokens = _substitute(tokens, name, expr_toks)
+    p = _parse(tokens)
     if p.table not in ctx.tables:
         raise ChSqlError(f"unknown table {p.table!r}")
     df = ctx.tables[p.table]

@@ -174,6 +174,48 @@ def test_refuses_loudly(spark, ctx, bad, frag):
         ch_select(spark, bad, ctx)
 
 
+def test_cte_chain_and_scalar_alias(spark, ctx):
+    """CH WITH prologue: a CTE feeding a second CTE feeding the main
+    query, plus a scalar alias substituted into expressions."""
+    out = ch_select(
+        spark,
+        """
+        WITH 100 AS cutoff,
+        busy AS (
+          SELECT user_id, count() AS n FROM events
+          GROUP BY user_id HAVING count() >= 10
+        ),
+        big AS (
+          SELECT user_id, n FROM busy WHERE n >= 20
+        )
+        SELECT count() AS n_big, max(n) AS max_n, min(cutoff) AS c
+        FROM big
+        """,
+        ctx,
+    ).collect()
+    ev = catalog.load(spark, SF_ORACLE, "events")
+    counts = ev.groupBy("user_id").count().where("count >= 20")
+    assert out[0]["n_big"] == counts.count()
+    assert out[0]["c"] == 100
+    if out[0]["n_big"]:
+        assert out[0]["max_n"] == counts.agg(F.max("count")).collect()[0][0]
+
+
+def test_cte_keeps_sample_key_of_base_tables(spark, ctx):
+    """The WITH-extended context still resolves base-table metadata."""
+    out = ch_select(
+        spark,
+        """
+        WITH sampled AS (
+          SELECT user_id FROM events SAMPLE 0.5
+        )
+        SELECT uniqExact(user_id) AS u FROM sampled
+        """,
+        ctx,
+    ).collect()
+    assert 0 < out[0]["u"]
+
+
 def test_settings_ignored_and_semicolon_tolerated(spark, ctx):
     out = ch_select(
         spark,
