@@ -394,3 +394,177 @@ def contingency_theils_u(spark, sf_dir):
             ).alias("theils_u"),
         )
     )
+
+
+@register(
+    "categorical_iv_weekday",
+    oracle="""
+    WITH cell AS (
+      SELECT dayofweek(ts) AS b,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n1,
+             COUNT(CASE WHEN event_type != 'purchase' THEN 1 END) AS n0
+      FROM events GROUP BY dayofweek(ts)
+    ),
+    tot AS (SELECT SUM(n1) AS t1, SUM(n0) AS t0 FROM cell)
+    SELECT b, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           ROUND(LN((CAST(n1 AS DOUBLE) / t1) / (CAST(n0 AS DOUBLE) / t0)),
+                 6) AS woe,
+           ROUND((CAST(n1 AS DOUBLE) / t1 - CAST(n0 AS DOUBLE) / t0)
+                 * LN((CAST(n1 AS DOUBLE) / t1) / (CAST(n0 AS DOUBLE) / t0)),
+                 6) AS iv_term
+    FROM cell CROSS JOIN tot
+    WHERE n0 > 0 AND n1 > 0
+    """,
+)
+def categorical_iv_weekday(spark, sf_dir):
+    """r9, B33: ClickHouse ``categoricalInformationValue(cat, tag)`` —
+    the weight-of-evidence / information-value decomposition credit
+    scoring uses, here scoring how predictive the weekday is of a
+    purchase (tag = event_type == 'purchase'). Emitted per category:
+    WOE = ln((n1/t1)/(n0/t0)) and its IV contribution
+    (n1/t1 − n0/t0)·WOE; the total IV is the sum of the emitted terms
+    (left to the caller — per-category rows are the richer surface).
+    Categories where either class is empty are excluded in both
+    engines (WOE is undefined there — CH returns 0; this engine
+    surfaces the defined rows only, the stricter contract).
+
+    One fact scan collapses to the 7-cell class-count table; the class
+    totals aggregate THE CELLS (broadcast back); ln on identical
+    double operands rounds at 6dp per the registry's transcendental
+    rule. Scale: identical to any grouped agg + broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    is1 = (F.col("event_type") == "purchase").cast("int")
+    cell = ev.groupBy((F.dayofweek("ts") - 1).alias("b")).agg(
+        F.sum(is1).alias("n1"),
+        F.sum(1 - is1).alias("n0"),
+    )
+    tot = cell.agg(F.sum("n1").alias("t1"), F.sum("n0").alias("t0"))
+    p1 = F.col("n1").cast("double") / F.col("t1")
+    p0 = F.col("n0").cast("double") / F.col("t0")
+    woe = F.log(p1 / p0)
+    return (
+        cell.crossJoin(F.broadcast(tot))
+        .where((F.col("n0") > 0) & (F.col("n1") > 0))
+        .select(
+            "b",
+            F.col("n0").cast("bigint").alias("n0"),
+            F.col("n1").cast("bigint").alias("n1"),
+            F.round(woe, 6).alias("woe"),
+            F.round((p1 - p0) * woe, 6).alias("iv_term"),
+        )
+    )
+
+
+@register(
+    "series_period_events",
+    oracle="""
+    WITH bounds AS (
+      SELECT epoch_us(date_trunc('hour', MIN(ts))) // 3600000000 AS h0,
+             epoch_us(date_trunc('hour', MAX(ts))) // 3600000000 AS h1
+      FROM events
+    ),
+    grid AS (
+      SELECT UNNEST(generate_series(h0, h1)) AS h FROM bounds
+    ),
+    cnt AS (
+      SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+             COUNT(*) AS c
+      FROM events GROUP BY 1
+    ),
+    series AS (
+      SELECT g.h - b.h0 AS i, COALESCE(cnt.c, 0) AS c
+      FROM grid g CROSS JOIN bounds b LEFT JOIN cnt ON cnt.h = g.h
+    ),
+    periods AS (SELECT UNNEST(generate_series(2, 48)) AS t),
+    phased AS (
+      SELECT t, i % t AS phase, SUM(c) AS cp, COUNT(*) AS np
+      FROM series CROSS JOIN periods GROUP BY t, i % t
+    ),
+    tots AS (SELECT SUM(c) AS ctot, COUNT(*) AS n FROM series),
+    scored AS (
+      SELECT t,
+             CAST(SUM(CAST(CAST(cp * cp AS DOUBLE) / np
+                           AS DECIMAL(30,8))) AS DOUBLE)
+               - CAST(ctot AS DOUBLE) * ctot / n AS score
+      FROM phased CROSS JOIN tots GROUP BY t, ctot, n
+    )
+    SELECT CAST(MAX_BY(t, ROW(score, -t)) AS BIGINT) AS period,
+           ROUND(MAX(score), 6) AS score
+    FROM scored
+    """,
+)
+def series_period_events(spark, sf_dir):
+    """r9, B21: ClickHouse ``seriesPeriodDetectFFT`` parity — dominant
+    period of the hourly event-count series, detected by EXACT
+    phase-folding ANOVA instead of an FFT: for each candidate period T
+    (2..48 h), fold the dense hourly grid to phases i mod T and score
+    the between-phase sum of squares Σ cp²/np − C²/N (cp, np integer
+    phase sums/sizes). The argmax over T is the dominant period — the
+    same quantity the FFT periodogram peaks at for grid-aligned
+    periods, chosen here because the folding scorer is EXACTLY
+    portable across engines (integer cp² with one division per phase,
+    decimal-cast order-free sum) while FFT butterflies accumulate
+    engine-specific rounding. Deliberate-substitution note: a true
+    FFT path belongs in an Arrow mapInPandas stage when off-grid
+    periods matter; the reference's terminal 24.3 added the series*
+    family as experimental.
+
+    Shape: dense grid from one bounds agg (the timeseries_gap_fill
+    pattern), counts groupBy, a 47-way candidate explode of the
+    REDUCED per-(T, phase) table — fact rows are touched once; the
+    scored table is 47 rows. Ties break to the smaller T in both
+    engines (struct max on (score, -T))."""
+    ev = _t(spark, sf_dir, "events")
+    hour_i = (F.unix_micros(F.date_trunc("HOUR", F.col("ts"))) / F.lit(3600000000)).cast(
+        "bigint"
+    )
+    cnt = ev.groupBy(hour_i.alias("h")).agg(F.count(F.lit(1)).alias("c"))
+    bounds = ev.agg(
+        F.min(hour_i).alias("h0"), F.max(hour_i).alias("h1")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1")).alias("h"), "h0"
+    )
+    series = (
+        grid.join(cnt, "h", "left")
+        .select(
+            (F.col("h") - F.col("h0")).alias("i"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    phased = (
+        series.select(
+            F.explode(F.sequence(F.lit(2), F.lit(48))).alias("t"), "i", "c"
+        )
+        .groupBy("t", (F.col("i") % F.col("t")).alias("phase"))
+        .agg(F.sum("c").alias("cp"), F.count(F.lit(1)).alias("np"))
+    )
+    tots = series.agg(
+        F.sum("c").alias("ctot"), F.count(F.lit(1)).alias("n")
+    )
+    scored = (
+        phased.crossJoin(F.broadcast(tots))
+        .groupBy("t", "ctot", "n")
+        .agg(
+            F.sum(
+                ((F.col("cp") * F.col("cp")).cast("double") / F.col("np"))
+                .cast("decimal(30,8)")
+            )
+            .cast("double")
+            .alias("ss")
+        )
+        .select(
+            "t",
+            (
+                F.col("ss")
+                - F.col("ctot").cast("double") * F.col("ctot") / F.col("n")
+            ).alias("score"),
+        )
+    )
+    best = scored.agg(
+        F.max(F.struct(F.col("score").alias("score"), (-F.col("t")).alias("nt"))).alias("b")
+    )
+    return best.select(
+        (-F.col("b.nt")).cast("bigint").alias("period"),
+        F.round(F.col("b.score"), 6).alias("score"),
+    )
