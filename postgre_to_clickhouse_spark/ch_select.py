@@ -25,16 +25,38 @@ A ``WITH`` prologue is supported in BOTH ClickHouse forms: CTEs
 (``WITH name AS (SELECT ...)`` — each compiles recursively and becomes
 a resolvable table for later CTEs and the main query) and CH scalar
 aliases (``WITH expr AS name`` — textual substitution, the CH
-semantics). Scope is otherwise DECLARED, and violations are LOUD
-(`ChSqlError`), never silent misreadings: single-table FROM (joins/
-UNION and inline FROM-subqueries are written natively — the battery's
-join surface; name a CTE instead), no WITH FILL (the
-gap-fill operators cover it), no ``-State/-Merge`` combinators (the
-MV sinks own mergeable states), ``SETTINGS`` parsed and dropped (CH
-settings are performance knobs; none of them changes result
-semantics for the supported clause subset). Everything compiled here is a declarative single SELECT, so the
-100 TB posture is inherited from the plan Catalyst builds — the front
-end adds zero runtime of its own.
+semantics).
+
+``JOIN`` (r10, VERDICT r9 #3): the FROM body accepts a join chain —
+``FROM t1 [FINAL] [SAMPLE f] [AS a1] [INNER|LEFT [OUTER]|RIGHT
+[OUTER]|FULL [OUTER]|CROSS|[LEFT] SEMI|[LEFT] ANTI] JOIN t2 [AS a2]
+(ON cond | USING (c1, ...))`` — each side resolves like a standalone
+FROM (base table or CTE; FINAL/SAMPLE apply per-side), and the chain
+compiles to standard Spark SQL joins, so broadcast/AQE planning is
+Catalyst's. CH's ``GLOBAL`` prefix (a distributed-execution hint) and
+``ALL`` (the default multiplicity, = SQL semantics) are accepted and
+dropped; ``ANY``/``ASOF``/``PASTE`` joins are REFUSED loudly — their
+row-selection semantics have no standard-SQL equivalent (ASOF lives in
+:mod:`operators.asof`).
+
+``ORDER BY x WITH FILL [FROM a] [TO b] [STEP s]`` (r10, VERDICT r9
+#5): fills missing integer values of the (single) sort key on a dense
+grid — CH semantics: bounds default to the result's min/max (TO is
+exclusive when given), filled rows carry TYPE DEFAULTS (0 for numeric,
+'' for string — not NULL) in the non-key columns, and LIMIT applies
+after filling. Wired to the same grid pattern as the
+``timeseries_gap_fill`` operators (tierb4.py). Declared subset:
+integer sort key, ascending, one ORDER BY item; INTERPOLATE and
+date/time STEP units refuse loudly.
+
+Scope is otherwise DECLARED, and violations are LOUD (`ChSqlError`),
+never silent misreadings: no UNION and no inline FROM-subqueries
+(name a CTE instead), no ``-State/-Merge`` combinators (the MV sinks
+own mergeable states), ``SETTINGS`` parsed and dropped (CH settings
+are performance knobs; none of them changes result semantics for the
+supported clause subset). Everything compiled here is a declarative
+single SELECT, so the 100 TB posture is inherited from the plan
+Catalyst builds — the front end adds zero runtime of its own.
 """
 
 from __future__ import annotations
@@ -172,6 +194,10 @@ _FN: dict = {
     "toUInt64": _cast("bigint"),
     "toFloat32": _cast("float"),
     "toFloat64": _cast("double"),
+    # CH toDecimalN(x, scale): precision is fixed per width (9/18/38)
+    "toDecimal32": lambda a: f"cast({a[0]} as decimal(9, {a[1]}))",
+    "toDecimal64": lambda a: f"cast({a[0]} as decimal(18, {a[1]}))",
+    "toDecimal128": lambda a: f"cast({a[0]} as decimal(38, {a[1]}))",
     # conditionals
     "if": _rename("if"),
     "multiIf": _multi_if,
@@ -241,7 +267,14 @@ _FN: dict = {
     "varSamp": _rename("var_samp"),
     "covarPop": _rename("covar_pop"),
     "covarSamp": _rename("covar_samp"),
-    # compensated sum -> this engine's strictly-stronger exact-decimal sum
+    # compensated sum -> this engine's exact-decimal sum. ENVELOPE
+    # (documented, ADVICE r9): exact within |x| < 1e19 at 6dp — values
+    # beyond either bound lose to the decimal(25,6) cast (|x| >= 1e19
+    # casts NULL under ANSI-off and would drop from the sum), so the
+    # mapping refuses nothing but is declared for the 6dp/1e19 range
+    # the fixtures and CH DECIMAL defaults live in; sub-1e-6 precision
+    # rounds. CH sumKahan is float64 compensated summation — inside
+    # the envelope the decimal sum is strictly stronger (exact).
     "sumKahan": lambda a: (
         f"cast(sum(cast({a[0]} as decimal(25,6))) as double)"
     ),
@@ -371,19 +404,27 @@ def _apply(name: str, args: list[str]) -> str:
 # FINAL live inside the FROM body, LIMIT n [OFFSET m] inside LIMIT's.
 _CLAUSE_STARTS = {
     "FROM", "PREWHERE", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
-    "SETTINGS", "UNION", "JOIN",
+    "SETTINGS", "UNION",
 }
 
 
 def _top_level_splits(tokens: list[str]) -> list[tuple[str, int]]:
-    """(clause keyword, index) at depth 0, in order."""
-    out, depth = [], 0
+    """(clause keyword, index) at depth 0, in order. Only the FIRST
+    depth-0 ``FROM`` is a clause start — a later one belongs to
+    ``WITH FILL FROM ...`` inside the ORDER BY body (every other
+    expression-level FROM, e.g. ``extract(x FROM y)``, sits at
+    depth > 0)."""
+    out, depth, seen_from = [], 0, False
     for i, t in enumerate(tokens):
         if t == "(":
             depth += 1
         elif t == ")":
             depth -= 1
         elif depth == 0 and _is_ident(t) and _kw(t) in _CLAUSE_STARTS:
+            if _kw(t) == "FROM":
+                if seen_from:
+                    continue
+                seen_from = True
             out.append((_kw(t), i))
     return out
 
@@ -412,18 +453,49 @@ def _rewrite_all(tokens: list[str]) -> str:
     return text
 
 
+class _TableRef:
+    """One side of the FROM body: base table or CTE name, with the
+    per-side CH decorations."""
+
+    def __init__(self, name: str, alias: str | None = None):
+        self.name = name
+        self.alias = alias
+        self.final = False
+        self.sample: tuple[float, float] | None = None
+
+
+class _Join:
+    def __init__(self, jtype: str, ref: _TableRef,
+                 on: str | None, using: list[str] | None):
+        self.jtype = jtype  # 'INNER'|'LEFT'|'RIGHT'|'FULL'|'CROSS'|'LEFT SEMI'|'LEFT ANTI'
+        self.ref = ref
+        self.on = on
+        self.using = using
+
+
+class _Fill:
+    """ORDER BY <key> WITH FILL [FROM a] [TO b] [STEP s] — integer
+    grid spec (CH: TO exclusive, bounds default to result min/max)."""
+
+    def __init__(self, key: str, frm: int | None, to: int | None, step: int):
+        self.key = key
+        self.frm = frm
+        self.to = to
+        self.step = step
+
+
 class _Parsed:
     select: list[tuple[str, str | None]]  # (expr text, alias)
     distinct = False
-    table = ""
-    final = False
-    sample: tuple[float, float] | None = None
+    from_ref: _TableRef
+    joins: list[_Join]
     prewhere: str | None = None
     where: str | None = None
     group_by: list[str]
     group_mod: str | None = None  # 'ROLLUP' | 'CUBE' | 'TOTALS'
     having: str | None = None
     order_by: list[str]
+    fill: _Fill | None = None
     limit: int | None = None
     offset: int | None = None
     limit_by: tuple[int, list[str]] | None = None
@@ -487,18 +559,144 @@ def _substitute(tokens: list[str], name: str, expr: list[str]) -> list[str]:
     return out
 
 
+# modifier words that may precede JOIN (scanned backwards from it)
+_JOIN_MODS = {
+    "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "OUTER", "GLOBAL", "ALL",
+    "ANY", "ASOF", "PASTE", "SEMI", "ANTI",
+}
+_JOIN_TYPES = {
+    "": "INNER", "INNER": "INNER",
+    "LEFT": "LEFT", "LEFT OUTER": "LEFT",
+    "RIGHT": "RIGHT", "RIGHT OUTER": "RIGHT",
+    "FULL": "FULL", "FULL OUTER": "FULL",
+    "CROSS": "CROSS",
+    "SEMI": "LEFT SEMI", "LEFT SEMI": "LEFT SEMI",
+    "ANTI": "LEFT ANTI", "LEFT ANTI": "LEFT ANTI",
+}
+
+
+def _parse_table_ref(toks: list[str]) -> _TableRef:
+    """``name [FINAL] [SAMPLE f [OFFSET o]] [[AS] alias]`` — one side
+    of the FROM body."""
+    if not toks or not _is_ident(toks[0]) or _kw(toks[0]) in _CLAUSE_STARTS:
+        raise ChSqlError(
+            "FROM must name a table or CTE (inline subqueries are "
+            "outside the subset — name a CTE instead); got "
+            f"{toks[:1] or 'nothing'}"
+        )
+    ref = _TableRef(toks[0].split(".")[-1])  # db.table -> table
+    rest = toks[1:]
+    if rest and _kw(rest[0]) == "FINAL":
+        ref.final = True
+        rest = rest[1:]
+    if rest and _kw(rest[0]) == "SAMPLE":
+        if len(rest) < 2:
+            raise ChSqlError("SAMPLE needs a fraction")
+        try:
+            frac = float(rest[1])
+        except ValueError:
+            raise ChSqlError(f"SAMPLE fraction {rest[1]!r} must be numeric in (0,1)")
+        if not 0 < frac < 1:
+            raise ChSqlError("only fractional SAMPLE f in (0,1) is supported")
+        off = 0.0
+        rest = rest[2:]
+        if rest and _kw(rest[0]) == "OFFSET":
+            off = float(rest[1])
+            rest = rest[2:]
+        ref.sample = (frac, off)
+    if rest and _kw(rest[0]) == "AS":
+        rest = rest[1:]
+        if not rest or not _is_ident(rest[0]):
+            raise ChSqlError("AS must be followed by an alias")
+    if rest and _is_ident(rest[0]) and _kw(rest[0]) not in _JOIN_MODS | {"JOIN"}:
+        ref.alias = rest[0]
+        rest = rest[1:]
+    if rest:
+        raise ChSqlError(f"unexpected tokens after FROM table: {rest}")
+    return ref
+
+
+def _parse_from_body(body: list[str]) -> tuple[_TableRef, list[_Join]]:
+    """The FROM body: a table ref followed by a (possibly empty) join
+    chain. Join boundaries are depth-0 ``JOIN`` tokens with their
+    backward run of modifier words."""
+    starts, depth = [], 0
+    for i, t in enumerate(body):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_ident(t) and _kw(t) == "JOIN":
+            s = i
+            while s > 0 and _is_ident(body[s - 1]) and _kw(body[s - 1]) in _JOIN_MODS:
+                s -= 1
+            starts.append((s, i))
+    first = _parse_table_ref(body[: starts[0][0]] if starts else body)
+    joins: list[_Join] = []
+    for k, (s, j) in enumerate(starts):
+        mods = [_kw(t) for t in body[s:j]]
+        if "ANY" in mods or "ASOF" in mods or "PASTE" in mods:
+            raise ChSqlError(
+                "ANY/ASOF/PASTE JOIN row-selection semantics have no "
+                "standard-SQL equivalent — ASOF lives in operators.asof; "
+                "use the DataFrame API"
+            )
+        # GLOBAL is a CH distributed-execution hint; ALL is the default
+        # multiplicity (= SQL join semantics) — both drop.
+        key = " ".join(m for m in mods if m not in ("GLOBAL", "ALL"))
+        jtype = _JOIN_TYPES.get(key)
+        if jtype is None:
+            raise ChSqlError(f"unsupported join type {key + ' JOIN'!r}")
+        seg_end = starts[k + 1][0] if k + 1 < len(starts) else len(body)
+        seg = body[j + 1 : seg_end]
+        # locate depth-0 ON / USING
+        cond_at, cond_kw, d = None, None, 0
+        for i, t in enumerate(seg):
+            if t == "(":
+                d += 1
+            elif t == ")":
+                d -= 1
+            elif d == 0 and _is_ident(t) and _kw(t) in ("ON", "USING"):
+                cond_at, cond_kw = i, _kw(t)
+                break
+        on = using = None
+        if cond_at is None:
+            if jtype != "CROSS":
+                raise ChSqlError(f"{jtype} JOIN requires ON or USING")
+            ref = _parse_table_ref(seg)
+        else:
+            ref = _parse_table_ref(seg[:cond_at])
+            cond = seg[cond_at + 1 :]
+            if cond_kw == "ON":
+                if jtype == "CROSS":
+                    raise ChSqlError("CROSS JOIN takes no ON condition")
+                on = _rewrite_all(cond)
+                if not on:
+                    raise ChSqlError("empty ON condition")
+            else:
+                if cond and cond[0] == "(":
+                    if cond[-1] != ")":
+                        raise ChSqlError("unbalanced USING (...)")
+                    cond = cond[1:-1]
+                using = [t for t in cond if t != ","]
+                if not using or not all(_is_ident(t) for t in using):
+                    raise ChSqlError(f"USING needs a column list, got {cond}")
+        joins.append(_Join(jtype, ref, on, using))
+    return first, joins
+
+
 def _parse(tokens: list[str]) -> _Parsed:
     if not tokens or _kw(tokens[0]) != "SELECT":
         raise ChSqlError("only SELECT statements are supported")
     p = _Parsed()
-    p.select, p.group_by, p.order_by = [], [], []
+    p.select, p.group_by, p.order_by, p.joins = [], [], [], []
     splits = _top_level_splits(tokens)
     for kw, _ in splits:
-        if kw in ("UNION", "JOIN"):
+        if kw == "UNION":
             raise ChSqlError(
-                f"{kw} is outside the supported subset — compose joins/"
-                "unions natively with the DataFrame API (the battery's "
-                "Tier-B surface)"
+                "UNION is outside the supported subset — compose unions "
+                "natively with the DataFrame API (the battery's Tier-B "
+                "surface)"
             )
     bounds = splits + [("", len(tokens))]
 
@@ -529,31 +727,7 @@ def _parse(tokens: list[str]) -> _Parsed:
     frm = clause("FROM")
     if frm is None:
         raise ChSqlError("FROM is required")
-    body = frm[1:]
-    if not body or not _is_ident(body[0]) or body[0] == "(":
-        raise ChSqlError("FROM must name a single table (no subqueries)")
-    p.table = body[0].split(".")[-1]  # db.table -> table
-    rest = body[1:]
-    if rest and _kw(rest[0]) == "FINAL":
-        p.final = True
-        rest = rest[1:]
-    if rest and _kw(rest[0]) == "SAMPLE":
-        if len(rest) < 2:
-            raise ChSqlError("SAMPLE needs a fraction")
-        try:
-            frac = float(rest[1])
-        except ValueError:
-            raise ChSqlError(f"SAMPLE fraction {rest[1]!r} must be numeric in (0,1)")
-        if not 0 < frac < 1:
-            raise ChSqlError("only fractional SAMPLE f in (0,1) is supported")
-        off = 0.0
-        rest = rest[2:]
-        if rest and _kw(rest[0]) == "OFFSET":
-            off = float(rest[1])
-            rest = rest[2:]
-        p.sample = (frac, off)
-    if rest:
-        raise ChSqlError(f"unexpected tokens after FROM: {rest}")
+    p.from_ref, p.joins = _parse_from_body(frm[1:])
 
     pre = clause("PREWHERE")
     if pre is not None:
@@ -585,7 +759,56 @@ def _parse(tokens: list[str]) -> _Parsed:
     if ob is not None:
         if len(ob) < 2 or _kw(ob[1]) != "BY":
             raise ChSqlError("ORDER must be followed by BY")
-        for it in _split_commas(ob[2:]):
+        items = _split_commas(ob[2:])
+        for it in items:
+            # WITH FILL [FROM a] [TO b] [STEP s] — depth-0 scan
+            fill_at, d = None, 0
+            for i, t in enumerate(it):
+                if t == "(":
+                    d += 1
+                elif t == ")":
+                    d -= 1
+                elif (
+                    d == 0 and _is_ident(t) and _kw(t) == "WITH"
+                    and i + 1 < len(it) and _kw(it[i + 1]) == "FILL"
+                ):
+                    fill_at = i
+                    break
+            if fill_at is not None:
+                if p.fill is not None or len(items) != 1:
+                    raise ChSqlError(
+                        "WITH FILL is supported on a single ORDER BY item"
+                    )
+                spec, it = it[fill_at + 2:], it[:fill_at]
+                if any(_kw(t) == "INTERPOLATE" for t in spec):
+                    raise ChSqlError("WITH FILL ... INTERPOLATE is outside the subset")
+                if it and _kw(it[-1]) == "DESC":
+                    raise ChSqlError("WITH FILL is supported ascending only")
+                if it and _kw(it[-1]) == "ASC":
+                    it = it[:-1]
+                vals = {"FROM": None, "TO": None, "STEP": 1}
+                j = 0
+                while j < len(spec):
+                    kw2 = _kw(spec[j])
+                    neg = j + 1 < len(spec) and spec[j + 1] == "-"
+                    vi = j + (2 if neg else 1)
+                    if kw2 not in vals or vi >= len(spec):
+                        raise ChSqlError(f"unsupported WITH FILL spec: {spec}")
+                    try:
+                        v = int(spec[vi])
+                    except ValueError:
+                        raise ChSqlError(
+                            f"WITH FILL {kw2} must be an integer literal "
+                            f"(got {spec[vi]!r}) — the declared subset is "
+                            "integer grids"
+                        )
+                    vals[kw2] = -v if neg else v
+                    j = vi + 1
+                if vals["STEP"] is None or vals["STEP"] < 1:
+                    raise ChSqlError("WITH FILL STEP must be a positive integer")
+                p.fill = _Fill(_rewrite_all(it), vals["FROM"], vals["TO"], vals["STEP"])
+                p.order_by.append(p.fill.key)
+                continue
             tail = []
             while it and _kw(it[-1]) in ("ASC", "DESC", "NULLS", "FIRST", "LAST"):
                 tail.insert(0, _kw(it[-1]))
@@ -678,39 +901,52 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
         for name, expr_toks in scalars:
             tokens = _substitute(tokens, name, expr_toks)
     p = _parse(tokens)
-    if p.table not in ctx.tables:
-        raise ChSqlError(f"unknown table {p.table!r}")
-    df = ctx.tables[p.table]
-    if p.final:
-        spec = ctx.final_specs.get(p.table)
-        if spec is None:
-            raise ChSqlError(
-                f"FINAL needs a (entity_key, version_cols) spec for "
-                f"{p.table!r} in ChContext.final_specs"
+
+    def _resolve(ref: _TableRef) -> DataFrame:
+        if ref.name not in ctx.tables:
+            raise ChSqlError(f"unknown table {ref.name!r}")
+        df = ctx.tables[ref.name]
+        if ref.final:
+            spec = ctx.final_specs.get(ref.name)
+            if spec is None:
+                raise ChSqlError(
+                    f"FINAL needs a (entity_key, version_cols) spec for "
+                    f"{ref.name!r} in ChContext.final_specs"
+                )
+            from postgre_to_clickhouse_spark.cdc import latest
+
+            df = latest(df, spec[0], spec[1])
+        if ref.sample is not None:
+            key = ctx.sample_keys.get(ref.name)
+            if key is None:
+                raise ChSqlError(
+                    f"SAMPLE needs a sample key for {ref.name!r} in "
+                    "ChContext.sample_keys (the CH `SAMPLE BY` column)"
+                )
+            from postgre_to_clickhouse_spark.operators.sampling import (
+                sample_consistent,
             )
-        from postgre_to_clickhouse_spark.cdc import latest
 
-        df = latest(df, spec[0], spec[1])
-    if p.sample is not None:
-        key = ctx.sample_keys.get(p.table)
-        if key is None:
-            raise ChSqlError(
-                f"SAMPLE needs a sample key for {p.table!r} in "
-                "ChContext.sample_keys (the CH `SAMPLE BY` column)"
-            )
-        from postgre_to_clickhouse_spark.operators.sampling import (
-            sample_consistent,
-        )
+            df = sample_consistent(df, ref.sample[0], key, offset=ref.sample[1],
+                                   seed=ctx.sample_seed)
+        return df
 
-        df = sample_consistent(df, p.sample[0], key, offset=p.sample[1],
-                               seed=ctx.sample_seed)
+    def _register(ref: _TableRef) -> str:
+        view = f"__ch_src_{uuid.uuid4().hex[:12]}"
+        _resolve(ref).createOrReplaceTempView(view)
+        return f"{view} AS {ref.alias or ref.name}"
 
-    view = f"__ch_src_{uuid.uuid4().hex[:12]}"
-    df.createOrReplaceTempView(view)
+    from_text = _register(p.from_ref)
+    for jn in p.joins:
+        from_text += f" {jn.jtype} JOIN {_register(jn.ref)}"
+        if jn.on:
+            from_text += f" ON {jn.on}"
+        elif jn.using:
+            from_text += f" USING ({', '.join(jn.using)})"
     cols = ", ".join(
         e + (f" AS {a}" if a else "") for e, a in p.select
     )
-    sel = f"SELECT {'DISTINCT ' if p.distinct else ''}{cols} FROM {view}"
+    sel = f"SELECT {'DISTINCT ' if p.distinct else ''}{cols} FROM {from_text}"
     conds = [c for c in (p.prewhere, p.where) if c]
     if conds:
         sel += " WHERE " + " AND ".join(f"({c})" for c in conds)
@@ -725,7 +961,14 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
         else:
             sel += f" GROUP BY {keys}"
     if p.having:
-        sel += f" HAVING {p.having}"
+        if p.group_mod == "TOTALS":
+            # CH default totals_mode = 'before_having': the totals row is
+            # computed over ALL rows and is never filtered by HAVING. The
+            # grouping-sets totals row already aggregates all source rows;
+            # exempt it from the predicate via the grouping() indicator.
+            sel += f" HAVING grouping({p.group_by[0]}) = 1 OR ({p.having})"
+        else:
+            sel += f" HAVING {p.having}"
     if p.order_by:
         sel += " ORDER BY " + ", ".join(p.order_by)
 
@@ -747,8 +990,74 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
             f"(PARTITION BY {part} ORDER BY {order}) AS __ch_rn FROM {inner}) "
             f"WHERE __ch_rn <= {n} ORDER BY {order}"
         )
+    if p.fill is not None:
+        if p.limit_by is not None:
+            raise ChSqlError("WITH FILL combined with LIMIT BY is outside the subset")
+        out = _apply_fill(spark.sql(sel), p.fill)
+        if p.offset:
+            out = out.offset(p.offset)
+        if p.limit is not None:
+            out = out.limit(p.limit)
+        return out
     if p.limit is not None:
         sel += f" LIMIT {p.limit}"
     if p.offset:
         sel += f" OFFSET {p.offset}"
     return spark.sql(sel)
+
+
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _apply_fill(out: DataFrame, fill: _Fill) -> DataFrame:
+    """CH ``WITH FILL`` semantics on an integer sort key: keep every
+    result row, insert one row per missing grid value (FROM..TO-1 by
+    STEP; bounds default to the result's min/max), filled columns carry
+    type defaults (0 / '' — CH fills column defaults, not NULL), and
+    the output is re-sorted on the key. One extra 1-row bounds
+    aggregate + a broadcast-sized grid anti-join — the
+    timeseries_gap_fill grid pattern, fine at any scale because the
+    grid is bounded by the value range, not the data."""
+    from pyspark.sql import functions as F
+
+    if fill.key not in out.columns:
+        raise ChSqlError(
+            f"WITH FILL key {fill.key!r} must be a selected column or alias"
+        )
+    dtypes = dict(out.dtypes)
+    if dtypes[fill.key] not in _INT_TYPES:
+        raise ChSqlError(
+            f"WITH FILL needs an integer sort key (got {dtypes[fill.key]})"
+        )
+    if fill.frm is not None and fill.to is not None and fill.to <= fill.frm:
+        raise ChSqlError("WITH FILL range is empty (TO <= FROM)")
+    start = (F.lit(fill.frm) if fill.frm is not None else F.min(F.col(fill.key))).cast("bigint")
+    stop = (F.lit(fill.to - 1) if fill.to is not None else F.max(F.col(fill.key))).cast("bigint")
+    bounds = out.agg(start.alias("__mn"), stop.alias("__mx"))
+    grid = bounds.select(
+        F.explode(
+            # CASE guards the one-sided-bounds edge where the range is
+            # empty (sequence() raises on stop < start with step > 0)
+            F.when(
+                F.col("__mn") <= F.col("__mx"),
+                F.sequence(F.col("__mn"), F.col("__mx"), F.lit(fill.step)),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("__g")
+    ).select(F.col("__g").cast(dtypes[fill.key]).alias(fill.key))
+
+    def _default(t: str):
+        if t in _INT_TYPES or t in ("float", "double") or t.startswith("decimal"):
+            return F.lit(0).cast(t)
+        if t == "string":
+            return F.lit("")
+        if t == "boolean":
+            return F.lit(False)
+        return F.lit(None).cast(t)
+
+    filler = grid.join(F.broadcast(out.select(fill.key)), fill.key, "left_anti").select(
+        *[
+            F.col(fill.key) if c == fill.key else _default(dtypes[c]).alias(c)
+            for c in out.columns
+        ]
+    )
+    return out.unionByName(filler).orderBy(fill.key)

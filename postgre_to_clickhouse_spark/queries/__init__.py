@@ -18,6 +18,15 @@ judgment call):
 3. Everything rotated out stays registered, oracle-gated in pytest
    (tests/test_oracle_correctness.py runs the FULL battery), and
    bench-visible.
+
+REGISTRATION RULE (r10, VERDICT r9 #2 — a standing rule): a new
+``@register`` entry may be committed ONLY together with a passing
+``pytest tests/test_oracle_correctness.py -k <name>`` run in the same
+session, and the end-of-round snapshot commit must contain NO new
+registry entries. New queries land mid-round, tested, seated in the
+window — never in the closing snapshot. (r8 shipped untested bloom
+indexes in its snapshot; r9 shipped two untested tierb6 queries, one
+with an unbindable oracle. This rule exists so that cannot recur.)
 """
 
 from postgre_to_clickhouse_spark.queries.registry import ORACLES, QUERIES

@@ -381,9 +381,9 @@ def contingency_theils_u(spark, sf_dir):
         )
     )
     return (
-        chi.crossJoin(n)
-        .crossJoin(ha)
-        .crossJoin(hab)
+        chi.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hab))
         .select(
             F.col("n").cast("bigint").alias("n"),
             F.round(F.sqrt(F.col("chi2") / (F.col("chi2") + F.col("n"))), 6).alias(
@@ -488,9 +488,8 @@ def categorical_iv_weekday(spark, sf_dir):
                - CAST(ctot AS DOUBLE) * ctot / n AS score
       FROM phased CROSS JOIN tots GROUP BY t, ctot, n
     )
-    SELECT CAST(MAX_BY(t, ROW(score, -t)) AS BIGINT) AS period,
-           ROUND(MAX(score), 6) AS score
-    FROM scored
+    SELECT CAST(t AS BIGINT) AS period, ROUND(score, 6) AS score
+    FROM scored ORDER BY score DESC, t ASC LIMIT 1
     """,
 )
 def series_period_events(spark, sf_dir):

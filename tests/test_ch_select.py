@@ -153,13 +153,33 @@ def test_array_join_explodes(spark, ctx):
 @pytest.mark.parametrize(
     "bad, frag",
     [
-        ("SELECT 1 FROM events JOIN orders ON 1=1", "JOIN"),
         ("SELECT 1 FROM events UNION ALL SELECT 1 FROM orders", "UNION"),
+        ("SELECT 1 FROM events ANY LEFT JOIN orders ON 1=1", "ANY/ASOF"),
+        ("SELECT 1 FROM events ASOF JOIN orders ON 1=1", "ANY/ASOF"),
+        ("SELECT 1 FROM events LEFT JOIN orders", "ON or USING"),
+        ("SELECT 1 FROM events CROSS JOIN orders ON 1=1", "no ON"),
+        ("SELECT 1 FROM events RIGHT SEMI JOIN orders ON 1=1", "join type"),
+        ("SELECT n FROM events ORDER BY user_id, n WITH FILL", "single ORDER BY"),
+        ("SELECT value FROM events ORDER BY value WITH FILL", "integer sort key"),
+        (
+            "SELECT user_id FROM events ORDER BY user_id DESC WITH FILL",
+            "ascending",
+        ),
+        (
+            "SELECT user_id FROM events ORDER BY user_id "
+            "WITH FILL FROM 5 TO 2",
+            "empty",
+        ),
+        (
+            "SELECT user_id FROM events ORDER BY user_id "
+            "WITH FILL INTERPOLATE (value)",
+            "INTERPOLATE",
+        ),
         ("SELECT topK(5)(event_type) FROM events", "parameterized"),
         ("SELECT sumState(value) FROM events", "State"),
         ("SELECT uniqMerge(value) FROM events", "Merge"),
         ("SELECT value FROM events LIMIT 2 BY user_id", "ORDER BY"),
-        ("SELECT 1 FROM (SELECT 1)", "single table"),
+        ("SELECT 1 FROM (SELECT 1)", "name a CTE"),
         ("SELECT 1 FROM nosuch", "unknown table"),
         ("SELECT 1 FROM orders SAMPLE 0.5", "sample key"),
         ("SELECT 1 FROM events FINAL", "FINAL"),
@@ -214,6 +234,161 @@ def test_cte_keeps_sample_key_of_base_tables(spark, ctx):
         ctx,
     ).collect()
     assert 0 < out[0]["u"]
+
+
+def test_inner_join_on_matches_native(spark, ctx):
+    """Verbatim CH join chain (aliases, ON, CH function names in the
+    aggregate) equals the hand-written DataFrame join."""
+    got = ch_select(
+        spark,
+        """
+        SELECT n.n_name AS nation, count() AS customers,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM customer AS c
+        INNER JOIN nation AS n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY nation
+        """,
+        ctx,
+    )
+    cust = catalog.load(spark, SF_ORACLE, "customer")
+    nat = catalog.load(spark, SF_ORACLE, "nation")
+    want = (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("nation")
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_left_join_using_keeps_unmatched(spark, ctx):
+    got = ch_select(
+        spark,
+        """
+        WITH purchasers AS (
+          SELECT user_id, count() AS purchases FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        everyone AS (
+          SELECT user_id, count() AS n FROM events GROUP BY user_id
+        )
+        SELECT e.user_id AS user_id, any(e.n) AS n,
+               any(ifNull(p.purchases, 0)) AS purchases
+        FROM everyone AS e LEFT JOIN purchasers AS p USING (user_id)
+        GROUP BY e.user_id
+        """,
+        ctx,
+    ).collect()
+    ev = catalog.load(spark, SF_ORACLE, "events")
+    assert len(got) == ev.select("user_id").distinct().count()
+    nbuyers = (
+        ev.where("event_type = 'purchase'").select("user_id").distinct().count()
+    )
+    assert sum(1 for r in got if r["purchases"] == 0) == len(got) - nbuyers
+
+
+def test_semi_and_anti_join_partition(spark, ctx):
+    """LEFT SEMI + LEFT ANTI of the same predicate partition the left
+    side."""
+    cond = "ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000"
+    semi = ch_select(
+        spark,
+        f"SELECT count() AS n FROM customer AS c LEFT SEMI JOIN orders AS o {cond}",
+        ctx,
+    ).collect()[0]["n"]
+    anti = ch_select(
+        spark,
+        f"SELECT count() AS n FROM customer AS c LEFT ANTI JOIN orders AS o {cond}",
+        ctx,
+    ).collect()[0]["n"]
+    total = catalog.load(spark, SF_ORACLE, "customer").count()
+    assert semi + anti == total and semi > 0 and anti > 0
+
+
+def test_join_sides_keep_per_table_decorations(spark, ctx):
+    """SAMPLE applies to the one side it decorates inside a join."""
+    from postgre_to_clickhouse_spark.operators.sampling import sample_consistent
+
+    got = ch_select(
+        spark,
+        "SELECT count() AS n FROM events SAMPLE 0.4 AS e "
+        "CROSS JOIN region AS r",
+        ctx,
+    ).collect()[0]["n"]
+    ev = catalog.load(spark, SF_ORACLE, "events")
+    want = sample_consistent(ev, 0.4, "user_id").count() * 5  # 5 regions
+    assert got == want
+
+
+def test_with_fill_dense_grid_and_defaults(spark, ctx):
+    """WITH FILL FROM/TO: dense integer grid, filled rows carry type
+    defaults (0 for the count — CH column defaults, not NULL), LIMIT
+    applies after filling."""
+    out = ch_select(
+        spark,
+        """
+        SELECT toHour(ts) AS h, count() AS c, any(toString(toHour(ts))) AS tag
+        FROM events WHERE event_type = 'purchase' AND value > 140
+        GROUP BY h
+        ORDER BY h WITH FILL FROM 0 TO 24
+        """,
+        ctx,
+    ).collect()
+    assert [r["h"] for r in out] == list(range(24))
+    ev = catalog.load(spark, SF_ORACLE, "events").where(
+        "event_type = 'purchase' AND value > 140"
+    )
+    real = {
+        r["h"]: r["c"]
+        for r in ev.groupBy(F.hour("ts").alias("h")).count()
+        .withColumnRenamed("count", "c").collect()
+    }
+    for r in out:
+        assert r["c"] == real.get(r["h"], 0)
+        if r["h"] not in real:
+            assert r["tag"] == ""  # string default, not NULL
+
+
+def test_with_fill_default_bounds_and_step(spark, ctx):
+    """Bounds default to the result's min/max; STEP>1 grids fill only
+    aligned values; out-of-grid real rows are kept."""
+    out = ch_select(
+        spark,
+        """
+        WITH keyed AS (
+          SELECT toDayOfMonth(ts) AS d, count() AS c FROM events
+          WHERE user_id = 7 GROUP BY d
+        )
+        SELECT d, c FROM keyed ORDER BY d WITH FILL STEP 2
+        """,
+        ctx,
+    ).collect()
+    ds = [r["d"] for r in out]
+    assert ds == sorted(ds) and len(ds) == len(set(ds))
+    lo, hi = ds[0], ds[-1]
+    grid = set(range(lo, hi + 1, 2))
+    real = {r["d"] for r in out if r["c"] > 0}
+    assert set(ds) == grid | real
+
+
+def test_totals_row_exempt_from_having(spark, ctx):
+    """CH totals_mode=before_having: HAVING filters group rows but the
+    totals row survives and aggregates ALL rows."""
+    out = ch_select(
+        spark,
+        "SELECT o_orderstatus, count() AS n FROM orders "
+        "GROUP BY o_orderstatus WITH TOTALS HAVING count() > 100",
+        ctx,
+    ).collect()
+    totals = [r for r in out if r["o_orderstatus"] is None]
+    groups = [r for r in out if r["o_orderstatus"] is not None]
+    assert len(totals) == 1
+    assert all(r["n"] > 100 for r in groups)
+    assert totals[0]["n"] == catalog.load(spark, SF_ORACLE, "orders").count()
 
 
 def test_settings_ignored_and_semicolon_tolerated(spark, ctx):
