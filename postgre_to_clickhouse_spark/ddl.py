@@ -228,19 +228,21 @@ def execute_alter(spark: SparkSession, table, sql: str) -> int:
             for item in _split_top_level(gm.group(1)):
                 if item.strip() in group_by:
                     continue
+                # the empty-paren form is CH's canonical count(): map to
+                # ('count', '*') (ADVICE r9 — verbatim CH DDL uses it)
                 im = _re.fullmatch(
-                    r"(sum|count|min|max)\s*\(\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)"
+                    r"(sum|count|min|max)\s*\(\s*(\*|[A-Za-z_][A-Za-z0-9_]*)?\s*\)"
                     r"(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?",
                     item.strip(),
                     flags=_re.IGNORECASE,
                 )
-                if not im:
+                if not im or (im.group(2) is None and im.group(1).lower() != "count"):
                     raise ValueError(
                         f"aggregate projection item {item!r} is not a "
                         "re-aggregatable sum/count/min/max term"
                     )
                 fn = im.group(1).lower()
-                src = im.group(2)
+                src = im.group(2) or "*"
                 out = im.group(3) or (
                     "n" if fn == "count" else f"{fn}_{src}"
                 )

@@ -99,18 +99,21 @@ def geohash_encode(lon: Column, lat: Column, precision: int = 6) -> Column:
 
 def geohashes_in_box(
     lon_min: Column,
-    lon_max: Column,
     lat_min: Column,
+    lon_max: Column,
     lat_max: Column,
     precision: int = 4,
 ) -> Column:
     """ClickHouse ``geohashesInBox(lon_min, lat_min, lon_max, lat_max,
     precision)``: the array of geohash cells intersecting the box —
     the spatial PARTITION-PRUNING primitive (probe a cell-bucketed
-    table with this set instead of scanning the world). Cell count is
-    the caller's responsibility at coarse precisions, exactly as CH
-    caps it; sizes here are (lon cells × lat cells) of the quantized
-    ranges. Empty/inverted boxes yield an empty array."""
+    table with this set instead of scanning the world). The parameter
+    order IS the CH order (min corner first, then max corner — ADVICE
+    r9: a positional port of CH code must not silently swap
+    lon_max/lat_min). Cell count is the caller's responsibility at
+    coarse precisions, exactly as CH caps it; sizes here are (lon
+    cells × lat cells) of the quantized ranges. Empty/inverted boxes
+    yield an empty array."""
     nbits, lon_bits, lat_bits = _bits(precision)
     lo1, la1 = _quantize(lon_min, lat_min, lon_bits, lat_bits)
     lo2, la2 = _quantize(lon_max, lat_max, lon_bits, lat_bits)

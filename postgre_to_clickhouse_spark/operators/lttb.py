@@ -35,14 +35,25 @@ def lttb_downsample(
     y_col: str,
     order_col: str,
     n_out: int = 20,
+    y_scale: int | None = 100,
 ) -> DataFrame:
     """Per-series LTTB: ``x_col`` long (epoch-µs), ``y_col`` double,
     ``order_col`` an integer tiebreak making (x, order) a total order.
     Returns (series, pos, ts_us, value): the ``n_out`` selected points
     per series in selection order (all points when a series has
-    ≤ ``n_out``)."""
+    ≤ ``n_out``).
+
+    ``y_scale`` (ADVICE r9): bucket y-averages are computed as exact
+    integer sums of ``rint(y * y_scale)`` for cross-engine determinism
+    — EXACT only when every y is representable at 1/y_scale (the
+    default 100 = the fixtures' 2-decimal contract; y at finer
+    precision quantizes the average and deviates from textbook LTTB
+    selection). Pass ``y_scale=None`` for the plain float mean
+    (standard LTTB, engine-local float summation order)."""
     if n_out < 3:
         raise ValueError("n_out must be ≥ 3 (first + last + ≥1 bucket)")
+    if y_scale is not None and y_scale < 1:
+        raise ValueError("y_scale must be a positive integer or None")
     import numpy as np
     import pandas as pd
 
@@ -78,8 +89,11 @@ def lttb_downsample(
                 nlo, nhi = int(los[b + 1]), int(his[b + 1])
                 cnt = nhi - nlo
                 nx = float(np.sum(xl[nlo:nhi], dtype=np.int64)) / cnt
-                cents = np.rint(y[nlo:nhi] * 100.0).astype(np.int64)
-                ny = float(np.sum(cents, dtype=np.int64)) / 100.0 / cnt
+                if y_scale is None:
+                    ny = float(np.mean(y[nlo:nhi]))
+                else:
+                    scaled = np.rint(y[nlo:nhi] * float(y_scale)).astype(np.int64)
+                    ny = float(np.sum(scaled, dtype=np.int64)) / y_scale / cnt
             else:
                 nx = x[n - 1]
                 ny = y[n - 1]

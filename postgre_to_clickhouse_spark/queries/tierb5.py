@@ -860,7 +860,7 @@ def geohashes_in_box_probe(spark, sf_dir):
         "event_type",
         "n_events",
         geohashes_in_box(
-            F.col("lon1"), F.col("lon2"), F.col("lat1"), F.col("lat2"),
+            F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2"),
             precision=2,
         ).alias("cells"),
     )

@@ -135,10 +135,19 @@ def test_execute_alter_clickhouse_dialect(spark, tmp_path):
     execute_alter(spark, t, "ALTER TABLE t DROP PROJECTION by_cat")
     assert "by_cat" not in t.projections
 
+    # CH's canonical empty-paren count() is accepted (ADVICE r9)
+    execute_alter(
+        spark, t,
+        "ALTER TABLE t ADD PROJECTION by_cat2 (SELECT cat, count() GROUP BY cat)",
+    )
+    assert t.projections["by_cat2"]["aggs"] == {"n": ["count", "*"]}
+    execute_alter(spark, t, "ALTER TABLE t DROP PROJECTION by_cat2")
+
     for bad in (
         "SELECT 1",
         "ALTER TABLE t OPTIMIZE",
         "ALTER TABLE t ADD PROJECTION p (SELECT avg(val) GROUP BY cat)",
+        "ALTER TABLE t ADD PROJECTION p (SELECT cat, sum() GROUP BY cat)",
         "ALTER TABLE t ADD PROJECTION p (SELECT cat)",
     ):
         with pytest.raises(ValueError):

@@ -1089,7 +1089,7 @@ def test_equals_any_bloom_probe_spatial_pruning(spark, tmp_path):
     n_files = len(t.current_manifest()["files"])
     # box covering quadrant 0's lon band only
     cells = df.sparkSession.range(1).select(
-        geohashes_in_box(F.lit(-179.0), F.lit(-150.0), F.lit(-89.0), F.lit(-50.0), 2)
+        geohashes_in_box(F.lit(-179.0), F.lit(-89.0), F.lit(-150.0), F.lit(-50.0), 2)
         .alias("c")
     ).collect()[0].c
     pruned = t.files_for(equals_any=[("gh", cells)])

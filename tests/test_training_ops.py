@@ -653,6 +653,18 @@ def test_lttb_properties(spark):
     with pytest.raises(ValueError, match="n_out"):
         lttb_downsample(df, "serie", "x", "v", "i", n_out=2)
 
+    # y_scale=None -> plain float mean (standard LTTB; ADVICE r9): same
+    # invariants, and on 2-decimal inputs the cent-quantized default
+    # selects the identical points (a 2-decimal double * 100 is never
+    # half-way, so rint(y*100)/100 is lossless)
+    got3 = sorted(map(tuple, lttb_downsample(
+        df, "serie", "x", "v", "i", n_out=20, y_scale=None).collect()),
+        key=lambda t: t[1])
+    assert len(got3) == 20 and any(g[3] == 500.0 for g in got3)
+    assert got3 == got
+    with pytest.raises(ValueError, match="y_scale"):
+        lttb_downsample(df, "serie", "x", "v", "i", n_out=20, y_scale=0)
+
 
 def test_interval_length_sum_matches_bruteforce(spark):
     """interval_length_sum_users' island merge vs a brute-force µs
@@ -761,7 +773,7 @@ def test_geohashes_in_box_covers_exactly(spark):
     )
     cells = df.select(
         geohashes_in_box(
-            F.col("lon1"), F.col("lon2"), F.col("lat1"), F.col("lat2"), 3
+            F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2"), 3
         ).alias("c")
     ).collect()[0].c
     # closed-form grid: p=3 -> lon 8 bits (256 cells/360deg), lat 7 (128/180)
@@ -781,7 +793,7 @@ def test_geohashes_in_box_covers_exactly(spark):
     assert all(r.g in set(cells) for r in got)
     # inverted box -> empty
     empty = df.select(
-        geohashes_in_box(F.col("lon2"), F.col("lon1"), F.col("lat1"), F.col("lat2"), 3)
+        geohashes_in_box(F.col("lon2"), F.col("lat1"), F.col("lon1"), F.col("lat2"), 3)
         .alias("c")
     ).collect()[0].c
     assert empty == []
