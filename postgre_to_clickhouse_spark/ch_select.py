@@ -35,9 +35,14 @@ FROM (base table or CTE; FINAL/SAMPLE apply per-side), and the chain
 compiles to standard Spark SQL joins, so broadcast/AQE planning is
 Catalyst's. CH's ``GLOBAL`` prefix (a distributed-execution hint) and
 ``ALL`` (the default multiplicity, = SQL semantics) are accepted and
-dropped; ``ANY``/``ASOF``/``PASTE`` joins are REFUSED loudly — their
-row-selection semantics have no standard-SQL equivalent (ASOF lives in
-:mod:`operators.asof`).
+dropped; ``ANY``/``PASTE`` joins are REFUSED loudly — their
+row-selection semantics have no standard-SQL equivalent. ``ASOF
+[LEFT] JOIN`` compiles to :func:`operators.asof.asof_join` (the
+one-shuffle union+window operator) for the declared subset of one
+equality key + one inequality (or ``USING (key, time)``); plain ASOF
+is INNER per CH, the inequality operator maps to
+direction/strictness, and right-side columns surface unsuffixed
+unless they collide with a left column.
 
 ``ORDER BY x WITH FILL [FROM a] [TO b] [STEP s]`` (r10, VERDICT r9
 #5): fills missing integer values of the (single) sort key on a dense
@@ -49,14 +54,37 @@ after filling. Wired to the same grid pattern as the
 integer sort key, ascending, one ORDER BY item; INTERPOLATE and
 date/time STEP units refuse loudly.
 
+``UNION ALL`` / ``UNION DISTINCT`` (r10): depth-0 unions split into
+arms, each arm compiles as its own full SELECT (CH binds ORDER
+BY/LIMIT per arm), and the results combine POSITIONALLY with the
+first arm's column names — the CH rule. Bare ``UNION`` refuses loudly
+(CH itself errors without ``union_default_mode``). Mixed modes fold
+left-associatively, the standard-SQL reading.
+
+Inline FROM-subqueries (r10): ``FROM (SELECT ...) [AS alias]``
+compiles recursively like a CTE body; FINAL/SAMPLE decorate base
+tables only (the CH grammar's rule too).
+
+Window functions (r10): standard ``fn(...) OVER (PARTITION BY ...
+ORDER BY ... [ROWS|RANGE BETWEEN ...])`` passes through to Spark's
+parser (identical semantics), with the expression rewriter applied
+inside the window body. CH's frame-relative ``lagInFrame`` /
+``leadInFrame`` map to Spark's ``lag``/``lead`` exactly when the
+frame makes them equivalent — ``lagInFrame`` needs a frame starting
+at ``UNBOUNDED PRECEDING`` (the CH default frame qualifies),
+``leadInFrame`` needs one ending at ``UNBOUNDED FOLLOWING`` — and
+refuse loudly otherwise; the frame clause is stripped (Spark's
+lag/lead reject explicit frames because their semantics never
+depended on one).
+
 Scope is otherwise DECLARED, and violations are LOUD (`ChSqlError`),
-never silent misreadings: no UNION and no inline FROM-subqueries
-(name a CTE instead), no ``-State/-Merge`` combinators (the MV sinks
-own mergeable states), ``SETTINGS`` parsed and dropped (CH settings
-are performance knobs; none of them changes result semantics for the
-supported clause subset). Everything compiled here is a declarative
-single SELECT, so the 100 TB posture is inherited from the plan
-Catalyst builds — the front end adds zero runtime of its own.
+never silent misreadings: no ``-State/-Merge`` combinators (the MV
+sinks own mergeable states), ``SETTINGS`` parsed and dropped (CH
+settings are performance knobs; none of them changes result
+semantics for the supported clause subset). Everything compiled here
+is a declarative single SELECT (or a positional union of them), so
+the 100 TB posture is inherited from the plan Catalyst builds — the
+front end adds zero runtime of its own.
 """
 
 from __future__ import annotations
@@ -308,6 +336,10 @@ def _rewrite(tokens: list[str], i: int, stop: tuple[str, ...]) -> tuple[str, int
         t = tokens[i]
         if t in stop:
             break
+        if t in ("lagInFrame", "leadInFrame") and i + 1 < n and tokens[i + 1] == "(":
+            text, i = _frame_nav(tokens, i)
+            parts.append(text)
+            continue
         if (
             _is_ident(t)
             and _kw(t) not in _CALL_EXEMPT
@@ -374,6 +406,69 @@ def _call(tokens, i):
     return _apply(name, args), j
 
 
+def _frame_nav(tokens, i):
+    """CH ``lagInFrame``/``leadInFrame`` → Spark ``lag``/``lead``, valid
+    exactly when the window frame makes them equivalent. The CH pair is
+    frame-RELATIVE; Spark's lag/lead are partition-relative (and reject
+    explicit frames). ``lagInFrame`` looks backward, so any frame
+    starting at ``UNBOUNDED PRECEDING`` — including CH's default frame —
+    contains every row it can reach; ``leadInFrame`` looks forward, so
+    the frame must END at ``UNBOUNDED FOLLOWING`` (with the default
+    frame leadInFrame returns the default value — a different result,
+    refused loudly). The frame clause is stripped from the emitted
+    OVER; the rest of the window body goes through the expression
+    rewriter like any other."""
+    name = tokens[i]
+    args, j = _args(tokens, i + 2)
+    if not (
+        j + 1 < len(tokens)
+        and _is_ident(tokens[j]) and _kw(tokens[j]) == "OVER"
+        and tokens[j + 1] == "("
+    ):
+        raise ChSqlError(f"{name} is a window function — OVER (...) required")
+    # collect the raw OVER body (depth-balanced)
+    body, depth, k = [], 1, j + 2
+    while k < len(tokens):
+        t = tokens[k]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        body.append(t)
+        k += 1
+    if depth != 0:
+        raise ChSqlError("unbalanced '(' in OVER")
+    # split off a trailing depth-0 ROWS|RANGE frame clause
+    frame, d = None, 0
+    for m, t in enumerate(body):
+        if t == "(":
+            d += 1
+        elif t == ")":
+            d -= 1
+        elif d == 0 and _is_ident(t) and _kw(t) in ("ROWS", "RANGE"):
+            frame, body = [_kw(x) if _is_ident(x) else x for x in body[m:]], body[:m]
+            break
+    if name == "lagInFrame":
+        ok = frame is None or (
+            len(frame) >= 4 and frame[1] == "BETWEEN"
+            and frame[2:4] == ["UNBOUNDED", "PRECEDING"]
+        )
+    else:
+        ok = frame is not None and frame[-2:] == ["UNBOUNDED", "FOLLOWING"]
+    if not ok:
+        raise ChSqlError(
+            f"{name} with frame {' '.join(frame or ['<default>'])!r} has no "
+            "lag/lead equivalent — lagInFrame needs a frame starting at "
+            "UNBOUNDED PRECEDING (or the default), leadInFrame one ending "
+            "at UNBOUNDED FOLLOWING"
+        )
+    spec = _rewrite_all(body)
+    fn = "lag" if name == "lagInFrame" else "lead"
+    return f"{fn}({', '.join(args)}) OVER ({spec})", k + 1
+
+
 def _apply(name: str, args: list[str]) -> str:
     if name in _FN:
         try:
@@ -429,6 +524,64 @@ def _top_level_splits(tokens: list[str]) -> list[tuple[str, int]]:
     return out
 
 
+def _split_union(tokens: list[str]) -> list[tuple[str | None, list[str]]]:
+    """Split a statement on depth-0 ``UNION ALL|DISTINCT`` boundaries
+    into (mode, arm-tokens) pairs — mode is the keyword BEFORE the arm
+    (None for the first). Bare ``UNION`` refuses loudly: CH itself
+    errors on it unless the ``union_default_mode`` setting is set, and
+    guessing a mode would be a silent semantics choice. A fully
+    parenthesized arm ``(SELECT ...)`` unwraps."""
+    arms: list[tuple[str | None, list[str]]] = []
+    cur: list[str] = []
+    mode: str | None = None
+    depth = 0
+    i, n = 0, len(tokens)
+    while i < n:
+        t = tokens[i]
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_ident(t) and _kw(t) == "UNION":
+            nxt = _kw(tokens[i + 1]) if i + 1 < n and _is_ident(tokens[i + 1]) else ""
+            if nxt not in ("ALL", "DISTINCT"):
+                raise ChSqlError(
+                    "bare UNION is ambiguous (CH errors without "
+                    "union_default_mode) — write UNION ALL or UNION DISTINCT"
+                )
+            arms.append((mode, cur))
+            cur, mode = [], nxt
+            i += 2
+            continue
+        cur.append(t)
+        i += 1
+    arms.append((mode, cur))
+    out = []
+    for m, arm in arms:
+        while (
+            len(arm) >= 2 and arm[0] == "(" and arm[-1] == ")"
+            and _balanced_wrap(arm)
+        ):
+            arm = arm[1:-1]
+        if not arm:
+            raise ChSqlError("empty UNION arm")
+        out.append((m, arm))
+    return out
+
+
+def _balanced_wrap(arm: list[str]) -> bool:
+    """True when arm[0]'s '(' matches arm[-1]'s ')'."""
+    depth = 0
+    for i, t in enumerate(arm):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                return i == len(arm) - 1
+    return False
+
+
 def _split_commas(tokens: list[str]) -> list[list[str]]:
     out, cur, depth = [], [], 0
     for t in tokens:
@@ -454,23 +607,29 @@ def _rewrite_all(tokens: list[str]) -> str:
 
 
 class _TableRef:
-    """One side of the FROM body: base table or CTE name, with the
-    per-side CH decorations."""
+    """One side of the FROM body: base table / CTE name or an inline
+    subquery's tokens, with the per-side CH decorations."""
 
-    def __init__(self, name: str, alias: str | None = None):
+    def __init__(self, name: str, alias: str | None = None,
+                 subquery: list[str] | None = None):
         self.name = name
         self.alias = alias
+        self.subquery = subquery
         self.final = False
         self.sample: tuple[float, float] | None = None
 
 
 class _Join:
     def __init__(self, jtype: str, ref: _TableRef,
-                 on: str | None, using: list[str] | None):
-        self.jtype = jtype  # 'INNER'|'LEFT'|'RIGHT'|'FULL'|'CROSS'|'LEFT SEMI'|'LEFT ANTI'
+                 on: str | None, using: list[str] | None,
+                 on_raw: list[str] | None = None):
+        # 'INNER'|'LEFT'|'RIGHT'|'FULL'|'CROSS'|'LEFT SEMI'|'LEFT ANTI'
+        # |'ASOF'|'ASOF LEFT'
+        self.jtype = jtype
         self.ref = ref
         self.on = on
         self.using = using
+        self.on_raw = on_raw  # raw ON tokens (ASOF parses them structurally)
 
 
 class _Fill:
@@ -576,16 +735,39 @@ _JOIN_TYPES = {
 
 
 def _parse_table_ref(toks: list[str]) -> _TableRef:
-    """``name [FINAL] [SAMPLE f [OFFSET o]] [[AS] alias]`` — one side
-    of the FROM body."""
-    if not toks or not _is_ident(toks[0]) or _kw(toks[0]) in _CLAUSE_STARTS:
+    """``name [FINAL] [SAMPLE f [OFFSET o]] [[AS] alias]`` or an inline
+    subquery ``(SELECT ...) [[AS] alias]`` — one side of the FROM
+    body."""
+    if toks and toks[0] == "(":
+        depth, close = 0, None
+        for i, t in enumerate(toks):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close is None:
+            raise ChSqlError("unbalanced '(' in FROM")
+        inner = toks[1:close]
+        if not inner or _kw(inner[0]) not in ("SELECT", "WITH"):
+            raise ChSqlError("FROM (...) must wrap a SELECT")
+        ref = _TableRef("__subquery", subquery=inner)
+        rest = toks[close + 1:]
+        if rest and _kw(rest[0]) in ("FINAL", "SAMPLE"):
+            raise ChSqlError(
+                f"{_kw(rest[0])} decorates base tables, not subqueries "
+                "(the CH grammar's rule too)"
+            )
+    elif not toks or not _is_ident(toks[0]) or _kw(toks[0]) in _CLAUSE_STARTS:
         raise ChSqlError(
-            "FROM must name a table or CTE (inline subqueries are "
-            "outside the subset — name a CTE instead); got "
+            f"FROM must name a table, CTE or (SELECT ...); got "
             f"{toks[:1] or 'nothing'}"
         )
-    ref = _TableRef(toks[0].split(".")[-1])  # db.table -> table
-    rest = toks[1:]
+    else:
+        ref = _TableRef(toks[0].split(".")[-1])  # db.table -> table
+        rest = toks[1:]
     if rest and _kw(rest[0]) == "FINAL":
         ref.final = True
         rest = rest[1:]
@@ -635,18 +817,26 @@ def _parse_from_body(body: list[str]) -> tuple[_TableRef, list[_Join]]:
     joins: list[_Join] = []
     for k, (s, j) in enumerate(starts):
         mods = [_kw(t) for t in body[s:j]]
-        if "ANY" in mods or "ASOF" in mods or "PASTE" in mods:
+        if "ANY" in mods or "PASTE" in mods:
             raise ChSqlError(
-                "ANY/ASOF/PASTE JOIN row-selection semantics have no "
-                "standard-SQL equivalent — ASOF lives in operators.asof; "
-                "use the DataFrame API"
+                "ANY/PASTE JOIN row-selection semantics have no "
+                "standard-SQL equivalent — use the DataFrame API"
             )
         # GLOBAL is a CH distributed-execution hint; ALL is the default
         # multiplicity (= SQL join semantics) — both drop.
-        key = " ".join(m for m in mods if m not in ("GLOBAL", "ALL"))
-        jtype = _JOIN_TYPES.get(key)
-        if jtype is None:
-            raise ChSqlError(f"unsupported join type {key + ' JOIN'!r}")
+        mods = [m for m in mods if m not in ("GLOBAL", "ALL")]
+        if "ASOF" in mods:
+            extra = set(mods) - {"ASOF", "LEFT"}
+            if extra:
+                raise ChSqlError(
+                    f"ASOF JOIN combines only with LEFT, not {sorted(extra)}"
+                )
+            jtype = "ASOF LEFT" if "LEFT" in mods else "ASOF"
+        else:
+            key = " ".join(mods)
+            jtype = _JOIN_TYPES.get(key)
+            if jtype is None:
+                raise ChSqlError(f"unsupported join type {key + ' JOIN'!r}")
         seg_end = starts[k + 1][0] if k + 1 < len(starts) else len(body)
         seg = body[j + 1 : seg_end]
         # locate depth-0 ON / USING
@@ -659,7 +849,7 @@ def _parse_from_body(body: list[str]) -> tuple[_TableRef, list[_Join]]:
             elif d == 0 and _is_ident(t) and _kw(t) in ("ON", "USING"):
                 cond_at, cond_kw = i, _kw(t)
                 break
-        on = using = None
+        on = using = on_raw = None
         if cond_at is None:
             if jtype != "CROSS":
                 raise ChSqlError(f"{jtype} JOIN requires ON or USING")
@@ -670,9 +860,12 @@ def _parse_from_body(body: list[str]) -> tuple[_TableRef, list[_Join]]:
             if cond_kw == "ON":
                 if jtype == "CROSS":
                     raise ChSqlError("CROSS JOIN takes no ON condition")
-                on = _rewrite_all(cond)
-                if not on:
-                    raise ChSqlError("empty ON condition")
+                if jtype.startswith("ASOF"):
+                    on_raw = cond  # parsed structurally at compile time
+                else:
+                    on = _rewrite_all(cond)
+                    if not on:
+                        raise ChSqlError("empty ON condition")
             else:
                 if cond and cond[0] == "(":
                     if cond[-1] != ")":
@@ -681,7 +874,7 @@ def _parse_from_body(body: list[str]) -> tuple[_TableRef, list[_Join]]:
                 using = [t for t in cond if t != ","]
                 if not using or not all(_is_ident(t) for t in using):
                     raise ChSqlError(f"USING needs a column list, got {cond}")
-        joins.append(_Join(jtype, ref, on, using))
+        joins.append(_Join(jtype, ref, on, using, on_raw))
     return first, joins
 
 
@@ -692,12 +885,8 @@ def _parse(tokens: list[str]) -> _Parsed:
     p.select, p.group_by, p.order_by, p.joins = [], [], [], []
     splits = _top_level_splits(tokens)
     for kw, _ in splits:
-        if kw == "UNION":
-            raise ChSqlError(
-                "UNION is outside the supported subset — compose unions "
-                "natively with the DataFrame API (the battery's Tier-B "
-                "surface)"
-            )
+        if kw == "UNION":  # arms are split in _compile before _parse
+            raise ChSqlError("internal: UNION reached _parse")
     bounds = splits + [("", len(tokens))]
 
     def clause(kw):
@@ -900,9 +1089,31 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
             )
         for name, expr_toks in scalars:
             tokens = _substitute(tokens, name, expr_toks)
+
+    arms = _split_union(tokens)
+    if len(arms) > 1:
+        out = None
+        for mode, arm in arms:
+            df = _compile(spark, arm, ctx)
+            if out is None:
+                out = df
+                continue
+            if len(df.columns) != len(out.columns):
+                raise ChSqlError(
+                    f"UNION arms have {len(out.columns)} vs "
+                    f"{len(df.columns)} columns"
+                )
+            # CH matches union columns by POSITION, names from arm 1
+            out = out.union(df.toDF(*out.columns))
+            if mode == "DISTINCT":
+                out = out.distinct()
+        return out
+
     p = _parse(tokens)
 
     def _resolve(ref: _TableRef) -> DataFrame:
+        if ref.subquery is not None:
+            return _compile(spark, ref.subquery, ctx)
         if ref.name not in ctx.tables:
             raise ChSqlError(f"unknown table {ref.name!r}")
         df = ctx.tables[ref.name]
@@ -936,13 +1147,45 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
         _resolve(ref).createOrReplaceTempView(view)
         return f"{view} AS {ref.alias or ref.name}"
 
-    from_text = _register(p.from_ref)
-    for jn in p.joins:
-        from_text += f" {jn.jtype} JOIN {_register(jn.ref)}"
-        if jn.on:
-            from_text += f" ON {jn.on}"
-        elif jn.using:
-            from_text += f" USING ({', '.join(jn.using)})"
+    if any(jn.jtype.startswith("ASOF") for jn in p.joins):
+        if len(p.joins) != 1:
+            raise ChSqlError("ASOF JOIN must be the only join in the FROM body")
+        jn = p.joins[0]
+        la = p.from_ref.alias or p.from_ref.name
+        ra = jn.ref.alias or jn.ref.name
+        joined, rename = _compile_asof(
+            _resolve(p.from_ref), _resolve(jn.ref), la, ra, jn
+        )
+        view = f"__ch_src_{uuid.uuid4().hex[:12]}"
+        joined.createOrReplaceTempView(view)
+        from_text = view
+        # the joined frame is flat — remap alias-qualified refs in every
+        # compiled expression to the flat (possibly suffixed) names
+        qual = re.compile(
+            rf"\b({re.escape(la)}|{re.escape(ra)})\.([A-Za-z_][A-Za-z0-9_]*)"
+        )
+
+        def _fix(txt):
+            if not txt:
+                return txt
+            return qual.sub(lambda m: rename.get(m.group(0), m.group(2)), txt)
+
+        p.select = [(_fix(e), a) for e, a in p.select]
+        p.prewhere, p.where, p.having = _fix(p.prewhere), _fix(p.where), _fix(p.having)
+        p.group_by = [_fix(g) for g in p.group_by]
+        p.order_by = [_fix(o) for o in p.order_by]
+        if p.limit_by is not None:
+            p.limit_by = (p.limit_by[0], [_fix(c) for c in p.limit_by[1]])
+        if p.fill is not None:
+            p.fill.key = _fix(p.fill.key)
+    else:
+        from_text = _register(p.from_ref)
+        for jn in p.joins:
+            from_text += f" {jn.jtype} JOIN {_register(jn.ref)}"
+            if jn.on:
+                from_text += f" ON {jn.on}"
+            elif jn.using:
+                from_text += f" USING ({', '.join(jn.using)})"
     cols = ", ".join(
         e + (f" AS {a}" if a else "") for e, a in p.select
     )
@@ -1004,6 +1247,120 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
     if p.offset:
         sel += f" OFFSET {p.offset}"
     return spark.sql(sel)
+
+
+_FLIP_OP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+
+
+def _compile_asof(left_df, right_df, la: str, ra: str, jn: _Join):
+    """Compile a CH ``ASOF [LEFT] JOIN`` to :func:`operators.asof
+    .asof_join` (the one-shuffle union+window operator — no range-join
+    blowup at any scale). Supported subset, refused loudly otherwise:
+    exactly one equality key + one inequality (CH requires exactly one
+    inequality; the operator takes one key column), or ``USING (key,
+    time)`` (CH USING implies ``>=``). The inequality direction maps
+    per CH: ``left >= right`` → backward match (nearest earlier-or-
+    equal), ``>`` strict, ``<=``/``<`` forward. Plain ``ASOF JOIN`` is
+    INNER (unmatched left rows drop, the CH default); ``ASOF LEFT``
+    keeps them with NULLs. Right columns surface under their own names
+    unless they collide with a left column, in which case they keep
+    the operator's ``_asof`` suffix; returns (joined frame, {qualified
+    name → flat name} map for expression rewriting). Equal-time ties
+    among duplicate right rows are engine-specific in CH too — dedup
+    the right side first (``cdc.latest``) for determinism."""
+    from pyspark.sql import functions as F
+
+    if jn.using is not None:
+        if len(jn.using) != 2:
+            raise ChSqlError(
+                "ASOF JOIN USING supports exactly (key, time) — more "
+                "equality keys are outside the subset (concatenate them "
+                "into one key column)"
+            )
+        lk = rk = jn.using[0]
+        lt, rt, iop = jn.using[1], jn.using[1], ">="
+    else:
+        conjs, cur, depth = [], [], 0
+        for t in jn.on_raw or []:
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if depth == 0 and _is_ident(t) and _kw(t) == "AND":
+                conjs.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        conjs.append(cur)
+
+        def side_of(tok):
+            if not _is_ident(tok):
+                raise ChSqlError(
+                    f"ASOF ON terms must be plain columns, got {tok!r}"
+                )
+            if "." in tok:
+                q, c = tok.split(".", 1)
+                if q == la:
+                    return "L", c
+                if q == ra:
+                    return "R", c
+                raise ChSqlError(f"unknown alias {q!r} in ASOF ON")
+            inl, inr = tok in left_df.columns, tok in right_df.columns
+            if inl and inr:
+                raise ChSqlError(f"ambiguous column {tok!r} in ASOF ON — qualify it")
+            if inl:
+                return "L", tok
+            if inr:
+                return "R", tok
+            raise ChSqlError(f"unknown column {tok!r} in ASOF ON")
+
+        eqs, ineqs = [], []
+        for c in conjs:
+            if len(c) != 3 or c[1] not in ("=", "==", ">=", "<=", ">", "<"):
+                raise ChSqlError(
+                    "ASOF ON supports conjunctions of `col = col` plus one "
+                    f"`col >=|>|<=|< col`: got {' '.join(c)!r}"
+                )
+            (eqs if c[1] in ("=", "==") else ineqs).append(c)
+        if len(eqs) != 1 or len(ineqs) != 1:
+            raise ChSqlError(
+                "ASOF ON needs exactly one equality and one inequality "
+                f"(got {len(eqs)} and {len(ineqs)})"
+            )
+        (s1, c1), (s2, c2) = side_of(eqs[0][0]), side_of(eqs[0][2])
+        if s1 == s2:
+            raise ChSqlError("ASOF equality must relate the two sides")
+        lk, rk = (c1, c2) if s1 == "L" else (c2, c1)
+        (t1s, t1), iop, (t2s, t2) = side_of(ineqs[0][0]), ineqs[0][1], side_of(ineqs[0][2])
+        if t1s == t2s:
+            raise ChSqlError("ASOF inequality must relate the two sides")
+        if t1s == "R":  # normalize to `left <op> right`
+            iop, t1, t2 = _FLIP_OP[iop], t2, t1
+        lt, rt = t1, t2
+
+    from postgre_to_clickhouse_spark.operators.asof import asof_join
+
+    dim_cols = list(right_df.columns)
+    out = asof_join(
+        left_df,
+        right_df,
+        fact_time=lt,
+        dim_time=rt,
+        dim_cols=dim_cols,
+        on_left=lk,
+        on_right=rk,
+        direction="backward" if iop in (">=", ">") else "forward",
+        strict=iop in (">", "<"),
+    )
+    if jn.jtype == "ASOF":  # CH plain ASOF JOIN is INNER
+        out = out.where(F.col(rt + "_asof").isNotNull())
+    rename = {f"{la}.{c}": c for c in left_df.columns}
+    for c in dim_cols:
+        flat = c + "_asof" if c in left_df.columns else c
+        if flat != c + "_asof":
+            out = out.withColumnRenamed(c + "_asof", flat)
+        rename[f"{ra}.{c}"] = flat
+    return out, rename
 
 
 _INT_TYPES = ("tinyint", "smallint", "int", "bigint")

@@ -53,93 +53,75 @@ from postgre_to_clickhouse_spark.queries import tierb6  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 
-# The r9 window, per the policy above. Ledger at rotation time:
-# last-green r1 ×1, r3 ×3, r4 ×28, r5 ×48, r6 ×46, r8 ×50, plus
-# sequence_match_dot never driver-checked (VERDICT r8 #1 of "missing").
-# Session 2 grows rule 1 to 25 seats (19 brand-new queries — tierb5
-# analytics/stats/geo, the three mutation/agg-projection lifecycle
-# reads, the quantile-state MV — plus the never-checked and
-# internals-changed re-verifies), displacing the r5 backfills and the
-# r4 cohort's tail; session 3 adds the five tierb6 regression/
-# correlation queries (rule 1 → 31 seats), displacing q17/q20/q22 and
-# semdedup/text_analysis from the r4 backfill. Every displaced query
-# stays oracle-gated in pytest and bench-visible, and rotates back
-# under rule 2 from r10.
+# The r10 window, per the policy above. Ledger at rotation time
+# (reconstructed from CORRECTNESS_r*.json): never-green ×5 (the four
+# r10-new queries + categorical_iv_weekday), r4 ×18, r5 ×48, r6 ×46,
+# r8 ×48, r9 ×50. Rule 1 takes 11 seats (5 never-checked + 6 whose
+# internals changed this round: ch_select.py grew JOIN chains /
+# WITH FILL / ASOF / the TOTALS-HAVING exemption under both r9
+# ch_dialect queries; lttb.py gained y_scale; geo.py's
+# geohashes_in_box changed parameter order; ddl.py's execute_alter
+# agg-projection parser changed; contingency_theils_u gained
+# broadcast hints). Rule 2 backfills the FULL 18-query r4 cohort
+# (5 rounds stale — the judge's named obligation) plus the first 21
+# of the r5 cohort alphabetically; the remaining 27 r5-greens rotate
+# in over r11-r12.
 _WINDOW = [
-    # --- Rule 1: new in r9 ---
-    "manifest_bloom_read",        # A8 bloom/token-bloom skip indexes (r8 weak → proven)
-    "manifest_projection_read",   # A8 table projections (VERDICT r8 #3)
-    "sample_keyed_events",        # SAMPLE f OFFSET o clause (VERDICT r8 #4)
-    "manifest_update_read",       # A8 ALTER UPDATE mutation (r9 session 2)
-    "manifest_ttl_rollup_read",   # A8 TTL GROUP BY rollup (r9 session 2)
-    "manifest_agg_projection_read",  # A8 aggregate projections (r9 session 2)
-    "with_totals_status",         # B9 GROUP BY WITH TOTALS
-    "max_intersections_users",    # B21 maxIntersections(+Position)
-    "welch_ttest_values",         # B21 welchTTest
-    "mann_whitney_values",        # B21 mannWhitneyUTest
-    "cramers_v_association",      # B21 cramersV
-    "ema_user_values",            # B21 exponentialMovingAverage
-    "interval_length_sum_users",  # B21 intervalLengthSum
-    "lttb_downsample_events",     # B21 largestTriangleThreeBuckets
-    "sequence_next_node_events",  # B21 sequenceNextNode (consecutive chain)
-    "quantile_mv_incremental",    # A12 quantileExactWeightedState MV
-    "geohash_cells_events",       # B27 geohashEncode/Decode spatial bucketing
-    "geohashes_in_box_probe",     # B27 geohashesInBox covering sets
-    "ks_test_values",             # B33 kolmogorovSmirnovTest (exact integer D)
-    "student_ttest_values",       # B33 studentTTest (pooled variance)
-    "agg_weighted_map_funcs",     # B21 avgWeighted + minMap/maxMap
-    "sequence_next_node_backward",  # B21 sequenceNextNode backward/last_match
-    "auc_purchase_score",         # B33 arrayAUC (exact rank identity)
-    "tukey_outliers_events",      # B21 seriesOutliersDetectTukey fences
-    "topk_mv_incremental",        # A12 topKState/topKMerge MV
-    "sparkbar_hourly_events",     # B21 sparkbar inline activity rendering
-    # --- Rule 1: new in r9 session 3 (tierb6 regression/correlation) ---
-    "rank_corr_spearman",         # B33 rankCorr (Spearman, doubled rank core)
-    "simple_linreg_events",       # B33 simpleLinearRegression
-    "bounding_ratio_users",       # B33 boundingRatio (chord slope)
-    "delta_sum_users",            # B33 deltaSumTimestamp (counter deltas)
-    "contingency_theils_u",       # B33 contingency + theilsU coefficients
-    "ch_dialect_hourly",          # A22+ CH SELECT front end (SAMPLE/PREWHERE/TOTALS)
-    "ch_dialect_top_events",      # A22+ CH SELECT front end (LIMIT BY/multiIf)
-    # --- Rule 1: never driver-checked (restores the 178/178 ledger) ---
-    "sequence_match_dot",         # B21 sequenceMatch '.' token (r8)
-    # --- Rule 1: implementation internals changed in r9 (manifest.py
-    # _stat_val string-padding asymmetry + files_for per-bound probes
-    # sit under both lifecycle paths) ---
-    "manifest_evolution_read",    # A8 schema evolution (r8-green, re-verify)
-    "manifest_zonemap_read",      # A8 zone maps (r8-green, re-verify)
-    # --- Rule 2: oldest-green-first backfill. r1/r3 singles ---
-    "string_funcs_extended",      # B13, last green r1
-    "agg_approx_distinct",        # B8, last green r3
-    "simhash_signatures",         # C2, last green r3
-    "vector_lsh_topk",            # C3, last green r3
-    # --- the full r4 cohort (28), alphabetical ---
-    "dedup_exact_documents",      # C1
-    "minhash_near_dup_candidates",  # C2
-    "pack_sequences",             # C4
-    "q10_returned_items",
-    "q18_large_volume_orders",
-    "q21_waiting_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    # (q7/q8/q12/q13/q14/q15/q16/q19 — and, from session 3, q17/q20/
-    # q22 plus q2/q11 (whose *_spec twins with identical plan skeletons
-    # were driver-green r8) — yield their seats to rule-1 queries; B20
-    # keeps 6 TPC-H shapes in-window and all of them stay oracle-gated
-    # + benched.)
-    "sessionize_events",          # A26
-    # (tfidf_top_terms, semdedup_prune and text_analysis_composite
-    # yield their seats to rule-1 queries; C2 stays covered in-window
-    # by minhash/simhash/vector_lsh, C4 by pack_sequences, and all
-    # three stay oracle-gated + benched/exempt-audited.)
-    # (vector_cosine_topk and vector_ivf_topk — the alphabetical tail
-    # of the r4 cohort — yield their seats to the 19th/20th rule-1
-    # queries; C3 stays covered in-window by vector_lsh_topk /
-    # vector_pq_topk-era greens, and both stay oracle-gated in pytest
-    # and benched.)
-    # --- r5 cohort, alphabetical first 12 (the remaining 36 r5-greens
-    # rotate in over r10-r11 under rule 2) ---
+    # --- Rule 1: new in r10 / never driver-checked ---
+    "ch_dialect_join",            # A22+ CH JOIN chains (VERDICT r9 #3)
+    "ch_dialect_with_fill",       # A22+ ORDER BY WITH FILL (VERDICT r9 #5)
+    "ch_dialect_asof",            # A22+/B6 verbatim CH ASOF LEFT JOIN
+    "series_period_events",       # B33 seriesPeriodDetectFFT (oracle fixed r10)
+    "categorical_iv_weekday",     # B33 categoricalInformationValue
+    # --- Rule 1: implementation internals changed in r10 ---
+    "ch_dialect_hourly",          # ch_select.py refactored (JOIN/FILL/ASOF)
+    "ch_dialect_top_events",      # ch_select.py refactored
+    "lttb_downsample_events",     # lttb.py y_scale parameter added
+    "geohashes_in_box_probe",     # geo.py CH parameter order fix
+    "manifest_agg_projection_read",  # ddl.py execute_alter count() form
+    "contingency_theils_u",       # broadcast hints added (VERDICT r9 #7)
+    # --- Rule 2: oldest-green-first. The full r4 cohort (18) ---
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "semdedup_prune",             # C2 embedding-cosine dedup
+    "text_analysis_composite",    # C4 quality/lang-id composite
+    "tfidf_top_terms",            # C4 TF-IDF
+    "vector_cosine_topk",         # C3 brute-force cosine baseline
+    "vector_ivf_topk",            # C3 IVF coarse-quantizer ANN
+    # --- Rule 2: r5 cohort, alphabetical first 21 ---
+    "array_manipulation",         # B17
+    "asof_events_last_order",     # B6 (also re-covers the ASOF operator
+    #                               the new ch_dialect_asof compiles to)
+    "band_join_acctbal",          # B5
+    "bm25_topk",                  # C4 retrieval
+    "cap_per_source_skewsafe",    # sampling caps
+    "cdc_dedup_redelivery",       # A19
+    "cdc_full_scan",              # A21
+    "cdc_latest_state",           # A20
+    "cdc_mv_transform",           # A12/A13-A16
+    "cdc_users_pipeline",         # A11/A17-A18
+    "decontaminate_eval_overlap",  # C2 decontamination
+    "dedup_incremental_batch",    # C1 incremental anti-join
+    "dedup_pipeline_canonical",   # C1 URL-canonicalize
+    "document_chunks",            # C4 chunking
+    "embedding_quantize_int8",    # C3 int8 quantization
+    "embedding_random_projection",  # C3 random projection
+    "funnel_strict_modes",        # B21 windowFunnel strict modes
+    "funnel_view_click_purchase",  # B21 windowFunnel
+    "grouping_sets_sql",          # B9
+    "histogram_event_values",     # B21 histogram
+    "json_typed_extraction",      # B16
 ]
 
 

@@ -195,3 +195,58 @@ def ch_dialect_with_fill(spark, sf_dir):
 
     ctx = ChContext.from_sf_dir(spark, sf_dir)
     return ch_select(spark, _FILL_CH, ctx)
+
+
+_ASOF_CH = """
+WITH od AS (
+  SELECT o_custkey, o_orderdate, max(o_totalprice) AS last_price
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_type AS event_type,
+       count() AS n,
+       countIf(o.last_price IS NOT NULL) AS matched,
+       round(toFloat64(sum(toDecimal64(ifNull(o.last_price, 0), 2))), 2)
+         AS price_sum
+FROM events AS e
+ASOF LEFT JOIN od AS o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "ch_dialect_asof",
+    oracle="""
+    WITH od AS (
+      SELECT o_custkey, o_orderdate, MAX(o_totalprice) AS last_price
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    j AS (
+      SELECT e.event_type, od.last_price
+      FROM events e ASOF LEFT JOIN od
+        ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+    )
+    SELECT event_type, COUNT(*) AS n, COUNT(last_price) AS matched,
+           ROUND(CAST(SUM(CAST(COALESCE(last_price, 0)
+                               AS DECIMAL(18,2))) AS DOUBLE), 2) AS price_sum
+    FROM j GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ch_dialect_asof(spark, sf_dir):
+    """r10, A22+/B6: verbatim CH ``ASOF LEFT JOIN`` through the dialect
+    front end — each event picks up the price of its user's most recent
+    order at-or-before the event time. The front end parses the ON
+    conjunction structurally (one equality key + one ``>=``) and
+    compiles to :func:`operators.asof.asof_join` — the one-shuffle
+    union+window operator, NOT a range join, so there is no candidate
+    blowup at any scale: both sides shuffle once on the user key and a
+    single last-non-null window resolves every match. The right side is
+    a CTE deduped per (custkey, orderdate) so the backward match is
+    unique and deterministic in both engines; the oracle is DuckDB's
+    NATIVE ``ASOF LEFT JOIN`` — an independent engine's implementation
+    of the same semantics, not a re-derivation."""
+    from postgre_to_clickhouse_spark.ch_select import ChContext, ch_select
+
+    ctx = ChContext.from_sf_dir(spark, sf_dir)
+    return ch_select(spark, _ASOF_CH, ctx)

@@ -153,9 +153,30 @@ def test_array_join_explodes(spark, ctx):
 @pytest.mark.parametrize(
     "bad, frag",
     [
-        ("SELECT 1 FROM events UNION ALL SELECT 1 FROM orders", "UNION"),
-        ("SELECT 1 FROM events ANY LEFT JOIN orders ON 1=1", "ANY/ASOF"),
-        ("SELECT 1 FROM events ASOF JOIN orders ON 1=1", "ANY/ASOF"),
+        ("SELECT 1 FROM events UNION SELECT 1 FROM orders", "bare UNION"),
+        ("SELECT 1 FROM events ANY LEFT JOIN orders ON 1=1", "ANY/PASTE"),
+        ("SELECT 1 FROM events ASOF JOIN orders ON 1=1", "one equality and one inequality"),
+        (
+            "SELECT 1 FROM events AS e ASOF JOIN orders AS o "
+            "ON e.user_id = o.o_custkey",
+            "one equality and one inequality",
+        ),
+        (
+            "SELECT 1 FROM events AS e ASOF RIGHT JOIN orders AS o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate",
+            "only with LEFT",
+        ),
+        (
+            "SELECT 1 FROM events AS e ASOF JOIN orders AS o "
+            "ON e.ts >= o.o_orderdate AND e.value >= o.o_totalprice",
+            "one equality and one inequality",
+        ),
+        (
+            "SELECT 1 FROM events AS e ASOF JOIN orders AS o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate "
+            "INNER JOIN nation AS n ON 1 = 1",
+            "only join",
+        ),
         ("SELECT 1 FROM events LEFT JOIN orders", "ON or USING"),
         ("SELECT 1 FROM events CROSS JOIN orders ON 1=1", "no ON"),
         ("SELECT 1 FROM events RIGHT SEMI JOIN orders ON 1=1", "join type"),
@@ -179,7 +200,7 @@ def test_array_join_explodes(spark, ctx):
         ("SELECT sumState(value) FROM events", "State"),
         ("SELECT uniqMerge(value) FROM events", "Merge"),
         ("SELECT value FROM events LIMIT 2 BY user_id", "ORDER BY"),
-        ("SELECT 1 FROM (SELECT 1)", "name a CTE"),
+        ("SELECT 1 FROM (SELECT 1)", "FROM is required"),
         ("SELECT 1 FROM nosuch", "unknown table"),
         ("SELECT 1 FROM orders SAMPLE 0.5", "sample key"),
         ("SELECT 1 FROM events FINAL", "FINAL"),
@@ -375,6 +396,84 @@ def test_with_fill_default_bounds_and_step(spark, ctx):
     assert set(ds) == grid | real
 
 
+def test_asof_join_matches_operator(spark, ctx):
+    """ASOF LEFT JOIN through the front end equals a direct
+    asof_join call; plain ASOF JOIN is the INNER subset of it."""
+    from postgre_to_clickhouse_spark.cdc import latest as latest_op
+    from postgre_to_clickhouse_spark.operators.asof import asof_join
+
+    sql_left = """
+    SELECT e.event_id AS event_id, e.user_id AS user_id,
+           o.o_orderkey AS ok, o.o_totalprice AS price
+    FROM ev AS e ASOF LEFT JOIN od AS o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """
+    ev = catalog.load(spark, SF_ORACLE, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    o = catalog.load(spark, SF_ORACLE, "orders")
+    od = latest_op(
+        o, entity_key=("o_custkey", "o_orderdate"), version_cols=("o_orderkey",)
+    ).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    ctx2 = ChContext({"ev": ev, "od": od})
+    got = ch_select(spark, sql_left, ctx2)
+    want = asof_join(
+        ev, od,
+        fact_time="ts", dim_time="o_orderdate",
+        dim_cols=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+        on_left="user_id", on_right="o_custkey",
+        tiebreak="o_orderkey",
+    ).select(
+        "event_id", "user_id",
+        F.col("o_orderkey_asof").alias("ok"),
+        F.col("o_totalprice_asof").alias("price"),
+    )
+    assert _rows(got) == _rows(want) and got.count() == ev.count()
+
+    inner = ch_select(spark, sql_left.replace("ASOF LEFT", "ASOF"), ctx2)
+    assert _rows(inner) == [r for r in _rows(got) if r[2] is not None]
+
+    # a dim subset that cannot match every event: INNER drops, LEFT keeps
+    ctx3 = ChContext({"ev": ev, "od": od.where("o_custkey % 2 = 0")})
+    inner2 = ch_select(spark, sql_left.replace("ASOF LEFT", "ASOF"), ctx3)
+    left2 = ch_select(spark, sql_left, ctx3)
+    assert 0 < inner2.count() < left2.count() == ev.count()
+
+
+def test_asof_join_using_and_forward(spark, ctx):
+    """USING (key, time) implies >=; a flipped `right <= left`
+    inequality normalizes to the same backward match."""
+    ev = catalog.load(spark, SF_ORACLE, "events").select("event_id", "user_id", "ts")
+    marks = (
+        catalog.load(spark, SF_ORACLE, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts"), F.count(F.lit(1)).alias("n_total"))
+    )
+    ctx2 = ChContext({"ev": ev, "marks": marks})
+    got_using = ch_select(
+        spark,
+        "SELECT count() AS n FROM ev ASOF JOIN marks USING (user_id, ts)",
+        ctx2,
+    ).collect()[0]["n"]
+    # every event is at-or-after its user's first event -> all match
+    assert got_using == ev.count()
+    flipped = ch_select(
+        spark,
+        "SELECT count() AS n FROM ev AS e ASOF JOIN marks AS m "
+        "ON m.user_id = e.user_id AND m.ts <= e.ts",
+        ctx2,
+    ).collect()[0]["n"]
+    assert flipped == got_using
+    strict_fwd = ch_select(
+        spark,
+        "SELECT count() AS n FROM ev AS e ASOF JOIN marks AS m "
+        "ON e.user_id = m.user_id AND e.ts < m.ts",
+        ctx2,
+    ).collect()[0]["n"]
+    # strictly-before the user's FIRST event: nothing matches
+    assert strict_fwd == 0
+
+
 def test_totals_row_exempt_from_having(spark, ctx):
     """CH totals_mode=before_having: HAVING filters group rows but the
     totals row survives and aggregates ALL rows."""
@@ -398,3 +497,198 @@ def test_settings_ignored_and_semicolon_tolerated(spark, ctx):
         ctx,
     ).collect()
     assert out[0]["n"] == catalog.load(spark, SF_ORACLE, "events").count()
+
+
+def test_union_all_and_distinct(spark, ctx):
+    """UNION ALL concatenates positionally with arm-1 names; UNION
+    DISTINCT dedups; mixed modes fold left-associatively."""
+    ua = ch_select(
+        spark,
+        "SELECT o_orderstatus AS s, count() AS n FROM orders GROUP BY s "
+        "UNION ALL "
+        "SELECT event_type, count() FROM events GROUP BY event_type",
+        ctx,
+    )
+    a = ch_select(spark, "SELECT o_orderstatus AS s, count() AS n "
+                  "FROM orders GROUP BY s", ctx)
+    b = ch_select(spark, "SELECT event_type AS s, count() AS n "
+                  "FROM events GROUP BY s", ctx)
+    assert ua.columns == ["s", "n"]  # names from the FIRST arm
+    assert _rows(ua) == sorted(_rows(a) + _rows(b))
+
+    ud = ch_select(
+        spark,
+        "SELECT o_orderstatus AS s FROM orders UNION DISTINCT "
+        "SELECT o_orderstatus FROM orders",
+        ctx,
+    )
+    assert _rows(ud) == _rows(
+        ch_select(spark, "SELECT DISTINCT o_orderstatus AS s FROM orders", ctx)
+    )
+
+    # left-associative: ALL then DISTINCT dedups everything before it
+    md = ch_select(
+        spark,
+        "SELECT 'x' AS t FROM orders UNION ALL SELECT 'x' FROM orders "
+        "UNION DISTINCT SELECT 'y' FROM orders",
+        ctx,
+    )
+    assert _rows(md) == [("x",), ("y",)]
+
+
+def test_union_per_arm_clauses_and_parens(spark, ctx):
+    """Each arm keeps its own WHERE/ORDER/LIMIT (the CH binding), and
+    parenthesized arms unwrap."""
+    out = ch_select(
+        spark,
+        "(SELECT o_orderkey AS k FROM orders ORDER BY o_orderkey LIMIT 2) "
+        "UNION ALL "
+        "(SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 1)",
+        ctx,
+    )
+    ks = sorted(r["k"] for r in out.collect())
+    od = catalog.load(spark, SF_ORACLE, "orders")
+    lo = [r[0] for r in od.orderBy("o_orderkey").limit(2).collect()]
+    hi = od.agg(F.max("o_orderkey")).collect()[0][0]
+    assert ks == sorted(lo + [hi])
+
+
+def test_union_refusals(spark, ctx):
+    with pytest.raises(ChSqlError, match="bare UNION"):
+        ch_select(spark, "SELECT 1 FROM orders UNION SELECT 1 FROM orders", ctx)
+    with pytest.raises(ChSqlError, match="columns"):
+        ch_select(
+            spark,
+            "SELECT o_orderkey FROM orders UNION ALL "
+            "SELECT o_orderkey, o_custkey FROM orders",
+            ctx,
+        )
+
+
+def test_union_inside_cte(spark, ctx):
+    out = ch_select(
+        spark,
+        "WITH u AS (SELECT user_id FROM events UNION DISTINCT "
+        "SELECT o_custkey FROM orders) "
+        "SELECT count() AS n FROM u",
+        ctx,
+    ).collect()[0]["n"]
+    ev = catalog.load(spark, SF_ORACLE, "events").select("user_id")
+    od = catalog.load(spark, SF_ORACLE, "orders").select("o_custkey")
+    assert out == ev.union(od).distinct().count()
+
+
+def test_from_subquery(spark, ctx):
+    """Inline FROM-subqueries compile recursively; aliases and outer
+    clauses apply to the derived table."""
+    got = ch_select(
+        spark,
+        "SELECT s.user_id AS user_id, s.n AS n "
+        "FROM (SELECT user_id, count() AS n FROM events GROUP BY user_id) AS s "
+        "WHERE s.n > 100 ORDER BY n DESC, user_id LIMIT 5",
+        ctx,
+    )
+    ev = catalog.load(spark, SF_ORACLE, "events")
+    want = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .where("n > 100").orderBy(F.desc("n"), "user_id").limit(5)
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    # subquery joined to a base table
+    j = ch_select(
+        spark,
+        "SELECT count() AS n FROM "
+        "(SELECT user_id FROM events WHERE event_type = 'purchase') AS p "
+        "INNER JOIN customer AS c ON p.user_id = c.c_custkey",
+        ctx,
+    ).collect()[0]["n"]
+    want_n = (
+        ev.where("event_type = 'purchase'").select("user_id")
+        .join(catalog.load(spark, SF_ORACLE, "customer"),
+              F.col("user_id") == F.col("c_custkey"))
+        .count()
+    )
+    assert j == want_n
+
+    with pytest.raises(ChSqlError, match="base tables"):
+        ch_select(spark, "SELECT 1 FROM (SELECT 1 FROM orders) FINAL", ctx)
+    with pytest.raises(ChSqlError, match="wrap a SELECT"):
+        ch_select(spark, "SELECT 1 FROM (orders)", ctx)
+
+
+def test_window_functions_pass_through(spark, ctx):
+    """Standard OVER windows compile verbatim; CH lagInFrame/leadInFrame
+    map to lag/lead when the frame makes them equivalent."""
+    got = ch_select(
+        spark,
+        """
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               lagInFrame(event_id) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_id,
+               leadInFrame(event_id) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS next_id
+        FROM events
+        """,
+        ctx,
+    )
+    ev = catalog.load(spark, SF_ORACLE, "events")
+    ev.createOrReplaceTempView("__ev_win")
+    want = spark.sql(
+        """
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id,
+               lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_id
+        FROM __ev_win
+        """
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_window_frame_aggregate_and_ch_names_inside_over(spark, ctx):
+    """A framed aggregate passes its frame through, and CH function
+    names inside the OVER body get mapped."""
+    got = ch_select(
+        spark,
+        "SELECT event_id, "
+        "count() OVER (PARTITION BY toStartOfDay(ts) ORDER BY event_id "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c "
+        "FROM events",
+        ctx,
+    )
+    ev = catalog.load(spark, SF_ORACLE, "events")
+    ev.createOrReplaceTempView("__ev_win2")
+    want = spark.sql(
+        "SELECT event_id, "
+        "count(1) OVER (PARTITION BY date_trunc('DAY', ts) ORDER BY event_id "
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS c "
+        "FROM __ev_win2"
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_frame_nav_refusals(spark, ctx):
+    with pytest.raises(ChSqlError, match="OVER"):
+        ch_select(spark, "SELECT lagInFrame(value) FROM events", ctx)
+    # leadInFrame with the default frame returns the default value in
+    # CH — not lead() — so it must refuse
+    with pytest.raises(ChSqlError, match="no\\s+lag/lead equivalent"):
+        ch_select(
+            spark,
+            "SELECT leadInFrame(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts) AS x FROM events",
+            ctx,
+        )
+    with pytest.raises(ChSqlError, match="no\\s+lag/lead equivalent"):
+        ch_select(
+            spark,
+            "SELECT lagInFrame(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS x FROM events",
+            ctx,
+        )
