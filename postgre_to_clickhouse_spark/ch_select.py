@@ -50,9 +50,19 @@ grid — CH semantics: bounds default to the result's min/max (TO is
 exclusive when given), filled rows carry TYPE DEFAULTS (0 for numeric,
 '' for string — not NULL) in the non-key columns, and LIMIT applies
 after filling. Wired to the same grid pattern as the
-``timeseries_gap_fill`` operators (tierb4.py). Declared subset:
-integer sort key, ascending, one ORDER BY item; INTERPOLATE and
-date/time STEP units refuse loudly.
+``timeseries_gap_fill`` operators (tierb4.py). ``STEP INTERVAL n
+unit`` fills a date/timestamp key on a calendar grid (default bounds
+only), and ``INTERPOLATE (col, ...)`` carries the previous real row's
+value onto filled rows (LOCF — the bare-column CH form; the ``AS
+expr`` recurrence refuses). Declared subset: ascending, one ORDER BY
+item.
+
+Predicate subqueries — ``IN (SELECT ...)``, ``EXISTS (...)``, scalar
+``(SELECT ...)`` — pass through to Spark's parser with CH function
+names mapped inside them; context tables and CTEs register as temp
+views under their own names so the subqueries resolve. ``GLOBAL IN``
+(the distributed-execution hint) drops like ``GLOBAL JOIN``. Catalyst
+plans these as semi/anti joins or one-row broadcasts.
 
 ``UNION ALL`` / ``UNION DISTINCT`` (r10): depth-0 unions split into
 arms, each arm compiles as its own full SELECT (CH binds ORDER
@@ -339,6 +349,14 @@ def _rewrite(tokens: list[str], i: int, stop: tuple[str, ...]) -> tuple[str, int
         if t in ("lagInFrame", "leadInFrame") and i + 1 < n and tokens[i + 1] == "(":
             text, i = _frame_nav(tokens, i)
             parts.append(text)
+            continue
+        # CH `GLOBAL IN` / `GLOBAL NOT IN`: GLOBAL is a distributed-
+        # execution hint (broadcast the set), semantics = IN — drop it
+        if (
+            _is_ident(t) and _kw(t) == "GLOBAL" and i + 1 < n
+            and _is_ident(tokens[i + 1]) and _kw(tokens[i + 1]) in ("IN", "NOT")
+        ):
+            i += 1
             continue
         if (
             _is_ident(t)
@@ -633,14 +651,22 @@ class _Join:
 
 
 class _Fill:
-    """ORDER BY <key> WITH FILL [FROM a] [TO b] [STEP s] — integer
-    grid spec (CH: TO exclusive, bounds default to result min/max)."""
+    """ORDER BY <key> WITH FILL [FROM a] [TO b] [STEP s | STEP INTERVAL
+    n unit] [INTERPOLATE (col, ...)] — grid spec (CH: TO exclusive,
+    bounds default to result min/max). ``unit`` is None for integer
+    grids; INTERVAL steps need a date/timestamp key and default bounds.
+    ``interpolate`` columns carry the previous real row's value on
+    filled rows (LOCF — the bare-column CH form; ``AS expr`` refuses)."""
 
-    def __init__(self, key: str, frm: int | None, to: int | None, step: int):
+    def __init__(self, key: str, frm: int | None, to: int | None, step: int,
+                 unit: str | None = None,
+                 interpolate: list[str] | None = None):
         self.key = key
         self.frm = frm
         self.to = to
         self.step = step
+        self.unit = unit
+        self.interpolate = interpolate or []
 
 
 class _Parsed:
@@ -969,16 +995,63 @@ def _parse(tokens: list[str]) -> _Parsed:
                         "WITH FILL is supported on a single ORDER BY item"
                     )
                 spec, it = it[fill_at + 2:], it[:fill_at]
-                if any(_kw(t) == "INTERPOLATE" for t in spec):
-                    raise ChSqlError("WITH FILL ... INTERPOLATE is outside the subset")
                 if it and _kw(it[-1]) == "DESC":
                     raise ChSqlError("WITH FILL is supported ascending only")
                 if it and _kw(it[-1]) == "ASC":
                     it = it[:-1]
                 vals = {"FROM": None, "TO": None, "STEP": 1}
+                unit, interp = None, []
                 j = 0
                 while j < len(spec):
                     kw2 = _kw(spec[j])
+                    if kw2 == "INTERPOLATE":
+                        if j + 1 >= len(spec) or spec[j + 1] != "(":
+                            raise ChSqlError("INTERPOLATE needs (col, ...)")
+                        d2, j2 = 1, j + 2
+                        body = []
+                        while j2 < len(spec) and d2 > 0:
+                            if spec[j2] == "(":
+                                d2 += 1
+                            elif spec[j2] == ")":
+                                d2 -= 1
+                                if d2 == 0:
+                                    break
+                            body.append(spec[j2])
+                            j2 += 1
+                        if d2 != 0:
+                            raise ChSqlError("unbalanced '(' in INTERPOLATE")
+                        for item2 in _split_commas(body):
+                            if len(item2) != 1 or not _is_ident(item2[0]):
+                                raise ChSqlError(
+                                    "INTERPOLATE supports bare columns "
+                                    "(previous-value carry / LOCF) — the "
+                                    "`col AS expr` recurrence is outside "
+                                    f"the subset: {' '.join(item2)!r}"
+                                )
+                            interp.append(item2[0])
+                        j = j2 + 1
+                        continue
+                    if (
+                        kw2 == "STEP" and j + 1 < len(spec)
+                        and _is_ident(spec[j + 1]) and _kw(spec[j + 1]) == "INTERVAL"
+                    ):
+                        if j + 3 >= len(spec):
+                            raise ChSqlError("STEP INTERVAL needs `n unit`")
+                        try:
+                            vals["STEP"] = int(spec[j + 2])
+                        except ValueError:
+                            raise ChSqlError(
+                                f"STEP INTERVAL count must be an integer "
+                                f"literal, got {spec[j + 2]!r}"
+                            )
+                        unit = _kw(spec[j + 3])
+                        if unit not in (
+                            "SECOND", "MINUTE", "HOUR", "DAY", "WEEK",
+                            "MONTH", "QUARTER", "YEAR",
+                        ):
+                            raise ChSqlError(f"unsupported INTERVAL unit {unit!r}")
+                        j += 4
+                        continue
                     neg = j + 1 < len(spec) and spec[j + 1] == "-"
                     vi = j + (2 if neg else 1)
                     if kw2 not in vals or vi >= len(spec):
@@ -989,13 +1062,19 @@ def _parse(tokens: list[str]) -> _Parsed:
                         raise ChSqlError(
                             f"WITH FILL {kw2} must be an integer literal "
                             f"(got {spec[vi]!r}) — the declared subset is "
-                            "integer grids"
+                            "integer grids and default-bounds INTERVAL grids"
                         )
                     vals[kw2] = -v if neg else v
                     j = vi + 1
                 if vals["STEP"] is None or vals["STEP"] < 1:
                     raise ChSqlError("WITH FILL STEP must be a positive integer")
-                p.fill = _Fill(_rewrite_all(it), vals["FROM"], vals["TO"], vals["STEP"])
+                if unit is not None and (vals["FROM"] is not None or vals["TO"] is not None):
+                    raise ChSqlError(
+                        "WITH FILL ... STEP INTERVAL supports default bounds "
+                        "only (the result's min/max)"
+                    )
+                p.fill = _Fill(_rewrite_all(it), vals["FROM"], vals["TO"],
+                               vals["STEP"], unit, interp)
                 p.order_by.append(p.fill.key)
                 continue
             tail = []
@@ -1089,6 +1168,16 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
             )
         for name, expr_toks in scalars:
             tokens = _substitute(tokens, name, expr_toks)
+
+    # Predicate subqueries — IN (SELECT ...), EXISTS (...), scalar
+    # (SELECT ...) — pass through to Spark's parser with CH functions
+    # mapped by the expression rewriter; they resolve table names
+    # against the session catalog, so every context table (and every
+    # compiled CTE, added to ctx above) registers as a temp view under
+    # its own name. Catalyst plans them as semi/anti joins or one-row
+    # broadcasts — no front-end runtime.
+    for _name, _df in ctx.tables.items():
+        _df.createOrReplaceTempView(_name)
 
     arms = _split_union(tokens)
     if len(arms) > 1:
@@ -1367,14 +1456,19 @@ _INT_TYPES = ("tinyint", "smallint", "int", "bigint")
 
 
 def _apply_fill(out: DataFrame, fill: _Fill) -> DataFrame:
-    """CH ``WITH FILL`` semantics on an integer sort key: keep every
-    result row, insert one row per missing grid value (FROM..TO-1 by
-    STEP; bounds default to the result's min/max), filled columns carry
-    type defaults (0 / '' — CH fills column defaults, not NULL), and
-    the output is re-sorted on the key. One extra 1-row bounds
-    aggregate + a broadcast-sized grid anti-join — the
-    timeseries_gap_fill grid pattern, fine at any scale because the
-    grid is bounded by the value range, not the data."""
+    """CH ``WITH FILL`` semantics on an integer (or, with ``STEP
+    INTERVAL``, date/timestamp) sort key: keep every result row, insert
+    one row per missing grid value (FROM..TO-1 by STEP; bounds default
+    to the result's min/max), filled columns carry type defaults (0 /
+    '' — CH fills column defaults, not NULL) except ``INTERPOLATE``
+    columns which carry the previous real row's value (LOCF), and the
+    output is re-sorted on the key. One extra 1-row bounds aggregate +
+    a broadcast-sized grid anti-join — the timeseries_gap_fill grid
+    pattern, fine at any scale because the grid is bounded by the value
+    range, not the data. The INTERPOLATE pass is one global ordered
+    window over the FILLED RESULT — the same final single-stream pass
+    CH itself performs on the sorted output, bounded by the grid, never
+    by the corpus."""
     from pyspark.sql import functions as F
 
     if fill.key not in out.columns:
@@ -1382,9 +1476,33 @@ def _apply_fill(out: DataFrame, fill: _Fill) -> DataFrame:
             f"WITH FILL key {fill.key!r} must be a selected column or alias"
         )
     dtypes = dict(out.dtypes)
+    for c in fill.interpolate:
+        if c not in out.columns:
+            raise ChSqlError(f"INTERPOLATE column {c!r} is not selected")
+        if c == fill.key:
+            raise ChSqlError("INTERPOLATE of the fill key is meaningless")
+    if fill.unit is not None:
+        if dtypes[fill.key] not in ("date", "timestamp", "timestamp_ntz"):
+            raise ChSqlError(
+                "STEP INTERVAL needs a date/timestamp sort key "
+                f"(got {dtypes[fill.key]})"
+            )
+        bounds = out.agg(F.min(fill.key).alias("__mn"),
+                         F.max(fill.key).alias("__mx"))
+        step_expr = F.expr(f"interval {fill.step} {fill.unit.lower()}")
+        grid = bounds.select(
+            F.explode(
+                F.when(
+                    F.col("__mn") <= F.col("__mx"),
+                    F.sequence(F.col("__mn"), F.col("__mx"), step_expr),
+                ).otherwise(F.array().cast(f"array<{dtypes[fill.key]}>"))
+            ).alias(fill.key)
+        )
+        return _fill_union(out, grid, fill, dtypes)
     if dtypes[fill.key] not in _INT_TYPES:
         raise ChSqlError(
-            f"WITH FILL needs an integer sort key (got {dtypes[fill.key]})"
+            f"WITH FILL needs an integer sort key (got {dtypes[fill.key]}) "
+            "— use STEP INTERVAL for date/timestamp keys"
         )
     if fill.frm is not None and fill.to is not None and fill.to <= fill.frm:
         raise ChSqlError("WITH FILL range is empty (TO <= FROM)")
@@ -1401,20 +1519,50 @@ def _apply_fill(out: DataFrame, fill: _Fill) -> DataFrame:
             ).otherwise(F.array().cast("array<bigint>"))
         ).alias("__g")
     ).select(F.col("__g").cast(dtypes[fill.key]).alias(fill.key))
+    return _fill_union(out, grid, fill, dtypes)
 
-    def _default(t: str):
-        if t in _INT_TYPES or t in ("float", "double") or t.startswith("decimal"):
-            return F.lit(0).cast(t)
-        if t == "string":
-            return F.lit("")
-        if t == "boolean":
-            return F.lit(False)
-        return F.lit(None).cast(t)
+def _fill_default(t: str):
+    from pyspark.sql import functions as F
+
+    if t in _INT_TYPES or t in ("float", "double") or t.startswith("decimal"):
+        return F.lit(0).cast(t)
+    if t == "string":
+        return F.lit("")
+    if t == "boolean":
+        return F.lit(False)
+    return F.lit(None).cast(t)
+
+
+def _fill_union(out: DataFrame, grid: DataFrame, fill: _Fill,
+                dtypes: dict) -> DataFrame:
+    """Union the real rows with grid rows for the missing key values,
+    apply LOCF to INTERPOLATE columns, re-sort on the key."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
 
     filler = grid.join(F.broadcast(out.select(fill.key)), fill.key, "left_anti").select(
         *[
-            F.col(fill.key) if c == fill.key else _default(dtypes[c]).alias(c)
+            F.col(fill.key) if c == fill.key
+            else _fill_default(dtypes[c]).alias(c)
             for c in out.columns
         ]
     )
-    return out.unionByName(filler).orderBy(fill.key)
+    if not fill.interpolate:
+        return out.unionByName(filler).orderBy(fill.key)
+    u = out.withColumn("__ch_fill", F.lit(False)).unionByName(
+        filler.withColumn("__ch_fill", F.lit(True))
+    )
+    # carry the previous REAL row's value: filled rows contribute NULL,
+    # last(ignorenulls) over the ordered prefix picks the latest real
+    # one; a leading run with no prior real row keeps the type default
+    # (the CH behavior). Global ordered window — see the docstring.
+    w = Window.orderBy(fill.key).rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+    for c in fill.interpolate:
+        masked = F.when(~F.col("__ch_fill"), F.col(c))
+        u = u.withColumn(
+            c,
+            F.coalesce(F.last(masked, ignorenulls=True).over(w),
+                       _fill_default(dtypes[c])),
+        )
+    return u.drop("__ch_fill").orderBy(fill.key)

@@ -250,3 +250,177 @@ def ch_dialect_asof(spark, sf_dir):
 
     ctx = ChContext.from_sf_dir(spark, sf_dir)
     return ch_select(spark, _ASOF_CH, ctx)
+
+
+_WINDOW_CH = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS rn,
+       lagInFrame(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_value,
+       round(toFloat64(sum(toDecimal64(value, 2))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id)), 2) AS running
+FROM events
+WHERE event_type = 'purchase'
+"""
+
+
+@register(
+    "ch_dialect_window",
+    oracle="""
+    SELECT user_id, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           LAG(value) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,2)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS DOUBLE), 2) AS running
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def ch_dialect_window(spark, sf_dir):
+    """r10, A22+/B10: window functions through the dialect front end —
+    verbatim CH text with ``row_number()``, the CH-only frame-relative
+    ``lagInFrame`` (mapped to ``lag`` after validating its frame starts
+    at UNBOUNDED PRECEDING, then stripping it — the exact equivalence
+    envelope), and a per-user running sum in exact decimals (the
+    ``dsum`` discipline over a window: per-value decimal rounding + an
+    exact prefix sum are order-DEFINED here, so the float result is
+    bit-identical in any engine). Plan: one shuffle on user_id, all
+    three windows share the same (partition, order) and collapse into
+    one Window operator — no per-window re-sort."""
+    from postgre_to_clickhouse_spark.ch_select import ChContext, ch_select
+
+    ctx = ChContext.from_sf_dir(spark, sf_dir)
+    return ch_select(spark, _WINDOW_CH, ctx)
+
+
+_SUBQ_CH = """
+SELECT event_type AS event_type, count() AS n, uniqExact(user_id) AS users
+FROM events
+WHERE user_id GLOBAL IN (SELECT c_custkey FROM customer
+                         WHERE c_acctbal > 5000)
+  AND value > (SELECT max(value) FROM events WHERE event_type = 'error')
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "ch_dialect_subquery",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS users
+    FROM events
+    WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      AND value > (SELECT MAX(value) FROM events WHERE event_type = 'error')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ch_dialect_subquery(spark, sf_dir):
+    """r10, A22+: predicate subqueries through the dialect front end —
+    an ``IN (SELECT ...)`` membership test (with CH's ``GLOBAL``
+    distributed-execution hint dropped, like GLOBAL JOIN) plus a scalar
+    subquery threshold. The front end registers context tables as
+    named temp views and passes the subqueries through to Spark's
+    parser with CH functions mapped, so Catalyst plans the IN as a
+    broadcast left-semi join and the scalar as a one-row subquery
+    broadcast — zero front-end runtime, the plan a hand-written
+    DataFrame semi-join produces. The threshold is max() (order-
+    independent, exact), not avg — cross-engine float discipline."""
+    from postgre_to_clickhouse_spark.ch_select import ChContext, ch_select
+
+    ctx = ChContext.from_sf_dir(spark, sf_dir)
+    return ch_select(spark, _SUBQ_CH, ctx)
+
+
+_UNION_CH = """
+SELECT o_orderstatus AS k, count() AS n FROM orders GROUP BY k
+UNION ALL
+SELECT event_type, count() FROM events GROUP BY event_type
+UNION DISTINCT
+SELECT 'orders_total', count() FROM orders
+"""
+
+
+@register(
+    "ch_dialect_union",
+    oracle="""
+    SELECT DISTINCT * FROM (
+      SELECT o_orderstatus AS k, COUNT(*) AS n FROM orders GROUP BY 1
+      UNION ALL
+      SELECT event_type, COUNT(*) FROM events GROUP BY 1
+      UNION ALL
+      SELECT 'orders_total', COUNT(*) FROM orders
+    )
+    """,
+)
+def ch_dialect_union(spark, sf_dir):
+    """r10, A22+/B12: UNION chains through the dialect front end —
+    arms combine POSITIONALLY with the first arm's column names (the
+    CH rule) and mixed modes fold left-associatively, so the trailing
+    UNION DISTINCT dedups the whole prefix. The oracle expresses the
+    same left fold as DISTINCT over the flat UNION ALL (equivalent
+    here because every arm is itself duplicate-free: grouped or
+    1-row). Each arm keeps its own clauses; Spark unions are metadata
+    (no shuffle) and the final distinct is one exchange."""
+    from postgre_to_clickhouse_spark.ch_select import ChContext, ch_select
+
+    ctx = ChContext.from_sf_dir(spark, sf_dir)
+    return ch_select(spark, _UNION_CH, ctx)
+
+
+_FILL_INTERVAL_CH = """
+SELECT toStartOfHour(ts) AS h, count() AS big_purchases,
+       round(toFloat64(max(toDecimal64(value, 2))), 2) AS peak
+FROM events
+PREWHERE event_type = 'purchase'
+WHERE value > 250
+GROUP BY h
+ORDER BY h WITH FILL STEP INTERVAL 1 HOUR INTERPOLATE (peak)
+"""
+
+
+@register(
+    "ch_dialect_fill_interval",
+    oracle="""
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS big_purchases,
+             ROUND(CAST(MAX(CAST(value AS DECIMAL(30,2))) AS DOUBLE), 2)
+               AS peak
+      FROM events WHERE event_type = 'purchase' AND value > 250
+      GROUP BY 1
+    ),
+    grid AS (
+      SELECT UNNEST(generate_series((SELECT MIN(h) FROM agg),
+                                    (SELECT MAX(h) FROM agg),
+                                    INTERVAL 1 HOUR)) AS h
+    ),
+    j AS (
+      SELECT g.h, COALESCE(a.big_purchases, 0) AS big_purchases, a.peak
+      FROM grid g LEFT JOIN agg a ON a.h = g.h
+    )
+    SELECT h, CAST(big_purchases AS BIGINT) AS big_purchases,
+           COALESCE(LAST_VALUE(peak IGNORE NULLS) OVER (
+             ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0) AS peak
+    FROM j ORDER BY h
+    """,
+)
+def ch_dialect_fill_interval(spark, sf_dir):
+    """r10, A22+/B14: calendar-grid gap fill through the dialect front
+    end — ``WITH FILL STEP INTERVAL 1 HOUR`` densifies the sparse
+    hourly series of high-value purchases between the result's min and
+    max hour, missing hours carrying count 0 (the CH column default)
+    while ``INTERPOLATE (peak)`` carries the previous real hour's peak
+    forward (LOCF). The grid is one 1-row bounds aggregate + a
+    ``sequence()`` explode bounded by the TIME RANGE, not the corpus,
+    and the LOCF pass is one ordered window over the filled result —
+    the same final single-stream pass CH itself performs. The peak
+    aggregate uses the exact-decimal max discipline so the carried
+    floats are bit-identical cross-engine."""
+    from postgre_to_clickhouse_spark.ch_select import ChContext, ch_select
+
+    ctx = ChContext.from_sf_dir(spark, sf_dir)
+    return ch_select(spark, _FILL_INTERVAL_CH, ctx)

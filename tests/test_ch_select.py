@@ -692,3 +692,124 @@ def test_frame_nav_refusals(spark, ctx):
             "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS x FROM events",
             ctx,
         )
+
+
+def test_predicate_subqueries(spark, ctx):
+    """IN (SELECT ...), NOT IN, EXISTS and scalar subqueries resolve
+    context tables by name and get CH functions mapped inside."""
+    got = ch_select(
+        spark,
+        "SELECT count() AS n FROM events "
+        "WHERE user_id IN (SELECT c_custkey FROM customer "
+        "                  WHERE c_acctbal > 5000)",
+        ctx,
+    ).collect()[0]["n"]
+    ev = catalog.load(spark, SF_ORACLE, "events")
+    rich = catalog.load(spark, SF_ORACLE, "customer").where("c_acctbal > 5000")
+    want = ev.join(rich, ev.user_id == rich.c_custkey, "left_semi").count()
+    assert got == want > 0
+
+    scalar = ch_select(
+        spark,
+        "SELECT count() AS n FROM events "
+        "WHERE value > (SELECT avg(value) FROM events)",
+        ctx,
+    ).collect()[0]["n"]
+    avg = ev.agg(F.avg("value")).collect()[0][0]
+    assert scalar == ev.where(F.col("value") > avg).count()
+
+    # GLOBAL IN drops (semantics = IN); CH fn mapped inside the subquery
+    g = ch_select(
+        spark,
+        "SELECT count() AS n FROM events WHERE user_id GLOBAL IN "
+        "(SELECT user_id FROM events WHERE toHour(ts) = 3)",
+        ctx,
+    ).collect()[0]["n"]
+    at3 = ev.where(F.hour("ts") == 3).select("user_id")
+    assert g == ev.join(at3, "user_id", "left_semi").count()
+
+
+def test_with_fill_interval_and_interpolate(spark, ctx):
+    """STEP INTERVAL fills a timestamp key on a calendar grid;
+    INTERPOLATE carries the previous real value onto filled rows."""
+    out = ch_select(
+        spark,
+        "SELECT toStartOfHour(ts) AS h, count() AS n, "
+        "       max(value) AS peak "
+        "FROM events WHERE event_type = 'purchase' AND value > 150 "
+        "GROUP BY h "
+        "ORDER BY h WITH FILL STEP INTERVAL 1 HOUR INTERPOLATE (peak)",
+        ctx,
+    ).collect()
+    assert len(out) >= 2
+    hours = [r["h"] for r in out]
+    # dense hourly grid between result min and max
+    for a, b in zip(hours, hours[1:]):
+        assert (b - a).total_seconds() == 3600
+    # filled rows: n = 0 (type default), peak = previous real peak
+    prev_peak = None
+    for r in out:
+        if r["n"] == 0:
+            assert prev_peak is None or r["peak"] == prev_peak
+        else:
+            prev_peak = r["peak"]
+    assert any(r["n"] == 0 for r in out)  # the filter is sparse enough
+
+
+def test_fill_interval_refusals(spark, ctx):
+    with pytest.raises(ChSqlError, match="date/timestamp"):
+        ch_select(
+            spark,
+            "SELECT user_id AS u, count() AS n FROM events GROUP BY u "
+            "ORDER BY u WITH FILL STEP INTERVAL 1 DAY",
+            ctx,
+        )
+    with pytest.raises(ChSqlError, match="default bounds"):
+        ch_select(
+            spark,
+            "SELECT toStartOfHour(ts) AS h, count() AS n FROM events "
+            "GROUP BY h ORDER BY h WITH FILL FROM 0 STEP INTERVAL 1 HOUR",
+            ctx,
+        )
+    with pytest.raises(ChSqlError, match="AS expr"):
+        ch_select(
+            spark,
+            "SELECT toHour(ts) AS h, count() AS n FROM events GROUP BY h "
+            "ORDER BY h WITH FILL INTERPOLATE (n AS n + 1)",
+            ctx,
+        )
+    with pytest.raises(ChSqlError, match="not selected"):
+        ch_select(
+            spark,
+            "SELECT toHour(ts) AS h, count() AS n FROM events GROUP BY h "
+            "ORDER BY h WITH FILL INTERPOLATE (missing_col)",
+            ctx,
+        )
+
+
+def test_with_fill_interpolate_integer_key(spark, ctx):
+    """INTERPOLATE on the established integer-grid path: LOCF between
+    real rows, type default before the first real row."""
+    out = ch_select(
+        spark,
+        "SELECT toHour(ts) AS h, uniqExact(user_id) AS u FROM events "
+        "WHERE event_type = 'purchase' AND value > 450 AND toHour(ts) >= 5 "
+        "GROUP BY h ORDER BY h WITH FILL FROM 0 TO 24 INTERPOLATE (u)",
+        ctx,
+    ).collect()
+    assert [r["h"] for r in out] == list(range(24))
+    # hours 0..4 are pre-data: LOCF has nothing to carry -> default 0
+    assert all(r["u"] == 0 for r in out[:5])
+    prev = None
+    reals = {r["h"] for r in ch_select(
+        spark,
+        "SELECT toHour(ts) AS h FROM events "
+        "WHERE event_type = 'purchase' AND value > 450 AND toHour(ts) >= 5 "
+        "GROUP BY h",
+        ctx,
+    ).collect()}
+    for r in out[5:]:
+        if r["h"] in reals:
+            prev = r["u"]
+        elif prev is not None:
+            assert r["u"] == prev

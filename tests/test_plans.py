@@ -453,3 +453,23 @@ def test_mann_whitney_rank_join_broadcasts(spark):
     plan = _plan(spark, "mann_whitney_values")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ch_subquery_semi_join_and_scalar_pushdown(spark):
+    """The dialect front end's IN (SELECT ...) must plan as a broadcast
+    left-semi join, and the scalar-subquery threshold must reach the
+    parquet scan as a pushed filter — zero front-end runtime."""
+    plan = _plan(spark, "ch_dialect_subquery")
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "GreaterThan(value,ScalarSubquery" in plan
+
+
+def test_ch_window_collapses_to_one_window_operator(spark):
+    """ch_dialect_window's three window functions share one
+    (partition, order) spec — they must collapse into ONE Window
+    operator over ONE exchange, not re-sort per function."""
+    import re
+
+    plan = _plan(spark, "ch_dialect_window")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
