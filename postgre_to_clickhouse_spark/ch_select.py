@@ -69,7 +69,18 @@ arms, each arm compiles as its own full SELECT (CH binds ORDER
 BY/LIMIT per arm), and the results combine POSITIONALLY with the
 first arm's column names — the CH rule. Bare ``UNION`` refuses loudly
 (CH itself errors without ``union_default_mode``). Mixed modes fold
-left-associatively, the standard-SQL reading.
+left-associatively, the standard-SQL reading. ``EXCEPT`` /
+``INTERSECT`` (r10) follow the CH FILTER semantics by default — a
+left row survives EXCEPT iff it appears nowhere in the right side
+(all its duplicates kept) and INTERSECT iff it appears at least once
+— compiled as null-safe anti/semi joins, NOT bag arithmetic; the
+``DISTINCT`` modifier selects the standard-SQL set forms. Chains must
+stay one op kind (operator precedence differs across engines —
+refused, parenthesize via CTEs), and ``SELECT * EXCEPT (cols)``
+column exclusion still passes through. A named ``WINDOW w AS (...)``
+clause passes through (both dialects support it; specs go through the
+function mapper), and a trailing ``FORMAT name`` parses and drops —
+output serialization is presentation-layer.
 
 Inline FROM-subqueries (r10): ``FROM (SELECT ...) [AS alias]``
 compiles recursively like a CTE body; FINAL/SAMPLE decorate base
@@ -516,9 +527,12 @@ def _apply(name: str, args: list[str]) -> str:
 # SAMPLE/FINAL/OFFSET are NOT clause starts: SAMPLE f [OFFSET o] and
 # FINAL live inside the FROM body, LIMIT n [OFFSET m] inside LIMIT's.
 _CLAUSE_STARTS = {
-    "FROM", "PREWHERE", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
-    "SETTINGS", "UNION",
+    "FROM", "PREWHERE", "WHERE", "GROUP", "HAVING", "WINDOW", "ORDER",
+    "LIMIT", "SETTINGS", "UNION", "FORMAT",
 }
+# NOTE: EXCEPT/INTERSECT are NOT clause starts — _split_setops consumes
+# them before _parse, and the expression-level `* EXCEPT (cols)` form
+# must stay inside the SELECT list.
 
 
 def _top_level_splits(tokens: list[str]) -> list[tuple[str, int]]:
@@ -542,16 +556,38 @@ def _top_level_splits(tokens: list[str]) -> list[tuple[str, int]]:
     return out
 
 
-def _split_union(tokens: list[str]) -> list[tuple[str | None, list[str]]]:
-    """Split a statement on depth-0 ``UNION ALL|DISTINCT`` boundaries
-    into (mode, arm-tokens) pairs — mode is the keyword BEFORE the arm
-    (None for the first). Bare ``UNION`` refuses loudly: CH itself
-    errors on it unless the ``union_default_mode`` setting is set, and
-    guessing a mode would be a silent semantics choice. A fully
-    parenthesized arm ``(SELECT ...)`` unwraps."""
+def _split_setops(tokens: list[str]) -> list[tuple[str | None, list[str]]]:
+    """Split a statement on depth-0 set-operation boundaries — ``UNION
+    ALL|DISTINCT``, ``EXCEPT [ALL|DISTINCT]``, ``INTERSECT
+    [ALL|DISTINCT]`` — into (op-tag, arm-tokens) pairs, op-tag = e.g.
+    ``UNION ALL`` for the op BEFORE the arm (None for the first). Bare
+    ``UNION`` refuses loudly (CH itself errors without
+    ``union_default_mode``); bare EXCEPT/INTERSECT default to the CH
+    filter semantics (tagged ALL). A boundary only counts when a
+    SELECT follows — so the CH/Spark column-exclusion form ``SELECT *
+    EXCEPT (c1, ...)`` passes through untouched. Chains must stay one
+    op kind: SQL gives INTERSECT higher precedence than UNION/EXCEPT,
+    and a silent left-fold would misread mixed chains — refused.
+    A fully parenthesized arm ``(SELECT ...)`` unwraps."""
+
+    def _next_is_select(j: int) -> tuple[str | None, int]:
+        # returns (mode-or-None, index-after-mode) when a SELECT arm
+        # follows tokens[j:] (skipping one optional ALL/DISTINCT and
+        # any '(' wrappers); (None, -1) otherwise
+        mode = None
+        if j < len(tokens) and _is_ident(tokens[j]) and _kw(tokens[j]) in ("ALL", "DISTINCT"):
+            mode = _kw(tokens[j])
+            j += 1
+        k = j
+        while k < len(tokens) and tokens[k] == "(":
+            k += 1
+        if k < len(tokens) and _is_ident(tokens[k]) and _kw(tokens[k]) in ("SELECT", "WITH"):
+            return mode, j
+        return None, -1
+
     arms: list[tuple[str | None, list[str]]] = []
     cur: list[str] = []
-    mode: str | None = None
+    tag: str | None = None
     depth = 0
     i, n = 0, len(tokens)
     while i < n:
@@ -560,20 +596,34 @@ def _split_union(tokens: list[str]) -> list[tuple[str | None, list[str]]]:
             depth += 1
         elif t == ")":
             depth -= 1
-        elif depth == 0 and _is_ident(t) and _kw(t) == "UNION":
-            nxt = _kw(tokens[i + 1]) if i + 1 < n and _is_ident(tokens[i + 1]) else ""
-            if nxt not in ("ALL", "DISTINCT"):
+        elif depth == 0 and _is_ident(t) and _kw(t) in ("UNION", "EXCEPT", "INTERSECT"):
+            op = _kw(t)
+            mode, nxt = _next_is_select(i + 1)
+            if nxt < 0:
+                if op == "UNION":
+                    raise ChSqlError("UNION must be followed by a SELECT arm")
+                cur.append(t)  # `* EXCEPT (cols)` — not a set op
+                i += 1
+                continue
+            if op == "UNION" and mode is None:
                 raise ChSqlError(
                     "bare UNION is ambiguous (CH errors without "
                     "union_default_mode) — write UNION ALL or UNION DISTINCT"
                 )
-            arms.append((mode, cur))
-            cur, mode = [], nxt
-            i += 2
+            arms.append((tag, cur))
+            cur, tag = [], f"{op} {mode or 'ALL'}"
+            i = nxt
             continue
         cur.append(t)
         i += 1
-    arms.append((mode, cur))
+    arms.append((tag, cur))
+    kinds = {t.split()[0] for t, _ in arms if t}
+    if len(kinds) > 1:
+        raise ChSqlError(
+            f"mixed set operations {sorted(kinds)} in one statement are "
+            "outside the subset (operator precedence differs across "
+            "engines) — parenthesize via CTEs"
+        )
     out = []
     for m, arm in arms:
         while (
@@ -582,7 +632,7 @@ def _split_union(tokens: list[str]) -> list[tuple[str | None, list[str]]]:
         ):
             arm = arm[1:-1]
         if not arm:
-            raise ChSqlError("empty UNION arm")
+            raise ChSqlError("empty set-operation arm")
         out.append((m, arm))
     return out
 
@@ -680,6 +730,7 @@ class _Parsed:
     group_mod: str | None = None  # 'ROLLUP' | 'CUBE' | 'TOTALS'
     having: str | None = None
     order_by: list[str]
+    windows: list[tuple[str, str]]  # named WINDOW clause: (name, spec)
     fill: _Fill | None = None
     limit: int | None = None
     offset: int | None = None
@@ -909,6 +960,7 @@ def _parse(tokens: list[str]) -> _Parsed:
         raise ChSqlError("only SELECT statements are supported")
     p = _Parsed()
     p.select, p.group_by, p.order_by, p.joins = [], [], [], []
+    p.windows = []
     splits = _top_level_splits(tokens)
     for kw, _ in splits:
         if kw == "UNION":  # arms are split in _compile before _parse
@@ -969,6 +1021,23 @@ def _parse(tokens: list[str]) -> _Parsed:
     hv = clause("HAVING")
     if hv is not None:
         p.having = _rewrite_all(hv[1:])
+
+    wd = clause("WINDOW")
+    if wd is not None:
+        # WINDOW name AS (spec), ... — both CH and Spark support the
+        # named-window clause; specs go through the expression rewriter
+        # (CH fns inside PARTITION BY/ORDER BY get mapped), names pass
+        # through to `OVER name` references verbatim.
+        for item in _split_commas(wd[1:]):
+            if (
+                len(item) < 4 or not _is_ident(item[0])
+                or _kw(item[1]) != "AS" or item[2] != "(" or item[-1] != ")"
+            ):
+                raise ChSqlError(
+                    f"WINDOW clause items are `name AS (spec)`: "
+                    f"{' '.join(item[:6])!r}"
+                )
+            p.windows.append((item[0], _rewrite_all(item[3:-1])))
 
     ob = clause("ORDER")
     if ob is not None:
@@ -1108,6 +1177,12 @@ def _parse(tokens: list[str]) -> _Parsed:
     if st is not None:
         # performance knobs only — semantics never depend on them here
         pass
+    fmt = clause("FORMAT")
+    if fmt is not None:
+        # FORMAT names an output SERIALIZATION (Pretty, JSONEachRow, …)
+        # — presentation-layer only; the result DataFrame is the data.
+        if len(fmt) != 2 or not _is_ident(fmt[1]):
+            raise ChSqlError(f"FORMAT takes one format name: {fmt[1:]}")
     return p
 
 
@@ -1179,23 +1254,41 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
     for _name, _df in ctx.tables.items():
         _df.createOrReplaceTempView(_name)
 
-    arms = _split_union(tokens)
+    arms = _split_setops(tokens)
     if len(arms) > 1:
         out = None
-        for mode, arm in arms:
+        for tag, arm in arms:
             df = _compile(spark, arm, ctx)
             if out is None:
                 out = df
                 continue
             if len(df.columns) != len(out.columns):
                 raise ChSqlError(
-                    f"UNION arms have {len(out.columns)} vs "
+                    f"set-operation arms have {len(out.columns)} vs "
                     f"{len(df.columns)} columns"
                 )
-            # CH matches union columns by POSITION, names from arm 1
-            out = out.union(df.toDF(*out.columns))
-            if mode == "DISTINCT":
-                out = out.distinct()
+            # CH matches set-op columns by POSITION, names from arm 1
+            df = df.toDF(*out.columns)
+            op, mode = tag.split()
+            if op == "UNION":
+                out = out.union(df)
+                if mode == "DISTINCT":
+                    out = out.distinct()
+            elif mode == "DISTINCT":  # standard-SQL set semantics
+                out = out.subtract(df) if op == "EXCEPT" else out.intersect(df)
+            else:
+                # CH default EXCEPT/INTERSECT are FILTER semantics, not
+                # bag arithmetic: a left row survives EXCEPT iff it
+                # appears nowhere in the right side (ALL its duplicates
+                # kept), and survives INTERSECT iff it appears at least
+                # once — a null-safe anti/semi join, NOT Spark's
+                # exceptAll/intersectAll (which subtract/min counts).
+                cond = None
+                for c1, c2 in zip(out.columns, df.columns):
+                    eq = out[c1].eqNullSafe(df[c2])
+                    cond = eq if cond is None else cond & eq
+                how = "left_anti" if op == "EXCEPT" else "left_semi"
+                out = out.join(df, cond, how)
         return out
 
     p = _parse(tokens)
@@ -1301,6 +1394,10 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
             sel += f" HAVING grouping({p.group_by[0]}) = 1 OR ({p.having})"
         else:
             sel += f" HAVING {p.having}"
+    if p.windows:
+        sel += " WINDOW " + ", ".join(
+            f"{name} AS ({spec})" for name, spec in p.windows
+        )
     if p.order_by:
         sel += " ORDER BY " + ", ".join(p.order_by)
 

@@ -62,12 +62,12 @@ from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 # ch_dialect queries; lttb.py gained y_scale; geo.py's
 # geohashes_in_box changed parameter order; ddl.py's execute_alter
 # agg-projection parser changed; contingency_theils_u gained
-# broadcast hints). Session 2 adds four more rule-1 seats (the
-# window/subquery/union/interval-fill ch_dialect queries, each
+# broadcast hints). Session 2 adds five more rule-1 seats (the
+# window/subquery/union/except/interval-fill ch_dialect queries, each
 # committed with a passing oracle run per the registration rule).
 # Rule 2 backfills the FULL 18-query r4 cohort (5 rounds stale — the
-# judge's named obligation) plus the first 17 of the r5 cohort
-# alphabetically; the remaining 31 r5-greens rotate in over r11-r12.
+# judge's named obligation) plus the first 16 of the r5 cohort
+# alphabetically; the remaining 32 r5-greens rotate in over r11-r12.
 _WINDOW = [
     # --- Rule 1: new in r10 / never driver-checked ---
     "ch_dialect_join",            # A22+ CH JOIN chains (VERDICT r9 #3)
@@ -76,6 +76,7 @@ _WINDOW = [
     "ch_dialect_window",          # A22+/B10 OVER windows + lagInFrame
     "ch_dialect_subquery",        # A22+ IN/scalar predicate subqueries
     "ch_dialect_union",           # A22+/B12 UNION ALL/DISTINCT chains
+    "ch_dialect_except",          # A22+/B12 CH filter-semantics EXCEPT
     "ch_dialect_fill_interval",   # A22+/B14 STEP INTERVAL + INTERPOLATE
     "series_period_events",       # B33 seriesPeriodDetectFFT (oracle fixed r10)
     "categorical_iv_weekday",     # B33 categoricalInformationValue
@@ -123,12 +124,11 @@ _WINDOW = [
     "document_chunks",            # C4 chunking
     "embedding_quantize_int8",    # C3 int8 quantization
     "embedding_random_projection",  # C3 random projection
-    "funnel_strict_modes",        # B21 windowFunnel strict modes
-    # (funnel_view_click_purchase, grouping_sets_sql,
-    # histogram_event_values, json_typed_extraction — the alphabetical
-    # tail of the r5 backfill — yield their seats to the four newest
-    # rule-1 ch_dialect queries; all four stay oracle-gated + benched
-    # and rotate in r11 under rule 2.)
+    # (funnel_strict_modes, funnel_view_click_purchase,
+    # grouping_sets_sql, histogram_event_values, json_typed_extraction
+    # — the alphabetical tail of the r5 backfill — yield their seats
+    # to the five newest rule-1 ch_dialect queries; all five stay
+    # oracle-gated + benched and rotate in r11 under rule 2.)
 ]
 
 

@@ -424,3 +424,38 @@ def ch_dialect_fill_interval(spark, sf_dir):
 
     ctx = ChContext.from_sf_dir(spark, sf_dir)
     return ch_select(spark, _FILL_INTERVAL_CH, ctx)
+
+
+_EXCEPT_CH = """
+SELECT user_id, event_type FROM events
+EXCEPT
+SELECT user_id, event_type FROM events WHERE value > 250
+"""
+
+
+@register(
+    "ch_dialect_except",
+    oracle="""
+    SELECT e.user_id, e.event_type
+    FROM events e
+    ANTI JOIN (SELECT user_id, event_type FROM events WHERE value > 250) x
+      ON e.user_id = x.user_id AND e.event_type = x.event_type
+    """,
+)
+def ch_dialect_except(spark, sf_dir):
+    """r10, A22+/B12: ClickHouse ``EXCEPT`` through the dialect front
+    end — CH's default EXCEPT is FILTER semantics, not bag arithmetic:
+    a left row survives iff its value-tuple appears NOWHERE in the
+    right side, and all its duplicates are kept (here: every (user,
+    event_type) pair that never had a >250-value event, one row per
+    original event). Compiled as a null-safe left-anti join, which is
+    also exactly what the DuckDB oracle spells with ANTI JOIN — an
+    independent engine's plan for the same semantics. Spark's own
+    ``EXCEPT ALL`` (bag subtraction) would be WRONG here; the
+    ``DISTINCT`` modifier selects the standard set form instead. At
+    scale: one shuffle per side on the full tuple, AQE free to
+    broadcast the (filtered, small) right side."""
+    from postgre_to_clickhouse_spark.ch_select import ChContext, ch_select
+
+    ctx = ChContext.from_sf_dir(spark, sf_dir)
+    return ch_select(spark, _EXCEPT_CH, ctx)

@@ -813,3 +813,82 @@ def test_with_fill_interpolate_integer_key(spark, ctx):
             prev = r["u"]
         elif prev is not None:
             assert r["u"] == prev
+
+
+def test_except_intersect_filter_semantics(spark, ctx):
+    """CH default EXCEPT/INTERSECT are filter semantics: duplicates on
+    the left are kept wholesale; DISTINCT selects the set forms."""
+    # events whose user never purchased: anti-filter keeps ALL the
+    # non-purchasers' event rows (duplicates per user preserved)
+    got = ch_select(
+        spark,
+        "SELECT user_id FROM events EXCEPT "
+        "SELECT user_id FROM events "
+        "WHERE event_type = 'purchase' AND value > 150",
+        ctx,
+    )
+    ev = catalog.load(spark, SF_ORACLE, "events")
+    buyers = ev.where("event_type = 'purchase' AND value > 150").select("user_id")
+    want = ev.select("user_id").join(buyers, "user_id", "left_anti")
+    assert 0 < got.count() == want.count()
+    assert _rows(got) == _rows(want)
+    assert got.count() > got.distinct().count()  # duplicates kept
+
+    inter = ch_select(
+        spark,
+        "SELECT user_id FROM events INTERSECT DISTINCT "
+        "SELECT o_custkey FROM orders",
+        ctx,
+    )
+    want_i = (
+        ev.select("user_id").distinct()
+        .intersect(catalog.load(spark, SF_ORACLE, "orders")
+                   .select("o_custkey").distinct())
+    )
+    assert inter.count() == want_i.count()
+
+    with pytest.raises(ChSqlError, match="mixed set operations"):
+        ch_select(
+            spark,
+            "SELECT 1 FROM orders UNION ALL SELECT 1 FROM orders "
+            "EXCEPT SELECT 1 FROM orders",
+            ctx,
+        )
+
+
+def test_star_except_column_exclusion_passes_through(spark, ctx):
+    out = ch_select(
+        spark,
+        "SELECT * EXCEPT (props, value) FROM events ORDER BY event_id LIMIT 3",
+        ctx,
+    )
+    assert out.columns == ["event_id", "ts", "user_id", "event_type"]
+    assert out.count() == 3
+
+
+def test_named_window_clause(spark, ctx):
+    got = ch_select(
+        spark,
+        "SELECT user_id, event_id, "
+        "row_number() OVER w AS rn, count() OVER w AS c "
+        "FROM events WINDOW w AS (PARTITION BY user_id "
+        "ORDER BY ts, event_id)",
+        ctx,
+    )
+    ev = catalog.load(spark, SF_ORACLE, "events")
+    ev.createOrReplaceTempView("__ev_nw")
+    want = spark.sql(
+        "SELECT user_id, event_id, row_number() OVER w AS rn, "
+        "count(1) OVER w AS c FROM __ev_nw "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_format_clause_drops(spark, ctx):
+    out = ch_select(
+        spark,
+        "SELECT count() AS n FROM events FORMAT JSONEachRow",
+        ctx,
+    ).collect()
+    assert out[0]["n"] == catalog.load(spark, SF_ORACLE, "events").count()
