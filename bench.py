@@ -193,10 +193,15 @@ HEADLINE = [
     # delta_sum_users is one partitioned window + groupBy
     # (→ moving_agg_events).
     "rank_corr_spearman",         # doubled prefix-sum rank + Pearson-on-ranks
-    # ch_dialect_hourly / ch_dialect_top_events stay exempt: the CH
-    # SELECT front end COMPILES to the same plan skeletons the benched
-    # window_hourly_event_counts / limit_by_user_events already time
-    # (grouping-set agg over one filtered scan; window band filter) —
+    # the ch_dialect_* family stays exempt: the CH SELECT front end
+    # COMPILES to plan skeletons the benched families already time —
+    # hourly/top_events → window_hourly_event_counts /
+    # limit_by_user_events; join → the benched TPC-H broadcast-join
+    # shapes; asof → asof_events_last_order (the same operator);
+    # window → the benched window_* family; subquery/except →
+    # benched semi/anti-join shapes; union → metadata-only; with_fill/
+    # fill_interval → timeseries_gap_fill's grid pattern; array_join →
+    # one explode, the arrayJoin()/document_chunks generate shape —
     # the front end itself adds no runtime.
 ]
 

@@ -42,7 +42,10 @@ one-shuffle union+window operator) for the declared subset of one
 equality key + one inequality (or ``USING (key, time)``); plain ASOF
 is INNER per CH, the inequality operator maps to
 direction/strictness, and right-side columns surface unsuffixed
-unless they collide with a left column.
+unless they collide with a left column. The standalone ``[LEFT]
+ARRAY JOIN item [AS alias], ...`` clause compiles to one explode /
+explode_outer with CH's replace-vs-alias and lockstep-zip rules (see
+:func:`_compile_array_join`).
 
 ``ORDER BY x WITH FILL [FROM a] [TO b] [STEP s]`` (r10, VERDICT r9
 #5): fills missing integer values of the (single) sort key on a dense
@@ -297,6 +300,8 @@ _FN: dict = {
         f"aggregate({a[0]}, cast(0.0 as double), (acc, x) -> acc + x)"
     ),
     "arraySlice": _rename("slice"),
+    "arrayElement": _rename("element_at"),  # both 1-based, negative = from end
+    "arrayEnumerate": lambda a: f"sequence(1, size({a[0]}))",  # CH [1..len]
     "arrayJoin": _rename("explode"),  # valid in SELECT; Spark rejects elsewhere
     # aggregates
     "count": lambda a: f"count({', '.join(a) if a else '*'})",  # CH count()
@@ -731,6 +736,7 @@ class _Parsed:
     having: str | None = None
     order_by: list[str]
     windows: list[tuple[str, str]]  # named WINDOW clause: (name, spec)
+    array_join: tuple[bool, list] | None = None  # (left, [(expr, alias, simple)])
     fill: _Fill | None = None
     limit: int | None = None
     offset: int | None = None
@@ -798,7 +804,7 @@ def _substitute(tokens: list[str], name: str, expr: list[str]) -> list[str]:
 # modifier words that may precede JOIN (scanned backwards from it)
 _JOIN_MODS = {
     "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "OUTER", "GLOBAL", "ALL",
-    "ANY", "ASOF", "PASTE", "SEMI", "ANTI",
+    "ANY", "ASOF", "PASTE", "SEMI", "ANTI", "ARRAY",
 }
 _JOIN_TYPES = {
     "": "INNER", "INNER": "INNER",
@@ -875,10 +881,13 @@ def _parse_table_ref(toks: list[str]) -> _TableRef:
     return ref
 
 
-def _parse_from_body(body: list[str]) -> tuple[_TableRef, list[_Join]]:
+def _parse_from_body(
+    body: list[str],
+) -> tuple[_TableRef, list[_Join], tuple[bool, list] | None]:
     """The FROM body: a table ref followed by a (possibly empty) join
-    chain. Join boundaries are depth-0 ``JOIN`` tokens with their
-    backward run of modifier words."""
+    chain OR one CH ``[LEFT] ARRAY JOIN item [AS alias], ...`` clause.
+    Join boundaries are depth-0 ``JOIN`` tokens with their backward run
+    of modifier words."""
     starts, depth = [], 0
     for i, t in enumerate(body):
         if t == "(":
@@ -890,6 +899,36 @@ def _parse_from_body(body: list[str]) -> tuple[_TableRef, list[_Join]]:
             while s > 0 and _is_ident(body[s - 1]) and _kw(body[s - 1]) in _JOIN_MODS:
                 s -= 1
             starts.append((s, i))
+    if starts and any(
+        _kw(t) == "ARRAY" for s, j in starts for t in body[s:j]
+    ):
+        if len(starts) != 1:
+            raise ChSqlError(
+                "ARRAY JOIN must be the only join in the FROM body"
+            )
+        s, j = starts[0]
+        mods = {_kw(t) for t in body[s:j]}
+        if mods - {"ARRAY", "LEFT"}:
+            raise ChSqlError(
+                f"ARRAY JOIN combines only with LEFT, not {sorted(mods - {'ARRAY', 'LEFT'})}"
+            )
+        first = _parse_table_ref(body[:s])
+        items = []
+        for item in _split_commas(body[j + 1:]):
+            alias = None
+            if len(item) >= 3 and _kw(item[-2]) == "AS" and _is_ident(item[-1]):
+                alias = item[-1]
+                item = item[:-2]
+            if not item:
+                raise ChSqlError("empty ARRAY JOIN item")
+            simple = len(item) == 1 and _is_ident(item[0])
+            if alias is None and not simple:
+                raise ChSqlError(
+                    "ARRAY JOIN expressions need AS aliases (CH requires "
+                    f"them too): {' '.join(item)!r}"
+                )
+            items.append((_rewrite_all(item), alias, simple))
+        return first, [], ("LEFT" in mods, items)
     first = _parse_table_ref(body[: starts[0][0]] if starts else body)
     joins: list[_Join] = []
     for k, (s, j) in enumerate(starts):
@@ -952,7 +991,7 @@ def _parse_from_body(body: list[str]) -> tuple[_TableRef, list[_Join]]:
                 if not using or not all(_is_ident(t) for t in using):
                     raise ChSqlError(f"USING needs a column list, got {cond}")
         joins.append(_Join(jtype, ref, on, using, on_raw))
-    return first, joins
+    return first, joins, None
 
 
 def _parse(tokens: list[str]) -> _Parsed:
@@ -994,7 +1033,7 @@ def _parse(tokens: list[str]) -> _Parsed:
     frm = clause("FROM")
     if frm is None:
         raise ChSqlError("FROM is required")
-    p.from_ref, p.joins = _parse_from_body(frm[1:])
+    p.from_ref, p.joins, p.array_join = _parse_from_body(frm[1:])
 
     pre = clause("PREWHERE")
     if pre is not None:
@@ -1329,7 +1368,12 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
         _resolve(ref).createOrReplaceTempView(view)
         return f"{view} AS {ref.alias or ref.name}"
 
-    if any(jn.jtype.startswith("ASOF") for jn in p.joins):
+    if p.array_join is not None:
+        exploded = _compile_array_join(_resolve(p.from_ref), *p.array_join)
+        view = f"__ch_src_{uuid.uuid4().hex[:12]}"
+        exploded.createOrReplaceTempView(view)
+        from_text = f"{view} AS {p.from_ref.alias or p.from_ref.name}"
+    elif any(jn.jtype.startswith("ASOF") for jn in p.joins):
         if len(p.joins) != 1:
             raise ChSqlError("ASOF JOIN must be the only join in the FROM body")
         jn = p.joins[0]
@@ -1433,6 +1477,71 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
     if p.offset:
         sel += f" OFFSET {p.offset}"
     return spark.sql(sel)
+
+
+def _compile_array_join(df, left: bool, items: list):
+    """CH ``[LEFT] ARRAY JOIN item [AS alias], ...``: one output row per
+    array element — a bare column item REPLACES that column with its
+    element (the CH rule; the array itself disappears), an aliased item
+    keeps the source and adds the element under the alias. Multiple
+    items iterate in LOCKSTEP (CH zip semantics, not a cross product) —
+    unequal sizes raise at runtime like CH errors (``assert_true``
+    forced through the kept filter); arrays that are NULL on a row are
+    exempt from the size check. ``LEFT ARRAY JOIN`` keeps empty/NULL-
+    array rows with a NULL element (the Nullable-element reading of
+    CH's default-value rule). Compiles to one generate (explode /
+    explode_outer) — map-side, no shuffle, the same operator the native
+    arrayJoin() path uses."""
+    from pyspark.sql import functions as F
+
+    tmp = df
+    names = []
+    for i, (etext, _alias, _simple) in enumerate(items):
+        nm = f"__aj_{i}"
+        tmp = tmp.withColumn(nm, F.expr(etext))
+        names.append(nm)
+    gen = F.explode_outer if left else F.explode
+    if len(names) == 1:
+        tmp = tmp.withColumn("__aj_e", gen(F.col(names[0])))
+        elems = [F.col("__aj_e")]
+    else:
+        eq = None
+        for a, b in zip(names, names[1:]):
+            c = F.coalesce(
+                F.size(F.col(a)) == F.size(F.col(b)), F.lit(True)
+            )
+            eq = c if eq is None else eq & c
+        tmp = tmp.where(
+            F.assert_true(
+                eq, F.lit("ARRAY JOIN arrays must have equal sizes")
+            ).isNull()
+        )
+        tmp = tmp.withColumn(
+            "__aj_e", gen(F.arrays_zip(*[F.col(n) for n in names]))
+        )
+        elems = [F.col("__aj_e").getField(n) for n in names]
+
+    replace = {
+        etext: elem
+        for (etext, alias, simple), elem in zip(items, elems)
+        if alias is None
+    }
+    added = [
+        (alias, elem)
+        for (etext, alias, simple), elem in zip(items, elems)
+        if alias is not None
+    ]
+    for alias, _ in added:
+        if alias in df.columns:
+            raise ChSqlError(
+                f"ARRAY JOIN alias {alias!r} collides with a source column"
+            )
+    out_cols = [
+        replace[c].alias(c) if c in replace else F.col(c)
+        for c in df.columns
+    ]
+    out_cols += [elem.alias(alias) for alias, elem in added]
+    return tmp.select(*out_cols)
 
 
 _FLIP_OP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}

@@ -459,3 +459,50 @@ def ch_dialect_except(spark, sf_dir):
 
     ctx = ChContext.from_sf_dir(spark, sf_dir)
     return ch_select(spark, _EXCEPT_CH, ctx)
+
+
+_ARRAY_JOIN_CH = """
+SELECT i, count() AS n,
+       round(toFloat64(sum(toDecimal64(toFloat64(x), 6))), 6) AS sum_x,
+       uniqExact(vec_id) AS vecs
+FROM embeddings
+ARRAY JOIN arraySlice(embedding, 1, 4) AS x,
+           arrayEnumerate(arraySlice(embedding, 1, 4)) AS i
+GROUP BY i
+ORDER BY i
+"""
+
+
+@register(
+    "ch_dialect_array_join",
+    oracle="""
+    SELECT i, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,6)))
+                      AS DOUBLE), 6) AS sum_x,
+           COUNT(DISTINCT vec_id) AS vecs
+    FROM (
+      SELECT vec_id,
+             UNNEST(embedding[1:4]) AS x,
+             UNNEST(generate_series(1, len(embedding[1:4]))) AS i
+      FROM embeddings
+    )
+    GROUP BY i ORDER BY i
+    """,
+)
+def ch_dialect_array_join(spark, sf_dir):
+    """r10, A22+/B17: the standalone CH ``ARRAY JOIN`` clause through
+    the dialect front end — per-dimension statistics over the first 4
+    embedding components, two items iterating in LOCKSTEP (CH zip
+    semantics; ``arrayEnumerate`` maps to ``sequence(1, size(...))``
+    for the 1-based position). Compiles to ONE explode over an
+    ``arrays_zip`` (map-side, no shuffle before the grouped agg; a
+    runtime equal-sizes assertion mirrors CH's own error on ragged
+    items), and the DuckDB oracle uses its native lockstep parallel
+    UNNEST — an independent engine's implementation of the same zip
+    rule. The per-dimension sum follows the exact-decimal discipline
+    (float → double → decimal(…,6)) so any accumulation order is
+    bit-identical cross-engine."""
+    from postgre_to_clickhouse_spark.ch_select import ChContext, ch_select
+
+    ctx = ChContext.from_sf_dir(spark, sf_dir)
+    return ch_select(spark, _ARRAY_JOIN_CH, ctx)

@@ -892,3 +892,82 @@ def test_format_clause_drops(spark, ctx):
         ctx,
     ).collect()
     assert out[0]["n"] == catalog.load(spark, SF_ORACLE, "events").count()
+
+
+def test_array_join_clause(spark, ctx):
+    """The standalone [LEFT] ARRAY JOIN clause: bare column REPLACES
+    the array with its element; aliased expression keeps the source;
+    LEFT keeps empty/NULL-array rows with a NULL element."""
+    emb = catalog.load(spark, SF_ORACLE, "embeddings")
+    # bare-column form: `embedding` becomes the element
+    got = ch_select(
+        spark,
+        "SELECT vec_id, embedding AS e FROM "
+        "(SELECT vec_id, arraySlice(embedding, 1, 3) AS embedding "
+        " FROM embeddings) ARRAY JOIN embedding "
+        "ORDER BY vec_id, e",
+        ctx,
+    )
+    want = (
+        emb.select("vec_id", F.slice("embedding", 1, 3).alias("embedding"))
+        .select("vec_id", F.explode("embedding").alias("e"))
+        .orderBy("vec_id", "e")
+    )
+    assert _rows(got) == _rows(want)
+
+    # aliased form: the array column survives alongside the element
+    out = ch_select(
+        spark,
+        "SELECT vec_id, x, arrayElement(embedding, 1) AS first FROM "
+        "embeddings ARRAY JOIN arraySlice(embedding, 1, 2) AS x "
+        "LIMIT 4",
+        ctx,
+    )
+    assert out.columns == ["vec_id", "x", "first"]
+    assert out.count() == 4
+
+
+def test_array_join_lockstep_and_left(spark, ctx):
+    """Multiple items iterate in lockstep (zip), not cross product;
+    LEFT ARRAY JOIN keeps rows whose arrays are empty."""
+    spark.createDataFrame(
+        [(1, [10, 20], ["a", "b"]), (2, [], [])],
+        "id int, xs array<int>, ys array<string>",
+    ).createOrReplaceTempView("__aj_t")
+    ctx2 = ChContext({"t": spark.table("__aj_t")})
+    got = ch_select(
+        spark,
+        "SELECT id, xs, ys FROM t ARRAY JOIN xs, ys ORDER BY id, xs",
+        ctx2,
+    ).collect()
+    # lockstep: 2 rows for id 1 (not 4); id 2 dropped (inner)
+    assert [(r["id"], r["xs"], r["ys"]) for r in got] == [
+        (1, 10, "a"), (1, 20, "b"),
+    ]
+    left = ch_select(
+        spark,
+        "SELECT id, xs FROM t LEFT ARRAY JOIN xs ORDER BY id, xs",
+        ctx2,
+    ).collect()
+    assert [(r["id"], r["xs"]) for r in left] == [
+        (1, 10), (1, 20), (2, None),
+    ]
+
+    # unequal sizes raise at runtime, like CH
+    spark.createDataFrame(
+        [(1, [1, 2], ["only"])], "id int, xs array<int>, ys array<string>"
+    ).createOrReplaceTempView("__aj_bad")
+    ctx3 = ChContext({"t": spark.table("__aj_bad")})
+    with pytest.raises(Exception, match="equal sizes"):
+        ch_select(spark, "SELECT id, xs, ys FROM t ARRAY JOIN xs, ys",
+                  ctx3).collect()
+
+    with pytest.raises(ChSqlError, match="AS alias"):
+        ch_select(spark, "SELECT 1 FROM t ARRAY JOIN arraySlice(xs, 1, 1)",
+                  ctx2)
+    with pytest.raises(ChSqlError, match="only join"):
+        ch_select(
+            spark,
+            "SELECT 1 FROM t ARRAY JOIN xs INNER JOIN t AS u ON 1 = 1",
+            ctx2,
+        )
