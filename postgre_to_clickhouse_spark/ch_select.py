@@ -210,7 +210,16 @@ def _split_by_char(a):
 _FN: dict = {
     # date & time
     "toDate": lambda a: f"to_date({a[0]})",
-    "toDateTime": _cast("timestamp"),
+    # CH toDateTime: numeric arg = epoch SECONDS truncated to whole
+    # seconds (DateTime is second-precision — the reference MV's
+    # `toDateTime(updated_at / 1000000)` µs cast, README.md:226);
+    # string arg = datetime parse. try_cast dispatches: numerics (and
+    # timestamps, which truncate to seconds like CH DateTime) take the
+    # truncating branch, non-numeric strings fall through to the parse.
+    "toDateTime": lambda a: (
+        f"coalesce(timestamp_seconds(cast(floor(try_cast({a[0]} as double))"
+        f" as bigint)), cast({a[0]} as timestamp))"
+    ),
     "toStartOfMinute": _trunc("MINUTE"),
     "toStartOfHour": _trunc("HOUR"),
     "toStartOfDay": _trunc("DAY"),

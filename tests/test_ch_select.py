@@ -971,3 +971,71 @@ def test_array_join_lockstep_and_left(spark, ctx):
             "SELECT 1 FROM t ARRAY JOIN xs INNER JOIN t AS u ON 1 = 1",
             ctx2,
         )
+
+
+_REFERENCE_MV_TEXT = """
+SELECT
+    user_id,
+    username,
+    account_type,
+    toDateTime(updated_at / 1000000) AS updated_at,
+    toDateTime(created_at / 1000000) AS created_at,
+    _timestamp AS kafka_time,
+    _offset AS kafka_offset
+FROM kafka_shop.kafka__users
+"""  # verbatim /root/reference/README.md:222-229 (the MV's AS SELECT body)
+
+
+def _mv_source(spark):
+    from postgre_to_clickhouse_spark.cdc import unwrap
+    from postgre_to_clickhouse_spark.cdc.fixtures import users_cdc_events
+
+    # expose the Kafka-engine virtual column names the CH text uses
+    return (
+        unwrap(users_cdc_events(spark))
+        .withColumnRenamed("kafka_timestamp", "_timestamp")
+        .withColumnRenamed("kafka_offset", "_offset")
+    )
+
+
+def test_reference_mv_text_verbatim(spark):
+    """The EXACT SELECT body of the reference's materialized view
+    (README.md:212-230) compiles through the front end and equals the
+    native mv_users transform — including the µs-truncating
+    toDateTime(x / 1000000) cast (CH DateTime is second-precision)."""
+    from postgre_to_clickhouse_spark.cdc import mv_users, unwrap
+    from postgre_to_clickhouse_spark.cdc.fixtures import users_cdc_events
+
+    got = ch_select(spark, _REFERENCE_MV_TEXT,
+                    ChContext({"kafka__users": _mv_source(spark)}))
+    want = mv_users(unwrap(users_cdc_events(spark)))
+    assert got.columns == want.columns
+    assert _rows(got) == _rows(want)
+    # the truncation actually bites: john's seed row has .123456 µs
+    john = [r for r in got.collect()
+            if r["user_id"] == 1 and r["kafka_offset"] == 0][0]
+    assert john["updated_at"].microsecond == 0
+
+
+def test_ch_select_runs_under_structured_streaming(spark, tmp_path):
+    """The same verbatim CH MV text runs as a Structured Streaming
+    query: the compiled plan is declarative, so pointing the context
+    at a streaming DataFrame yields a streaming result — the
+    reference's Kafka-engine → MV pattern with the MV text unchanged.
+    Stateless map-only stage: append mode, no watermark needed."""
+    batch_src = _mv_source(spark)
+    path = str(tmp_path / "mv_src")
+    batch_src.write.parquet(path)
+    stream = spark.readStream.schema(batch_src.schema).parquet(path)
+    out = ch_select(spark, _REFERENCE_MV_TEXT,
+                    ChContext({"kafka__users": stream}))
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("__ch_mv_stream")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("__ch_mv_stream")
+    want = ch_select(spark, _REFERENCE_MV_TEXT,
+                     ChContext({"kafka__users": batch_src}))
+    assert _rows(got) == _rows(want) and got.count() > 0
