@@ -1,0 +1,426 @@
+"""ClickHouse CREATE-dialect front end (SURVEY A22; the reference's
+own DDL, ``/root/reference/README.md:163-230``).
+
+The reference provisions its pipeline with three verbatim CH DDL
+statements: the final table (``CREATE TABLE shop.users ... ENGINE =
+ReplacingMergeTree ORDER BY (user_id, updated_at)``), the Kafka source
+table (``ENGINE = Kafka SETTINGS kafka_broker_list = ...``), and the
+materialized view wiring them together. This module parses that DDL —
+unchanged — into the engine's objects:
+
+- ``CREATE DATABASE`` → a namespace (recorded; Spark databases are
+  created lazily by the caller if wanted);
+- ``CREATE TABLE ... ENGINE = MergeTree/ReplacingMergeTree`` → a
+  :class:`ChTableSpec`: a Spark ``StructType`` (CH→Spark type map
+  below), the ORDER BY sort key, and the engine's dedup semantics —
+  ReplacingMergeTree's sort-key collapse IS the engine's
+  ``dedup_redelivery`` operator (A19), and an explicit version column
+  (``ReplacingMergeTree(ver)``) additionally enables ``FINAL`` via
+  ``cdc.latest`` (A20);
+- ``CREATE TABLE ... ENGINE = Kafka SETTINGS ...`` → a source
+  declaration: topic/broker/group/format captured for
+  ``streaming.kafka.read_cdc_topic`` (gated here: no broker in the
+  test container — the parse and the wiring are what this module
+  owns);
+- ``CREATE MATERIALIZED VIEW v TO target (cols) AS SELECT ...`` → the
+  verbatim SELECT body compiled by :mod:`ch_select` when applied, plus
+  a declared-schema conformance step (CH coerces inserted blocks to
+  the target table's types; ``conform`` mirrors that cast).
+
+Type map (CH → Spark): UInt8→smallint, UInt16→int, UInt32/UInt64→
+bigint (UInt64 values above 2^63-1 are outside the declared envelope —
+refused nowhere because Kafka offsets/IDs never reach it; documented
+here), Int8..Int64 → tinyint..bigint, Float32/64 → float/double,
+String/FixedString(n)/UUID → string, Date→date, DateTime/DateTime64(p)
+→ timestamp, Decimal(p,s) → decimal(p,s), Bool → boolean,
+Enum8/Enum16(...) → string, Array(T) → array<T>, LowCardinality(T) →
+T (an encoding hint, not a type), Nullable(T) → nullable T. Column
+DEFAULT/CODEC/TTL clauses and unknown engines refuse loudly
+(`ChSqlError`) — the refuse-don't-misread convention of ch_select.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from postgre_to_clickhouse_spark.ch_select import (
+    ChContext,
+    ChSqlError,
+    _is_ident,
+    _kw,
+    _split_commas,
+    _tokenize,
+    ch_select,
+)
+
+__all__ = ["ChTableSpec", "ChMvSpec", "ChDdlCatalog"]
+
+
+_SIMPLE_TYPES = {
+    "UINT8": T.ShortType(),
+    "UINT16": T.IntegerType(),
+    "UINT32": T.LongType(),
+    "UINT64": T.LongType(),
+    "INT8": T.ByteType(),
+    "INT16": T.ShortType(),
+    "INT32": T.IntegerType(),
+    "INT64": T.LongType(),
+    "FLOAT32": T.FloatType(),
+    "FLOAT64": T.DoubleType(),
+    "STRING": T.StringType(),
+    "UUID": T.StringType(),
+    "DATE": T.DateType(),
+    "DATE32": T.DateType(),
+    "DATETIME": T.TimestampType(),
+    "BOOL": T.BooleanType(),
+    "BOOLEAN": T.BooleanType(),
+}
+
+
+def _parse_type(toks: list[str]) -> tuple[T.DataType, bool]:
+    """CH type tokens → (Spark type, nullable). Recursive for the
+    wrapper types; refuses unknown types loudly."""
+    if not toks:
+        raise ChSqlError("empty type")
+    head = toks[0]
+    up = head.upper()
+    if len(toks) == 1:
+        if up in _SIMPLE_TYPES:
+            return _SIMPLE_TYPES[up], False
+        raise ChSqlError(f"unsupported ClickHouse type {head!r}")
+    if toks[1] != "(" or toks[-1] != ")":
+        raise ChSqlError(f"cannot parse type {' '.join(toks)!r}")
+    inner = toks[2:-1]
+    if up == "NULLABLE":
+        t, _ = _parse_type(inner)
+        return t, True
+    if up == "LOWCARDINALITY":  # encoding hint, not a type
+        return _parse_type(inner)
+    if up == "ARRAY":
+        t, n = _parse_type(inner)
+        return T.ArrayType(t, containsNull=n), False
+    if up == "DATETIME" or up == "DATETIME64":
+        return T.TimestampType(), False  # precision collapses to µs
+    if up == "FIXEDSTRING":
+        return T.StringType(), False
+    if up == "DECIMAL":
+        parts = [p for p in inner if p != ","]
+        if len(parts) != 2:
+            raise ChSqlError(f"Decimal needs (p, s): {inner}")
+        return T.DecimalType(int(parts[0]), int(parts[1])), False
+    if up in ("ENUM8", "ENUM16"):
+        return T.StringType(), False
+    raise ChSqlError(f"unsupported ClickHouse type {head}(...)")
+
+
+class ChTableSpec:
+    """A parsed ``CREATE TABLE``: schema + engine semantics."""
+
+    def __init__(self, db: str | None, name: str, schema: T.StructType,
+                 engine: str, engine_args: list[str],
+                 order_by: list[str], settings: dict[str, str]):
+        self.db = db
+        self.name = name
+        self.schema = schema
+        self.engine = engine
+        self.engine_args = engine_args
+        self.order_by = order_by
+        self.settings = settings
+
+    @property
+    def is_kafka_source(self) -> bool:
+        return self.engine.upper() == "KAFKA"
+
+    @property
+    def dedup_key(self) -> tuple[str, ...]:
+        """ReplacingMergeTree collapses rows with an identical ORDER BY
+        tuple — the engine's ``dedup_redelivery`` key (A19)."""
+        if self.engine.upper() != "REPLACINGMERGETREE":
+            raise ChSqlError(f"{self.engine} has no dedup semantics")
+        return tuple(self.order_by)
+
+    @property
+    def final_spec(self) -> tuple[tuple[str, ...], tuple[str, ...]] | None:
+        """(entity_key, version_cols) for ``FINAL`` / ``cdc.latest`` —
+        only when the RMT declares an explicit version column
+        (``ReplacingMergeTree(ver)``); without one, CH keeps the last
+        INSERTED row among sort-key duplicates (arrival order, not a
+        data column), which is ``dedup_redelivery`` territory, not a
+        deterministic latest-wins view."""
+        if self.engine.upper() != "REPLACINGMERGETREE" or not self.engine_args:
+            return None
+        ver = self.engine_args[0]
+        key = tuple(c for c in self.order_by if c != ver)
+        return key, (ver,)
+
+    def conform(self, df: DataFrame) -> DataFrame:
+        """Coerce a block to the declared schema — the cast CH applies
+        when the MV inserts into the target table. Column matching is
+        BY NAME (the MV SELECT aliases establish them); missing or
+        extra columns refuse loudly."""
+        have = set(df.columns)
+        want = [f.name for f in self.schema.fields]
+        if have != set(want):
+            raise ChSqlError(
+                f"block columns {sorted(have)} != declared {sorted(want)}"
+            )
+        return df.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name)
+              for f in self.schema.fields]
+        )
+
+
+class ChMvSpec:
+    """A parsed ``CREATE MATERIALIZED VIEW``: target + verbatim SELECT."""
+
+    def __init__(self, db: str | None, name: str, target: str,
+                 declared_cols: list[str] | None, select_sql: str):
+        self.db = db
+        self.name = name
+        self.target = target
+        self.declared_cols = declared_cols
+        self.select_sql = select_sql
+
+
+class ChDdlCatalog:
+    """Accumulates parsed CH DDL; applies MVs over supplied sources.
+
+    Usage::
+
+        cat = ChDdlCatalog()
+        cat.execute(CREATE_DATABASE_SQL)
+        cat.execute(CREATE_TABLE_SQL)       # final table / Kafka source
+        cat.execute(CREATE_MV_SQL)          # verbatim AS SELECT body
+        out = cat.apply_mv(spark, "consumer__users",
+                           sources={"kafka__users": decoded_frames})
+        # `out` is conformed to the target table's declared schema and
+        # works for batch AND streaming frames (the compiled plan is
+        # declarative) — see tests/test_ch_ddl.py.
+    """
+
+    def __init__(self) -> None:
+        self.databases: list[str] = []
+        self.tables: dict[str, ChTableSpec] = {}
+        self.mvs: dict[str, ChMvSpec] = {}
+
+    # -- parsing -----------------------------------------------------
+    def execute(self, sql: str) -> object:
+        for stmt in _split_statements(sql):
+            obj = self._one(stmt)
+        return obj
+
+    def _one(self, tokens: list[str]):
+        if not tokens or _kw(tokens[0]) != "CREATE":
+            raise ChSqlError("only CREATE statements are supported here")
+        kind = _kw(tokens[1]) if len(tokens) > 1 else ""
+        if kind == "DATABASE":
+            name = _strip_if_not_exists(tokens[2:])
+            if len(name) != 1 or not _is_ident(name[0]):
+                raise ChSqlError(f"CREATE DATABASE name?: {name}")
+            self.databases.append(name[0])
+            return name[0]
+        if kind == "TABLE":
+            spec = _parse_create_table(tokens)
+            self.tables[spec.name] = spec
+            return spec
+        if kind == "MATERIALIZED" and len(tokens) > 2 and _kw(tokens[2]) == "VIEW":
+            mv = _parse_create_mv(tokens)
+            self.mvs[mv.name] = mv
+            return mv
+        raise ChSqlError(f"unsupported CREATE {kind}")
+
+    # -- application -------------------------------------------------
+    def apply_mv(self, spark: SparkSession, name: str,
+                 sources: dict[str, DataFrame]) -> DataFrame:
+        """Compile the MV's verbatim SELECT over the supplied source
+        frames (batch or streaming) and conform the result to the
+        target table's declared schema. Table specs parsed earlier
+        contribute FINAL specs (version-carrying RMTs) to the
+        compile context."""
+        mv = self.mvs.get(name)
+        if mv is None:
+            raise ChSqlError(f"unknown materialized view {name!r}")
+        final_specs = {
+            n: s.final_spec for n, s in self.tables.items()
+            if s.final_spec is not None
+        }
+        ctx = ChContext(dict(sources), final_specs=final_specs)
+        out = ch_select(spark, mv.select_sql, ctx)
+        if mv.declared_cols is not None and out.columns != mv.declared_cols:
+            raise ChSqlError(
+                f"MV SELECT produces {out.columns}, declared "
+                f"{mv.declared_cols}"
+            )
+        target = self.tables.get(mv.target)
+        return target.conform(out) if target is not None else out
+
+
+def _split_statements(sql: str) -> list[list[str]]:
+    toks = _tokenize(sql)
+    out, cur = [], []
+    for t in toks:
+        if t == ";":
+            if cur:
+                out.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        out.append(cur)
+    if not out:
+        raise ChSqlError("empty DDL")
+    return out
+
+
+def _strip_if_not_exists(toks: list[str]) -> list[str]:
+    if (
+        len(toks) >= 3 and _kw(toks[0]) == "IF" and _kw(toks[1]) == "NOT"
+        and _kw(toks[2]) == "EXISTS"
+    ):
+        return toks[3:]
+    return toks
+
+
+def _find_clause(tokens: list[str], *words: str) -> int | None:
+    """Index of the depth-0 keyword run ``words`` in tokens."""
+    depth = 0
+    for i, t in enumerate(tokens):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_ident(t) and _kw(t) == words[0]:
+            if all(
+                i + k < len(tokens) and _is_ident(tokens[i + k])
+                and _kw(tokens[i + k]) == w
+                for k, w in enumerate(words)
+            ):
+                return i
+    return None
+
+
+def _parse_create_table(tokens: list[str]) -> ChTableSpec:
+    rest = _strip_if_not_exists(tokens[2:])
+    if not rest or not _is_ident(rest[0]):
+        raise ChSqlError("CREATE TABLE needs a name")
+    qual = rest[0].split(".")
+    db, name = (qual[0], qual[1]) if len(qual) == 2 else (None, qual[0])
+    rest = rest[1:]
+    if not rest or rest[0] != "(":
+        raise ChSqlError("CREATE TABLE needs a column list")
+    depth, close = 0, None
+    for i, t in enumerate(rest):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                close = i
+                break
+    if close is None:
+        raise ChSqlError("unbalanced column list")
+    fields = []
+    for item in _split_commas(rest[1:close]):
+        if len(item) < 2 or not _is_ident(item[0]):
+            raise ChSqlError(f"cannot parse column def {' '.join(item)!r}")
+        bad = [t for t in item[1:] if _is_ident(t) and _kw(t) in
+               ("DEFAULT", "MATERIALIZED", "ALIAS", "CODEC", "TTL", "COMMENT")]
+        if bad:
+            raise ChSqlError(
+                f"column clause {bad[0]} is outside the subset "
+                f"(plain `name Type` only): {' '.join(item)!r}"
+            )
+        dtype, nullable = _parse_type(item[1:])
+        fields.append(T.StructField(item[0], dtype, nullable))
+    tail = rest[close + 1:]
+
+    eng_at = _find_clause(tail, "ENGINE")
+    if eng_at is None or tail[eng_at + 1] != "=":
+        raise ChSqlError("CREATE TABLE needs ENGINE = ...")
+    engine = tail[eng_at + 2]
+    engine_args: list[str] = []
+    j = eng_at + 3
+    if j < len(tail) and tail[j] == "(":
+        depth = 1
+        j += 1
+        while j < len(tail) and depth > 0:
+            if tail[j] == "(":
+                depth += 1
+            elif tail[j] == ")":
+                depth -= 1
+            elif tail[j] != ",":
+                engine_args.append(tail[j])
+            j += 1
+    if engine.upper() not in ("MERGETREE", "REPLACINGMERGETREE", "KAFKA"):
+        raise ChSqlError(
+            f"unsupported engine {engine!r} (MergeTree / "
+            "ReplacingMergeTree / Kafka)"
+        )
+
+    order_by: list[str] = []
+    ob_at = _find_clause(tail, "ORDER", "BY")
+    if ob_at is not None:
+        obt = tail[ob_at + 2:]
+        end = _find_clause(obt, "SETTINGS")
+        end2 = _find_clause(obt, "PARTITION", "BY")
+        ends = [e for e in (end, end2) if e is not None]
+        obt = obt[: min(ends)] if ends else obt
+        if obt and obt[0] == "(":
+            obt = obt[1:-1] if obt[-1] == ")" else obt[1:]
+        order_by = [t for t in obt if t != ","]
+        if not all(_is_ident(t) for t in order_by):
+            raise ChSqlError(
+                f"ORDER BY supports plain columns here, got {order_by}"
+            )
+    elif engine.upper() != "KAFKA":
+        raise ChSqlError(f"ENGINE = {engine} requires ORDER BY")
+
+    settings: dict[str, str] = {}
+    st_at = _find_clause(tail, "SETTINGS")
+    if st_at is not None:
+        for item in _split_commas(tail[st_at + 1:]):
+            if len(item) >= 3 and item[1] == "=":
+                settings[item[0]] = " ".join(item[2:]).strip("'")
+            else:
+                raise ChSqlError(f"cannot parse SETTING {' '.join(item)!r}")
+    return ChTableSpec(db, name, T.StructType(fields), engine,
+                       engine_args, order_by, settings)
+
+
+def _parse_create_mv(tokens: list[str]) -> ChMvSpec:
+    rest = _strip_if_not_exists(tokens[3:])
+    if not rest or not _is_ident(rest[0]):
+        raise ChSqlError("CREATE MATERIALIZED VIEW needs a name")
+    qual = rest[0].split(".")
+    db, name = (qual[0], qual[1]) if len(qual) == 2 else (None, qual[0])
+    rest = rest[1:]
+    if not rest or _kw(rest[0]) != "TO":
+        raise ChSqlError(
+            "only the reference's `TO target` MV form is supported "
+            "(implicit .inner storage is a CH artifact)"
+        )
+    target = rest[1].split(".")[-1]
+    rest = rest[2:]
+    declared = None
+    if rest and rest[0] == "(":
+        depth, close = 0, None
+        for i, t in enumerate(rest):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth == 0:
+                    close = i
+                    break
+        if close is None:
+            raise ChSqlError("unbalanced MV column list")
+        declared = [it[0] for it in _split_commas(rest[1:close])]
+        rest = rest[close + 1:]
+    if not rest or _kw(rest[0]) != "AS":
+        raise ChSqlError("CREATE MATERIALIZED VIEW needs AS SELECT ...")
+    select_sql = " ".join(rest[1:])
+    return ChMvSpec(db, name, target, declared, select_sql)

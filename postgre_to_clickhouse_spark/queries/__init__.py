@@ -67,8 +67,8 @@ from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 # queries, each
 # committed with a passing oracle run per the registration rule).
 # Rule 2 backfills the FULL 18-query r4 cohort (5 rounds stale — the
-# judge's named obligation) plus the first 15 of the r5 cohort
-# alphabetically; the remaining 33 r5-greens rotate in over r11-r12.
+# judge's named obligation) plus the first 14 of the r5 cohort
+# alphabetically; the remaining 34 r5-greens rotate in over r11-r12.
 _WINDOW = [
     # --- Rule 1: new in r10 / never driver-checked ---
     "ch_dialect_join",            # A22+ CH JOIN chains (VERDICT r9 #3)
@@ -80,6 +80,7 @@ _WINDOW = [
     "ch_dialect_except",          # A22+/B12 CH filter-semantics EXCEPT
     "ch_dialect_fill_interval",   # A22+/B14 STEP INTERVAL + INTERPOLATE
     "ch_dialect_array_join",      # A22+/B17 ARRAY JOIN lockstep clause
+    "cdc_ch_ddl_pipeline",        # A22 verbatim CREATE DDL -> MV -> golden
     "series_period_events",       # B33 seriesPeriodDetectFFT (oracle fixed r10)
     "categorical_iv_weekday",     # B33 categoricalInformationValue
     # --- Rule 1: implementation internals changed in r10 ---
@@ -124,12 +125,12 @@ _WINDOW = [
     "dedup_incremental_batch",    # C1 incremental anti-join
     "dedup_pipeline_canonical",   # C1 URL-canonicalize
     "document_chunks",            # C4 chunking
-    "embedding_quantize_int8",    # C3 int8 quantization
-    # (embedding_random_projection, funnel_strict_modes,
-    # funnel_view_click_purchase, grouping_sets_sql,
-    # histogram_event_values, json_typed_extraction — the alphabetical
-    # tail of the r5 backfill — yield their seats to the six newest
-    # rule-1 ch_dialect queries; all six stay oracle-gated + benched
+    # (embedding_quantize_int8, embedding_random_projection,
+    # funnel_strict_modes, funnel_view_click_purchase,
+    # grouping_sets_sql, histogram_event_values, json_typed_extraction
+    # — the alphabetical tail of the r5 backfill — yield their seats
+    # to the seven newest rule-1 queries (six ch_dialect + the
+    # verbatim-DDL pipeline); all seven stay oracle-gated + benched
     # and rotate in r11 under rule 2.)
 ]
 

@@ -506,3 +506,84 @@ def ch_dialect_array_join(spark, sf_dir):
 
     ctx = ChContext.from_sf_dir(spark, sf_dir)
     return ch_select(spark, _ARRAY_JOIN_CH, ctx)
+
+
+# The reference's own DDL, verbatim (README.md:163-230) — parsed by
+# ch_ddl.ChDdlCatalog into engine objects in cdc_ch_ddl_pipeline.
+_REF_DDL = """
+CREATE DATABASE shop;
+CREATE TABLE shop.users
+(
+    user_id UInt32,
+    username String,
+    account_type String,
+    updated_at DateTime,
+    created_at DateTime,
+    kafka_time Nullable(DateTime),
+    kafka_offset UInt64
+)
+ENGINE = ReplacingMergeTree
+ORDER BY (user_id, updated_at);
+"""
+
+_REF_MV_DDL = """
+CREATE MATERIALIZED VIEW kafka_shop.consumer__users TO shop.users AS
+SELECT
+    user_id,
+    username,
+    account_type,
+    toDateTime(updated_at / 1000000) AS updated_at,
+    toDateTime(created_at / 1000000) AS created_at,
+    _timestamp AS kafka_time,
+    _offset AS kafka_offset
+FROM kafka_shop.kafka__users;
+"""
+
+
+@register(
+    "cdc_ch_ddl_pipeline",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'john_doe',   'Gold',   TIMESTAMP '2024-03-01 10:00:00'),
+      (1, 'john_doe',   'Silver', TIMESTAMP '2024-03-02 09:00:00'),
+      (2, 'jane_smith', 'Silver', TIMESTAMP '2024-03-01 10:00:05'),
+      (2, 'jane_smith', 'Bronze', TIMESTAMP '2024-03-02 08:00:00'),
+      (2, 'jane_smith', 'Gold',   TIMESTAMP '2024-03-03 12:30:00'),
+      (3, 'bob_wilson', 'Bronze', TIMESTAMP '2024-03-01 10:00:09')
+    ) AS t(user_id, username, account_type, updated_at)
+    """,
+)
+def cdc_ch_ddl_pipeline(spark, sf_dir):
+    """r10, A22: the PASTE-THE-README loop — the reference's CREATE
+    DATABASE / CREATE TABLE (ReplacingMergeTree) / CREATE MATERIALIZED
+    VIEW statements, character-for-character, parsed by
+    :class:`ch_ddl.ChDdlCatalog`; the MV's verbatim SELECT compiled by
+    the dialect front end over the replayed CDC fixture; the result
+    conformed to the parsed target schema (the cast CH applies on
+    insert); and the redelivery dedup keyed by the ORDER BY tuple the
+    DDL itself declares. The hand-computed golden (README.md:237-243
+    semantics, incl. the µs-truncating toDateTime) is the oracle —
+    closed-form VALUES, independent of every code path under test.
+    Deterministic fixture; no sf_dir dependency. Stateless map-only MV
+    + one sort-key dedup — the exact reference pipeline shape."""
+    from postgre_to_clickhouse_spark.cdc import dedup_redelivery, unwrap
+    from postgre_to_clickhouse_spark.cdc.fixtures import users_cdc_events
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+    from postgre_to_clickhouse_spark.session import configure
+
+    configure(spark)
+    cat = ChDdlCatalog()
+    cat.execute(_REF_DDL)
+    cat.execute(_REF_MV_DDL)
+    src = (
+        unwrap(users_cdc_events(spark))
+        .withColumnRenamed("kafka_timestamp", "_timestamp")
+        .withColumnRenamed("kafka_offset", "_offset")
+    )
+    out = cat.apply_mv(spark, "consumer__users", {"kafka__users": src})
+    assert cat.tables["users"].dedup_key == ("user_id", "updated_at")
+    return (
+        dedup_redelivery(out)
+        .select("user_id", "username", "account_type", "updated_at")
+        .orderBy("user_id", "updated_at")
+    )

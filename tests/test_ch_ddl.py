@@ -1,0 +1,220 @@
+"""CH CREATE-dialect front end (`ch_ddl.py`): the reference's three
+verbatim DDL statements (README.md:163-230) parse into engine objects,
+and replaying the CDC fixture through the parsed MV + target-table
+conformance + the ReplacingMergeTree dedup key reproduces the golden."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+from postgre_to_clickhouse_spark.ch_select import ChSqlError
+
+# verbatim /root/reference/README.md:163-230
+_USERS_DDL = """
+CREATE TABLE shop.users
+(
+    user_id UInt32,
+    username String,
+    account_type String,
+    updated_at DateTime,
+    created_at DateTime,
+    kafka_time Nullable(DateTime),
+    kafka_offset UInt64
+)
+ENGINE = ReplacingMergeTree
+ORDER BY (user_id, updated_at);
+"""
+
+_KAFKA_DDL = """
+CREATE TABLE kafka_shop.kafka__users
+(
+    user_id UInt32,
+    username String,
+    account_type String,
+    updated_at UInt64,
+    created_at UInt64
+)
+ENGINE = Kafka
+SETTINGS kafka_broker_list = 'broker:29092',
+kafka_topic_list = 'shop.public.users',
+kafka_group_name = 'clickhouse',
+kafka_format = 'AvroConfluent',
+format_avro_schema_registry_url='http://schema-registry:8081';
+"""
+
+_MV_DDL = """
+CREATE MATERIALIZED VIEW kafka_shop.consumer__users TO shop.users
+(
+    user_id UInt32,
+    username String,
+    account_type String,
+    updated_at DateTime,
+    created_at DateTime,
+    kafka_time Nullable(DateTime),
+    kafka_offset UInt64
+) AS
+SELECT
+    user_id,
+    username,
+    account_type,
+    toDateTime(updated_at / 1000000) AS updated_at,
+    toDateTime(created_at / 1000000) AS created_at,
+    _timestamp AS kafka_time,
+    _offset AS kafka_offset
+FROM kafka_shop.kafka__users;
+"""
+
+
+@pytest.fixture()
+def cat():
+    c = ChDdlCatalog()
+    c.execute("CREATE DATABASE shop;")
+    c.execute("CREATE DATABASE kafka_shop;")
+    c.execute(_USERS_DDL)
+    c.execute(_KAFKA_DDL)
+    c.execute(_MV_DDL)
+    return c
+
+
+def _sources(spark):
+    from postgre_to_clickhouse_spark.cdc import unwrap
+    from postgre_to_clickhouse_spark.cdc.fixtures import users_cdc_events
+
+    return {
+        "kafka__users": (
+            unwrap(users_cdc_events(spark))
+            .withColumnRenamed("kafka_timestamp", "_timestamp")
+            .withColumnRenamed("kafka_offset", "_offset")
+        )
+    }
+
+
+def test_parse_reference_ddl_verbatim(cat):
+    assert cat.databases == ["shop", "kafka_shop"]
+    users = cat.tables["users"]
+    assert users.engine == "ReplacingMergeTree"
+    assert users.dedup_key == ("user_id", "updated_at")
+    # no version argument -> FINAL is arrival-order territory, refused
+    assert users.final_spec is None
+    assert [f.name for f in users.schema.fields] == [
+        "user_id", "username", "account_type", "updated_at",
+        "created_at", "kafka_time", "kafka_offset",
+    ]
+    types = {f.name: f.dataType for f in users.schema.fields}
+    assert types["user_id"] == T.LongType()  # UInt32 widens
+    assert types["updated_at"] == T.TimestampType()
+    assert types["kafka_offset"] == T.LongType()
+    nullables = {f.name: f.nullable for f in users.schema.fields}
+    assert nullables["kafka_time"] and not nullables["updated_at"]
+
+    kafka = cat.tables["kafka__users"]
+    assert kafka.is_kafka_source
+    assert kafka.settings["kafka_topic_list"] == "shop.public.users"
+    assert kafka.settings["kafka_format"] == "AvroConfluent"
+    assert kafka.settings["kafka_broker_list"] == "broker:29092"
+
+    mv = cat.mvs["consumer__users"]
+    assert mv.target == "users"
+    assert mv.declared_cols == [f.name for f in users.schema.fields]
+
+
+def test_mv_apply_conforms_and_reproduces_golden(spark, cat):
+    """The full paste-the-README loop: parsed MV over the replayed CDC
+    fixture, conformed to the parsed table schema, deduped on the
+    parsed ReplacingMergeTree sort key == the golden final table."""
+    from postgre_to_clickhouse_spark.cdc import dedup_redelivery
+    from postgre_to_clickhouse_spark.cdc.fixtures import GOLDEN_ALL_VERSIONS
+
+    out = cat.apply_mv(spark, "consumer__users", _sources(spark))
+    users = cat.tables["users"]
+    assert out.schema == users.schema or [
+        (f.name, f.dataType) for f in out.schema.fields
+    ] == [(f.name, f.dataType) for f in users.schema.fields]
+
+    # the RMT ORDER BY key parsed from the DDL is exactly the key the
+    # engine's redelivery-dedup operator collapses on
+    assert users.dedup_key == ("user_id", "updated_at")
+    got = dedup_redelivery(out).collect()
+    as_map = {
+        (r.user_id, r.updated_at.strftime("%Y-%m-%d %H:%M:%S")):
+            (r.username, r.account_type)
+        for r in got
+    }
+    assert as_map == GOLDEN_ALL_VERSIONS
+
+
+def test_mv_apply_streaming(spark, cat, tmp_path):
+    """apply_mv over a streaming source frame yields a streaming
+    conformed result — the reference's continuous-MV behavior."""
+    batch = _sources(spark)["kafka__users"]
+    path = str(tmp_path / "src")
+    batch.write.parquet(path)
+    stream = spark.readStream.schema(batch.schema).parquet(path)
+    out = cat.apply_mv(spark, "consumer__users", {"kafka__users": stream})
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory").queryName("__ch_ddl_mv")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("__ch_ddl_mv")
+    want = cat.apply_mv(spark, "consumer__users", _sources(spark))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_rmt_version_argument_enables_final(spark, cat):
+    c = ChDdlCatalog()
+    c.execute(
+        "CREATE TABLE t (user_id UInt32, updated_at DateTime, v String) "
+        "ENGINE = ReplacingMergeTree(updated_at) ORDER BY (user_id, updated_at)"
+    )
+    assert c.tables["t"].final_spec == (("user_id",), ("updated_at",))
+
+
+def test_type_map_wrappers():
+    c = ChDdlCatalog()
+    c.execute(
+        "CREATE TABLE w (a LowCardinality(String), b Array(Nullable(Float32)), "
+        "c Decimal(18, 4), d DateTime64(3), e FixedString(16), f Enum8('x' = 1)) "
+        "ENGINE = MergeTree ORDER BY (a)"
+    )
+    types = {f.name: f.dataType for f in c.tables["w"].schema.fields}
+    assert types["a"] == T.StringType()
+    assert types["b"] == T.ArrayType(T.FloatType(), True)
+    assert types["c"] == T.DecimalType(18, 4)
+    assert types["d"] == T.TimestampType()
+    assert types["e"] == T.StringType()
+    assert types["f"] == T.StringType()
+
+
+@pytest.mark.parametrize(
+    "bad, frag",
+    [
+        ("CREATE TABLE t (a UInt32) ENGINE = CollapsingMergeTree ORDER BY (a)",
+         "unsupported engine"),
+        ("CREATE TABLE t (a UInt32 DEFAULT 0) ENGINE = MergeTree ORDER BY (a)",
+         "outside the subset"),
+        ("CREATE TABLE t (a Foo) ENGINE = MergeTree ORDER BY (a)",
+         "unsupported ClickHouse type"),
+        ("CREATE TABLE t (a UInt32) ENGINE = MergeTree", "requires ORDER BY"),
+        ("CREATE MATERIALIZED VIEW v AS SELECT 1 FROM t", "TO target"),
+        ("CREATE VIEW v AS SELECT 1", "unsupported CREATE"),
+        ("DROP TABLE t", "only CREATE"),
+    ],
+)
+def test_ddl_refusals(bad, frag):
+    with pytest.raises(ChSqlError, match=frag):
+        ChDdlCatalog().execute(bad)
+
+
+def test_mv_declared_columns_must_match(spark):
+    c = ChDdlCatalog()
+    c.execute(
+        "CREATE MATERIALIZED VIEW v TO t (a UInt32, b String) AS "
+        "SELECT user_id AS a FROM src"
+    )
+    with pytest.raises(ChSqlError, match="declared"):
+        c.apply_mv(spark, "v", _sources(spark) | {
+            "src": _sources(spark)["kafka__users"]})
