@@ -234,6 +234,39 @@ class ChDdlCatalog:
         raise ChSqlError(f"unsupported CREATE {kind}")
 
     # -- application -------------------------------------------------
+    def source_stream(self, spark: SparkSession, name: str,
+                      streaming: bool = True) -> DataFrame:
+        """Construct the Kafka reader a parsed ``ENGINE = Kafka`` table
+        declares — broker list, topic, consumer group straight from the
+        DDL's SETTINGS (README.md:190-201). Gated like A4/A6: the
+        container has no spark-kafka jar or broker, so construction
+        raises Spark's data-source error here; the parse→options wiring
+        is what this method owns. ``streaming=False`` gives the batch
+        replay of the same topic (A27)."""
+        spec = self.tables.get(name)
+        if spec is None or not spec.is_kafka_source:
+            raise ChSqlError(f"{name!r} is not a parsed ENGINE = Kafka table")
+        s = spec.settings
+        missing = [k for k in ("kafka_broker_list", "kafka_topic_list")
+                   if k not in s]
+        if missing:
+            raise ChSqlError(f"Kafka DDL lacks SETTINGS {missing}")
+        fmt = s.get("kafka_format", "AvroConfluent")
+        if fmt != "AvroConfluent":
+            raise ChSqlError(
+                f"kafka_format {fmt!r} is outside the subset — the decode "
+                "chain implements AvroConfluent (cdc.avro / cdc.avro_py)"
+            )
+        from postgre_to_clickhouse_spark.streaming.kafka import read_cdc_topic
+
+        return read_cdc_topic(
+            spark,
+            bootstrap_servers=s["kafka_broker_list"],
+            topic=s["kafka_topic_list"],
+            group_id=s.get("kafka_group_name", "clickhouse"),
+            streaming=streaming,
+        )
+
     def apply_mv(self, spark: SparkSession, name: str,
                  sources: dict[str, DataFrame]) -> DataFrame:
         """Compile the MV's verbatim SELECT over the supplied source

@@ -1378,6 +1378,24 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
         return f"{view} AS {ref.alias or ref.name}"
 
     if p.array_join is not None:
+        # PREWHERE runs at storage level in CH — BEFORE the ARRAY JOIN
+        # — so a PREWHERE over a bare-column item would see the ARRAY
+        # while this engine's post-explode filter sees the ELEMENT
+        # under the same name: refuse that narrow divergence loudly.
+        # (Predicates over untouched columns commute with the explode
+        # — Catalyst pushes them below the generate — so plain
+        # PREWHERE stays supported.)
+        if p.prewhere:
+            for etext, alias, _simple in p.array_join[1]:
+                col = etext if alias is None else None
+                if col and re.search(rf"\b{re.escape(col)}\b", p.prewhere):
+                    raise ChSqlError(
+                        f"PREWHERE references {col!r}, which ARRAY JOIN "
+                        "replaces with its element — CH evaluates PREWHERE "
+                        "before ARRAY JOIN; alias the item (ARRAY JOIN "
+                        f"{col} AS x) or move the predicate to WHERE "
+                        "semantics explicitly"
+                    )
         exploded = _compile_array_join(_resolve(p.from_ref), *p.array_join)
         view = f"__ch_src_{uuid.uuid4().hex[:12]}"
         exploded.createOrReplaceTempView(view)

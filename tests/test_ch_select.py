@@ -1039,3 +1039,23 @@ def test_ch_select_runs_under_structured_streaming(spark, tmp_path):
     want = ch_select(spark, _REFERENCE_MV_TEXT,
                      ChContext({"kafka__users": batch_src}))
     assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_array_join_prewhere_on_replaced_column_refuses(spark, ctx):
+    spark.createDataFrame(
+        [(1, [10, 20])], "id int, xs array<int>"
+    ).createOrReplaceTempView("__aj_pw")
+    ctx2 = ChContext({"t": spark.table("__aj_pw")})
+    with pytest.raises(ChSqlError, match="before ARRAY JOIN"):
+        ch_select(
+            spark,
+            "SELECT id, xs FROM t ARRAY JOIN xs PREWHERE xs > 5",
+            ctx2,
+        )
+    # untouched-column PREWHERE stays supported (commutes with explode)
+    ok = ch_select(
+        spark,
+        "SELECT id, x FROM t ARRAY JOIN xs AS x PREWHERE id = 1",
+        ctx2,
+    )
+    assert ok.count() == 2
