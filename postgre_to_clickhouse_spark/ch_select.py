@@ -12,7 +12,9 @@ practical CH SELECT subset that compiles to a Spark plan, mapping
   :func:`cdc.dedup.latest`, ``SAMPLE f [OFFSET o]`` →
   :func:`operators.sampling.sample_consistent`, ``PREWHERE`` → an
   ordinary filter (Catalyst pushes it into the scan — the PREWHERE
-  intent, see PARITY B2), ``LIMIT n BY cols`` → a window band filter,
+  intent, see PARITY B2), ``LIMIT n BY cols`` → a window band filter
+  (and ``SELECT DISTINCT ON (cols)`` → ``LIMIT 1 BY`` — CH's own
+  documented equivalence, same ORDER BY determinism demand),
   ``GROUP BY ... WITH TOTALS`` → grouping sets ``((keys...), ())``;
 - CH function names to Spark SQL builtins (``toStartOfHour`` →
   ``date_trunc``, ``uniqExact`` → ``COUNT(DISTINCT ..)``, ``argMax``
@@ -35,8 +37,12 @@ FROM (base table or CTE; FINAL/SAMPLE apply per-side), and the chain
 compiles to standard Spark SQL joins, so broadcast/AQE planning is
 Catalyst's. CH's ``GLOBAL`` prefix (a distributed-execution hint) and
 ``ALL`` (the default multiplicity, = SQL semantics) are accepted and
-dropped; ``ANY``/``PASTE`` joins are REFUSED loudly — their
-row-selection semantics have no standard-SQL equivalent. ``ASOF
+dropped. ``ANY [INNER|LEFT] JOIN`` (r10) matches each left row with AT
+MOST ONE right row: CH picks an arbitrary duplicate, this engine the
+minimum struct of the right's non-key columns — a deterministic
+instance of that contract (one partial-aggregable groupBy that doubles
+as the join-side shuffle); RIGHT/FULL ANY and ``PASTE`` joins REFUSE
+loudly. ``ASOF
 [LEFT] JOIN`` compiles to :func:`operators.asof.asof_join` (the
 one-shuffle union+window operator) for the declared subset of one
 equality key + one inequality (or ``USING (key, time)``); plain ASOF
@@ -704,14 +710,16 @@ class _TableRef:
 class _Join:
     def __init__(self, jtype: str, ref: _TableRef,
                  on: str | None, using: list[str] | None,
-                 on_raw: list[str] | None = None):
+                 on_raw: list[str] | None = None,
+                 any_dedup: bool = False):
         # 'INNER'|'LEFT'|'RIGHT'|'FULL'|'CROSS'|'LEFT SEMI'|'LEFT ANTI'
         # |'ASOF'|'ASOF LEFT'
         self.jtype = jtype
         self.ref = ref
         self.on = on
         self.using = using
-        self.on_raw = on_raw  # raw ON tokens (ASOF parses them structurally)
+        self.on_raw = on_raw  # raw ON tokens (ASOF/ANY parse structurally)
+        self.any_dedup = any_dedup  # ANY join: dedup right side per key
 
 
 class _Fill:
@@ -942,19 +950,28 @@ def _parse_from_body(
     joins: list[_Join] = []
     for k, (s, j) in enumerate(starts):
         mods = [_kw(t) for t in body[s:j]]
-        if "ANY" in mods or "PASTE" in mods:
+        if "PASTE" in mods:
             raise ChSqlError(
-                "ANY/PASTE JOIN row-selection semantics have no "
-                "standard-SQL equivalent — use the DataFrame API"
+                "PASTE JOIN (positional row gluing) has no standard-SQL "
+                "equivalent — use the DataFrame API"
             )
         # GLOBAL is a CH distributed-execution hint; ALL is the default
         # multiplicity (= SQL join semantics) — both drop.
         mods = [m for m in mods if m not in ("GLOBAL", "ALL")]
+        any_dedup = "ANY" in mods
+        if any_dedup:
+            mods = [m for m in mods if m != "ANY"]
+            if mods not in ([], ["INNER"], ["LEFT"]):
+                raise ChSqlError(
+                    "ANY JOIN is supported as ANY [INNER|LEFT] JOIN — "
+                    "RIGHT/FULL ANY dedup the LEFT side, outside the subset"
+                )
         if "ASOF" in mods:
             extra = set(mods) - {"ASOF", "LEFT"}
-            if extra:
+            if extra or any_dedup:
                 raise ChSqlError(
-                    f"ASOF JOIN combines only with LEFT, not {sorted(extra)}"
+                    f"ASOF JOIN combines only with LEFT, not "
+                    f"{sorted(extra) + (['ANY'] if any_dedup else [])}"
                 )
             jtype = "ASOF LEFT" if "LEFT" in mods else "ASOF"
         else:
@@ -985,9 +1002,9 @@ def _parse_from_body(
             if cond_kw == "ON":
                 if jtype == "CROSS":
                     raise ChSqlError("CROSS JOIN takes no ON condition")
-                if jtype.startswith("ASOF"):
+                if jtype.startswith("ASOF") or any_dedup:
                     on_raw = cond  # parsed structurally at compile time
-                else:
+                if not jtype.startswith("ASOF"):
                     on = _rewrite_all(cond)
                     if not on:
                         raise ChSqlError("empty ON condition")
@@ -999,7 +1016,7 @@ def _parse_from_body(
                 using = [t for t in cond if t != ","]
                 if not using or not all(_is_ident(t) for t in using):
                     raise ChSqlError(f"USING needs a column list, got {cond}")
-        joins.append(_Join(jtype, ref, on, using, on_raw))
+        joins.append(_Join(jtype, ref, on, using, on_raw, any_dedup))
     return first, joins, None
 
 
@@ -1024,9 +1041,31 @@ def _parse(tokens: list[str]) -> _Parsed:
     # SELECT list runs to the first clause keyword
     first = bounds[0][1] if splits else len(tokens)
     sel = tokens[1:first]
+    distinct_on: list[str] | None = None
     if sel and _kw(sel[0]) == "DISTINCT":
-        p.distinct = True
-        sel = sel[1:]
+        if len(sel) > 2 and _kw(sel[1]) == "ON" and sel[2] == "(":
+            # CH: SELECT DISTINCT ON (c1, c2) ... keeps the first row
+            # per key group — by CH's own documentation equivalent to
+            # LIMIT 1 BY (c1, c2); compiled through the same window
+            # band filter, with the same ORDER BY determinism demand.
+            depth, close = 0, None
+            for i in range(2, len(sel)):
+                if sel[i] == "(":
+                    depth += 1
+                elif sel[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = i
+                        break
+            if close is None:
+                raise ChSqlError("unbalanced DISTINCT ON (...)")
+            distinct_on = [_rewrite_all(it) for it in _split_commas(sel[3:close])]
+            if not distinct_on:
+                raise ChSqlError("empty DISTINCT ON column list")
+            sel = sel[close + 1:]
+        else:
+            p.distinct = True
+            sel = sel[1:]
     if not sel:
         raise ChSqlError("empty SELECT list")
     for item in _split_commas(sel):
@@ -1231,6 +1270,11 @@ def _parse(tokens: list[str]) -> _Parsed:
         # — presentation-layer only; the result DataFrame is the data.
         if len(fmt) != 2 or not _is_ident(fmt[1]):
             raise ChSqlError(f"FORMAT takes one format name: {fmt[1:]}")
+
+    if distinct_on is not None:
+        if p.limit_by is not None:
+            raise ChSqlError("DISTINCT ON combined with LIMIT BY is ambiguous")
+        p.limit_by = (1, distinct_on)
     return p
 
 
@@ -1434,7 +1478,15 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
     else:
         from_text = _register(p.from_ref)
         for jn in p.joins:
-            from_text += f" {jn.jtype} JOIN {_register(jn.ref)}"
+            if jn.any_dedup:
+                rdf = _resolve(jn.ref)
+                keys = _any_right_keys(jn, rdf)
+                view = f"__ch_src_{uuid.uuid4().hex[:12]}"
+                _any_dedup_frame(rdf, keys).createOrReplaceTempView(view)
+                seg = f"{view} AS {jn.ref.alias or jn.ref.name}"
+            else:
+                seg = _register(jn.ref)
+            from_text += f" {jn.jtype} JOIN {seg}"
             if jn.on:
                 from_text += f" ON {jn.on}"
             elif jn.using:
@@ -1504,6 +1556,76 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
     if p.offset:
         sel += f" OFFSET {p.offset}"
     return spark.sql(sel)
+
+
+def _any_right_keys(jn: _Join, rdf) -> list[str]:
+    """The right-side join-key columns of an ANY join — from USING, or
+    from an ON conjunction of plain equalities where each term relates
+    the right table (alias-qualified, or an unqualified name the right
+    frame owns) to the left side. Anything fancier refuses loudly."""
+    if jn.using is not None:
+        return list(jn.using)
+    ra = jn.ref.alias or jn.ref.name
+    conjs, cur, depth = [], [], 0
+    for t in jn.on_raw or []:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        if depth == 0 and _is_ident(t) and _kw(t) == "AND":
+            conjs.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    conjs.append(cur)
+    keys = []
+    for c in conjs:
+        if len(c) != 3 or c[1] not in ("=", "=="):
+            raise ChSqlError(
+                "ANY JOIN ON supports conjunctions of `col = col` "
+                f"equalities: got {' '.join(c)!r}"
+            )
+        right = []
+        for tok in (c[0], c[2]):
+            if not _is_ident(tok):
+                raise ChSqlError(
+                    f"ANY JOIN ON terms must be plain columns, got {tok!r}"
+                )
+            if "." in tok:
+                q, col = tok.split(".", 1)
+                if q == ra:
+                    right.append(col)
+            elif tok in rdf.columns:
+                right.append(tok)
+        if len(right) != 1:
+            raise ChSqlError(
+                "each ANY JOIN equality must relate the right table to "
+                f"the left side unambiguously — qualify columns: "
+                f"{' '.join(c)!r}"
+            )
+        keys.append(right[0])
+    return keys
+
+
+def _any_dedup_frame(rdf, keys: list[str]):
+    """CH ``ANY JOIN``: at most one right row matches each left row. CH
+    picks an ARBITRARY one of the key's duplicates; this engine picks
+    the minimum struct of the non-key columns — a deterministic,
+    replayable instance of that contract (documented divergence: stable
+    instead of arbitrary). One partial-aggregable groupBy on the join
+    key — the dedup shuffle doubles as the join-side shuffle."""
+    from pyspark.sql import functions as F
+
+    missing = [k for k in keys if k not in rdf.columns]
+    if missing:
+        raise ChSqlError(f"ANY JOIN key(s) {missing} not in the right table")
+    others = [c for c in rdf.columns if c not in keys]
+    if not others:
+        return rdf.dropDuplicates(keys)
+    agg = rdf.groupBy(*keys).agg(
+        F.min(F.struct(*[F.col(c).alias(c) for c in others])).alias("__any")
+    )
+    return agg.select(*keys, *[F.col("__any")[c].alias(c) for c in others])
 
 
 def _compile_array_join(df, left: bool, items: list):

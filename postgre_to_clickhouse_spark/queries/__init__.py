@@ -62,13 +62,13 @@ from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 # ch_dialect queries; lttb.py gained y_scale; geo.py's
 # geohashes_in_box changed parameter order; ddl.py's execute_alter
 # agg-projection parser changed; contingency_theils_u gained
-# broadcast hints). Session 2 adds six more rule-1 seats (the
-# window/subquery/union/except/interval-fill/array-join ch_dialect
-# queries, each
+# broadcast hints). Session 2 adds eight more rule-1 seats (the
+# window/subquery/union/except/interval-fill/array-join/any-join
+# ch_dialect queries + the verbatim-DDL cdc_ch_ddl_pipeline, each
 # committed with a passing oracle run per the registration rule).
 # Rule 2 backfills the FULL 18-query r4 cohort (5 rounds stale — the
-# judge's named obligation) plus the first 14 of the r5 cohort
-# alphabetically; the remaining 34 r5-greens rotate in over r11-r12.
+# judge's named obligation) plus the first 13 of the r5 cohort
+# alphabetically; the remaining 35 r5-greens rotate in over r11-r12.
 _WINDOW = [
     # --- Rule 1: new in r10 / never driver-checked ---
     "ch_dialect_join",            # A22+ CH JOIN chains (VERDICT r9 #3)
@@ -81,6 +81,7 @@ _WINDOW = [
     "ch_dialect_fill_interval",   # A22+/B14 STEP INTERVAL + INTERPOLATE
     "ch_dialect_array_join",      # A22+/B17 ARRAY JOIN lockstep clause
     "cdc_ch_ddl_pipeline",        # A22 verbatim CREATE DDL -> MV -> golden
+    "ch_dialect_any_join",        # A22+/B3 CH ANY LEFT JOIN (min-struct)
     "series_period_events",       # B33 seriesPeriodDetectFFT (oracle fixed r10)
     "categorical_iv_weekday",     # B33 categoricalInformationValue
     # --- Rule 1: implementation internals changed in r10 ---
@@ -124,13 +125,12 @@ _WINDOW = [
     "decontaminate_eval_overlap",  # C2 decontamination
     "dedup_incremental_batch",    # C1 incremental anti-join
     "dedup_pipeline_canonical",   # C1 URL-canonicalize
-    "document_chunks",            # C4 chunking
-    # (embedding_quantize_int8, embedding_random_projection,
+    # (document_chunks, embedding_quantize_int8, embedding_random_projection,
     # funnel_strict_modes, funnel_view_click_purchase,
     # grouping_sets_sql, histogram_event_values, json_typed_extraction
     # — the alphabetical tail of the r5 backfill — yield their seats
-    # to the seven newest rule-1 queries (six ch_dialect + the
-    # verbatim-DDL pipeline); all seven stay oracle-gated + benched
+    # to the eight newest rule-1 queries (seven ch_dialect + the
+    # verbatim-DDL pipeline); all eight stay oracle-gated + benched
     # and rotate in r11 under rule 2.)
 ]
 

@@ -508,6 +508,46 @@ def ch_dialect_array_join(spark, sf_dir):
     return ch_select(spark, _ARRAY_JOIN_CH, ctx)
 
 
+_ANY_JOIN_CH = """
+WITH od AS (SELECT o_custkey, o_orderdate FROM orders)
+SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+       o.o_orderdate AS first_order
+FROM customer AS c
+ANY LEFT JOIN od AS o ON c.c_custkey = o.o_custkey
+ORDER BY custkey
+"""
+
+
+@register(
+    "ch_dialect_any_join",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment,
+           x.first_order
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, MIN(o_orderdate) AS first_order
+               FROM orders GROUP BY 1) x
+      ON c.c_custkey = x.o_custkey
+    ORDER BY custkey
+    """,
+)
+def ch_dialect_any_join(spark, sf_dir):
+    """r10, A22+/B3: ClickHouse ``ANY LEFT JOIN`` through the dialect
+    front end — each customer matches AT MOST ONE order row. CH picks
+    an arbitrary duplicate; this engine deterministically keeps the
+    minimum struct of the right side's non-key columns, so with the
+    CTE projecting a single payload column the kept row is provably
+    the earliest order date — which is exactly what the independent
+    DuckDB oracle computes with GROUP BY + MIN. Plan: the dedup is one
+    partial-aggregable groupBy on o_custkey whose shuffle doubles as
+    the join-side shuffle (no extra exchange), then a broadcast/hash
+    left join — the ANY contract costs one map-side combine, never a
+    row explosion."""
+    from postgre_to_clickhouse_spark.ch_select import ChContext, ch_select
+
+    ctx = ChContext.from_sf_dir(spark, sf_dir)
+    return ch_select(spark, _ANY_JOIN_CH, ctx)
+
+
 # The reference's own DDL, verbatim (README.md:163-230) — parsed by
 # ch_ddl.ChDdlCatalog into engine objects in cdc_ch_ddl_pipeline.
 _REF_DDL = """

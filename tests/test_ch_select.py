@@ -154,7 +154,9 @@ def test_array_join_explodes(spark, ctx):
     "bad, frag",
     [
         ("SELECT 1 FROM events UNION SELECT 1 FROM orders", "bare UNION"),
-        ("SELECT 1 FROM events ANY LEFT JOIN orders ON 1=1", "ANY/PASTE"),
+        ("SELECT 1 FROM events ANY RIGHT JOIN orders ON 1=1", "outside the subset"),
+        ("SELECT 1 FROM events PASTE JOIN orders", "PASTE"),
+        ("SELECT 1 FROM events ANY LEFT JOIN orders ON 1=1", "plain columns"),
         ("SELECT 1 FROM events ASOF JOIN orders ON 1=1", "one equality and one inequality"),
         (
             "SELECT 1 FROM events AS e ASOF JOIN orders AS o "
@@ -1059,3 +1061,77 @@ def test_array_join_prewhere_on_replaced_column_refuses(spark, ctx):
         ctx2,
     )
     assert ok.count() == 2
+
+
+def test_distinct_on_equals_limit_one_by(spark, ctx):
+    """CH: SELECT DISTINCT ON (cols) == LIMIT 1 BY cols (documented
+    equivalence); unordered DISTINCT ON refuses like unordered
+    LIMIT BY."""
+    don = ch_select(
+        spark,
+        "SELECT DISTINCT ON (user_id) user_id, event_id, value "
+        "FROM events PREWHERE value IS NOT NULL "
+        "ORDER BY value DESC, event_id",
+        ctx,
+    )
+    lb = ch_select(
+        spark,
+        "SELECT user_id, event_id, value FROM events "
+        "PREWHERE value IS NOT NULL "
+        "ORDER BY value DESC, event_id LIMIT 1 BY user_id",
+        ctx,
+    )
+    assert _rows(don) == _rows(lb)
+    assert don.count() == don.select("user_id").distinct().count()
+
+    with pytest.raises(ChSqlError, match="ORDER BY"):
+        ch_select(spark, "SELECT DISTINCT ON (user_id) user_id, value "
+                  "FROM events", ctx)
+    with pytest.raises(ChSqlError, match="ambiguous"):
+        ch_select(
+            spark,
+            "SELECT DISTINCT ON (user_id) user_id, value FROM events "
+            "ORDER BY value LIMIT 2 BY user_id",
+            ctx,
+        )
+    # plain DISTINCT is unaffected
+    d = ch_select(spark, "SELECT DISTINCT event_type FROM events", ctx)
+    assert d.count() == 5
+
+
+def test_any_join_dedups_right_side(spark, ctx):
+    """ANY LEFT/INNER JOIN: at most one right match per left row —
+    right side collapsed to the min-struct row per key (the engine's
+    deterministic instance of CH's arbitrary-pick contract)."""
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, lv string"
+    ).createOrReplaceTempView("__any_l")
+    spark.createDataFrame(
+        [(1, 30, "x"), (1, 10, "y"), (1, 10, "w"), (3, 5, "z")],
+        "k int, rv int, tag string",
+    ).createOrReplaceTempView("__any_r")
+    ctx2 = ChContext({"l": spark.table("__any_l"), "r": spark.table("__any_r")})
+
+    left = ch_select(
+        spark,
+        "SELECT l.k AS k, l.lv AS lv, r.rv AS rv, r.tag AS tag "
+        "FROM l ANY LEFT JOIN r ON l.k = r.k ORDER BY k",
+        ctx2,
+    ).collect()
+    # k=1 gets exactly ONE match — the min struct (10, 'w'); k=2 -> NULLs
+    assert [(r["k"], r["lv"], r["rv"], r["tag"]) for r in left] == [
+        (1, "a", 10, "w"), (2, "b", None, None),
+    ]
+
+    inner = ch_select(
+        spark,
+        "SELECT k, lv, rv FROM l ANY INNER JOIN r USING (k)",
+        ctx2,
+    ).collect()
+    assert [(r["k"], r["lv"], r["rv"]) for r in inner] == [(1, "a", 10)]
+
+    # plain (ALL) join for contrast: 3 matched rows for k=1
+    allj = ch_select(
+        spark, "SELECT l.k AS k FROM l INNER JOIN r ON l.k = r.k", ctx2
+    )
+    assert allj.count() == 3
