@@ -1907,17 +1907,27 @@ def _fill_union(out: DataFrame, grid: DataFrame, fill: _Fill,
     u = out.withColumn("__ch_fill", F.lit(False)).unionByName(
         filler.withColumn("__ch_fill", F.lit(True))
     )
-    # carry the previous REAL row's value: filled rows contribute NULL,
-    # last(ignorenulls) over the ordered prefix picks the latest real
-    # one; a leading run with no prior real row keeps the type default
-    # (the CH behavior). Global ordered window — see the docstring.
+    # carry the previous REAL row's value onto FILLED rows only: real
+    # rows keep their values verbatim (CH never rewrites source rows),
+    # and the carried value is the last real row's value INCLUDING a
+    # genuine NULL (CH's bare-column INTERPOLATE copies the previous
+    # row's value, whatever it is) — hence the struct wrapper, which
+    # stays non-null for real rows even when the field is NULL. A
+    # leading run with no prior real row takes the type default (the
+    # CH behavior). Global ordered window — see the docstring.
     w = Window.orderBy(fill.key).rowsBetween(Window.unboundedPreceding,
                                              Window.currentRow)
     for c in fill.interpolate:
-        masked = F.when(~F.col("__ch_fill"), F.col(c))
+        carried = F.last(
+            F.when(~F.col("__ch_fill"), F.struct(F.col(c).alias("v"))),
+            ignorenulls=True,
+        ).over(w)
         u = u.withColumn(
             c,
-            F.coalesce(F.last(masked, ignorenulls=True).over(w),
-                       _fill_default(dtypes[c])),
+            F.when(
+                F.col("__ch_fill"),
+                F.when(carried.isNotNull(), carried["v"])
+                .otherwise(_fill_default(dtypes[c])),
+            ).otherwise(F.col(c)),
         )
     return u.drop("__ch_fill").orderBy(fill.key)

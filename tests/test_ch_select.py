@@ -1135,3 +1135,27 @@ def test_any_join_dedups_right_side(spark, ctx):
         spark, "SELECT l.k AS k FROM l INNER JOIN r ON l.k = r.k", ctx2
     )
     assert allj.count() == 3
+
+
+def test_interpolate_preserves_real_null_values(spark, ctx):
+    """CH INTERPOLATE rewrites FILLED rows only — a real row whose
+    value is genuinely NULL keeps its NULL (LOCF must not overwrite
+    source rows)."""
+    spark.createDataFrame(
+        [(1, 10.0), (3, None), (6, 20.0)], "k int, v double"
+    ).createOrReplaceTempView("__interp_t")
+    ctx2 = ChContext({"t": spark.table("__interp_t")})
+    out = ch_select(
+        spark,
+        "SELECT k, v FROM t ORDER BY k WITH FILL INTERPOLATE (v)",
+        ctx2,
+    ).collect()
+    got = {r["k"]: r["v"] for r in out}
+    assert sorted(got) == [1, 2, 3, 4, 5, 6]
+    assert got[1] == 10.0 and got[6] == 20.0
+    assert got[3] is None          # real NULL preserved
+    assert got[2] == 10.0          # filled: carries previous real value
+    # filled rows after the real NULL carry that NULL — CH's
+    # bare-column INTERPOLATE copies the previous row's value,
+    # whatever it is, not the last non-null
+    assert got[4] is None and got[5] is None
