@@ -534,6 +534,20 @@ def _apply(name: str, args: list[str]) -> str:
         if len(vals) != 1:
             raise ChSqlError(f"{name} needs (value, condition)")
         return _apply(base, [f"CASE WHEN {cond} THEN {vals[0]} END"])
+    # -OrNull combinator: CH returns NULL instead of the aggregate's
+    # empty-set default (sum→0, min/max/avg→engine default). Spark's
+    # natural aggregates ALREADY return NULL over an empty/all-null
+    # input — the OrNull semantics — so the suffix strips to the base
+    # mapping. (Corollary caveat, documented here: plain CH `sum` over
+    # a ZERO-ROW global aggregate returns 0 while this engine returns
+    # NULL — the OrNull reading; grouped aggregates never hit the case
+    # because empty groups don't exist.)
+    if name.endswith("OrNull") and name[:-6] in _IF_BASES:
+        base = name[:-6]
+        if base in ("count", "uniq", "uniqExact"):
+            # count-family returns 0 (not NULL) on empty in both engines
+            return f"nullif({_apply(base, args)}, 0)"
+        return _apply(base, args)
     if re.search(r"(State|Merge)$", name):
         raise ChSqlError(
             f"{name!r}: -State/-Merge combinators belong to the "

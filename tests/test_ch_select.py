@@ -1159,3 +1159,24 @@ def test_interpolate_preserves_real_null_values(spark, ctx):
     # bare-column INTERPOLATE copies the previous row's value,
     # whatever it is, not the last non-null
     assert got[4] is None and got[5] is None
+
+
+def test_or_null_combinator(spark, ctx):
+    """-OrNull: NULL instead of the empty-set default. Spark's natural
+    aggregates already have the OrNull semantics; countOrNull maps via
+    nullif(count, 0)."""
+    out = ch_select(
+        spark,
+        "SELECT sumOrNull(value) AS s, minOrNull(value) AS mn, "
+        "countOrNull(value) AS c, uniqExactOrNull(user_id) AS u "
+        "FROM events WHERE value > 1e12",
+        ctx,
+    ).collect()[0]
+    assert out["s"] is None and out["mn"] is None and out["c"] is None
+    assert out["u"] is None
+    ok = ch_select(
+        spark,
+        "SELECT countOrNull(value) AS c FROM events WHERE value IS NOT NULL",
+        ctx,
+    ).collect()[0]["c"]
+    assert ok and ok > 0
