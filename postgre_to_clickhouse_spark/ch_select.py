@@ -196,6 +196,49 @@ def _cast(t):
     return lambda a: f"cast({a[0]} as {t})"
 
 
+def _epoch_bucket(x: str, seconds: int) -> str:
+    """Epoch-aligned fixed-width time bucket — CH's alignment rule for
+    sub-day intervals (toStartOfFiveMinutes & co., toStartOfInterval)."""
+    return (
+        f"timestamp_seconds(floor(unix_timestamp({x}) / {seconds})"
+        f" * {seconds})"
+    )
+
+
+_INTERVAL_SECONDS = {
+    "SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400,
+}
+
+
+def _start_of_interval(a: list[str]) -> str:
+    """CH ``toStartOfInterval(ts, INTERVAL n unit)`` — the dashboard
+    bucketing workhorse. Sub-day units (and DAY) align to the Unix
+    epoch, CH's own rule; calendar units (WEEK/MONTH/QUARTER/YEAR)
+    support n = 1 only, where the bucket IS the date_trunc — multiples
+    of variable-width units have engine-specific origins and refuse
+    loudly."""
+    if len(a) != 2:
+        raise ChSqlError("toStartOfInterval takes (ts, INTERVAL n unit)")
+    m = re.fullmatch(r"(?i)\s*INTERVAL\s+(\d+)\s+([A-Za-z]+)\s*", a[1])
+    if not m:
+        raise ChSqlError(
+            f"toStartOfInterval needs an INTERVAL n unit literal, got {a[1]!r}"
+        )
+    n, unit = int(m.group(1)), m.group(2).upper()
+    if n < 1:
+        raise ChSqlError("toStartOfInterval needs a positive interval")
+    if unit in _INTERVAL_SECONDS:
+        return _epoch_bucket(a[0], n * _INTERVAL_SECONDS[unit])
+    if unit in ("WEEK", "MONTH", "QUARTER", "YEAR"):
+        if n != 1:
+            raise ChSqlError(
+                f"toStartOfInterval over {n} {unit}S has an engine-specific "
+                "origin — only single calendar units are in the subset"
+            )
+        return f"date_trunc('{unit}', {a[0]})"
+    raise ChSqlError(f"unsupported toStartOfInterval unit {unit!r}")
+
+
 def _multi_if(a):
     if len(a) < 3 or len(a) % 2 == 0:
         raise ChSqlError("multiIf needs cond,val pairs + else")
@@ -245,6 +288,13 @@ _FN: dict = {
     "today": lambda a: "current_date()",
     "now": lambda a: "current_timestamp()",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
+    "toQuarter": _rename("quarter"),
+    "toDayOfYear": _rename("dayofyear"),
+    # fixed epoch-aligned buckets (CH aligns these to the Unix epoch)
+    "toStartOfFiveMinutes": lambda a: _epoch_bucket(a[0], 300),
+    "toStartOfTenMinutes": lambda a: _epoch_bucket(a[0], 600),
+    "toStartOfFifteenMinutes": lambda a: _epoch_bucket(a[0], 900),
+    "toStartOfInterval": lambda a: _start_of_interval(a),
     "addDays": _rename("date_add"),
     "subtractDays": _rename("date_sub"),
     "dateDiff": _rename("datediff"),  # CH 3-arg (unit,a,b) != Spark 2-arg; Spark validates arity

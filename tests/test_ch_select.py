@@ -1180,3 +1180,32 @@ def test_or_null_combinator(spark, ctx):
         ctx,
     ).collect()[0]["c"]
     assert ok and ok > 0
+
+
+def test_to_start_of_interval_buckets(spark, ctx):
+    """toStartOfInterval / toStartOfFifteenMinutes: epoch-aligned
+    fixed-width buckets (the CH alignment rule); single calendar units
+    fall back to date_trunc; multiples of calendar units refuse."""
+    out = ch_select(
+        spark,
+        "SELECT ts, toStartOfInterval(ts, INTERVAL 15 MINUTE) AS b15, "
+        "toStartOfFiveMinutes(ts) AS b5, "
+        "toStartOfInterval(ts, INTERVAL 2 HOUR) AS b2h, "
+        "toStartOfInterval(ts, INTERVAL 1 MONTH) AS bmo, "
+        "toQuarter(ts) AS q, toDayOfYear(ts) AS doy "
+        "FROM events LIMIT 200",
+        ctx,
+    ).collect()
+    assert out
+    for r in out:
+        for col, width in (("b15", 900), ("b5", 300), ("b2h", 7200)):
+            b = r[col].timestamp()
+            assert b % width == 0 and b <= r["ts"].timestamp() < b + width
+        assert r["bmo"].day == 1 and r["bmo"].hour == 0
+        assert 1 <= r["q"] <= 4 and 1 <= r["doy"] <= 366
+
+    with pytest.raises(ChSqlError, match="engine-specific"):
+        ch_select(spark, "SELECT toStartOfInterval(ts, INTERVAL 3 MONTH) "
+                  "FROM events", ctx)
+    with pytest.raises(ChSqlError, match="INTERVAL n unit"):
+        ch_select(spark, "SELECT toStartOfInterval(ts, 900) FROM events", ctx)
