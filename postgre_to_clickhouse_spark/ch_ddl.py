@@ -150,12 +150,20 @@ class ChTableSpec:
         (``ReplacingMergeTree(ver)``); without one, CH keeps the last
         INSERTED row among sort-key duplicates (arrival order, not a
         data column), which is ``dedup_redelivery`` territory, not a
-        deterministic latest-wins view."""
+        deterministic latest-wins view.
+
+        CH dedups on the FULL sorting key: with
+        ``ReplacingMergeTree(ver) ORDER BY (k, ver)`` rows differing
+        in ``ver`` have DISTINCT sort keys, so FINAL keeps them all
+        and the version argument is effectively a no-op. When the
+        version column appears in ORDER BY, the entity key is
+        therefore the full ORDER BY tuple (FINAL collapses only exact
+        sort-key duplicates) — NOT the tuple minus ``ver``, which
+        would silently collapse to one row per ``k``."""
         if self.engine.upper() != "REPLACINGMERGETREE" or not self.engine_args:
             return None
         ver = self.engine_args[0]
-        key = tuple(c for c in self.order_by if c != ver)
-        return key, (ver,)
+        return tuple(self.order_by), (ver,)
 
     def conform(self, df: DataFrame) -> DataFrame:
         """Coerce a block to the declared schema — the cast CH applies

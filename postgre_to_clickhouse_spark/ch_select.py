@@ -1383,7 +1383,16 @@ class ChContext:
 
 def ch_select(spark: SparkSession, sql: str, ctx: ChContext) -> DataFrame:
     """Compile one ClickHouse-dialect SELECT (with an optional WITH
-    prologue of CTEs and/or CH scalar aliases) to a Spark DataFrame."""
+    prologue of CTEs and/or CH scalar aliases) to a Spark DataFrame.
+
+    Namespace caveat: when the statement contains a predicate subquery
+    (``IN (SELECT ...)``, ``EXISTS (...)``, scalar ``(SELECT ...)``),
+    compiling registers every ``ctx.tables`` entry (and every CTE) as
+    a session temp view UNDER ITS BARE NAME so Spark's parser can
+    resolve the subquery — replacing any same-name temp view the
+    caller had registered, and leaving the views registered after the
+    call. Statements without predicate subqueries register nothing.
+    """
     return _compile(spark, _tokenize(sql.strip().rstrip(";")), ctx)
 
 
@@ -1406,9 +1415,19 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
     # against the session catalog, so every context table (and every
     # compiled CTE, added to ctx above) registers as a temp view under
     # its own name. Catalyst plans them as semi/anti joins or one-row
-    # broadcasts — no front-end runtime.
-    for _name, _df in ctx.tables.items():
-        _df.createOrReplaceTempView(_name)
+    # broadcasts — no front-end runtime. Registration happens ONLY
+    # when the statement actually contains a predicate subquery (a
+    # `( SELECT` not opening a FROM/JOIN derived table) — otherwise
+    # compiling would silently clobber same-name temp views in the
+    # caller's session for no benefit (see the ch_select docstring
+    # for the remaining namespace-takeover caveat).
+    if any(
+        t == "(" and i + 1 < len(tokens) and _kw(tokens[i + 1]) == "SELECT"
+        and (i == 0 or _kw(tokens[i - 1]) not in ("FROM", "JOIN"))
+        for i, t in enumerate(tokens)
+    ):
+        for _name, _df in ctx.tables.items():
+            _df.createOrReplaceTempView(_name)
 
     arms = _split_setops(tokens)
     if len(arms) > 1:
@@ -1521,15 +1540,25 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
         joined.createOrReplaceTempView(view)
         from_text = view
         # the joined frame is flat — remap alias-qualified refs in every
-        # compiled expression to the flat (possibly suffixed) names
+        # compiled expression to the flat (possibly suffixed) names.
+        # The remap must not reach inside string/backtick literals
+        # (alias `e` + literal 'e.g' would otherwise rewrite the
+        # LITERAL), so the text is split on quoted spans first and the
+        # substitution applies to code segments only.
         qual = re.compile(
             rf"\b({re.escape(la)}|{re.escape(ra)})\.([A-Za-z_][A-Za-z0-9_]*)"
         )
+        quoted = re.compile(r"('(?:[^']|'')*'|`[^`]*`)")
 
         def _fix(txt):
             if not txt:
                 return txt
-            return qual.sub(lambda m: rename.get(m.group(0), m.group(2)), txt)
+            parts = quoted.split(txt)
+            return "".join(
+                p if i % 2 else
+                qual.sub(lambda m: rename.get(m.group(0), m.group(2)), p)
+                for i, p in enumerate(parts)
+            )
 
         p.select = [(_fix(e), a) for e, a in p.select]
         p.prewhere, p.where, p.having = _fix(p.prewhere), _fix(p.where), _fix(p.having)
@@ -1720,9 +1749,13 @@ def _compile_array_join(df, left: bool, items: list):
     else:
         eq = None
         for a, b in zip(names, names[1:]):
-            c = F.coalesce(
-                F.size(F.col(a)) == F.size(F.col(b)), F.lit(True)
-            )
+            # NULL-array rows are exempt EXPLICITLY — relying on
+            # size(NULL) == NULL would flip under legacy (non-ANSI)
+            # sizeOfNull=-1, where size(NULL) is -1 and the coalesce
+            # never fires, turning the exemption into a spurious raise.
+            c = F.when(
+                F.col(a).isNull() | F.col(b).isNull(), F.lit(True)
+            ).otherwise(F.size(F.col(a)) == F.size(F.col(b)))
             eq = c if eq is None else eq & c
         tmp = tmp.where(
             F.assert_true(
@@ -1959,7 +1992,14 @@ def _fill_union(out: DataFrame, grid: DataFrame, fill: _Fill,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    filler = grid.join(F.broadcast(out.select(fill.key)), fill.key, "left_anti").select(
+    # The anti-join's right side is a DISTINCT of the result's keys —
+    # partial-aggregable map-side, and bounded above by the grid's own
+    # cardinality within the fill range — with NO broadcast hint: AQE
+    # broadcasts it when small and falls back to a shuffle join when a
+    # large ungrouped result would make a forced broadcast OOM. (The
+    # grid side is the provably-bounded one, but Spark's broadcast
+    # anti-join requires the RIGHT side in memory.)
+    filler = grid.join(out.select(fill.key).distinct(), fill.key, "left_anti").select(
         *[
             F.col(fill.key) if c == fill.key
             else _fill_default(dtypes[c]).alias(c)

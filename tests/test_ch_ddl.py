@@ -168,9 +168,24 @@ def test_rmt_version_argument_enables_final(spark, cat):
     c = ChDdlCatalog()
     c.execute(
         "CREATE TABLE t (user_id UInt32, updated_at DateTime, v String) "
-        "ENGINE = ReplacingMergeTree(updated_at) ORDER BY (user_id, updated_at)"
+        "ENGINE = ReplacingMergeTree(updated_at) ORDER BY (user_id)"
     )
     assert c.tables["t"].final_spec == (("user_id",), ("updated_at",))
+
+
+def test_rmt_version_inside_sort_key_keeps_full_key(spark, cat):
+    # CH dedups on the FULL sorting key: when the version column is
+    # itself part of ORDER BY, rows differing in it have distinct sort
+    # keys and FINAL keeps them all — the entity key must be the whole
+    # tuple, not (k,) (ADVICE r10: collapsing to one row per k was a
+    # silent wrong-result divergence).
+    c = ChDdlCatalog()
+    c.execute(
+        "CREATE TABLE t (user_id UInt32, updated_at DateTime, v String) "
+        "ENGINE = ReplacingMergeTree(updated_at) ORDER BY (user_id, updated_at)"
+    )
+    assert c.tables["t"].final_spec == (
+        ("user_id", "updated_at"), ("updated_at",))
 
 
 def test_type_map_wrappers():

@@ -1209,3 +1209,93 @@ def test_to_start_of_interval_buckets(spark, ctx):
                   "FROM events", ctx)
     with pytest.raises(ChSqlError, match="INTERVAL n unit"):
         ch_select(spark, "SELECT toStartOfInterval(ts, 900) FROM events", ctx)
+
+
+def test_asof_string_literal_survives_alias_remap(spark, ctx):
+    """The ASOF flat-frame remap rewrites alias-qualified refs at the
+    code level only — a string LITERAL containing `alias.word` (here
+    alias `e`, literal 'e.g x') must pass through verbatim (ADVICE
+    r10: the old regex rewrote it to 'g x')."""
+    ev = catalog.load(spark, SF_ORACLE, "events").select(
+        "event_id", "user_id", "ts"
+    ).limit(50)
+    marks = ev.select(
+        F.col("user_id"), F.col("ts"), F.lit(1).alias("m")
+    )
+    ctx2 = ChContext({"ev": ev, "marks": marks})
+    out = ch_select(
+        spark,
+        "SELECT concat('e.g ', toString(e.event_id)) AS tag, "
+        "e.user_id AS user_id "
+        "FROM ev AS e ASOF LEFT JOIN marks AS m "
+        "ON e.user_id = m.user_id AND e.ts >= m.ts",
+        ctx2,
+    ).collect()
+    assert out and all(r["tag"].startswith("e.g ") for r in out)
+
+
+def test_array_join_null_exempt_without_ansi(spark, ctx):
+    """A row where one lockstep array is NULL is exempt from the
+    equal-sizes assertion EXPLICITLY — including under legacy
+    (non-ANSI) sizeOfNull semantics where size(NULL) = -1, which broke
+    the old coalesce(size(a)==size(b), true) encoding (ADVICE r10)."""
+    spark.createDataFrame(
+        [(1, [10, 20], ["a", "b"]), (2, None, ["x"])],
+        "id int, xs array<int>, ys array<string>",
+    ).createOrReplaceTempView("__aj_null")
+    ctx2 = ChContext({"t": spark.table("__aj_null")})
+    sql = "SELECT id, xs, ys FROM t ARRAY JOIN xs, ys ORDER BY id, xs"
+    before = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.ansi.enabled", "spark.sql.legacy.sizeOfNull")
+    }
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+        got = ch_select(spark, sql, ctx2).collect()
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # the NULL-array row is exempt (and dropped by the inner explode);
+    # the real rows zip in lockstep
+    assert [(r["id"], r["xs"], r["ys"]) for r in got] == [
+        (1, 10, "a"), (1, 20, "b"),
+    ]
+
+
+def test_compile_without_subquery_leaves_session_views_alone(spark, ctx):
+    """Compiling a statement with no predicate subquery must not
+    clobber same-name session temp views (ADVICE r10: registration was
+    unconditional); a statement WITH a predicate subquery registers
+    the context tables, shadowing the caller's view."""
+    sentinel = spark.range(3).selectExpr("id AS sentinel_col")
+    sentinel.createOrReplaceTempView("events")
+    try:
+        ev = catalog.load(spark, SF_ORACLE, "events").limit(10)
+        out = ch_select(
+            spark, "SELECT count() AS n FROM events",
+            ChContext({"events": ev}),
+        )
+        assert out.collect()[0]["n"] == 10
+        # the caller's view survived
+        assert spark.table("events").columns == ["sentinel_col"]
+        # FROM-subqueries don't need (and don't trigger) registration
+        ch_select(
+            spark,
+            "SELECT count() AS n FROM (SELECT user_id FROM events)",
+            ChContext({"events": ev}),
+        ).collect()
+        assert spark.table("events").columns == ["sentinel_col"]
+        # ... a predicate subquery DOES register (documented takeover)
+        ch_select(
+            spark,
+            "SELECT count() AS n FROM events "
+            "WHERE user_id IN (SELECT user_id FROM events)",
+            ChContext({"events": ev}),
+        ).collect()
+        assert spark.table("events").columns != ["sentinel_col"]
+    finally:
+        spark.catalog.dropTempView("events")
