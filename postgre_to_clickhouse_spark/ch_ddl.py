@@ -210,20 +210,37 @@ class ChDdlCatalog:
         # declarative) — see tests/test_ch_ddl.py.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, storage_root: str | None = None,
+                 n_buckets: int = 4) -> None:
         self.databases: list[str] = []
         self.tables: dict[str, ChTableSpec] = {}
         self.mvs: dict[str, ChMvSpec] = {}
+        # r11 (VERDICT r10 #3): storage-backed statements. When a
+        # storage_root is given, each declared MergeTree-family table
+        # lazily gets a ManifestTable under <root>/<name>, and the
+        # catalog additionally accepts the CH ALTER dialect
+        # (mutations + projection DDL — ddl.execute_alter's forms), so
+        # a user's full provisioning script (CREATE + ALTER + SELECT)
+        # runs through ONE object instead of hitting the seam between
+        # ChDdlCatalog (CREATE only) and ddl.execute_alter (handle
+        # required) one statement in.
+        self.storage_root = storage_root
+        self.n_buckets = n_buckets
+        self.storage: dict[str, object] = {}
 
     # -- parsing -----------------------------------------------------
-    def execute(self, sql: str) -> object:
+    def execute(self, sql: str, spark: SparkSession | None = None) -> object:
         for stmt in _split_statements(sql):
-            obj = self._one(stmt)
+            obj = self._one(stmt, spark)
         return obj
 
-    def _one(self, tokens: list[str]):
+    def _one(self, tokens: list[str], spark: SparkSession | None = None):
+        if tokens and _kw(tokens[0]) == "ALTER":
+            return self._alter(tokens, spark)
         if not tokens or _kw(tokens[0]) != "CREATE":
-            raise ChSqlError("only CREATE statements are supported here")
+            raise ChSqlError(
+                "only CREATE and ALTER TABLE statements are supported here"
+            )
         kind = _kw(tokens[1]) if len(tokens) > 1 else ""
         if kind == "DATABASE":
             name = _strip_if_not_exists(tokens[2:])
@@ -240,6 +257,95 @@ class ChDdlCatalog:
             self.mvs[mv.name] = mv
             return mv
         raise ChSqlError(f"unsupported CREATE {kind}")
+
+    def _alter(self, tokens: list[str], spark: SparkSession | None):
+        """Route a ClickHouse ``ALTER TABLE`` statement — the mutation
+        and projection forms :func:`ddl.execute_alter` parses
+        (UPDATE/DELETE WHERE, ADD/DROP PROJECTION; reference terminal
+        surface README.md:163-230, CH 24.3) — to the declared table's
+        storage handle. Undeclared tables, Kafka-engine tables, and a
+        missing SparkSession all refuse loudly."""
+        if len(tokens) < 4 or _kw(tokens[1]) != "TABLE":
+            raise ChSqlError(
+                f"unsupported ALTER statement: {' '.join(tokens[:4])} ..."
+            )
+        name = tokens[2].rsplit(".", 1)[-1]
+        if name not in self.tables:
+            raise ChSqlError(
+                f"ALTER TABLE references undeclared table {name!r} — "
+                "CREATE it in this catalog first"
+            )
+        if spark is None:
+            raise ChSqlError(
+                "ALTER TABLE mutations run Spark jobs: call "
+                "execute(sql, spark=spark)"
+            )
+        from postgre_to_clickhouse_spark.ddl import execute_alter
+
+        return execute_alter(spark, self.storage_for(name), " ".join(tokens))
+
+    # -- storage -----------------------------------------------------
+    def storage_for(self, name: str):
+        """The :class:`sinks.manifest.ManifestTable` backing a declared
+        MergeTree-family table — created lazily under
+        ``storage_root/<name>``, bucketed on the first ORDER BY column,
+        zone-map stats on the whole sort key (the CH primary-index
+        minmax analog)."""
+        if name in self.storage:
+            return self.storage[name]
+        spec = self.tables.get(name)
+        if spec is None:
+            raise ChSqlError(f"unknown table {name!r}")
+        if spec.is_kafka_source:
+            raise ChSqlError(
+                f"{name!r} is an ENGINE = Kafka stream, not a stored table"
+            )
+        if self.storage_root is None:
+            raise ChSqlError(
+                "storage-backed statements (ALTER / insert / query) need "
+                "ChDdlCatalog(storage_root=...)"
+            )
+        import os
+
+        from postgre_to_clickhouse_spark.sinks.manifest import ManifestTable
+
+        t = ManifestTable(
+            os.path.join(self.storage_root, name),
+            key_col=spec.order_by[0],
+            n_buckets=self.n_buckets,
+            stats_cols=tuple(spec.order_by),
+        )
+        self.storage[name] = t
+        return t
+
+    def insert(self, spark: SparkSession, name: str, df: DataFrame,
+               batch_id: int = 0) -> int:
+        """CH ``INSERT INTO <name>`` against the catalog's storage:
+        conform the block to the declared schema (the cast CH applies
+        on insert), then land it as immutable part files — the
+        MergeTree ingest path, O(batch) regardless of table size.
+        Within-batch exact sort-key duplicates collapse (the part-level
+        dedup ReplacingMergeTree performs on insert blocks)."""
+        spec = self.tables.get(name)
+        if spec is None:
+            raise ChSqlError(f"unknown table {name!r}")
+        t = self.storage_for(name)
+        key = tuple(spec.order_by)
+        t.append_parts(sort_key=key, arrival=key)(spec.conform(df), batch_id)
+        return t.current_version()
+
+    def query(self, spark: SparkSession, sql: str) -> DataFrame:
+        """Compile a CH-dialect SELECT against the catalog's STORED
+        tables (each inserted table reads through its manifest; RMT
+        version declarations contribute FINAL specs) — the terminal
+        SELECT of the reference's own workflow, over the same catalog
+        the DDL built."""
+        tables = {n: self.storage[n].read(spark) for n in self.storage}
+        final_specs = {
+            n: s.final_spec for n, s in self.tables.items()
+            if s.final_spec is not None and n in tables
+        }
+        return ch_select(spark, sql, ChContext(tables, final_specs=final_specs))
 
     # -- application -------------------------------------------------
     def source_stream(self, spark: SparkSession, name: str,
