@@ -1,0 +1,272 @@
+"""ClickHouse-HTTP-analogue wire endpoint (r11, VERDICT r10 #4 —
+closing move on A22's wire surface).
+
+The reference's terminal endpoint speaks ClickHouse SQL over the
+ClickHouse server's own wire protocols — HTTP 8123 and native TCP
+9000 (``/root/reference/clickhouse-server/config.d/config.xml:11-12,
+30``, ``README.md:156``). r7's :func:`ddl.serve_sql_endpoint` covers
+the generic JDBC/ODBC surface (Thrift/HiveServer2, Spark SQL dialect);
+THIS module covers the dialect gap: a wire client's **verbatim
+ClickHouse SELECT text** runs as-is.
+
+Design: a driver-side HTTP server (the CH HTTP interface subset real
+clients use — ``curl 'http://host:port/?query=...'``, POST body
+queries, ``/ping``) that compiles each received statement with
+:func:`ch_select.ch_select` against a fixed table context (or a
+:class:`ch_ddl.ChDdlCatalog`'s stored tables) and streams the result
+back in CH wire formats:
+
+- ``TabSeparated`` (the CH default): ``\\t``-separated, ``\\N`` for
+  NULL, strings escaped CH-style (backslash, tab, newline), datetimes
+  as ``YYYY-MM-DD hh:mm:ss``;
+- ``TabSeparatedWithNames``: ditto with a header row;
+- ``JSONEachRow``: one JSON object per line.
+
+A trailing ``FORMAT <name>`` clause in the query selects the format
+(the ch_select parser itself drops FORMAT — the server reads it before
+compiling); anything else refuses loudly with the supported list.
+
+Why HTTP and not a Thrift tag: hive-jdbc carries Spark SQL — smuggling
+CH text inside a Spark-SQL string would be a bespoke convention no
+real client speaks, while HTTP + TabSeparated is exactly what
+``clickhouse-client``-adjacent tooling (curl, the CH JDBC driver's
+HTTP transport) already uses against the reference. For JDBC clients
+the bridge is :func:`register_ch_global_view`: compile verbatim CH
+text once, expose it as a ``global_temp`` view the r7 Thrift endpoint
+serves — both tested in ``tests/test_ch_http.py``.
+
+Scale/result-size posture: an interactive endpoint materializes the
+rows it returns (the reference's CH does the same); the server bounds
+that with ``max_result_rows`` (default 100k — CH's own
+``max_result_rows`` setting analog) and answers 500 with an
+overflow error beyond it, so a wire client cannot OOM the driver with
+an unbounded SELECT. Compilation adds no runtime: the served plan is
+the same Catalyst plan the in-process front end produces.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import socket
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+from postgre_to_clickhouse_spark.ch_select import ChContext, ChSqlError, ch_select
+
+__all__ = ["ChHttpEndpoint", "serve_ch_http", "register_ch_global_view"]
+
+_FORMATS = ("TabSeparated", "TabSeparatedWithNames", "JSONEachRow")
+
+
+def _split_format(sql: str) -> tuple[str, str]:
+    """Peel a trailing ``FORMAT <name>`` off the statement (the server
+    owns serialization; ch_select drops FORMAT)."""
+    import re
+
+    s = sql.strip().rstrip(";")
+    m = re.search(r"\bFORMAT\s+([A-Za-z]+)\s*$", s, flags=re.IGNORECASE)
+    if not m:
+        return s, "TabSeparated"
+    fmt = next((f for f in _FORMATS if f.lower() == m.group(1).lower()), None)
+    if fmt is None:
+        raise ChSqlError(
+            f"FORMAT {m.group(1)!r} is outside the subset — supported: "
+            f"{', '.join(_FORMATS)}"
+        )
+    return s[: m.start()].rstrip(), fmt
+
+
+def _cell(v) -> str:
+    """One value in CH TabSeparated encoding."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_cell(x) for x in v) + "]"
+    if isinstance(v, str):
+        return (
+            v.replace("\\", "\\\\").replace("\t", "\\t")
+            .replace("\n", "\\n").replace("\r", "\\r")
+        )
+    return str(v)
+
+
+def _json_cell(v):
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return [_json_cell(x) for x in v]
+    return v
+
+
+def _serialize(df: DataFrame, fmt: str, max_rows: int) -> bytes:
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ChSqlError(
+            f"result exceeds max_result_rows={max_rows} — add a LIMIT "
+            "(the endpoint materializes what it returns, like CH's own "
+            "max_result_rows guard)"
+        )
+    cols = df.columns
+    out: list[str] = []
+    if fmt == "JSONEachRow":
+        for r in rows:
+            out.append(json.dumps(
+                {c: _json_cell(v) for c, v in zip(cols, r)},
+                separators=(",", ":"), default=str,
+            ))
+    else:
+        if fmt == "TabSeparatedWithNames":
+            out.append("\t".join(cols))
+        for r in rows:
+            out.append("\t".join(_cell(v) for v in r))
+    body = "\n".join(out)
+    return (body + "\n" if body else "").encode()
+
+
+class ChHttpEndpoint:
+    def __init__(self, server: ThreadingHTTPServer, host: str, port: int):
+        self._server = server
+        self._thread: threading.Thread | None = None
+        self.host = host
+        self.port = port
+        self.url = f"http://{host}:{port}/"
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+
+def serve_ch_http(
+    spark: SparkSession,
+    source,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_result_rows: int = 100_000,
+) -> ChHttpEndpoint:
+    """Start the CH-dialect HTTP endpoint. ``source`` is either a
+    :class:`ch_select.ChContext` (fixed table frames) or a
+    :class:`ch_ddl.ChDdlCatalog` with storage (queries run against its
+    stored tables via :meth:`ChDdlCatalog.query`). ``port=0`` picks a
+    free port. Stop with :meth:`ChHttpEndpoint.stop`."""
+
+    if isinstance(source, ChContext):
+        def _run(sql: str) -> DataFrame:
+            return ch_select(spark, sql, source)
+    elif hasattr(source, "query"):  # ChDdlCatalog duck-type
+        def _run(sql: str) -> DataFrame:
+            return source.query(spark, sql)
+    else:
+        raise TypeError(
+            f"source must be a ChContext or ChDdlCatalog, got {type(source)}"
+        )
+
+    class _Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet: the endpoint is a library
+            pass
+
+        def _answer(self, code: int, body: bytes,
+                    ctype: str = "text/tab-separated-values") -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _serve_query(self, sql: str) -> None:
+            if not sql.strip():
+                self._answer(400, b"empty query\n", "text/plain")
+                return
+            try:
+                stmt, fmt = _split_format(sql)
+                head = stmt.lstrip()[:6].upper()
+                if not (head.startswith("SELECT") or head.startswith("WITH")):
+                    raise ChSqlError(
+                        "the wire endpoint serves SELECT statements; DDL "
+                        "goes through ChDdlCatalog.execute on the server "
+                        "side"
+                    )
+                body = _serialize(
+                    _run(stmt), fmt, max_result_rows
+                )
+            except Exception as exc:  # noqa: BLE001 — CH answers errors as text
+                self._answer(
+                    500, f"{type(exc).__name__}: {exc}\n".encode(),
+                    "text/plain",
+                )
+                return
+            ctype = (
+                "application/x-ndjson" if fmt == "JSONEachRow"
+                else "text/tab-separated-values"
+            )
+            self._answer(200, body, ctype)
+
+        def do_GET(self) -> None:
+            u = urlparse(self.path)
+            if u.path == "/ping":
+                self._answer(200, b"Ok.\n", "text/plain")
+                return
+            q = parse_qs(u.query).get("query", [""])[0]
+            self._serve_query(q)
+
+        def do_POST(self) -> None:
+            u = urlparse(self.path)
+            n = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(n).decode() if n else ""
+            q = parse_qs(u.query).get("query", [""])[0]
+            # CH semantics: query in the URL OR in the body (both set is
+            # the INSERT-data split, which the SELECT endpoint refuses)
+            if q and body.strip():
+                self._answer(
+                    400,
+                    b"query in both URL and body: the endpoint serves "
+                    b"SELECT only (INSERT data uploads are server-side)\n",
+                    "text/plain",
+                )
+                return
+            self._serve_query(q or body)
+
+    srv = ThreadingHTTPServer((host, port), _Handler)
+    srv.daemon_threads = True
+    ep = ChHttpEndpoint(srv, host, srv.server_address[1])
+    t = threading.Thread(target=srv.serve_forever, name="ch-http", daemon=True)
+    t.start()
+    ep._thread = t
+    # readiness probe (mirrors serve_sql_endpoint)
+    probe = socket.create_connection((host, ep.port), 5)
+    probe.close()
+    return ep
+
+
+def register_ch_global_view(
+    spark: SparkSession, name: str, ch_sql: str, source
+) -> DataFrame:
+    """Compile verbatim CH SELECT text and expose the result as a
+    ``global_temp`` view — the bridge that makes CH-dialect results
+    queryable over the r7 Thrift/JDBC endpoint (per-connection
+    HiveServer2 sessions share the catalog and GLOBAL temp views, not
+    local ones). Returns the compiled frame."""
+    stmt, _fmt = _split_format(ch_sql)
+    if isinstance(source, ChContext):
+        df = ch_select(spark, stmt, source)
+    elif hasattr(source, "query"):
+        df = source.query(spark, stmt)
+    else:
+        raise TypeError(
+            f"source must be a ChContext or ChDdlCatalog, got {type(source)}"
+        )
+    df.createOrReplaceGlobalTempView(name)
+    return df

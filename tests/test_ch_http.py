@@ -1,0 +1,173 @@
+"""The CH-dialect wire endpoint (`ch_http.py`, r11 VERDICT r10 #4):
+verbatim ClickHouse SELECT text over a real HTTP wire — FINAL, LIMIT
+BY, CH formats — plus the global-view bridge to the r7 Thrift/JDBC
+endpoint."""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark.ch_http import (
+    register_ch_global_view,
+    serve_ch_http,
+)
+from postgre_to_clickhouse_spark.ch_select import ChContext
+
+
+def _users(spark):
+    rows = [
+        (1, "john", "Gold", "2024-03-01 10:00:00"),
+        (1, "john", "Silver", "2024-03-02 09:00:00"),
+        (2, "jane", "Bronze", "2024-03-01 11:00:00"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, username string, account_type string, updated_at string"
+    ).withColumn("updated_at", F.to_timestamp("updated_at"))
+
+
+@pytest.fixture()
+def ep(spark):
+    ctx = ChContext(
+        {"users": _users(spark)},
+        final_specs={"users": (("user_id",), ("updated_at",))},
+    )
+    endpoint = serve_ch_http(spark, ctx)
+    yield endpoint
+    endpoint.stop()
+
+
+def _get(ep, query: str) -> tuple[int, str]:
+    url = ep.url + "?query=" + urllib.parse.quote(query)
+    try:
+        with urllib.request.urlopen(url, timeout=120) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def _post(ep, query: str) -> tuple[int, str]:
+    req = urllib.request.Request(ep.url, data=query.encode(), method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_ping(ep):
+    code, body = _get(ep, "")
+    assert code == 400  # empty query refuses
+    with urllib.request.urlopen(ep.url + "ping", timeout=30) as r:
+        assert r.status == 200 and r.read() == b"Ok.\n"
+
+
+def test_verbatim_final_over_the_wire(ep):
+    """`SELECT ... FINAL` — CH-only syntax no Spark parser accepts —
+    sent as-is by an HTTP wire client, answered with the latest-wins
+    rows in CH TabSeparated encoding."""
+    code, body = _post(
+        ep,
+        "SELECT user_id, username, account_type FROM users FINAL "
+        "ORDER BY user_id",
+    )
+    assert code == 200
+    assert body == "1\tjohn\tSilver\n2\tjane\tBronze\n"
+
+
+def test_verbatim_limit_by_and_formats(ep):
+    q = (
+        "SELECT user_id, account_type FROM users "
+        "ORDER BY user_id, account_type LIMIT 1 BY user_id"
+    )
+    code, tsv = _post(ep, q + " FORMAT TabSeparatedWithNames")
+    assert code == 200
+    lines = tsv.splitlines()
+    assert lines[0] == "user_id\taccount_type"
+    assert lines[1:] == ["1\tGold", "2\tBronze"]
+
+    code, nd = _post(ep, q + " FORMAT JSONEachRow")
+    assert code == 200
+    got = [json.loads(line) for line in nd.splitlines()]
+    assert got == [
+        {"user_id": 1, "account_type": "Gold"},
+        {"user_id": 2, "account_type": "Bronze"},
+    ]
+
+
+def test_get_and_post_agree_and_escaping(spark, ep):
+    # a string cell containing a tab and a NULL survive TSV encoding
+    ctx_df = spark.createDataFrame(
+        [(1, "a\tb"), (2, None)], "id long, s string"
+    )
+    ep2 = serve_ch_http(spark, ChContext({"t": ctx_df}))
+    try:
+        code, body = _get(ep2, "SELECT id, s FROM t ORDER BY id")
+        assert code == 200 and body == "1\ta\\tb\n2\t\\N\n"
+        assert _post(ep2, "SELECT id, s FROM t ORDER BY id") == (code, body)
+    finally:
+        ep2.stop()
+
+
+def test_wire_errors_are_loud(ep):
+    code, body = _post(ep, "SELECT nope FROM users")
+    assert code == 500 and "nope" in body
+    code, body = _post(ep, "DROP TABLE users")
+    assert code == 500 and "SELECT statements" in body
+    code, body = _post(ep, "SELECT 1 FORMAT Parquet")
+    assert code == 500 and "outside the subset" in body
+
+
+def test_max_result_rows_guard(spark):
+    ep3 = serve_ch_http(
+        spark, ChContext({"t": spark.range(100).toDF("id")}),
+        max_result_rows=10,
+    )
+    try:
+        code, body = _post(ep3, "SELECT id FROM t")
+        assert code == 500 and "max_result_rows" in body
+        code, body = _post(ep3, "SELECT id FROM t ORDER BY id LIMIT 5")
+        assert code == 200 and body.splitlines() == ["0", "1", "2", "3", "4"]
+    finally:
+        ep3.stop()
+
+
+def test_ch_view_served_over_thrift_jdbc(spark):
+    """The JDBC bridge: verbatim CH text (FINAL + LIMIT BY) compiled
+    into a global temp view, then fetched over a REAL hive-jdbc wire
+    connection to the r7 Thrift endpoint — the CH dialect reaching the
+    reference's other wire surface (README.md:156 TCP/HTTP; here the
+    JDBC analog)."""
+    from postgre_to_clickhouse_spark.ddl import serve_sql_endpoint
+
+    ctx = ChContext(
+        {"users": _users(spark)},
+        final_specs={"users": (("user_id",), ("updated_at",))},
+    )
+    register_ch_global_view(
+        spark, "ch_latest_users",
+        "SELECT user_id, account_type FROM users FINAL ORDER BY user_id",
+        ctx,
+    )
+    ep = serve_sql_endpoint(spark)
+    try:
+        jvm = spark.sparkContext._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(ep.url, "anon", "")
+        try:
+            rs = conn.createStatement().executeQuery(
+                "SELECT user_id, account_type FROM global_temp.ch_latest_users "
+                "ORDER BY user_id"
+            )
+            got = []
+            while rs.next():
+                got.append((rs.getLong(1), rs.getString(2)))
+            assert got == [(1, "Silver"), (2, "Bronze")]
+        finally:
+            conn.close()
+    finally:
+        ep.stop()
+        spark.catalog.dropGlobalTempView("ch_latest_users")
