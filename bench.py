@@ -203,6 +203,18 @@ HEADLINE = [
     # fill_interval → timeseries_gap_fill's grid pattern; array_join →
     # one explode, the arrayJoin()/document_chunks generate shape —
     # the front end itself adds no runtime.
+    # r11 (VERDICT r10 #5): ONE family member benches anyway, to close
+    # the exemption loop with a measurement rather than a plan-gate
+    # argument alone — ch_dialect_hourly vs its hand-written sibling
+    # window_hourly_event_counts (the dialect query additionally
+    # carries the SAMPLE band + TOTALS grouping set, so parity-or-
+    # slightly-above is the expected reading, not identity).
+    "ch_dialect_hourly",          # verbatim-CH sibling of window_hourly_event_counts
+    # ch_ddl_alter_pipeline (r11) benches: CREATE+ALTER+SELECT catalog
+    # lifecycle — two part ingests + two bucket-scoped mutations + an
+    # agg-projection backfill + a partial-state read, a compound no
+    # single benched manifest query times end-to-end.
+    "ch_ddl_alter_pipeline",
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the
