@@ -53,85 +53,76 @@ from postgre_to_clickhouse_spark.queries import tierb6  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 
-# The r10 window, per the policy above. Ledger at rotation time
-# (reconstructed from CORRECTNESS_r*.json): never-green ×5 (the four
-# r10-new queries + categorical_iv_weekday), r4 ×18, r5 ×48, r6 ×46,
-# r8 ×48, r9 ×50. Rule 1 takes 11 seats (5 never-checked + 6 whose
-# internals changed this round: ch_select.py grew JOIN chains /
-# WITH FILL / ASOF / the TOTALS-HAVING exemption under both r9
-# ch_dialect queries; lttb.py gained y_scale; geo.py's
-# geohashes_in_box changed parameter order; ddl.py's execute_alter
-# agg-projection parser changed; contingency_theils_u gained
-# broadcast hints). Session 2 adds eight more rule-1 seats (the
-# window/subquery/union/except/interval-fill/array-join/any-join
-# ch_dialect queries + the verbatim-DDL cdc_ch_ddl_pipeline, each
-# committed with a passing oracle run per the registration rule).
-# Rule 2 backfills the FULL 18-query r4 cohort (5 rounds stale — the
-# judge's named obligation) plus the first 13 of the r5 cohort
-# alphabetically; the remaining 35 r5-greens rotate in over r11-r12.
+# The r11 window, per the policy above. Ledger at rotation time
+# (reconstructed from CORRECTNESS_r*.json): r5 ×35, r6 ×46, r8 ×48,
+# r9 ×44, r10 ×50, never-green ×1 (ch_ddl_alter_pipeline, new this
+# round). Rule 1 takes 14 seats: the new CREATE+ALTER+SELECT pipeline,
+# plus the 12 ch_dialect_* queries and cdc_ch_ddl_pipeline, whose
+# compiler internals changed this round (ch_select.py: conditional
+# temp-view registration for ALL statements, the _fill_union
+# distinct-keys anti-join under the WITH FILL family, the
+# literal-aware ASOF alias remap, the explicit ARRAY JOIN NULL
+# exemption; ch_ddl.py: full-sort-key FINAL entity keys + the ALTER
+# routing). Rule 2 backfills the ENTIRE 35-query r5 cohort (the
+# judge's named r11 obligation — includes session_window_native and
+# pandas_udf_zscore, the only §2 rows last driver-checked r5) plus
+# the alphabetically-first r6 query; the remaining 45 r6-greens are
+# the r12 rule-2 obligation.
 _WINDOW = [
-    # --- Rule 1: new in r10 / never driver-checked ---
-    "ch_dialect_join",            # A22+ CH JOIN chains (VERDICT r9 #3)
-    "ch_dialect_with_fill",       # A22+ ORDER BY WITH FILL (VERDICT r9 #5)
-    "ch_dialect_asof",            # A22+/B6 verbatim CH ASOF LEFT JOIN
-    "ch_dialect_window",          # A22+/B10 OVER windows + lagInFrame
-    "ch_dialect_subquery",        # A22+ IN/scalar predicate subqueries
-    "ch_dialect_union",           # A22+/B12 UNION ALL/DISTINCT chains
-    "ch_dialect_except",          # A22+/B12 CH filter-semantics EXCEPT
-    "ch_dialect_fill_interval",   # A22+/B14 STEP INTERVAL + INTERPOLATE
-    "ch_dialect_array_join",      # A22+/B17 ARRAY JOIN lockstep clause
-    "cdc_ch_ddl_pipeline",        # A22 verbatim CREATE DDL -> MV -> golden
-    "ch_dialect_any_join",        # A22+/B3 CH ANY LEFT JOIN (min-struct)
-    "series_period_events",       # B33 seriesPeriodDetectFFT (oracle fixed r10)
-    "categorical_iv_weekday",     # B33 categoricalInformationValue
-    # --- Rule 1: implementation internals changed in r10 ---
-    "ch_dialect_hourly",          # ch_select.py refactored (JOIN/FILL/ASOF)
-    "ch_dialect_top_events",      # ch_select.py refactored
-    "lttb_downsample_events",     # lttb.py y_scale parameter added
-    "geohashes_in_box_probe",     # geo.py CH parameter order fix
-    "manifest_agg_projection_read",  # ddl.py execute_alter count() form
-    "contingency_theils_u",       # broadcast hints added (VERDICT r9 #7)
-    # --- Rule 2: oldest-green-first. The full r4 cohort (18) ---
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "semdedup_prune",             # C2 embedding-cosine dedup
-    "text_analysis_composite",    # C4 quality/lang-id composite
-    "tfidf_top_terms",            # C4 TF-IDF
-    "vector_cosine_topk",         # C3 brute-force cosine baseline
-    "vector_ivf_topk",            # C3 IVF coarse-quantizer ANN
-    # --- Rule 2: r5 cohort, alphabetical first 21 ---
-    "array_manipulation",         # B17
-    "asof_events_last_order",     # B6 (also re-covers the ASOF operator
-    #                               the new ch_dialect_asof compiles to)
-    "band_join_acctbal",          # B5
-    "bm25_topk",                  # C4 retrieval
-    "cap_per_source_skewsafe",    # sampling caps
-    "cdc_dedup_redelivery",       # A19
-    "cdc_full_scan",              # A21
-    "cdc_latest_state",           # A20
-    "cdc_mv_transform",           # A12/A13-A16
-    "cdc_users_pipeline",         # A11/A17-A18
-    "decontaminate_eval_overlap",  # C2 decontamination
-    "dedup_incremental_batch",    # C1 incremental anti-join
-    "dedup_pipeline_canonical",   # C1 URL-canonicalize
-    # (document_chunks, embedding_quantize_int8, embedding_random_projection,
-    # funnel_strict_modes, funnel_view_click_purchase,
-    # grouping_sets_sql, histogram_event_values, json_typed_extraction
-    # — the alphabetical tail of the r5 backfill — yield their seats
-    # to the eight newest rule-1 queries (seven ch_dialect + the
-    # verbatim-DDL pipeline); all eight stay oracle-gated + benched
-    # and rotate in r11 under rule 2.)
+    # --- Rule 1: new in r11 / never driver-checked ---
+    "ch_ddl_alter_pipeline",      # A22 CREATE+ALTER+SELECT via one catalog
+    # --- Rule 1: implementation internals changed in r11 ---
+    "ch_dialect_any_join",
+    "ch_dialect_array_join",      # explicit NULL lockstep exemption
+    "ch_dialect_asof",            # literal-aware alias remap
+    "ch_dialect_except",
+    "ch_dialect_fill_interval",   # _fill_union distinct-keys anti-join
+    "ch_dialect_hourly",
+    "ch_dialect_join",
+    "ch_dialect_subquery",        # conditional temp-view registration
+    "ch_dialect_top_events",
+    "ch_dialect_union",
+    "ch_dialect_window",
+    "ch_dialect_with_fill",       # _fill_union distinct-keys anti-join
+    "cdc_ch_ddl_pipeline",        # ch_ddl.py final_spec / ALTER routing
+    # --- Rule 2: oldest-green-first. The FULL r5 cohort (35) ---
+    "document_chunks",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "funnel_strict_modes",
+    "funnel_view_click_purchase",
+    "grouping_sets_sql",
+    "histogram_event_values",
+    "json_typed_extraction",
+    "lm_unigram_nll",
+    "mix_rebalance_lang",
+    "multimodal_audio_stats",
+    "multimodal_video_frames",
+    "pandas_udf_zscore",          # B19 — §2 row, last driver-green r5
+    "percentiles_quantity",
+    "q1_pricing_summary",
+    "q4_order_priority",
+    "q9_product_profit",
+    "quality_filter_documents",
+    "retention_view_cohorts",
+    "safe_cast_funcs",
+    "scalar_funcs_composite",
+    "sequence_match_3step",
+    "sequence_match_view_purchase",
+    "session_window_native",      # B18 — §2 row, last driver-green r5
+    "setop_nation_presence",
+    "shuffle_training_order",
+    "skew_salted_agg_events",
+    "split_train_val_test",
+    "stratified_sample_documents",
+    "text_clean_documents",
+    "text_repetition_stats",
+    "token_budget_per_lang",
+    "vector_int8_topk",
+    "vocabulary_top_terms",
+    "window_rank_family",
+    # --- Rule 2: r6 cohort, alphabetical first 1 (the rest are r12) ---
+    "agg_events_stats",
 ]
 
 
