@@ -215,6 +215,10 @@ HEADLINE = [
     # agg-projection backfill + a partial-state read, a compound no
     # single benched manifest query times end-to-end.
     "ch_ddl_alter_pipeline",
+    # ch_ddl_evolution_pipeline (r11) benches: the evolved-read plan
+    # shape is new — per-part-group schema-footer metadata pass +
+    # read_conform projections unioned before the agg.
+    "ch_ddl_evolution_pipeline",
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

@@ -35,7 +35,12 @@ String/FixedString(n)/UUID → string, Date→date, DateTime/DateTime64(p)
 → timestamp, Decimal(p,s) → decimal(p,s), Bool → boolean,
 Enum8/Enum16(...) → string, Array(T) → array<T>, LowCardinality(T) →
 T (an encoding hint, not a type), Nullable(T) → nullable T. Column
-DEFAULT/CODEC/TTL clauses and unknown engines refuse loudly
+``DEFAULT expr`` clauses are supported (r11): materialized for
+inserted blocks that omit the column and, after a metadata-only
+``ALTER TABLE ADD COLUMN``, at read time for parts older than the
+column — see :meth:`ChTableSpec.conform` / :meth:`read_conform` and
+:meth:`ChDdlCatalog._alter_column`. MATERIALIZED/ALIAS/CODEC/TTL/
+COMMENT column clauses and unknown engines refuse loudly
 (`ChSqlError`) — the refuse-don't-misread convention of ch_select.
 """
 
@@ -122,7 +127,8 @@ class ChTableSpec:
 
     def __init__(self, db: str | None, name: str, schema: T.StructType,
                  engine: str, engine_args: list[str],
-                 order_by: list[str], settings: dict[str, str]):
+                 order_by: list[str], settings: dict[str, str],
+                 defaults: dict[str, str] | None = None):
         self.db = db
         self.name = name
         self.schema = schema
@@ -130,6 +136,13 @@ class ChTableSpec:
         self.engine_args = engine_args
         self.order_by = order_by
         self.settings = settings
+        # column -> CH DEFAULT expression text (r11); evaluated against
+        # the inserted block (CH defaults may reference other columns)
+        # or, for parts written before the column existed, at read time
+        self.defaults = dict(defaults or {})
+        # flips True on ALTER ADD/DROP COLUMN — evolved tables pay the
+        # per-file schema-group read path, un-evolved ones never do
+        self.evolved = False
 
     @property
     def is_kafka_source(self) -> bool:
@@ -168,17 +181,65 @@ class ChTableSpec:
     def conform(self, df: DataFrame) -> DataFrame:
         """Coerce a block to the declared schema — the cast CH applies
         when the MV inserts into the target table. Column matching is
-        BY NAME (the MV SELECT aliases establish them); missing or
-        extra columns refuse loudly."""
+        BY NAME (the MV SELECT aliases establish them); a missing
+        column with a declared ``DEFAULT`` is materialized from the
+        block (CH defaults may reference the block's other columns);
+        missing-without-default or extra columns refuse loudly."""
         have = set(df.columns)
         want = [f.name for f in self.schema.fields]
-        if have != set(want):
+        fillable = {
+            c for c in set(want) - have if c in self.defaults
+        }
+        if have | fillable != set(want):
             raise ChSqlError(
                 f"block columns {sorted(have)} != declared {sorted(want)}"
             )
         return df.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name)
-              for f in self.schema.fields]
+            *[
+                (F.expr(self.defaults[f.name]) if f.name in fillable
+                 else F.col(f.name)).cast(f.dataType).alias(f.name)
+                for f in self.schema.fields
+            ]
+        )
+
+    def _ch_type_default(self, f: T.StructField):
+        """CH's zero-default for a column with no DEFAULT clause:
+        Nullable -> NULL, numerics -> 0, String -> '', Bool -> false,
+        Date/DateTime -> epoch, Array -> [] (the defaults CH fills
+        when a part predates the column)."""
+        if f.nullable:
+            return F.lit(None).cast(f.dataType)
+        t = f.dataType
+        if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                          T.FloatType, T.DoubleType, T.DecimalType)):
+            return F.lit(0).cast(t)
+        if isinstance(t, T.StringType):
+            return F.lit("")
+        if isinstance(t, T.BooleanType):
+            return F.lit(False)
+        if isinstance(t, (T.DateType, T.TimestampType)):
+            return F.lit("1970-01-01 00:00:00").cast(t)
+        if isinstance(t, T.ArrayType):
+            return F.array().cast(t)
+        return F.lit(None).cast(t)
+
+    def read_conform(self, df: DataFrame) -> DataFrame:
+        """Project a stored part group onto the CURRENT declared
+        schema — the read-side half of CH's metadata-only ALTER: a
+        declared column absent from the part materializes its DEFAULT
+        (or the CH type default), a column dropped from the schema is
+        projected away, everything casts to the declared type."""
+        have = set(df.columns)
+        return df.select(
+            *[
+                (
+                    F.col(f.name) if f.name in have
+                    else F.expr(self.defaults[f.name])
+                    if f.name in self.defaults
+                    else self._ch_type_default(f)
+                ).cast(f.dataType).alias(f.name)
+                for f in self.schema.fields
+            ]
         )
 
 
@@ -275,6 +336,10 @@ class ChDdlCatalog:
                 f"ALTER TABLE references undeclared table {name!r} — "
                 "CREATE it in this catalog first"
             )
+        body = tokens[3:]
+        kw2 = (_kw(body[0]), _kw(body[1])) if len(body) > 1 else ("", "")
+        if kw2 in (("ADD", "COLUMN"), ("DROP", "COLUMN")):
+            return self._alter_column(name, kw2[0], body[2:])
         if spark is None:
             raise ChSqlError(
                 "ALTER TABLE mutations run Spark jobs: call "
@@ -283,6 +348,66 @@ class ChDdlCatalog:
         from postgre_to_clickhouse_spark.ddl import execute_alter
 
         return execute_alter(spark, self.storage_for(name), " ".join(tokens))
+
+    def _alter_column(self, name: str, verb: str, toks: list[str]):
+        """CH metadata-only schema evolution (r11): ``ADD COLUMN c Type
+        [DEFAULT expr]`` extends the declared schema — no part rewrite;
+        parts written before the column materialize the DEFAULT (or the
+        CH type default) at read via :meth:`ChTableSpec.read_conform`.
+        ``DROP COLUMN c`` removes it from the declared schema — old
+        parts keep the bytes, reads project it away (CH's lazy drop).
+        Dropping a sort-key/version column refuses like CH does."""
+        spec = self.tables[name]
+        # optional IF [NOT] EXISTS
+        if toks and _kw(toks[0]) == "IF":
+            if len(toks) > 2 and _kw(toks[1]) == "NOT" and _kw(toks[2]) == "EXISTS":
+                toks = toks[3:]
+            elif len(toks) > 1 and _kw(toks[1]) == "EXISTS":
+                toks = toks[2:]
+        if not toks or not _is_ident(toks[0]):
+            raise ChSqlError(f"{verb} COLUMN needs a column name")
+        col = toks[0]
+        declared = [f.name for f in spec.schema.fields]
+        if verb == "DROP":
+            if len(toks) > 1:
+                raise ChSqlError(
+                    f"unsupported DROP COLUMN trailer: {' '.join(toks[1:])!r}"
+                )
+            if col not in declared:
+                raise ChSqlError(f"DROP COLUMN: no column {col!r} in {name!r}")
+            if col in spec.order_by or col in spec.engine_args:
+                raise ChSqlError(
+                    f"cannot DROP {col!r}: part of the sorting key / "
+                    "version argument (CH refuses the same)"
+                )
+            spec.schema = T.StructType(
+                [f for f in spec.schema.fields if f.name != col]
+            )
+            spec.defaults.pop(col, None)
+            spec.evolved = True
+            return spec
+        # ADD
+        if col in declared:
+            raise ChSqlError(f"ADD COLUMN: {col!r} already exists in {name!r}")
+        d_at = next(
+            (i for i, t in enumerate(toks[1:], 1)
+             if _is_ident(t) and _kw(t) == "DEFAULT"),
+            None,
+        )
+        type_toks = toks[1:d_at] if d_at is not None else toks[1:]
+        if not type_toks:
+            raise ChSqlError(f"ADD COLUMN {col!r} needs a type")
+        dtype, nullable = _parse_type(type_toks)
+        if d_at is not None:
+            expr = " ".join(toks[d_at + 1:])
+            if not expr:
+                raise ChSqlError(f"ADD COLUMN {col!r}: DEFAULT needs an expression")
+            spec.defaults[col] = expr
+        spec.schema = T.StructType(
+            list(spec.schema.fields) + [T.StructField(col, dtype, nullable)]
+        )
+        spec.evolved = True
+        return spec
 
     # -- storage -----------------------------------------------------
     def storage_for(self, name: str):
@@ -334,13 +459,45 @@ class ChDdlCatalog:
         t.append_parts(sort_key=key, arrival=key)(spec.conform(df), batch_id)
         return t.current_version()
 
+    def _read_stored(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read a stored table onto its CURRENT declared schema. For a
+        never-evolved table this is the plain manifest read (zero extra
+        cost). After ALTER ADD/DROP COLUMN, parts are grouped by their
+        PHYSICAL column set (one schema-footer read per file — a
+        manifest-bounded metadata pass, the same class of bookkeeping
+        CH's per-part metadata is) and each group projects through
+        :meth:`ChTableSpec.read_conform`, so pre-ADD parts materialize
+        the DEFAULT while post-ADD parts keep their stored values —
+        including genuine NULLs, which a naive merged-read-plus-
+        coalesce would silently overwrite."""
+        import os
+
+        spec = self.tables[name]
+        t = self.storage_for(name)
+        if not spec.evolved:
+            return t.read(spark)
+        m = t.current_manifest()
+        base = [f for f in m["files"] if not f.get("proj")]
+        if not base:
+            return spark.createDataFrame([], spec.schema)
+        groups: dict[tuple, list[str]] = {}
+        for f in base:
+            p = os.path.join(t.path, "data", f["name"])
+            key = tuple(spark.read.parquet(p).schema.names)
+            groups.setdefault(key, []).append(p)
+        out = None
+        for _cols, ps in sorted(groups.items()):
+            df = spec.read_conform(spark.read.parquet(*ps))
+            out = df if out is None else out.unionByName(df)
+        return out
+
     def query(self, spark: SparkSession, sql: str) -> DataFrame:
         """Compile a CH-dialect SELECT against the catalog's STORED
         tables (each inserted table reads through its manifest; RMT
         version declarations contribute FINAL specs) — the terminal
         SELECT of the reference's own workflow, over the same catalog
         the DDL built."""
-        tables = {n: self.storage[n].read(spark) for n in self.storage}
+        tables = {n: self._read_stored(spark, n) for n in self.storage}
         final_specs = {
             n: s.final_spec for n, s in self.tables.items()
             if s.final_spec is not None and n in tables
@@ -471,17 +628,34 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
     if close is None:
         raise ChSqlError("unbalanced column list")
     fields = []
+    defaults: dict[str, str] = {}
     for item in _split_commas(rest[1:close]):
         if len(item) < 2 or not _is_ident(item[0]):
             raise ChSqlError(f"cannot parse column def {' '.join(item)!r}")
+        # r11: `name Type DEFAULT expr` is inside the subset — CH
+        # materializes the default for inserted blocks that omit the
+        # column AND for parts written before the column existed
+        # (metadata-only ALTER ADD COLUMN). MATERIALIZED/ALIAS/CODEC/
+        # TTL/COMMENT still refuse loudly.
         bad = [t for t in item[1:] if _is_ident(t) and _kw(t) in
-               ("DEFAULT", "MATERIALIZED", "ALIAS", "CODEC", "TTL", "COMMENT")]
+               ("MATERIALIZED", "ALIAS", "CODEC", "TTL", "COMMENT")]
         if bad:
             raise ChSqlError(
                 f"column clause {bad[0]} is outside the subset "
-                f"(plain `name Type` only): {' '.join(item)!r}"
+                f"(`name Type [DEFAULT expr]` only): {' '.join(item)!r}"
             )
-        dtype, nullable = _parse_type(item[1:])
+        d_at = next(
+            (i for i, t in enumerate(item[1:], 1)
+             if _is_ident(t) and _kw(t) == "DEFAULT"),
+            None,
+        )
+        type_toks = item[1:d_at] if d_at is not None else item[1:]
+        if d_at is not None:
+            expr = " ".join(item[d_at + 1:])
+            if not expr:
+                raise ChSqlError(f"DEFAULT needs an expression: {' '.join(item)!r}")
+            defaults[item[0]] = expr
+        dtype, nullable = _parse_type(type_toks)
         fields.append(T.StructField(item[0], dtype, nullable))
     tail = rest[close + 1:]
 
@@ -535,7 +709,7 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
             else:
                 raise ChSqlError(f"cannot parse SETTING {' '.join(item)!r}")
     return ChTableSpec(db, name, T.StructType(fields), engine,
-                       engine_args, order_by, settings)
+                       engine_args, order_by, settings, defaults=defaults)
 
 
 def _parse_create_mv(tokens: list[str]) -> ChMvSpec:

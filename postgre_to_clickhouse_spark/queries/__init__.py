@@ -56,7 +56,8 @@ from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 # The r11 window, per the policy above. Ledger at rotation time
 # (reconstructed from CORRECTNESS_r*.json): r5 ×35, r6 ×46, r8 ×48,
 # r9 ×44, r10 ×50, never-green ×1 (ch_ddl_alter_pipeline, new this
-# round). Rule 1 takes 14 seats: the new CREATE+ALTER+SELECT pipeline,
+# round). Rule 1 takes 15 seats: the new CREATE+ALTER+SELECT and
+# schema-evolution pipelines,
 # plus the 12 ch_dialect_* queries and cdc_ch_ddl_pipeline, whose
 # compiler internals changed this round (ch_select.py: conditional
 # temp-view registration for ALL statements, the _fill_union
@@ -65,12 +66,12 @@ from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 # exemption; ch_ddl.py: full-sort-key FINAL entity keys + the ALTER
 # routing). Rule 2 backfills the ENTIRE 35-query r5 cohort (the
 # judge's named r11 obligation — includes session_window_native and
-# pandas_udf_zscore, the only §2 rows last driver-checked r5) plus
-# the alphabetically-first r6 query; the remaining 45 r6-greens are
-# the r12 rule-2 obligation.
+# pandas_udf_zscore, the only §2 rows last driver-checked r5); the
+# full 46-query r6 cohort is the r12 rule-2 obligation.
 _WINDOW = [
     # --- Rule 1: new in r11 / never driver-checked ---
     "ch_ddl_alter_pipeline",      # A22 CREATE+ALTER+SELECT via one catalog
+    "ch_ddl_evolution_pipeline",  # A22/A18 DEFAULT cols + metadata-only ADD COLUMN
     # --- Rule 1: implementation internals changed in r11 ---
     "ch_dialect_any_join",
     "ch_dialect_array_join",      # explicit NULL lockstep exemption
@@ -121,8 +122,10 @@ _WINDOW = [
     "vector_int8_topk",
     "vocabulary_top_terms",
     "window_rank_family",
-    # --- Rule 2: r6 cohort, alphabetical first 1 (the rest are r12) ---
-    "agg_events_stats",
+    # (agg_events_stats — the alphabetically-first r6 query — yields
+    # its seat to ch_ddl_evolution_pipeline, new mid-round under the
+    # registration rule; the full 46-query r6 cohort is the r12
+    # rule-2 obligation, still within the no-older-than-r6 bar.)
 ]
 
 

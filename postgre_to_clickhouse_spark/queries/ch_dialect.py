@@ -729,3 +729,109 @@ def ch_ddl_alter_pipeline(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# r11: CH schema evolution through the unified catalog — DEFAULT
+# columns + metadata-only ALTER ADD COLUMN.
+_EVOLUTION_DDL = """
+CREATE DATABASE shop;
+CREATE TABLE shop.events_e
+(
+    event_id UInt64,
+    user_id UInt32,
+    event_type String,
+    src String DEFAULT 'cdc'
+)
+ENGINE = MergeTree
+ORDER BY (user_id, event_id);
+"""
+
+_EVOLUTION_ALTER = """
+ALTER TABLE shop.events_e ADD COLUMN val Float64 DEFAULT -1;
+"""
+
+_EVOLUTION_SELECT = """
+SELECT src, event_type, count() AS n,
+       round(toFloat64(sum(toDecimal64(val, 2))), 2) AS val_sum
+FROM events_e
+GROUP BY src, event_type
+"""
+
+
+@register(
+    "ch_ddl_evolution_pipeline",
+    oracle="""
+    SELECT CASE WHEN event_id % 2 = 0 THEN 'cdc' ELSE 'live' END AS src,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(CASE WHEN event_id % 2 = 0 THEN -1
+                                    ELSE value END AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS val_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ch_ddl_evolution_pipeline(spark, sf_dir):
+    """r11, A22/A18: CH SCHEMA EVOLUTION end-to-end through the
+    unified catalog — a verbatim script whose CREATE declares a
+    ``DEFAULT`` column (materialized for inserted blocks that omit
+    it), whose ``ALTER TABLE ADD COLUMN val Float64 DEFAULT -1`` is
+    METADATA-ONLY (no part rewrite — the storage version does not
+    move, asserted in-query), and whose final CH SELECT reads both
+    part generations onto the current schema: pre-ADD parts
+    materialize the DEFAULT at read (the CH rule for parts older than
+    the column), post-ADD parts keep stored values. Batch 1 inserts
+    even events WITHOUT src or val (both default); batch 2 inserts odd
+    events with src='live' and val=value. The DuckDB oracle recomputes
+    the per-(src, type) aggregate from raw events with the same
+    even/odd split — a default leaking into stored rows, a read-fill
+    overwriting stored values, or a part rewritten by the ALTER breaks
+    the hash. Exact-decimal sums in both engines.
+
+    Scale: ADD COLUMN is O(1) metadata; the evolved read adds one
+    schema-footer read per part file (manifest-bounded metadata, the
+    same class as CH's per-part metadata) and projects each part group
+    once — no rewrite, no shuffle beyond the final agg.
+
+    Reference: ClickHouse 24.3 ALTER ADD COLUMN semantics, the
+    terminal DDL surface (README.md:163-230)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+    from postgre_to_clickhouse_spark.session import configure
+    from postgre_to_clickhouse_spark import catalog as _cat
+
+    configure(spark)
+    ev = _cat.load(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="p2c_ch_evo_")
+    try:
+        c = ChDdlCatalog(storage_root=root)
+        c.execute(_EVOLUTION_DDL)
+        c.insert(
+            spark, "events_e",
+            ev.filter(F.col("event_id") % 2 == 0)
+            .select("event_id", "user_id", "event_type"),
+            batch_id=0,
+        )
+        v_before = c.storage_for("events_e").current_version()
+        c.execute(_EVOLUTION_ALTER, spark=spark)
+        if c.storage_for("events_e").current_version() != v_before:
+            raise RuntimeError(
+                "ADD COLUMN rewrote parts — the ALTER must be metadata-only"
+            )
+        c.insert(
+            spark, "events_e",
+            ev.filter(F.col("event_id") % 2 == 1)
+            .select(
+                "event_id", "user_id", "event_type",
+                F.lit("live").alias("src"), F.col("value").alias("val"),
+            ),
+            batch_id=1,
+        )
+        out = c.query(spark, _EVOLUTION_SELECT)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

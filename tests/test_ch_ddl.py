@@ -209,7 +209,7 @@ def test_type_map_wrappers():
     [
         ("CREATE TABLE t (a UInt32) ENGINE = CollapsingMergeTree ORDER BY (a)",
          "unsupported engine"),
-        ("CREATE TABLE t (a UInt32 DEFAULT 0) ENGINE = MergeTree ORDER BY (a)",
+        ("CREATE TABLE t (a UInt32 CODEC(ZSTD)) ENGINE = MergeTree ORDER BY (a)",
          "outside the subset"),
         ("CREATE TABLE t (a Foo) ENGINE = MergeTree ORDER BY (a)",
          "unsupported ClickHouse type"),
@@ -365,3 +365,119 @@ def test_catalog_alter_refusals(spark, tmp_path):
     c2.execute(_PROVISION)
     with pytest.raises(ChSqlError, match="storage_root"):
         c2.execute("ALTER TABLE user_events DELETE WHERE 1 = 1", spark=spark)
+
+
+# --- r11: DEFAULT columns + metadata-only ALTER ADD/DROP COLUMN -----
+
+def test_create_with_default_fills_missing_insert_columns(spark, tmp_path):
+    """`name Type DEFAULT expr` is inside the subset: an inserted block
+    omitting the column materializes the default — including defaults
+    referencing the block's OTHER columns (the CH rule)."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE t (user_id UInt32, score Float64, "
+        "tier String DEFAULT 'basic', "
+        "double_score Float64 DEFAULT score * 2) "
+        "ENGINE = MergeTree ORDER BY (user_id)"
+    )
+    assert c.tables["t"].defaults == {
+        "tier": "'basic'", "double_score": "score * 2"}
+    c.insert(spark, "t", spark.createDataFrame(
+        [(1, 2.5), (2, 4.0)], "user_id long, score double"))
+    got = sorted(map(tuple, c.query(
+        spark, "SELECT user_id, score, tier, double_score FROM t"
+    ).collect()))
+    assert got == [(1, 2.5, "basic", 5.0), (2, 4.0, "basic", 8.0)]
+    # supplied values win over the default
+    c.insert(spark, "t", spark.createDataFrame(
+        [(3, 1.0, "gold", 99.0)],
+        "user_id long, score double, tier string, double_score double"),
+        batch_id=1)
+    got = dict(
+        (r["user_id"], r["tier"])
+        for r in c.query(spark, "SELECT user_id, tier FROM t").collect()
+    )
+    assert got == {1: "basic", 2: "basic", 3: "gold"}
+    # a missing column WITHOUT a default still refuses
+    with pytest.raises(ChSqlError, match="declared"):
+        c.insert(spark, "t", spark.createDataFrame(
+            [(4,)], "user_id long"), batch_id=2)
+    # MATERIALIZED/CODEC still refuse
+    with pytest.raises(ChSqlError, match="outside the subset"):
+        ChDdlCatalog().execute(
+            "CREATE TABLE x (a UInt32 MATERIALIZED 1) "
+            "ENGINE = MergeTree ORDER BY (a)")
+
+
+def test_alter_add_column_is_metadata_only(spark, tmp_path):
+    """ADD COLUMN with DEFAULT: no part rewrite — pre-ADD parts
+    materialize the default at read, post-ADD parts keep stored values
+    INCLUDING genuine NULLs (the case a merged-read + coalesce would
+    corrupt)."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE t (user_id UInt32, score Float64) "
+        "ENGINE = MergeTree ORDER BY (user_id)"
+    )
+    c.insert(spark, "t", spark.createDataFrame(
+        [(1, 2.5), (2, 4.0)], "user_id long, score double"))
+    v_before = c.storage_for("t").current_version()
+    c.execute("ALTER TABLE t ADD COLUMN tier Nullable(String) DEFAULT 'basic'")
+    c.execute("ALTER TABLE t ADD COLUMN n_events UInt32 DEFAULT 0")
+    # metadata-only: the storage snapshot did not move
+    assert c.storage_for("t").current_version() == v_before
+    c.insert(spark, "t", spark.createDataFrame(
+        [(3, 1.0, None, 7), (4, 9.0, "gold", 2)],
+        "user_id long, score double, tier string, n_events long"),
+        batch_id=1)
+    got = {
+        r["user_id"]: (r["tier"], r["n_events"])
+        for r in c.query(
+            spark, "SELECT user_id, tier, n_events FROM t").collect()
+    }
+    assert got == {
+        1: ("basic", 0), 2: ("basic", 0),   # pre-ADD parts: defaults
+        3: (None, 7),                        # stored NULL survives
+        4: ("gold", 2),
+    }
+
+
+def test_alter_add_column_without_default_fills_type_zero(spark, tmp_path):
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE t (user_id UInt32) ENGINE = MergeTree "
+              "ORDER BY (user_id)")
+    c.insert(spark, "t", spark.createDataFrame([(1,)], "user_id long"))
+    c.execute("ALTER TABLE t ADD COLUMN cnt UInt32")
+    c.execute("ALTER TABLE t ADD COLUMN label String")
+    c.execute("ALTER TABLE t ADD COLUMN maybe Nullable(Float64)")
+    r = c.query(spark, "SELECT user_id, cnt, label, maybe FROM t").collect()[0]
+    assert (r["cnt"], r["label"], r["maybe"]) == (0, "", None)
+
+
+def test_alter_drop_column_and_refusals(spark, tmp_path):
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE t (user_id UInt32, score Float64, tag String) "
+        "ENGINE = MergeTree ORDER BY (user_id)"
+    )
+    c.insert(spark, "t", spark.createDataFrame(
+        [(1, 2.5, "a")], "user_id long, score double, tag string"))
+    c.execute("ALTER TABLE t DROP COLUMN tag")
+    out = c.query(spark, "SELECT * FROM t")
+    assert out.columns == ["user_id", "score"]
+    # inserts carrying the dropped column refuse (it is gone)
+    with pytest.raises(ChSqlError, match="declared"):
+        c.insert(spark, "t", spark.createDataFrame(
+            [(2, 1.0, "b")], "user_id long, score double, tag string"),
+            batch_id=1)
+    with pytest.raises(ChSqlError, match="sorting key"):
+        c.execute("ALTER TABLE t DROP COLUMN user_id")
+    with pytest.raises(ChSqlError, match="no column"):
+        c.execute("ALTER TABLE t DROP COLUMN nope")
+    with pytest.raises(ChSqlError, match="already exists"):
+        c.execute("ALTER TABLE t ADD COLUMN score Float64")
+    # IF NOT EXISTS / IF EXISTS forms parse
+    c.execute("ALTER TABLE t ADD COLUMN IF NOT EXISTS extra UInt32")
+    c.execute("ALTER TABLE t DROP COLUMN IF EXISTS extra")
+    assert [f.name for f in c.tables["t"].schema.fields] == [
+        "user_id", "score"]
