@@ -119,6 +119,38 @@ def _parse_type(toks: list[str]) -> tuple[T.DataType, bool]:
         return T.DecimalType(int(parts[0]), int(parts[1])), False
     if up in ("ENUM8", "ENUM16"):
         return T.StringType(), False
+    if up == "AGGREGATEFUNCTION":
+        # AggregateFunction(fn[, T...]) — the AggregatingMergeTree
+        # state column (r11). The Spark-side state types are the
+        # ch_select -State algebra's: count -> bigint, sum ->
+        # decimal(30,6) (exact, closed under merge), avg -> (sum,
+        # count) struct, min/max -> T itself, uniq -> binary (HLL
+        # sketch). Other functions refuse with a pointer to the
+        # native MV sinks.
+        parts = [p for p in inner if p != ","]
+        if not parts:
+            raise ChSqlError("AggregateFunction needs a function name")
+        fn = parts[0].lower()
+        if fn == "count":
+            return T.LongType(), False
+        if fn == "sum":
+            return T.DecimalType(30, 6), False
+        if fn == "avg":
+            return T.StructType([
+                T.StructField("s", T.DecimalType(30, 6), True),
+                T.StructField("c", T.LongType(), True),
+            ]), False
+        if fn in ("min", "max"):
+            if len(parts) < 2:
+                raise ChSqlError(f"AggregateFunction({fn}) needs a type")
+            return _parse_type(parts[1:])
+        if fn == "uniq":
+            return T.BinaryType(), False
+        raise ChSqlError(
+            f"AggregateFunction({fn}) is outside the subset — "
+            "count/sum/avg/min/max/uniq map to ch_select's -State "
+            "algebra; quantile/topK states live in sinks/agg_mv.py"
+        )
     raise ChSqlError(f"unsupported ClickHouse type {head}(...)")
 
 
@@ -676,10 +708,11 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
             elif tail[j] != ",":
                 engine_args.append(tail[j])
             j += 1
-    if engine.upper() not in ("MERGETREE", "REPLACINGMERGETREE", "KAFKA"):
+    if engine.upper() not in ("MERGETREE", "REPLACINGMERGETREE", "KAFKA",
+                              "AGGREGATINGMERGETREE"):
         raise ChSqlError(
             f"unsupported engine {engine!r} (MergeTree / "
-            "ReplacingMergeTree / Kafka)"
+            "ReplacingMergeTree / AggregatingMergeTree / Kafka)"
         )
 
     order_by: list[str] = []

@@ -55,7 +55,16 @@ def create_analytics_views(spark: SparkSession, sf_dir: str) -> None:
 
 class SqlEndpoint:
     """Handle for a running in-process HiveServer2-protocol endpoint —
-    ``url`` is the JDBC address any beeline/JDBC/ODBC client dials."""
+    ``url`` is the JDBC address any beeline/JDBC/ODBC client dials.
+
+    ONCE-PER-JVM (r11): HiveThriftServer2 cannot be restarted inside
+    one JVM — a stop() + second ``startWithContext`` never binds again
+    (observed: the second start's listener thread dies silently and
+    the readiness probe times out). ``serve_sql_endpoint`` therefore
+    caches the first endpoint and returns it to every later caller,
+    and ``stop()`` is a deliberate NO-OP keeping the server serving —
+    releasing it would strand every subsequent caller in the
+    unrestartable state. The server dies with the JVM."""
 
     def __init__(self, server, host: str, port: int):
         self._server = server
@@ -64,7 +73,10 @@ class SqlEndpoint:
         self.url = f"jdbc:hive2://{host}:{port}/default"
 
     def stop(self) -> None:
-        self._server.stop()
+        """No-op by design — see the class docstring."""
+
+
+_ENDPOINT: "SqlEndpoint | None" = None
 
 
 def serve_sql_endpoint(
@@ -93,6 +105,10 @@ def serve_sql_endpoint(
     thriftserver classes are missing from the distribution."""
     import socket
     import time
+
+    global _ENDPOINT
+    if _ENDPOINT is not None:
+        return _ENDPOINT  # once-per-JVM — see SqlEndpoint docstring
 
     configure(spark)
     jvm = spark.sparkContext._jvm
@@ -123,7 +139,8 @@ def serve_sql_endpoint(
         try:
             probe = socket.create_connection((host, port), 1)
             probe.close()
-            return SqlEndpoint(server, host, port)
+            _ENDPOINT = SqlEndpoint(server, host, port)
+            return _ENDPOINT
         except OSError:
             if time.time() > deadline:
                 server.stop()

@@ -1299,3 +1299,48 @@ def test_compile_without_subquery_leaves_session_views_alone(spark, ctx):
         assert spark.table("events").columns != ["sentinel_col"]
     finally:
         spark.catalog.dropTempView("events")
+
+
+def test_state_merge_combinators_roundtrip(spark, ctx):
+    """r11: the AggregatingMergeTree MV combinators — fnState produces
+    a mergeable state, fnMerge folds states back; computing states over
+    two disjoint halves and merging equals the direct aggregate over
+    the whole table (the part-merge invariant)."""
+    half_sql = (
+        "SELECT event_type, countState() AS n, sumState(value) AS s, "
+        "avgState(value) AS a, minState(value) AS mn, "
+        "maxState(value) AS mx, uniqState(user_id) AS u "
+        "FROM events WHERE event_id % 2 = {p} GROUP BY event_type"
+    )
+    parts = [
+        ch_select(spark, half_sql.format(p=p), ctx) for p in (0, 1)
+    ]
+    states = parts[0].unionByName(parts[1])
+    ctx2 = ChContext({"states": states})
+    got = ch_select(
+        spark,
+        "SELECT event_type, countMerge(n) AS n, "
+        "round(toFloat64(sumMerge(s)), 6) AS s, "
+        "round(avgMerge(a), 6) AS avg_v, "
+        "minMerge(mn) AS mn, maxMerge(mx) AS mx, uniqMerge(u) AS u "
+        "FROM states GROUP BY event_type",
+        ctx2,
+    )
+    want = ch_select(
+        spark,
+        "SELECT event_type, count() AS n, "
+        "round(toFloat64(sum(toDecimal64(value, 6))), 6) AS s, "
+        "round(toFloat64(sum(toDecimal64(value, 6))) / count(value), 6)"
+        " AS avg_v, "
+        "min(value) AS mn, max(value) AS mx, uniqExact(user_id) AS u "
+        "FROM events GROUP BY event_type",
+        ctx,
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_unsupported_state_combinators_still_refuse(spark, ctx):
+    with pytest.raises(ChSqlError, match="outside the subset|native MV"):
+        ch_select(spark, "SELECT quantileState(value) FROM events", ctx)
+    with pytest.raises(ChSqlError, match="exactly one"):
+        ch_select(spark, "SELECT sumState() FROM events", ctx)
