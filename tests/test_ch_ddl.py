@@ -481,3 +481,86 @@ def test_alter_drop_column_and_refusals(spark, tmp_path):
     c.execute("ALTER TABLE t DROP COLUMN IF EXISTS extra")
     assert [f.name for f in c.tables["t"].schema.fields] == [
         "user_id", "score"]
+
+
+# --- r11: AggregatingMergeTree -State/-Merge MV pattern --------------
+
+_AGG_MV_DDL = """
+CREATE DATABASE shop;
+CREATE TABLE shop.stats
+(
+    event_type String,
+    n AggregateFunction(count),
+    val AggregateFunction(sum, Float64),
+    a AggregateFunction(avg, Float64),
+    lo AggregateFunction(min, Float64),
+    users AggregateFunction(uniq, UInt32)
+)
+ENGINE = AggregatingMergeTree
+ORDER BY (event_type);
+CREATE MATERIALIZED VIEW shop.mv_stats TO shop.stats AS
+SELECT event_type,
+       countState() AS n,
+       sumState(value) AS val,
+       avgState(value) AS a,
+       minState(value) AS lo,
+       uniqState(user_id) AS users
+FROM src
+GROUP BY event_type;
+"""
+
+
+def test_aggregating_merge_tree_mv_loop(spark, tmp_path):
+    """The canonical CH AggregatingMergeTree pattern, verbatim: a
+    -State MV folding a stream into state columns, parts inserted per
+    batch WITHOUT cross-part dedup (states merge, not replace), and a
+    -Merge SELECT answering from the states — equal to recomputing
+    from all raw rows regardless of the batch split."""
+    rows = [
+        (1, "view", 2.0), (2, "view", 3.5), (1, "click", 1.0),
+        (3, "view", 4.0), (2, "click", 2.5), (1, "view", 6.0),
+    ]
+    src = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double")
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(_AGG_MV_DDL)
+    spec = c.tables["stats"]
+    from pyspark.sql import types as T
+    types = {f.name: f.dataType for f in spec.schema.fields}
+    assert types["n"] == T.LongType()
+    assert types["val"] == T.DecimalType(30, 6)
+    assert types["users"] == T.BinaryType()
+    assert types["a"].fieldNames() == ["s", "c"]
+
+    for i, half in enumerate((src.filter("user_id <= 1"),
+                              src.filter("user_id > 1"))):
+        c.insert(spark, "stats",
+                 c.apply_mv(spark, "mv_stats", {"src": half}), batch_id=i)
+    got = {
+        r["event_type"]: (r["n"], float(r["s"]), r["avg_v"], r["lo"], r["u"])
+        for r in c.query(
+            spark,
+            "SELECT event_type, countMerge(n) AS n, "
+            "toFloat64(sumMerge(val)) AS s, round(avgMerge(a), 6) AS avg_v, "
+            "minMerge(lo) AS lo, uniqMerge(users) AS u "
+            "FROM stats GROUP BY event_type",
+        ).collect()
+    }
+    assert got == {
+        "view": (4, 15.5, round(15.5 / 4, 6), 2.0, 3),
+        "click": (2, 3.5, 1.75, 1.0, 2),
+    }
+    # the raw state table holds one state row per (part, key) — no
+    # silent cross-part collapse
+    assert c.query(spark, "SELECT count() AS c FROM stats").collect()[0]["c"] == 4
+
+
+def test_aggregate_function_type_refusals():
+    with pytest.raises(ChSqlError, match="outside the subset"):
+        ChDdlCatalog().execute(
+            "CREATE TABLE t (a AggregateFunction(quantile, Float64)) "
+            "ENGINE = AggregatingMergeTree ORDER BY (a)")
+    with pytest.raises(ChSqlError, match="needs a type"):
+        ChDdlCatalog().execute(
+            "CREATE TABLE t (a AggregateFunction(min)) "
+            "ENGINE = AggregatingMergeTree ORDER BY (a)")
