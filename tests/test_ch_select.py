@@ -199,8 +199,8 @@ def test_array_join_explodes(spark, ctx):
             "INTERPOLATE",
         ),
         ("SELECT topK(5)(event_type) FROM events", "parameterized"),
-        ("SELECT sumState(value) FROM events", "State"),
-        ("SELECT uniqMerge(value) FROM events", "Merge"),
+        ("SELECT quantileState(value) FROM events", "State"),
+        ("SELECT topKMerge(value) FROM events", "Merge"),
         ("SELECT value FROM events LIMIT 2 BY user_id", "ORDER BY"),
         ("SELECT 1 FROM (SELECT 1)", "FROM is required"),
         ("SELECT 1 FROM nosuch", "unknown table"),
