@@ -160,7 +160,8 @@ class ChTableSpec:
     def __init__(self, db: str | None, name: str, schema: T.StructType,
                  engine: str, engine_args: list[str],
                  order_by: list[str], settings: dict[str, str],
-                 defaults: dict[str, str] | None = None):
+                 defaults: dict[str, str] | None = None,
+                 agg_fns: dict[str, str] | None = None):
         self.db = db
         self.name = name
         self.schema = schema
@@ -172,6 +173,10 @@ class ChTableSpec:
         # the inserted block (CH defaults may reference other columns)
         # or, for parts written before the column existed, at read time
         self.defaults = dict(defaults or {})
+        # column -> aggregate-state fn for AggregateFunction columns
+        # (AggregatingMergeTree): count/sum/avg/min/max/uniq — drives
+        # the OPTIMIZE FINAL state fold
+        self.agg_fns = dict(agg_fns or {})
         # flips True on ALTER ADD/DROP COLUMN — evolved tables pay the
         # per-file schema-group read path, un-evolved ones never do
         self.evolved = False
@@ -320,6 +325,7 @@ class ChDdlCatalog:
         self.storage_root = storage_root
         self.n_buckets = n_buckets
         self.storage: dict[str, object] = {}
+        self._insert_seq: dict[str, int] = {}
 
     # -- parsing -----------------------------------------------------
     def execute(self, sql: str, spark: SparkSession | None = None) -> object:
@@ -328,11 +334,22 @@ class ChDdlCatalog:
         return obj
 
     def _one(self, tokens: list[str], spark: SparkSession | None = None):
-        if tokens and _kw(tokens[0]) == "ALTER":
+        head = _kw(tokens[0]) if tokens else ""
+        if head == "ALTER":
             return self._alter(tokens, spark)
-        if not tokens or _kw(tokens[0]) != "CREATE":
+        if head == "INSERT":
+            return self._insert_stmt(tokens, self._need_spark(spark, "INSERT"))
+        if head == "TRUNCATE":
+            return self._truncate(tokens, self._need_spark(spark, "TRUNCATE"))
+        if head == "DROP":
+            return self._drop(tokens)
+        if head == "OPTIMIZE":
+            return self._optimize_stmt(
+                tokens, self._need_spark(spark, "OPTIMIZE"))
+        if head != "CREATE":
             raise ChSqlError(
-                "only CREATE and ALTER TABLE statements are supported here"
+                "only CREATE / ALTER TABLE / INSERT / TRUNCATE / "
+                "DROP TABLE / OPTIMIZE statements are supported here"
             )
         kind = _kw(tokens[1]) if len(tokens) > 1 else ""
         if kind == "DATABASE":
@@ -441,6 +458,225 @@ class ChDdlCatalog:
         spec.evolved = True
         return spec
 
+    @staticmethod
+    def _need_spark(spark: SparkSession | None, what: str) -> SparkSession:
+        if spark is None:
+            raise ChSqlError(
+                f"{what} runs Spark jobs: call execute(sql, spark=spark)"
+            )
+        return spark
+
+    def _table_ref(self, tokens: list[str], at: int, what: str) -> str:
+        if at >= len(tokens) or not _is_ident(tokens[at]):
+            raise ChSqlError(f"{what} needs a table name")
+        name = tokens[at].rsplit(".", 1)[-1]
+        if name not in self.tables:
+            raise ChSqlError(
+                f"{what} references undeclared table {name!r} — "
+                "CREATE it in this catalog first"
+            )
+        return name
+
+    def _insert_stmt(self, tokens: list[str], spark: SparkSession):
+        """CH ``INSERT INTO [db.]t [(cols)] VALUES (...), (...)`` and
+        ``INSERT INTO [db.]t [(cols)] SELECT ...`` (r11): the VALUES
+        form renders through Spark's own ``VALUES`` table constructor;
+        the SELECT form compiles through the dialect front end against
+        the catalog's stored tables. Either way the block conforms to
+        the declared schema (missing DEFAULT columns materialize) and
+        lands as an immutable part — the MergeTree ingest path."""
+        if len(tokens) < 2 or _kw(tokens[1]) != "INTO":
+            raise ChSqlError("INSERT needs INTO")
+        name = self._table_ref(tokens, 2, "INSERT INTO")
+        rest = tokens[3:]
+        cols: list[str] | None = None
+        if rest and rest[0] == "(":
+            try:
+                close = rest.index(")")
+            except ValueError:
+                raise ChSqlError("unbalanced INSERT column list") from None
+            cols = [t for t in rest[1:close] if t != ","]
+            bad = [c for c in cols if not _is_ident(c)]
+            if bad:
+                raise ChSqlError(f"bad INSERT column list entries: {bad}")
+            rest = rest[close + 1:]
+        if not rest:
+            raise ChSqlError("INSERT needs VALUES (...) or SELECT ...")
+        spec = self.tables[name]
+        declared = [f.name for f in spec.schema.fields]
+        if cols is None:
+            cols = declared
+        unknown = sorted(set(cols) - set(declared))
+        if unknown:
+            raise ChSqlError(f"INSERT column(s) not declared: {unknown}")
+        if _kw(rest[0]) == "VALUES":
+            # each row literal runs through the dialect expression
+            # rewriter, so CH function names (toDateTime, toUInt32,
+            # ...) work inside VALUES exactly as they do in SELECTs
+            from postgre_to_clickhouse_spark.ch_select import _rewrite_all
+
+            body = _rewrite_all(rest[1:])
+            if not body.strip():
+                raise ChSqlError("VALUES needs at least one row")
+            aliased = ", ".join(cols)
+            df = spark.sql(
+                f"SELECT * FROM VALUES {body} AS __ch_ins({aliased})"
+            )
+        elif _kw(rest[0]) in ("SELECT", "WITH"):
+            df = self.query(spark, " ".join(rest))
+            if len(df.columns) != len(cols):
+                raise ChSqlError(
+                    f"INSERT SELECT produces {len(df.columns)} columns, "
+                    f"expected {len(cols)} ({cols})"
+                )
+            df = df.toDF(*cols)  # CH matches INSERT SELECT by POSITION
+        else:
+            raise ChSqlError(
+                f"INSERT body must be VALUES or SELECT, got {rest[0]!r}"
+            )
+        seq = self._insert_seq.get(name, 0)
+        self._insert_seq[name] = seq + 1
+        return self.insert(spark, name, df, batch_id=f"sql{seq}")
+
+    def _truncate(self, tokens: list[str], spark: SparkSession):
+        """CH ``TRUNCATE TABLE [db.]t``: commit an EMPTY snapshot —
+        the declared schema survives, every data and projection file
+        leaves the manifest (bytes reclaimed by a later vacuum, so
+        retained versions still time-travel)."""
+        if len(tokens) < 3 or _kw(tokens[1]) != "TABLE":
+            raise ChSqlError("TRUNCATE TABLE <name>?")
+        name = self._table_ref(tokens, 2, "TRUNCATE TABLE")
+        t = self.storage_for(name)
+        return t._commit([], note="truncate")
+
+    def _drop(self, tokens: list[str]):
+        """CH ``DROP TABLE [IF EXISTS] [db.]t``: forget the declaration
+        and detach the storage handle. The data directory is left on
+        disk for retained-version readers — the catalog never deletes
+        bytes implicitly (vacuum is the explicit reclaim)."""
+        if len(tokens) < 3 or _kw(tokens[1]) != "TABLE":
+            raise ChSqlError(f"unsupported DROP {' '.join(tokens[1:2])}")
+        at = 2
+        if _kw(tokens[at]) == "IF" and len(tokens) > at + 1 \
+                and _kw(tokens[at + 1]) == "EXISTS":
+            at += 2
+            if at >= len(tokens):
+                raise ChSqlError("DROP TABLE IF EXISTS <name>?")
+            name = tokens[at].rsplit(".", 1)[-1]
+            if name not in self.tables:
+                return None
+        else:
+            name = self._table_ref(tokens, at, "DROP TABLE")
+        self.tables.pop(name, None)
+        self.storage.pop(name, None)
+        self._insert_seq.pop(name, None)
+        return name
+
+    def _optimize_stmt(self, tokens: list[str], spark: SparkSession):
+        """CH ``OPTIMIZE TABLE [db.]t [FINAL]`` (r11): without FINAL, a
+        routine background-merge compaction (file-count reduction,
+        content byte-identical). With FINAL, the engine-specific fold:
+
+        - ReplacingMergeTree(ver): collapse to the latest row per full
+          sorting key (the version column decides) — every bucket
+          rewritten once, the CH OPTIMIZE FINAL contract;
+        - ReplacingMergeTree without a version argument: REFUSED — CH
+          keeps the last INSERTED row, an arrival-order fact this
+          engine does not retain across parts (declare the version
+          column; same boundary as FINAL reads);
+        - AggregatingMergeTree: merge each state column by its declared
+          AggregateFunction (sum states re-sum in exact decimal, uniq
+          sketches union register-wise) down to ONE state row per
+          sorting key;
+        - MergeTree: FINAL is a no-op beyond compaction (CH same).
+        """
+        if len(tokens) < 3 or _kw(tokens[1]) != "TABLE":
+            raise ChSqlError("OPTIMIZE TABLE <name> [FINAL]?")
+        name = self._table_ref(tokens, 2, "OPTIMIZE TABLE")
+        trailer = [_kw(t) for t in tokens[3:]]
+        if trailer not in ([], ["FINAL"]):
+            raise ChSqlError(
+                f"unsupported OPTIMIZE trailer {' '.join(tokens[3:])!r}"
+            )
+        final = trailer == ["FINAL"]
+        spec = self.tables[name]
+        t = self.storage_for(name)
+        if not final or spec.engine.upper() == "MERGETREE":
+            return t.compact(spark, final=False, min_files_per_bucket=2)
+        if spec.engine.upper() == "REPLACINGMERGETREE":
+            if spec.final_spec is None:
+                raise ChSqlError(
+                    "OPTIMIZE FINAL on a ReplacingMergeTree without a "
+                    "version argument is arrival-order territory (CH "
+                    "keeps the last inserted row) — declare "
+                    "ReplacingMergeTree(ver)"
+                )
+            from postgre_to_clickhouse_spark.cdc import latest
+
+            key, vers = spec.final_spec
+            folded = latest(self._read_stored(spark, name), key, vers)
+        elif spec.engine.upper() == "AGGREGATINGMERGETREE":
+            folded = self._fold_states(spark, name)
+        else:
+            raise ChSqlError(f"OPTIMIZE FINAL unsupported for {spec.engine}")
+        return self._rewrite_all(spark, t, folded)
+
+    def _fold_states(self, spark: SparkSession, name: str) -> DataFrame:
+        """One merged state row per sorting key — each AggregateFunction
+        column folds by its declared fn, staying IN state representation
+        (closed under merge, so the folded part is re-mergeable)."""
+        spec = self.tables[name]
+        df = self._read_stored(spark, name)
+        aggs = []
+        for f in spec.schema.fields:
+            if f.name in spec.order_by:
+                continue
+            fn = spec.agg_fns.get(f.name)
+            if fn is None:
+                raise ChSqlError(
+                    f"column {f.name!r} is not an AggregateFunction — "
+                    "AggregatingMergeTree folds state columns only"
+                )
+            c = F.col(f.name)
+            if fn == "count":
+                aggs.append(F.sum(c).cast("bigint").alias(f.name))
+            elif fn == "sum":
+                aggs.append(F.sum(c).cast("decimal(30,6)").alias(f.name))
+            elif fn == "avg":
+                aggs.append(
+                    F.struct(
+                        F.sum(c["s"]).cast("decimal(30,6)").alias("s"),
+                        F.sum(c["c"]).cast("bigint").alias("c"),
+                    ).alias(f.name)
+                )
+            elif fn in ("min", "max"):
+                aggs.append(getattr(F, fn)(c).alias(f.name))
+            elif fn == "uniq":
+                aggs.append(F.hll_union_agg(c).alias(f.name))
+            else:  # pragma: no cover — parse already refused others
+                raise ChSqlError(f"unfoldable state fn {fn!r}")
+        folded = df.groupBy(*spec.order_by).agg(*aggs)
+        return folded.select(*[f.name for f in spec.schema.fields])
+
+    def _rewrite_all(self, spark: SparkSession, t, folded: DataFrame) -> int:
+        """Commit a snapshot where every non-empty bucket is rewritten
+        from ``folded`` — the manifest protocol's whole-fold commit
+        (new immutable files, atomic pointer flip; crash-safe like
+        every other commit)."""
+        if t.projections:
+            raise ChSqlError(
+                "OPTIMIZE FINAL with projections declared: drop the "
+                "projections first, fold, re-add (the CH DROP/"
+                "MATERIALIZE loop — same boundary as mutations)"
+            )
+        m = t.current_manifest()
+        base = [f for f in m["files"] if not f.get("proj")]
+        if not base:
+            return t.current_version()
+        touched = sorted({f["bucket"] for f in base})
+        new_files = t._write_bucket_files(folded, touched)
+        return t._commit(new_files, note="optimize final fold")
+
     # -- storage -----------------------------------------------------
     def storage_for(self, name: str):
         """The :class:`sinks.manifest.ManifestTable` backing a declared
@@ -476,7 +712,7 @@ class ChDdlCatalog:
         return t
 
     def insert(self, spark: SparkSession, name: str, df: DataFrame,
-               batch_id: int = 0) -> int:
+               batch_id: int | str = 0) -> int:
         """CH ``INSERT INTO <name>`` against the catalog's storage:
         conform the block to the declared schema (the cast CH applies
         on insert), then land it as immutable part files — the
@@ -507,7 +743,12 @@ class ChDdlCatalog:
         spec = self.tables[name]
         t = self.storage_for(name)
         if not spec.evolved:
-            return t.read(spark)
+            try:
+                return t.read(spark)
+            except FileNotFoundError:
+                # empty snapshot (fresh table or TRUNCATE) — the
+                # declared schema still answers queries with 0 rows
+                return spark.createDataFrame([], spec.schema)
         m = t.current_manifest()
         base = [f for f in m["files"] if not f.get("proj")]
         if not base:
@@ -661,6 +902,7 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
         raise ChSqlError("unbalanced column list")
     fields = []
     defaults: dict[str, str] = {}
+    agg_fns: dict[str, str] = {}
     for item in _split_commas(rest[1:close]):
         if len(item) < 2 or not _is_ident(item[0]):
             raise ChSqlError(f"cannot parse column def {' '.join(item)!r}")
@@ -687,6 +929,11 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
             if not expr:
                 raise ChSqlError(f"DEFAULT needs an expression: {' '.join(item)!r}")
             defaults[item[0]] = expr
+        if (len(type_toks) > 2
+                and type_toks[0].upper() == "AGGREGATEFUNCTION"):
+            # remember WHICH state the column carries — OPTIMIZE FINAL
+            # on an AggregatingMergeTree folds each column by its fn
+            agg_fns[item[0]] = type_toks[2].lower()
         dtype, nullable = _parse_type(type_toks)
         fields.append(T.StructField(item[0], dtype, nullable))
     tail = rest[close + 1:]
@@ -742,7 +989,8 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
             else:
                 raise ChSqlError(f"cannot parse SETTING {' '.join(item)!r}")
     return ChTableSpec(db, name, T.StructType(fields), engine,
-                       engine_args, order_by, settings, defaults=defaults)
+                       engine_args, order_by, settings, defaults=defaults,
+                       agg_fns=agg_fns)
 
 
 def _parse_create_mv(tokens: list[str]) -> ChMvSpec:

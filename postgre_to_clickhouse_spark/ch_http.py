@@ -26,6 +26,13 @@ A trailing ``FORMAT <name>`` clause in the query selects the format
 (the ch_select parser itself drops FORMAT — the server reads it before
 compiling); anything else refuses loudly with the supported list.
 
+When the endpoint is backed by a :class:`ch_ddl.ChDdlCatalog` (r11),
+non-SELECT statements — CREATE / ALTER / INSERT / TRUNCATE / DROP /
+OPTIMIZE — route to ``catalog.execute`` and answer an empty 200, so a
+wire client can run its ENTIRE provisioning-and-query session
+verbatim (the curl-against-8123 loop). A fixed-``ChContext`` endpoint
+stays read-only and refuses DDL loudly.
+
 Why HTTP and not a Thrift tag: hive-jdbc carries Spark SQL — smuggling
 CH text inside a Spark-SQL string would be a bespoke convention no
 real client speaks, while HTTP + TabSeparated is exactly what
@@ -166,9 +173,14 @@ def serve_ch_http(
     if isinstance(source, ChContext):
         def _run(sql: str) -> DataFrame:
             return ch_select(spark, sql, source)
+
+        _execute = None
     elif hasattr(source, "query"):  # ChDdlCatalog duck-type
         def _run(sql: str) -> DataFrame:
             return source.query(spark, sql)
+
+        def _execute(sql: str) -> None:
+            source.execute(sql, spark=spark)
     else:
         raise TypeError(
             f"source must be a ChContext or ChDdlCatalog, got {type(source)}"
@@ -194,11 +206,20 @@ def serve_ch_http(
                 stmt, fmt = _split_format(sql)
                 head = stmt.lstrip()[:6].upper()
                 if not (head.startswith("SELECT") or head.startswith("WITH")):
-                    raise ChSqlError(
-                        "the wire endpoint serves SELECT statements; DDL "
-                        "goes through ChDdlCatalog.execute on the server "
-                        "side"
-                    )
+                    # non-SELECT statements (CREATE / ALTER / INSERT /
+                    # TRUNCATE / DROP / OPTIMIZE) run when the endpoint
+                    # is backed by a ChDdlCatalog — the full CH
+                    # terminal loop over the wire; a fixed-context
+                    # endpoint stays read-only.
+                    if _execute is None:
+                        raise ChSqlError(
+                            "this endpoint serves SELECT statements only "
+                            "(fixed table context); serve a ChDdlCatalog "
+                            "to accept DDL/INSERT over the wire"
+                        )
+                    _execute(stmt)
+                    self._answer(200, b"", "text/plain")
+                    return
                 body = _serialize(
                     _run(stmt), fmt, max_result_rows
                 )

@@ -216,7 +216,7 @@ def test_type_map_wrappers():
         ("CREATE TABLE t (a UInt32) ENGINE = MergeTree", "requires ORDER BY"),
         ("CREATE MATERIALIZED VIEW v AS SELECT 1 FROM t", "TO target"),
         ("CREATE VIEW v AS SELECT 1", "unsupported CREATE"),
-        ("DROP TABLE t", "only CREATE"),
+        ("RENAME TABLE t TO u", "only CREATE"),
     ],
 )
 def test_ddl_refusals(bad, frag):
@@ -564,3 +564,122 @@ def test_aggregate_function_type_refusals():
         ChDdlCatalog().execute(
             "CREATE TABLE t (a AggregateFunction(min)) "
             "ENGINE = AggregatingMergeTree ORDER BY (a)")
+
+
+# --- r11: the full SQL-terminal surface ------------------------------
+
+def test_insert_values_and_select_statements(spark, tmp_path):
+    """Verbatim CH INSERT statements through the catalog: VALUES rows
+    (subset column list — DEFAULT materializes), and INSERT ... SELECT
+    compiled over the catalog's own stored tables (positional column
+    match, the CH rule)."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE t (user_id UInt32, score Float64, "
+        "tier String DEFAULT 'basic') ENGINE = MergeTree ORDER BY (user_id)"
+    )
+    c.execute(
+        "INSERT INTO t (user_id, score) VALUES (1, 2.5), (2, 4.0)",
+        spark=spark,
+    )
+    c.execute(
+        "INSERT INTO t VALUES (3, 1.0, 'gold')",
+        spark=spark,
+    )
+    got = sorted(map(tuple, c.query(spark, "SELECT * FROM t").collect()))
+    assert got == [(1, 2.5, "basic"), (2, 4.0, "basic"), (3, 1.0, "gold")]
+
+    c.execute(
+        "CREATE TABLE agg (tier String, total Float64) "
+        "ENGINE = MergeTree ORDER BY (tier)"
+    )
+    c.execute(
+        "INSERT INTO agg SELECT tier, round(toFloat64(sum("
+        "toDecimal64(score, 2))), 2) AS s FROM t GROUP BY tier",
+        spark=spark,
+    )
+    got = sorted(map(tuple, c.query(spark, "SELECT * FROM agg").collect()))
+    assert got == [("basic", 6.5), ("gold", 1.0)]
+
+    with pytest.raises(ChSqlError, match="not declared"):
+        c.execute("INSERT INTO t (nope) VALUES (1)", spark=spark)
+    with pytest.raises(ChSqlError, match="spark=spark"):
+        c.execute("INSERT INTO t VALUES (1, 1.0, 'x')")
+
+
+def test_truncate_and_drop_table(spark, tmp_path):
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE t (a UInt32) ENGINE = MergeTree ORDER BY (a)")
+    c.execute("INSERT INTO t VALUES (1), (2)", spark=spark)
+    assert c.query(spark, "SELECT count() AS n FROM t").collect()[0]["n"] == 2
+    c.execute("TRUNCATE TABLE t", spark=spark)
+    assert c.query(spark, "SELECT count() AS n FROM t").collect()[0]["n"] == 0
+    # schema survives truncate; inserts keep working
+    c.execute("INSERT INTO t VALUES (3)", spark=spark)
+    assert c.query(spark, "SELECT count() AS n FROM t").collect()[0]["n"] == 1
+    c.execute("DROP TABLE t")
+    assert "t" not in c.tables
+    c.execute("DROP TABLE IF EXISTS t")  # no-op, no raise
+    with pytest.raises(ChSqlError, match="undeclared"):
+        c.execute("DROP TABLE t")
+
+
+def test_optimize_final_replacing_merge_tree(spark, tmp_path):
+    """OPTIMIZE TABLE ... FINAL on an RMT(ver): the snapshot itself
+    collapses to the latest row per sorting key; a version-less RMT
+    refuses (arrival-order territory)."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE u (user_id UInt32, v String, updated_at DateTime) "
+        "ENGINE = ReplacingMergeTree(updated_at) ORDER BY (user_id)"
+    )
+    c.execute(
+        "INSERT INTO u VALUES "
+        "(1, 'old', toDateTime('2024-03-01 10:00:00')), "
+        "(2, 'only', toDateTime('2024-03-01 11:00:00'))",
+        spark=spark,
+    )
+    c.execute(
+        "INSERT INTO u VALUES (1, 'new', toDateTime('2024-03-02 10:00:00'))",
+        spark=spark,
+    )
+    # before: all version rows are physically present
+    assert c.query(spark, "SELECT count() AS n FROM u").collect()[0]["n"] == 3
+    c.execute("OPTIMIZE TABLE u FINAL", spark=spark)
+    got = sorted(map(tuple, c.query(
+        spark, "SELECT user_id, v FROM u").collect()))
+    assert got == [(1, "new"), (2, "only")]
+
+    c.execute(
+        "CREATE TABLE nv (a UInt32) ENGINE = ReplacingMergeTree "
+        "ORDER BY (a)")
+    c.execute("INSERT INTO nv VALUES (1)", spark=spark)
+    with pytest.raises(ChSqlError, match="version argument"):
+        c.execute("OPTIMIZE TABLE nv FINAL", spark=spark)
+
+
+def test_optimize_final_folds_aggregate_states(spark, tmp_path):
+    """OPTIMIZE FINAL on an AggregatingMergeTree folds every state
+    column by its declared fn down to one row per key — and the folded
+    states still -Merge to the same answers (closed under merge)."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(_AGG_MV_DDL)
+    src = spark.createDataFrame(
+        [(1, "view", 2.0), (2, "view", 3.5), (1, "click", 1.0),
+         (3, "view", 4.0)],
+        "user_id long, event_type string, value double")
+    for i, pred in enumerate(("user_id <= 1", "user_id > 1")):
+        c.insert(spark, "stats",
+                 c.apply_mv(spark, "mv_stats", {"src": src.filter(pred)}),
+                 batch_id=i)
+    q = ("SELECT event_type, countMerge(n) AS n, "
+         "toFloat64(sumMerge(val)) AS s, uniqMerge(users) AS u "
+         "FROM stats GROUP BY event_type")
+    before = sorted(map(tuple, c.query(spark, q).collect()))
+    assert c.query(
+        spark, "SELECT count() AS c FROM stats").collect()[0]["c"] == 3
+    c.execute("OPTIMIZE TABLE stats FINAL", spark=spark)
+    # one folded state row per key, same merged answers
+    assert c.query(
+        spark, "SELECT count() AS c FROM stats").collect()[0]["c"] == 2
+    assert sorted(map(tuple, c.query(spark, q).collect())) == before

@@ -171,3 +171,34 @@ def test_ch_view_served_over_thrift_jdbc(spark):
     finally:
         ep.stop()
         spark.catalog.dropGlobalTempView("ch_latest_users")
+
+
+def test_full_terminal_over_the_wire(spark, tmp_path):
+    """A catalog-backed endpoint is the full CH terminal: CREATE /
+    INSERT / OPTIMIZE FINAL / SELECT — every statement verbatim over
+    HTTP, like a curl session against the reference's 8123 port."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_http(spark, cat)
+    try:
+        for stmt in (
+            "CREATE TABLE u (user_id UInt32, v String, ts DateTime) "
+            "ENGINE = ReplacingMergeTree(ts) ORDER BY (user_id)",
+            "INSERT INTO u VALUES "
+            "(1, 'old', toDateTime('2024-03-01 10:00:00')), "
+            "(2, 'b', toDateTime('2024-03-01 11:00:00'))",
+            "INSERT INTO u VALUES "
+            "(1, 'new', toDateTime('2024-03-02 10:00:00'))",
+            "OPTIMIZE TABLE u FINAL",
+        ):
+            code, body = _post(ep, stmt)
+            assert code == 200, (stmt, body)
+        code, body = _post(
+            ep, "SELECT user_id, v FROM u ORDER BY user_id")
+        assert code == 200 and body == "1\tnew\n2\tb\n"
+        # loud wire errors for bad DDL too
+        code, body = _post(ep, "ALTER TABLE nope DELETE WHERE 1=1")
+        assert code == 500 and "undeclared" in body
+    finally:
+        ep.stop()
