@@ -180,6 +180,8 @@ class ChTableSpec:
         # flips True on ALTER ADD/DROP COLUMN — evolved tables pay the
         # per-file schema-group read path, un-evolved ones never do
         self.evolved = False
+        # (col, n, unit) recorded by ALTER ... MODIFY TTL (r11)
+        self.ttl: tuple[str, int, str] | None = None
 
     @property
     def is_kafka_source(self) -> bool:
@@ -389,6 +391,11 @@ class ChDdlCatalog:
         kw2 = (_kw(body[0]), _kw(body[1])) if len(body) > 1 else ("", "")
         if kw2 in (("ADD", "COLUMN"), ("DROP", "COLUMN")):
             return self._alter_column(name, kw2[0], body[2:])
+        if kw2 == ("MODIFY", "TTL"):
+            return self._modify_ttl(name, body[2:])
+        if kw2 == ("MATERIALIZE", "TTL"):
+            return self.materialize_ttl(
+                self._need_spark(spark, "MATERIALIZE TTL"), name)
         if spark is None:
             raise ChSqlError(
                 "ALTER TABLE mutations run Spark jobs: call "
@@ -617,6 +624,8 @@ class ChDdlCatalog:
             folded = latest(self._read_stored(spark, name), key, vers)
         elif spec.engine.upper() == "AGGREGATINGMERGETREE":
             folded = self._fold_states(spark, name)
+        elif spec.engine.upper() == "SUMMINGMERGETREE":
+            folded = self._fold_sums(spark, name)
         else:
             raise ChSqlError(f"OPTIMIZE FINAL unsupported for {spec.engine}")
         return self._rewrite_all(spark, t, folded)
@@ -658,6 +667,50 @@ class ChDdlCatalog:
         folded = df.groupBy(*spec.order_by).agg(*aggs)
         return folded.select(*[f.name for f in spec.schema.fields])
 
+    def _fold_sums(self, spark: SparkSession, name: str) -> DataFrame:
+        """SummingMergeTree merge: one row per sorting key, SUMMING the
+        columns the engine argument names (or every numeric non-key
+        column when none is named — the CH default), each sum cast
+        back to the declared column type. CH takes "any" value for the
+        remaining non-key columns; this engine takes the MIN — a
+        deterministic instance of that contract (same convention as
+        ANY JOIN's min-struct pick)."""
+        spec = self.tables[name]
+        df = self._read_stored(spark, name)
+        numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                   T.FloatType, T.DoubleType, T.DecimalType)
+        declared = {f.name: f for f in spec.schema.fields}
+        if spec.engine_args:
+            summed = list(spec.engine_args)
+            bad = [c for c in summed if c not in declared
+                   or not isinstance(declared[c].dataType, numeric)
+                   or c in spec.order_by]
+            if bad:
+                raise ChSqlError(
+                    f"SummingMergeTree sum column(s) {bad} must be "
+                    "declared numeric non-key columns"
+                )
+        else:
+            summed = [f.name for f in spec.schema.fields
+                      if f.name not in spec.order_by
+                      and isinstance(f.dataType, numeric)]
+        aggs = []
+        for f in spec.schema.fields:
+            if f.name in spec.order_by:
+                continue
+            if f.name in summed:
+                aggs.append(
+                    F.sum(f.name).cast(f.dataType).alias(f.name))
+            else:
+                aggs.append(F.min(f.name).alias(f.name))
+        if not aggs:
+            raise ChSqlError(
+                "SummingMergeTree with no non-key columns has nothing "
+                "to fold"
+            )
+        folded = df.groupBy(*spec.order_by).agg(*aggs)
+        return folded.select(*[f.name for f in spec.schema.fields])
+
     def _rewrite_all(self, spark: SparkSession, t, folded: DataFrame) -> int:
         """Commit a snapshot where every non-empty bucket is rewritten
         from ``folded`` — the manifest protocol's whole-fold commit
@@ -676,6 +729,61 @@ class ChDdlCatalog:
         touched = sorted({f["bucket"] for f in base})
         new_files = t._write_bucket_files(folded, touched)
         return t._commit(new_files, note="optimize final fold")
+
+    def _modify_ttl(self, name: str, toks: list[str]):
+        """CH ``MODIFY TTL col + INTERVAL n unit`` (r11): record the
+        row-expiry rule — METADATA-ONLY, like CH (TTL applies on
+        merges / MATERIALIZE TTL, never at MODIFY time). Only the
+        canonical single-column + interval shape is inside the subset;
+        GROUP BY rollup TTLs live on the native manifest surface
+        (sinks/manifest.apply_ttl_rollup)."""
+        spec = self.tables[name]
+        ok = (len(toks) == 5 and _is_ident(toks[0]) and toks[1] == "+"
+              and _kw(toks[2]) == "INTERVAL" and toks[3].isdigit()
+              and _is_ident(toks[4]))
+        if not ok:
+            raise ChSqlError(
+                f"MODIFY TTL supports `col + INTERVAL n unit`, got: "
+                f"{' '.join(toks)!r} (rollup TTLs: "
+                "sinks/manifest.apply_ttl_rollup)"
+            )
+        col, n, unit = toks[0], int(toks[3]), _kw(toks[4])
+        if unit not in ("SECOND", "MINUTE", "HOUR", "DAY", "WEEK",
+                        "MONTH", "YEAR"):
+            raise ChSqlError(f"unsupported TTL interval unit {unit}")
+        declared = {f.name: f for f in spec.schema.fields}
+        if col not in declared or not isinstance(
+                declared[col].dataType, (T.TimestampType, T.DateType)):
+            raise ChSqlError(
+                f"TTL column {col!r} must be a declared Date/DateTime "
+                "column"
+            )
+        spec.ttl = (col, n, unit)
+        return spec
+
+    def materialize_ttl(self, spark: SparkSession, name: str,
+                        now: str | None = None) -> int:
+        """CH ``MATERIALIZE TTL``: apply the recorded TTL rule now —
+        rows whose TTL column is older than (now - interval) delete
+        via the manifest's zone-map-pruned transactional delete.
+        ``now`` (an ISO timestamp string) pins the clock for
+        deterministic tests; None uses the session's current time,
+        the CH behavior. Calendar units (MONTH/YEAR) use Spark's
+        calendar arithmetic, like CH's."""
+        spec = self.tables[name]
+        ttl = getattr(spec, "ttl", None)
+        if ttl is None:
+            raise ChSqlError(
+                f"{name!r} has no TTL rule — ALTER TABLE ... MODIFY TTL "
+                "first"
+            )
+        col, n, unit = ttl
+        base = (f"TIMESTAMP '{now}'" if now is not None
+                else "current_timestamp()")
+        cutoff = spark.sql(
+            f"SELECT CAST({base} - INTERVAL {n} {unit} AS STRING) AS c"
+        ).collect()[0]["c"]
+        return self.storage_for(name).apply_ttl(spark, col, cutoff)
 
     # -- storage -----------------------------------------------------
     def storage_for(self, name: str):
@@ -717,14 +825,33 @@ class ChDdlCatalog:
         conform the block to the declared schema (the cast CH applies
         on insert), then land it as immutable part files — the
         MergeTree ingest path, O(batch) regardless of table size.
-        Within-batch exact sort-key duplicates collapse (the part-level
-        dedup ReplacingMergeTree performs on insert blocks)."""
+        ONLY a ReplacingMergeTree collapses within-batch exact
+        sort-key duplicates (its insert-block dedup); every other
+        engine keeps duplicate sort keys in the part — plain
+        MergeTree rows accumulate, SummingMergeTree and
+        AggregatingMergeTree rows fold at merge/read time, exactly
+        the CH contract (r11 fix: the dedup was wrongly applied to
+        all engines and silently dropped same-key MergeTree rows)."""
         spec = self.tables.get(name)
         if spec is None:
             raise ChSqlError(f"unknown table {name!r}")
         t = self.storage_for(name)
-        key = tuple(spec.order_by)
-        t.append_parts(sort_key=key, arrival=key)(spec.conform(df), batch_id)
+        batch = spec.conform(df)
+        if spec.engine.upper() == "REPLACINGMERGETREE":
+            key = tuple(spec.order_by)
+            t.append_parts(sort_key=key, arrival=key)(batch, batch_id)
+            return t.current_version()
+        with_bucket = batch.withColumn(
+            "__bucket", t._bucket_of(F.col(t.key_col)))
+        touched = sorted(
+            r["__bucket"]
+            for r in with_bucket.select("__bucket").distinct().collect()
+        )
+        new_files = t._write_part(batch, touched)
+        t._commit(
+            t.current_manifest()["files"] + new_files,
+            note=f"append batch_id={batch_id}",
+        )
         return t.current_version()
 
     def _read_stored(self, spark: SparkSession, name: str) -> DataFrame:
@@ -956,10 +1083,11 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
                 engine_args.append(tail[j])
             j += 1
     if engine.upper() not in ("MERGETREE", "REPLACINGMERGETREE", "KAFKA",
-                              "AGGREGATINGMERGETREE"):
+                              "AGGREGATINGMERGETREE", "SUMMINGMERGETREE"):
         raise ChSqlError(
             f"unsupported engine {engine!r} (MergeTree / "
-            "ReplacingMergeTree / AggregatingMergeTree / Kafka)"
+            "ReplacingMergeTree / AggregatingMergeTree / "
+            "SummingMergeTree / Kafka)"
         )
 
     order_by: list[str] = []

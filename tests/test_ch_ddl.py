@@ -683,3 +683,71 @@ def test_optimize_final_folds_aggregate_states(spark, tmp_path):
     assert c.query(
         spark, "SELECT count() AS c FROM stats").collect()[0]["c"] == 2
     assert sorted(map(tuple, c.query(spark, q).collect())) == before
+
+
+def test_summing_merge_tree_optimize_final(spark, tmp_path):
+    """SummingMergeTree: OPTIMIZE FINAL folds equal-sort-key rows by
+    summing the named (or all numeric non-key) columns; non-summed
+    columns take the deterministic MIN instance of CH's any-value
+    contract."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE s (k String, qty UInt32, amount Float64, "
+        "note String) ENGINE = SummingMergeTree(qty, amount) "
+        "ORDER BY (k)"
+    )
+    c.execute("INSERT INTO s VALUES ('a', 1, 1.5, 'x'), ('b', 2, 2.0, 'y')",
+              spark=spark)
+    c.execute("INSERT INTO s VALUES ('a', 10, 0.5, 'z')", spark=spark)
+    c.execute("OPTIMIZE TABLE s FINAL", spark=spark)
+    got = sorted(map(tuple, c.query(spark, "SELECT * FROM s").collect()))
+    assert got == [("a", 11, 2.0, "x"), ("b", 2, 2.0, "y")]
+    # default sum set = every numeric non-key column
+    c.execute("CREATE TABLE s2 (k String, v UInt32) "
+              "ENGINE = SummingMergeTree ORDER BY (k)")
+    c.execute("INSERT INTO s2 VALUES ('a', 1), ('a', 2)", spark=spark)
+    c.execute("OPTIMIZE TABLE s2 FINAL", spark=spark)
+    assert sorted(map(tuple, c.query(spark, "SELECT * FROM s2").collect())) \
+        == [("a", 3)]
+    with pytest.raises(ChSqlError, match="numeric non-key"):
+        c2 = ChDdlCatalog(storage_root=str(tmp_path / "bad"))
+        c2.execute("CREATE TABLE b (k String, v String) "
+                   "ENGINE = SummingMergeTree(v) ORDER BY (k)")
+        c2.execute("INSERT INTO b VALUES ('a', 'x')", spark=spark)
+        c2.execute("OPTIMIZE TABLE b FINAL", spark=spark)
+
+
+def test_modify_and_materialize_ttl(spark, tmp_path):
+    """MODIFY TTL records metadata only; MATERIALIZE TTL deletes
+    expired rows through the manifest's transactional delete, with a
+    pinnable clock for determinism."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE t (k UInt32, ts DateTime) "
+        "ENGINE = MergeTree ORDER BY (k)"
+    )
+    c.execute(
+        "INSERT INTO t VALUES "
+        "(1, toDateTime('2024-01-01 00:00:00')), "
+        "(2, toDateTime('2024-03-01 00:00:00')), "
+        "(3, toDateTime('2024-03-10 00:00:00'))",
+        spark=spark,
+    )
+    v = c.storage_for("t").current_version()
+    c.execute("ALTER TABLE t MODIFY TTL ts + INTERVAL 30 DAY", spark=spark)
+    assert c.tables["t"].ttl == ("ts", 30, "DAY")
+    assert c.storage_for("t").current_version() == v  # metadata-only
+    c.materialize_ttl(spark, "t", now="2024-03-15 00:00:00")
+    got = sorted(r["k"] for r in c.query(spark, "SELECT k FROM t").collect())
+    assert got == [2, 3]  # row 1 expired (74 days old)
+    with pytest.raises(ChSqlError, match="MODIFY TTL supports"):
+        c.execute("ALTER TABLE t MODIFY TTL ts + INTERVAL 1 DAY "
+                  "GROUP BY k", spark=spark)
+    with pytest.raises(ChSqlError, match="no TTL rule"):
+        c2 = ChDdlCatalog(storage_root=str(tmp_path / "n"))
+        c2.execute("CREATE TABLE u (k UInt32, ts DateTime) "
+                   "ENGINE = MergeTree ORDER BY (k)")
+        c2.execute("ALTER TABLE u MATERIALIZE TTL", spark=spark)
+    with pytest.raises(ChSqlError, match="Date/DateTime"):
+        c.execute("ALTER TABLE t MODIFY TTL k + INTERVAL 1 DAY",
+                  spark=spark)
