@@ -849,13 +849,17 @@ class _Fill:
 
     def __init__(self, key: str, frm: int | None, to: int | None, step: int,
                  unit: str | None = None,
-                 interpolate: list[str] | None = None):
+                 interpolate: list[str] | None = None,
+                 group_keys: list[str] | None = None):
         self.key = key
         self.frm = frm
         self.to = to
         self.step = step
         self.unit = unit
         self.interpolate = interpolate or []
+        # leading plain ORDER BY keys (r11): the grid is built and
+        # filled PER group-key tuple — `ORDER BY user, day WITH FILL`
+        self.group_keys = group_keys or []
 
 
 class _Parsed:
@@ -1248,7 +1252,8 @@ def _parse(tokens: list[str]) -> _Parsed:
         if len(ob) < 2 or _kw(ob[1]) != "BY":
             raise ChSqlError("ORDER must be followed by BY")
         items = _split_commas(ob[2:])
-        for it in items:
+        plain_prefix: list[str] | None = []
+        for idx, it in enumerate(items):
             # WITH FILL [FROM a] [TO b] [STEP s] — depth-0 scan
             fill_at, d = None, 0
             for i, t in enumerate(it):
@@ -1263,9 +1268,24 @@ def _parse(tokens: list[str]) -> _Parsed:
                     fill_at = i
                     break
             if fill_at is not None:
-                if p.fill is not None or len(items) != 1:
+                # r11 multi-key form: leading PLAIN (ascending) keys
+                # group the grid — `ORDER BY g1, ..., gk, f WITH FILL`
+                # fills f's range WITHIN each g-tuple (the CH
+                # within-group filling; with explicit FROM/TO both
+                # engines produce the full per-group range, without
+                # bounds the per-group min/max). Multiple fill keys
+                # stay outside the subset.
+                if p.fill is not None or idx != len(items) - 1:
                     raise ChSqlError(
-                        "WITH FILL is supported on a single ORDER BY item"
+                        "WITH FILL is supported on the LAST ORDER BY "
+                        "item only (one fill key; leading plain keys "
+                        "group the grid)"
+                    )
+                if plain_prefix is None:
+                    raise ChSqlError(
+                        "ORDER BY keys before WITH FILL must be plain "
+                        "ascending columns (no DESC/NULLS modifiers) — "
+                        "they group the fill grid"
                     )
                 spec, it = it[fill_at + 2:], it[:fill_at]
                 if it and _kw(it[-1]) == "DESC":
@@ -1347,14 +1367,20 @@ def _parse(tokens: list[str]) -> _Parsed:
                         "only (the result's min/max)"
                     )
                 p.fill = _Fill(_rewrite_all(it), vals["FROM"], vals["TO"],
-                               vals["STEP"], unit, interp)
+                               vals["STEP"], unit, interp,
+                               group_keys=list(plain_prefix))
                 p.order_by.append(p.fill.key)
                 continue
             tail = []
             while it and _kw(it[-1]) in ("ASC", "DESC", "NULLS", "FIRST", "LAST"):
                 tail.insert(0, _kw(it[-1]))
                 it = it[:-1]
-            p.order_by.append((_rewrite_all(it) + (" " + " ".join(tail) if tail else "")).strip())
+            txt = _rewrite_all(it)
+            if plain_prefix is not None and tail in ([], ["ASC"]):
+                plain_prefix.append(txt)
+            else:
+                plain_prefix = None
+            p.order_by.append((txt + (" " + " ".join(tail) if tail else "")).strip())
 
     # every LIMIT clause, in order (LIMIT k BY cols may precede the
     # final row LIMIT — two separate clauses in the CH grammar)
@@ -1980,28 +2006,36 @@ def _apply_fill(out: DataFrame, fill: _Fill) -> DataFrame:
         raise ChSqlError(
             f"WITH FILL key {fill.key!r} must be a selected column or alias"
         )
+    for g in fill.group_keys:
+        if g not in out.columns:
+            raise ChSqlError(
+                f"WITH FILL group key {g!r} must be a selected column "
+                "or alias"
+            )
+    gks = fill.group_keys
     dtypes = dict(out.dtypes)
     for c in fill.interpolate:
         if c not in out.columns:
             raise ChSqlError(f"INTERPOLATE column {c!r} is not selected")
-        if c == fill.key:
-            raise ChSqlError("INTERPOLATE of the fill key is meaningless")
+        if c == fill.key or c in gks:
+            raise ChSqlError("INTERPOLATE of a fill/group key is meaningless")
     if fill.unit is not None:
         if dtypes[fill.key] not in ("date", "timestamp", "timestamp_ntz"):
             raise ChSqlError(
                 "STEP INTERVAL needs a date/timestamp sort key "
                 f"(got {dtypes[fill.key]})"
             )
-        bounds = out.agg(F.min(fill.key).alias("__mn"),
-                         F.max(fill.key).alias("__mx"))
+        bounds = out.groupBy(*gks).agg(
+            F.min(fill.key).alias("__mn"), F.max(fill.key).alias("__mx"))
         step_expr = F.expr(f"interval {fill.step} {fill.unit.lower()}")
         grid = bounds.select(
+            *gks,
             F.explode(
                 F.when(
                     F.col("__mn") <= F.col("__mx"),
                     F.sequence(F.col("__mn"), F.col("__mx"), step_expr),
                 ).otherwise(F.array().cast(f"array<{dtypes[fill.key]}>"))
-            ).alias(fill.key)
+            ).alias(fill.key),
         )
         return _fill_union(out, grid, fill, dtypes)
     if dtypes[fill.key] not in _INT_TYPES:
@@ -2013,8 +2047,13 @@ def _apply_fill(out: DataFrame, fill: _Fill) -> DataFrame:
         raise ChSqlError("WITH FILL range is empty (TO <= FROM)")
     start = (F.lit(fill.frm) if fill.frm is not None else F.min(F.col(fill.key))).cast("bigint")
     stop = (F.lit(fill.to - 1) if fill.to is not None else F.max(F.col(fill.key))).cast("bigint")
-    bounds = out.agg(start.alias("__mn"), stop.alias("__mx"))
+    # group keys make this a PER-GROUP grid (one bounds row per group —
+    # explicit FROM/TO apply to every group, default bounds are the
+    # group's own min/max, the CH within-group filling); no group keys
+    # degenerate to the 1-row global bounds aggregate as before
+    bounds = out.groupBy(*gks).agg(start.alias("__mn"), stop.alias("__mx"))
     grid = bounds.select(
+        *gks,
         F.explode(
             # CASE guards the one-sided-bounds edge where the range is
             # empty (sequence() raises on stop < start with step > 0)
@@ -2022,8 +2061,8 @@ def _apply_fill(out: DataFrame, fill: _Fill) -> DataFrame:
                 F.col("__mn") <= F.col("__mx"),
                 F.sequence(F.col("__mn"), F.col("__mx"), F.lit(fill.step)),
             ).otherwise(F.array().cast("array<bigint>"))
-        ).alias("__g")
-    ).select(F.col("__g").cast(dtypes[fill.key]).alias(fill.key))
+        ).alias("__g"),
+    ).select(*gks, F.col("__g").cast(dtypes[fill.key]).alias(fill.key))
     return _fill_union(out, grid, fill, dtypes)
 
 def _fill_default(t: str):
@@ -2052,15 +2091,16 @@ def _fill_union(out: DataFrame, grid: DataFrame, fill: _Fill,
     # large ungrouped result would make a forced broadcast OOM. (The
     # grid side is the provably-bounded one, but Spark's broadcast
     # anti-join requires the RIGHT side in memory.)
-    filler = grid.join(out.select(fill.key).distinct(), fill.key, "left_anti").select(
+    jks = fill.group_keys + [fill.key]
+    filler = grid.join(out.select(*jks).distinct(), jks, "left_anti").select(
         *[
-            F.col(fill.key) if c == fill.key
+            F.col(c) if c in jks
             else _fill_default(dtypes[c]).alias(c)
             for c in out.columns
         ]
     )
     if not fill.interpolate:
-        return out.unionByName(filler).orderBy(fill.key)
+        return out.unionByName(filler).orderBy(*jks)
     u = out.withColumn("__ch_fill", F.lit(False)).unionByName(
         filler.withColumn("__ch_fill", F.lit(True))
     )
@@ -2072,8 +2112,11 @@ def _fill_union(out: DataFrame, grid: DataFrame, fill: _Fill,
     # stays non-null for real rows even when the field is NULL. A
     # leading run with no prior real row takes the type default (the
     # CH behavior). Global ordered window — see the docstring.
-    w = Window.orderBy(fill.key).rowsBetween(Window.unboundedPreceding,
-                                             Window.currentRow)
+    # one global ordered stream over (group keys, fill key) — the CH
+    # INTERPOLATE pass carries across group boundaries too (it runs
+    # over the final sorted output), and the input is grid-bounded
+    w = Window.orderBy(*jks).rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
     for c in fill.interpolate:
         carried = F.last(
             F.when(~F.col("__ch_fill"), F.struct(F.col(c).alias("v"))),
@@ -2087,4 +2130,4 @@ def _fill_union(out: DataFrame, grid: DataFrame, fill: _Fill,
                 .otherwise(_fill_default(dtypes[c])),
             ).otherwise(F.col(c)),
         )
-    return u.drop("__ch_fill").orderBy(fill.key)
+    return u.drop("__ch_fill").orderBy(*jks)

@@ -182,7 +182,9 @@ def test_array_join_explodes(spark, ctx):
         ("SELECT 1 FROM events LEFT JOIN orders", "ON or USING"),
         ("SELECT 1 FROM events CROSS JOIN orders ON 1=1", "no ON"),
         ("SELECT 1 FROM events RIGHT SEMI JOIN orders ON 1=1", "join type"),
-        ("SELECT n FROM events ORDER BY user_id, n WITH FILL", "single ORDER BY"),
+        ("SELECT 1 AS a, 2 AS n FROM events ORDER BY a WITH FILL, n WITH FILL",
+         "LAST ORDER BY"),
+        ("SELECT user_id, event_id AS n FROM events ORDER BY user_id DESC, n WITH FILL", "plain ascending"),
         ("SELECT value FROM events ORDER BY value WITH FILL", "integer sort key"),
         (
             "SELECT user_id FROM events ORDER BY user_id DESC WITH FILL",
@@ -1344,3 +1346,69 @@ def test_unsupported_state_combinators_still_refuse(spark, ctx):
         ch_select(spark, "SELECT quantileState(value) FROM events", ctx)
     with pytest.raises(ChSqlError, match="exactly one"):
         ch_select(spark, "SELECT sumState() FROM events", ctx)
+
+
+def test_with_fill_grouped_by_leading_keys(spark, ctx):
+    """r11: `ORDER BY g, f WITH FILL` fills f's range WITHIN each g
+    group — explicit bounds give every group the full [FROM, TO) range,
+    default bounds the group's own min/max (the CH within-group
+    filling)."""
+    spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 4, 40.0), ("b", 2, 20.0), ("b", 3, 30.0)],
+        "g string, k int, v double",
+    ).createOrReplaceTempView("__mkf")
+    ctx2 = ChContext({"t": spark.table("__mkf")})
+    # default bounds: per-group min..max
+    got = ch_select(
+        spark,
+        "SELECT g, k, v FROM t ORDER BY g, k WITH FILL",
+        ctx2,
+    ).collect()
+    assert [(r["g"], r["k"], r["v"]) for r in got] == [
+        ("a", 1, 10.0), ("a", 2, 0.0), ("a", 3, 0.0), ("a", 4, 40.0),
+        ("b", 2, 20.0), ("b", 3, 30.0),
+    ]
+    # explicit bounds: the full range for EVERY group
+    got = ch_select(
+        spark,
+        "SELECT g, k, v FROM t ORDER BY g, k WITH FILL FROM 1 TO 5",
+        ctx2,
+    ).collect()
+    assert [(r["g"], r["k"]) for r in got] == [
+        ("a", 1), ("a", 2), ("a", 3), ("a", 4),
+        ("b", 1), ("b", 2), ("b", 3), ("b", 4),
+    ]
+    # INTERPOLATE carries the previous REAL row's value in stream order
+    got = ch_select(
+        spark,
+        "SELECT g, k, v FROM t "
+        "ORDER BY g, k WITH FILL INTERPOLATE (v)",
+        ctx2,
+    ).collect()
+    assert [(r["g"], r["k"], r["v"]) for r in got] == [
+        ("a", 1, 10.0), ("a", 2, 10.0), ("a", 3, 10.0), ("a", 4, 40.0),
+        ("b", 2, 20.0), ("b", 3, 30.0),
+    ]
+
+
+def test_with_fill_grouped_interval(spark, ctx):
+    """Grouped STEP INTERVAL grids: per-user daily densification —
+    the timeseries_gap_fill operator's semantics from verbatim CH."""
+    out = ch_select(
+        spark,
+        "SELECT user_id, toStartOfDay(ts) AS d, count() AS n "
+        "FROM events WHERE user_id <= 3 GROUP BY user_id, d "
+        "ORDER BY user_id, d WITH FILL STEP INTERVAL 1 DAY",
+        ctx,
+    ).collect()
+    assert out
+    from collections import defaultdict
+    per_user = defaultdict(list)
+    for r in out:
+        per_user[r["user_id"]].append((r["d"], r["n"]))
+    for uid, rows in per_user.items():
+        days = [d for d, _ in rows]
+        # dense per-user grid: consecutive days, group-local bounds
+        for a, b in zip(days, days[1:]):
+            assert (b - a).days == 1, (uid, a, b)
+        assert rows == sorted(rows)
