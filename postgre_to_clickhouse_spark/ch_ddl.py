@@ -146,6 +146,13 @@ def _parse_type(toks: list[str]) -> tuple[T.DataType, bool]:
             return _parse_type(parts[1:])
         if fn == "uniq":
             return T.BinaryType(), False
+        if fn == "uniqexact":
+            # the exact distinct set itself (CH's state is a hash set
+            # — both O(distinct) per group); stored as array<T>
+            if len(parts) < 2:
+                raise ChSqlError("AggregateFunction(uniqExact) needs a type")
+            t, _n = _parse_type(parts[1:])
+            return T.ArrayType(t, containsNull=False), False
         raise ChSqlError(
             f"AggregateFunction({fn}) is outside the subset — "
             "count/sum/avg/min/max/uniq map to ch_select's -State "
@@ -348,6 +355,8 @@ class ChDdlCatalog:
         if head == "OPTIMIZE":
             return self._optimize_stmt(
                 tokens, self._need_spark(spark, "OPTIMIZE"))
+        if head in ("SHOW", "DESCRIBE", "DESC", "EXISTS"):
+            return self._introspect(tokens, self._need_spark(spark, head))
         if head != "CREATE":
             raise ChSqlError(
                 "only CREATE / ALTER TABLE / INSERT / TRUNCATE / "
@@ -464,6 +473,42 @@ class ChDdlCatalog:
         )
         spec.evolved = True
         return spec
+
+    def _introspect(self, tokens: list[str], spark: SparkSession):
+        """CH terminal introspection (r11): ``SHOW TABLES`` (declared
+        table names), ``DESCRIBE [TABLE] t`` (name / engine type /
+        DEFAULT expression — types shown are this engine's Spark
+        types, the documented map of the CH declarations), ``EXISTS
+        TABLE t`` (0/1). Each returns a result frame, so a wire client
+        sees rows like against a CH server."""
+        head = _kw(tokens[0])
+        if head == "SHOW":
+            if len(tokens) >= 2 and _kw(tokens[1]) == "TABLES":
+                schema = "name string"
+                rows = [(n,) for n in sorted(self.tables)]
+                return spark.createDataFrame(rows, schema) if rows \
+                    else spark.createDataFrame([], schema)
+            raise ChSqlError(
+                f"unsupported SHOW {' '.join(tokens[1:2])!r} "
+                "(SHOW TABLES only)"
+            )
+        if head in ("DESCRIBE", "DESC"):
+            at = 2 if len(tokens) > 1 and _kw(tokens[1]) == "TABLE" else 1
+            name = self._table_ref(tokens, at, "DESCRIBE")
+            spec = self.tables[name]
+            rows = [
+                (f.name, f.dataType.simpleString(),
+                 spec.defaults.get(f.name, ""))
+                for f in spec.schema.fields
+            ]
+            return spark.createDataFrame(
+                rows, "name string, type string, default_expression string")
+        at = 2 if len(tokens) > 1 and _kw(tokens[1]) == "TABLE" else 1
+        if at >= len(tokens) or not _is_ident(tokens[at]):
+            raise ChSqlError("EXISTS TABLE <name>?")
+        nm = tokens[at].rsplit(".", 1)[-1]
+        return spark.createDataFrame(
+            [(1 if nm in self.tables else 0,)], "result int")
 
     @staticmethod
     def _need_spark(spark: SparkSession | None, what: str) -> SparkSession:
@@ -662,6 +707,10 @@ class ChDdlCatalog:
                 aggs.append(getattr(F, fn)(c).alias(f.name))
             elif fn == "uniq":
                 aggs.append(F.hll_union_agg(c).alias(f.name))
+            elif fn == "uniqexact":
+                aggs.append(
+                    F.array_distinct(F.flatten(F.collect_list(c)))
+                    .alias(f.name))
             else:  # pragma: no cover — parse already refused others
                 raise ChSqlError(f"unfoldable state fn {fn!r}")
         folded = df.groupBy(*spec.order_by).agg(*aggs)

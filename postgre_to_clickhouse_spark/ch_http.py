@@ -179,8 +179,8 @@ def serve_ch_http(
         def _run(sql: str) -> DataFrame:
             return source.query(spark, sql)
 
-        def _execute(sql: str) -> None:
-            source.execute(sql, spark=spark)
+        def _execute(sql: str):
+            return source.execute(sql, spark=spark)
     else:
         raise TypeError(
             f"source must be a ChContext or ChDdlCatalog, got {type(source)}"
@@ -217,7 +217,13 @@ def serve_ch_http(
                             "(fixed table context); serve a ChDdlCatalog "
                             "to accept DDL/INSERT over the wire"
                         )
-                    _execute(stmt)
+                    res = _execute(stmt)
+                    if isinstance(res, DataFrame):
+                        # introspection statements (SHOW / DESCRIBE /
+                        # EXISTS) answer rows like a CH server
+                        body = _serialize(res, fmt, max_result_rows)
+                        self._answer(200, body)
+                        return
                     self._answer(200, b"", "text/plain")
                     return
                 body = _serialize(

@@ -644,6 +644,16 @@ _STATE_MERGE = {
     "maxState": lambda a: f"max({_one_arg('maxState', a)})",
     "uniqState": lambda a:
         f"hll_sketch_agg({_one_arg('uniqState', a)}, {_HLL_LG_K})",
+    # uniqExact's state is the distinct-value set itself (CH's is a
+    # hash set — both O(distinct values) per group); merge = distinct
+    # of the union, finalize = cardinality. Exact at any scale, unlike
+    # the sketched uniqState.
+    "uniqExactState": lambda a:
+        f"collect_set({_one_arg('uniqExactState', a)})",
+    "uniqExactMerge": lambda a: (
+        f"size(array_distinct(flatten(collect_list("
+        f"{_one_arg('uniqExactMerge', a)}))))"
+    ),
     "countMerge": lambda a: f"sum({_one_arg('countMerge', a)})",
     "sumMerge": lambda a:
         f"cast(sum({_one_arg('sumMerge', a)}) as {_STATE_SUM_T})",

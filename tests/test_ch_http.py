@@ -202,3 +202,28 @@ def test_full_terminal_over_the_wire(spark, tmp_path):
         assert code == 500 and "undeclared" in body
     finally:
         ep.stop()
+
+
+def test_introspection_over_the_wire(spark, tmp_path):
+    """SHOW TABLES / DESCRIBE TABLE / EXISTS TABLE answer result rows
+    over the wire, like a CH server."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_http(spark, cat)
+    try:
+        _post(ep, "CREATE TABLE t (a UInt32, s String DEFAULT 'x') "
+                  "ENGINE = MergeTree ORDER BY (a)")
+        _post(ep, "CREATE TABLE u (b UInt32) ENGINE = MergeTree "
+                  "ORDER BY (b)")
+        code, body = _post(ep, "SHOW TABLES")
+        assert code == 200 and body.splitlines() == ["t", "u"]
+        code, body = _post(ep, "DESCRIBE TABLE t")
+        assert code == 200 and body.splitlines() == [
+            "a\tbigint\t", "s\tstring\t'x'"]
+        code, body = _post(ep, "EXISTS TABLE t")
+        assert (code, body) == (200, "1\n")
+        code, body = _post(ep, "EXISTS TABLE nope")
+        assert (code, body) == (200, "0\n")
+    finally:
+        ep.stop()

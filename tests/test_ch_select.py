@@ -1412,3 +1412,26 @@ def test_with_fill_grouped_interval(spark, ctx):
         for a, b in zip(days, days[1:]):
             assert (b - a).days == 1, (uid, a, b)
         assert rows == sorted(rows)
+
+
+def test_uniq_exact_state_merge(spark, ctx):
+    """uniqExactState/-Merge: the exact distinct-set state — merging
+    two halves' states equals the direct uniqExact, bit-exactly."""
+    half = (
+        "SELECT event_type, uniqExactState(user_id) AS u FROM events "
+        "WHERE event_id % 2 = {p} GROUP BY event_type"
+    )
+    states = ch_select(spark, half.format(p=0), ctx).unionByName(
+        ch_select(spark, half.format(p=1), ctx))
+    got = ch_select(
+        spark,
+        "SELECT event_type, uniqExactMerge(u) AS u FROM s GROUP BY event_type",
+        ChContext({"s": states}),
+    )
+    want = ch_select(
+        spark,
+        "SELECT event_type, uniqExact(user_id) AS u FROM events "
+        "GROUP BY event_type",
+        ctx,
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0
