@@ -590,6 +590,70 @@ class ChDdlCatalog:
         self._insert_seq[name] = seq + 1
         return self.insert(spark, name, df, batch_id=f"sql{seq}")
 
+    def insert_json_rows(self, spark: SparkSession, name: str,
+                         lines: list[str],
+                         cols: list[str] | None = None) -> int:
+        """CH ``INSERT INTO t [(cols)] FORMAT JSONEachRow`` data rows
+        (the HTTP upload path clients actually use against 8123). Rows
+        are grouped by their PRESENT key set and each group inserts as
+        its own block, so a field ABSENT from a row materializes the
+        column DEFAULT (CH's input_format_defaults_for_omitted_fields
+        behavior) while an explicit ``null`` stays NULL — a flat
+        missing→NULL read could not tell the two apart. Values travel
+        as strings and take the declared types through conform's cast
+        (the CH input coercion); array-typed columns refuse loudly
+        (use INSERT SELECT)."""
+        import json as _json
+
+        spec = self.tables.get(name)
+        if spec is None:
+            raise ChSqlError(f"unknown table {name!r}")
+        declared = [f.name for f in spec.schema.fields]
+        allowed = set(cols) if cols is not None else set(declared)
+        unknown_cols = sorted(allowed - set(declared))
+        if unknown_cols:
+            raise ChSqlError(f"INSERT column(s) not declared: {unknown_cols}")
+        groups: dict[tuple, list[dict]] = {}
+        for i, ln in enumerate(lines):
+            if not ln.strip():
+                continue
+            try:
+                row = _json.loads(ln)
+            except ValueError as e:
+                raise ChSqlError(f"bad JSONEachRow line {i + 1}: {e}") from None
+            if not isinstance(row, dict):
+                raise ChSqlError(f"JSONEachRow line {i + 1} is not an object")
+            bad = sorted(set(row) - allowed)
+            if bad:
+                raise ChSqlError(
+                    f"JSONEachRow line {i + 1} carries undeclared/"
+                    f"unselected field(s) {bad}"
+                )
+            for v in row.values():
+                if isinstance(v, (list, dict)):
+                    raise ChSqlError(
+                        "array/nested values via JSONEachRow are outside "
+                        "the subset — use INSERT ... SELECT"
+                    )
+            ks = tuple(k for k in declared if k in row)
+            groups.setdefault(ks, []).append(row)
+        if not groups:
+            raise ChSqlError("JSONEachRow body carries no rows")
+        version = None
+        for ks, rs in sorted(groups.items()):
+            schema = ", ".join(f"{k} string" for k in ks)
+            data = [
+                tuple(None if r[k] is None else str(r[k]) for k in ks)
+                for r in rs
+            ]
+            seq = self._insert_seq.get(name, 0)
+            self._insert_seq[name] = seq + 1
+            version = self.insert(
+                spark, name, spark.createDataFrame(data, schema),
+                batch_id=f"json{seq}",
+            )
+        return version
+
     def _truncate(self, tokens: list[str], spark: SparkSession):
         """CH ``TRUNCATE TABLE [db.]t``: commit an EMPTY snapshot —
         the declared schema survives, every data and projection file

@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+import re as _re
 import socket
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -67,6 +68,15 @@ from postgre_to_clickhouse_spark.ch_select import ChContext, ChSqlError, ch_sele
 __all__ = ["ChHttpEndpoint", "serve_ch_http", "register_ch_global_view"]
 
 _FORMATS = ("TabSeparated", "TabSeparatedWithNames", "JSONEachRow")
+
+# INSERT-with-data-body: query in the URL, rows in the POST body — the
+# CH HTTP upload split (`curl '...?query=INSERT INTO t FORMAT
+# JSONEachRow' --data-binary @rows.ndjson`)
+_INSERT_DATA = _re.compile(
+    r"INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\))?\s*"
+    r"FORMAT\s+JSONEachRow\s*$",
+    _re.IGNORECASE,
+)
 
 
 def _split_format(sql: str) -> tuple[str, str]:
@@ -254,15 +264,44 @@ def serve_ch_http(
             n = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(n).decode() if n else ""
             q = parse_qs(u.query).get("query", [""])[0]
-            # CH semantics: query in the URL OR in the body (both set is
-            # the INSERT-data split, which the SELECT endpoint refuses)
+            # CH semantics: query in the URL OR in the body; BOTH set
+            # is the INSERT-data split — the URL carries `INSERT INTO t
+            # FORMAT JSONEachRow`, the body the ndjson rows (r11)
             if q and body.strip():
-                self._answer(
-                    400,
-                    b"query in both URL and body: the endpoint serves "
-                    b"SELECT only (INSERT data uploads are server-side)\n",
-                    "text/plain",
+                m = _INSERT_DATA.match(q.strip().rstrip(";"))
+                if m is None or _execute is None:
+                    self._answer(
+                        400,
+                        b"query in both URL and body is the INSERT-data "
+                        b"split: the URL must carry `INSERT INTO t "
+                        b"[(cols)] FORMAT JSONEachRow` and the endpoint "
+                        b"must be catalog-backed\n",
+                        "text/plain",
+                    )
+                    return
+                name = m.group(1).rsplit(".", 1)[-1]
+                cols = (
+                    [c.strip() for c in m.group(2).split(",") if c.strip()]
+                    if m.group(2) else None
                 )
+                lines = body.splitlines()
+                if len(lines) > max_result_rows:
+                    self._answer(
+                        500,
+                        f"INSERT body exceeds max_result_rows="
+                        f"{max_result_rows} lines\n".encode(),
+                        "text/plain",
+                    )
+                    return
+                try:
+                    source.insert_json_rows(spark, name, lines, cols)
+                except Exception as exc:  # noqa: BLE001
+                    self._answer(
+                        500, f"{type(exc).__name__}: {exc}\n".encode(),
+                        "text/plain",
+                    )
+                    return
+                self._answer(200, b"", "text/plain")
                 return
             self._serve_query(q or body)
 

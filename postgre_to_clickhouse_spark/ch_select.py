@@ -832,6 +832,8 @@ class _TableRef:
         self.subquery = subquery
         self.final = False
         self.sample: tuple[float, float] | None = None
+        # ("numbers", [n] | [offset, n]) — CH table functions (r11)
+        self.table_fn: tuple[str, list[int]] | None = None
 
 
 class _Join:
@@ -990,6 +992,28 @@ def _parse_table_ref(toks: list[str]) -> _TableRef:
             raise ChSqlError(
                 f"{_kw(rest[0])} decorates base tables, not subqueries "
                 "(the CH grammar's rule too)"
+            )
+    elif (_is_ident(toks[0]) and _kw(toks[0]) == "NUMBERS"
+          and len(toks) > 1 and toks[1] == "("):
+        # CH table function numbers(N) / numbers(offset, N): one
+        # `number` column — maps straight to spark.range (a leaf the
+        # planner parallelizes; no data scanned)
+        try:
+            close = toks.index(")")
+        except ValueError:
+            raise ChSqlError("unbalanced '(' in numbers(...)") from None
+        args = [t for t in toks[2:close] if t != ","]
+        if not 1 <= len(args) <= 2 or not all(a.isdigit() for a in args):
+            raise ChSqlError(
+                "numbers(N) / numbers(offset, N) take integer literals"
+            )
+        ref = _TableRef("numbers")
+        ref.table_fn = ("numbers", [int(a) for a in args])
+        rest = toks[close + 1:]
+        if rest and _kw(rest[0]) in ("FINAL", "SAMPLE"):
+            raise ChSqlError(
+                f"{_kw(rest[0])} decorates base tables, not table "
+                "functions"
             )
     elif not toks or not _is_ident(toks[0]) or _kw(toks[0]) in _CLAUSE_STARTS:
         raise ChSqlError(
@@ -1560,6 +1584,10 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
     def _resolve(ref: _TableRef) -> DataFrame:
         if ref.subquery is not None:
             return _compile(spark, ref.subquery, ctx)
+        if ref.table_fn is not None:
+            _fn, args = ref.table_fn
+            off, n = (0, args[0]) if len(args) == 1 else (args[0], args[1])
+            return spark.range(off, off + n).toDF("number")
         if ref.name not in ctx.tables:
             raise ChSqlError(f"unknown table {ref.name!r}")
         df = ctx.tables[ref.name]

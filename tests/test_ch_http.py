@@ -227,3 +227,59 @@ def test_introspection_over_the_wire(spark, tmp_path):
         assert (code, body) == (200, "0\n")
     finally:
         ep.stop()
+
+
+def _post_data(ep, query: str, data: str) -> tuple[int, str]:
+    url = ep.url + "?query=" + urllib.parse.quote(query)
+    req = urllib.request.Request(url, data=data.encode(), method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, r.read().decode()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode()
+
+
+def test_insert_jsoneachrow_data_upload(spark, tmp_path):
+    """The CH HTTP upload split: `?query=INSERT INTO t FORMAT
+    JSONEachRow` with ndjson rows in the body. Absent fields
+    materialize the column DEFAULT, explicit nulls stay NULL, values
+    coerce to the declared types."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_http(spark, cat)
+    try:
+        _post(ep, "CREATE TABLE t (user_id UInt32, score Float64, "
+                  "tier Nullable(String) DEFAULT 'basic') "
+                  "ENGINE = MergeTree ORDER BY (user_id)")
+        code, body = _post_data(
+            ep, "INSERT INTO t FORMAT JSONEachRow",
+            '{"user_id": 1, "score": 2.5}\n'
+            '{"user_id": 2, "score": 4.0, "tier": null}\n'
+            '{"user_id": 3, "score": 1.0, "tier": "gold"}\n',
+        )
+        assert code == 200, body
+        code, body = _post(
+            ep, "SELECT user_id, score, tier FROM t ORDER BY user_id")
+        assert code == 200
+        assert body == "1\t2.5\tbasic\n2\t4.0\t\\N\n3\t1.0\tgold\n"
+        # column-list subset + absent-field default
+        code, body = _post_data(
+            ep, "INSERT INTO t (user_id, score) FORMAT JSONEachRow",
+            '{"user_id": 4, "score": 9.0}\n',
+        )
+        assert code == 200, body
+        code, body = _post(ep, "SELECT tier FROM t WHERE user_id = 4")
+        assert body == "basic\n"
+        # loud refusals: undeclared field, bad json, read-only endpoint
+        code, body = _post_data(
+            ep, "INSERT INTO t FORMAT JSONEachRow", '{"nope": 1}\n')
+        assert code == 500 and "undeclared" in body
+        code, body = _post_data(
+            ep, "INSERT INTO t FORMAT JSONEachRow", "not json\n")
+        assert code == 500 and "bad JSONEachRow" in body
+        code, body = _post_data(
+            ep, "SELECT 1", "stray body")
+        assert code == 400
+    finally:
+        ep.stop()

@@ -1435,3 +1435,30 @@ def test_uniq_exact_state_merge(spark, ctx):
         ctx,
     )
     assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_numbers_table_function(spark, ctx):
+    """CH `numbers(N)` / `numbers(offset, N)`: the `number` column from
+    a range leaf — usable standalone, with WHERE, and as a join side."""
+    got = ch_select(
+        spark, "SELECT number FROM numbers(5) ORDER BY number",
+        ChContext({}),
+    ).collect()
+    assert [r["number"] for r in got] == [0, 1, 2, 3, 4]
+    got = ch_select(
+        spark,
+        "SELECT count() AS n, sum(number) AS s FROM numbers(10, 90) "
+        "WHERE number % 2 = 0",
+        ChContext({}),
+    ).collect()[0]
+    assert (got["n"], got["s"]) == (45, sum(x for x in range(10, 100) if x % 2 == 0))
+    # as a join side
+    got = ch_select(
+        spark,
+        "SELECT n.number AS k FROM numbers(3) AS n "
+        "INNER JOIN numbers(2, 4) AS m ON n.number = m.number",
+        ChContext({}),
+    ).collect()
+    assert sorted(r["k"] for r in got) == [2]
+    with pytest.raises(ChSqlError, match="integer literals"):
+        ch_select(spark, "SELECT 1 FROM numbers(x)", ChContext({}))
