@@ -189,6 +189,9 @@ class ChTableSpec:
         self.evolved = False
         # (col, n, unit) recorded by ALTER ... MODIFY TTL (r11)
         self.ttl: tuple[str, int, str] | None = None
+        # declared columns under the CREATE's PARTITION BY expression
+        # (r11) — they join the storage zone-map stats columns
+        self.partition_src: list[str] = []
 
     @property
     def is_kafka_source(self) -> bool:
@@ -923,11 +926,14 @@ class ChDdlCatalog:
 
         from postgre_to_clickhouse_spark.sinks.manifest import ManifestTable
 
+        stats = list(spec.order_by) + [
+            c for c in spec.partition_src if c not in spec.order_by
+        ]
         t = ManifestTable(
             os.path.join(self.storage_root, name),
             key_col=spec.order_by[0],
             n_buckets=self.n_buckets,
-            stats_cols=tuple(spec.order_by),
+            stats_cols=tuple(stats),
         )
         self.storage[name] = t
         return t
@@ -1221,6 +1227,27 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
     elif engine.upper() != "KAFKA":
         raise ChSqlError(f"ENGINE = {engine} requires ORDER BY")
 
+    # PARTITION BY (r11): captured, not dropped — the declared
+    # columns under the partition expression (toYYYYMM(ts) -> ts)
+    # join the storage's zone-map stats columns, which is how this
+    # engine delivers the file pruning PARTITION BY exists for (the
+    # manifest's per-file [min, max] on ts subsumes any monotone
+    # date-bucketing expression over it).
+    partition_src: list[str] = []
+    pb_at = _find_clause(tail, "PARTITION", "BY")
+    if pb_at is not None:
+        pbt = tail[pb_at + 2:]
+        ends = [e for e in (_find_clause(pbt, "ORDER", "BY"),
+                            _find_clause(pbt, "SETTINGS")) if e is not None]
+        pbt = pbt[: min(ends)] if ends else pbt
+        col_names = {f.name for f in fields}
+        partition_src = [t for t in pbt if _is_ident(t) and t in col_names]
+        if not partition_src:
+            raise ChSqlError(
+                f"PARTITION BY references no declared column: "
+                f"{' '.join(pbt)!r}"
+            )
+
     settings: dict[str, str] = {}
     st_at = _find_clause(tail, "SETTINGS")
     if st_at is not None:
@@ -1229,9 +1256,11 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
                 settings[item[0]] = " ".join(item[2:]).strip("'")
             else:
                 raise ChSqlError(f"cannot parse SETTING {' '.join(item)!r}")
-    return ChTableSpec(db, name, T.StructType(fields), engine,
+    spec = ChTableSpec(db, name, T.StructType(fields), engine,
                        engine_args, order_by, settings, defaults=defaults,
                        agg_fns=agg_fns)
+    spec.partition_src = partition_src
+    return spec
 
 
 def _parse_create_mv(tokens: list[str]) -> ChMvSpec:

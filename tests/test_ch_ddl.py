@@ -751,3 +751,20 @@ def test_modify_and_materialize_ttl(spark, tmp_path):
     with pytest.raises(ChSqlError, match="Date/DateTime"):
         c.execute("ALTER TABLE t MODIFY TTL k + INTERVAL 1 DAY",
                   spark=spark)
+
+
+def test_partition_by_feeds_zone_maps(spark, tmp_path):
+    """PARTITION BY is captured, not dropped: the declared columns
+    under the partition expression join the storage's zone-map stats,
+    delivering the file pruning the clause exists for."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE t (k UInt32, ts DateTime, v Float64) "
+        "ENGINE = MergeTree PARTITION BY toYYYYMM(ts) ORDER BY (k)"
+    )
+    assert c.tables["t"].partition_src == ["ts"]
+    assert c.storage_for("t").stats_cols == ("k", "ts")
+    with pytest.raises(ChSqlError, match="no declared column"):
+        ChDdlCatalog().execute(
+            "CREATE TABLE b (k UInt32) ENGINE = MergeTree "
+            "PARTITION BY toYYYYMM(nope) ORDER BY (k)")

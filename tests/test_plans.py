@@ -473,3 +473,46 @@ def test_ch_window_collapses_to_one_window_operator(spark):
     plan = _plan(spark, "ch_dialect_window")
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_ch_numbers_is_a_range_leaf(spark):
+    """numbers(N) must plan as Spark's Range leaf — a generated
+    sequence, zero scan, parallelizable."""
+    from postgre_to_clickhouse_spark.ch_select import ChContext, ch_select
+
+    df = ch_select(
+        spark, "SELECT count() AS n FROM numbers(1000000) "
+        "WHERE number % 7 = 0", ChContext({}),
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Range" in plan and "Scan" not in plan.replace("Range", "")
+    assert "HashAggregate" in plan
+
+
+def test_ch_grouped_fill_bounds_are_partial_aggregable(spark):
+    """`ORDER BY g, f WITH FILL` builds its per-group grid from a
+    two-phase (partial) aggregate over the result — the grid is bounds
+    rows, never a collect; the fill anti-join carries no forced
+    broadcast hint (AQE decides)."""
+    import re
+
+    from postgre_to_clickhouse_spark import catalog
+    from postgre_to_clickhouse_spark.ch_select import ChContext, ch_select
+    from tests.conftest import SF_SMALL
+
+    ev = catalog.load(spark, SF_SMALL, "events")
+    df = ch_select(
+        spark,
+        "SELECT user_id, toHour(ts) AS h, count() AS n FROM events "
+        "WHERE user_id <= 5 GROUP BY user_id, h "
+        "ORDER BY user_id, h WITH FILL FROM 0 TO 24",
+        ChContext({"events": ev}),
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    # per-group bounds: partial_min/partial_max over the grouped result
+    assert re.search(r"partial_min|partial_max|partial_count", plan)
+    # the grid side explodes a sequence, not a collected list
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "LeftAnti" in plan
