@@ -1015,8 +1015,14 @@ class ChDdlCatalog:
         tables (each inserted table reads through its manifest; RMT
         version declarations contribute FINAL specs) — the terminal
         SELECT of the reference's own workflow, over the same catalog
-        the DDL built."""
+        the DDL built. A declared table never inserted into answers
+        with its empty declared-schema frame (CH: SELECT from an empty
+        table is 0 rows, not an error)."""
         tables = {n: self._read_stored(spark, n) for n in self.storage}
+        if self.storage_root is not None:
+            for n, spec in self.tables.items():
+                if n not in tables and not spec.is_kafka_source:
+                    tables[n] = spark.createDataFrame([], spec.schema)
         final_specs = {
             n: s.final_spec for n, s in self.tables.items()
             if s.final_spec is not None and n in tables

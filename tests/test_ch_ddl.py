@@ -768,3 +768,11 @@ def test_partition_by_feeds_zone_maps(spark, tmp_path):
         ChDdlCatalog().execute(
             "CREATE TABLE b (k UInt32) ENGINE = MergeTree "
             "PARTITION BY toYYYYMM(nope) ORDER BY (k)")
+
+
+def test_query_empty_declared_table(spark, tmp_path):
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE empty_t (a UInt32, s String) "
+              "ENGINE = MergeTree ORDER BY (a)")
+    out = c.query(spark, "SELECT a, s FROM empty_t")
+    assert out.columns == ["a", "s"] and out.count() == 0
