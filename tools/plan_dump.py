@@ -36,6 +36,7 @@ SHOWCASE = [
     ("mann_whitney_values", "r9: rank prefix-sum over range buckets; rank table broadcasts back to rows"),
     ("lttb_downsample_events", "r9: ONE Arrow grouped-map stage — series fan out, walk stays in numpy"),
     ("sequence_next_node_events", "r9: consecutive-chain match as a higher-order position filter — no join/window"),
+    ("ch_dialect_join", "r11: verbatim CH JOIN chain — dims broadcast, one fact shuffle for the agg (front end adds no nodes)"),
 ]
 
 STRIP = re.compile(r"#\d+L?|\[plan_id=\d+\]")
