@@ -197,6 +197,80 @@ class ChTableSpec:
     def is_kafka_source(self) -> bool:
         return self.engine.upper() == "KAFKA"
 
+    def _render_type(self, f: T.StructField) -> str:
+        """Spark type -> CH type text for SHOW CREATE TABLE. The map
+        is the INVERSE of _parse_type over this engine's output range
+        (signed Spark types render as the signed CH types — a UInt32
+        declaration widened to bigint renders Int64; the declared
+        envelope is documented at the type map)."""
+        def base(t: T.DataType) -> str:
+            if isinstance(t, T.ArrayType):
+                inner = base(t.elementType)
+                if t.containsNull:
+                    inner = f"Nullable({inner})"
+                return f"Array({inner})"
+            if isinstance(t, T.DecimalType):
+                return f"Decimal({t.precision}, {t.scale})"
+            m = {
+                T.ByteType(): "Int8", T.ShortType(): "Int16",
+                T.IntegerType(): "Int32", T.LongType(): "Int64",
+                T.FloatType(): "Float32", T.DoubleType(): "Float64",
+                T.StringType(): "String", T.DateType(): "Date",
+                T.TimestampType(): "DateTime", T.BooleanType(): "Bool",
+            }
+            if t in m:
+                return m[t]
+            raise ChSqlError(f"cannot render type {t} for {f.name!r}")
+
+        if f.name in self.agg_fns:
+            fn = self.agg_fns[f.name]
+            if fn == "count":
+                return "AggregateFunction(count)"
+            if fn in ("sum", "avg"):
+                return f"AggregateFunction({fn}, Float64)"
+            if fn == "uniq":
+                return "AggregateFunction(uniq, UInt64)"
+            if fn == "uniqexact":
+                return ("AggregateFunction(uniqExact, "
+                        f"{base(f.dataType.elementType)})")
+            return f"AggregateFunction({fn}, {base(f.dataType)})"
+        out = base(f.dataType)
+        if f.nullable:
+            out = f"Nullable({out})"
+        return out
+
+    def show_create(self) -> str:
+        """``SHOW CREATE TABLE`` text — round-trips through the
+        parser (tested): the canonical rendering of what this catalog
+        understood, which is the honest answer (not the user's exact
+        input bytes, which CH does not return either)."""
+        cols = []
+        for f in self.schema.fields:
+            line = f"    {f.name} {self._render_type(f)}"
+            if f.name in self.defaults:
+                line += f" DEFAULT {self.defaults[f.name]}"
+            cols.append(line)
+        eng = self.engine
+        if self.engine_args:
+            eng += f"({', '.join(self.engine_args)})"
+        parts = [
+            f"CREATE TABLE {self.db + '.' if self.db else ''}{self.name}",
+            "(",
+            ",\n".join(cols),
+            ")",
+            f"ENGINE = {eng}",
+        ]
+        if self.order_by:
+            parts.append(f"ORDER BY ({', '.join(self.order_by)})")
+        if self.ttl is not None:
+            c, n, u = self.ttl
+            parts.append(f"TTL {c} + INTERVAL {n} {u}")
+        if self.settings:
+            kv = ", ".join(
+                f"{k} = '{v}'" for k, v in self.settings.items())
+            parts.append(f"SETTINGS {kv}")
+        return "\n".join(parts)
+
     @property
     def dedup_key(self) -> tuple[str, ...]:
         """ReplacingMergeTree collapses rows with an identical ORDER BY
@@ -491,9 +565,15 @@ class ChDdlCatalog:
                 rows = [(n,) for n in sorted(self.tables)]
                 return spark.createDataFrame(rows, schema) if rows \
                     else spark.createDataFrame([], schema)
+            if (len(tokens) >= 4 and _kw(tokens[1]) == "CREATE"
+                    and _kw(tokens[2]) == "TABLE"):
+                name = self._table_ref(tokens, 3, "SHOW CREATE TABLE")
+                return spark.createDataFrame(
+                    [(self.tables[name].show_create(),)],
+                    "statement string")
             raise ChSqlError(
-                f"unsupported SHOW {' '.join(tokens[1:2])!r} "
-                "(SHOW TABLES only)"
+                f"unsupported SHOW {' '.join(tokens[1:3])!r} "
+                "(SHOW TABLES / SHOW CREATE TABLE)"
             )
         if head in ("DESCRIBE", "DESC"):
             at = 2 if len(tokens) > 1 and _kw(tokens[1]) == "TABLE" else 1
@@ -1221,7 +1301,8 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
         obt = tail[ob_at + 2:]
         end = _find_clause(obt, "SETTINGS")
         end2 = _find_clause(obt, "PARTITION", "BY")
-        ends = [e for e in (end, end2) if e is not None]
+        end3 = _find_clause(obt, "TTL")
+        ends = [e for e in (end, end2, end3) if e is not None]
         obt = obt[: min(ends)] if ends else obt
         if obt and obt[0] == "(":
             obt = obt[1:-1] if obt[-1] == ")" else obt[1:]
@@ -1266,6 +1347,27 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
                        engine_args, order_by, settings, defaults=defaults,
                        agg_fns=agg_fns)
     spec.partition_src = partition_src
+    # table-level TTL clause (r11): `TTL col + INTERVAL n unit` — the
+    # same canonical shape ALTER ... MODIFY TTL accepts (rollup TTLs
+    # refuse there too); recorded metadata-only, like CH
+    ttl_at = _find_clause(tail, "TTL")
+    if ttl_at is not None:
+        ttt = tail[ttl_at + 1:]
+        ends = [e for e in (_find_clause(ttt, "SETTINGS"),) if e is not None]
+        ttt = ttt[: min(ends)] if ends else ttt
+        ok = (len(ttt) == 5 and _is_ident(ttt[0]) and ttt[1] == "+"
+              and _kw(ttt[2]) == "INTERVAL" and ttt[3].isdigit()
+              and _is_ident(ttt[4]))
+        if not ok:
+            raise ChSqlError(
+                f"TTL supports `col + INTERVAL n unit`, got "
+                f"{' '.join(ttt)!r}"
+            )
+        col = ttt[0]
+        names = {f.name for f in fields}
+        if col not in names:
+            raise ChSqlError(f"TTL column {col!r} is not declared")
+        spec.ttl = (col, int(ttt[3]), _kw(ttt[4]))
     return spec
 
 

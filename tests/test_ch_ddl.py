@@ -776,3 +776,42 @@ def test_query_empty_declared_table(spark, tmp_path):
               "ENGINE = MergeTree ORDER BY (a)")
     out = c.query(spark, "SELECT a, s FROM empty_t")
     assert out.columns == ["a", "s"] and out.count() == 0
+
+
+def test_show_create_table_round_trips(spark, tmp_path):
+    """SHOW CREATE TABLE renders canonical DDL that REPARSES to an
+    equivalent spec — schema, engine, sort key, defaults, TTL,
+    AggregateFunction columns — the identity a wire client relies on
+    when cloning a table."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE shop.t (user_id UInt32, v Nullable(String), "
+        "score Float64 DEFAULT 0, tags Array(String), "
+        "n AggregateFunction(count), s AggregateFunction(sum, Float64), "
+        "u AggregateFunction(uniq, UInt32), "
+        "ux AggregateFunction(uniqExact, UInt32)) "
+        "ENGINE = AggregatingMergeTree ORDER BY (user_id)"
+    )
+    c.execute("CREATE TABLE d (k UInt32, ts DateTime) "
+              "ENGINE = MergeTree ORDER BY (k)")
+    c.execute("ALTER TABLE d MODIFY TTL ts + INTERVAL 30 DAY")
+    for name in ("t", "d"):
+        ddl = c.tables[name].show_create()
+        c2 = ChDdlCatalog()
+        c2.execute(ddl)
+        a, b = c.tables[name], c2.tables[name]
+        assert a.schema == b.schema, ddl
+        assert (a.engine, a.order_by, a.defaults, a.agg_fns, a.ttl) == (
+            b.engine, b.order_by, b.defaults, b.agg_fns, b.ttl), ddl
+    # over the wire
+    from postgre_to_clickhouse_spark.ch_http import serve_ch_http
+    ep = serve_ch_http(spark, c)
+    try:
+        import urllib.request
+        req = urllib.request.Request(
+            ep.url, data=b"SHOW CREATE TABLE d", method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            body = r.read().decode()
+        assert "ENGINE = MergeTree" in body and "TTL ts + INTERVAL 30 DAY" in body
+    finally:
+        ep.stop()
