@@ -219,6 +219,17 @@ HEADLINE = [
     # shape is new — per-part-group schema-footer metadata pass +
     # read_conform projections unioned before the agg.
     "ch_ddl_evolution_pipeline",
+    # ch_dialect_quantile_topk_mv (r12) benches: the quantile/topK
+    # state algebra is a NEW heavy shape — two state-MV part ingests
+    # (collect_list histograms per group), an OPTIMIZE FINAL fold
+    # through the higher-order-function merge expressions, and a
+    # -Merge read — no benched family member times nested-HOF
+    # aggregation. (The round's other two queries stay exempt under
+    # the stated rule: ch_ddl_alias_materialized_pipeline's plan is
+    # the alter/evolution ingest+agg lifecycle plus map-only
+    # projections; cdc_wire_terminal_pipeline is a fixture-sized wire
+    # round-trip — protocol latency, not a data-plane shape.)
+    "ch_dialect_quantile_topk_mv",
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the
@@ -413,6 +424,7 @@ def main() -> None:
         med = sorted(calib_start)[len(calib_start) // 2]
         calib_ref = round(sum(CALIB_R6_RECORDED.values()), 3)
         drift = round(calib_end / med, 3) if med else None
+        flagged = bool(drift and not 0.8 <= drift <= 1.2)
         out["calib"] = {
             "start_pass_totals": calib_start,
             "end_pass_total": calib_end,
@@ -420,9 +432,40 @@ def main() -> None:
             "set_r6_recorded": calib_ref,
             "env_factor": round(med / calib_ref, 3) if calib_ref else None,
             "start_end_drift": drift,
-            "flagged": bool(drift and not 0.8 <= drift <= 1.2),
+            "flagged": flagged,
             "warms": sorted(CALIB_R6_RECORDED),
         }
+        # r12 (VERDICT r11 #1/#2): a flagged session self-heals by
+        # RETRYING once instead of shipping unnormalizable numbers —
+        # one more full headline pass (per-query min with the first:
+        # a contention spike does not reproduce, a real cost does),
+        # then a fresh end calib pass. The flag clears only if the
+        # retry's drift is back inside the band; a machine whose
+        # condition genuinely changed stays flagged, with both
+        # attempts in the record.
+        if flagged:
+            retry: dict[str, float] = {}
+            for name in HEADLINE:
+                if name in errors:
+                    continue
+                try:
+                    retry[name] = run_once(name)
+                except Exception:  # noqa: BLE001 — keep first sample
+                    continue
+            for name, t2 in retry.items():
+                timings[name] = min(timings.get(name, t2), t2)
+            total = round(sum(timings.values()), 3)
+            out["value"] = total
+            out["queries"] = timings
+            calib_end2 = calib_pass()
+            drift2 = round(calib_end2 / med, 3) if med else None
+            out["calib"]["retry"] = {
+                "end_pass_total": calib_end2,
+                "start_end_drift": drift2,
+                "retried_headline_total": round(sum(retry.values()), 3),
+            }
+            out["calib"]["flagged"] = bool(
+                drift2 and not 0.8 <= drift2 <= 1.2)
     if reruns:
         out["reruns"] = reruns
     if errors:

@@ -20,7 +20,12 @@ back in CH wire formats:
   NULL, strings escaped CH-style (backslash, tab, newline), datetimes
   as ``YYYY-MM-DD hh:mm:ss``;
 - ``TabSeparatedWithNames``: ditto with a header row;
-- ``JSONEachRow``: one JSON object per line.
+- ``JSONEachRow``: one JSON object per line;
+- ``JSON`` (r12): the CH object envelope — ``meta`` (name + CH type
+  text per column), ``data`` (row objects), ``rows`` — what HTTP
+  dashboards and the CH JDBC driver's HTTP transport request;
+- ``CSV`` / ``CSVWithNames`` (r12): strings and dates double-quoted
+  with ``""`` escaping, ``\\N`` for NULL — the CH export default.
 
 A trailing ``FORMAT <name>`` clause in the query selects the format
 (the ch_select parser itself drops FORMAT — the server reads it before
@@ -67,7 +72,8 @@ from postgre_to_clickhouse_spark.ch_select import ChContext, ChSqlError, ch_sele
 
 __all__ = ["ChHttpEndpoint", "serve_ch_http", "register_ch_global_view"]
 
-_FORMATS = ("TabSeparated", "TabSeparatedWithNames", "JSONEachRow")
+_FORMATS = ("TabSeparated", "TabSeparatedWithNames", "JSONEachRow",
+            "JSON", "CSV", "CSVWithNames")
 
 # INSERT-with-data-body: query in the URL, rows in the POST body — the
 # CH HTTP upload split (`curl '...?query=INSERT INTO t FORMAT
@@ -127,6 +133,47 @@ def _json_cell(v):
     return v
 
 
+def _csv_cell(v) -> str:
+    """One value in CH CSV encoding: strings/dates double-quoted with
+    ``""`` escaping, numbers bare, NULL → ``\\N`` (CH's CSV NULL),
+    bools 1/0, arrays the bracket rendering quoted."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, _dt.datetime):
+        return f'"{v.strftime("%Y-%m-%d %H:%M:%S")}"'
+    if isinstance(v, _dt.date):
+        return f'"{v.isoformat()}"'
+    if isinstance(v, (list, tuple)):
+        inner = "[" + ",".join(_cell(x) for x in v) + "]"
+        return '"' + inner.replace('"', '""') + '"'
+    if isinstance(v, str):
+        return '"' + v.replace('"', '""') + '"'
+    return str(v)
+
+
+def _ch_type_name(t, nullable: bool) -> str:
+    """Spark result type → CH type text for the ``FORMAT JSON`` meta
+    block (the same inverse map ChTableSpec._render_type documents,
+    over result-schema types)."""
+    from pyspark.sql import types as T
+
+    if isinstance(t, T.ArrayType):
+        return f"Array({_ch_type_name(t.elementType, t.containsNull)})"
+    if isinstance(t, T.DecimalType):
+        name = f"Decimal({t.precision}, {t.scale})"
+    else:
+        name = {
+            T.ByteType: "Int8", T.ShortType: "Int16",
+            T.IntegerType: "Int32", T.LongType: "Int64",
+            T.FloatType: "Float32", T.DoubleType: "Float64",
+            T.StringType: "String", T.DateType: "Date",
+            T.TimestampType: "DateTime", T.BooleanType: "Bool",
+        }.get(type(t), t.simpleString())
+    return f"Nullable({name})" if nullable else name
+
+
 def _serialize(df: DataFrame, fmt: str, max_rows: int) -> bytes:
     rows = df.limit(max_rows + 1).collect()
     if len(rows) > max_rows:
@@ -137,12 +184,32 @@ def _serialize(df: DataFrame, fmt: str, max_rows: int) -> bytes:
         )
     cols = df.columns
     out: list[str] = []
+    if fmt == "JSON":
+        # the CH object envelope (meta/data/rows) — what HTTP
+        # dashboards and the CH JDBC driver's HTTP transport request
+        meta = [
+            {"name": f.name, "type": _ch_type_name(f.dataType, f.nullable)}
+            for f in df.schema.fields
+        ]
+        payload = {
+            "meta": meta,
+            "data": [
+                {c: _json_cell(v) for c, v in zip(cols, r)} for r in rows
+            ],
+            "rows": len(rows),
+        }
+        return (json.dumps(payload, indent=1, default=str) + "\n").encode()
     if fmt == "JSONEachRow":
         for r in rows:
             out.append(json.dumps(
                 {c: _json_cell(v) for c, v in zip(cols, r)},
                 separators=(",", ":"), default=str,
             ))
+    elif fmt in ("CSV", "CSVWithNames"):
+        if fmt == "CSVWithNames":
+            out.append(",".join(_csv_cell(c) for c in cols))
+        for r in rows:
+            out.append(",".join(_csv_cell(v) for v in r))
     else:
         if fmt == "TabSeparatedWithNames":
             out.append("\t".join(cols))
@@ -245,10 +312,12 @@ def serve_ch_http(
                     "text/plain",
                 )
                 return
-            ctype = (
-                "application/x-ndjson" if fmt == "JSONEachRow"
-                else "text/tab-separated-values"
-            )
+            ctype = {
+                "JSONEachRow": "application/x-ndjson",
+                "JSON": "application/json",
+                "CSV": "text/csv",
+                "CSVWithNames": "text/csv",
+            }.get(fmt, "text/tab-separated-values")
             self._answer(200, body, ctype)
 
         def do_GET(self) -> None:

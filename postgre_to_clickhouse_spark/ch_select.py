@@ -108,8 +108,11 @@ lag/lead reject explicit frames because their semantics never
 depended on one).
 
 Scope is otherwise DECLARED, and violations are LOUD (`ChSqlError`),
-never silent misreadings: no ``-State/-Merge`` combinators (the MV
-sinks own mergeable states), ``SETTINGS`` parsed and dropped (CH
+never silent misreadings: the ``-State/-Merge`` combinator family
+covers count/sum/avg/min/max/uniq/uniqExact/quantile/topK (the
+AggregatingMergeTree MV pattern — r11/r12; other sketch states refuse
+with a pointer to the native MV sinks), ``SETTINGS`` parsed and
+dropped (CH
 settings are performance knobs; none of them changes result
 semantics for the supported clause subset). Everything compiled here
 is a declarative single SELECT (or a positional union of them), so
@@ -356,6 +359,10 @@ _FN: dict = {
     "arrayConcat": _rename("concat"),
     "arrayDistinct": _rename("array_distinct"),
     "arraySort": lambda a: f"sort_array({a[0]})",
+    # CH arrayStringConcat(arr[, sep]) — sep defaults to '' like CH
+    "arrayStringConcat": lambda a: (
+        f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) * 2})"
+    ),
     "arrayReverseSort": lambda a: f"sort_array({a[0]}, false)",
     "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
     "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
@@ -400,6 +407,12 @@ _FN: dict = {
 }
 
 _PARAM_FN: dict = {
+    # r12: plain topK(k)(x) — CH's array of the k most-frequent values.
+    # A direct aggregate sees every row of its group, so unlike the
+    # capped partial states the result is EXACT at any cardinality
+    # (count desc, item asc tie — the repo-wide deterministic order).
+    "topK": lambda p, a: _topk_direct_sql(
+        _one_arg("topK", a), _pos_int_param("topK", p)),
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileExactWeighted": lambda p, a: f"percentile({a[0]}, {p[0]}, {a[1]})",
@@ -494,12 +507,12 @@ def _call(tokens, i):
     args, j = _args(tokens, i + 2)
     if j < len(tokens) and tokens[j] == "(":  # parameterized: name(p)(args)
         params, j = _args(tokens, j + 1)
-        fn = _PARAM_FN.get(name)
+        fn = _PARAM_FN.get(name) or _PARAM_STATE_MERGE.get(name)
         if fn is None:
             raise ChSqlError(
                 f"parameterized function {name!r} is outside the supported "
-                "subset (topK/sketch states live in operators.sketch and "
-                "the MV sinks)"
+                "subset (quantile/topK -State/-Merge are mapped; other "
+                "sketch states live in operators.sketch and the MV sinks)"
             )
         return fn(args, params), j
     return _apply(name, args), j
@@ -602,11 +615,11 @@ def _apply(name: str, args: list[str]) -> str:
         return _STATE_MERGE[name](args)
     if re.search(r"(State|Merge)$", name):
         raise ChSqlError(
-            f"{name!r}: only the count/sum/avg/min/max/uniq "
-            "-State/-Merge combinators are mapped (the "
-            "AggregatingMergeTree MV pattern, r11); quantile/topK "
-            "mergeable states live in the native MV sinks "
-            "(sinks/agg_mv.py QuantileMV/TopKMV)"
+            f"{name!r}: only the count/sum/avg/min/max/uniq/uniqExact/"
+            "quantile/quantileExact -State/-Merge combinators (plus the "
+            "parameterized topKState(k)/topKMerge(k)) are mapped — the "
+            "AggregatingMergeTree MV pattern (r11/r12); other sketch "
+            "states live in the native MV sinks (sinks/agg_mv.py)"
         )
     return f"{name}({', '.join(args)})"  # standard SQL — Spark validates
 
@@ -666,6 +679,200 @@ _STATE_MERGE = {
         f"cast(hll_sketch_estimate(hll_union_agg("
         f"{_one_arg('uniqMerge', a)})) as bigint)"
     ),
+}
+
+
+# r12 (VERDICT r11 #3): quantile and topK join the -State/-Merge
+# family, closing the AggregatingMergeTree pattern for the two
+# remaining CH-idiomatic aggregates. Representations (the same algebra
+# sinks/agg_mv.py QuantileMV/TopKMV hold natively, re-expressed as
+# pure-SQL aggregate expressions so they compile inside a verbatim
+# -State MV SELECT):
+#
+# * quantileState(x) → sorted ``array<struct<v double, w bigint>>`` —
+#   a weighted value histogram with unit weights (NULL inputs skipped,
+#   like CH). This is EXACTLY ClickHouse ``quantileExactState``'s
+#   bound: CH's exact state stores every value, O(rows) per group; the
+#   cardinality-compressed / GK-bounded variants live in
+#   sinks/agg_mv.py QuantileMV and operators/sketch.py. Closed under
+#   merge: concatenating state arrays IS a valid state.
+# * quantileMerge(q)(s) → flatten + sort all states once, then the
+#   exact-weighted finalize rule (the smallest v whose cumulative
+#   weight reaches q·W — QuantileMV.read_final's rule; every output is
+#   a RAW input value, no interpolation). Computed entirely JVM-side
+#   with nested higher-order functions; the collect_list/sum
+#   aggregates sit OUTSIDE every lambda (Spark rejects aggregates
+#   inside lambda bodies), bound to lambda vars via the
+#   transform-over-singleton-array trick. Empty state → NULL (the
+#   engine's documented OrNull reading of empty aggregates).
+# * topKState(k)(x) → ``struct<tk array<struct<item string,
+#   ub bigint>>, d bigint>`` — the SpaceSaving-style capped summary
+#   TopKMV holds: the ≤k heaviest items with upper-bound counts plus
+#   the error floor d (largest dropped mass; 0 in the exact regime
+#   where per-group distinct ≤ k). Item counts are computed
+#   per-distinct-item with filter/size over the collected list —
+#   O(distinct × rows) comparisons per group, all inside whole-stage
+#   codegen, no array re-copying.
+# * topKMerge(k)(s) → the conservative composition TopKMV._merge
+#   implements (D = Σ dᵢ; merged ub = D + Σ (ubᵢ − dᵢ) over summaries
+#   containing the item), finalized to CH's topK output: the array of
+#   the k heaviest items (ub desc, item asc — deterministic tie, the
+#   repo-wide convention). Exact whenever every input state has d = 0.
+def _q_state_sql(x: str) -> str:
+    return (
+        f"sort_array(collect_list(CASE WHEN ({x}) IS NOT NULL THEN "
+        f"named_struct('v', cast({x} as double), "
+        f"'w', cast(1 as bigint)) END))"
+    )
+
+
+def _q_merge_sql(s: str, q: str) -> str:
+    scan = (
+        "aggregate(ca, named_struct('cum', cast(0 as bigint), "
+        "'val', cast(null as double)), "
+        "(acc, e) -> IF(acc.val IS NOT NULL, acc, "
+        "IF(cast(acc.cum + e.w as double) >= cast(tw as double) * ({q}), "
+        "named_struct('cum', acc.cum + e.w, 'val', e.v), "
+        "named_struct('cum', acc.cum + e.w, "
+        "'val', cast(null as double)))), acc -> acc.val)"
+    ).format(q=q)
+    return (
+        f"transform(array(sort_array(flatten(collect_list({s})))), "
+        f"ca -> transform(array(aggregate(ca, cast(0 as bigint), "
+        f"(a, e) -> a + e.w)), tw -> {scan})[0])[0]"
+    )
+
+
+def _topk_state_sql(x: str, k: int) -> str:
+    hist = (
+        "transform(array_distinct(cl), it -> named_struct('item', it, "
+        "'ub', cast(size(filter(cl, e -> e = it)) as bigint)))"
+    )
+    srt = (
+        f"sort_array(transform({hist}, h -> named_struct("
+        f"'nub', -h.ub, 'item', h.item, 'ub', h.ub)))"
+    )
+    return (
+        f"transform(array(collect_list(cast({x} as string))), "
+        f"cl -> transform(array({srt}), hs -> named_struct("
+        f"'tk', transform(slice(hs, 1, {k}), "
+        f"e -> named_struct('item', e.item, 'ub', e.ub)), "
+        f"'d', IF(size(hs) > {k}, element_at(hs, {k + 1}).ub, "
+        f"cast(0 as bigint))))[0])[0]"
+    )
+
+
+def _topk_merge_core(s: str, k: int, fin: str) -> str:
+    """Shared conservative composition; ``fin`` renders the re-capped
+    sorted histogram ``hs`` (with outer struct var ``t`` in scope)."""
+    flat = (
+        f"flatten(collect_list(transform(({s}).tk, e -> named_struct("
+        f"'item', e.item, 'adj', e.ub - ({s}).d))))"
+    )
+    per_item = (
+        "transform(array_distinct(transform(t.fl, e -> e.item)), "
+        "it -> named_struct('item', it, 'ub', t.dd + "
+        "aggregate(filter(t.fl, e -> e.item = it), cast(0 as bigint), "
+        "(a, e) -> a + e.adj)))"
+    )
+    srt = (
+        f"sort_array(transform({per_item}, h -> named_struct("
+        f"'nub', -h.ub, 'item', h.item, 'ub', h.ub)))"
+    )
+    return (
+        f"transform(array(named_struct('fl', {flat}, "
+        f"'dd', cast(sum(({s}).d) as bigint))), "
+        f"t -> transform(array({srt}), hs -> {fin})[0])[0]"
+    )
+
+
+def _topk_merge_sql(s: str, k: int) -> str:
+    return _topk_merge_core(
+        s, k, f"transform(slice(hs, 1, {k}), e -> e.item)"
+    )
+
+
+def _topk_direct_sql(x: str, k: int) -> str:
+    """Plain ``topK(k)(x)``: the state builder's exact histogram over
+    the WHOLE group (nothing is dropped before the final slice), so
+    the answer is exact at any cardinality — capping only loses
+    information across partial states, which a direct aggregate never
+    has."""
+    hist = (
+        "transform(array_distinct(cl), it -> named_struct('item', it, "
+        "'ub', cast(size(filter(cl, e -> e = it)) as bigint)))"
+    )
+    srt = (
+        f"sort_array(transform({hist}, h -> named_struct("
+        f"'nub', -h.ub, 'item', h.item)))"
+    )
+    return (
+        f"transform(array(collect_list(cast({x} as string))), "
+        f"cl -> transform(slice({srt}, 1, {k}), e -> e.item))[0]"
+    )
+
+
+def _topk_fold_sql(s: str, k: int) -> str:
+    """State→state topK merge (ch_ddl's OPTIMIZE FINAL fold): same
+    conservative composition, re-capped to ``k`` and emitted as a
+    struct state — closed under merge, so the folded part stays
+    re-mergeable (the AggregatingMergeTree contract). The new error
+    floor is max(ΣD, largest evicted ub) — TopKMV._merge's rule."""
+    fin = (
+        f"named_struct('tk', transform(slice(hs, 1, {k}), "
+        f"e -> named_struct('item', e.item, 'ub', e.ub)), "
+        f"'d', greatest(t.dd, IF(size(hs) > {k}, "
+        f"element_at(hs, {k + 1}).ub, cast(0 as bigint))))"
+    )
+    return _topk_merge_core(s, k, fin)
+
+
+def _pos_int_param(name: str, p: list[str]) -> int:
+    if len(p) != 1 or not p[0].isdigit() or int(p[0]) < 1:
+        raise ChSqlError(f"{name} needs one positive integer parameter")
+    return int(p[0])
+
+
+def _q_param(name: str, p: list[str]) -> str:
+    try:
+        q = float(p[0]) if len(p) == 1 else None
+    except ValueError:
+        q = None
+    if q is None or not (0.0 <= q <= 1.0):
+        raise ChSqlError(f"{name} needs one quantile level in [0, 1]")
+    return p[0]
+
+
+_STATE_MERGE.update({
+    # parameter-free forms: CH stores the level in the TYPE, so the
+    # state itself is level-free; a paramless quantileMerge finalizes
+    # at the median (CH's own default level)
+    "quantileState": lambda a: _q_state_sql(_one_arg("quantileState", a)),
+    "quantileExactState": lambda a:
+        _q_state_sql(_one_arg("quantileExactState", a)),
+    "quantileMerge": lambda a:
+        _q_merge_sql(_one_arg("quantileMerge", a), "0.5"),
+    "quantileExactMerge": lambda a:
+        _q_merge_sql(_one_arg("quantileExactMerge", a), "0.5"),
+})
+
+_PARAM_STATE_MERGE = {
+    # quantile levels parameterize the FINALIZE only — the state is
+    # the value histogram either way, so quantileState(0.9)(x) and
+    # quantileState(x) produce identical (mergeable) states, like CH
+    "quantileState": lambda p, a:
+        _q_state_sql(_one_arg("quantileState", a)),
+    "quantileExactState": lambda p, a:
+        _q_state_sql(_one_arg("quantileExactState", a)),
+    "quantileMerge": lambda p, a: _q_merge_sql(
+        _one_arg("quantileMerge", a), _q_param("quantileMerge", p)),
+    "quantileExactMerge": lambda p, a: _q_merge_sql(
+        _one_arg("quantileExactMerge", a),
+        _q_param("quantileExactMerge", p)),
+    "topKState": lambda p, a: _topk_state_sql(
+        _one_arg("topKState", a), _pos_int_param("topKState", p)),
+    "topKMerge": lambda p, a: _topk_merge_sql(
+        _one_arg("topKMerge", a), _pos_int_param("topKMerge", p)),
 }
 
 

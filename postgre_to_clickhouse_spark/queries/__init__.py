@@ -53,84 +53,86 @@ from postgre_to_clickhouse_spark.queries import tierb6  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 
-# The r11 window, per the policy above. Ledger at rotation time
-# (reconstructed from CORRECTNESS_r*.json): r5 ×35, r6 ×46, r8 ×48,
-# r9 ×44, r10 ×50, never-green ×1 (ch_ddl_alter_pipeline, new this
-# round). Rule 1 takes 16 seats: the new CREATE+ALTER+SELECT,
-# schema-evolution, and -State/-Merge MV pipelines,
-# plus the 12 ch_dialect_* queries and cdc_ch_ddl_pipeline, whose
-# compiler internals changed this round (ch_select.py: conditional
-# temp-view registration for ALL statements, the _fill_union
-# distinct-keys anti-join under the WITH FILL family, the
-# literal-aware ASOF alias remap, the explicit ARRAY JOIN NULL
-# exemption; ch_ddl.py: full-sort-key FINAL entity keys + the ALTER
-# routing). Rule 2 backfills the ENTIRE 35-query r5 cohort (the
-# judge's named r11 obligation — includes session_window_native and
-# pandas_udf_zscore, the only §2 rows last driver-checked r5); the
-# full 46-query r6 cohort is the r12 rule-2 obligation.
+# The r12 window, per the policy above. Ledger at rotation time
+# (reconstructed from CORRECTNESS_r*.json): r6 ×46, r8 ×48, r9 ×44,
+# r10 ×38, r11 ×50, never-green ×3 (the r12 queries, each committed
+# with a passing in-session oracle run per the registration rule).
+# Rule 1 takes 4 seats: the three NEW queries (quantile/topK
+# -State/-Merge MV, MATERIALIZED+ALIAS pipeline, the wire-terminal
+# CDC composition) plus ch_dialect_agg_state_mv, reseated as the
+# -State/-Merge family representative because the combinator
+# machinery it compiles through grew this round (_STATE_MERGE /
+# _PARAM_STATE_MERGE entries, the _call parametric dispatch).
+#
+# NOT seated, with the plan-identity justification the r11
+# ch_dialect_union precedent established: ch_ddl_alter_pipeline,
+# ch_ddl_evolution_pipeline and cdc_ch_ddl_pipeline transit
+# conform/read_conform/insert, whose r12 diffs are all additive
+# branches inert without MATERIALIZED/ALIAS columns or an RMT
+# version argument (exprs = defaults | {} ≡ defaults; want minus an
+# empty alias set ≡ want; the versioned-RMT dedup branch requires
+# engine_args none of them declare) — their compiled plans are
+# byte-identical, re-verified this session by in-session oracle runs
+# of all three (plus ch_dialect_agg_state_mv and uniq_merge_rollup),
+# and their r11 driver-greens stand. Rule 2 backfills the ENTIRE
+# 46-query r6 cohort — the judge's named r12 obligation and the
+# final rotation tranche: after this round no registered query's
+# last driver-green is older than r8 (steady state reached).
 _WINDOW = [
-    # --- Rule 1: new in r11 / never driver-checked ---
-    "ch_ddl_alter_pipeline",      # A22 CREATE+ALTER+SELECT via one catalog
-    "ch_ddl_evolution_pipeline",  # A22/A18 DEFAULT cols + metadata-only ADD COLUMN
-    "ch_dialect_agg_state_mv",    # A12/A22 AggregatingMergeTree -State/-Merge
-    # --- Rule 1: implementation internals changed in r11 ---
-    "ch_dialect_any_join",
-    "ch_dialect_array_join",      # explicit NULL lockstep exemption
-    "ch_dialect_asof",            # literal-aware alias remap
-    "ch_dialect_except",
-    "ch_dialect_fill_interval",   # _fill_union distinct-keys anti-join
-    "ch_dialect_hourly",
-    "ch_dialect_join",
-    "ch_dialect_subquery",        # conditional temp-view registration
-    "ch_dialect_top_events",
-    # (ch_dialect_union yields its seat to ch_dialect_agg_state_mv:
-    # its only r11 internals change is the result-identical
-    # skip-view-registration side effect — the compiled plan is the
-    # byte-same plan union; it stays oracle-gated in pytest and its
-    # r10 driver-green stands.)
-    "ch_dialect_window",
-    "ch_dialect_with_fill",       # _fill_union distinct-keys anti-join
-    "cdc_ch_ddl_pipeline",        # ch_ddl.py final_spec / ALTER routing
-    # --- Rule 2: oldest-green-first. The FULL r5 cohort (35) ---
-    "document_chunks",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "funnel_strict_modes",
-    "funnel_view_click_purchase",
-    "grouping_sets_sql",
-    "histogram_event_values",
-    "json_typed_extraction",
-    "lm_unigram_nll",
-    "mix_rebalance_lang",
-    "multimodal_audio_stats",
-    "multimodal_video_frames",
-    "pandas_udf_zscore",          # B19 — §2 row, last driver-green r5
-    "percentiles_quantity",
-    "q1_pricing_summary",
-    "q4_order_priority",
-    "q9_product_profit",
-    "quality_filter_documents",
-    "retention_view_cohorts",
-    "safe_cast_funcs",
-    "scalar_funcs_composite",
-    "sequence_match_3step",
-    "sequence_match_view_purchase",
-    "session_window_native",      # B18 — §2 row, last driver-green r5
-    "setop_nation_presence",
-    "shuffle_training_order",
-    "skew_salted_agg_events",
-    "split_train_val_test",
-    "stratified_sample_documents",
-    "text_clean_documents",
-    "text_repetition_stats",
-    "token_budget_per_lang",
-    "vector_int8_topk",
-    "vocabulary_top_terms",
-    "window_rank_family",
-    # (agg_events_stats — the alphabetically-first r6 query — yields
-    # its seat to ch_ddl_evolution_pipeline, new mid-round under the
-    # registration rule; the full 46-query r6 cohort is the r12
-    # rule-2 obligation, still within the no-older-than-r6 bar.)
+    # --- Rule 1: new in r12 (registration rule: each landed with a
+    # passing oracle run in its own session) ---
+    "ch_dialect_quantile_topk_mv",        # A12/B8 quantile+topK states
+    "ch_ddl_alias_materialized_pipeline",  # A22/A18 expression columns
+    "cdc_wire_terminal_pipeline",          # A22/A11/A19/A20 over the wire
+    # --- Rule 1: shared -State/-Merge machinery grew in r12 ---
+    "ch_dialect_agg_state_mv",
+    # --- Rule 2: oldest-green-first. The FULL r6 cohort (46) ---
+    "agg_events_stats",
+    "agg_mv_incremental",
+    "argminmax_events",
+    "array_embedding_stats",
+    "cohort_retention_matrix",
+    "conditional_funcs",
+    "correlated_scalar_subquery",
+    "cube_lineitem_flags",
+    "date_funcs_orders",
+    "dup_span_coverage",
+    "embedding_near_dup_pairs",
+    "exists_subquery_sql",
+    "group_array_events",
+    "interleave_datasets_order",
+    "join_anti_customers_without_pending",
+    "join_full_outer_nation_activity",
+    "join_outer_order_counts",
+    "join_range_acctbal_bands",
+    "join_semi_customers_with_open_orders",
+    "math_funcs_lineitem",
+    "minhash_incremental_candidates",
+    "mixture_sample_weights",
+    "multimodal_audio_dsp",
+    "multimodal_image_stats",
+    "ngram_jaccard_same_source",
+    "pivot_qty_by_status",
+    "q11_spec_important_stock",
+    "q16_spec_supplier_count",
+    "q20_spec_excess_suppliers",
+    "q2_spec_min_cost_supplier",
+    "rollup_revenue_region_nation",
+    "scalar_subquery_sql",
+    "semantic_decontaminate_eval",
+    "stats_aggregates",
+    "string_funcs_part",
+    "summap_event_values",
+    "text_fingerprints",
+    "text_lang_id",
+    "timeseries_gap_fill",
+    "topk_orders_by_price",
+    "uniq_merge_rollup",
+    "unpivot_balances",
+    "weighted_quantile_events",
+    "window_range_frame",
+    "window_top3_orders_per_customer",
+    "window_user_running_totals",
 ]
 
 

@@ -556,9 +556,11 @@ def test_aggregating_merge_tree_mv_loop(spark, tmp_path):
 
 
 def test_aggregate_function_type_refusals():
+    # quantile/topK joined the type map in r12 — argMax marks the
+    # remaining boundary
     with pytest.raises(ChSqlError, match="outside the subset"):
         ChDdlCatalog().execute(
-            "CREATE TABLE t (a AggregateFunction(quantile, Float64)) "
+            "CREATE TABLE t (a AggregateFunction(argMax, Float64)) "
             "ENGINE = AggregatingMergeTree ORDER BY (a)")
     with pytest.raises(ChSqlError, match="needs a type"):
         ChDdlCatalog().execute(
@@ -815,3 +817,117 @@ def test_show_create_table_round_trips(spark, tmp_path):
         assert "ENGINE = MergeTree" in body and "TTL ts + INTERVAL 30 DAY" in body
     finally:
         ep.stop()
+
+
+# --- r12: MATERIALIZED / ALIAS column clauses -------------------------
+
+
+def test_materialized_and_alias_columns(spark, tmp_path):
+    """MATERIALIZED computes at insert (stored), ALIAS at read (never
+    stored), DEFAULT fills omitted block columns — and clause
+    expressions are verbatim CH text (dialect-rewritten)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE t (id Int64, ts DateTime, v Float64, "
+        "cents Int64 MATERIALIZED toInt64(floor(v * 100)), "
+        "day DateTime ALIAS toStartOfDay(ts), "
+        "lbl String DEFAULT 'x') "
+        "ENGINE = MergeTree ORDER BY (id)"
+    )
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.25), (2, "2024-01-02 11:30:00", 2.5)],
+        "id long, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    c.insert(spark, "t", df, batch_id=0)
+    rows = {r["id"]: r for r in c.query(
+        spark, "SELECT id, cents, day, lbl FROM t").collect()}
+    assert rows[1]["cents"] == 125 and rows[2]["cents"] == 250
+    assert rows[1]["day"].day == 1 and rows[2]["day"].day == 2
+    assert rows[1]["lbl"] == "x"
+    # ALIAS is physically absent from every part file
+    data_dir = os.path.join(str(tmp_path), "t", "data")
+    for f in os.listdir(data_dir):
+        names = spark.read.parquet(os.path.join(data_dir, f)).schema.names
+        assert "day" not in names
+        assert "cents" in names  # MATERIALIZED is stored
+
+
+def test_insert_into_expression_columns_refuses(spark, tmp_path):
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE t (id Int64, v Float64, "
+        "c2 Float64 MATERIALIZED v * 2, a2 Float64 ALIAS v * 3) "
+        "ENGINE = MergeTree ORDER BY (id)"
+    )
+    df = spark.createDataFrame([(1, 1.0, 2.0)], "id long, v double, c2 double")
+    with pytest.raises(ChSqlError, match="MATERIALIZED/ALIAS"):
+        c.insert(spark, "t", df)
+    df2 = spark.createDataFrame([(1, 1.0, 3.0)], "id long, v double, a2 double")
+    with pytest.raises(ChSqlError, match="MATERIALIZED/ALIAS"):
+        c.insert(spark, "t", df2)
+
+
+def test_expression_column_ddl_refusals():
+    # explicit type required (CH infers; this subset declares)
+    with pytest.raises(ChSqlError, match="explicit column type"):
+        ChDdlCatalog().execute(
+            "CREATE TABLE t (id Int64, d ALIAS id * 2) "
+            "ENGINE = MergeTree ORDER BY (id)")
+    # state-folding engines refuse the combination
+    with pytest.raises(ChSqlError, match="MergeTree and ReplacingMergeTree"):
+        ChDdlCatalog().execute(
+            "CREATE TABLE t (id Int64, n AggregateFunction(count), "
+            "d Int64 ALIAS id * 2) "
+            "ENGINE = AggregatingMergeTree ORDER BY (id)")
+    # ALIAS cannot be a sorting key
+    with pytest.raises(ChSqlError, match="ORDER BY"):
+        ChDdlCatalog().execute(
+            "CREATE TABLE t (id Int64, d Int64 ALIAS id * 2) "
+            "ENGINE = MergeTree ORDER BY (d)")
+    # at most one expression clause per column
+    with pytest.raises(ChSqlError, match="at most one"):
+        ChDdlCatalog().execute(
+            "CREATE TABLE t (id Int64, d Int64 DEFAULT 1 ALIAS id) "
+            "ENGINE = MergeTree ORDER BY (id)")
+    # CODEC/COMMENT stay loud refusals (declared non-goal)
+    with pytest.raises(ChSqlError, match="CODEC"):
+        ChDdlCatalog().execute(
+            "CREATE TABLE t (id Int64 CODEC(ZSTD)) "
+            "ENGINE = MergeTree ORDER BY (id)")
+
+
+def test_expression_columns_round_trip_show_create(spark, tmp_path):
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE t (id Int64, ts DateTime, v Float64, "
+        "cents Int64 MATERIALIZED toInt64(floor(v * 100)), "
+        "day DateTime ALIAS toStartOfDay(ts)) "
+        "ENGINE = MergeTree ORDER BY (id)"
+    )
+    text = c.execute("SHOW CREATE TABLE t", spark=spark).collect()[0][0]
+    assert "MATERIALIZED" in text and "ALIAS" in text
+    cat2 = ChDdlCatalog()
+    cat2.execute(text.replace("CREATE TABLE t", "CREATE TABLE t2"))
+    s1, s2 = c.tables["t"], cat2.tables["t2"]
+    assert s2.schema == s1.schema
+    assert s2.materialized == s1.materialized
+    assert s2.aliases == s1.aliases
+
+
+def test_alter_add_default_accepts_ch_expressions(spark, tmp_path):
+    """r12: ALTER ADD COLUMN DEFAULT expressions run through the
+    dialect rewriter too — CH names work, old parts materialize them
+    at read."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE t (id Int64, v Float64) "
+              "ENGINE = MergeTree ORDER BY (id)")
+    c.insert(spark, "t",
+             spark.createDataFrame([(1, 2.5)], "id long, v double"))
+    c.execute("ALTER TABLE t ADD COLUMN c Int64 DEFAULT toInt64(v * 10)",
+              spark=spark)
+    r = c.query(spark, "SELECT id, c FROM t").collect()[0]
+    assert r["c"] == 25

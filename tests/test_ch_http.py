@@ -283,3 +283,53 @@ def test_insert_jsoneachrow_data_upload(spark, tmp_path):
         assert code == 400
     finally:
         ep.stop()
+
+
+def test_format_json_envelope(ep):
+    """r12 (VERDICT r11 #5): FORMAT JSON answers the CH object
+    envelope — meta (CH type text per column), data, rows — with
+    NULL and datetime rendered per CH's documented JSON escaping."""
+    code, body = _post(
+        ep,
+        "SELECT user_id, username, updated_at, "
+        "if(user_id = 2, NULL, account_type) AS acct "
+        "FROM users ORDER BY user_id, updated_at FORMAT JSON",
+    )
+    assert code == 200
+    doc = json.loads(body)
+    assert doc["rows"] == 3 and len(doc["data"]) == 3
+    meta = {m["name"]: m["type"] for m in doc["meta"]}
+    # nullability mirrors the RESULT schema (Spark marks source-fed
+    # columns nullable) — the base CH type names are the contract
+    assert meta["user_id"] in ("Int64", "Nullable(Int64)")
+    assert meta["username"] in ("String", "Nullable(String)")
+    assert meta["updated_at"] in ("DateTime", "Nullable(DateTime)")
+    assert meta["acct"] == "Nullable(String)"
+    first, last = doc["data"][0], doc["data"][-1]
+    assert first["updated_at"] == "2024-03-01 10:00:00"  # CH DateTime text
+    assert first["acct"] == "Gold"
+    assert last["user_id"] == 2 and last["acct"] is None  # JSON null
+
+
+def test_format_csv_with_names(ep):
+    """r12: CSV/CSVWithNames — strings and datetimes double-quoted
+    with "" escaping, numbers bare, NULL as \\N."""
+    code, body = _post(
+        ep,
+        "SELECT user_id, concat(username, '\"q\"') AS u, updated_at, "
+        "if(user_id = 2, NULL, account_type) AS acct "
+        "FROM users ORDER BY user_id, updated_at FORMAT CSVWithNames",
+    )
+    assert code == 200
+    lines = body.splitlines()
+    assert lines[0] == '"user_id","u","updated_at","acct"'
+    assert lines[1] == '1,"john""q""","2024-03-01 10:00:00","Gold"'
+    assert lines[3] == '2,"jane""q""","2024-03-01 11:00:00",\\N'
+    # headerless CSV: same rows, no header
+    code, body2 = _post(
+        ep,
+        "SELECT user_id, concat(username, '\"q\"') AS u, updated_at, "
+        "if(user_id = 2, NULL, account_type) AS acct "
+        "FROM users ORDER BY user_id, updated_at FORMAT CSV",
+    )
+    assert code == 200 and body2.splitlines()[0] == lines[1]

@@ -200,9 +200,11 @@ def test_array_join_explodes(spark, ctx):
             "WITH FILL INTERPOLATE (value)",
             "INTERPOLATE",
         ),
-        ("SELECT topK(5)(event_type) FROM events", "parameterized"),
-        ("SELECT quantileState(value) FROM events", "State"),
+        ("SELECT histogram(5)(value) FROM events", "parameterized"),
+        ("SELECT sumSimpleState(value) FROM events", "State"),
         ("SELECT topKMerge(value) FROM events", "Merge"),
+        ("SELECT topKState(0)(value) FROM events", "positive integer"),
+        ("SELECT quantileMerge(1.5)(value) FROM events", "quantile level"),
         ("SELECT value FROM events LIMIT 2 BY user_id", "ORDER BY"),
         ("SELECT 1 FROM (SELECT 1)", "FROM is required"),
         ("SELECT 1 FROM nosuch", "unknown table"),
@@ -1342,8 +1344,10 @@ def test_state_merge_combinators_roundtrip(spark, ctx):
 
 
 def test_unsupported_state_combinators_still_refuse(spark, ctx):
+    # quantile/topK joined the family in r12 — the boundary moved to
+    # the remaining sketch states, which still refuse loudly
     with pytest.raises(ChSqlError, match="outside the subset|native MV"):
-        ch_select(spark, "SELECT quantileState(value) FROM events", ctx)
+        ch_select(spark, "SELECT medianState(value) FROM events", ctx)
     with pytest.raises(ChSqlError, match="exactly one"):
         ch_select(spark, "SELECT sumState() FROM events", ctx)
 
