@@ -596,33 +596,58 @@ class ChDdlCatalog:
             spec.schema = T.StructType(
                 [f for f in spec.schema.fields if f.name != col]
             )
+            was_alias = col in spec.aliases
             spec.defaults.pop(col, None)
-            spec.evolved = True
+            spec.materialized.pop(col, None)
+            spec.aliases.pop(col, None)
+            if not was_alias:  # dropping an ALIAS is pure metadata
+                spec.evolved = True
             return spec
         # ADD
         if col in declared:
             raise ChSqlError(f"ADD COLUMN: {col!r} already exists in {name!r}")
-        d_at = next(
-            (i for i, t in enumerate(toks[1:], 1)
-             if _is_ident(t) and _kw(t) == "DEFAULT"),
-            None,
-        )
+        kinds = [
+            (i, _kw(t)) for i, t in enumerate(toks[1:], 1)
+            if _is_ident(t) and _kw(t) in ("DEFAULT", "MATERIALIZED",
+                                           "ALIAS")
+        ]
+        if len(kinds) > 1:
+            raise ChSqlError(
+                f"at most one of DEFAULT/MATERIALIZED/ALIAS per column: "
+                f"{' '.join(toks)!r}"
+            )
+        d_at, kind = kinds[0] if kinds else (None, None)
         type_toks = toks[1:d_at] if d_at is not None else toks[1:]
         if not type_toks:
             raise ChSqlError(f"ADD COLUMN {col!r} needs a type")
         dtype, nullable = _parse_type(type_toks)
         if d_at is not None:
             if not toks[d_at + 1:]:
-                raise ChSqlError(f"ADD COLUMN {col!r}: DEFAULT needs an expression")
+                raise ChSqlError(
+                    f"ADD COLUMN {col!r}: {kind} needs an expression")
+            if kind != "DEFAULT" and spec.engine.upper() not in (
+                    "MERGETREE", "REPLACINGMERGETREE"):
+                raise ChSqlError(
+                    "MATERIALIZED/ALIAS columns are supported on "
+                    f"MergeTree and ReplacingMergeTree, not {spec.engine}"
+                )
             from postgre_to_clickhouse_spark.ch_select import _rewrite_all
 
             # verbatim CH expression text → Spark SQL (r12, same
-            # rewrite the CREATE-time clauses get)
-            spec.defaults[col] = _rewrite_all(toks[d_at + 1:])
+            # rewrite the CREATE-time clauses get). An added
+            # MATERIALIZED column behaves like DEFAULT for parts older
+            # than the column (computed at read) and computes at
+            # insert for new blocks; an added ALIAS column is pure
+            # metadata — never stored, so the table does not even
+            # count as evolved.
+            expr = _rewrite_all(toks[d_at + 1:])
+            {"DEFAULT": spec.defaults, "MATERIALIZED": spec.materialized,
+             "ALIAS": spec.aliases}[kind][col] = expr
         spec.schema = T.StructType(
             list(spec.schema.fields) + [T.StructField(col, dtype, nullable)]
         )
-        spec.evolved = True
+        if kind != "ALIAS":
+            spec.evolved = True
         return spec
 
     def _introspect(self, tokens: list[str], spark: SparkSession):
@@ -653,13 +678,24 @@ class ChDdlCatalog:
             at = 2 if len(tokens) > 1 and _kw(tokens[1]) == "TABLE" else 1
             name = self._table_ref(tokens, at, "DESCRIBE")
             spec = self.tables[name]
+
+            def _kind_expr(c: str) -> tuple[str, str]:
+                # CH DESCRIBE's default_type/default_expression pair
+                if c in spec.defaults:
+                    return "DEFAULT", spec.defaults[c]
+                if c in spec.materialized:
+                    return "MATERIALIZED", spec.materialized[c]
+                if c in spec.aliases:
+                    return "ALIAS", spec.aliases[c]
+                return "", ""
+
             rows = [
-                (f.name, f.dataType.simpleString(),
-                 spec.defaults.get(f.name, ""))
+                (f.name, f.dataType.simpleString(), *_kind_expr(f.name))
                 for f in spec.schema.fields
             ]
             return spark.createDataFrame(
-                rows, "name string, type string, default_expression string")
+                rows, "name string, type string, default_type string, "
+                      "default_expression string")
         at = 2 if len(tokens) > 1 and _kw(tokens[1]) == "TABLE" else 1
         if at >= len(tokens) or not _is_ident(tokens[at]):
             raise ChSqlError("EXISTS TABLE <name>?")

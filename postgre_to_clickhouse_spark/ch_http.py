@@ -73,7 +73,7 @@ from postgre_to_clickhouse_spark.ch_select import ChContext, ChSqlError, ch_sele
 __all__ = ["ChHttpEndpoint", "serve_ch_http", "register_ch_global_view"]
 
 _FORMATS = ("TabSeparated", "TabSeparatedWithNames", "JSONEachRow",
-            "JSON", "CSV", "CSVWithNames")
+            "JSON", "JSONCompact", "CSV", "CSVWithNames", "Pretty")
 
 # INSERT-with-data-body: query in the URL, rows in the POST body — the
 # CH HTTP upload split (`curl '...?query=INSERT INTO t FORMAT
@@ -184,6 +184,42 @@ def _serialize(df: DataFrame, fmt: str, max_rows: int) -> bytes:
         )
     cols = df.columns
     out: list[str] = []
+    if fmt == "Pretty":
+        # CH's box-drawing table: numbers right-aligned, text left
+        from pyspark.sql import types as _T
+
+        num = {
+            i for i, f in enumerate(df.schema.fields)
+            if isinstance(f.dataType, (_T.ByteType, _T.ShortType,
+                                       _T.IntegerType, _T.LongType,
+                                       _T.FloatType, _T.DoubleType,
+                                       _T.DecimalType))
+        }
+        cells = [[_cell(v) for v in r] for r in rows]
+        widths = [
+            max([len(c)] + [len(row[i]) for row in cells])
+            for i, c in enumerate(cols)
+        ]
+        out.append("┌" + "┬".join(
+            ("─" + c + "─" * (w - len(c) + 1))
+            for c, w in zip(cols, widths)) + "┐")
+        for row in cells:
+            out.append("│" + "│".join(
+                " " + (v.rjust(w) if i in num else v.ljust(w)) + " "
+                for i, (v, w) in enumerate(zip(row, widths))) + "│")
+        out.append("└" + "┴".join("─" * (w + 2) for w in widths) + "┘")
+        return ("\n".join(out) + "\n").encode()
+    if fmt == "JSONCompact":
+        meta = [
+            {"name": f.name, "type": _ch_type_name(f.dataType, f.nullable)}
+            for f in df.schema.fields
+        ]
+        payload = {
+            "meta": meta,
+            "data": [[_json_cell(v) for v in r] for r in rows],
+            "rows": len(rows),
+        }
+        return (json.dumps(payload, indent=1, default=str) + "\n").encode()
     if fmt == "JSON":
         # the CH object envelope (meta/data/rows) — what HTTP
         # dashboards and the CH JDBC driver's HTTP transport request
@@ -315,8 +351,10 @@ def serve_ch_http(
             ctype = {
                 "JSONEachRow": "application/x-ndjson",
                 "JSON": "application/json",
+                "JSONCompact": "application/json",
                 "CSV": "text/csv",
                 "CSVWithNames": "text/csv",
+                "Pretty": "text/plain; charset=UTF-8",
             }.get(fmt, "text/tab-separated-values")
             self._answer(200, body, ctype)
 

@@ -41,8 +41,10 @@ dropped. ``ANY [INNER|LEFT] JOIN`` (r10) matches each left row with AT
 MOST ONE right row: CH picks an arbitrary duplicate, this engine the
 minimum struct of the right's non-key columns — a deterministic
 instance of that contract (one partial-aggregable groupBy that doubles
-as the join-side shuffle); RIGHT/FULL ANY and ``PASTE`` joins REFUSE
-loudly. ``ASOF
+as the join-side shuffle). ``ANY RIGHT JOIN`` (r12) is the mirror —
+the LEFT side dedups per key (single-join FROM; chain via CTEs).
+``ANY FULL`` (both-side dedup varies across CH versions) and ``PASTE``
+(positional gluing) REFUSE loudly. ``ASOF
 [LEFT] JOIN`` compiles to :func:`operators.asof.asof_join` (the
 one-shuffle union+window operator) for the declared subset of one
 equality key + one inequality (or ``USING (key, time)``); plain ASOF
@@ -1047,7 +1049,8 @@ class _Join:
     def __init__(self, jtype: str, ref: _TableRef,
                  on: str | None, using: list[str] | None,
                  on_raw: list[str] | None = None,
-                 any_dedup: bool = False):
+                 any_dedup: bool = False,
+                 any_side: str = "right"):
         # 'INNER'|'LEFT'|'RIGHT'|'FULL'|'CROSS'|'LEFT SEMI'|'LEFT ANTI'
         # |'ASOF'|'ASOF LEFT'
         self.jtype = jtype
@@ -1055,7 +1058,8 @@ class _Join:
         self.on = on
         self.using = using
         self.on_raw = on_raw  # raw ON tokens (ASOF/ANY parse structurally)
-        self.any_dedup = any_dedup  # ANY join: dedup right side per key
+        self.any_dedup = any_dedup  # ANY join: dedup one side per key
+        self.any_side = any_side  # 'right' (ANY [INNER|LEFT]) | 'left' (ANY RIGHT)
 
 
 class _Fill:
@@ -1321,12 +1325,19 @@ def _parse_from_body(
         # multiplicity (= SQL join semantics) — both drop.
         mods = [m for m in mods if m not in ("GLOBAL", "ALL")]
         any_dedup = "ANY" in mods
+        any_side = "right"
         if any_dedup:
             mods = [m for m in mods if m != "ANY"]
-            if mods not in ([], ["INNER"], ["LEFT"]):
+            if mods == ["RIGHT"]:
+                # r12: ANY RIGHT JOIN — at most one LEFT row per right
+                # row, i.e. the LEFT side dedups per join key
+                any_side = "left"
+            elif mods not in ([], ["INNER"], ["LEFT"]):
                 raise ChSqlError(
-                    "ANY JOIN is supported as ANY [INNER|LEFT] JOIN — "
-                    "RIGHT/FULL ANY dedup the LEFT side, outside the subset"
+                    "ANY JOIN is supported as ANY [INNER|LEFT|RIGHT] "
+                    "JOIN — ANY FULL is outside the subset (its "
+                    "both-side dedup semantics vary across CH versions "
+                    "via any_join_distinct_right_table_keys)"
                 )
         if "ASOF" in mods:
             extra = set(mods) - {"ASOF", "LEFT"}
@@ -1378,7 +1389,8 @@ def _parse_from_body(
                 using = [t for t in cond if t != ","]
                 if not using or not all(_is_ident(t) for t in using):
                     raise ChSqlError(f"USING needs a column list, got {cond}")
-        joins.append(_Join(jtype, ref, on, using, on_raw, any_dedup))
+        joins.append(_Join(jtype, ref, on, using, on_raw, any_dedup,
+                           any_side))
     return first, joins, None
 
 
@@ -1893,9 +1905,30 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
         if p.fill is not None:
             p.fill.key = _fix(p.fill.key)
     else:
-        from_text = _register(p.from_ref)
+        left_any = [jn for jn in p.joins
+                    if jn.any_dedup and jn.any_side == "left"]
+        if left_any:
+            # ANY RIGHT JOIN (r12): the LEFT side dedups per join key
+            # — the mirror of the right-dedup below. Restricted to a
+            # single-join FROM: in a longer chain "the left side" is
+            # an intermediate join result, whose dedup would need a
+            # materialization this front end deliberately avoids.
+            if len(p.joins) != 1:
+                raise ChSqlError(
+                    "ANY RIGHT JOIN is supported as the single join of "
+                    "the FROM clause — chain further joins via a CTE"
+                )
+            jn = p.joins[0]
+            ldf = _resolve(p.from_ref)
+            la = p.from_ref.alias or p.from_ref.name
+            keys = _any_side_keys(jn, ldf, la)
+            view = f"__ch_src_{uuid.uuid4().hex[:12]}"
+            _any_dedup_frame(ldf, keys).createOrReplaceTempView(view)
+            from_text = f"{view} AS {la}"
+        else:
+            from_text = _register(p.from_ref)
         for jn in p.joins:
-            if jn.any_dedup:
+            if jn.any_dedup and jn.any_side == "right":
                 rdf = _resolve(jn.ref)
                 keys = _any_right_keys(jn, rdf)
                 view = f"__ch_src_{uuid.uuid4().hex[:12]}"
@@ -1976,13 +2009,20 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
 
 
 def _any_right_keys(jn: _Join, rdf) -> list[str]:
-    """The right-side join-key columns of an ANY join — from USING, or
-    from an ON conjunction of plain equalities where each term relates
-    the right table (alias-qualified, or an unqualified name the right
-    frame owns) to the left side. Anything fancier refuses loudly."""
+    return _any_side_keys(jn, rdf, jn.ref.alias or jn.ref.name)
+
+
+def _any_side_keys(jn: _Join, sdf, ra: str) -> list[str]:
+    """The join-key columns OWNED BY one side of an ANY join — from
+    USING, or from an ON conjunction of plain equalities where each
+    term relates that side (alias-qualified as ``ra``, or an
+    unqualified name the side's frame owns) to the other. Anything
+    fancier refuses loudly. ``ra`` is the owning side's alias, ``sdf``
+    its frame — the right table for ANY [INNER|LEFT], the LEFT table
+    for ANY RIGHT (r12)."""
+    rdf = sdf
     if jn.using is not None:
         return list(jn.using)
-    ra = jn.ref.alias or jn.ref.name
     conjs, cur, depth = [], [], 0
     for t in jn.on_raw or []:
         if t == "(":

@@ -402,10 +402,10 @@ def test_create_with_default_fills_missing_insert_columns(spark, tmp_path):
     with pytest.raises(ChSqlError, match="declared"):
         c.insert(spark, "t", spark.createDataFrame(
             [(4,)], "user_id long"), batch_id=2)
-    # MATERIALIZED/CODEC still refuse
+    # CODEC still refuses (MATERIALIZED/ALIAS joined the subset in r12)
     with pytest.raises(ChSqlError, match="outside the subset"):
         ChDdlCatalog().execute(
-            "CREATE TABLE x (a UInt32 MATERIALIZED 1) "
+            "CREATE TABLE x (a UInt32 CODEC(Delta)) "
             "ENGINE = MergeTree ORDER BY (a)")
 
 
@@ -931,3 +931,35 @@ def test_alter_add_default_accepts_ch_expressions(spark, tmp_path):
               spark=spark)
     r = c.query(spark, "SELECT id, c FROM t").collect()[0]
     assert r["c"] == 25
+
+
+def test_alter_add_materialized_and_alias_columns(spark, tmp_path):
+    """r12: ALTER TABLE ADD COLUMN accepts MATERIALIZED (old parts
+    compute at read, new blocks at insert) and ALIAS (pure metadata —
+    the table does not even count as evolved)."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE t (id Int64, v Float64) "
+              "ENGINE = MergeTree ORDER BY (id)")
+    c.insert(spark, "t",
+             spark.createDataFrame([(1, 2.0)], "id long, v double"),
+             batch_id=0)
+    c.execute("ALTER TABLE t ADD COLUMN a2 Float64 ALIAS v * 3",
+              spark=spark)
+    assert not c.tables["t"].evolved  # ALIAS is pure metadata
+    c.execute("ALTER TABLE t ADD COLUMN m2 Float64 MATERIALIZED v * 2",
+              spark=spark)
+    assert c.tables["t"].evolved
+    c.insert(spark, "t",
+             spark.createDataFrame([(2, 5.0)], "id long, v double"),
+             batch_id=1)
+    got = {r["id"]: (r["a2"], r["m2"]) for r in c.query(
+        spark, "SELECT id, a2, m2 FROM t").collect()}
+    assert got == {1: (6.0, 4.0), 2: (15.0, 10.0)}
+    # DESCRIBE shows the kind/expression pair
+    d = {r["name"]: (r["default_type"], r["default_expression"])
+         for r in c.execute("DESCRIBE TABLE t", spark=spark).collect()}
+    assert d["a2"] == ("ALIAS", "v * 3")
+    assert d["m2"] == ("MATERIALIZED", "v * 2")
+    # dropping the alias is metadata-only too
+    c.execute("ALTER TABLE t DROP COLUMN a2", spark=spark)
+    assert "a2" not in [f.name for f in c.tables["t"].schema.fields]

@@ -219,8 +219,9 @@ def test_introspection_over_the_wire(spark, tmp_path):
         code, body = _post(ep, "SHOW TABLES")
         assert code == 200 and body.splitlines() == ["t", "u"]
         code, body = _post(ep, "DESCRIBE TABLE t")
+        # r12: DESCRIBE carries CH's default_type/default_expression pair
         assert code == 200 and body.splitlines() == [
-            "a\tbigint\t", "s\tstring\t'x'"]
+            "a\tbigint\t\t", "s\tstring\tDEFAULT\t'x'"]
         code, body = _post(ep, "EXISTS TABLE t")
         assert (code, body) == (200, "1\n")
         code, body = _post(ep, "EXISTS TABLE nope")
@@ -333,3 +334,29 @@ def test_format_csv_with_names(ep):
         "FROM users ORDER BY user_id, updated_at FORMAT CSV",
     )
     assert code == 200 and body2.splitlines()[0] == lines[1]
+
+
+def test_format_jsoncompact_and_pretty(ep):
+    """r12: JSONCompact (envelope with row ARRAYS) and Pretty (the
+    box-drawing table, numbers right-aligned)."""
+    code, body = _post(
+        ep,
+        "SELECT user_id, account_type FROM users FINAL "
+        "ORDER BY user_id FORMAT JSONCompact",
+    )
+    assert code == 200
+    doc = json.loads(body)
+    assert doc["rows"] == 2
+    assert doc["data"] == [[1, "Silver"], [2, "Bronze"]]
+    assert [m["name"] for m in doc["meta"]] == ["user_id", "account_type"]
+
+    code, body = _post(
+        ep,
+        "SELECT user_id, account_type FROM users FINAL "
+        "ORDER BY user_id FORMAT Pretty",
+    )
+    assert code == 200
+    lines = body.splitlines()
+    assert lines[0].startswith("┌─user_id─") and lines[0].endswith("┐")
+    assert lines[1] == "│       1 │ Silver       │"
+    assert lines[-1].startswith("└")

@@ -154,7 +154,11 @@ def test_array_join_explodes(spark, ctx):
     "bad, frag",
     [
         ("SELECT 1 FROM events UNION SELECT 1 FROM orders", "bare UNION"),
-        ("SELECT 1 FROM events ANY RIGHT JOIN orders ON 1=1", "outside the subset"),
+        # ANY RIGHT joined the subset in r12 — non-column ON terms and
+        # ANY FULL mark the boundary now
+        ("SELECT 1 FROM events ANY RIGHT JOIN orders ON 1=1", "plain columns"),
+        ("SELECT 1 FROM events ANY FULL JOIN orders USING (o_custkey)",
+         "ANY FULL"),
         ("SELECT 1 FROM events PASTE JOIN orders", "PASTE"),
         ("SELECT 1 FROM events ANY LEFT JOIN orders ON 1=1", "plain columns"),
         ("SELECT 1 FROM events ASOF JOIN orders ON 1=1", "one equality and one inequality"),
@@ -1139,6 +1143,50 @@ def test_any_join_dedups_right_side(spark, ctx):
         spark, "SELECT l.k AS k FROM l INNER JOIN r ON l.k = r.k", ctx2
     )
     assert allj.count() == 3
+
+
+def test_any_right_join_dedups_left_side(spark, ctx):
+    """r12: ANY RIGHT JOIN — the mirror: at most one LEFT match per
+    right row; the LEFT side collapses to the min-struct row per key.
+    Multi-join chains and ANY FULL refuse loudly."""
+    spark.createDataFrame(
+        [(1, "a"), (1, "a0"), (2, "b")], "k int, lv string"
+    ).createOrReplaceTempView("__anyr_l")
+    spark.createDataFrame(
+        [(1, 30), (1, 10), (3, 5)], "k int, rv int"
+    ).createOrReplaceTempView("__anyr_r")
+    ctx2 = ChContext(
+        {"l": spark.table("__anyr_l"), "r": spark.table("__anyr_r")})
+    got = ch_select(
+        spark,
+        "SELECT r.k AS k, l.lv AS lv, r.rv AS rv "
+        "FROM l ANY RIGHT JOIN r ON l.k = r.k ORDER BY k, rv",
+        ctx2,
+    ).collect()
+    # left dedups to (1,'a'),(2,'b'); RIGHT join keeps every right row
+    assert [(r["k"], r["lv"], r["rv"]) for r in got] == [
+        (1, "a", 10), (1, "a", 30), (3, None, 5),
+    ]
+    # USING form
+    got2 = ch_select(
+        spark,
+        "SELECT k, lv, rv FROM l ANY RIGHT JOIN r USING (k) "
+        "ORDER BY k, rv",
+        ctx2,
+    ).collect()
+    assert [(r["k"], r["lv"], r["rv"]) for r in got2] == [
+        (1, "a", 10), (1, "a", 30), (3, None, 5),
+    ]
+    with pytest.raises(ChSqlError, match="single join"):
+        ch_select(
+            spark,
+            "SELECT 1 FROM l ANY RIGHT JOIN r USING (k) "
+            "INNER JOIN r AS r2 ON r2.k = l.k",
+            ctx2,
+        )
+    with pytest.raises(ChSqlError, match="ANY FULL"):
+        ch_select(
+            spark, "SELECT 1 FROM l ANY FULL JOIN r USING (k)", ctx2)
 
 
 def test_interpolate_preserves_real_null_values(spark, ctx):

@@ -609,3 +609,93 @@ def test_canonicalize_url_idempotent_and_order_insensitive(spark, scheme, host, 
     assert row.cc == row.c1  # idempotent
     assert row.c1 == row.c3  # scheme/host case never splits a dup group
     assert row.c1.startswith(f"{scheme.lower()}://{host.lower()}")
+
+
+# --- r12: quantile/topK -State/-Merge invariants ----------------------
+
+qtk_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # group
+        st.integers(min_value=-50, max_value=50),  # value (int-valued
+        #   doubles: exact across engines, ties common by design)
+        st.integers(min_value=0, max_value=2),     # partition assignment
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _exact_q(vals, q):
+    vals = sorted(vals)
+    cum, w = 0, len(vals)
+    for v in vals:
+        cum += 1
+        if cum >= q * w:
+            return v
+
+
+@given(rows=qtk_strategy, q=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]))
+@settings(**_SETTINGS)
+def test_quantile_state_merge_split_invariant(spark, rows, q):
+    """Merging partial quantile states over ANY partition of the input
+    equals the exact weighted quantile of the whole input — the
+    mergeable-state contract (every output is a raw input value)."""
+    from postgre_to_clickhouse_spark.ch_select import (
+        _q_merge_sql, _q_state_sql)
+
+    df = spark.createDataFrame(
+        [(g, float(v), p) for g, v, p in rows], "g int, x double, p int")
+    states = df.groupBy("g", "p").agg(F.expr(_q_state_sql("x")).alias("s"))
+    got = {
+        r["g"]: r["qv"]
+        for r in states.groupBy("g").agg(
+            F.expr(_q_merge_sql("s", repr(q))).alias("qv")).collect()
+    }
+    by_g = {}
+    for g, v, _p in rows:
+        by_g.setdefault(g, []).append(float(v))
+    for g, vals in by_g.items():
+        assert got[g] == _exact_q(vals, q), (g, sorted(vals), q, got[g])
+
+
+@given(rows=qtk_strategy, k=st.sampled_from([1, 2, 4]))
+@settings(**_SETTINGS)
+def test_topk_merge_heavy_hitter_invariants(spark, rows, k):
+    """Merged topK states keep the guarantees at ANY capacity/split:
+    every kept item's upper bound >= its true count, and every item
+    with true count > the merged error floor is present (so with
+    distinct <= k the result is exactly the true top-k)."""
+    from collections import Counter
+
+    from postgre_to_clickhouse_spark.ch_select import (
+        _topk_merge_core, _topk_state_sql)
+
+    df = spark.createDataFrame(
+        [(g, str(v % 7), p) for g, v, p in rows], "g int, it string, p int")
+    states = df.groupBy("g", "p").agg(
+        F.expr(_topk_state_sql("it", k)).alias("s"))
+    fin = ("named_struct('items', transform(hs, e -> named_struct("
+           "'item', e.item, 'ub', e.ub)), 'floor', t.dd)")
+    merged = {
+        r["g"]: r["m"]
+        for r in states.groupBy("g").agg(
+            F.expr(_topk_merge_core("s", k, fin)).alias("m")).collect()
+    }
+    truth = {}
+    for g, v, _p in rows:
+        truth.setdefault(g, Counter())[str(v % 7)] += 1
+    for g, c in truth.items():
+        kept = {e["item"]: e["ub"] for e in merged[g]["items"]}
+        floor = merged[g]["floor"]
+        for it, ub in kept.items():
+            assert ub >= c[it], (g, it, ub, c[it])
+        for it, n in c.items():
+            if n > floor:
+                # the heavy-hitter guarantee: present, or outweighed
+                # by >= k items each at least as heavy
+                heavier = sum(1 for x in c.values() if x >= n)
+                assert it in kept or heavier > k, (g, it, n, floor, kept)
+        if len(c) <= k:
+            want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+            top = sorted(kept.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert [i for i, _ in top[:len(want)]] == [i for i, _ in want]
