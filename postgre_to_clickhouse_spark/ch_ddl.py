@@ -847,6 +847,57 @@ class ChDdlCatalog:
             )
         return version
 
+    def insert_csv_rows(self, spark: SparkSession, name: str,
+                        lines: list[str],
+                        cols: list[str] | None = None,
+                        with_names: bool = False) -> int:
+        """CH ``INSERT INTO t [(cols)] FORMAT CSV[WithNames]`` data
+        rows (r12) — the other upload format real clients use against
+        8123. Parsed with the stdlib csv reader (quoted fields, ``""``
+        escapes); a field equal to ``\\N`` reads as NULL (CH writes it
+        unquoted; post-parse the quoted form is indistinguishable —
+        documented divergence, biased toward CH's own output); values
+        travel as strings and take the declared types through
+        conform's cast.
+        ``CSVWithNames``: the first row names the columns (and must be
+        declared names); otherwise rows bind positionally to ``cols``
+        or the full declared list."""
+        import csv as _csv
+        import io as _io
+
+        spec = self.tables.get(name)
+        if spec is None:
+            raise ChSqlError(f"unknown table {name!r}")
+        declared = [f.name for f in spec.schema.fields]
+        rows = list(_csv.reader(_io.StringIO("\n".join(
+            ln for ln in lines if ln.strip()))))
+        if with_names:
+            if not rows:
+                raise ChSqlError("CSVWithNames body carries no header")
+            cols = [c.strip() for c in rows[0]]
+            rows = rows[1:]
+        binding = cols if cols is not None else declared
+        bad = sorted(set(binding) - set(declared))
+        if bad:
+            raise ChSqlError(f"INSERT column(s) not declared: {bad}")
+        if not rows:
+            raise ChSqlError("CSV body carries no rows")
+        data = []
+        for i, r in enumerate(rows):
+            if len(r) != len(binding):
+                raise ChSqlError(
+                    f"CSV row {i + 1} has {len(r)} fields, expected "
+                    f"{len(binding)} ({', '.join(binding)})"
+                )
+            data.append(tuple(None if v == "\\N" else v for v in r))
+        schema = ", ".join(f"{k} string" for k in binding)
+        seq = self._insert_seq.get(name, 0)
+        self._insert_seq[name] = seq + 1
+        return self.insert(
+            spark, name, spark.createDataFrame(data, schema),
+            batch_id=f"csv{seq}",
+        )
+
     def _truncate(self, tokens: list[str], spark: SparkSession):
         """CH ``TRUNCATE TABLE [db.]t``: commit an EMPTY snapshot —
         the declared schema survives, every data and projection file

@@ -77,30 +77,37 @@ _FORMATS = ("TabSeparated", "TabSeparatedWithNames", "JSONEachRow",
 
 # INSERT-with-data-body: query in the URL, rows in the POST body — the
 # CH HTTP upload split (`curl '...?query=INSERT INTO t FORMAT
-# JSONEachRow' --data-binary @rows.ndjson`)
+# JSONEachRow' --data-binary @rows.ndjson`). r12: CSV[WithNames] too.
 _INSERT_DATA = _re.compile(
     r"INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\))?\s*"
-    r"FORMAT\s+JSONEachRow\s*$",
+    r"FORMAT\s+(JSONEachRow|CSVWithNames|CSV)\s*$",
     _re.IGNORECASE,
 )
 
 
-def _split_format(sql: str) -> tuple[str, str]:
+def _resolve_format(name: str) -> str:
+    fmt = next((f for f in _FORMATS if f.lower() == name.lower()), None)
+    if fmt is None:
+        raise ChSqlError(
+            f"FORMAT {name!r} is outside the subset — supported: "
+            f"{', '.join(_FORMATS)}"
+        )
+    return fmt
+
+
+def _split_format(sql: str, default: str = "TabSeparated") -> tuple[str, str]:
     """Peel a trailing ``FORMAT <name>`` off the statement (the server
-    owns serialization; ch_select drops FORMAT)."""
+    owns serialization; ch_select drops FORMAT). ``default`` is the
+    request's ``default_format`` URL parameter when given — CH's own
+    parameter for format-less statements; an in-query FORMAT clause
+    still wins."""
     import re
 
     s = sql.strip().rstrip(";")
     m = re.search(r"\bFORMAT\s+([A-Za-z]+)\s*$", s, flags=re.IGNORECASE)
     if not m:
-        return s, "TabSeparated"
-    fmt = next((f for f in _FORMATS if f.lower() == m.group(1).lower()), None)
-    if fmt is None:
-        raise ChSqlError(
-            f"FORMAT {m.group(1)!r} is outside the subset — supported: "
-            f"{', '.join(_FORMATS)}"
-        )
-    return s[: m.start()].rstrip(), fmt
+        return s, _resolve_format(default)
+    return s[: m.start()].rstrip(), _resolve_format(m.group(1))
 
 
 def _cell(v) -> str:
@@ -311,12 +318,25 @@ def serve_ch_http(
             self.end_headers()
             self.wfile.write(body)
 
-        def _serve_query(self, sql: str) -> None:
+        def _serve_query(self, sql: str, params=None) -> None:
             if not sql.strip():
                 self._answer(400, b"empty query\n", "text/plain")
                 return
+            params = params or {}
             try:
-                stmt, fmt = _split_format(sql)
+                # CH URL parameters (r12): default_format applies when
+                # the statement has no FORMAT clause; max_result_rows
+                # may TIGHTEN the server bound per request (never
+                # exceed it — a client cannot lift the OOM guard)
+                default = params.get("default_format", ["TabSeparated"])[0]
+                cap = max_result_rows
+                if "max_result_rows" in params:
+                    v = params["max_result_rows"][0]
+                    if not v.isdigit() or int(v) < 1:
+                        raise ChSqlError(
+                            "max_result_rows must be a positive integer")
+                    cap = min(int(v), max_result_rows)
+                stmt, fmt = _split_format(sql, default)
                 head = stmt.lstrip()[:6].upper()
                 if not (head.startswith("SELECT") or head.startswith("WITH")):
                     # non-SELECT statements (CREATE / ALTER / INSERT /
@@ -334,14 +354,12 @@ def serve_ch_http(
                     if isinstance(res, DataFrame):
                         # introspection statements (SHOW / DESCRIBE /
                         # EXISTS) answer rows like a CH server
-                        body = _serialize(res, fmt, max_result_rows)
+                        body = _serialize(res, fmt, cap)
                         self._answer(200, body)
                         return
                     self._answer(200, b"", "text/plain")
                     return
-                body = _serialize(
-                    _run(stmt), fmt, max_result_rows
-                )
+                body = _serialize(_run(stmt), fmt, cap)
             except Exception as exc:  # noqa: BLE001 — CH answers errors as text
                 self._answer(
                     500, f"{type(exc).__name__}: {exc}\n".encode(),
@@ -363,14 +381,16 @@ def serve_ch_http(
             if u.path == "/ping":
                 self._answer(200, b"Ok.\n", "text/plain")
                 return
-            q = parse_qs(u.query).get("query", [""])[0]
-            self._serve_query(q)
+            params = parse_qs(u.query)
+            q = params.get("query", [""])[0]
+            self._serve_query(q, params)
 
         def do_POST(self) -> None:
             u = urlparse(self.path)
             n = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(n).decode() if n else ""
-            q = parse_qs(u.query).get("query", [""])[0]
+            params = parse_qs(u.query)
+            q = params.get("query", [""])[0]
             # CH semantics: query in the URL OR in the body; BOTH set
             # is the INSERT-data split — the URL carries `INSERT INTO t
             # FORMAT JSONEachRow`, the body the ndjson rows (r11)
@@ -381,8 +401,8 @@ def serve_ch_http(
                         400,
                         b"query in both URL and body is the INSERT-data "
                         b"split: the URL must carry `INSERT INTO t "
-                        b"[(cols)] FORMAT JSONEachRow` and the endpoint "
-                        b"must be catalog-backed\n",
+                        b"[(cols)] FORMAT JSONEachRow|CSV[WithNames]` "
+                        b"and the endpoint must be catalog-backed\n",
                         "text/plain",
                     )
                     return
@@ -391,6 +411,7 @@ def serve_ch_http(
                     [c.strip() for c in m.group(2).split(",") if c.strip()]
                     if m.group(2) else None
                 )
+                up_fmt = m.group(3).lower()
                 lines = body.splitlines()
                 if len(lines) > max_result_rows:
                     self._answer(
@@ -401,7 +422,13 @@ def serve_ch_http(
                     )
                     return
                 try:
-                    source.insert_json_rows(spark, name, lines, cols)
+                    if up_fmt == "jsoneachrow":
+                        source.insert_json_rows(spark, name, lines, cols)
+                    else:
+                        source.insert_csv_rows(
+                            spark, name, lines, cols,
+                            with_names=(up_fmt == "csvwithnames"),
+                        )
                 except Exception as exc:  # noqa: BLE001
                     self._answer(
                         500, f"{type(exc).__name__}: {exc}\n".encode(),
@@ -410,7 +437,7 @@ def serve_ch_http(
                     return
                 self._answer(200, b"", "text/plain")
                 return
-            self._serve_query(q or body)
+            self._serve_query(q or body, params)
 
     srv = ThreadingHTTPServer((host, port), _Handler)
     srv.daemon_threads = True

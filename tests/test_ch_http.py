@@ -360,3 +360,84 @@ def test_format_jsoncompact_and_pretty(ep):
     assert lines[0].startswith("┌─user_id─") and lines[0].endswith("┐")
     assert lines[1] == "│       1 │ Silver       │"
     assert lines[-1].startswith("└")
+
+
+def test_url_params_default_format_and_max_result_rows(spark):
+    """r12: CH URL parameters — default_format applies to FORMAT-less
+    statements (in-query FORMAT wins), and max_result_rows may only
+    TIGHTEN the server bound."""
+    ep4 = serve_ch_http(
+        spark, ChContext({"t": spark.range(20).toDF("id")}),
+        max_result_rows=50,
+    )
+    try:
+        url = (ep4.url + "?default_format=JSONEachRow&query="
+               + urllib.parse.quote("SELECT id FROM t ORDER BY id LIMIT 2"))
+        with urllib.request.urlopen(url, timeout=60) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "application/x-ndjson"
+            got = [json.loads(x) for x in r.read().decode().splitlines()]
+        assert got == [{"id": 0}, {"id": 1}]
+        # in-query FORMAT beats the parameter
+        url = (ep4.url + "?default_format=JSONEachRow&query="
+               + urllib.parse.quote(
+                   "SELECT id FROM t ORDER BY id LIMIT 1 FORMAT CSV"))
+        with urllib.request.urlopen(url, timeout=60) as r:
+            assert r.headers["Content-Type"].startswith("text/csv")
+            assert r.read().decode() == "0\n"
+        # per-request tightening works; exceeding the bound 500s
+        url = (ep4.url + "?max_result_rows=5&query="
+               + urllib.parse.quote("SELECT id FROM t"))
+        try:
+            urllib.request.urlopen(url, timeout=60)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = True
+            assert "max_result_rows" in e.read().decode()
+        assert raised
+        # a client cannot LIFT the server bound
+        url = (ep4.url + "?max_result_rows=100000&query="
+               + urllib.parse.quote("SELECT id FROM t LIMIT 15"))
+        with urllib.request.urlopen(url, timeout=60) as r:
+            assert len(r.read().decode().splitlines()) == 15
+    finally:
+        ep4.stop()
+
+
+def test_csv_insert_upload_over_the_wire(spark, tmp_path):
+    """r12: the CSV upload split — INSERT INTO t FORMAT CSV[WithNames]
+    in the URL, csv rows in the body (quoted fields, "" escapes, \\N
+    NULLs), typed through conform like a CH server."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep5 = serve_ch_http(spark, cat)
+    try:
+        _post(ep5, "CREATE TABLE t (id UInt32, s Nullable(String), "
+                   "ts DateTime) ENGINE = MergeTree ORDER BY (id)")
+        code, body = _post_data(
+            ep5, "INSERT INTO t FORMAT CSV",
+            '1,"a,""x""","2024-03-01 10:00:00"\n'
+            '2,\\N,"2024-03-02 11:00:00"\n',
+        )
+        assert code == 200, body
+        code, body = _post_data(
+            ep5, "INSERT INTO t (ts, id, s) FORMAT CSVWithNames",
+            'ts,id,s\n"2024-03-03 12:00:00",3,plain\n',
+        )
+        assert code == 200, body
+        code, body = _post(
+            ep5, "SELECT id, s, ts FROM t ORDER BY id "
+                 "FORMAT TabSeparatedWithNames")
+        assert code == 200
+        assert body.splitlines() == [
+            "id\ts\tts",
+            '1\ta,"x"\t2024-03-01 10:00:00',
+            "2\t\\N\t2024-03-02 11:00:00",
+            "3\tplain\t2024-03-03 12:00:00",
+        ]
+        # malformed width errors loudly
+        code, body = _post_data(ep5, "INSERT INTO t FORMAT CSV", "1,2\n")
+        assert code == 500 and "fields" in body
+    finally:
+        ep5.stop()

@@ -254,3 +254,79 @@ def test_param_validation_refuses_loudly(spark, ctx):
         ch_select(spark, "SELECT quantileMerge(2)(value) FROM events", ctx)
     with pytest.raises(ChSqlError, match="exactly one"):
         ch_select(spark, "SELECT quantileState(value, 2) FROM events", ctx)
+
+
+def test_quantile_topk_mv_streaming_loop(spark, tmp_path):
+    """A12/A24 for the r12 states: the -State MV ingests a STREAM via
+    foreachBatch (one part per micro-batch, no cross-part dedup) and
+    the -Merge read equals recomputing from all raw rows — the
+    batch≡stream contract the other state families already hold."""
+    import glob
+    import os
+
+    rows = [(i, f"t{i % 2}", float((i * 7) % 23), f"u{i % 5}")
+            for i in range(60)]
+    src = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, uid string")
+    srcdir = os.path.join(str(tmp_path), "src")
+    # 3 parquet files -> maxFilesPerTrigger=1 gives 3 micro-batches
+    src.repartition(3).write.parquet(srcdir)
+    assert len(glob.glob(os.path.join(srcdir, "part-*"))) >= 2
+
+    cat = ChDdlCatalog(storage_root=os.path.join(str(tmp_path), "store"))
+    cat.execute(
+        "CREATE TABLE qs (event_type String, "
+        "q AggregateFunction(quantile, Float64), "
+        "tk AggregateFunction(topK(9), String)) "
+        "ENGINE = AggregatingMergeTree ORDER BY (event_type);"
+        "CREATE MATERIALIZED VIEW mv_qs TO qs AS "
+        "SELECT event_type, quantileState(value) AS q, "
+        "topKState(9)(uid) AS tk FROM src GROUP BY event_type;"
+    )
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcdir)
+    )
+
+    def _ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        # foreachBatch hands the callback a SESSION CLONE — compile
+        # and ingest on that session so the MV's temp views resolve
+        s = batch_df.sparkSession
+        cat.insert(s, "qs",
+                   cat.apply_mv(s, "mv_qs", {"src": batch_df}),
+                   batch_id=batch_id)
+
+    q = (stream.writeStream.foreachBatch(_ingest)
+         .trigger(availableNow=True)
+         .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+         .start())
+    q.awaitTermination(180)
+
+    # states accumulated across >= 2 micro-batch parts
+    n_parts = cat.query(
+        spark, "SELECT count() AS c FROM qs").collect()[0]["c"]
+    assert n_parts > 2  # 2 keys x >= 2 batches
+
+    got = {
+        r["event_type"]: (r["p50"], r["top2"])
+        for r in cat.query(
+            spark,
+            "SELECT event_type, quantileMerge(0.5)(q) AS p50, "
+            "arrayStringConcat(topKMerge(2)(tk), ',') AS top2 "
+            "FROM qs GROUP BY event_type",
+        ).collect()
+    }
+    from collections import Counter
+
+    by_t, items = {}, {}
+    for _i, t, v, u in rows:
+        by_t.setdefault(t, []).append(v)
+        items.setdefault(t, Counter())[u] += 1
+    for t in by_t:
+        want_p50 = _exact_quantile(by_t[t], 0.5)
+        want_top2 = ",".join(
+            k for k, _ in sorted(
+                items[t].items(), key=lambda kv: (-kv[1], kv[0]))[:2])
+        assert got[t] == (want_p50, want_top2), (t, got[t])
