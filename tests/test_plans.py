@@ -516,3 +516,57 @@ def test_ch_grouped_fill_bounds_are_partial_aggregable(spark):
     # the grid side explodes a sequence, not a collected list
     assert "Generate explode" in plan or "Generate" in plan
     assert "LeftAnti" in plan
+
+
+def test_ch_state_merge_is_single_aggregate_pair(spark):
+    """r12: a quantileMerge/topKMerge SELECT over a states frame plans
+    as ONE aggregate (partial + final over one exchange) — the merge
+    expressions are plain aggregate projections, never a window, an
+    explode, or a second shuffle."""
+    from postgre_to_clickhouse_spark import catalog
+    from postgre_to_clickhouse_spark.ch_select import ChContext, ch_select
+    from tests.conftest import SF_SMALL
+
+    ev = catalog.load(spark, SF_SMALL, "events")
+    df = ch_select(
+        spark,
+        "SELECT event_type, quantileMerge(0.5)(s) AS p50, "
+        "topKMerge(2)(t) AS top2 FROM ("
+        "  SELECT event_type, user_id % 3 AS b, "
+        "         quantileState(value) AS s, "
+        "         topKState(9)(toString(user_id % 5)) AS t"
+        "  FROM events GROUP BY event_type, b"
+        ") GROUP BY event_type",
+        ChContext({"events": ev}),
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Window" not in plan and "Generate" not in plan
+    # exactly two aggregation levels: states, then merge — each a
+    # partial+final pair around ONE exchange (ObjectHashAggregate
+    # carries collect_list); "(N) Exchange" counts physical nodes once
+    import re
+
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert 1 <= n_exchanges <= 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ch_alias_read_is_metadata_only_projection(spark, tmp_path):
+    """r12: reading an ALIAS column adds a Project over the scan —
+    no join, no shuffle, no extra pass; the part files are untouched
+    (the column is computed in the read plan)."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE t (id Int64, v Float64, "
+        "v2 Float64 ALIAS v * 2) ENGINE = MergeTree ORDER BY (id)")
+    c.insert(spark, "t", spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)], "id long, v double"))
+    df = c.query(spark, "SELECT id, v2 FROM t")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "Project" in plan
+    assert sorted(map(tuple, df.collect())) == [(1, 3.0), (2, 5.0)]
