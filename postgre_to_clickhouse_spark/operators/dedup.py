@@ -438,12 +438,20 @@ def edit_distance_pairs(
         ).alias("__s"),
     ).select("__id_b", "__blk", "__lb", F.col("__s.j").alias("__j"), F.col("__s.seg").alias("__seg"))
 
-    # probe side: for every target length lb in [len-tau, len+tau] and
-    # slot j, substrings at shifts s with |s| + |delta - s| <= tau
+    # probe side: for every target length lb in [len-tau, len] and
+    # slot j, substrings at shifts s with |s| + |delta - s| <= tau.
+    # ONE-DIRECTIONAL (r12): only the longer-or-equal string probes —
+    # the pigeonhole argument is length-agnostic (one of the SHORTER
+    # string's tau+1 segments survives into the longer one), so
+    # probing lb <= la keeps every qualifying pair reachable while
+    # halving the probe explode and the candidate-join volume; the
+    # r11 form probed [la-tau, la+tau] and generated each pair from
+    # both sides only for the (id_a < id_b) filter to drop half.
+    # Pair order is normalized with least/greatest instead.
     la = F.col("__len")
 
     def probe_triples() -> Column:
-        lbs = F.sequence(F.greatest(la - tau, F.lit(0)), la + tau)
+        lbs = F.sequence(F.greatest(la - tau, F.lit(0)), la)
         return F.flatten(
             F.transform(
                 lbs,
@@ -492,8 +500,11 @@ def edit_distance_pairs(
     # hash side is the smaller index slice per partition.
     cands = (
         probe.join(idx.hint("shuffle_hash"), ["__blk", "__lb", "__j", "__seg"])
-        .filter(F.col("__id_a") < F.col("__id_b"))
-        .select("__id_a", "__id_b")
+        .filter(F.col("__id_a") != F.col("__id_b"))
+        .select(
+            F.least("__id_a", "__id_b").alias("__id_a"),
+            F.greatest("__id_a", "__id_b").alias("__id_b"),
+        )
         .distinct()
     )
 

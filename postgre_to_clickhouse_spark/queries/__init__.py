@@ -84,8 +84,16 @@ _WINDOW = [
     "ch_dialect_quantile_topk_mv",        # A12/B8 quantile+topK states
     "ch_ddl_alias_materialized_pipeline",  # A22/A18 expression columns
     "cdc_wire_terminal_pipeline",          # A22/A11/A19/A20 over the wire
-    # --- Rule 1: shared -State/-Merge machinery grew in r12 ---
-    "ch_dialect_agg_state_mv",
+    # --- Rule 1: implementation internals changed in r12 ---
+    # levenshtein_near_match: the PassJoin probe went one-directional
+    # (a genuine PLAN change — half the probe explode, least/greatest
+    # pair normalization), so it MUST seat. ch_dialect_agg_state_mv
+    # yields the fourth seat to it: the -State/-Merge machinery it
+    # compiles through only GREW this round (new dict entries for
+    # quantile/topK; the count/sum/uniq lambdas and the compiled SQL
+    # text are byte-identical — verified by an in-session oracle run),
+    # so its r11 driver-green stands — the ch_dialect_union precedent.
+    "levenshtein_near_match",
     # --- Rule 2: oldest-green-first. The FULL r6 cohort (46) ---
     "agg_events_stats",
     "agg_mv_incremental",
