@@ -220,6 +220,10 @@ class ChTableSpec:
         # SELECT * shows every declared column.
         self.materialized = dict(materialized or {})
         self.aliases = dict(aliases or {})
+        # new name -> prior physical names, newest first (r12 RENAME
+        # COLUMN) — read_conform resolves a missing declared column
+        # through this chain before falling back to DEFAULT/zero
+        self.renames: dict[str, list[str]] = {}
         # column -> aggregate-state fn for AggregateFunction columns
         # (AggregatingMergeTree): count/sum/avg/min/max/uniq — drives
         # the OPTIMIZE FINAL state fold
@@ -422,16 +426,24 @@ class ChTableSpec:
         everything casts to the declared type."""
         have = set(df.columns)
         exprs = self.defaults | self.materialized
+
+        def _resolve(f: T.StructField):
+            if f.name in self.aliases:
+                return F.expr(self.aliases[f.name])
+            if f.name in have:
+                return F.col(f.name)
+            # RENAME chain (r12): a part older than the rename carries
+            # a prior physical name — newest prior present wins
+            for prior in self.renames.get(f.name, ()):
+                if prior in have:
+                    return F.col(prior)
+            if f.name in exprs:
+                return F.expr(exprs[f.name])
+            return self._ch_type_default(f)
+
         return df.select(
             *[
-                (
-                    F.expr(self.aliases[f.name])
-                    if f.name in self.aliases
-                    else F.col(f.name) if f.name in have
-                    else F.expr(exprs[f.name])
-                    if f.name in exprs
-                    else self._ch_type_default(f)
-                ).cast(f.dataType).alias(f.name)
+                _resolve(f).cast(f.dataType).alias(f.name)
                 for f in self.schema.fields
             ]
         )
@@ -548,6 +560,8 @@ class ChDdlCatalog:
         kw2 = (_kw(body[0]), _kw(body[1])) if len(body) > 1 else ("", "")
         if kw2 in (("ADD", "COLUMN"), ("DROP", "COLUMN")):
             return self._alter_column(name, kw2[0], body[2:])
+        if kw2 == ("RENAME", "COLUMN"):
+            return self._rename_column(name, body[2:])
         if kw2 == ("MODIFY", "TTL"):
             return self._modify_ttl(name, body[2:])
         if kw2 == ("MATERIALIZE", "TTL"):
@@ -558,9 +572,77 @@ class ChDdlCatalog:
                 "ALTER TABLE mutations run Spark jobs: call "
                 "execute(sql, spark=spark)"
             )
+        if self.tables[name].renames:
+            # mutations rewrite part files IN their physical column
+            # names; parts older than a RENAME still carry the old
+            # name and a silent mixed-name rewrite would corrupt the
+            # table — refuse rather than misread (the read path is
+            # unaffected: read_conform resolves the rename chain)
+            raise ChSqlError(
+                f"ALTER mutations on {name!r} after RENAME COLUMN are "
+                "outside the subset — old parts keep the prior physical "
+                "name; re-ingest (INSERT ... SELECT into a fresh table) "
+                "or, on a ReplacingMergeTree, OPTIMIZE TABLE ... FINAL "
+                "to rewrite parts onto the current names first"
+            )
         from postgre_to_clickhouse_spark.ddl import execute_alter
 
         return execute_alter(spark, self.storage_for(name), " ".join(tokens))
+
+    def _rename_column(self, name: str, toks: list[str]):
+        """CH ``ALTER TABLE t RENAME COLUMN old TO new`` (r12) —
+        metadata-only: no part rewrite. Parts written before the
+        rename keep the OLD physical name; reads resolve it through
+        the spec's rename chain in :meth:`ChTableSpec.read_conform`
+        (first prior name present in the part wins), so chained
+        renames over mixed-age parts stay correct. Sorting-key /
+        version / partition / TTL / AggregateFunction columns refuse
+        (the storage's bucket and zone-map layout is keyed by them —
+        CH refuses key renames the same way), as does renaming a
+        column some OTHER column's DEFAULT/MATERIALIZED/ALIAS
+        expression references (the stored expression text would
+        silently dangle)."""
+        spec = self.tables[name]
+        if (len(toks) != 3 or not _is_ident(toks[0])
+                or _kw(toks[1]) != "TO" or not _is_ident(toks[2])):
+            raise ChSqlError("RENAME COLUMN takes `old TO new`")
+        old, new = toks[0], toks[2]
+        declared = [f.name for f in spec.schema.fields]
+        if old not in declared:
+            raise ChSqlError(f"RENAME COLUMN: no column {old!r} in {name!r}")
+        if new in declared:
+            raise ChSqlError(f"RENAME COLUMN: {new!r} already exists")
+        keyed = (old in spec.order_by or old in spec.engine_args
+                 or old in spec.partition_src
+                 or (spec.ttl is not None and spec.ttl[0] == old)
+                 or old in spec.agg_fns)
+        if keyed:
+            raise ChSqlError(
+                f"cannot RENAME {old!r}: sorting-key / version / "
+                "partition / TTL / AggregateFunction columns are the "
+                "storage layout's identity (CH refuses key renames too)"
+            )
+        from postgre_to_clickhouse_spark.ch_select import _tokenize
+
+        for c, expr in {**spec.defaults, **spec.materialized,
+                        **spec.aliases}.items():
+            if c != old and old in _tokenize(expr):
+                raise ChSqlError(
+                    f"cannot RENAME {old!r}: column {c!r}'s expression "
+                    f"references it ({expr!r}) — drop or redefine that "
+                    "column first"
+                )
+        spec.schema = T.StructType([
+            T.StructField(new, f.dataType, f.nullable) if f.name == old
+            else f for f in spec.schema.fields
+        ])
+        for d in (spec.defaults, spec.materialized, spec.aliases):
+            if old in d:
+                d[new] = d.pop(old)
+        spec.renames[new] = [old] + spec.renames.pop(old, [])
+        if new not in spec.aliases:  # an ALIAS is never stored
+            spec.evolved = True  # old parts carry the old physical name
+        return spec
 
     def _alter_column(self, name: str, verb: str, toks: list[str]):
         """CH metadata-only schema evolution (r11): ``ADD COLUMN c Type

@@ -963,3 +963,51 @@ def test_alter_add_materialized_and_alias_columns(spark, tmp_path):
     # dropping the alias is metadata-only too
     c.execute("ALTER TABLE t DROP COLUMN a2", spark=spark)
     assert "a2" not in [f.name for f in c.tables["t"].schema.fields]
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path):
+    """r12: RENAME COLUMN — no part rewrite; old parts resolve through
+    the rename chain at read, new inserts use the new name, chained
+    renames over mixed-age parts stay correct."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE t (id Int64, v Float64) "
+              "ENGINE = MergeTree ORDER BY (id)")
+    c.insert(spark, "t",
+             spark.createDataFrame([(1, 1.5)], "id long, v double"),
+             batch_id=0)
+    v0 = c.storage_for("t").current_version()
+    c.execute("ALTER TABLE t RENAME COLUMN v TO score")
+    assert c.storage_for("t").current_version() == v0  # metadata-only
+    c.insert(spark, "t",
+             spark.createDataFrame([(2, 2.5)], "id long, score double"),
+             batch_id=1)
+    c.execute("ALTER TABLE t RENAME COLUMN score TO points")
+    c.insert(spark, "t",
+             spark.createDataFrame([(3, 3.5)], "id long, points double"),
+             batch_id=2)
+    got = {r["id"]: r["points"] for r in
+           c.query(spark, "SELECT id, points FROM t").collect()}
+    assert got == {1: 1.5, 2: 2.5, 3: 3.5}
+    # SHOW CREATE renders the current name and round-trips
+    text = c.execute("SHOW CREATE TABLE t", spark=spark).collect()[0][0]
+    assert "points" in text and "score" not in text
+
+
+def test_rename_column_refusals(spark, tmp_path):
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE t (id Int64, v Float64, "
+              "v2 Float64 MATERIALIZED v * 2) "
+              "ENGINE = MergeTree ORDER BY (id)")
+    with pytest.raises(ChSqlError, match="sorting-key"):
+        c.execute("ALTER TABLE t RENAME COLUMN id TO uid")
+    with pytest.raises(ChSqlError, match="references it"):
+        c.execute("ALTER TABLE t RENAME COLUMN v TO val")  # v2 uses v
+    with pytest.raises(ChSqlError, match="already exists"):
+        c.execute("ALTER TABLE t RENAME COLUMN v2 TO v")
+    # mutations refuse after a rename, with the documented way out
+    c.execute("ALTER TABLE t RENAME COLUMN v2 TO cents")
+    c.insert(spark, "t",
+             spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    with pytest.raises(ChSqlError, match="RENAME"):
+        c.execute("ALTER TABLE t UPDATE v = v + 1 WHERE id = 1",
+                  spark=spark)
