@@ -224,6 +224,9 @@ class ChTableSpec:
         # COLUMN) — read_conform resolves a missing declared column
         # through this chain before falling back to DEFAULT/zero
         self.renames: dict[str, list[str]] = {}
+        # the CREATE's SAMPLE BY column (r12) — feeds
+        # ChContext.sample_keys so verbatim `SAMPLE f` works
+        self.sample_by: str | None = None
         # column -> aggregate-state fn for AggregateFunction columns
         # (AggregatingMergeTree): count/sum/avg/min/max/uniq — drives
         # the OPTIMIZE FINAL state fold
@@ -318,6 +321,8 @@ class ChTableSpec:
         ]
         if self.order_by:
             parts.append(f"ORDER BY ({', '.join(self.order_by)})")
+        if self.sample_by is not None:
+            parts.append(f"SAMPLE BY {self.sample_by}")
         if self.ttl is not None:
             c, n, u = self.ttl
             parts.append(f"TTL {c} + INTERVAL {n} {u}")
@@ -562,6 +567,8 @@ class ChDdlCatalog:
             return self._alter_column(name, kw2[0], body[2:])
         if kw2 == ("RENAME", "COLUMN"):
             return self._rename_column(name, body[2:])
+        if kw2 == ("MODIFY", "COLUMN"):
+            return self._modify_column(name, body[2:])
         if kw2 == ("MODIFY", "TTL"):
             return self._modify_ttl(name, body[2:])
         if kw2 == ("MATERIALIZE", "TTL"):
@@ -588,6 +595,47 @@ class ChDdlCatalog:
         from postgre_to_clickhouse_spark.ddl import execute_alter
 
         return execute_alter(spark, self.storage_for(name), " ".join(tokens))
+
+    def _modify_column(self, name: str, toks: list[str]):
+        """CH ``ALTER TABLE t MODIFY COLUMN c NewType`` (r12) — in this
+        engine a DECLARATIVE type change: no part rewrite (CH rewrites
+        parts eagerly; result-equivalent), because every read already
+        projects parts onto the declared schema with a cast
+        (:meth:`ChTableSpec.read_conform`) and inserts conform the same
+        way. Old parts keep their physical type and cast at read —
+        the per-part-group read keys on (name, type) so mixed-type
+        part generations never share one parquet read. Sort-key /
+        version / partition / sample columns refuse (the bucket and
+        zone-map layout hashes their bytes); AggregateFunction and
+        ALIAS columns refuse (their type IS their state/expression
+        contract)."""
+        spec = self.tables[name]
+        if len(toks) < 2 or not _is_ident(toks[0]):
+            raise ChSqlError("MODIFY COLUMN takes `col NewType`")
+        col = toks[0]
+        declared = [f.name for f in spec.schema.fields]
+        if col not in declared:
+            raise ChSqlError(f"MODIFY COLUMN: no column {col!r} in {name!r}")
+        keyed = (col in spec.order_by or col in spec.engine_args
+                 or col in spec.partition_src or col == spec.sample_by)
+        if keyed:
+            raise ChSqlError(
+                f"cannot MODIFY {col!r}: sorting-key / version / "
+                "partition / sample columns are the storage layout's "
+                "identity"
+            )
+        if col in spec.agg_fns or col in spec.aliases:
+            raise ChSqlError(
+                f"cannot MODIFY {col!r}: AggregateFunction and ALIAS "
+                "column types are their state/expression contract"
+            )
+        dtype, nullable = _parse_type(toks[1:])
+        spec.schema = T.StructType([
+            T.StructField(col, dtype, nullable) if f.name == col else f
+            for f in spec.schema.fields
+        ])
+        spec.evolved = True  # old parts keep the old physical type
+        return spec
 
     def _rename_column(self, name: str, toks: list[str]):
         """CH ``ALTER TABLE t RENAME COLUMN old TO new`` (r12) —
@@ -1355,7 +1403,11 @@ class ChDdlCatalog:
         groups: dict[tuple, list[str]] = {}
         for f in base:
             p = os.path.join(t.path, "data", f["name"])
-            key = tuple(spark.read.parquet(p).schema.names)
+            sch = spark.read.parquet(p).schema
+            # group by (name, type): after MODIFY COLUMN (r12), parts
+            # share names but differ in physical type — a name-only
+            # group would hand one parquet read conflicting types
+            key = tuple((g.name, g.dataType.simpleString()) for g in sch)
             groups.setdefault(key, []).append(p)
         out = None
         for _cols, ps in sorted(groups.items()):
@@ -1380,7 +1432,12 @@ class ChDdlCatalog:
             n: s.final_spec for n, s in self.tables.items()
             if s.final_spec is not None and n in tables
         }
-        return ch_select(spark, sql, ChContext(tables, final_specs=final_specs))
+        sample_keys = {
+            n: s.sample_by for n, s in self.tables.items()
+            if s.sample_by is not None and n in tables
+        }
+        return ch_select(spark, sql, ChContext(
+            tables, final_specs=final_specs, sample_keys=sample_keys))
 
     # -- application -------------------------------------------------
     def source_stream(self, spark: SparkSession, name: str,
@@ -1606,7 +1663,8 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
         end = _find_clause(obt, "SETTINGS")
         end2 = _find_clause(obt, "PARTITION", "BY")
         end3 = _find_clause(obt, "TTL")
-        ends = [e for e in (end, end2, end3) if e is not None]
+        end4 = _find_clause(obt, "SAMPLE", "BY")
+        ends = [e for e in (end, end2, end3, end4) if e is not None]
         obt = obt[: min(ends)] if ends else obt
         if obt and obt[0] == "(":
             obt = obt[1:-1] if obt[-1] == ")" else obt[1:]
@@ -1629,6 +1687,8 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
     if pb_at is not None:
         pbt = tail[pb_at + 2:]
         ends = [e for e in (_find_clause(pbt, "ORDER", "BY"),
+                            _find_clause(pbt, "SAMPLE", "BY"),
+                            _find_clause(pbt, "TTL"),
                             _find_clause(pbt, "SETTINGS")) if e is not None]
         pbt = pbt[: min(ends)] if ends else pbt
         col_names = {f.name for f in fields}
@@ -1667,6 +1727,31 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
                        agg_fns=agg_fns, materialized=materialized,
                        aliases=aliases)
     spec.partition_src = partition_src
+
+    # SAMPLE BY (r12): the declared sampling key — makes verbatim
+    # `SELECT ... SAMPLE f [OFFSET o]` work against catalog tables
+    # (ChContext.sample_keys). CH requires the sampling expression
+    # inside the primary key; this subset requires it to BE a sort-key
+    # column (the deterministic md5-band sampler keys on it).
+    sb_at = _find_clause(tail, "SAMPLE", "BY")
+    if sb_at is not None:
+        sbt = tail[sb_at + 2:]
+        ends = [e for e in (_find_clause(sbt, "SETTINGS"),
+                            _find_clause(sbt, "TTL"),
+                            _find_clause(sbt, "PARTITION", "BY"))
+                if e is not None]
+        sbt = sbt[: min(ends)] if ends else sbt
+        if len(sbt) != 1 or not _is_ident(sbt[0]):
+            raise ChSqlError(
+                f"SAMPLE BY supports one plain sort-key column, got "
+                f"{' '.join(sbt)!r}"
+            )
+        if sbt[0] not in order_by:
+            raise ChSqlError(
+                f"SAMPLE BY column {sbt[0]!r} must be part of ORDER BY "
+                "(CH requires the sampling expression in the primary key)"
+            )
+        spec.sample_by = sbt[0]
     # table-level TTL clause (r11): `TTL col + INTERVAL n unit` — the
     # same canonical shape ALTER ... MODIFY TTL accepts (rollup TTLs
     # refuse there too); recorded metadata-only, like CH

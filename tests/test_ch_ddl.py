@@ -1011,3 +1011,63 @@ def test_rename_column_refusals(spark, tmp_path):
     with pytest.raises(ChSqlError, match="RENAME"):
         c.execute("ALTER TABLE t UPDATE v = v + 1 WHERE id = 1",
                   spark=spark)
+
+
+def test_sample_by_in_create_enables_verbatim_sample(spark, tmp_path):
+    """r12: a CREATE-declared SAMPLE BY key makes verbatim
+    `SELECT ... SAMPLE f [OFFSET o]` work against catalog tables —
+    deterministic, disjoint bands, CH's primary-key constraint
+    enforced."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE t (user_id UInt32, v Float64) "
+              "ENGINE = MergeTree ORDER BY (user_id) SAMPLE BY user_id")
+    assert c.tables["t"].sample_by == "user_id"
+    rows = [(i, float(i)) for i in range(200)]
+    c.insert(spark, "t", spark.createDataFrame(
+        rows, "user_id long, v double"))
+    half = c.query(spark, "SELECT user_id FROM t SAMPLE 0.5")
+    n = half.count()
+    assert 0 < n < 200
+    # deterministic and band-disjoint: SAMPLE 0.5 + the 0.5-offset
+    # half partition the table
+    other = c.query(spark, "SELECT user_id FROM t SAMPLE 0.5 OFFSET 0.5")
+    a = {r["user_id"] for r in half.collect()}
+    b = {r["user_id"] for r in other.collect()}
+    assert a.isdisjoint(b) and len(a | b) == 200
+    # SHOW CREATE renders and round-trips the clause
+    text = c.execute("SHOW CREATE TABLE t", spark=spark).collect()[0][0]
+    assert "SAMPLE BY user_id" in text
+    c2 = ChDdlCatalog()
+    c2.execute(text.replace("CREATE TABLE t", "CREATE TABLE t2"))
+    assert c2.tables["t2"].sample_by == "user_id"
+    # the CH constraint: the sampling column must be in the sort key
+    with pytest.raises(ChSqlError, match="ORDER BY"):
+        ChDdlCatalog().execute(
+            "CREATE TABLE x (a UInt32, b UInt32) "
+            "ENGINE = MergeTree ORDER BY (a) SAMPLE BY b")
+
+
+def test_modify_column_type_is_declarative(spark, tmp_path):
+    """r12: MODIFY COLUMN changes the declared type without rewriting
+    parts — old parts keep their physical type and cast at read, new
+    inserts conform to the new type, mixed-type part generations read
+    in separate (name, type) groups."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE t (id Int64, v Int32) "
+              "ENGINE = MergeTree ORDER BY (id)")
+    c.insert(spark, "t",
+             spark.createDataFrame([(1, 10)], "id long, v int"),
+             batch_id=0)
+    v0 = c.storage_for("t").current_version()
+    c.execute("ALTER TABLE t MODIFY COLUMN v Float64")
+    assert c.storage_for("t").current_version() == v0  # metadata-only
+    c.insert(spark, "t",
+             spark.createDataFrame([(2, 2.5)], "id long, v double"),
+             batch_id=1)
+    got = {r["id"]: r["v"] for r in
+           c.query(spark, "SELECT id, v FROM t").collect()}
+    assert got == {1: 10.0, 2: 2.5}
+    types = dict(c.query(spark, "SELECT id, v FROM t").dtypes)
+    assert types["v"] == "double"
+    with pytest.raises(ChSqlError, match="identity"):
+        c.execute("ALTER TABLE t MODIFY COLUMN id Int32")
