@@ -522,10 +522,13 @@ class ChDdlCatalog:
                 tokens, self._need_spark(spark, "OPTIMIZE"))
         if head in ("SHOW", "DESCRIBE", "DESC", "EXISTS"):
             return self._introspect(tokens, self._need_spark(spark, head))
+        if head == "EXPLAIN":
+            return self._explain(tokens, self._need_spark(spark, "EXPLAIN"))
         if head != "CREATE":
             raise ChSqlError(
                 "only CREATE / ALTER TABLE / INSERT / TRUNCATE / "
-                "DROP TABLE / OPTIMIZE statements are supported here"
+                "DROP TABLE / OPTIMIZE / EXPLAIN statements are "
+                "supported here"
             )
         kind = _kw(tokens[1]) if len(tokens) > 1 else ""
         if kind == "DATABASE":
@@ -595,6 +598,33 @@ class ChDdlCatalog:
         from postgre_to_clickhouse_spark.ddl import execute_alter
 
         return execute_alter(spark, self.storage_for(name), " ".join(tokens))
+
+    def _explain(self, tokens: list[str], spark: SparkSession):
+        """CH ``EXPLAIN [PLAN|PIPELINE] SELECT ...`` (r12): one text
+        row per plan line, like a CH server. The honest answer for
+        THIS engine is the compiled Catalyst physical plan (formatted
+        explain) — the plan that actually runs — served for both the
+        PLAN and PIPELINE modifiers; AST/SYNTAX/ESTIMATE are CH
+        internals with no meaningful analogue and refuse loudly."""
+        i = 1
+        if (i < len(tokens) and _is_ident(tokens[i])
+                and _kw(tokens[i]) in ("PLAN", "PIPELINE", "AST",
+                                       "SYNTAX", "ESTIMATE")):
+            mode = _kw(tokens[i])
+            if mode in ("AST", "SYNTAX", "ESTIMATE"):
+                raise ChSqlError(
+                    f"EXPLAIN {mode} is a ClickHouse internal with no "
+                    "analogue here — this engine explains the compiled "
+                    "Catalyst plan (EXPLAIN [PLAN|PIPELINE] SELECT ...)"
+                )
+            i += 1
+        if i >= len(tokens) or _kw(tokens[i]) not in ("SELECT", "WITH"):
+            raise ChSqlError("EXPLAIN takes a SELECT statement")
+        df = self.query(spark, " ".join(tokens[i:]))
+        text = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        return spark.createDataFrame(
+            [(ln,) for ln in text.splitlines()], "explain string")
 
     def _modify_column(self, name: str, toks: list[str]):
         """CH ``ALTER TABLE t MODIFY COLUMN c NewType`` (r12) — in this

@@ -441,3 +441,25 @@ def test_csv_insert_upload_over_the_wire(spark, tmp_path):
         assert code == 500 and "fields" in body
     finally:
         ep5.stop()
+
+
+def test_explain_over_the_wire(spark, tmp_path):
+    """r12: EXPLAIN SELECT answers one plan-text row per line over the
+    wire — the compiled Catalyst plan, the honest analogue of CH's
+    EXPLAIN; AST/SYNTAX refuse loudly."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_http(spark, cat)
+    try:
+        _post(ep, "CREATE TABLE t (id UInt32, v Float64) "
+                  "ENGINE = MergeTree ORDER BY (id)")
+        _post(ep, "INSERT INTO t VALUES (1, 2.5)")
+        code, body = _post(
+            ep, "EXPLAIN SELECT id, sum(v) AS s FROM t GROUP BY id")
+        assert code == 200
+        assert "Physical Plan" in body and "HashAggregate" in body
+        code, body = _post(ep, "EXPLAIN AST SELECT 1")
+        assert code == 500 and "Catalyst" in body
+    finally:
+        ep.stop()
