@@ -910,7 +910,12 @@ class ChDdlCatalog:
         spec = self.tables[name]
         declared = [f.name for f in spec.schema.fields]
         if cols is None:
-            cols = declared
+            # CH: a column-less INSERT targets the ordinary + DEFAULT
+            # columns only — MATERIALIZED and ALIAS columns are never
+            # user-insertable (r12 fix: including them made every
+            # VALUES row report a width mismatch)
+            cols = [c for c in declared
+                    if c not in spec.materialized and c not in spec.aliases]
         unknown = sorted(set(cols) - set(declared))
         if unknown:
             raise ChSqlError(f"INSERT column(s) not declared: {unknown}")
@@ -1466,8 +1471,65 @@ class ChDdlCatalog:
             n: s.sample_by for n, s in self.tables.items()
             if s.sample_by is not None and n in tables
         }
+        # CH system tables (r12): system.tables / system.columns /
+        # system.parts answer like a CH server (the first thing a CH
+        # operator queries — reference runbook README.md:237-243).
+        # The dialect resolver strips the db prefix, so they register
+        # under their bare names; a user table of the same bare name
+        # SHADOWS them (deterministic, documented here).
+        for k, df in self._system_frames(spark).items():
+            tables.setdefault(k, df)
         return ch_select(spark, sql, ChContext(
             tables, final_specs=final_specs, sample_keys=sample_keys))
+
+    def _system_frames(self, spark: SparkSession) -> dict[str, DataFrame]:
+        """Metadata-only frames: bounded by table/column/part-file
+        count, never by rows (system.parts reads parquet FOOTERS via
+        the manifest's describe_parts)."""
+        t_rows, c_rows = [], []
+        for n in sorted(self.tables):
+            s = self.tables[n]
+            t_rows.append((
+                n, s.engine, ", ".join(s.order_by),
+                ", ".join(s.partition_src), s.sample_by, s.show_create(),
+            ))
+            for pos, f in enumerate(s.schema.fields, 1):
+                if f.name in s.defaults:
+                    kind, expr = "DEFAULT", s.defaults[f.name]
+                elif f.name in s.materialized:
+                    kind, expr = "MATERIALIZED", s.materialized[f.name]
+                elif f.name in s.aliases:
+                    kind, expr = "ALIAS", s.aliases[f.name]
+                else:
+                    kind, expr = "", ""
+                c_rows.append((n, f.name, s._render_type(f), pos, kind, expr))
+        out = {
+            "tables": spark.createDataFrame(
+                t_rows,
+                "name string, engine string, sorting_key string, "
+                "partition_key string, sampling_key string, "
+                "create_table_query string"),
+            "columns": spark.createDataFrame(
+                c_rows,
+                "table string, name string, type string, position int, "
+                "default_kind string, default_expression string"),
+        }
+        parts = None
+        for n in sorted(self.storage):
+            try:
+                p = self.storage[n].describe_parts(spark).withColumn(
+                    "table", F.lit(n))
+            except FileNotFoundError:  # fresh table, no snapshot yet
+                continue
+            parts = p if parts is None else parts.unionByName(p)
+        if parts is None:
+            parts = spark.createDataFrame(
+                [],
+                "name string, part string, bucket int, proj string, "
+                "rows long, bytes long, row_groups int, stats string, "
+                "table string")
+        out["parts"] = parts
+        return out
 
     # -- application -------------------------------------------------
     def source_stream(self, spark: SparkSession, name: str,

@@ -463,3 +463,39 @@ def test_explain_over_the_wire(spark, tmp_path):
         assert code == 500 and "Catalyst" in body
     finally:
         ep.stop()
+
+
+def test_system_tables_over_the_wire(spark, tmp_path):
+    """r12: system.tables / system.columns / system.parts answer like
+    a CH server — metadata-only frames (parts reads parquet footers
+    through the manifest)."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_http(spark, cat)
+    try:
+        _post(ep, "CREATE TABLE t (id UInt32, v Float64 DEFAULT 0, "
+                  "d Float64 ALIAS v * 2) "
+                  "ENGINE = MergeTree ORDER BY (id) SAMPLE BY id")
+        _post(ep, "INSERT INTO t VALUES (1, 2.5), (2, 3.5)")
+        code, body = _post(
+            ep, "SELECT name, engine, sorting_key, sampling_key "
+                "FROM system.tables FORMAT TabSeparated")
+        assert code == 200 and body == "t\tMergeTree\tid\tid\n"
+        code, body = _post(
+            ep, "SELECT name, type, default_kind FROM system.columns "
+                "WHERE table = 't' ORDER BY position")
+        assert code == 200
+        assert body.splitlines() == [
+            "id\tInt64\t", "v\tFloat64\tDEFAULT", "d\tFloat64\tALIAS"]
+        code, body = _post(
+            ep, "SELECT table, sum(rows) AS r FROM system.parts "
+                "GROUP BY table")
+        assert code == 200 and body == "t\t2\n"
+        # create_table_query carries SHOW CREATE text
+        code, body = _post(
+            ep, "SELECT create_table_query FROM system.tables "
+                "WHERE name = 't'")
+        assert code == 200 and "SAMPLE BY id" in body
+    finally:
+        ep.stop()
