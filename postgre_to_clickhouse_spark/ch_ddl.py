@@ -1476,9 +1476,12 @@ class ChDdlCatalog:
         # operator queries — reference runbook README.md:237-243).
         # The dialect resolver strips the db prefix, so they register
         # under their bare names; a user table of the same bare name
-        # SHADOWS them (deterministic, documented here).
-        for k, df in self._system_frames(spark).items():
-            tables.setdefault(k, df)
+        # SHADOWS them (deterministic, documented here). Built only
+        # when the statement actually names one — zero cost on the
+        # ordinary query path.
+        if any(k in sql for k in ("tables", "columns", "parts")):
+            for k, df in self._system_frames(spark).items():
+                tables.setdefault(k, df)
         return ch_select(spark, sql, ChContext(
             tables, final_specs=final_specs, sample_keys=sample_keys))
 
