@@ -647,12 +647,18 @@ class ChDdlCatalog:
         if col not in declared:
             raise ChSqlError(f"MODIFY COLUMN: no column {col!r} in {name!r}")
         keyed = (col in spec.order_by or col in spec.engine_args
-                 or col in spec.partition_src or col == spec.sample_by)
+                 or col in spec.partition_src or col == spec.sample_by
+                 or (spec.ttl is not None and spec.ttl[0] == col))
         if keyed:
+            # TTL column included (r13, ADVICE): old parts' zone-map
+            # stats stay in the old physical type, and MATERIALIZE
+            # TTL's pruned delete compares them against the NEW
+            # declared type — a silent mis-prune. Same refusal RENAME
+            # already applies.
             raise ChSqlError(
                 f"cannot MODIFY {col!r}: sorting-key / version / "
-                "partition / sample columns are the storage layout's "
-                "identity"
+                "partition / sample / TTL columns are the storage "
+                "layout's identity"
             )
         if col in spec.agg_fns or col in spec.aliases:
             raise ChSqlError(
@@ -690,6 +696,19 @@ class ChDdlCatalog:
             raise ChSqlError(f"RENAME COLUMN: no column {old!r} in {name!r}")
         if new in declared:
             raise ChSqlError(f"RENAME COLUMN: {new!r} already exists")
+        if any(new in chain for chain in spec.renames.values()):
+            # r13 (ADVICE): a RETIRED physical name must never come
+            # back — parts older than the rename that retired it still
+            # carry those bytes, and read_conform's name match would
+            # silently serve the OLD column's data as the new one.
+            # Refuse rather than misread, like the post-rename
+            # mutation refusal above.
+            raise ChSqlError(
+                f"cannot RENAME to {new!r}: that name was retired by an "
+                "earlier RENAME COLUMN and old parts still carry it — "
+                "reusing it would silently serve stale bytes; pick a "
+                "fresh name or re-ingest into a fresh table"
+            )
         keyed = (old in spec.order_by or old in spec.engine_args
                  or old in spec.partition_src
                  or (spec.ttl is not None and spec.ttl[0] == old)
@@ -753,6 +772,20 @@ class ChDdlCatalog:
                     f"cannot DROP {col!r}: part of the sorting key / "
                     "version argument (CH refuses the same)"
                 )
+            from postgre_to_clickhouse_spark.ch_select import _tokenize
+
+            # r13 (ADVICE): another column's DEFAULT/MATERIALIZED/ALIAS
+            # expression referencing the dropped column would dangle and
+            # only surface later as a raw Spark analysis error at
+            # insert/read — refuse loudly NOW, the same scan RENAME runs.
+            for c, expr in {**spec.defaults, **spec.materialized,
+                            **spec.aliases}.items():
+                if c != col and col in _tokenize(expr):
+                    raise ChSqlError(
+                        f"cannot DROP {col!r}: column {c!r}'s expression "
+                        f"references it ({expr!r}) — drop or redefine "
+                        "that column first"
+                    )
             spec.schema = T.StructType(
                 [f for f in spec.schema.fields if f.name != col]
             )
@@ -766,6 +799,17 @@ class ChDdlCatalog:
         # ADD
         if col in declared:
             raise ChSqlError(f"ADD COLUMN: {col!r} already exists in {name!r}")
+        if any(col in chain for chain in spec.renames.values()):
+            # r13 (ADVICE): same retired-physical-name refusal as
+            # RENAME's target — pre-rename parts still carry these
+            # bytes and read_conform would match them for the NEW
+            # column, serving the wrong column's stale data.
+            raise ChSqlError(
+                f"cannot ADD COLUMN {col!r}: that name was retired by an "
+                "earlier RENAME COLUMN and old parts still carry it — "
+                "reusing it would silently serve stale bytes; pick a "
+                "fresh name or re-ingest into a fresh table"
+            )
         kinds = [
             (i, _kw(t)) for i, t in enumerate(toks[1:], 1)
             if _is_ident(t) and _kw(t) in ("DEFAULT", "MATERIALIZED",
@@ -1041,7 +1085,17 @@ class ChDdlCatalog:
                 raise ChSqlError("CSVWithNames body carries no header")
             cols = [c.strip() for c in rows[0]]
             rows = rows[1:]
-        binding = cols if cols is not None else declared
+        # r13 (ADVICE): a header-less CSV binds positionally to the
+        # user-insertable columns only — MATERIALIZED/ALIAS columns are
+        # never part of CH's positional-binding contract (mirrors the
+        # r12 column-less VALUES fix; including them made every upload
+        # fail on width or conform's banned-column refusal).
+        if cols is not None:
+            binding = cols
+        else:
+            binding = [c for c in declared
+                       if c not in spec.materialized
+                       and c not in spec.aliases]
         bad = sorted(set(binding) - set(declared))
         if bad:
             raise ChSqlError(f"INSERT column(s) not declared: {bad}")
@@ -1479,7 +1533,12 @@ class ChDdlCatalog:
         # SHADOWS them (deterministic, documented here). Built only
         # when the statement actually names one — zero cost on the
         # ordinary query path.
-        if any(k in sql for k in ("tables", "columns", "parts")):
+        import re as _re
+
+        # word-boundary match (r13, VERDICT): a user table named e.g.
+        # `spare_parts` must not trigger the metadata build — only a
+        # whole-word reference to one of the system table names does.
+        if _re.search(r"\b(tables|columns|parts)\b", sql):
             for k, df in self._system_frames(spark).items():
                 tables.setdefault(k, df)
         return ch_select(spark, sql, ChContext(

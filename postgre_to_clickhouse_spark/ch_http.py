@@ -140,10 +140,33 @@ def _json_cell(v):
     return v
 
 
+def _csv_array_elem(v) -> str:
+    """One element of an array in CH's CSV array encoding (r13,
+    ADVICE): the array renders as its TEXT form — string/date elements
+    single-quoted with backslash escaping, numbers bare, NULL elements
+    the literal ``NULL`` — and the whole bracket expression is then
+    CSV-double-quoted by the caller. (Previously elements went through
+    the TabSeparated ``_cell``: unquoted strings with tab/newline
+    escapes — a divergence from CH's own CSV output.)"""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, _dt.datetime):
+        return f"'{v.strftime('%Y-%m-%d %H:%M:%S')}'"
+    if isinstance(v, _dt.date):
+        return f"'{v.isoformat()}'"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_csv_array_elem(x) for x in v) + "]"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return str(v)
+
+
 def _csv_cell(v) -> str:
     """One value in CH CSV encoding: strings/dates double-quoted with
     ``""`` escaping, numbers bare, NULL → ``\\N`` (CH's CSV NULL),
-    bools 1/0, arrays the bracket rendering quoted."""
+    bools 1/0, arrays CH's single-quoted text rendering, CSV-quoted."""
     if v is None:
         return "\\N"
     if isinstance(v, bool):
@@ -153,7 +176,7 @@ def _csv_cell(v) -> str:
     if isinstance(v, _dt.date):
         return f'"{v.isoformat()}"'
     if isinstance(v, (list, tuple)):
-        inner = "[" + ",".join(_cell(x) for x in v) + "]"
+        inner = "[" + ",".join(_csv_array_elem(x) for x in v) + "]"
         return '"' + inner.replace('"', '""') + '"'
     if isinstance(v, str):
         return '"' + v.replace('"', '""') + '"'

@@ -1071,3 +1071,103 @@ def test_modify_column_type_is_declarative(spark, tmp_path):
     assert types["v"] == "double"
     with pytest.raises(ChSqlError, match="identity"):
         c.execute("ALTER TABLE t MODIFY COLUMN id Int32")
+
+
+def test_retired_physical_name_cannot_return(spark, tmp_path):
+    """r13 (ADVICE): after RENAME COLUMN a TO x, the physical name `a`
+    is RETIRED — old parts still carry its bytes, so a later
+    RENAME b TO a or ADD COLUMN a would let read_conform silently
+    serve the OLD column's data for the new one. Both refuse."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE t (id Int64, a Float64, b Float64) "
+              "ENGINE = MergeTree ORDER BY (id)")
+    c.insert(spark, "t",
+             spark.createDataFrame([(1, 1.0, 2.0)],
+                                   "id long, a double, b double"),
+             batch_id=0)
+    c.execute("ALTER TABLE t RENAME COLUMN a TO x")
+    with pytest.raises(ChSqlError, match="retired"):
+        c.execute("ALTER TABLE t RENAME COLUMN b TO a")
+    with pytest.raises(ChSqlError, match="retired"):
+        c.execute("ALTER TABLE t ADD COLUMN a Float64")
+    # a genuinely fresh name is still fine
+    c.execute("ALTER TABLE t RENAME COLUMN b TO c")
+    got = c.query(spark, "SELECT id, x, c FROM t").collect()
+    assert [(r["x"], r["c"]) for r in got] == [(1.0, 2.0)]
+
+
+def test_modify_column_refuses_ttl_column(spark, tmp_path):
+    """r13 (ADVICE): MODIFY COLUMN on the table-TTL column refuses —
+    old parts' zone-map stats stay in the old physical type and the
+    pruned MATERIALIZE TTL delete would compare them against the new
+    declared type (mis-prune risk). Same contract RENAME enforces."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE t (d Date, v Float64) "
+              "ENGINE = MergeTree ORDER BY (d) "
+              "TTL d + INTERVAL 30 DAY")
+    with pytest.raises(ChSqlError, match="TTL"):
+        c.execute("ALTER TABLE t MODIFY COLUMN d DateTime")
+    # non-TTL columns still modify fine
+    c.execute("ALTER TABLE t MODIFY COLUMN v Float32")
+
+
+def test_drop_column_refuses_dangling_expression(spark, tmp_path):
+    """r13 (ADVICE): DROP COLUMN refuses when another column's
+    DEFAULT/MATERIALIZED/ALIAS expression references it — otherwise
+    the stored expression dangles and surfaces later as a raw Spark
+    analysis error at insert/read instead of a loud ChSqlError."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE t (id Int64, v Float64, "
+              "v2 Float64 MATERIALIZED v * 2, "
+              "a Float64 ALIAS v + 1) "
+              "ENGINE = MergeTree ORDER BY (id)")
+    with pytest.raises(ChSqlError, match="references it"):
+        c.execute("ALTER TABLE t DROP COLUMN v")
+    # dropping the referencing columns first unblocks it
+    c.execute("ALTER TABLE t DROP COLUMN v2", spark=spark)
+    c.execute("ALTER TABLE t DROP COLUMN a", spark=spark)
+    c.execute("ALTER TABLE t DROP COLUMN v", spark=spark)
+    assert [f.name for f in c.tables["t"].schema.fields] == ["id"]
+
+
+def test_headerless_csv_upload_with_expression_columns(spark, tmp_path):
+    """r13 (ADVICE): a header-less FORMAT CSV body binds positionally
+    to the user-insertable columns only — MATERIALIZED/ALIAS columns
+    are excluded, mirroring the column-less VALUES contract."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE t (id Int64, v Float64, "
+              "cents Float64 MATERIALIZED v * 100.0, "
+              "twice Float64 ALIAS v * 2) "
+              "ENGINE = MergeTree ORDER BY (id)")
+    c.insert_csv_rows(spark, "t", ["1,1.5", "2,2.25"])
+    got = {r["id"]: (r["v"], r["cents"], r["twice"]) for r in
+           c.query(spark, "SELECT id, v, cents, twice FROM t").collect()}
+    assert got == {1: (1.5, 150.0, 3.0), 2: (2.25, 225.0, 4.5)}
+
+
+def test_system_gate_is_word_bounded(spark, tmp_path):
+    """r13 (VERDICT): the lazy system.* build triggers only on a
+    whole-word `tables`/`columns`/`parts` reference — a user table
+    named `spare_parts` no longer builds the metadata frames."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE spare_parts (id Int64, n String) "
+              "ENGINE = MergeTree ORDER BY (id)")
+    c.insert(spark, "spare_parts",
+             spark.createDataFrame([(1, "bolt")], "id long, n string"),
+             batch_id=0)
+
+    def boom(_spark):
+        raise AssertionError("system frames built for a non-system query")
+
+    orig = c._system_frames
+    c._system_frames = boom
+    try:
+        rows = c.query(spark,
+                       "SELECT id, n FROM spare_parts").collect()
+        assert [(r["id"], r["n"]) for r in rows] == [(1, "bolt")]
+    finally:
+        c._system_frames = orig
+    # whole-word reference still builds them
+    parts = c.query(spark,
+                    "SELECT table FROM system.parts").collect()
+    assert {r["table"] for r in parts} == {"spare_parts"}

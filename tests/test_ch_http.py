@@ -499,3 +499,22 @@ def test_system_tables_over_the_wire(spark, tmp_path):
         assert code == 200 and "SAMPLE BY id" in body
     finally:
         ep.stop()
+
+
+def test_csv_array_cells_use_ch_text_encoding():
+    """r13 (ADVICE): array values in FORMAT CSV render as CH's array
+    TEXT form — single-quoted string elements with backslash escaping,
+    bare numbers, NULL elements — the whole bracket CSV-double-quoted;
+    no TabSeparated escape leakage inside the quotes."""
+    from postgre_to_clickhouse_spark.ch_http import _csv_cell
+
+    assert _csv_cell(["a", "b"]) == "\"['a','b']\""
+    assert _csv_cell([1, 2, 3]) == '"[1,2,3]"'
+    assert _csv_cell(["it's", None]) == "\"['it\\'s',NULL]\""
+    # a tab inside a string element stays a raw tab (CSV quoting
+    # protects it) — no TabSeparated \t escape
+    assert _csv_cell(["a\tb"]) == "\"['a\tb']\""
+    # backslashes escape once
+    assert _csv_cell(["a\\b"]) == "\"['a\\\\b']\""
+    # nested arrays recurse
+    assert _csv_cell([[1], [2, 3]]) == '"[[1],[2,3]]"'
