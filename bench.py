@@ -230,6 +230,12 @@ HEADLINE = [
     # projections; cdc_wire_terminal_pipeline is a fixture-sized wire
     # round-trip — protocol latency, not a data-plane shape.)
     "ch_dialect_quantile_topk_mv",
+    # ch_ddl_column_ttl_pipeline (r13) stays EXEMPT under the stated
+    # rule: its plan is two part ingests + two zone-map-pruned
+    # update_where mutations + a conform read — exactly the lifecycle
+    # skeleton ch_ddl_alter_pipeline and manifest_update_read already
+    # time on the same tables; the column-TTL reset adds only the
+    # CASE-projection inside the rewrite.
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

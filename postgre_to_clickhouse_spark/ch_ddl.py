@@ -45,9 +45,16 @@ read, never stored) are supported since r12 on MergeTree /
 ReplacingMergeTree with an explicit declared type; ``SELECT *`` shows
 them (the CH ``asterisk_include_materialized_columns`` /
 ``asterisk_include_alias_columns`` = 1 posture, documented at
-:class:`ChTableSpec`). CODEC/column-TTL/COMMENT clauses and unknown
-engines refuse loudly (`ChSqlError`) — the refuse-don't-misread
-convention of ch_select.
+:class:`ChTableSpec`). ``COMMENT '...'`` (metadata: DESCRIBE /
+system.columns), ``CODEC(...)`` (recorded verbatim and round-tripped
+— a physical-layout hint with no result semantics here: parquet
+encoding is this engine's storage codec, documented not silently
+dropped) and column-level ``TTL col + INTERVAL n unit`` (expired
+values reset to the column DEFAULT or NULL on MATERIALIZE TTL via the
+zone-map-pruned update_where — the CH column-TTL contract) are
+supported since r13. Unknown engines and unknown clauses refuse
+loudly (`ChSqlError`) — the refuse-don't-misread convention of
+ch_select.
 """
 
 from __future__ import annotations
@@ -90,6 +97,44 @@ _SIMPLE_TYPES = {
     "BOOL": T.BooleanType(),
     "BOOLEAN": T.BooleanType(),
 }
+
+
+def _render_toks(toks: list[str]) -> str:
+    """Canonical text for a verbatim token run (r13: CODEC bodies) —
+    round-trips through the tokenizer: no space around parens, a space
+    after commas, a space between word tokens."""
+    out: list[str] = []
+    for t in toks:
+        if t == "(":
+            out.append("(")
+        elif t == ")":
+            out.append(")")
+        elif t == ",":
+            out.append(", ")
+        else:
+            if out and out[-1] not in ("(", ", ") and not out[-1].endswith(" "):
+                out.append(" ")
+            out.append(t)
+    return "".join(out).strip()
+
+
+def _unquote_str(tok: str) -> str:
+    """A tokenizer string literal → its value (strip quotes, undo the
+    ``''`` and backslash escapes the token regex admits)."""
+    body = tok[1:-1]
+    out, i = [], 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\" and i + 1 < len(body):
+            out.append(body[i + 1])
+            i += 2
+        elif ch == "'" and i + 1 < len(body) and body[i + 1] == "'":
+            out.append("'")
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def _parse_type(toks: list[str]) -> tuple[T.DataType, bool]:
@@ -227,6 +272,19 @@ class ChTableSpec:
         # the CREATE's SAMPLE BY column (r12) — feeds
         # ChContext.sample_keys so verbatim `SAMPLE f` works
         self.sample_by: str | None = None
+        # r13 (VERDICT r12 #4): the remaining CH column clauses.
+        # CODEC is a physical-layout hint with NO result semantics in
+        # this engine (parquet encoding is its own storage codec) —
+        # parsed and recorded as explicit metadata so SHOW CREATE
+        # round-trips it and system.columns surfaces it, never acted
+        # on. COMMENT is pure metadata (DESCRIBE / system.columns).
+        # column_ttl maps col -> (ttl_col, n, unit): on MATERIALIZE
+        # TTL, expired values reset to the column DEFAULT (or NULL) —
+        # the CH column-TTL contract — via the manifest's zone-map-
+        # pruned update_where.
+        self.codecs: dict[str, str] = {}
+        self.comments: dict[str, str] = {}
+        self.column_ttl: dict[str, tuple[str, int, str]] = {}
         # column -> aggregate-state fn for AggregateFunction columns
         # (AggregatingMergeTree): count/sum/avg/min/max/uniq — drives
         # the OPTIMIZE FINAL state fold
@@ -308,6 +366,17 @@ class ChTableSpec:
                 line += f" MATERIALIZED {self.materialized[f.name]}"
             elif f.name in self.aliases:
                 line += f" ALIAS {self.aliases[f.name]}"
+            # r13: CH's own SHOW CREATE clause order — COMMENT, CODEC,
+            # TTL after the default-kind clause
+            if f.name in self.comments:
+                esc = self.comments[f.name].replace("\\", "\\\\") \
+                    .replace("'", "\\'")
+                line += f" COMMENT '{esc}'"
+            if f.name in self.codecs:
+                line += f" CODEC({self.codecs[f.name]})"
+            if f.name in self.column_ttl:
+                c, n, u = self.column_ttl[f.name]
+                line += f" TTL {c} + INTERVAL {n} {u}"
             cols.append(line)
         eng = self.engine
         if self.engine_args:
@@ -648,7 +717,9 @@ class ChDdlCatalog:
             raise ChSqlError(f"MODIFY COLUMN: no column {col!r} in {name!r}")
         keyed = (col in spec.order_by or col in spec.engine_args
                  or col in spec.partition_src or col == spec.sample_by
-                 or (spec.ttl is not None and spec.ttl[0] == col))
+                 or (spec.ttl is not None and spec.ttl[0] == col)
+                 or any(src == col
+                        for src, _n, _u in spec.column_ttl.values()))
         if keyed:
             # TTL column included (r13, ADVICE): old parts' zone-map
             # stats stay in the old physical type, and MATERIALIZE
@@ -729,11 +800,17 @@ class ChDdlCatalog:
                     f"references it ({expr!r}) — drop or redefine that "
                     "column first"
                 )
+        if any(src == old for src, _n, _u in spec.column_ttl.values()):
+            raise ChSqlError(
+                f"cannot RENAME {old!r}: a column TTL references it — "
+                "the stored TTL expression would silently dangle"
+            )
         spec.schema = T.StructType([
             T.StructField(new, f.dataType, f.nullable) if f.name == old
             else f for f in spec.schema.fields
         ])
-        for d in (spec.defaults, spec.materialized, spec.aliases):
+        for d in (spec.defaults, spec.materialized, spec.aliases,
+                  spec.codecs, spec.comments, spec.column_ttl):
             if old in d:
                 d[new] = d.pop(old)
         spec.renames[new] = [old] + spec.renames.pop(old, [])
@@ -786,6 +863,12 @@ class ChDdlCatalog:
                         f"references it ({expr!r}) — drop or redefine "
                         "that column first"
                     )
+            if any(src == col and c != col
+                   for c, (src, _n, _u) in spec.column_ttl.items()):
+                raise ChSqlError(
+                    f"cannot DROP {col!r}: another column's TTL clause "
+                    "references it — drop/redefine that column first"
+                )
             spec.schema = T.StructType(
                 [f for f in spec.schema.fields if f.name != col]
             )
@@ -793,6 +876,9 @@ class ChDdlCatalog:
             spec.defaults.pop(col, None)
             spec.materialized.pop(col, None)
             spec.aliases.pop(col, None)
+            spec.codecs.pop(col, None)
+            spec.comments.pop(col, None)
+            spec.column_ttl.pop(col, None)
             if not was_alias:  # dropping an ALIAS is pure metadata
                 spec.evolved = True
             return spec
@@ -893,13 +979,26 @@ class ChDdlCatalog:
                     return "ALIAS", spec.aliases[c]
                 return "", ""
 
+            def _ttl_expr(c: str) -> str:
+                if c in spec.column_ttl:
+                    s, n, u = spec.column_ttl[c]
+                    return f"{s} + INTERVAL {n} {u}"
+                return ""
+
+            # r13: CH DESCRIBE's full column set — comment /
+            # codec_expression / ttl_expression join the pair
             rows = [
-                (f.name, f.dataType.simpleString(), *_kind_expr(f.name))
+                (f.name, f.dataType.simpleString(), *_kind_expr(f.name),
+                 spec.comments.get(f.name, ""),
+                 (f"CODEC({spec.codecs[f.name]})"
+                  if f.name in spec.codecs else ""),
+                 _ttl_expr(f.name))
                 for f in spec.schema.fields
             ]
             return spark.createDataFrame(
                 rows, "name string, type string, default_type string, "
-                      "default_expression string")
+                      "default_expression string, comment string, "
+                      "codec_expression string, ttl_expression string")
         at = 2 if len(tokens) > 1 and _kw(tokens[1]) == "TABLE" else 1
         if at >= len(tokens) or not _is_ident(tokens[at]):
             raise ChSqlError("EXISTS TABLE <name>?")
@@ -1360,21 +1459,43 @@ class ChDdlCatalog:
         ``now`` (an ISO timestamp string) pins the clock for
         deterministic tests; None uses the session's current time,
         the CH behavior. Calendar units (MONTH/YEAR) use Spark's
-        calendar arithmetic, like CH's."""
+        calendar arithmetic, like CH's.
+
+        r13: COLUMN TTLs apply too — expired values reset to the
+        column's DEFAULT (or NULL), the CH column-TTL contract,
+        through the manifest's zone-map-pruned ``update_where`` (the
+        hit scan reads only files whose TTL-column [min, max] can
+        reach below the cutoff)."""
         spec = self.tables[name]
         ttl = getattr(spec, "ttl", None)
-        if ttl is None:
+        col_ttls = getattr(spec, "column_ttl", {})
+        if ttl is None and not col_ttls:
             raise ChSqlError(
-                f"{name!r} has no TTL rule — ALTER TABLE ... MODIFY TTL "
-                "first"
+                f"{name!r} has no TTL rule — declare one in CREATE or "
+                "ALTER TABLE ... MODIFY TTL first"
             )
-        col, n, unit = ttl
         base = (f"TIMESTAMP '{now}'" if now is not None
                 else "current_timestamp()")
-        cutoff = spark.sql(
-            f"SELECT CAST({base} - INTERVAL {n} {unit} AS STRING) AS c"
-        ).collect()[0]["c"]
-        return self.storage_for(name).apply_ttl(spark, col, cutoff)
+
+        def _cutoff(n: int, unit: str) -> str:
+            return spark.sql(
+                f"SELECT CAST({base} - INTERVAL {n} {unit} AS STRING) AS c"
+            ).collect()[0]["c"]
+
+        t = self.storage_for(name)
+        version = None
+        if ttl is not None:
+            col, n, unit = ttl
+            version = t.apply_ttl(spark, col, _cutoff(n, unit))
+        for col, (src, n, unit) in sorted(col_ttls.items()):
+            cutoff = _cutoff(n, unit)
+            reset = spec.defaults.get(col, "NULL")
+            rng = ([(src, None, cutoff)] if src in t.stats_cols else None)
+            version = t.update_where(
+                spark, {col: reset},
+                f"{src} < TIMESTAMP '{cutoff}'", where=rng,
+            )
+        return version
 
     # -- storage -----------------------------------------------------
     def storage_for(self, name: str):
@@ -1564,7 +1685,12 @@ class ChDdlCatalog:
                     kind, expr = "ALIAS", s.aliases[f.name]
                 else:
                     kind, expr = "", ""
-                c_rows.append((n, f.name, s._render_type(f), pos, kind, expr))
+                c_rows.append((
+                    n, f.name, s._render_type(f), pos, kind, expr,
+                    s.comments.get(f.name, ""),
+                    (f"CODEC({s.codecs[f.name]})"
+                     if f.name in s.codecs else ""),
+                ))
         out = {
             "tables": spark.createDataFrame(
                 t_rows,
@@ -1574,7 +1700,8 @@ class ChDdlCatalog:
             "columns": spark.createDataFrame(
                 c_rows,
                 "table string, name string, type string, position int, "
-                "default_kind string, default_expression string"),
+                "default_kind string, default_expression string, "
+                "comment string, compression_codec string"),
         }
         parts = None
         for n in sorted(self.storage):
@@ -1721,24 +1848,68 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
     agg_fns: dict[str, str] = {}
     materialized: dict[str, str] = {}
     aliases: dict[str, str] = {}
-    for item in _split_commas(rest[1:close]):
-        if len(item) < 2 or not _is_ident(item[0]):
-            raise ChSqlError(f"cannot parse column def {' '.join(item)!r}")
-        # r11: `name Type DEFAULT expr`; r12 (VERDICT r11 #4): `name
-        # Type MATERIALIZED expr` (compute-at-insert, stored) and
-        # `name Type ALIAS expr` (compute-at-read, never stored) join
-        # the subset. CODEC/column-TTL/COMMENT still refuse loudly —
-        # a declared non-goal (CODEC is a physical-compression hint
-        # with no result semantics; this engine's parquet encoding is
-        # its own storage codec).
-        bad = [t for t in item[1:] if _is_ident(t) and _kw(t) in
-               ("CODEC", "TTL", "COMMENT")]
-        if bad:
+    codecs: dict[str, str] = {}
+    comments: dict[str, str] = {}
+    column_ttls: dict[str, tuple[str, int, str]] = {}
+    for full_item in _split_commas(rest[1:close]):
+        if len(full_item) < 2 or not _is_ident(full_item[0]):
             raise ChSqlError(
-                f"column clause {bad[0]} is outside the subset (`name "
-                f"Type [DEFAULT|MATERIALIZED|ALIAS expr]` only): "
-                f"{' '.join(item)!r}"
-            )
+                f"cannot parse column def {' '.join(full_item)!r}")
+        # r11: `name Type DEFAULT expr`; r12: MATERIALIZED/ALIAS; r13
+        # (VERDICT r12 #4): the trailing CODEC(...) / TTL expr /
+        # COMMENT '...' clauses. Split the item at the first TOP-LEVEL
+        # clause keyword — everything before is the `name Type
+        # [kind expr]` base the earlier rounds parse, everything after
+        # is clause segments (any order, each at most once, CH's own
+        # grammar).
+        depth = 0
+        clause_at: list[tuple[int, str]] = []
+        for ci, t in enumerate(full_item[1:], 1):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif (depth == 0 and _is_ident(t)
+                    and _kw(t) in ("CODEC", "TTL", "COMMENT")):
+                clause_at.append((ci, _kw(t)))
+        item = full_item[:clause_at[0][0]] if clause_at else full_item
+        seen_clauses: set[str] = set()
+        for ji, (start, cname) in enumerate(clause_at):
+            end = (clause_at[ji + 1][0] if ji + 1 < len(clause_at)
+                   else len(full_item))
+            seg = full_item[start + 1:end]
+            if cname in seen_clauses:
+                raise ChSqlError(
+                    f"duplicate {cname} clause on column "
+                    f"{full_item[0]!r}")
+            seen_clauses.add(cname)
+            if cname == "CODEC":
+                if len(seg) < 3 or seg[0] != "(" or seg[-1] != ")":
+                    raise ChSqlError(
+                        f"CODEC needs a parenthesized codec list: "
+                        f"{' '.join(full_item)!r}")
+                codecs[full_item[0]] = _render_toks(seg[1:-1])
+            elif cname == "COMMENT":
+                if (len(seg) != 1 or not seg[0].startswith("'")
+                        or not seg[0].endswith("'")):
+                    raise ChSqlError(
+                        f"COMMENT takes one quoted string: "
+                        f"{' '.join(full_item)!r}")
+                comments[full_item[0]] = _unquote_str(seg[0])
+            else:  # column TTL
+                ok = (len(seg) == 5 and _is_ident(seg[0])
+                      and seg[1] == "+" and _kw(seg[2]) == "INTERVAL"
+                      and seg[3].isdigit() and _is_ident(seg[4]))
+                if not ok:
+                    raise ChSqlError(
+                        f"column TTL supports `col + INTERVAL n unit`, "
+                        f"got {' '.join(seg)!r}")
+                unit = _kw(seg[4])
+                if unit not in ("SECOND", "MINUTE", "HOUR", "DAY",
+                                "WEEK", "MONTH", "YEAR"):
+                    raise ChSqlError(
+                        f"unsupported TTL interval unit {unit}")
+                column_ttls[full_item[0]] = (seg[0], int(seg[3]), unit)
         kinds = [
             (i, _kw(t)) for i, t in enumerate(item[1:], 1)
             if _is_ident(t) and _kw(t) in ("DEFAULT", "MATERIALIZED",
@@ -1876,11 +2047,48 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
                 f"ALIAS column(s) {bad_ob} cannot be in ORDER BY — CH "
                 "sorting keys must be stored columns"
             )
+    # r13 column-clause validations (CODEC/COMMENT/column TTL)
+    names_by_field = {f.name: f for f in fields}
+    for col in set(codecs) | set(column_ttls):
+        if col in aliases:
+            raise ChSqlError(
+                f"CODEC/TTL on ALIAS column {col!r} is meaningless — "
+                "an ALIAS is never stored"
+            )
+    for col, (src, _n, _u) in column_ttls.items():
+        if src not in names_by_field or not isinstance(
+                names_by_field[src].dataType,
+                (T.TimestampType, T.DateType)):
+            raise ChSqlError(
+                f"column TTL on {col!r} must reference a declared "
+                f"Date/DateTime column, got {src!r}"
+            )
+        if col == src:
+            raise ChSqlError(
+                f"column TTL on {col!r} cannot reference itself — "
+                "resetting the TTL clock column would make expiry "
+                "undecidable for later merges"
+            )
+        if col in order_by or col in engine_args or col in partition_src:
+            raise ChSqlError(
+                f"column TTL on {col!r}: sorting-key / version / "
+                "partition columns are the storage layout's identity "
+                "and cannot be reset (CH refuses TTL on key columns too)"
+            )
+        if not names_by_field[col].nullable and col not in defaults:
+            raise ChSqlError(
+                f"column TTL on {col!r}: expired values reset to the "
+                "column DEFAULT or NULL — declare it Nullable or give "
+                "it a DEFAULT"
+            )
     spec = ChTableSpec(db, name, T.StructType(fields), engine,
                        engine_args, order_by, settings, defaults=defaults,
                        agg_fns=agg_fns, materialized=materialized,
                        aliases=aliases)
     spec.partition_src = partition_src
+    spec.codecs = codecs
+    spec.comments = comments
+    spec.column_ttl = column_ttls
 
     # SAMPLE BY (r12): the declared sampling key — makes verbatim
     # `SELECT ... SAMPLE f [OFFSET o]` work against catalog tables

@@ -1274,3 +1274,95 @@ def cdc_wire_terminal_pipeline(spark, sf_dir):
         if ep is not None:
             ep.stop()
         shutil.rmtree(root, ignore_errors=True)
+
+
+# r13 (VERDICT r12 #4): the remaining CH column clauses — COMMENT,
+# CODEC, column-level TTL — in a reference-style CREATE, driven
+# through the catalog end to end with MATERIALIZE TTL applying the
+# column-TTL resets.
+_CTTL_DDL = """
+CREATE TABLE events_cttl
+(
+    event_id Int64,
+    ts DateTime,
+    event_type String,
+    note Nullable(String) TTL ts + INTERVAL 7 DAY
+        COMMENT 'transient payload' CODEC(ZSTD(3)),
+    value Float64 DEFAULT -1.0 TTL ts + INTERVAL 25 DAY
+)
+ENGINE = MergeTree
+ORDER BY (event_id)
+"""
+
+
+@register(
+    "ch_ddl_column_ttl_pipeline",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN ts < (TIMESTAMP '2024-02-05 00:00:00'
+                           - INTERVAL 7 DAY)
+                THEN NULL
+                ELSE event_type || '#' || CAST(event_id AS VARCHAR)
+           END AS note,
+           CASE WHEN ts < (TIMESTAMP '2024-02-05 00:00:00'
+                           - INTERVAL 25 DAY)
+                THEN -1.0 ELSE value
+           END AS value
+    FROM events
+    """,
+)
+def ch_ddl_column_ttl_pipeline(spark, sf_dir):
+    """r13, A18/A22 (VERDICT r12 #4): column-level ``TTL``, ``CODEC``
+    and ``COMMENT`` clauses land in CREATE. The DDL above declares two
+    column TTLs on different clocks — ``note`` (Nullable, 7 days,
+    plus a COMMENT and a CODEC on the same column: the full clause
+    grammar in one definition) and ``value`` (25 days, resetting to
+    its declared DEFAULT ``-1.0``). Two part batches insert, then
+    ``MATERIALIZE TTL`` (clock pinned to 2024-02-05 for determinism)
+    applies the CH column-TTL contract: expired values RESET — to
+    NULL for ``note``, to the DEFAULT for ``value`` — while the rows
+    themselves survive (vs the row-dropping table TTL). The DuckDB
+    oracle recomputes both resets from the raw events, so a TTL fired
+    on the wrong rows, the wrong clock, or the wrong reset value
+    breaks the hash; so does a dropped row.
+
+    Scale: each column TTL is ONE zone-map-pruned ``update_where`` —
+    the hit scan reads only files whose ts [min, max] can reach below
+    the cutoff (ts is a stats column via ORDER BY? no — event_id is;
+    the where-probe is passed only when the clock column is zone-
+    mapped, and the mutation rewrites only touched buckets either
+    way). CODEC/COMMENT are recorded metadata (SHOW CREATE /
+    DESCRIBE / system.columns round-trip them; parquet encoding is
+    this engine's physical codec — documented, not silently dropped).
+    Reference surface: CH 24.3 column clauses (README.md:96-243
+    provisioning dialect)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+    from postgre_to_clickhouse_spark.session import configure
+    from postgre_to_clickhouse_spark import catalog as _cat
+
+    configure(spark)
+    ev = _cat.load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type",
+        F.concat_ws("#", F.col("event_type"),
+                    F.col("event_id").cast("string")).alias("note"),
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="p2c_ch_cttl_")
+    try:
+        c = ChDdlCatalog(storage_root=root)
+        c.execute(_CTTL_DDL)
+        for i, pred in enumerate((F.col("event_id") % 2 == 0,
+                                  F.col("event_id") % 2 == 1)):
+            c.insert(spark, "events_cttl", ev.filter(pred), batch_id=i)
+        c.materialize_ttl(spark, "events_cttl",
+                          now="2024-02-05 00:00:00")
+        out = c.query(
+            spark, "SELECT event_id, note, value FROM events_cttl")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

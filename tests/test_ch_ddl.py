@@ -209,8 +209,9 @@ def test_type_map_wrappers():
     [
         ("CREATE TABLE t (a UInt32) ENGINE = CollapsingMergeTree ORDER BY (a)",
          "unsupported engine"),
-        ("CREATE TABLE t (a UInt32 CODEC(ZSTD)) ENGINE = MergeTree ORDER BY (a)",
-         "outside the subset"),
+        # r13: CODEC is now parsed — but only the parenthesized form
+        ("CREATE TABLE t (a UInt32 CODEC ZSTD) ENGINE = MergeTree ORDER BY (a)",
+         "parenthesized"),
         ("CREATE TABLE t (a Foo) ENGINE = MergeTree ORDER BY (a)",
          "unsupported ClickHouse type"),
         ("CREATE TABLE t (a UInt32) ENGINE = MergeTree", "requires ORDER BY"),
@@ -402,11 +403,12 @@ def test_create_with_default_fills_missing_insert_columns(spark, tmp_path):
     with pytest.raises(ChSqlError, match="declared"):
         c.insert(spark, "t", spark.createDataFrame(
             [(4,)], "user_id long"), batch_id=2)
-    # CODEC still refuses (MATERIALIZED/ALIAS joined the subset in r12)
-    with pytest.raises(ChSqlError, match="outside the subset"):
-        ChDdlCatalog().execute(
-            "CREATE TABLE x (a UInt32 CODEC(Delta)) "
-            "ENGINE = MergeTree ORDER BY (a)")
+    # r13: CODEC parses as recorded metadata (round-trip tested in
+    # test_create_with_codec_ttl_comment_round_trips)
+    c2 = ChDdlCatalog()
+    c2.execute("CREATE TABLE x (a UInt32 CODEC(Delta)) "
+               "ENGINE = MergeTree ORDER BY (a)")
+    assert c2.tables["x"].codecs == {"a": "Delta"}
 
 
 def test_alter_add_column_is_metadata_only(spark, tmp_path):
@@ -893,11 +895,11 @@ def test_expression_column_ddl_refusals():
         ChDdlCatalog().execute(
             "CREATE TABLE t (id Int64, d Int64 DEFAULT 1 ALIAS id) "
             "ENGINE = MergeTree ORDER BY (id)")
-    # CODEC/COMMENT stay loud refusals (declared non-goal)
-    with pytest.raises(ChSqlError, match="CODEC"):
-        ChDdlCatalog().execute(
-            "CREATE TABLE t (id Int64 CODEC(ZSTD)) "
-            "ENGINE = MergeTree ORDER BY (id)")
+    # r13: CODEC now parses as recorded metadata
+    c = ChDdlCatalog()
+    c.execute("CREATE TABLE tc (id Int64 CODEC(ZSTD)) "
+              "ENGINE = MergeTree ORDER BY (id)")
+    assert c.tables["tc"].codecs == {"id": "ZSTD"}
 
 
 def test_expression_columns_round_trip_show_create(spark, tmp_path):
@@ -1171,3 +1173,114 @@ def test_system_gate_is_word_bounded(spark, tmp_path):
     parts = c.query(spark,
                     "SELECT table FROM system.parts").collect()
     assert {r["table"] for r in parts} == {"spare_parts"}
+
+
+def test_create_with_codec_ttl_comment_round_trips(spark, tmp_path):
+    """r13 (VERDICT r12 #4): the reference-style CREATE with COMMENT /
+    CODEC / column-TTL clauses parses, records each as explicit
+    metadata, and SHOW CREATE round-trips through the parser."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE t ("
+        "  id Int64 COMMENT 'primary id' CODEC(Delta, ZSTD(3)),"
+        "  ts DateTime CODEC(DoubleDelta),"
+        "  note Nullable(String) TTL ts + INTERVAL 30 DAY "
+        "    COMMENT 'it''s transient',"
+        "  v Float64 DEFAULT 0.0 CODEC(ZSTD(1))"
+        ") ENGINE = MergeTree ORDER BY (id)"
+    )
+    spec = c.tables["t"]
+    assert spec.codecs == {"id": "Delta, ZSTD(3)", "ts": "DoubleDelta",
+                           "v": "ZSTD(1)"}
+    assert spec.comments == {"id": "primary id", "note": "it's transient"}
+    assert spec.column_ttl == {"note": ("ts", 30, "DAY")}
+    text = c.execute("SHOW CREATE TABLE t", spark=spark).collect()[0][0]
+    assert "CODEC(Delta, ZSTD(3))" in text
+    assert "COMMENT 'it\\'s transient'" in text
+    assert "TTL ts + INTERVAL 30 DAY" in text
+    c2 = ChDdlCatalog()
+    c2.execute(text.replace("CREATE TABLE t", "CREATE TABLE t2"))
+    s2 = c2.tables["t2"]
+    assert s2.codecs == spec.codecs
+    assert s2.comments == spec.comments
+    assert s2.column_ttl == spec.column_ttl
+    # DESCRIBE surfaces all three (CH's full DESCRIBE column set)
+    d = {r["name"]: (r["comment"], r["codec_expression"],
+                     r["ttl_expression"])
+         for r in c.execute("DESCRIBE TABLE t", spark=spark).collect()}
+    assert d["id"] == ("primary id", "CODEC(Delta, ZSTD(3))", "")
+    assert d["note"] == ("it's transient", "", "ts + INTERVAL 30 DAY")
+    # system.columns carries comment + compression_codec
+    rows = {r["name"]: (r["comment"], r["compression_codec"]) for r in
+            c.query(spark,
+                    "SELECT name, comment, compression_codec "
+                    "FROM system.columns WHERE table = 't'").collect()}
+    assert rows["id"] == ("primary id", "CODEC(Delta, ZSTD(3))")
+    assert rows["v"] == ("", "CODEC(ZSTD(1))")
+
+
+def test_column_ttl_materialize_resets_values(spark, tmp_path):
+    """r13: MATERIALIZE TTL applies column TTLs — values whose TTL
+    clock column is older than the cutoff reset to the column DEFAULT
+    (or NULL), rows survive (the CH column-TTL contract, vs the
+    row-dropping table TTL)."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute(
+        "CREATE TABLE t ("
+        "  id Int64, ts DateTime,"
+        "  note Nullable(String) TTL ts + INTERVAL 30 DAY,"
+        "  score Float64 DEFAULT -1.0 TTL ts + INTERVAL 90 DAY"
+        ") ENGINE = MergeTree ORDER BY (id)"
+    )
+    rows = [(1, "2024-01-01 00:00:00", "old", 1.5),
+            (2, "2024-03-20 00:00:00", "mid", 2.5),
+            (3, "2024-04-01 00:00:00", "new", 3.5)]
+    df = spark.createDataFrame(
+        rows, "id long, ts string, note string, score double"
+    ).selectExpr("id", "CAST(ts AS TIMESTAMP) AS ts", "note", "score")
+    c.insert(spark, "t", df)
+    c.materialize_ttl(spark, "t", now="2024-04-10 00:00:00")
+    got = {r["id"]: (r["note"], r["score"]) for r in
+           c.query(spark, "SELECT id, note, score FROM t").collect()}
+    # 30-day cutoff 2024-03-11: ids 1 (Jan) expire note; 90-day cutoff
+    # 2024-01-11: id 1 expires score to its DEFAULT -1.0
+    assert got == {1: (None, -1.0), 2: ("mid", 2.5), 3: ("new", 3.5)}
+    assert len(got) == 3  # no rows dropped
+
+
+def test_column_clause_refusals(spark, tmp_path):
+    """r13: the column-clause contracts refuse loudly."""
+    mk = lambda sql: ChDdlCatalog().execute(sql)  # noqa: E731
+    with pytest.raises(ChSqlError, match="itself"):
+        mk("CREATE TABLE x (ts DateTime TTL ts + INTERVAL 1 DAY, "
+           "id Int64) ENGINE = MergeTree ORDER BY (id)")
+    with pytest.raises(ChSqlError, match="identity"):
+        mk("CREATE TABLE x (id Int64 TTL ts + INTERVAL 1 DAY, "
+           "ts DateTime) ENGINE = MergeTree ORDER BY (id)")
+    with pytest.raises(ChSqlError, match="Nullable"):
+        mk("CREATE TABLE x (id Int64, ts DateTime, "
+           "v Float64 TTL ts + INTERVAL 1 DAY) "
+           "ENGINE = MergeTree ORDER BY (id)")
+    with pytest.raises(ChSqlError, match="ALIAS"):
+        mk("CREATE TABLE x (id Int64, a Float64 ALIAS id + 1 "
+           "CODEC(ZSTD)) ENGINE = MergeTree ORDER BY (id)")
+    with pytest.raises(ChSqlError, match="duplicate"):
+        mk("CREATE TABLE x (id Int64 COMMENT 'a' COMMENT 'b') "
+           "ENGINE = MergeTree ORDER BY (id)")
+    with pytest.raises(ChSqlError, match="Date/DateTime"):
+        mk("CREATE TABLE x (id Int64, n Nullable(String) "
+           "TTL id + INTERVAL 1 DAY) ENGINE = MergeTree ORDER BY (id)")
+    # maintenance contracts: the TTL clock column is load-bearing
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE t (id Int64, ts DateTime, "
+              "note Nullable(String) TTL ts + INTERVAL 1 DAY) "
+              "ENGINE = MergeTree ORDER BY (id)")
+    with pytest.raises(ChSqlError, match="TTL"):
+        c.execute("ALTER TABLE t RENAME COLUMN ts TO stamp")
+    with pytest.raises(ChSqlError, match="TTL"):
+        c.execute("ALTER TABLE t DROP COLUMN ts")
+    with pytest.raises(ChSqlError, match="identity"):
+        c.execute("ALTER TABLE t MODIFY COLUMN ts Date")
+    # dropping the TTL'd column itself is fine and clears the rule
+    c.execute("ALTER TABLE t DROP COLUMN note", spark=spark)
+    assert c.tables["t"].column_ttl == {}

@@ -219,9 +219,10 @@ def test_introspection_over_the_wire(spark, tmp_path):
         code, body = _post(ep, "SHOW TABLES")
         assert code == 200 and body.splitlines() == ["t", "u"]
         code, body = _post(ep, "DESCRIBE TABLE t")
-        # r12: DESCRIBE carries CH's default_type/default_expression pair
+        # r12: DESCRIBE carries CH's default_type/default_expression
+        # pair; r13: plus comment/codec_expression/ttl_expression
         assert code == 200 and body.splitlines() == [
-            "a\tbigint\t\t", "s\tstring\tDEFAULT\t'x'"]
+            "a\tbigint\t\t\t\t\t", "s\tstring\tDEFAULT\t'x'\t\t\t"]
         code, body = _post(ep, "EXISTS TABLE t")
         assert (code, body) == (200, "1\n")
         code, body = _post(ep, "EXISTS TABLE nope")
