@@ -1216,6 +1216,77 @@ class ChDdlCatalog:
             batch_id=f"csv{seq}",
         )
 
+    def insert_tsv_rows(self, spark: SparkSession, name: str,
+                        lines: list[str],
+                        cols: list[str] | None = None,
+                        with_names: bool = False) -> int:
+        """CH ``INSERT INTO t [(cols)] FORMAT TabSeparated[WithNames]``
+        data rows (r13, VERDICT r12 #6) — completes the upload matrix
+        (JSONEachRow/CSV exist). One row per line, fields split on
+        raw tabs, CH TabSeparated escapes undone per field (``\\t``
+        ``\\n`` ``\\r`` ``\\b`` ``\\f`` ``\\0`` ``\\'`` ``\\\\``); an
+        UNESCAPED ``\\N`` field is NULL (an escaped ``\\\\N`` is the
+        two-character string). Values travel as strings and take the
+        declared types through conform's cast. ``TabSeparatedWithNames``:
+        the first line names the columns; otherwise rows bind
+        positionally to ``cols`` or the user-insertable declared list
+        (MATERIALIZED/ALIAS excluded — the positional contract)."""
+        spec = self.tables.get(name)
+        if spec is None:
+            raise ChSqlError(f"unknown table {name!r}")
+        declared = [f.name for f in spec.schema.fields]
+
+        esc = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
+               "0": "\0", "'": "'", "\\": "\\"}
+
+        def _field(s: str) -> str | None:
+            if s == "\\N":
+                return None
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if s[i] == "\\" and i + 1 < len(s):
+                    out.append(esc.get(s[i + 1], s[i + 1]))
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return "".join(out)
+
+        rows = [ln.split("\t") for ln in lines if ln != ""]
+        if with_names:
+            if not rows:
+                raise ChSqlError(
+                    "TabSeparatedWithNames body carries no header")
+            cols = [c.strip() for c in rows[0]]
+            rows = rows[1:]
+        if cols is not None:
+            binding = cols
+        else:
+            binding = [c for c in declared
+                       if c not in spec.materialized
+                       and c not in spec.aliases]
+        bad = sorted(set(binding) - set(declared))
+        if bad:
+            raise ChSqlError(f"INSERT column(s) not declared: {bad}")
+        if not rows:
+            raise ChSqlError("TabSeparated body carries no rows")
+        data = []
+        for i, r in enumerate(rows):
+            if len(r) != len(binding):
+                raise ChSqlError(
+                    f"TabSeparated row {i + 1} has {len(r)} fields, "
+                    f"expected {len(binding)} ({', '.join(binding)})"
+                )
+            data.append(tuple(_field(v) for v in r))
+        schema = ", ".join(f"{k} string" for k in binding)
+        seq = self._insert_seq.get(name, 0)
+        self._insert_seq[name] = seq + 1
+        return self.insert(
+            spark, name, spark.createDataFrame(data, schema),
+            batch_id=f"tsv{seq}",
+        )
+
     def _truncate(self, tokens: list[str], spark: SparkSession):
         """CH ``TRUNCATE TABLE [db.]t``: commit an EMPTY snapshot —
         the declared schema survives, every data and projection file

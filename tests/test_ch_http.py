@@ -118,7 +118,9 @@ def test_wire_errors_are_loud(ep):
     assert code == 500 and "nope" in body
     code, body = _post(ep, "DROP TABLE users")
     assert code == 500 and "SELECT statements" in body
-    code, body = _post(ep, "SELECT 1 FORMAT Parquet")
+    # r13: Parquet joined the subset; Native (CH's internal binary
+    # block format) remains a loud refusal
+    code, body = _post(ep, "SELECT 1 FORMAT Native")
     assert code == 500 and "outside the subset" in body
 
 
@@ -519,3 +521,95 @@ def test_csv_array_cells_use_ch_text_encoding():
     assert _csv_cell(["a\\b"]) == "\"['a\\\\b']\""
     # nested arrays recurse
     assert _csv_cell([[1], [2, 3]]) == '"[[1],[2,3]]"'
+
+
+def test_tsv_insert_upload_over_the_wire(spark, tmp_path):
+    """r13 (VERDICT r12 #6): the TabSeparated upload split — INSERT
+    INTO t FORMAT TabSeparated[WithNames] in the URL, tab-separated
+    rows in the body (CH escapes: \\t \\n \\\\ inside fields, an
+    unescaped \\N is NULL), typed through conform like a CH server."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep6 = serve_ch_http(spark, cat)
+    try:
+        _post(ep6, "CREATE TABLE t (id UInt32, s Nullable(String), "
+                   "ts DateTime) ENGINE = MergeTree ORDER BY (id)")
+        code, body = _post_data(
+            ep6, "INSERT INTO t FORMAT TabSeparated",
+            "1\ta\\tb\t2024-03-01 10:00:00\n"
+            "2\t\\N\t2024-03-02 11:00:00\n"
+            "3\tc\\\\d\t2024-03-03 09:00:00\n",
+        )
+        assert code == 200, body
+        code, body = _post_data(
+            ep6, "INSERT INTO t (ts, id, s) FORMAT TabSeparatedWithNames",
+            "ts\tid\ts\n2024-03-04 12:00:00\t4\tplain\n",
+        )
+        assert code == 200, body
+        code, body = _post(
+            ep6, "SELECT id, s, ts FROM t ORDER BY id "
+                 "FORMAT TabSeparatedWithNames")
+        assert code == 200
+        assert body.splitlines() == [
+            "id\ts\tts",
+            "1\ta\\tb\t2024-03-01 10:00:00",
+            "2\t\\N\t2024-03-02 11:00:00",
+            "3\tc\\\\d\t2024-03-03 09:00:00",
+            "4\tplain\t2024-03-04 12:00:00",
+        ]
+        # width mismatch errors loudly
+        code, body = _post_data(
+            ep6, "INSERT INTO t FORMAT TabSeparated", "1\t2\n")
+        assert code == 500 and "fields" in body
+        # expression columns are excluded from positional binding
+        _post(ep6, "CREATE TABLE e (id UInt32, v Float64, "
+                   "c Float64 MATERIALIZED v * 100.0) "
+                   "ENGINE = MergeTree ORDER BY (id)")
+        code, body = _post_data(
+            ep6, "INSERT INTO e FORMAT TabSeparated", "1\t1.5\n")
+        assert code == 200, body
+        code, body = _post(ep6, "SELECT id, v, c FROM e FORMAT CSV")
+        assert code == 200 and body == "1,1.5,150.0\n"
+    finally:
+        ep6.stop()
+
+
+def test_format_parquet_response(spark, tmp_path):
+    """r13 (VERDICT r12 #6): FORMAT Parquet — the bounded result
+    serialized via Arrow as one parquet file, NULLs and timestamps
+    typed natively (no text round-trip)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep7 = serve_ch_http(spark, cat, max_result_rows=10)
+    try:
+        _post(ep7, "CREATE TABLE t (id UInt32, s Nullable(String), "
+                   "ts DateTime) ENGINE = MergeTree ORDER BY (id)")
+        _post_data(
+            ep7, "INSERT INTO t FORMAT TabSeparated",
+            "1\ta\t2024-03-01 10:00:00\n2\t\\N\t2024-03-02 11:00:00\n")
+        url = ep7.url + "?query=" + urllib.parse.quote(
+            "SELECT id, s, ts FROM t ORDER BY id FORMAT Parquet")
+        with urllib.request.urlopen(url, timeout=120) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "application/octet-stream"
+            raw = r.read()
+        table = pq.read_table(io.BytesIO(raw))
+        d = table.to_pydict()
+        assert d["id"] == [1, 2]
+        assert d["s"] == ["a", None]
+        assert [str(v)[:19] for v in d["ts"]] == [
+            "2024-03-01 10:00:00", "2024-03-02 11:00:00"]
+        # the max_result_rows guard holds for the binary format too
+        for i in range(3, 14):
+            _post_data(ep7, "INSERT INTO t FORMAT TabSeparated",
+                       f"{i}\tx\t2024-03-05 00:00:00\n")
+        code, body = _post(ep7, "SELECT id FROM t FORMAT Parquet")
+        assert code == 500 and "max_result_rows" in body
+    finally:
+        ep7.stop()
