@@ -230,6 +230,12 @@ HEADLINE = [
     # projections; cdc_wire_terminal_pipeline is a fixture-sized wire
     # round-trip — protocol latency, not a data-plane shape.)
     "ch_dialect_quantile_topk_mv",
+    # dsir_select_documents (r13) benches: a NEW plan shape — two
+    # B-bounded model-fit groupBys, then map-only scoring through ONE
+    # plan-embedded literal weight array (element_at per gram) and a
+    # TakeOrdered top-k; no benched family member times literal-array
+    # aggregate scoring.
+    "dsir_select_documents",
     # ch_ddl_column_ttl_pipeline (r13) stays EXEMPT under the stated
     # rule: its plan is two part ingests + two zone-map-pruned
     # update_where mutations + a conform read — exactly the lifecycle

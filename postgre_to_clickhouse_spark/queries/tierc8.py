@@ -525,3 +525,102 @@ def manifest_agg_projection_read(spark, sf_dir):
         return _pin(out)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def _horner_int(seed: str, str_expr: str) -> str:
+    """DuckDB twin of the md5-first-8-hex integer (the value
+    :func:`_horner_u` divides by 2^32) over an arbitrary VARCHAR
+    expression — DSIR's bucket hash and Gumbel source."""
+    h = f"md5('{seed}' || ':' || {str_expr})"
+    expr = "0"
+    for i in range(1, 9):
+        expr = (f"(({expr}) * 16 + "
+                f"(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1))")
+    return f"CAST({expr} AS BIGINT)"
+
+
+@register(
+    "dsir_select_documents",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest(list_concat(toks,
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(len(toks) - 1),
+                      i -> toks[i + 1] || '_' || toks[i + 2])
+                 ELSE CAST([] AS VARCHAR[]) END)) AS gram
+      FROM w
+    ),
+    b AS (
+      SELECT doc_id, ({_horner_int("dsir-v1", "gram")}) % 1024 AS b
+      FROM g
+    ),
+    rawc AS (SELECT b, count(*) AS c FROM b GROUP BY b),
+    tgtc AS (
+      SELECT b.b, count(*) AS c
+      FROM b JOIN documents d USING (doc_id)
+      WHERE d.source = 'src1'
+      GROUP BY b.b
+    ),
+    tot AS (SELECT (SELECT sum(c) FROM rawc) AS tr,
+                   (SELECT coalesce(sum(c), 0) FROM tgtc) AS tt),
+    lw AS (
+      SELECT rawc.b,
+             CAST(round((ln((coalesce(tgtc.c, 0) + 1.0)
+                             / (tot.tt + 1024.0))
+                       - ln((rawc.c + 1.0) / (tot.tr + 1024.0))) * 1e6)
+                  AS BIGINT) AS lwq
+      FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b, tot
+    ),
+    sc AS (
+      SELECT b.doc_id, SUM(lw.lwq) AS score
+      FROM b JOIN lw ON b.b = lw.b
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.score, 0) AS BIGINT) AS dsir_logw_q,
+           CAST(coalesce(sc.score, 0)
+                + CAST(round(-ln(-ln(
+                      (({_horner_int("dsir-gumbel-v1",
+                                     "CAST(d.doc_id AS VARCHAR)")}) + 0.5)
+                      / 4294967296.0)) * 1e6) AS BIGINT)
+                AS BIGINT) AS dsir_key_q
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    ORDER BY dsir_key_q DESC, d.doc_id
+    LIMIT 100
+    """,
+)
+def dsir_select_documents(spark, sf_dir):
+    """r13, C-tier growth (VERDICT r12 #5): DSIR — Data Selection via
+    Importance Resampling (Xie et al. 2023, arXiv:2302.03169), the
+    major public LLM-data-curation primitive the engine lacked. The
+    target distribution is the ``source = 'src1'`` slice of the
+    documents table; features are unigram+bigram grams hashed into
+    1024 buckets with the repo's content-addressed md5 construction;
+    per-bucket log importance weights (add-1 smoothing) quantize to
+    integer micro-nats so per-document sums are order-independent and
+    bit-exact across engines; selection is Gumbel top-k (k=100) with
+    content-addressed noise from the doc id. The DuckDB oracle
+    recomputes the ENTIRE model — hash, counts, weights, noise,
+    selection — from the raw parquet, value-for-value.
+
+    Scale (see operators/dsir.py): the only shuffles are two map-side-
+    combinable groupBys over a ≤1024-key space; the fitted model rides
+    the scoring plan as ONE literal array (element_at per gram, a pure
+    map); top-k is TakeOrdered (per-partition heaps). Nothing
+    data-proportional reaches the driver."""
+    from postgre_to_clickhouse_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    out = dsir_select(
+        d, d.filter(F.col("source") == "src1"), k=100,
+        n_buckets=1024, seed="dsir-v1", gumbel_seed="dsir-gumbel-v1",
+    )
+    return out.select(
+        "doc_id",
+        F.col("dsir_logw_q").cast("bigint").alias("dsir_logw_q"),
+        F.col("dsir_key_q").cast("bigint").alias("dsir_key_q"),
+    )

@@ -831,3 +831,50 @@ def test_bucketed_prefix_sums_degenerate_and_exact(spark):
     one = spark.createDataFrame([(7.0, 5)], "v double, c long")
     r = tie_averaged_ranks(one, "v", "c").collect()[0]
     assert (r.rk, r.avg_rank) == (1, 3.0)
+
+
+def test_dsir_layout_independence_and_semantics(spark):
+    """r13: DSIR selection (operators/dsir.py) is content-addressed —
+    repartitioning the corpus cannot change the model, the weights, or
+    the selected set — and it actually RESAMPLES toward the target:
+    docs sharing the target's vocabulary carry higher importance
+    weights than disjoint-vocabulary docs."""
+    from postgre_to_clickhouse_spark.operators.dsir import (
+        dsir_bucket_counts,
+        dsir_select,
+    )
+
+    rows = [(i, "alpha beta gamma delta alpha beta") for i in range(10)]
+    rows += [(i, "zulu yankee xray whiskey victor uniform")
+             for i in range(10, 20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    target = d.filter(F.col("doc_id") < 3)  # alpha-vocabulary docs
+
+    sel = dsir_select(d, target, k=8, n_buckets=256)
+    got = {r["doc_id"]: r["dsir_logw_q"] for r in sel.collect()}
+    assert len(got) == 8
+    # weights separate the vocabularies: every alpha doc outweighs
+    # every zulu doc (identical texts share identical weights)
+    w = {r["doc_id"]: r["dsir_logw_q"]
+         for r in dsir_select(d, target, k=20, n_buckets=256).collect()}
+    alpha_w = {w[i] for i in range(10)}
+    zulu_w = {w[i] for i in range(10, 20)}
+    assert len(alpha_w) == 1 and len(zulu_w) == 1
+    assert alpha_w.pop() > zulu_w.pop()
+    # layout independence: 1-partition vs 16-partition identical
+    sel_a = sorted(map(tuple, dsir_select(
+        d.coalesce(1), target.coalesce(1), k=8, n_buckets=256).collect()))
+    sel_b = sorted(map(tuple, dsir_select(
+        d.repartition(16), target.repartition(16), k=8,
+        n_buckets=256).collect()))
+    assert sel_a == sel_b == sorted(map(tuple, sel.collect()))
+    # the model is B-bounded: counts vector length == n_buckets,
+    # total mass == total gram occurrences (unigrams + bigrams)
+    counts = dsir_bucket_counts(d, n_buckets=256)
+    assert len(counts) == 256
+    assert sum(counts) == 20 * (6 + 5)
+    # empty text scores 0 (no grams), never errors
+    e = spark.createDataFrame([(99, "")], "doc_id long, text string")
+    r = dsir_select(e.union(d), target, k=30, n_buckets=256) \
+        .filter(F.col("doc_id") == 99).collect()
+    assert len(r) == 1 and r[0]["dsir_logw_q"] == 0
