@@ -53,94 +53,82 @@ from postgre_to_clickhouse_spark.queries import tierb6  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 
-# The r12 window, per the policy above. Ledger at rotation time
-# (reconstructed from CORRECTNESS_r*.json): r6 ×46, r8 ×48, r9 ×44,
-# r10 ×38, r11 ×50, never-green ×3 (the r12 queries, each committed
+# The r13 window, per the policy above. Ledger at rotation time
+# (reconstructed from CORRECTNESS_r*.json): r8 ×47, r9 ×44, r10 ×38,
+# r11 ×50, r12 ×50, never-green ×2 (the r13 queries, each committed
 # with a passing in-session oracle run per the registration rule).
-# Rule 1 takes 4 seats: the three NEW queries (quantile/topK
-# -State/-Merge MV, MATERIALIZED+ALIAS pipeline, the wire-terminal
-# CDC composition) plus ch_dialect_agg_state_mv, reseated as the
-# -State/-Merge family representative because the combinator
-# machinery it compiles through grew this round (_STATE_MERGE /
-# _PARAM_STATE_MERGE entries, the _call parametric dispatch).
+# Rule 1 takes 2 seats: the two NEW queries —
+# ch_ddl_column_ttl_pipeline (COMMENT/CODEC/column-TTL clauses,
+# VERDICT r12 #4) and dsir_select_documents (DSIR importance
+# resampling, VERDICT r12 #5). No other query's compiled plan
+# changed this round: the r13 ch_ddl diffs are refusal guards
+# (retired-name reuse, TTL-column MODIFY, dangling-expression DROP)
+# and new surface (column clauses, insert_tsv_rows, Parquet/TSV wire
+# formats) that no previously-registered query transits; the
+# system.* gate change (substring → word-boundary) only narrows WHEN
+# metadata frames build, with user tables shadowing via setdefault
+# either way — compiled plans byte-identical.
 #
-# NOT seated, with the plan-identity justification the r11
-# ch_dialect_union precedent established: ch_ddl_alter_pipeline,
-# ch_ddl_evolution_pipeline and cdc_ch_ddl_pipeline transit
-# conform/read_conform/insert, whose r12 diffs are all additive
-# branches inert without MATERIALIZED/ALIAS columns or an RMT
-# version argument (exprs = defaults | {} ≡ defaults; want minus an
-# empty alias set ≡ want; the versioned-RMT dedup branch requires
-# engine_args none of them declare) — their compiled plans are
-# byte-identical, re-verified this session by in-session oracle runs
-# of all three (plus ch_dialect_agg_state_mv and uniq_merge_rollup),
-# and their r11 driver-greens stand. Rule 2 backfills the ENTIRE
-# 46-query r6 cohort — the judge's named r12 obligation and the
-# final rotation tranche: after this round no registered query's
-# last driver-green is older than r8 (steady state reached).
+# Rule 2 backfills the ENTIRE 47-query r8 cohort — the judge's named
+# r13 obligation (the oldest-green tranche; after this round no
+# registered query's last driver-green is older than r9). The one
+# remaining seat takes the alphabetically-first r9-cohort query
+# (agg_approx_distinct), starting the next tranche.
 _WINDOW = [
-    # --- Rule 1: new in r12 (registration rule: each landed with a
+    # --- Rule 1: new in r13 (registration rule: each landed with a
     # passing oracle run in its own session) ---
-    "ch_dialect_quantile_topk_mv",        # A12/B8 quantile+topK states
-    "ch_ddl_alias_materialized_pipeline",  # A22/A18 expression columns
-    "cdc_wire_terminal_pipeline",          # A22/A11/A19/A20 over the wire
-    # --- Rule 1: implementation internals changed in r12 ---
-    # levenshtein_near_match: the PassJoin probe went one-directional
-    # (a genuine PLAN change — half the probe explode, least/greatest
-    # pair normalization), so it MUST seat. ch_dialect_agg_state_mv
-    # yields the fourth seat to it: the -State/-Merge machinery it
-    # compiles through only GREW this round (new dict entries for
-    # quantile/topK; the count/sum/uniq lambdas and the compiled SQL
-    # text are byte-identical — verified by an in-session oracle run),
-    # so its r11 driver-green stands — the ch_dialect_union precedent.
-    "levenshtein_near_match",
-    # --- Rule 2: oldest-green-first. The FULL r6 cohort (46) ---
-    "agg_events_stats",
-    "agg_mv_incremental",
-    "argminmax_events",
-    "array_embedding_stats",
-    "cohort_retention_matrix",
-    "conditional_funcs",
-    "correlated_scalar_subquery",
-    "cube_lineitem_flags",
-    "date_funcs_orders",
-    "dup_span_coverage",
-    "embedding_near_dup_pairs",
-    "exists_subquery_sql",
-    "group_array_events",
-    "interleave_datasets_order",
-    "join_anti_customers_without_pending",
-    "join_full_outer_nation_activity",
-    "join_outer_order_counts",
-    "join_range_acctbal_bands",
-    "join_semi_customers_with_open_orders",
-    "math_funcs_lineitem",
-    "minhash_incremental_candidates",
-    "mixture_sample_weights",
-    "multimodal_audio_dsp",
-    "multimodal_image_stats",
-    "ngram_jaccard_same_source",
-    "pivot_qty_by_status",
-    "q11_spec_important_stock",
-    "q16_spec_supplier_count",
-    "q20_spec_excess_suppliers",
-    "q2_spec_min_cost_supplier",
-    "rollup_revenue_region_nation",
-    "scalar_subquery_sql",
-    "semantic_decontaminate_eval",
-    "stats_aggregates",
-    "string_funcs_part",
-    "summap_event_values",
-    "text_fingerprints",
-    "text_lang_id",
-    "timeseries_gap_fill",
-    "topk_orders_by_price",
-    "uniq_merge_rollup",
-    "unpivot_balances",
-    "weighted_quantile_events",
-    "window_range_frame",
-    "window_top3_orders_per_customer",
-    "window_user_running_totals",
+    "ch_ddl_column_ttl_pipeline",   # A18/A22 column clauses + TTL reset
+    "dsir_select_documents",        # Tier-C DSIR importance resampling
+    # --- Rule 2: oldest-green-first. The FULL r8 cohort (47) ---
+    "agg_combinators_events",
+    "approx_topk_by_lang",
+    "approx_topk_tokens",
+    "approx_topk_weighted_tokens",
+    "array_cumsum_diff_compact",
+    "array_set_ops",
+    "asof_forward_next_order",
+    "audience_overlap_matrix",
+    "bitwise_funcs_agg",
+    "bpe_tokenize_documents",
+    "ccnet_perplexity_buckets",
+    "cdc_avro_decode_pipeline",
+    "curriculum_order_documents",
+    "dataset_card_summary",
+    "dau_wau_stickiness",
+    "dedup_components_knn",
+    "dictget_customer_enrich",
+    "encoding_funcs",
+    "entropy_user_event_types",
+    "event_transition_matrix",
+    "format_datetime_funcs",
+    "geo_funcs",
+    "gopher_ngram_repetition",
+    "json_events_extract",
+    "limit_by_user_events",
+    "line_dedup_corpus",
+    "lm_bigram_nll",
+    "moving_agg_events",
+    "multimodal_video_gif",
+    "ngram_search_documents",
+    "phrase_search_documents",
+    "quantile_sketch_events",
+    "range_interval_window_events",
+    "remove_dup_spans",
+    "sequence_count_funnel",
+    "sequence_match_negation",
+    "setop_union_distinct_keys",
+    "text_quality_stats",
+    "time_to_conversion",
+    "timeseries_forward_fill",
+    "timeseries_interpolate",
+    "uniq_mv_incremental",
+    "url_canonicalize_dedup",
+    "url_ip_funcs",
+    "vector_ivfpq_topk",
+    "vector_pq_topk",
+    "window_hourly_event_counts",
+    # --- Rule 2 continued: next-oldest (r9 cohort), alphabetical ---
+    "agg_approx_distinct",
 ]
 
 
