@@ -1,0 +1,407 @@
+"""MySQL wire-protocol endpoint for the CH dialect — the reference's
+port 9004 surface (`/root/reference/clickhouse-server/config.d/
+config.xml:30` ``<mysql_port>9004</mysql_port>``; ClickHouse exposes
+a MySQL-compatible wire so BI tools speaking mysql can query it).
+
+This serves the SAME engine the HTTP (8123-analog, `ch_http.py`) and
+Thrift/JDBC endpoints serve: verbatim CH SELECT text compiled by
+`ch_select`, or the full DDL/INSERT terminal when backed by a
+`ChDdlCatalog` — over the documented MySQL client/server protocol
+(protocol version 10, text resultsets), implemented from the public
+protocol description:
+https://dev.mysql.com/doc/dev/mysql-server/latest/page_protocol_basics.html
+
+Scope (the BI-client subset, like CH's own mysql_port):
+
+- Connection phase: Initial Handshake v10 → Handshake Response 41
+  (ANY credentials accepted — the sandbox has no auth store, same
+  posture as the Thrift endpoint's anon login) → OK.
+- Command phase: COM_QUERY (text resultset), COM_PING, COM_INIT_DB,
+  COM_QUIT. Everything else answers ERR 1047 (unknown command).
+- Client preamble shims BI tools send before real queries:
+  ``SET ...`` answers OK; ``SELECT @@var [AS alias][, ...]`` answers
+  from a small session-variable table (version_comment etc.) —
+  ClickHouse's mysql endpoint ships the same shims.
+- NO prepared-statement binary protocol (COM_STMT_*) — text protocol
+  only, like CH's first mysql_port generations; clients fall back.
+
+Values travel as MySQL text-protocol cells (lenenc strings, NULL =
+0xFB) rendered with the TabSeparated value conventions minus the
+escaping (the wire length-prefixes instead of delimiting). Results
+are bounded by ``max_result_rows`` exactly like the HTTP endpoint.
+
+No MySQL client library exists in this container, so the pytest
+coverage drives the endpoint with a minimal hand-rolled client
+(tests/test_ch_mysql.py) and pins the packet layouts with
+golden-byte assertions — the same strategy the repo uses for the
+Confluent Avro wire framing (cdc/avro_py.py).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import socket
+import struct
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+
+from postgre_to_clickhouse_spark.ch_select import ChContext, ChSqlError, ch_select
+
+__all__ = ["ChMysqlEndpoint", "serve_ch_mysql"]
+
+# -- protocol constants (public MySQL protocol docs) ------------------
+CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_SECURE_CONNECTION = 0x00008000
+CLIENT_PLUGIN_AUTH = 0x00080000
+CLIENT_CONNECT_WITH_DB = 0x00000008
+
+_SERVER_CAPS = (CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION
+                | CLIENT_PLUGIN_AUTH | CLIENT_CONNECT_WITH_DB)
+_CHARSET_UTF8 = 33  # utf8_general_ci
+_STATUS_AUTOCOMMIT = 0x0002
+
+COM_QUIT, COM_INIT_DB, COM_QUERY, COM_PING = 0x01, 0x02, 0x03, 0x0E
+
+# MySQL column type codes (text protocol still sends values as text;
+# the code tells the client how to interpret them)
+_T_LONGLONG, _T_DOUBLE, _T_VARSTRING = 0x08, 0x05, 0xFD
+_T_DATETIME, _T_DATE, _T_TINY, _T_LONG = 0x0C, 0x0A, 0x01, 0x03
+
+# the BI-preamble session variables CH's own mysql endpoint shims
+_SESSION_VARS = {
+    "version_comment": "postgre-to-clickhouse-spark CH dialect",
+    "version": "8.0.0-p2c",
+    "max_allowed_packet": "67108864",
+    "sql_mode": "",
+    "autocommit": "1",
+    "character_set_client": "utf8",
+    "character_set_connection": "utf8",
+    "character_set_results": "utf8",
+    "transaction_isolation": "REPEATABLE-READ",
+    "tx_isolation": "REPEATABLE-READ",
+    "wait_timeout": "28800",
+    "lower_case_table_names": "0",
+}
+
+
+def _lenenc_int(n: int) -> bytes:
+    """Length-encoded integer (protocol basics §integers)."""
+    if n < 0xFB:
+        return bytes([n])
+    if n < 0x10000:
+        return b"\xfc" + struct.pack("<H", n)
+    if n < 0x1000000:
+        return b"\xfd" + struct.pack("<I", n)[:3]
+    return b"\xfe" + struct.pack("<Q", n)
+
+
+def _lenenc_str(s: str | bytes) -> bytes:
+    b = s.encode() if isinstance(s, str) else s
+    return _lenenc_int(len(b)) + b
+
+
+def _read_lenenc_int(buf: bytes, at: int) -> tuple[int, int]:
+    h = buf[at]
+    if h < 0xFB:
+        return h, at + 1
+    if h == 0xFC:
+        return struct.unpack_from("<H", buf, at + 1)[0], at + 3
+    if h == 0xFD:
+        return int.from_bytes(buf[at + 1:at + 4], "little"), at + 4
+    return struct.unpack_from("<Q", buf, at + 1)[0], at + 9
+
+
+def _cell_text(v) -> bytes | None:
+    """One text-protocol cell: the TabSeparated value conventions
+    (ch_http._cell) minus the escaping — the wire length-prefixes."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return b"1" if v else b"0"
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S").encode()
+    if isinstance(v, _dt.date):
+        return v.isoformat().encode()
+    if isinstance(v, (list, tuple)):
+        from postgre_to_clickhouse_spark.ch_http import _cell
+
+        return ("[" + ",".join(_cell(x) for x in v) + "]").encode()
+    return str(v).encode()
+
+
+def _mysql_type(dt) -> int:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.LongType, T.ShortType)):
+        return _T_LONGLONG
+    if isinstance(dt, T.IntegerType):
+        return _T_LONG
+    if isinstance(dt, T.ByteType):
+        return _T_TINY
+    if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+        return _T_DOUBLE
+    if isinstance(dt, T.TimestampType):
+        return _T_DATETIME
+    if isinstance(dt, T.DateType):
+        return _T_DATE
+    return _T_VARSTRING
+
+
+class _Conn:
+    """One client connection: framing + the two protocol phases."""
+
+    def __init__(self, sock: socket.socket, run, execute, max_rows: int):
+        self.sock = sock
+        self.run = run
+        self.execute = execute
+        self.max_rows = max_rows
+        self.seq = 0
+
+    # -- framing: 3-byte LE length + 1-byte sequence id ----------------
+    def _send(self, payload: bytes) -> None:
+        self.sock.sendall(
+            struct.pack("<I", len(payload))[:3]
+            + bytes([self.seq & 0xFF]) + payload
+        )
+        self.seq += 1
+
+    def _recv(self) -> bytes | None:
+        head = self._read_n(4)
+        if head is None:
+            return None
+        n = int.from_bytes(head[:3], "little")
+        self.seq = head[3] + 1
+        return self._read_n(n) if n else b""
+
+    def _read_n(self, n: int) -> bytes | None:
+        out = b""
+        while len(out) < n:
+            chunk = self.sock.recv(n - len(out))
+            if not chunk:
+                return None
+            out += chunk
+        return out
+
+    # -- packet builders ----------------------------------------------
+    def _ok(self, affected: int = 0, info: str = "") -> bytes:
+        return (b"\x00" + _lenenc_int(affected) + _lenenc_int(0)
+                + struct.pack("<H", _STATUS_AUTOCOMMIT)
+                + struct.pack("<H", 0) + info.encode())
+
+    def _err(self, msg: str, code: int = 1064,
+             state: str = "42000") -> bytes:
+        return (b"\xff" + struct.pack("<H", code) + b"#" + state.encode()
+                + msg.encode()[:480])
+
+    def _eof(self) -> bytes:
+        return b"\xfe" + struct.pack("<H", 0) \
+            + struct.pack("<H", _STATUS_AUTOCOMMIT)
+
+    def _col_def(self, name: str, type_code: int) -> bytes:
+        return (
+            _lenenc_str("def") + _lenenc_str("") + _lenenc_str("")
+            + _lenenc_str("") + _lenenc_str(name) + _lenenc_str(name)
+            + b"\x0c" + struct.pack("<H", _CHARSET_UTF8)
+            + struct.pack("<I", 1024) + bytes([type_code])
+            + struct.pack("<H", 0) + b"\x00" + b"\x00\x00"
+        )
+
+    # -- phases ---------------------------------------------------------
+    def handshake(self) -> bool:
+        """Initial Handshake v10 → response → OK. Any credentials
+        accepted (documented: no auth store in the sandbox)."""
+        nonce = b"p2c-nonce-8b" [:8] + b"p2c-nonce-twelve"[:12]
+        greeting = (
+            b"\x0a" + _SESSION_VARS["version"].encode() + b"\x00"
+            + struct.pack("<I", threading.get_ident() & 0xFFFFFFFF)
+            + nonce[:8] + b"\x00"
+            + struct.pack("<H", _SERVER_CAPS & 0xFFFF)
+            + bytes([_CHARSET_UTF8])
+            + struct.pack("<H", _STATUS_AUTOCOMMIT)
+            + struct.pack("<H", (_SERVER_CAPS >> 16) & 0xFFFF)
+            + bytes([21])  # auth-plugin-data total length (8+12+1)
+            + b"\x00" * 10
+            + nonce[8:] + b"\x00"
+            + b"mysql_native_password\x00"
+        )
+        self.seq = 0
+        self._send(greeting)
+        resp = self._recv()
+        if resp is None or len(resp) < 32:
+            return False
+        # HandshakeResponse41: caps(4) maxpacket(4) charset(1) 23 zero
+        # then NUL-terminated username — parsed for completeness; any
+        # username/password authenticates.
+        self._send(self._ok())
+        return True
+
+    def _answer_frame(self, df: DataFrame) -> None:
+        rows = df.limit(self.max_rows + 1).collect()
+        if len(rows) > self.max_rows:
+            self._send(self._err(
+                f"result exceeds max_result_rows={self.max_rows} — add "
+                "a LIMIT (same guard as the HTTP endpoint)"))
+            return
+        fields = df.schema.fields
+        self._send(_lenenc_int(len(fields)))
+        for f in fields:
+            self._send(self._col_def(f.name, _mysql_type(f.dataType)))
+        self._send(self._eof())
+        for r in rows:
+            out = b""
+            for v in r:
+                c = _cell_text(v)
+                out += b"\xfb" if c is None else _lenenc_str(c)
+            self._send(out)
+        self._send(self._eof())
+
+    def _answer_vars(self, sql: str) -> bool:
+        """The BI preamble: `SELECT @@a [AS x][, @@b ...]` — answered
+        from the session-variable table, never compiled."""
+        import re
+
+        body = sql.strip().rstrip(";")
+        m = re.fullmatch(r"(?is)SELECT\s+(@@[\w.]+(?:\s+AS\s+\w+)?"
+                         r"(?:\s*,\s*@@[\w.]+(?:\s+AS\s+\w+)?)*)\s*",
+                         body)
+        if not m:
+            return False
+        names, values = [], []
+        for part in m.group(1).split(","):
+            toks = part.strip().split()
+            var = toks[0][2:].split(".")[-1].lower()
+            names.append(toks[-1] if len(toks) == 3 else toks[0])
+            values.append(_SESSION_VARS.get(var))
+        self._send(_lenenc_int(len(names)))
+        for n in names:
+            self._send(self._col_def(n, _T_VARSTRING))
+        self._send(self._eof())
+        out = b""
+        for v in values:
+            out += b"\xfb" if v is None else _lenenc_str(v)
+        self._send(out)
+        self._send(self._eof())
+        return True
+
+    def serve(self) -> None:
+        if not self.handshake():
+            return
+        while True:
+            pkt = self._recv()
+            if pkt is None or not pkt:
+                return
+            cmd = pkt[0]
+            if cmd == COM_QUIT:
+                return
+            if cmd == COM_PING:
+                self._send(self._ok())
+                continue
+            if cmd == COM_INIT_DB:
+                self._send(self._ok())
+                continue
+            if cmd != COM_QUERY:
+                self._send(self._err(
+                    f"unsupported command 0x{cmd:02x} — this endpoint "
+                    "speaks the text protocol (COM_QUERY/PING/INIT_DB)",
+                    code=1047, state="08S01"))
+                continue
+            sql = pkt[1:].decode(errors="replace").strip()
+            try:
+                head = sql.lstrip().rstrip(";")[:6].upper()
+                if head.startswith("SET"):
+                    self._send(self._ok())
+                    continue
+                if self._answer_vars(sql):
+                    continue
+                if head.startswith(("SELECT", "WITH")):
+                    self._answer_frame(self.run(sql.rstrip(";")))
+                    continue
+                if self.execute is None:
+                    self._send(self._err(
+                        "this endpoint serves SELECT statements only "
+                        "(fixed table context); serve a ChDdlCatalog to "
+                        "accept DDL/INSERT over the wire"))
+                    continue
+                res = self.execute(sql.rstrip(";"))
+                if isinstance(res, DataFrame):
+                    self._answer_frame(res)
+                else:
+                    self._send(self._ok())
+            except Exception as exc:  # noqa: BLE001 — wire errors are ERR packets
+                self._send(self._err(f"{type(exc).__name__}: {exc}"))
+
+
+class ChMysqlEndpoint:
+    def __init__(self, server: socket.socket, host: str, port: int):
+        self._server = server
+        self._stop = threading.Event()
+        self.host = host
+        self.port = port
+
+    def stop(self) -> None:
+        self._stop.set()
+        try:
+            self._server.close()
+        except OSError:
+            pass
+
+
+def serve_ch_mysql(
+    spark: SparkSession,
+    source,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_result_rows: int = 100_000,
+) -> ChMysqlEndpoint:
+    """Start the MySQL-wire endpoint (the reference's 9004 analog).
+    ``source`` is a :class:`ch_select.ChContext` (read-only SELECTs)
+    or a :class:`ch_ddl.ChDdlCatalog` (the full terminal). ``port=0``
+    picks a free port; stop with :meth:`ChMysqlEndpoint.stop`."""
+    if isinstance(source, ChContext):
+        def _run(sql: str) -> DataFrame:
+            return ch_select(spark, sql, source)
+
+        _execute = None
+    elif hasattr(source, "query"):
+        def _run(sql: str) -> DataFrame:
+            return source.query(spark, sql)
+
+        def _execute(sql: str):
+            return source.execute(sql, spark=spark)
+    else:
+        raise TypeError(
+            f"source must be a ChContext or ChDdlCatalog, got {type(source)}"
+        )
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind((host, port))
+    srv.listen(16)
+    ep = ChMysqlEndpoint(srv, host, srv.getsockname()[1])
+
+    def _accept_loop() -> None:
+        while not ep._stop.is_set():
+            try:
+                conn, _addr = srv.accept()
+            except OSError:
+                return
+            t = threading.Thread(
+                target=_serve_conn, args=(conn,),
+                name="ch-mysql-conn", daemon=True,
+            )
+            t.start()
+
+    def _serve_conn(conn: socket.socket) -> None:
+        try:
+            _Conn(conn, _run, _execute, max_result_rows).serve()
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    t = threading.Thread(target=_accept_loop, name="ch-mysql", daemon=True)
+    t.start()
+    probe = socket.create_connection((host, ep.port), 5)
+    probe.close()
+    return ep
