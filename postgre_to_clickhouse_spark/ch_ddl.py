@@ -137,6 +137,68 @@ def _unquote_str(tok: str) -> str:
     return "".join(out)
 
 
+def _split_column_clauses(
+    full_item: list[str],
+) -> tuple[list[str], str | None, str | None,
+           tuple[str, int, str] | None]:
+    """Split one column definition's tokens into (base, codec_text,
+    comment, column_ttl) — the base is the ``name Type [kind expr]``
+    prefix, the rest the trailing CODEC(...) / COMMENT '...' /
+    TTL col + INTERVAL n unit clauses (any order, each at most once —
+    CH's own grammar). Shared by the CREATE parser and ALTER ADD
+    COLUMN (r13)."""
+    depth = 0
+    clause_at: list[tuple[int, str]] = []
+    for ci, t in enumerate(full_item[1:], 1):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif (depth == 0 and _is_ident(t)
+                and _kw(t) in ("CODEC", "TTL", "COMMENT")):
+            clause_at.append((ci, _kw(t)))
+    base = full_item[:clause_at[0][0]] if clause_at else full_item
+    codec: str | None = None
+    comment: str | None = None
+    cttl: tuple[str, int, str] | None = None
+    seen: set[str] = set()
+    for ji, (start, cname) in enumerate(clause_at):
+        end = (clause_at[ji + 1][0] if ji + 1 < len(clause_at)
+               else len(full_item))
+        seg = full_item[start + 1:end]
+        if cname in seen:
+            raise ChSqlError(
+                f"duplicate {cname} clause on column {full_item[0]!r}")
+        seen.add(cname)
+        if cname == "CODEC":
+            if len(seg) < 3 or seg[0] != "(" or seg[-1] != ")":
+                raise ChSqlError(
+                    f"CODEC needs a parenthesized codec list: "
+                    f"{' '.join(full_item)!r}")
+            codec = _render_toks(seg[1:-1])
+        elif cname == "COMMENT":
+            if (len(seg) != 1 or not seg[0].startswith("'")
+                    or not seg[0].endswith("'")):
+                raise ChSqlError(
+                    f"COMMENT takes one quoted string: "
+                    f"{' '.join(full_item)!r}")
+            comment = _unquote_str(seg[0])
+        else:  # column TTL
+            ok = (len(seg) == 5 and _is_ident(seg[0])
+                  and seg[1] == "+" and _kw(seg[2]) == "INTERVAL"
+                  and seg[3].isdigit() and _is_ident(seg[4]))
+            if not ok:
+                raise ChSqlError(
+                    f"column TTL supports `col + INTERVAL n unit`, "
+                    f"got {' '.join(seg)!r}")
+            unit = _kw(seg[4])
+            if unit not in ("SECOND", "MINUTE", "HOUR", "DAY",
+                            "WEEK", "MONTH", "YEAR"):
+                raise ChSqlError(f"unsupported TTL interval unit {unit}")
+            cttl = (seg[0], int(seg[3]), unit)
+    return base, codec, comment, cttl
+
+
 def _parse_type(toks: list[str]) -> tuple[T.DataType, bool]:
     """CH type tokens → (Spark type, nullable). Recursive for the
     wrapper types; refuses unknown types loudly."""
@@ -896,6 +958,11 @@ class ChDdlCatalog:
                 "reusing it would silently serve stale bytes; pick a "
                 "fresh name or re-ingest into a fresh table"
             )
+        # r13: ADD COLUMN accepts the same trailing COMMENT / CODEC /
+        # column-TTL clauses as CREATE (validated against the CURRENT
+        # declared schema below)
+        toks, add_codec, add_comment, add_cttl = \
+            _split_column_clauses(toks)
         kinds = [
             (i, _kw(t)) for i, t in enumerate(toks[1:], 1)
             if _is_ident(t) and _kw(t) in ("DEFAULT", "MATERIALIZED",
@@ -933,6 +1000,39 @@ class ChDdlCatalog:
             expr = _rewrite_all(toks[d_at + 1:])
             {"DEFAULT": spec.defaults, "MATERIALIZED": spec.materialized,
              "ALIAS": spec.aliases}[kind][col] = expr
+        # r13 clause validations — the same contracts CREATE enforces,
+        # against the CURRENT declared schema
+        if (add_codec is not None or add_cttl is not None) \
+                and kind == "ALIAS":
+            raise ChSqlError(
+                f"CODEC/TTL on ALIAS column {col!r} is meaningless — "
+                "an ALIAS is never stored"
+            )
+        if add_cttl is not None:
+            src = add_cttl[0]
+            by_name = {f.name: f for f in spec.schema.fields}
+            if src not in by_name or not isinstance(
+                    by_name[src].dataType,
+                    (T.TimestampType, T.DateType)):
+                raise ChSqlError(
+                    f"column TTL on {col!r} must reference a declared "
+                    f"Date/DateTime column, got {src!r}"
+                )
+            if src == col:
+                raise ChSqlError(
+                    f"column TTL on {col!r} cannot reference itself"
+                )
+            if not nullable and kind != "DEFAULT":
+                raise ChSqlError(
+                    f"column TTL on {col!r}: expired values reset to "
+                    "the column DEFAULT or NULL — declare it Nullable "
+                    "or give it a DEFAULT"
+                )
+            spec.column_ttl[col] = add_cttl
+        if add_codec is not None:
+            spec.codecs[col] = add_codec
+        if add_comment is not None:
+            spec.comments[col] = add_comment
         spec.schema = T.StructType(
             list(spec.schema.fields) + [T.StructField(col, dtype, nullable)]
         )
@@ -1928,59 +2028,15 @@ def _parse_create_table(tokens: list[str]) -> ChTableSpec:
                 f"cannot parse column def {' '.join(full_item)!r}")
         # r11: `name Type DEFAULT expr`; r12: MATERIALIZED/ALIAS; r13
         # (VERDICT r12 #4): the trailing CODEC(...) / TTL expr /
-        # COMMENT '...' clauses. Split the item at the first TOP-LEVEL
-        # clause keyword — everything before is the `name Type
-        # [kind expr]` base the earlier rounds parse, everything after
-        # is clause segments (any order, each at most once, CH's own
-        # grammar).
-        depth = 0
-        clause_at: list[tuple[int, str]] = []
-        for ci, t in enumerate(full_item[1:], 1):
-            if t == "(":
-                depth += 1
-            elif t == ")":
-                depth -= 1
-            elif (depth == 0 and _is_ident(t)
-                    and _kw(t) in ("CODEC", "TTL", "COMMENT")):
-                clause_at.append((ci, _kw(t)))
-        item = full_item[:clause_at[0][0]] if clause_at else full_item
-        seen_clauses: set[str] = set()
-        for ji, (start, cname) in enumerate(clause_at):
-            end = (clause_at[ji + 1][0] if ji + 1 < len(clause_at)
-                   else len(full_item))
-            seg = full_item[start + 1:end]
-            if cname in seen_clauses:
-                raise ChSqlError(
-                    f"duplicate {cname} clause on column "
-                    f"{full_item[0]!r}")
-            seen_clauses.add(cname)
-            if cname == "CODEC":
-                if len(seg) < 3 or seg[0] != "(" or seg[-1] != ")":
-                    raise ChSqlError(
-                        f"CODEC needs a parenthesized codec list: "
-                        f"{' '.join(full_item)!r}")
-                codecs[full_item[0]] = _render_toks(seg[1:-1])
-            elif cname == "COMMENT":
-                if (len(seg) != 1 or not seg[0].startswith("'")
-                        or not seg[0].endswith("'")):
-                    raise ChSqlError(
-                        f"COMMENT takes one quoted string: "
-                        f"{' '.join(full_item)!r}")
-                comments[full_item[0]] = _unquote_str(seg[0])
-            else:  # column TTL
-                ok = (len(seg) == 5 and _is_ident(seg[0])
-                      and seg[1] == "+" and _kw(seg[2]) == "INTERVAL"
-                      and seg[3].isdigit() and _is_ident(seg[4]))
-                if not ok:
-                    raise ChSqlError(
-                        f"column TTL supports `col + INTERVAL n unit`, "
-                        f"got {' '.join(seg)!r}")
-                unit = _kw(seg[4])
-                if unit not in ("SECOND", "MINUTE", "HOUR", "DAY",
-                                "WEEK", "MONTH", "YEAR"):
-                    raise ChSqlError(
-                        f"unsupported TTL interval unit {unit}")
-                column_ttls[full_item[0]] = (seg[0], int(seg[3]), unit)
+        # COMMENT '...' clauses — shared with ALTER ADD COLUMN via
+        # _split_column_clauses.
+        item, codec, comment, cttl = _split_column_clauses(full_item)
+        if codec is not None:
+            codecs[full_item[0]] = codec
+        if comment is not None:
+            comments[full_item[0]] = comment
+        if cttl is not None:
+            column_ttls[full_item[0]] = cttl
         kinds = [
             (i, _kw(t)) for i, t in enumerate(item[1:], 1)
             if _is_ident(t) and _kw(t) in ("DEFAULT", "MATERIALIZED",

@@ -1284,3 +1284,46 @@ def test_column_clause_refusals(spark, tmp_path):
     # dropping the TTL'd column itself is fine and clears the rule
     c.execute("ALTER TABLE t DROP COLUMN note", spark=spark)
     assert c.tables["t"].column_ttl == {}
+
+
+def test_add_column_with_clauses(spark, tmp_path):
+    """r13: ALTER ADD COLUMN accepts the same COMMENT / CODEC /
+    column-TTL clauses as CREATE, with the same validations, and the
+    metadata surfaces through DESCRIBE + SHOW CREATE + MATERIALIZE."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE t (id Int64, ts DateTime) "
+              "ENGINE = MergeTree ORDER BY (id)")
+    c.insert(spark, "t", spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-03-20 00:00:00")],
+        "id long, ts string"
+    ).selectExpr("id", "CAST(ts AS TIMESTAMP) AS ts"), batch_id=0)
+    c.execute("ALTER TABLE t ADD COLUMN note Nullable(String) "
+              "TTL ts + INTERVAL 30 DAY COMMENT 'transient' "
+              "CODEC(ZSTD(3))")
+    spec = c.tables["t"]
+    assert spec.column_ttl == {"note": ("ts", 30, "DAY")}
+    assert spec.comments == {"note": "transient"}
+    assert spec.codecs == {"note": "ZSTD(3)"}
+    text = c.execute("SHOW CREATE TABLE t", spark=spark).collect()[0][0]
+    assert "COMMENT 'transient'" in text and "CODEC(ZSTD(3))" in text
+    # insert notes, then MATERIALIZE TTL NULLs the expired one
+    c.insert(spark, "t", spark.createDataFrame(
+        [(3, "2024-01-02 00:00:00", "old"),
+         (4, "2024-04-01 00:00:00", "new")],
+        "id long, ts string, note string"
+    ).selectExpr("id", "CAST(ts AS TIMESTAMP) AS ts", "note"),
+        batch_id=1)
+    c.materialize_ttl(spark, "t", now="2024-04-10 00:00:00")
+    got = {r["id"]: r["note"] for r in
+           c.query(spark, "SELECT id, note FROM t").collect()}
+    assert got == {1: None, 2: None, 3: None, 4: "new"}
+    # validations hold for ADD too
+    with pytest.raises(ChSqlError, match="Nullable"):
+        c.execute("ALTER TABLE t ADD COLUMN v Float64 "
+                  "TTL ts + INTERVAL 1 DAY")
+    with pytest.raises(ChSqlError, match="ALIAS"):
+        c.execute("ALTER TABLE t ADD COLUMN a Float64 ALIAS id * 2 "
+                  "CODEC(ZSTD)")
+    with pytest.raises(ChSqlError, match="Date/DateTime"):
+        c.execute("ALTER TABLE t ADD COLUMN n2 Nullable(String) "
+                  "TTL id + INTERVAL 1 DAY")

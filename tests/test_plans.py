@@ -570,3 +570,26 @@ def test_ch_alias_read_is_metadata_only_projection(spark, tmp_path):
     assert "Exchange" not in plan and "Join" not in plan
     assert "Project" in plan
     assert sorted(map(tuple, df.collect())) == [(1, 3.0), (2, 5.0)]
+
+
+def test_dsir_scoring_is_map_only_with_takeordered(spark):
+    """r13: DSIR's scoring+selection plan — the fitted model is a
+    plan-embedded literal array (element_at per gram), so after the
+    two B-bounded model-fit aggregations the SELECTION query has NO
+    exchange except TakeOrdered's own limit machinery: no join, no
+    window, no generate, no Python."""
+    import re
+
+    from postgre_to_clickhouse_spark import catalog
+    from postgre_to_clickhouse_spark.operators.dsir import dsir_select
+    from tests.conftest import SF_SMALL
+
+    d = catalog.load(spark, SF_SMALL, "documents")
+    out = dsir_select(d, d.limit(20), k=10, n_buckets=128)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan and "Generate" not in plan
+    assert "Join" not in plan  # the model is a literal, not a join
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert not re.findall(r"\(\d+\) Exchange", plan), plan
