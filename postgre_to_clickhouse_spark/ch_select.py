@@ -43,8 +43,13 @@ minimum struct of the right's non-key columns — a deterministic
 instance of that contract (one partial-aggregable groupBy that doubles
 as the join-side shuffle). ``ANY RIGHT JOIN`` (r12) is the mirror —
 the LEFT side dedups per key (single-join FROM; chain via CTEs).
-``ANY FULL`` (both-side dedup varies across CH versions) and ``PASTE``
-(positional gluing) REFUSE loudly. ``ASOF
+``ANY FULL`` (both-side dedup varies across CH versions) REFUSES
+loudly. ``PASTE JOIN`` (r13, CH 23.11+ positional gluing) is
+supported for ORDERED-SUBQUERY sides — each side declares a top-level
+ORDER BY and rows zip by global row index under it via
+:func:`operators.zip_join.paste_join` (distributed banded numbering,
+no single-partition window); unordered PASTE refuses (CH leaves it
+nondeterministic; this engine won't guess). ``ASOF
 [LEFT] JOIN`` compiles to :func:`operators.asof.asof_join` (the
 one-shuffle union+window operator) for the declared subset of one
 equality key + one inequality (or ``USING (key, time)``); plain ASOF
@@ -1178,6 +1183,63 @@ _JOIN_TYPES = {
 }
 
 
+def _subquery_order(ref: _TableRef, what: str) -> list[tuple[str, bool]]:
+    """The [(col, ascending)] order a PASTE JOIN side declares: the
+    side must be a subquery with a TOP-LEVEL ``ORDER BY`` over plain
+    output columns (optionally ASC/DESC). Anything else refuses with
+    the subset's requirement spelled out."""
+    if ref.subquery is None:
+        raise ChSqlError(
+            f"{what} must be an ordered subquery — PASTE JOIN matches "
+            "rows by position, which is only meaningful under an "
+            "explicit ORDER BY (wrap the table: (SELECT ... FROM t "
+            "ORDER BY k))"
+        )
+    toks = ref.subquery
+    depth, at = 0, None
+    for i, t in enumerate(toks):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif (depth == 0 and _is_ident(t) and _kw(t) == "ORDER"
+                and i + 1 < len(toks) and _kw(toks[i + 1]) == "BY"):
+            at = i
+    if at is None:
+        raise ChSqlError(
+            f"{what} needs a top-level ORDER BY — PASTE JOIN without "
+            "one is nondeterministic (CH leaves it undefined; this "
+            "engine refuses instead)"
+        )
+    body = toks[at + 2:]
+    depth, end = 0, len(body)
+    for i, t in enumerate(body):
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_ident(t) and _kw(t) in ("LIMIT",
+                                                        "SETTINGS"):
+            end = i
+            break
+    out: list[tuple[str, bool]] = []
+    for item in _split_commas(body[:end]):
+        if len(item) == 1 and _is_ident(item[0]):
+            out.append((item[0], True))
+        elif (len(item) == 2 and _is_ident(item[0])
+                and _kw(item[1]) in ("ASC", "DESC")):
+            out.append((item[0], _kw(item[1]) == "ASC"))
+        else:
+            raise ChSqlError(
+                f"{what}'s ORDER BY supports plain output columns "
+                f"[ASC|DESC] for the positional zip, got "
+                f"{' '.join(item)!r}"
+            )
+    if not out:
+        raise ChSqlError(f"{what}'s ORDER BY is empty")
+    return out
+
+
 def _parse_table_ref(toks: list[str]) -> _TableRef:
     """``name [FINAL] [SAMPLE f [OFFSET o]] [[AS] alias]`` or an inline
     subquery ``(SELECT ...) [[AS] alias]`` — one side of the FROM
@@ -1316,11 +1378,6 @@ def _parse_from_body(
     joins: list[_Join] = []
     for k, (s, j) in enumerate(starts):
         mods = [_kw(t) for t in body[s:j]]
-        if "PASTE" in mods:
-            raise ChSqlError(
-                "PASTE JOIN (positional row gluing) has no standard-SQL "
-                "equivalent — use the DataFrame API"
-            )
         # GLOBAL is a CH distributed-execution hint; ALL is the default
         # multiplicity (= SQL join semantics) — both drop.
         mods = [m for m in mods if m not in ("GLOBAL", "ALL")]
@@ -1339,7 +1396,17 @@ def _parse_from_body(
                     "both-side dedup semantics vary across CH versions "
                     "via any_join_distinct_right_table_keys)"
                 )
-        if "ASOF" in mods:
+        if "PASTE" in mods:
+            # r13: CH 23.11+ PASTE JOIN — positional row gluing. This
+            # engine's subset requires BOTH sides be ordered
+            # subqueries (checked at compile); the zip is by global
+            # row index under those orders (operators/zip_join.py).
+            if any_dedup or set(mods) - {"PASTE"}:
+                raise ChSqlError(
+                    "PASTE JOIN combines with no other join modifiers"
+                )
+            jtype = "PASTE"
+        elif "ASOF" in mods:
             extra = set(mods) - {"ASOF", "LEFT"}
             if extra or any_dedup:
                 raise ChSqlError(
@@ -1366,10 +1433,15 @@ def _parse_from_body(
                 break
         on = using = on_raw = None
         if cond_at is None:
-            if jtype != "CROSS":
+            if jtype not in ("CROSS", "PASTE"):
                 raise ChSqlError(f"{jtype} JOIN requires ON or USING")
             ref = _parse_table_ref(seg)
         else:
+            if jtype == "PASTE":
+                raise ChSqlError(
+                    "PASTE JOIN matches rows by POSITION — it takes no "
+                    "ON/USING condition (the CH grammar's rule too)"
+                )
             ref = _parse_table_ref(seg[:cond_at])
             cond = seg[cond_at + 1 :]
             if cond_kw == "ON":
@@ -1904,6 +1976,31 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
             p.limit_by = (p.limit_by[0], [_fix(c) for c in p.limit_by[1]])
         if p.fill is not None:
             p.fill.key = _fix(p.fill.key)
+    elif any(jn.jtype == "PASTE" for jn in p.joins):
+        # r13: PASTE JOIN — positional gluing under each side's OWN
+        # declared order. Subset: the single join of the FROM body,
+        # both sides subqueries carrying a top-level ORDER BY of plain
+        # output columns (CH's PASTE over unordered inputs is
+        # nondeterministic; this engine refuses instead). The zip is
+        # operators/zip_join.paste_join — a distributed global row
+        # index per side (range-partition + per-partition numbering +
+        # broadcast offsets), never a single-partition window.
+        if len(p.joins) != 1:
+            raise ChSqlError(
+                "PASTE JOIN must be the only join in the FROM body")
+        from postgre_to_clickhouse_spark.operators.zip_join import paste_join
+
+        jn = p.joins[0]
+        lorder = _subquery_order(p.from_ref, "PASTE JOIN's left side")
+        rorder = _subquery_order(jn.ref, "PASTE JOIN's right side")
+        try:
+            joined = paste_join(
+                _resolve(p.from_ref), _resolve(jn.ref), lorder, rorder)
+        except ValueError as e:
+            raise ChSqlError(str(e)) from None
+        view = f"__ch_src_{uuid.uuid4().hex[:12]}"
+        joined.createOrReplaceTempView(view)
+        from_text = view
     else:
         left_any = [jn for jn in p.joins
                     if jn.any_dedup and jn.any_side == "left"]

@@ -1514,3 +1514,77 @@ def test_numbers_table_function(spark, ctx):
     assert sorted(r["k"] for r in got) == [2]
     with pytest.raises(ChSqlError, match="integer literals"):
         ch_select(spark, "SELECT 1 FROM numbers(x)", ChContext({}))
+
+
+def test_paste_join_zips_ordered_subqueries(spark):
+    """r13: CH PASTE JOIN — positional gluing. The subset requires
+    both sides be ordered subqueries; rows zip by global row index
+    under each side's own ORDER BY, length = min(left, right) (the CH
+    contract), duplicate output names refuse."""
+    from postgre_to_clickhouse_spark.ch_select import (
+        ChContext,
+        ChSqlError,
+        ch_select,
+    )
+
+    a = spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b")], "k long, s string")
+    b = spark.createDataFrame(
+        [(30.0,), (10.0,), (20.0,), (40.0,)], "v double")
+    ctx = ChContext({"ta": a, "tb": b})
+    out = ch_select(
+        spark,
+        "SELECT k, s, v FROM (SELECT k, s FROM ta ORDER BY k) "
+        "PASTE JOIN (SELECT v FROM tb ORDER BY v DESC)",
+        ctx,
+    )
+    rows = sorted(map(tuple, out.collect()))
+    # left order k asc zips against right order v desc; min length 3
+    assert rows == [(1, "a", 40.0), (2, "b", 30.0), (3, "c", 20.0)]
+    # descending left side flips the pairing
+    out2 = ch_select(
+        spark,
+        "SELECT k, v FROM (SELECT k FROM ta ORDER BY k DESC) "
+        "PASTE JOIN (SELECT v FROM tb ORDER BY v)",
+        ctx,
+    )
+    assert sorted(map(tuple, out2.collect())) == [
+        (1, 30.0), (2, 20.0), (3, 10.0)]
+    # refusals: unordered side, base-table side, ON condition,
+    # duplicate output columns
+    with pytest.raises(ChSqlError, match="ORDER BY"):
+        ch_select(spark,
+                  "SELECT * FROM (SELECT k FROM ta) "
+                  "PASTE JOIN (SELECT v FROM tb ORDER BY v)", ctx)
+    with pytest.raises(ChSqlError, match="ordered subquery"):
+        ch_select(spark,
+                  "SELECT * FROM ta "
+                  "PASTE JOIN (SELECT v FROM tb ORDER BY v)", ctx)
+    with pytest.raises(ChSqlError, match="no ON"):
+        ch_select(spark,
+                  "SELECT * FROM (SELECT k FROM ta ORDER BY k) "
+                  "PASTE JOIN (SELECT v FROM tb ORDER BY v) ON k = v",
+                  ctx)
+    with pytest.raises(ChSqlError, match="share column"):
+        ch_select(spark,
+                  "SELECT * FROM (SELECT k FROM ta ORDER BY k) "
+                  "PASTE JOIN (SELECT k FROM ta ORDER BY k)", ctx)
+
+
+def test_paste_join_layout_independent(spark):
+    """The positional zip is layout-independent: repartitioning either
+    side cannot change the pairing (the global index is derived from
+    the declared order, not partition layout)."""
+    from postgre_to_clickhouse_spark.ch_select import ChContext, ch_select
+
+    n = 500
+    a = spark.range(n).toDF("k").repartition(13)
+    b = spark.range(n).selectExpr("id * 2 AS v").repartition(7)
+    out = ch_select(
+        spark,
+        "SELECT k, v FROM (SELECT k FROM ta ORDER BY k) "
+        "PASTE JOIN (SELECT v FROM tb ORDER BY v)",
+        ChContext({"ta": a, "tb": b}),
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(i, 2 * i) for i in range(n)]
