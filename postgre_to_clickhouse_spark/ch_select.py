@@ -61,7 +61,9 @@ explode_outer with CH's replace-vs-alias and lockstep-zip rules (see
 :func:`_compile_array_join`).
 
 ``ORDER BY x WITH FILL [FROM a] [TO b] [STEP s]`` (r10, VERDICT r9
-#5): fills missing integer values of the (single) sort key on a dense
+#5; r13: MULTIPLE trailing fill keys when every one carries explicit
+integer FROM/TO — the cartesian grid): fills missing integer values
+of the sort key on a dense
 grid — CH semantics: bounds default to the result's min/max (TO is
 exclusive when given), filled rows carry TYPE DEFAULTS (0 for numeric,
 '' for string — not NULL) in the non-key columns, and LIMIT applies
@@ -1078,7 +1080,8 @@ class _Fill:
     def __init__(self, key: str, frm: int | None, to: int | None, step: int,
                  unit: str | None = None,
                  interpolate: list[str] | None = None,
-                 group_keys: list[str] | None = None):
+                 group_keys: list[str] | None = None,
+                 lead_fills: list["_Fill"] | None = None):
         self.key = key
         self.frm = frm
         self.to = to
@@ -1088,6 +1091,11 @@ class _Fill:
         # leading plain ORDER BY keys (r11): the grid is built and
         # filled PER group-key tuple — `ORDER BY user, day WITH FILL`
         self.group_keys = group_keys or []
+        # ADDITIONAL fill keys before this (the last) one (r13):
+        # `ORDER BY a WITH FILL FROM .. TO .., b WITH FILL FROM .. TO ..`
+        # fills the cartesian grid — the multi-key subset requires
+        # explicit integer FROM/TO on EVERY fill key (checked at parse)
+        self.lead_fills = lead_fills or []
 
 
 class _Parsed:
@@ -1578,6 +1586,7 @@ def _parse(tokens: list[str]) -> _Parsed:
             raise ChSqlError("ORDER must be followed by BY")
         items = _split_commas(ob[2:])
         plain_prefix: list[str] | None = []
+        fills: list[_Fill] = []
         for idx, it in enumerate(items):
             # WITH FILL [FROM a] [TO b] [STEP s] — depth-0 scan
             fill_at, d = None, 0
@@ -1598,14 +1607,13 @@ def _parse(tokens: list[str]) -> _Parsed:
                 # fills f's range WITHIN each g-tuple (the CH
                 # within-group filling; with explicit FROM/TO both
                 # engines produce the full per-group range, without
-                # bounds the per-group min/max). Multiple fill keys
-                # stay outside the subset.
-                if p.fill is not None or idx != len(items) - 1:
-                    raise ChSqlError(
-                        "WITH FILL is supported on the LAST ORDER BY "
-                        "item only (one fill key; leading plain keys "
-                        "group the grid)"
-                    )
+                # bounds the per-group min/max). r13: MULTIPLE fill
+                # keys are supported when EVERY fill key carries
+                # explicit integer FROM and TO — the fill target is
+                # then the unambiguous cartesian grid (assembled after
+                # the loop); default-bounds multi-key fill stays
+                # outside the subset (its per-prefix bound semantics
+                # are underdetermined).
                 if plain_prefix is None:
                     raise ChSqlError(
                         "ORDER BY keys before WITH FILL must be plain "
@@ -1691,11 +1699,18 @@ def _parse(tokens: list[str]) -> _Parsed:
                         "WITH FILL ... STEP INTERVAL supports default bounds "
                         "only (the result's min/max)"
                     )
-                p.fill = _Fill(_rewrite_all(it), vals["FROM"], vals["TO"],
-                               vals["STEP"], unit, interp,
-                               group_keys=list(plain_prefix))
-                p.order_by.append(p.fill.key)
+                f = _Fill(_rewrite_all(it), vals["FROM"], vals["TO"],
+                          vals["STEP"], unit, interp,
+                          group_keys=list(plain_prefix))
+                fills.append(f)
+                p.order_by.append(f.key)
                 continue
+            if fills:
+                raise ChSqlError(
+                    "plain ORDER BY keys cannot follow WITH FILL keys — "
+                    "fill keys must be the trailing items (the grid "
+                    "would be ambiguous otherwise)"
+                )
             tail = []
             while it and _kw(it[-1]) in ("ASC", "DESC", "NULLS", "FIRST", "LAST"):
                 tail.insert(0, _kw(it[-1]))
@@ -1706,6 +1721,33 @@ def _parse(tokens: list[str]) -> _Parsed:
             else:
                 plain_prefix = None
             p.order_by.append((txt + (" " + " ".join(tail) if tail else "")).strip())
+        if fills:
+            # assemble: last fill carries the lead fills. The
+            # multi-key subset (r13): every fill key except... — in
+            # fact EVERY key including the last needs explicit integer
+            # FROM/TO, so the cartesian grid is literal and
+            # unambiguous; single-key fill keeps the r10/r11 default-
+            # bounds behavior. INTERPOLATE attaches to the last item
+            # only (the CH grammar position).
+            for lf in fills[:-1]:
+                if lf.interpolate:
+                    raise ChSqlError(
+                        "INTERPOLATE attaches to the LAST WITH FILL "
+                        "item only (the CH grammar)"
+                    )
+            if len(fills) > 1:
+                for lf in fills:
+                    if (lf.unit is not None or lf.frm is None
+                            or lf.to is None):
+                        raise ChSqlError(
+                            "multi-key WITH FILL needs explicit integer "
+                            "FROM and TO on every fill key (default "
+                            "bounds / STEP INTERVAL are single-key "
+                            "forms) — the cartesian grid must be "
+                            "unambiguous"
+                        )
+            p.fill = fills[-1]
+            p.fill.lead_fills = fills[:-1]
 
     # every LIMIT clause, in order (LIMIT k BY cols may precede the
     # final row LIMIT — two separate clauses in the CH grammar)
@@ -2396,11 +2438,52 @@ def _apply_fill(out: DataFrame, fill: _Fill) -> DataFrame:
             )
     gks = fill.group_keys
     dtypes = dict(out.dtypes)
+    fill_keys = [lf.key for lf in fill.lead_fills] + [fill.key]
     for c in fill.interpolate:
         if c not in out.columns:
             raise ChSqlError(f"INTERPOLATE column {c!r} is not selected")
-        if c == fill.key or c in gks:
+        if c in fill_keys or c in gks:
             raise ChSqlError("INTERPOLATE of a fill/group key is meaningless")
+    if fill.lead_fills:
+        # r13 multi-key cartesian grid — every fill key carries
+        # explicit integer FROM/TO (parse-guaranteed), so the grid is
+        # a LITERAL cross product attached to each group tuple:
+        # grid size = Π range sizes, bounded by the declared ranges,
+        # never by the data. Same anti-join + defaults + LOCF pass.
+        all_fills = fill.lead_fills + [fill]
+        for f2 in all_fills:
+            if f2.key not in out.columns:
+                raise ChSqlError(
+                    f"WITH FILL key {f2.key!r} must be a selected "
+                    "column or alias"
+                )
+            if dtypes[f2.key] not in _INT_TYPES:
+                raise ChSqlError(
+                    f"multi-key WITH FILL needs integer sort keys "
+                    f"(got {dtypes[f2.key]} for {f2.key!r})"
+                )
+            if f2.to <= f2.frm:
+                raise ChSqlError(
+                    f"WITH FILL range for {f2.key!r} is empty (TO <= FROM)")
+        if gks:
+            grid = out.select(*gks).distinct()
+        else:
+            grid = out.sparkSession.range(1).drop("id")
+        for i, f2 in enumerate(all_fills):
+            grid = grid.select(
+                "*",
+                F.explode(
+                    F.sequence(F.lit(f2.frm).cast("bigint"),
+                               F.lit(f2.to - 1).cast("bigint"),
+                               F.lit(f2.step).cast("bigint"))
+                ).alias(f"__mf{i}"),
+            )
+        grid = grid.select(
+            *gks,
+            *[F.col(f"__mf{i}").cast(dtypes[f2.key]).alias(f2.key)
+              for i, f2 in enumerate(all_fills)],
+        )
+        return _fill_union(out, grid, fill, dtypes)
     if fill.unit is not None:
         if dtypes[fill.key] not in ("date", "timestamp", "timestamp_ntz"):
             raise ChSqlError(
@@ -2473,7 +2556,8 @@ def _fill_union(out: DataFrame, grid: DataFrame, fill: _Fill,
     # large ungrouped result would make a forced broadcast OOM. (The
     # grid side is the provably-bounded one, but Spark's broadcast
     # anti-join requires the RIGHT side in memory.)
-    jks = fill.group_keys + [fill.key]
+    jks = (fill.group_keys + [lf.key for lf in fill.lead_fills]
+           + [fill.key])
     filler = grid.join(out.select(*jks).distinct(), jks, "left_anti").select(
         *[
             F.col(c) if c in jks

@@ -186,8 +186,10 @@ def test_array_join_explodes(spark, ctx):
         ("SELECT 1 FROM events LEFT JOIN orders", "ON or USING"),
         ("SELECT 1 FROM events CROSS JOIN orders ON 1=1", "no ON"),
         ("SELECT 1 FROM events RIGHT SEMI JOIN orders ON 1=1", "join type"),
+        # r13: multi-key WITH FILL is in the subset WITH explicit
+        # FROM/TO on every key; the default-bounds form still refuses
         ("SELECT 1 AS a, 2 AS n FROM events ORDER BY a WITH FILL, n WITH FILL",
-         "LAST ORDER BY"),
+         "explicit integer FROM and TO"),
         ("SELECT user_id, event_id AS n FROM events ORDER BY user_id DESC, n WITH FILL", "plain ascending"),
         ("SELECT value FROM events ORDER BY value WITH FILL", "integer sort key"),
         (
@@ -1588,3 +1590,64 @@ def test_paste_join_layout_independent(spark):
     )
     got = sorted(map(tuple, out.collect()))
     assert got == [(i, 2 * i) for i in range(n)]
+
+
+def test_multi_key_with_fill_cartesian_grid(spark):
+    """r13: ORDER BY a WITH FILL FROM..TO, b WITH FILL FROM..TO fills
+    the cartesian grid — real rows keep their values, inserted rows
+    take type defaults (or LOCF under INTERPOLATE), group keys still
+    scope the grid."""
+    from postgre_to_clickhouse_spark.ch_select import (
+        ChContext,
+        ChSqlError,
+        ch_select,
+    )
+
+    t = spark.createDataFrame(
+        [(0, 0, 10.0), (1, 2, 30.0)], "a long, b long, v double")
+    out = ch_select(
+        spark,
+        "SELECT a, b, v FROM t ORDER BY a WITH FILL FROM 0 TO 2, "
+        "b WITH FILL FROM 0 TO 3",
+        ChContext({"t": t}),
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [
+        (0, 0, 10.0), (0, 1, 0.0), (0, 2, 0.0),
+        (1, 0, 0.0), (1, 1, 0.0), (1, 2, 30.0),
+    ]
+    # INTERPOLATE carries over the final (a, b)-sorted stream
+    out2 = ch_select(
+        spark,
+        "SELECT a, b, v FROM t ORDER BY a WITH FILL FROM 0 TO 2, "
+        "b WITH FILL FROM 0 TO 3 INTERPOLATE (v)",
+        ChContext({"t": t}),
+    )
+    got2 = [tuple(r) for r in out2.collect()]
+    assert got2 == [
+        (0, 0, 10.0), (0, 1, 10.0), (0, 2, 10.0),
+        (1, 0, 10.0), (1, 1, 10.0), (1, 2, 30.0),
+    ]
+    # group keys scope the grid: one grid per g
+    g = spark.createDataFrame(
+        [("x", 0, 0, 1.0), ("y", 1, 1, 2.0)],
+        "g string, a long, b long, v double")
+    out3 = ch_select(
+        spark,
+        "SELECT g, a, b, v FROM t2 ORDER BY g, "
+        "a WITH FILL FROM 0 TO 2, b WITH FILL FROM 0 TO 2",
+        ChContext({"t2": g}),
+    )
+    assert out3.count() == 8  # 2 groups x 2 x 2
+    assert out3.filter("g = 'x' AND a = 1 AND b = 1 AND v = 0.0").count() == 1
+    # refusals: INTERPOLATE on a non-last fill item; STEP INTERVAL in
+    # multi-key; plain key after a fill key
+    with pytest.raises(ChSqlError, match="LAST WITH FILL"):
+        ch_select(spark,
+                  "SELECT a, b FROM t ORDER BY a WITH FILL FROM 0 TO 2 "
+                  "INTERPOLATE (v), b WITH FILL FROM 0 TO 2",
+                  ChContext({"t": t}))
+    with pytest.raises(ChSqlError, match="cannot follow"):
+        ch_select(spark,
+                  "SELECT a, b, v FROM t ORDER BY a WITH FILL "
+                  "FROM 0 TO 2, v", ChContext({"t": t}))
