@@ -1054,6 +1054,12 @@ class ChDdlCatalog:
                 rows = [(n,) for n in sorted(self.tables)]
                 return spark.createDataFrame(rows, schema) if rows \
                     else spark.createDataFrame([], schema)
+            if len(tokens) >= 2 and _kw(tokens[1]) == "DATABASES":
+                # r13: BI clients enumerate databases first
+                dbs = sorted({s.db for s in self.tables.values() if s.db}
+                             | {"default", "system"})
+                return spark.createDataFrame(
+                    [(d,) for d in dbs], "name string")
             if (len(tokens) >= 4 and _kw(tokens[1]) == "CREATE"
                     and _kw(tokens[2]) == "TABLE"):
                 name = self._table_ref(tokens, 3, "SHOW CREATE TABLE")
@@ -1062,7 +1068,7 @@ class ChDdlCatalog:
                     "statement string")
             raise ChSqlError(
                 f"unsupported SHOW {' '.join(tokens[1:3])!r} "
-                "(SHOW TABLES / SHOW CREATE TABLE)"
+                "(SHOW TABLES / SHOW DATABASES / SHOW CREATE TABLE)"
             )
         if head in ("DESCRIBE", "DESC"):
             at = 2 if len(tokens) > 1 and _kw(tokens[1]) == "TABLE" else 1
@@ -1830,7 +1836,7 @@ class ChDdlCatalog:
         # word-boundary match (r13, VERDICT): a user table named e.g.
         # `spare_parts` must not trigger the metadata build — only a
         # whole-word reference to one of the system table names does.
-        if _re.search(r"\b(tables|columns|parts)\b", sql):
+        if _re.search(r"\b(tables|columns|parts|databases|one)\b", sql):
             for k, df in self._system_frames(spark).items():
                 tables.setdefault(k, df)
         return ch_select(spark, sql, ChContext(
@@ -1862,7 +1868,14 @@ class ChDdlCatalog:
                     (f"CODEC({s.codecs[f.name]})"
                      if f.name in s.codecs else ""),
                 ))
+        dbs = sorted({s.db for s in self.tables.values() if s.db}
+                     | {"default", "system"})
         out = {
+            # r13: system.one (the 1-row dummy table clients probe with
+            # `SELECT 1 FROM system.one`) and system.databases
+            "one": spark.createDataFrame([(0,)], "dummy int"),
+            "databases": spark.createDataFrame(
+                [(d,) for d in dbs], "name string"),
             "tables": spark.createDataFrame(
                 t_rows,
                 "name string, engine string, sorting_key string, "

@@ -73,8 +73,8 @@ from postgre_to_clickhouse_spark.ch_select import ChContext, ChSqlError, ch_sele
 __all__ = ["ChHttpEndpoint", "serve_ch_http", "register_ch_global_view"]
 
 _FORMATS = ("TabSeparated", "TabSeparatedWithNames", "JSONEachRow",
-            "JSON", "JSONCompact", "CSV", "CSVWithNames", "Pretty",
-            "Parquet")
+            "JSON", "JSONCompact", "JSONCompactEachRow", "CSV",
+            "CSVWithNames", "Pretty", "Parquet")
 
 # INSERT-with-data-body: query in the URL, rows in the POST body — the
 # CH HTTP upload split (`curl '...?query=INSERT INTO t FORMAT
@@ -295,6 +295,14 @@ def _serialize(df: DataFrame, fmt: str, max_rows: int) -> bytes:
                 {c: _json_cell(v) for c, v in zip(cols, r)},
                 separators=(",", ":"), default=str,
             ))
+    elif fmt == "JSONCompactEachRow":
+        # r13: one JSON ARRAY per line (values only, column order) —
+        # the compact ndjson CH clients use for bulk reads
+        for r in rows:
+            out.append(json.dumps(
+                [_json_cell(v) for v in r],
+                separators=(",", ":"), default=str,
+            ))
     elif fmt in ("CSV", "CSVWithNames"):
         if fmt == "CSVWithNames":
             out.append(",".join(_csv_cell(c) for c in cols))
@@ -415,6 +423,7 @@ def serve_ch_http(
                 return
             ctype = {
                 "JSONEachRow": "application/x-ndjson",
+                "JSONCompactEachRow": "application/x-ndjson",
                 "JSON": "application/json",
                 "JSONCompact": "application/json",
                 "CSV": "text/csv",

@@ -1115,6 +1115,7 @@ class _Parsed:
     limit: int | None = None
     offset: int | None = None
     limit_by: tuple[int, list[str]] | None = None
+    limit_ties: int | None = None  # LIMIT n WITH TIES (r13)
 
 
 def _parse_with(tokens: list[str]):
@@ -1765,6 +1766,11 @@ def _parse(tokens: list[str]) -> _Parsed:
             p.limit, p.offset = int(body[0]), int(body[2])
         elif len(body) == 1:
             p.limit = int(body[0])
+        elif (len(body) == 3 and _kw(body[1]) == "WITH"
+                and _kw(body[2]) == "TIES"):
+            # r13: LIMIT n WITH TIES — rows tying with the n-th row on
+            # the ORDER BY key are kept too (compiled at the end)
+            p.limit_ties = int(body[0])
         elif len(body) == 3 and body[1] == ",":
             p.offset, p.limit = int(body[0]), int(body[2])  # CH LIMIT m, n
         else:
@@ -2130,6 +2136,33 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
             f"SELECT {keep} FROM (SELECT *, row_number() OVER "
             f"(PARTITION BY {part} ORDER BY {order}) AS __ch_rn FROM {inner}) "
             f"WHERE __ch_rn <= {n} ORDER BY {order}"
+        )
+    if p.limit_ties is not None:
+        # r13: CH `LIMIT n WITH TIES` — keep every row whose ORDER BY
+        # key ties with the n-th row's. rank() over the final order is
+        # exactly that set; the window is one pass over the ALREADY
+        # ordered result (the same single-stream cost CH's own
+        # WITH TIES pays after its sort).
+        if p.limit is not None or p.offset or p.limit_by is not None \
+                or p.fill is not None:
+            raise ChSqlError(
+                "LIMIT n WITH TIES combines only with ORDER BY in this "
+                "subset (no second LIMIT/OFFSET/LIMIT BY/WITH FILL)"
+            )
+        if not p.order_by:
+            raise ChSqlError(
+                "LIMIT WITH TIES requires ORDER BY — ties are defined "
+                "by the sort key (CH's rule too)"
+            )
+        inner_df = spark.sql(sel)
+        inner = f"__ch_lt_{uuid.uuid4().hex[:12]}"
+        inner_df.createOrReplaceTempView(inner)
+        keep = ", ".join(f"`{c}`" for c in inner_df.columns)
+        order = ", ".join(p.order_by)
+        return spark.sql(
+            f"SELECT {keep} FROM (SELECT *, rank() OVER "
+            f"(ORDER BY {order}) AS __ch_rk FROM {inner}) "
+            f"WHERE __ch_rk <= {p.limit_ties} ORDER BY {order}"
         )
     if p.fill is not None:
         if p.limit_by is not None:

@@ -613,3 +613,34 @@ def test_format_parquet_response(spark, tmp_path):
         assert code == 500 and "max_result_rows" in body
     finally:
         ep7.stop()
+
+
+def test_jsoncompacteachrow_and_system_probes(spark, tmp_path):
+    """r13: FORMAT JSONCompactEachRow (one JSON array per line) and
+    the client-probe surface — SHOW DATABASES, system.one,
+    system.databases — answer like a CH server."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep8 = serve_ch_http(spark, cat)
+    try:
+        _post(ep8, "CREATE TABLE shop.t (id UInt32, s Nullable(String)) "
+                   "ENGINE = MergeTree ORDER BY (id)")
+        _post(ep8, "INSERT INTO t VALUES (1, 'a'), (2, NULL)")
+        code, body = _post(
+            ep8, "SELECT id, s FROM t ORDER BY id "
+                 "FORMAT JSONCompactEachRow")
+        assert code == 200
+        assert [json.loads(ln) for ln in body.splitlines()] == [
+            [1, "a"], [2, None]]
+        code, body = _post(ep8, "SHOW DATABASES")
+        assert code == 200
+        assert body.splitlines() == ["default", "shop", "system"]
+        code, body = _post(ep8, "SELECT 1 AS ping FROM system.one")
+        assert (code, body) == (200, "1\n")
+        code, body = _post(
+            ep8, "SELECT name FROM system.databases ORDER BY name")
+        assert code == 200 and body.splitlines() == [
+            "default", "shop", "system"]
+    finally:
+        ep8.stop()

@@ -1651,3 +1651,28 @@ def test_multi_key_with_fill_cartesian_grid(spark):
         ch_select(spark,
                   "SELECT a, b, v FROM t ORDER BY a WITH FILL "
                   "FROM 0 TO 2, v", ChContext({"t": t}))
+
+
+def test_limit_with_ties(spark):
+    """r13: LIMIT n WITH TIES keeps rows tying with the n-th row on
+    the ORDER BY key; requires ORDER BY; no second LIMIT forms."""
+    from postgre_to_clickhouse_spark.ch_select import (
+        ChContext,
+        ChSqlError,
+        ch_select,
+    )
+
+    t = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "c"), (2, "d"), (3, "e")],
+        "k long, s string")
+    ctx = ChContext({"t": t})
+    out = ch_select(
+        spark, "SELECT k, s FROM t ORDER BY k LIMIT 2 WITH TIES", ctx)
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(1, "a"), (2, "b"), (2, "c"), (2, "d")]
+    # exact boundary: n lands on the last of a tie group -> no extras
+    out2 = ch_select(
+        spark, "SELECT k FROM t ORDER BY k LIMIT 5 WITH TIES", ctx)
+    assert out2.count() == 5
+    with pytest.raises(ChSqlError, match="ORDER BY"):
+        ch_select(spark, "SELECT k FROM t LIMIT 2 WITH TIES", ctx)
