@@ -669,6 +669,28 @@ class ChDdlCatalog:
             self.databases.append(name[0])
             return name[0]
         if kind == "TABLE":
+            # r13: CREATE TABLE ... AS SELECT (CTAS). A depth-0 `AS`
+            # followed by SELECT/WITH splits the statement: everything
+            # before parses as the DDL, the tail compiles through the
+            # dialect front end and lands as the first part. Without a
+            # column list the schema is INFERRED from the SELECT (the
+            # CH behavior); with one, the SELECT binds by POSITION to
+            # the user-insertable columns (CH's INSERT SELECT rule).
+            depth, as_at = 0, None
+            for i, t in enumerate(tokens):
+                if t == "(":
+                    depth += 1
+                elif t == ")":
+                    depth -= 1
+                elif (depth == 0 and _is_ident(t) and _kw(t) == "AS"
+                        and i + 1 < len(tokens)
+                        and _kw(tokens[i + 1]) in ("SELECT", "WITH")):
+                    as_at = i
+                    break
+            if as_at is not None:
+                return self._create_table_as(
+                    tokens[:as_at], tokens[as_at + 1:],
+                    self._need_spark(spark, "CREATE TABLE ... AS SELECT"))
             spec = _parse_create_table(tokens)
             self.tables[spec.name] = spec
             return spec
@@ -677,6 +699,64 @@ class ChDdlCatalog:
             self.mvs[mv.name] = mv
             return mv
         raise ChSqlError(f"unsupported CREATE {kind}")
+
+    def _create_table_as(self, ddl: list[str], sel: list[str],
+                         spark: SparkSession):
+        """CTAS (r13): compile the SELECT against the catalog's stored
+        tables, declare the table (explicit columns, or the inferred
+        schema mapped back to CH types — the same inverse map SHOW
+        CREATE uses), and land the result as the first part. One
+        SELECT job; the ingest is the ordinary O(batch) part write."""
+        rest = _strip_if_not_exists(ddl[2:])
+        if not rest or not _is_ident(rest[0]):
+            raise ChSqlError("CREATE TABLE needs a name")
+        df = self.query(spark, " ".join(sel))
+        if rest[1:] and rest[1] == "(":
+            spec = _parse_create_table(ddl)
+            insertable = [
+                f.name for f in spec.schema.fields
+                if f.name not in spec.materialized
+                and f.name not in spec.aliases
+            ]
+            if len(df.columns) != len(insertable):
+                raise ChSqlError(
+                    f"CREATE ... AS SELECT produces {len(df.columns)} "
+                    f"columns, expected {len(insertable)} "
+                    f"({insertable})"
+                )
+            df = df.toDF(*insertable)  # positional, like INSERT SELECT
+        else:
+            # infer the declared columns from the SELECT result — CH's
+            # own CTAS behavior. Render each Spark result type back to
+            # CH text and re-parse, so the spec is EXACTLY what a user
+            # declaring the same table would get (round-trips SHOW
+            # CREATE by construction).
+            from postgre_to_clickhouse_spark.ch_select import _tokenize
+
+            probe = ChTableSpec(None, "__probe", df.schema, "MergeTree",
+                                [], [], {})
+            coldefs: list[str] = []
+            for f in df.schema.fields:
+                coldefs.extend(
+                    [f.name] + _tokenize(probe._render_type(f)) + [","])
+            if not coldefs:
+                raise ChSqlError("CREATE ... AS SELECT of zero columns")
+            synth = (ddl[:ddl.index(rest[0]) + 1] + ["("]
+                     + coldefs[:-1] + [")"]
+                     + ddl[ddl.index(rest[0]) + 1:])
+            spec = _parse_create_table(synth)
+        declared = {f.name for f in spec.schema.fields}
+        missing = [c for c in spec.order_by if c not in declared]
+        if missing:
+            raise ChSqlError(
+                f"CREATE ... AS SELECT: ORDER BY column(s) {missing} "
+                "are not in the SELECT's output"
+            )
+        self.tables[spec.name] = spec
+        if spec.is_kafka_source:
+            raise ChSqlError("CREATE ... AS SELECT into ENGINE = Kafka?")
+        self.insert(spark, spec.name, df, batch_id="ctas")
+        return spec
 
     def _alter(self, tokens: list[str], spark: SparkSession | None):
         """Route a ClickHouse ``ALTER TABLE`` statement — the mutation

@@ -1327,3 +1327,48 @@ def test_add_column_with_clauses(spark, tmp_path):
     with pytest.raises(ChSqlError, match="Date/DateTime"):
         c.execute("ALTER TABLE t ADD COLUMN n2 Nullable(String) "
                   "TTL id + INTERVAL 1 DAY")
+
+
+def test_create_table_as_select(spark, tmp_path):
+    """r13: CTAS — CREATE TABLE ... ENGINE ... ORDER BY ... AS SELECT.
+    Without a column list the schema is inferred from the SELECT (CH's
+    behavior) and round-trips SHOW CREATE by construction; with one,
+    the SELECT binds positionally like INSERT SELECT."""
+    c = ChDdlCatalog(storage_root=str(tmp_path))
+    c.execute("CREATE TABLE src (id Int64, v Float64, s String) "
+              "ENGINE = MergeTree ORDER BY (id)")
+    c.execute("INSERT INTO src VALUES (1, 1.5, 'a'), (2, 2.5, 'b'), "
+              "(3, 3.5, 'c')", spark=spark)
+    # inferred schema
+    c.execute("CREATE TABLE agg ENGINE = MergeTree ORDER BY (s) AS "
+              "SELECT s, sum(v) AS total, count() AS n "
+              "FROM src GROUP BY s", spark=spark)
+    got = {r["s"]: (r["total"], r["n"]) for r in
+           c.query(spark, "SELECT s, total, n FROM agg").collect()}
+    assert got == {"a": (1.5, 1), "b": (2.5, 1), "c": (3.5, 1)}
+    text = c.execute("SHOW CREATE TABLE agg", spark=spark).collect()[0][0]
+    c2 = ChDdlCatalog()
+    c2.execute(text.replace("CREATE TABLE agg", "CREATE TABLE agg2"))
+    assert ([f.name for f in c2.tables["agg2"].schema.fields]
+            == ["s", "total", "n"])
+    # explicit column list binds positionally; expression columns fire
+    c.execute("CREATE TABLE derived (id Int64, doubled Float64, "
+              "lab String DEFAULT 'x', "
+              "cents Float64 MATERIALIZED doubled * 100.0) "
+              "ENGINE = MergeTree ORDER BY (id) AS "
+              "SELECT id, v * 2, s FROM src", spark=spark)
+    got2 = {r["id"]: (r["doubled"], r["lab"], r["cents"]) for r in
+            c.query(spark,
+                    "SELECT id, doubled, lab, cents FROM derived"
+                    ).collect()}
+    assert got2 == {1: (3.0, "a", 300.0), 2: (5.0, "b", 500.0),
+                    3: (7.0, "c", 700.0)}
+    # width mismatch refuses loudly
+    with pytest.raises(ChSqlError, match="expected"):
+        c.execute("CREATE TABLE w (a Int64, b Int64, c Int64) "
+                  "ENGINE = MergeTree ORDER BY (a) AS "
+                  "SELECT id FROM src", spark=spark)
+    # the ORDER BY key must exist in the inferred schema
+    with pytest.raises(ChSqlError):
+        c.execute("CREATE TABLE bad ENGINE = MergeTree ORDER BY (nope) "
+                  "AS SELECT id FROM src", spark=spark)
