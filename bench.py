@@ -230,6 +230,15 @@ HEADLINE = [
     # projections; cdc_wire_terminal_pipeline is a fixture-sized wire
     # round-trip — protocol latency, not a data-plane shape.)
     "ch_dialect_quantile_topk_mv",
+    # ch_dialect_paste_qq (r13) benches: a NEW plan shape — the
+    # positional zip (two distributed sorts + per-partition numbering
+    # + broadcast offsets + an index equi-join); no benched family
+    # member times a global-row-index construction.
+    "ch_dialect_paste_qq",
+    # ch_ddl_ctas_pipeline (r13) stays EXEMPT under the stated rule:
+    # its plan is one dialect SELECT job + one O(batch) part ingest +
+    # a conform read — the ingest+agg lifecycle skeleton
+    # ch_ddl_alter_pipeline already times on the same tables.
     # dsir_select_documents (r13) benches: a NEW plan shape — two
     # B-bounded model-fit groupBys, then map-only scoring through ONE
     # plan-embedded literal weight array (element_at per gram) and a

@@ -55,32 +55,41 @@ from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 
 # The r13 window, per the policy above. Ledger at rotation time
 # (reconstructed from CORRECTNESS_r*.json): r8 ×47, r9 ×44, r10 ×38,
-# r11 ×50, r12 ×50, never-green ×2 (the r13 queries, each committed
+# r11 ×50, r12 ×50, never-green ×4 (the r13 queries, each committed
 # with a passing in-session oracle run per the registration rule).
-# Rule 1 takes 2 seats: the two NEW queries —
+# Rule 1 takes 4 seats: the four NEW queries —
 # ch_ddl_column_ttl_pipeline (COMMENT/CODEC/column-TTL clauses,
-# VERDICT r12 #4) and dsir_select_documents (DSIR importance
-# resampling, VERDICT r12 #5). No other query's compiled plan
-# changed this round: the r13 ch_ddl diffs are refusal guards
-# (retired-name reuse, TTL-column MODIFY, dangling-expression DROP)
-# and new surface (column clauses, insert_tsv_rows, Parquet/TSV wire
-# formats) that no previously-registered query transits; the
-# system.* gate change (substring → word-boundary) only narrows WHEN
-# metadata frames build, with user tables shadowing via setdefault
-# either way — compiled plans byte-identical.
+# VERDICT r12 #4), dsir_select_documents (DSIR importance
+# resampling, VERDICT r12 #5), ch_dialect_paste_qq (PASTE JOIN over
+# ordered subqueries — a NEW join type this round) and
+# ch_ddl_ctas_pipeline (CREATE TABLE ... AS SELECT with inferred
+# schema — new terminal surface this round). No previously-registered
+# query's compiled plan changed: the r13 ch_ddl/ch_select diffs are
+# refusal guards (retired-name reuse, TTL-column MODIFY, dangling-
+# expression DROP), new surface no old query transits (column
+# clauses, PASTE, multi-key fill, LIMIT WITH TIES, CTAS,
+# insert_tsv_rows, Parquet/TSV/JSONCompactEachRow wire formats, the
+# MySQL endpoint), and the word-boundary narrowing of the system.*
+# gate (user tables shadow via setdefault either way) — compiled
+# plans byte-identical.
 #
-# Rule 2 backfills the ENTIRE 47-query r8 cohort — the judge's named
-# r13 obligation (the oldest-green tranche; after this round no
-# registered query's last driver-green is older than r9). The one
-# remaining seat takes the alphabetically-first r9-cohort query
-# (agg_approx_distinct), starting the next tranche.
+# Rule 2 backfills the r8 cohort — the judge's named r13 obligation
+# (the oldest-green tranche). Rule 1 claims 4 > 3 seats, so per the
+# verdict's own overflow instruction ("take the overflow from the r8
+# cohort alphabetically and name the deferral"), the alphabetically-
+# first r8 query agg_combinators_events DEFERS to r14 — named here;
+# the other 46 r8-cohort queries all seat, so after this round
+# exactly ONE registered query's last driver-green is r8 and none is
+# older.
 _WINDOW = [
     # --- Rule 1: new in r13 (registration rule: each landed with a
     # passing oracle run in its own session) ---
     "ch_ddl_column_ttl_pipeline",   # A18/A22 column clauses + TTL reset
     "dsir_select_documents",        # Tier-C DSIR importance resampling
-    # --- Rule 2: oldest-green-first. The FULL r8 cohort (47) ---
-    "agg_combinators_events",
+    "ch_dialect_paste_qq",          # B5-adjacent positional PASTE JOIN
+    "ch_ddl_ctas_pipeline",         # A22 CTAS with inferred schema
+    # --- Rule 2: oldest-green-first. The r8 cohort (46 of 47;
+    # agg_combinators_events deferred to r14, see above) ---
     "approx_topk_by_lang",
     "approx_topk_tokens",
     "approx_topk_weighted_tokens",
@@ -127,8 +136,6 @@ _WINDOW = [
     "vector_ivfpq_topk",
     "vector_pq_topk",
     "window_hourly_event_counts",
-    # --- Rule 2 continued: next-oldest (r9 cohort), alphabetical ---
-    "agg_approx_distinct",
 ]
 
 
