@@ -72,7 +72,8 @@ from postgre_to_clickhouse_spark.ch_select import ChContext, ChSqlError, ch_sele
 
 __all__ = ["ChHttpEndpoint", "serve_ch_http", "register_ch_global_view"]
 
-_FORMATS = ("TabSeparated", "TabSeparatedWithNames", "JSONEachRow",
+_FORMATS = ("TabSeparated", "TabSeparatedWithNames",
+            "TabSeparatedWithNamesAndTypes", "JSONEachRow",
             "JSON", "JSONCompact", "JSONCompactEachRow", "CSV",
             "CSVWithNames", "Pretty", "Parquet")
 
@@ -309,8 +310,16 @@ def _serialize(df: DataFrame, fmt: str, max_rows: int) -> bytes:
         for r in rows:
             out.append(",".join(_csv_cell(v) for v in r))
     else:
-        if fmt == "TabSeparatedWithNames":
+        if fmt in ("TabSeparatedWithNames",
+                   "TabSeparatedWithNamesAndTypes"):
             out.append("\t".join(cols))
+        if fmt == "TabSeparatedWithNamesAndTypes":
+            # r13: the typed-header variant CH clients use to read
+            # results with types — row 2 carries the CH type text
+            # (the same inverse map the FORMAT JSON meta block uses)
+            out.append("\t".join(
+                _ch_type_name(f.dataType, f.nullable)
+                for f in df.schema.fields))
         for r in rows:
             out.append("\t".join(_cell(v) for v in r))
     body = "\n".join(out)

@@ -644,3 +644,32 @@ def test_jsoncompacteachrow_and_system_probes(spark, tmp_path):
             "default", "shop", "system"]
     finally:
         ep8.stop()
+
+
+def test_tabseparated_with_names_and_types(spark, tmp_path):
+    """r13: TabSeparatedWithNamesAndTypes — names row, then a CH type
+    text row (the typed-header read format CH clients use)."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep9 = serve_ch_http(spark, cat)
+    try:
+        _post(ep9, "CREATE TABLE t (id UInt32, s Nullable(String), "
+                   "ts DateTime) ENGINE = MergeTree ORDER BY (id)")
+        _post_data(ep9, "INSERT INTO t FORMAT TabSeparated",
+                   "1\ta\t2024-03-01 10:00:00\n2\t\\N\t2024-03-02 11:00:00\n")
+        code, body = _post(
+            ep9, "SELECT id, s, ts FROM t ORDER BY id "
+                 "FORMAT TabSeparatedWithNamesAndTypes")
+        assert code == 200
+        lines = body.splitlines()
+        assert lines[0] == "id\ts\tts"
+        # the type row describes the RESULT frame (like FORMAT JSON's
+        # meta): declared UInt32 widens to the signed envelope and the
+        # conform-cast read marks result columns nullable
+        assert lines[1] == ("Nullable(Int64)\tNullable(String)\t"
+                            "Nullable(DateTime)")
+        assert lines[2:] == ["1\ta\t2024-03-01 10:00:00",
+                             "2\t\\N\t2024-03-02 11:00:00"]
+    finally:
+        ep9.stop()
