@@ -699,3 +699,37 @@ def test_topk_merge_heavy_hitter_invariants(spark, rows, k):
             want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
             top = sorted(kept.items(), key=lambda kv: (-kv[1], kv[0]))
             assert [i for i, _ in top[:len(want)]] == [i for i, _ in want]
+
+
+# r13: PASTE JOIN property — the distributed global-row-index zip is
+# EXACTLY the zip of the two python-sorted sequences, for any inputs,
+# any lengths, any partitioning. Unique keys by construction (the
+# documented determinism requirement).
+paste_strategy = st.tuples(
+    st.lists(st.integers(min_value=-1000, max_value=1000),
+             min_size=1, max_size=25, unique=True),
+    st.lists(st.integers(min_value=-1000, max_value=1000),
+             min_size=1, max_size=25, unique=True),
+    st.booleans(),  # left ascending?
+    st.booleans(),  # right ascending?
+    st.integers(min_value=1, max_value=7),  # partition count
+)
+
+
+@given(args=paste_strategy)
+@settings(**_SETTINGS)
+def test_paste_join_matches_python_zip(spark, args):
+    from postgre_to_clickhouse_spark.operators.zip_join import paste_join
+
+    left_vals, right_vals, lasc, rasc, nparts = args
+    ldf = spark.createDataFrame(
+        [(v,) for v in left_vals], "a long").repartition(nparts)
+    rdf = spark.createDataFrame(
+        [(v,) for v in right_vals], "b long").repartition(nparts)
+    got = sorted(
+        map(tuple, paste_join(
+            ldf, rdf, [("a", lasc)], [("b", rasc)]).collect())
+    )
+    ls = sorted(left_vals, reverse=not lasc)
+    rs = sorted(right_vals, reverse=not rasc)
+    assert got == sorted(zip(ls, rs))
