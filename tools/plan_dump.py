@@ -37,6 +37,8 @@ SHOWCASE = [
     ("lttb_downsample_events", "r9: ONE Arrow grouped-map stage — series fan out, walk stays in numpy"),
     ("sequence_next_node_events", "r9: consecutive-chain match as a higher-order position filter — no join/window"),
     ("ch_dialect_join", "r11: verbatim CH JOIN chain — dims broadcast, one fact shuffle for the agg (front end adds no nodes)"),
+    ("dsir_select_documents", "r13: DSIR scoring — the fitted model is ONE literal array; map + TakeOrderedAndProject, zero exchanges, no join/window/Python"),
+    ("ch_dialect_paste_qq", "r13: PASTE JOIN — two range-partitioned sorts + per-partition numbering + broadcast offsets; the zip is an index equi-join, no single-partition window"),
 ]
 
 STRIP = re.compile(r"#\d+L?|\[plan_id=\d+\]")
