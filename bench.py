@@ -251,6 +251,15 @@ HEADLINE = [
     # skeleton ch_ddl_alter_pipeline and manifest_update_read already
     # time on the same tables; the column-TTL reset adds only the
     # CASE-projection inside the rewrite.
+    # cdc_native_wire_pipeline (r13 s3) stays EXEMPT under the stated
+    # rule, for the same reason as cdc_wire_terminal_pipeline: a
+    # fixture-sized wire round-trip — protocol latency, not a
+    # data-plane shape.
+    # pack_training_sequences (r13 s3) stays EXEMPT under the stated
+    # rule: its plan skeleton (shard-partitioned prefix-sum window
+    # over the same regexp token counts) is exactly what the benched
+    # pack_sequences times; the additions are map-only block
+    # arithmetic and the md5 shard column.
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

@@ -811,26 +811,43 @@ class ChDdlCatalog:
         return execute_alter(spark, self.storage_for(name), " ".join(tokens))
 
     def _explain(self, tokens: list[str], spark: SparkSession):
-        """CH ``EXPLAIN [PLAN|PIPELINE] SELECT ...`` (r12): one text
-        row per plan line, like a CH server. The honest answer for
-        THIS engine is the compiled Catalyst physical plan (formatted
-        explain) — the plan that actually runs — served for both the
-        PLAN and PIPELINE modifiers; AST/SYNTAX/ESTIMATE are CH
-        internals with no meaningful analogue and refuse loudly."""
+        """CH ``EXPLAIN [PLAN|PIPELINE|AST|SYNTAX] SELECT ...``: one
+        text row per line, like a CH server. PLAN/PIPELINE answer the
+        compiled Catalyst physical plan (formatted explain) — the plan
+        that actually runs. AST (r13) answers this front end's OWN
+        parse tree in CH's indented node-per-line layout, and SYNTAX
+        (r13) the statement re-rendered after the dialect's expression
+        rewrites (the Spark-SQL-facing text the compiler emits) —
+        both pure parse-time walks, nothing executes. ESTIMATE is a
+        MergeTree-internals statistic with no analogue here and
+        refuses naming the alternatives."""
         i = 1
+        mode = "PLAN"
         if (i < len(tokens) and _is_ident(tokens[i])
                 and _kw(tokens[i]) in ("PLAN", "PIPELINE", "AST",
                                        "SYNTAX", "ESTIMATE")):
             mode = _kw(tokens[i])
-            if mode in ("AST", "SYNTAX", "ESTIMATE"):
+            if mode == "ESTIMATE":
                 raise ChSqlError(
-                    f"EXPLAIN {mode} is a ClickHouse internal with no "
-                    "analogue here — this engine explains the compiled "
-                    "Catalyst plan (EXPLAIN [PLAN|PIPELINE] SELECT ...)"
+                    "EXPLAIN ESTIMATE reads ClickHouse part statistics "
+                    "with no analogue here — use EXPLAIN [PLAN|PIPELINE]"
+                    " for the executed Catalyst plan, EXPLAIN AST for "
+                    "the parse tree, EXPLAIN SYNTAX for the rewritten "
+                    "statement"
                 )
             i += 1
         if i >= len(tokens) or _kw(tokens[i]) not in ("SELECT", "WITH"):
             raise ChSqlError("EXPLAIN takes a SELECT statement")
+        if mode in ("AST", "SYNTAX"):
+            from postgre_to_clickhouse_spark.ch_select import (
+                explain_ast,
+                explain_syntax,
+            )
+
+            fn = explain_ast if mode == "AST" else explain_syntax
+            text = "\n".join(fn(" ".join(tokens[i:])))
+            return spark.createDataFrame(
+                [(ln,) for ln in text.splitlines()], "explain string")
         df = self.query(spark, " ".join(tokens[i:]))
         text = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")

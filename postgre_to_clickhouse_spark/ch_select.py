@@ -2630,3 +2630,245 @@ def _fill_union(out: DataFrame, grid: DataFrame, fill: _Fill,
             ).otherwise(F.col(c)),
         )
     return u.drop("__ch_fill").orderBy(*jks)
+
+
+# -- EXPLAIN AST / EXPLAIN SYNTAX (r13) ---------------------------------
+# ClickHouse's EXPLAIN AST prints its parser's node tree and EXPLAIN
+# SYNTAX prints the query after syntax-level rewrites. The honest
+# analogues for THIS engine: the front end's OWN parse tree (in CH's
+# indented one-node-per-line layout; node labels reflect this
+# grammar's structures, not CH's internal parser classes) and the
+# canonical statement after the dialect's expression rewrites (the
+# Spark-SQL-facing text the compiler actually emits). Both are pure
+# parse-time walks — nothing executes.
+
+def explain_ast(sql: str) -> list[str]:
+    """One indented node per line, CH ``EXPLAIN AST`` shaped.
+    Expression leaves show the REWRITTEN text (the tokenizer pass
+    rewrites CH function spellings in place)."""
+    lines: list[str] = []
+    _ast_statement(_tokenize(sql), lines, 0)
+    return lines
+
+
+def explain_syntax(sql: str) -> list[str]:
+    """The statement re-rendered canonically after the dialect's
+    expression rewrites — CH ``EXPLAIN SYNTAX`` shaped (one clause
+    per line)."""
+    return _syntax_statement(_tokenize(sql), indent=0)
+
+
+def _ast(lines: list[str], depth: int, text: str) -> None:
+    lines.append(" " * depth + text)
+
+
+def _ast_statement(tokens: list[str], lines: list[str], depth: int) -> None:
+    if tokens and _kw(tokens[0]) == "WITH":
+        ctes, scalars, tokens = _parse_with(tokens)
+        _ast(lines, depth, f"WithClause (children {len(ctes) + len(scalars)})")
+        for name, sel in ctes:
+            _ast(lines, depth + 1, f"CommonTableExpression {name}")
+            _ast_statement(sel, lines, depth + 2)
+        for name, expr in scalars:
+            _ast(lines, depth + 1,
+                 f"ScalarAlias {name} = {_rewrite_all(expr)}")
+    arms = _split_setops(tokens)
+    if len(arms) > 1:
+        _ast(lines, depth, f"SelectWithUnionQuery (children {len(arms)})")
+        for tag, arm in arms:
+            if tag is not None:
+                _ast(lines, depth + 1, f"SetOperation {tag}")
+            _ast_statement(arm, lines, depth + 1)
+        return
+    _ast_select(_parse(tokens), lines, depth)
+
+
+def _ast_table_ref(ref: "_TableRef", lines: list[str], depth: int) -> None:
+    if ref.subquery is not None:
+        label = "Subquery" + (f" AS {ref.alias}" if ref.alias else "")
+        _ast(lines, depth, label)
+        _ast_statement(ref.subquery, lines, depth + 1)
+        return
+    if ref.table_fn is not None:
+        fn, args = ref.table_fn
+        _ast(lines, depth,
+             f"TableFunction {fn}({', '.join(str(a) for a in args)})")
+        return
+    bits = [f"TableIdentifier {ref.name}"]
+    if ref.alias:
+        bits.append(f"AS {ref.alias}")
+    if ref.final:
+        bits.append("FINAL")
+    if ref.sample is not None:
+        bits.append(f"SAMPLE {ref.sample[0]} OFFSET {ref.sample[1]}")
+    _ast(lines, depth, " ".join(bits))
+
+
+def _ast_select(p: "_Parsed", lines: list[str], depth: int) -> None:
+    _ast(lines, depth, "SelectQuery" + (" DISTINCT" if p.distinct else ""))
+    d = depth + 1
+    _ast(lines, d, f"ExpressionList (select {len(p.select)})")
+    for expr, alias in p.select:
+        _ast(lines, d + 1, expr + (f" AS {alias}" if alias else ""))
+    _ast(lines, d, "TablesInSelectQuery")
+    _ast_table_ref(p.from_ref, lines, d + 1)
+    if p.array_join is not None:
+        left, items = p.array_join
+        _ast(lines, d + 1, ("LEFT " if left else "") + "ArrayJoin")
+        for etext, alias, _simple in items:
+            _ast(lines, d + 2, etext + (f" AS {alias}" if alias else ""))
+    for jn in p.joins:
+        label = f"TableJoin {jn.jtype}"
+        if jn.any_dedup:
+            label += f" (ANY, dedup side={jn.any_side})"
+        _ast(lines, d + 1, label)
+        _ast_table_ref(jn.ref, lines, d + 2)
+        if jn.using is not None:
+            _ast(lines, d + 2, f"Using ({', '.join(jn.using)})")
+        elif jn.on is not None:
+            _ast(lines, d + 2, f"On {jn.on}")
+        elif jn.on_raw is not None:
+            _ast(lines, d + 2, f"On {' '.join(jn.on_raw)}")
+    if p.prewhere is not None:
+        _ast(lines, d, "Prewhere")
+        _ast(lines, d + 1, p.prewhere)
+    if p.where is not None:
+        _ast(lines, d, "Where")
+        _ast(lines, d + 1, p.where)
+    if p.group_by or p.group_mod:
+        mod = f" WITH {p.group_mod}" if p.group_mod else ""
+        _ast(lines, d, f"GroupBy{mod} (children {len(p.group_by)})")
+        for g in p.group_by:
+            _ast(lines, d + 1, g)
+    if p.having is not None:
+        _ast(lines, d, "Having")
+        _ast(lines, d + 1, p.having)
+    for name, spec in p.windows:
+        _ast(lines, d, f"WindowDefinition {name} AS ({spec})")
+    if p.order_by or p.fill is not None:
+        n = len(p.order_by)
+        _ast(lines, d, f"OrderBy (children {n})")
+        for o in p.order_by:
+            _ast(lines, d + 1, o)
+        if p.fill is not None:
+            for f in [*p.fill.lead_fills, p.fill]:
+                spec = f"WithFill {f.key}"
+                if f.frm is not None:
+                    spec += f" FROM {f.frm}"
+                if f.to is not None:
+                    spec += f" TO {f.to}"
+                spec += (f" STEP INTERVAL {f.step} {f.unit}" if f.unit
+                         else f" STEP {f.step}")
+                _ast(lines, d + 1, spec)
+            if p.fill.interpolate:
+                _ast(lines, d + 1,
+                     f"Interpolate ({', '.join(p.fill.interpolate)})")
+    if p.limit_by is not None:
+        nn, cols = p.limit_by
+        _ast(lines, d, f"LimitBy {nn} BY ({', '.join(cols)})")
+    if p.limit_ties is not None:
+        _ast(lines, d, f"Limit {p.limit_ties} WITH TIES")
+    elif p.limit is not None or p.offset:
+        bits = []
+        if p.limit is not None:
+            bits.append(f"Limit {p.limit}")
+        if p.offset:
+            bits.append(f"Offset {p.offset}")
+        _ast(lines, d, " ".join(bits))
+
+
+def _syntax_statement(tokens: list[str], indent: int) -> list[str]:
+    pad = " " * indent
+    lines: list[str] = []
+    if tokens and _kw(tokens[0]) == "WITH":
+        ctes, scalars, tokens = _parse_with(tokens)
+        items: list[str] = []
+        for name, sel in ctes:
+            body = _syntax_statement(sel, indent + 4)
+            items.append(f"{pad}  {name} AS (\n" + "\n".join(body)
+                         + f"\n{pad}  )")
+        for name, expr in scalars:
+            items.append(f"{pad}  {_rewrite_all(expr)} AS {name}")
+        lines.append(f"{pad}WITH")
+        lines.append(",\n".join(items))
+    arms = _split_setops(tokens)
+    if len(arms) > 1:
+        for tag, arm in arms:
+            if tag is not None:
+                lines.append(pad + tag)
+            lines.extend(_syntax_statement(arm, indent))
+        return lines
+    return lines + _syntax_select(_parse(tokens), indent)
+
+
+def _syntax_ref(ref: "_TableRef", indent: int) -> str:
+    pad = " " * indent
+    if ref.subquery is not None:
+        inner = "\n".join(_syntax_statement(ref.subquery, indent + 2))
+        out = f"(\n{inner}\n{pad})"
+    elif ref.table_fn is not None:
+        fn, args = ref.table_fn
+        out = f"{fn}({', '.join(str(a) for a in args)})"
+    else:
+        out = ref.name
+    if ref.alias:
+        out += f" AS {ref.alias}"
+    if ref.final:
+        out += " FINAL"
+    if ref.sample is not None:
+        out += f" SAMPLE {ref.sample[0]} OFFSET {ref.sample[1]}"
+    return out
+
+
+def _syntax_select(p: "_Parsed", indent: int) -> list[str]:
+    pad = " " * indent
+    lines = [pad + "SELECT" + (" DISTINCT" if p.distinct else "")]
+    lines.append(",\n".join(
+        f"{pad}  {expr}" + (f" AS {alias}" if alias else "")
+        for expr, alias in p.select
+    ))
+    lines.append(f"{pad}FROM {_syntax_ref(p.from_ref, indent)}")
+    if p.array_join is not None:
+        left, items = p.array_join
+        kw = "LEFT ARRAY JOIN" if left else "ARRAY JOIN"
+        rendered = ", ".join(
+            etext + (f" AS {alias}" if alias else "")
+            for etext, alias, _simple in items
+        )
+        lines.append(f"{pad}{kw} {rendered}")
+    for jn in p.joins:
+        head = f"{pad}{jn.jtype} JOIN {_syntax_ref(jn.ref, indent)}"
+        if jn.using is not None:
+            head += f" USING ({', '.join(jn.using)})"
+        elif jn.on is not None:
+            head += f" ON {jn.on}"
+        elif jn.on_raw is not None:
+            head += f" ON {' '.join(jn.on_raw)}"
+        lines.append(head)
+    if p.prewhere is not None:
+        lines.append(f"{pad}PREWHERE {p.prewhere}")
+    if p.where is not None:
+        lines.append(f"{pad}WHERE {p.where}")
+    if p.group_by or p.group_mod:
+        g = f"{pad}GROUP BY {', '.join(p.group_by)}"
+        if p.group_mod:
+            g += f" WITH {p.group_mod}"
+        lines.append(g)
+    if p.having is not None:
+        lines.append(f"{pad}HAVING {p.having}")
+    if p.windows:
+        lines.append(f"{pad}WINDOW " + ", ".join(
+            f"{name} AS ({spec})" for name, spec in p.windows))
+    if p.order_by:
+        lines.append(f"{pad}ORDER BY {', '.join(p.order_by)}")
+    if p.limit_by is not None:
+        nn, cols = p.limit_by
+        lines.append(f"{pad}LIMIT {nn} BY {', '.join(cols)}")
+    if p.limit_ties is not None:
+        lines.append(f"{pad}LIMIT {p.limit_ties} WITH TIES")
+    else:
+        if p.limit is not None:
+            lines.append(f"{pad}LIMIT {p.limit}")
+        if p.offset:
+            lines.append(f"{pad}OFFSET {p.offset}")
+    return lines

@@ -74,13 +74,15 @@ from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 # plans byte-identical.
 #
 # Rule 2 backfills the r8 cohort — the judge's named r13 obligation
-# (the oldest-green tranche). Rule 1 claims 4 > 3 seats, so per the
-# verdict's own overflow instruction ("take the overflow from the r8
-# cohort alphabetically and name the deferral"), the alphabetically-
-# first r8 query agg_combinators_events DEFERS to r14 — named here;
-# the other 46 r8-cohort queries all seat, so after this round
-# exactly ONE registered query's last driver-green is r8 and none is
-# older.
+# (the oldest-green tranche). Rule 1 claims 6 > 3 seats (session 3
+# added two more NEW queries, each landed with its in-session oracle
+# run), so per the verdict's own overflow instruction ("take the
+# overflow from the r8 cohort alphabetically and name the deferral"),
+# the alphabetically-first THREE r8 queries DEFER to r14 — named
+# here: agg_combinators_events, approx_topk_by_lang,
+# approx_topk_tokens. The other 44 r8-cohort queries all seat, so
+# after this round exactly THREE registered queries' last
+# driver-green is r8 and none is older.
 _WINDOW = [
     # --- Rule 1: new in r13 (registration rule: each landed with a
     # passing oracle run in its own session) ---
@@ -88,10 +90,11 @@ _WINDOW = [
     "dsir_select_documents",        # Tier-C DSIR importance resampling
     "ch_dialect_paste_qq",          # B5-adjacent positional PASTE JOIN
     "ch_ddl_ctas_pipeline",         # A22 CTAS with inferred schema
-    # --- Rule 2: oldest-green-first. The r8 cohort (46 of 47;
-    # agg_combinators_events deferred to r14, see above) ---
-    "approx_topk_by_lang",
-    "approx_topk_tokens",
+    "cdc_native_wire_pipeline",     # A22 native TCP wire lifecycle (s3)
+    "pack_training_sequences",      # Tier-C sequence packing (s3)
+    # --- Rule 2: oldest-green-first. The r8 cohort (44 of 47;
+    # agg_combinators_events, approx_topk_by_lang and
+    # approx_topk_tokens deferred to r14, see above) ---
     "approx_topk_weighted_tokens",
     "array_cumsum_diff_compact",
     "array_set_ops",

@@ -1488,3 +1488,99 @@ def ch_ddl_ctas_pipeline(spark, sf_dir):
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "cdc_native_wire_pipeline",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'john_doe',   'Silver', TIMESTAMP '2024-03-02 09:00:00'),
+      (2, 'jane_smith', 'Gold',   TIMESTAMP '2024-03-03 12:30:00'),
+      (3, 'bob_wilson', 'Bronze', TIMESTAMP '2024-03-01 10:00:09')
+    ) AS t(user_id, username, account_type, updated_at)
+    """,
+)
+def cdc_native_wire_pipeline(spark, sf_dir):
+    """r13, A22/A11/A19/A20: the reference's README lifecycle with the
+    NATIVE TCP wire in the loop — the port the reference's own runbook
+    actually uses (``docker exec clickhouse clickhouse-client`` at
+    README.md:156 speaks this protocol to config.xml:11's tcp_port
+    9000). Same lifecycle as `cdc_wire_terminal_pipeline` (which
+    crosses the HTTP wire as TEXT formats); here every crossing is
+    TYPED NATIVE BLOCKS: the verbatim DDL travels as Query packets,
+    each out-of-order Debezium micro-batch's conformed rows travel as
+    the documented INSERT sample-block dance (server advertises the
+    column structure, client streams binary column blocks — varint
+    strings, fixed-width ints, DateTime64 ticks — an empty block
+    terminates), and the latest state returns as a typed block whose
+    values need NO re-parsing (datetimes arrive as datetimes). The
+    versioned RMT keeps the max-version row per user within each
+    block; the oracle is the same hand-computed GOLDEN_LATEST.
+
+    Scale: the endpoint is serializer-only behind max_result_rows;
+    ingest is O(batch) part appends; block encode/decode is one pass
+    over the bounded row list (SCALE.md r13). Deterministic fixture;
+    no sf_dir dependency."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from postgre_to_clickhouse_spark.cdc import unwrap
+    from postgre_to_clickhouse_spark.cdc.fixtures import users_cdc_events
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+    from postgre_to_clickhouse_spark.ch_native import (
+        ChNativeClient,
+        serve_ch_native,
+    )
+    from postgre_to_clickhouse_spark.session import configure
+
+    configure(spark)
+    root = tempfile.mkdtemp(prefix="p2c_ch_native_")
+    ep, cli = None, None
+    try:
+        c = ChDdlCatalog(storage_root=root)
+        ep = serve_ch_native(spark, c)
+        cli = ChNativeClient(ep.host, ep.port)
+
+        for stmt in ("CREATE DATABASE shop",
+                     "CREATE DATABASE kafka_shop",
+                     _WIRE_USERS_DDL, _WIRE_MV_DDL):
+            cli.query(stmt)
+
+        src = (
+            unwrap(users_cdc_events(spark))
+            .withColumnRenamed("kafka_timestamp", "_timestamp")
+            .withColumnRenamed("kafka_offset", "_offset")
+        )
+        for b in range(3):  # out-of-order micro-batches
+            mv_rows = c.apply_mv(
+                spark, "consumer__users",
+                {"kafka__users": src.filter(F.col("_offset") % 3 == b)},
+            )
+            collected = mv_rows.collect()
+            if not collected:
+                continue
+            fields = [(f.name, f.dataType, f.nullable)
+                      for f in mv_rows.schema.fields]
+            cli.insert_rows(
+                "users", fields,
+                [tuple(r) for r in collected],
+            )
+
+        _names, _types, rows = cli.query(
+            "SELECT user_id, username, account_type, updated_at "
+            "FROM users FINAL ORDER BY user_id"
+        )
+        out = spark.createDataFrame(
+            rows,
+            "user_id long, username string, account_type string, "
+            "updated_at timestamp",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        if cli is not None:
+            cli.close()
+        if ep is not None:
+            ep.stop()
+        shutil.rmtree(root, ignore_errors=True)

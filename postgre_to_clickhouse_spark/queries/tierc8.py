@@ -624,3 +624,70 @@ def dsir_select_documents(spark, sf_dir):
         F.col("dsir_logw_q").cast("bigint").alias("dsir_logw_q"),
         F.col("dsir_key_q").cast("bigint").alias("dsir_key_q"),
     )
+
+
+# r13 session 3 (VERDICT r12 #5's growth track): training-sequence
+# packing — the step between curation and the trainer. The DuckDB
+# oracle recomputes the ENTIRE closed-form assignment: the md5
+# shard, the same BPE-ish token count, the per-shard prefix sum and
+# the block arithmetic.
+_PACK_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _pack_oracle() -> str:
+    from postgre_to_clickhouse_spark.queries.tierc5 import _horner_u
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(text, '{_PACK_TOKEN_RE}'))
+                  AS BIGINT) AS n_tokens,
+             CAST(floor({_horner_u('pack-v1', 'doc_id')} * 4) AS BIGINT)
+                  AS pack_shard
+      FROM documents),
+    c AS (
+      SELECT doc_id, pack_shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, pack_shard, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS pack_offset,
+           CAST(floor((cum - n_tokens) / 512.0) AS BIGINT)
+               AS pack_block_first,
+           CAST(floor((cum - 1) / 512.0) AS BIGINT) AS pack_block_last,
+           CAST(greatest(floor((cum - 1) / 512.0)
+                - floor((cum - n_tokens) / 512.0) + 1, 0) AS BIGINT)
+               AS pack_n_blocks
+    FROM c
+    """
+
+
+@register("pack_training_sequences", oracle=_pack_oracle())
+def pack_training_sequences(spark, sf_dir):
+    """r13, C-tier growth: concat-and-chunk sequence packing with the
+    FULL block span — extends the r4 `pack_sequences` query (first-
+    token bin within `source` shards, tierc3.py) to what a trainer's
+    attention-mask bookkeeping actually consumes: per document its
+    content-addressed shard (md5, not a data column — layout/cluster/
+    rerun-invariant), token offset in the shard stream, and the
+    INCLUSIVE first/last block span (a straddling document belongs to
+    every block it touches) — `operators/packing.pack_sequences`.
+    Capacity 512 tokens, 4 shards, the engine's standard md5
+    content addressing (layout/cluster/rerun-invariant; the oracle
+    recomputes the md5 shard, the same BPE-ish token count, the
+    prefix sum and the block arithmetic in DuckDB).
+
+    Scale: one shuffle by shard + a shard-local ordered prefix sum —
+    no global order, no single-partition window; shard count scales
+    with the corpus (SCALE.md)."""
+    from postgre_to_clickhouse_spark.operators.packing import pack_sequences
+    from postgre_to_clickhouse_spark.operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+    packed = pack_sequences(toks, "doc_id", "n_tokens",
+                            capacity=512, n_shards=4, seed="pack-v1")
+    return packed.select(
+        "doc_id", "pack_shard", "n_tokens", "pack_offset",
+        "pack_block_first", "pack_block_last", "pack_n_blocks")

@@ -449,7 +449,10 @@ def test_csv_insert_upload_over_the_wire(spark, tmp_path):
 def test_explain_over_the_wire(spark, tmp_path):
     """r12: EXPLAIN SELECT answers one plan-text row per line over the
     wire — the compiled Catalyst plan, the honest analogue of CH's
-    EXPLAIN; AST/SYNTAX refuse loudly."""
+    EXPLAIN. r13: EXPLAIN AST answers the front end's own parse tree
+    in CH's indented layout, EXPLAIN SYNTAX the statement after the
+    dialect's expression rewrites; ESTIMATE still refuses (MergeTree
+    part statistics have no analogue)."""
     from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
 
     cat = ChDdlCatalog(storage_root=str(tmp_path))
@@ -462,8 +465,25 @@ def test_explain_over_the_wire(spark, tmp_path):
             ep, "EXPLAIN SELECT id, sum(v) AS s FROM t GROUP BY id")
         assert code == 200
         assert "Physical Plan" in body and "HashAggregate" in body
-        code, body = _post(ep, "EXPLAIN AST SELECT 1")
-        assert code == 500 and "Catalyst" in body
+        code, body = _post(
+            ep, "EXPLAIN AST SELECT id, sum(v) AS s FROM t FINAL "
+                "GROUP BY id ORDER BY id LIMIT 3")
+        assert code == 200
+        assert "SelectQuery" in body
+        assert "TableIdentifier t FINAL" in body
+        assert "GroupBy" in body and "Limit 3" in body
+        # nodes are indented one space per depth, CH's AST layout
+        assert "\n ExpressionList" in body
+        code, body = _post(
+            ep, "EXPLAIN SYNTAX SELECT toStartOfDay(ts) AS d, uniq(u) "
+                "FROM t GROUP BY d")
+        assert code == 200
+        # the dialect's actual rewrites are visible
+        assert "date_trunc('DAY', ts) AS d" in body
+        assert "approx_count_distinct(u)" in body
+        assert body.startswith("SELECT")
+        code, body = _post(ep, "EXPLAIN ESTIMATE SELECT 1")
+        assert code == 500 and "EXPLAIN AST" in body
     finally:
         ep.stop()
 

@@ -1,0 +1,443 @@
+"""The ClickHouse NATIVE wire endpoint (`ch_native.py`): the
+reference's 9000 surface (`config.xml:11`, `README.md:156` —
+clickhouse-client's own protocol). No native client library exists in
+this container, so these tests drive the endpoint with a minimal
+hand-rolled client implementing the documented client side (Hello,
+Query with ClientInfo, the INSERT block dance) and pin the packet and
+block layouts with golden-byte assertions — the repo's
+Confluent-Avro-framing strategy applied to this wire."""
+
+from __future__ import annotations
+
+import datetime as dt
+import socket
+import struct
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark.ch_native import (
+    SERVER_REVISION,
+    _Reader,
+    codec_for,
+    read_block,
+    serve_ch_native,
+    write_block,
+    write_str,
+    write_varint,
+)
+from postgre_to_clickhouse_spark.ch_select import ChContext
+
+
+def _users(spark):
+    rows = [
+        (1, "john", "Gold", "2024-03-01 10:00:00"),
+        (1, "john", "Silver", "2024-03-02 09:00:00"),
+        (2, None, "Bronze", "2024-03-01 11:00:00"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "user_id long, username string, account_type string, "
+        "updated_at string",
+    ).withColumn("updated_at", F.to_timestamp("updated_at"))
+
+
+# -- a minimal native client (the documented protocol, client side) ----
+class _Client:
+    def __init__(self, host: str, port: int, revision: int = SERVER_REVISION):
+        self.sock = socket.create_connection((host, port), 30)
+        self.r = _Reader(self.sock)
+        self.revision = revision
+        self.rev = revision  # negotiated below
+        self._hello()
+
+    def close(self):
+        self.sock.close()
+
+    def _hello(self):
+        w = write_varint(0) + write_str("p2c-test-client")
+        w += write_varint(1) + write_varint(0) + write_varint(self.revision)
+        w += write_str("default") + write_str("tester") + write_str("")
+        self.sock.sendall(w)
+        assert self.r.varint() == 0  # server Hello
+        self.server_name = self.r.string()
+        self.r.varint(), self.r.varint()
+        server_rev = self.r.varint()
+        self.rev = min(self.revision, server_rev)
+        if self.rev >= 54058:
+            self.timezone = self.r.string()
+        if self.rev >= 54372:
+            self.display_name = self.r.string()
+        if self.rev >= 54401:
+            self.r.varint()
+
+    def _client_info(self) -> bytes:
+        w = b"\x01"  # query_kind = 1 (initial query)
+        w += write_str("") + write_str("") + write_str("0.0.0.0:0")
+        if self.rev >= 54449:
+            w += struct.pack("<Q", 0)
+        w += b"\x01"  # interface TCP
+        w += write_str("tester") + write_str("host") + write_str("p2c-test")
+        w += write_varint(1) + write_varint(0) + write_varint(self.revision)
+        if self.rev >= 54060:
+            w += write_str("")
+        if self.rev >= 54448:
+            w += write_varint(0)
+        if self.rev >= 54401:
+            w += write_varint(0)
+        if self.rev >= 54442:
+            w += b"\x00"  # no otel
+        if self.rev >= 54453:
+            w += write_varint(0) + write_varint(0) + write_varint(0)
+        return w
+
+    def send_query(self, sql: str, compression: int = 0,
+                   settings: dict[str, str] | None = None):
+        w = write_varint(1) + write_str("test-query-id")
+        if self.rev >= 54032:
+            w += self._client_info()
+        for k, v in (settings or {}).items():
+            w += write_str(k) + write_varint(0) + write_str(v)
+        w += write_str("")  # end of settings
+        if self.rev >= 54441:
+            w += write_str("")  # interserver secret
+        w += write_varint(2)  # stage Complete
+        w += write_varint(compression)
+        w += write_str(sql)
+        self.sock.sendall(w)
+
+    def recv_packet(self):
+        """One server packet → (kind, payload)."""
+        ptype = self.r.varint()
+        if ptype == 1:  # Data
+            if self.rev >= 50264:
+                self.r.string()
+            return ("data", read_block(self.r, self.rev))
+        if ptype == 2:  # Exception
+            code = self.r.i32()
+            name = self.r.string()
+            msg = self.r.string()
+            self.r.string()
+            self.r.u8()
+            return ("exception", (code, name, msg))
+        if ptype == 4:
+            return ("pong", None)
+        if ptype == 5:
+            return ("end", None)
+        raise AssertionError(f"unexpected server packet {ptype}")
+
+    def query(self, sql: str, **kw):
+        """Run to EndOfStream → ('rows', names, types, rows) or
+        ('exception', code, msg)."""
+        self.send_query(sql, **kw)
+        names, types, rows = [], [], []
+        while True:
+            kind, payload = self.recv_packet()
+            if kind == "exception":
+                return ("exception", payload[0], payload[2])
+            if kind == "end":
+                return ("rows", names, types, rows)
+            nm, ty, cols = payload
+            if nm:
+                names, types = nm, ty
+                rows.extend(zip(*cols))
+
+    def send_data_block(self, fields, rows):
+        """fields: list[(name, spark_type, nullable)]."""
+        cols = [
+            (name, codec_for(st, nullable), [r[i] for r in rows])
+            for i, (name, st, nullable) in enumerate(fields)
+        ]
+        w = write_varint(2)  # client Data
+        if self.rev >= 50264:
+            w += write_str("")
+        w += write_block(cols, len(rows), self.rev)
+        self.sock.sendall(w)
+
+    def send_empty_block(self):
+        w = write_varint(2)
+        if self.rev >= 50264:
+            w += write_str("")
+        w += write_block([], 0, self.rev)
+        self.sock.sendall(w)
+
+    def ping(self):
+        self.sock.sendall(write_varint(4))
+        return self.recv_packet()[0]
+
+
+@pytest.fixture()
+def natep(spark):
+    ctx = ChContext(
+        {"users": _users(spark)},
+        final_specs={"users": (("user_id",), ("updated_at",))},
+    )
+    ep = serve_ch_native(spark, ctx)
+    yield ep
+    ep.stop()
+
+
+# -- golden bytes ------------------------------------------------------
+def test_varint_golden_bytes():
+    """LEB128 unsigned varint, pinned to the documented layout
+    (native-protocol basics)."""
+    assert write_varint(0) == b"\x00"
+    assert write_varint(1) == b"\x01"
+    assert write_varint(127) == b"\x7f"
+    assert write_varint(128) == b"\x80\x01"
+    assert write_varint(300) == b"\xac\x02"
+    assert write_str("abc") == b"\x03abc"
+    assert write_str("") == b"\x00"
+
+
+def test_block_golden_bytes():
+    """One uncompressed block, byte for byte: BlockInfo pairs
+    (field 1 → is_overflows 0, field 2 → bucket -1, 0 terminator),
+    counts, then name + type + fixed-width column data."""
+    from pyspark.sql import types as T
+
+    codec = codec_for(T.LongType(), nullable=False)
+    got = write_block([("a", codec, [1, 2])], 2, SERVER_REVISION)
+    want = (
+        b"\x01\x00"                  # field 1, is_overflows = 0
+        b"\x02\xff\xff\xff\xff"      # field 2, bucket_num = -1
+        b"\x00"                      # end of BlockInfo
+        b"\x01\x02"                  # 1 column, 2 rows
+        b"\x01a"                     # column name "a"
+        b"\x05Int64"                 # type string
+        + struct.pack("<q", 1) + struct.pack("<q", 2)
+    )
+    assert got == want
+
+
+def test_nullable_string_column_bytes():
+    from pyspark.sql import types as T
+
+    codec = codec_for(T.StringType(), nullable=True)
+    assert codec.ch == "Nullable(String)"
+    # null mask first (1 = NULL), then the String data with "" at nulls
+    assert codec.enc(["hi", None]) == b"\x00\x01" + b"\x02hi" + b"\x00"
+
+
+# -- handshake + SELECT -------------------------------------------------
+def test_hello_and_select(natep):
+    c = _Client(natep.host, natep.port)
+    try:
+        assert c.timezone == "UTC"
+        kind, names, types, rows = c.query(
+            "SELECT user_id, username, count() AS n FROM users "
+            "GROUP BY user_id, username ORDER BY user_id, username"
+        )
+        assert kind == "rows"
+        assert names == ["user_id", "username", "n"]
+        assert types[0] in ("Int64", "Nullable(Int64)")
+        got = {(r[0], r[1]): r[2] for r in rows}
+        assert got == {(1, "john"): 2, (2, None): 1}
+    finally:
+        c.close()
+
+
+def test_final_and_timestamp_on_the_wire(natep):
+    c = _Client(natep.host, natep.port)
+    try:
+        kind, names, types, rows = c.query(
+            "SELECT user_id, account_type, updated_at FROM users FINAL "
+            "ORDER BY user_id"
+        )
+        assert kind == "rows"
+        assert [r[1] for r in rows] == ["Silver", "Bronze"]
+        assert types[2].startswith(("DateTime64", "Nullable(DateTime64"))
+        assert rows[0][2] == dt.datetime(2024, 3, 2, 9, 0, 0)
+    finally:
+        c.close()
+
+
+def test_old_client_revision_negotiates_down(natep):
+    """A pre-ClientInfo client (rev 54058): fewer conditional fields
+    on both directions; the query still answers."""
+    c = _Client(natep.host, natep.port, revision=54058)
+    try:
+        assert c.rev == 54058
+        kind, names, _types, rows = c.query(
+            "SELECT count() AS n FROM users")
+        assert kind == "rows" and rows == [(3,)]
+    finally:
+        c.close()
+
+
+def test_types_roundtrip(spark):
+    """Every wire codec the engine's tables can produce, through a
+    real socket: ints, floats, bool, date, timestamp, decimal,
+    arrays, NULLs."""
+    df = spark.sql(
+        "SELECT CAST(1 AS TINYINT) i8, CAST(2 AS SMALLINT) i16, "
+        "CAST(3 AS INT) i32, CAST(4 AS BIGINT) i64, "
+        "CAST(1.5 AS FLOAT) f32, CAST(2.5 AS DOUBLE) f64, "
+        "true AS b, 'text' AS s, CAST(NULL AS STRING) AS sn, "
+        "DATE'2024-03-01' AS d, TIMESTAMP'2024-03-01 10:00:00.123456' t, "
+        "CAST(12345.67 AS DECIMAL(10,2)) dec10, "
+        "CAST(1 AS DECIMAL(38,6)) dec38, "
+        "array(1, 2, 3) AS arr, array('x', 'y') AS sarr"
+    )
+    ep = serve_ch_native(spark, ChContext({"t": df}))
+    c = _Client(ep.host, ep.port)
+    try:
+        kind, names, types, rows = c.query("SELECT * FROM t")
+        assert kind == "rows" and len(rows) == 1
+        r = dict(zip(names, rows[0]))
+        assert (r["i8"], r["i16"], r["i32"], r["i64"]) == (1, 2, 3, 4)
+        assert (r["f32"], r["f64"]) == (1.5, 2.5)
+        assert r["b"] is True and r["s"] == "text" and r["sn"] is None
+        assert r["d"] == dt.date(2024, 3, 1)
+        assert r["t"] == dt.datetime(2024, 3, 1, 10, 0, 0, 123456)
+        assert r["dec10"] == Decimal("12345.67")
+        assert r["dec38"] == Decimal("1.000000")
+        assert r["arr"] == [1, 2, 3] and r["sarr"] == ["x", "y"]
+        by = dict(zip(names, types))
+        assert by["dec10"] == "Decimal(10, 2)"
+        assert by["arr"] == "Array(Int32)"
+    finally:
+        c.close()
+        ep.stop()
+
+
+# -- the full terminal: DDL + both INSERT paths -------------------------
+def test_ddl_catalog_and_insert_dance(spark, tmp_path):
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_native(spark, cat)
+    c = _Client(ep.host, ep.port)
+    try:
+        kind, *_ = c.query(
+            "CREATE TABLE users (user_id UInt64, username Nullable(String),"
+            " score Int64) ENGINE = ReplacingMergeTree(score) "
+            "ORDER BY user_id"
+        )
+        assert kind == "rows"
+        # inline VALUES travels in the query text (no dance)
+        kind, *_ = c.query("INSERT INTO users VALUES (1, 'john', 10)")
+        assert kind == "rows"
+        # the block dance: bare INSERT ... VALUES, sample block comes
+        # back as a zero-row Data block, then client streams blocks
+        c.send_query("INSERT INTO users VALUES")
+        kind, (names, types, cols) = c.recv_packet()
+        assert kind == "data" and names == ["user_id", "username", "score"]
+        from pyspark.sql import types as T
+
+        fields = [("user_id", T.LongType(), False),
+                  ("username", T.StringType(), True),
+                  ("score", T.LongType(), False)]
+        c.send_data_block(fields, [(2, "jane", 20), (3, None, 30)])
+        c.send_data_block(fields, [(1, "john", 99)])  # RMT newer version
+        c.send_empty_block()
+        assert c.recv_packet()[0] == "end"
+        kind, names, _t, rows = c.query(
+            "SELECT user_id, username, score FROM users FINAL "
+            "ORDER BY user_id"
+        )
+        assert kind == "rows"
+        assert rows == [(1, "john", 99), (2, "jane", 20), (3, None, 30)]
+    finally:
+        c.close()
+        ep.stop()
+
+
+def test_insert_dance_respects_column_list(spark, tmp_path):
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+    from pyspark.sql import types as T
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_native(spark, cat)
+    c = _Client(ep.host, ep.port)
+    try:
+        c.query(
+            "CREATE TABLE t (a Int64, b String DEFAULT 'dflt', "
+            "c Int64 MATERIALIZED a + 1) ENGINE = MergeTree ORDER BY a"
+        )
+        # sample block: only the requested columns, never MATERIALIZED
+        c.send_query("INSERT INTO t (a) VALUES")
+        kind, (names, _types, _cols) = c.recv_packet()
+        assert kind == "data" and names == ["a"]
+        c.send_data_block([("a", T.LongType(), False)], [(7,)])
+        c.send_empty_block()
+        assert c.recv_packet()[0] == "end"
+        kind, _n, _t, rows = c.query("SELECT a, b, c FROM t")
+        assert kind == "rows" and rows == [(7, "dflt", 8)]
+        # a MATERIALIZED column in the list refuses loudly
+        res = c.query("INSERT INTO t (a, c) VALUES")
+        assert res[0] == "exception" and "not insertable" in res[2]
+    finally:
+        c.close()
+        ep.stop()
+
+
+# -- errors and guards ---------------------------------------------------
+def test_exception_packet(natep):
+    c = _Client(natep.host, natep.port)
+    try:
+        kind, code, msg = c.query("SELECT nonsense FROM missing_table")
+        assert kind == "exception" and code == 62
+        assert "DB::Exception" not in msg  # name travels separately
+    finally:
+        c.close()
+
+
+def test_compression_refused(natep):
+    c = _Client(natep.host, natep.port)
+    try:
+        kind, code, msg = c.query("SELECT 1", compression=1)
+        assert kind == "exception" and "compression" in msg
+    finally:
+        c.close()
+
+
+def test_max_rows_guard(spark):
+    ep = serve_ch_native(
+        spark, ChContext({"t": spark.range(100).toDF("id")}),
+        max_result_rows=10,
+    )
+    c = _Client(ep.host, ep.port)
+    try:
+        res = c.query("SELECT id FROM t")
+        assert res[0] == "exception" and "max_result_rows" in res[2]
+        kind, _n, _t, rows = c.query("SELECT id FROM t ORDER BY id LIMIT 5")
+        assert kind == "rows" and len(rows) == 5
+    finally:
+        c.close()
+        ep.stop()
+
+
+def test_ping_pong_and_reuse(natep):
+    c = _Client(natep.host, natep.port)
+    try:
+        assert c.ping() == "pong"
+        kind, _n, _t, rows = c.query("SELECT count() AS n FROM users")
+        assert kind == "rows" and rows == [(3,)]
+        assert c.ping() == "pong"  # connection still healthy
+    finally:
+        c.close()
+
+
+def test_select_only_context_refuses_ddl(natep):
+    c = _Client(natep.host, natep.port)
+    try:
+        res = c.query("CREATE TABLE x (a Int64) ENGINE = MergeTree ORDER BY a")
+        assert res[0] == "exception" and "ChDdlCatalog" in res[2]
+    finally:
+        c.close()
+
+
+def test_settings_accepted_as_strings(natep):
+    """String-serialized settings (>= 54429) parse and are ignored —
+    the same posture as the HTTP endpoint's URL parameters."""
+    c = _Client(natep.host, natep.port)
+    try:
+        kind, _n, _t, rows = c.query(
+            "SELECT count() AS n FROM users",
+            settings={"max_threads": "4", "send_logs_level": "warning"},
+        )
+        assert kind == "rows" and rows == [(3,)]
+    finally:
+        c.close()

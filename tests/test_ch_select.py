@@ -1676,3 +1676,74 @@ def test_limit_with_ties(spark):
     assert out2.count() == 5
     with pytest.raises(ChSqlError, match="ORDER BY"):
         ch_select(spark, "SELECT k FROM t LIMIT 2 WITH TIES", ctx)
+
+
+def test_explain_ast_parse_tree():
+    """r13: explain_ast dumps THIS front end's parse tree in CH's
+    indented node-per-line layout — a pure parse-time walk (the
+    referenced tables need not exist)."""
+    from postgre_to_clickhouse_spark.ch_select import explain_ast
+
+    lines = explain_ast(
+        "WITH t AS (SELECT a, count() AS n FROM x GROUP BY a) "
+        "SELECT a, n FROM t FINAL LEFT JOIN y USING (a) "
+        "WHERE n > 2 ORDER BY n DESC LIMIT 3"
+    )
+    assert lines[0].startswith("WithClause")
+    assert " CommonTableExpression t" in lines
+    # depth = leading spaces; the CTE body nests under its node
+    i = lines.index(" CommonTableExpression t")
+    assert lines[i + 1] == "  SelectQuery"
+    assert "SelectQuery" in lines  # the main query at depth 0
+    assert any(ln.strip() == "TableIdentifier t FINAL" for ln in lines)
+    assert any(ln.strip() == "TableJoin LEFT" for ln in lines)
+    assert any(ln.strip() == "Using (a)" for ln in lines)
+    assert any(ln.strip() == "Limit 3" for ln in lines)
+
+
+def test_explain_ast_setops_and_fill():
+    from postgre_to_clickhouse_spark.ch_select import explain_ast
+
+    lines = explain_ast(
+        "SELECT a FROM x UNION ALL SELECT b FROM y ORDER BY b WITH FILL "
+        "FROM 1 TO 5"
+    )
+    assert lines[0].startswith("SelectWithUnionQuery (children 2)")
+    assert any(ln.strip() == "SetOperation UNION ALL" for ln in lines)
+    assert any(ln.strip() == "WithFill b FROM 1 TO 5 STEP 1"
+               for ln in lines)
+
+
+def test_explain_syntax_shows_rewrites():
+    """r13: explain_syntax renders the statement AFTER the dialect's
+    expression rewrites — the Spark-SQL-facing text the compiler
+    actually emits."""
+    from postgre_to_clickhouse_spark.ch_select import explain_syntax
+
+    text = "\n".join(explain_syntax(
+        "SELECT toStartOfDay(ts) AS d, uniq(u), countIf(x > 1) "
+        "FROM events PREWHERE a = 1 GROUP BY d WITH TOTALS "
+        "ORDER BY d LIMIT 5 BY d"
+    ))
+    assert "date_trunc('DAY', ts) AS d" in text
+    assert "approx_count_distinct(u)" in text
+    assert "count_if(x > 1)" in text or "count(CASE" in text \
+        or "count(if(" in text.lower()
+    assert "PREWHERE a = 1" in text
+    assert "GROUP BY d WITH TOTALS" in text
+    assert "LIMIT 5 BY d" in text
+
+
+def test_explain_syntax_is_reparseable(spark, ctx):
+    """The SYNTAX rendering is itself valid dialect text: compiling
+    the re-rendered statement gives the same result as the original
+    (canonicalization is a fixed point, not a lossy pretty-print)."""
+    from postgre_to_clickhouse_spark.ch_select import ch_select, explain_syntax
+
+    sql = ("SELECT c_nationkey, count() AS n FROM customer "
+           "GROUP BY c_nationkey HAVING n >= 1 ORDER BY c_nationkey "
+           "LIMIT 10")
+    rendered = "\n".join(explain_syntax(sql))
+    a = ch_select(spark, sql, ctx).collect()
+    b = ch_select(spark, rendered, ctx).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

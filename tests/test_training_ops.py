@@ -878,3 +878,104 @@ def test_dsir_layout_independence_and_semantics(spark):
     r = dsir_select(e.union(d), target, k=30, n_buckets=256) \
         .filter(F.col("doc_id") == 99).collect()
     assert len(r) == 1 and r[0]["dsir_logw_q"] == 0
+
+
+# -- sequence packing (r13, operators/packing.py) ---------------------------
+def test_pack_sequences_covers_stream_exactly(spark):
+    """Per shard: offsets are a gapless 0-based concatenation (each
+    doc starts where the previous ended) and the last block index is
+    ceil(total/capacity) - 1 — the concat-and-chunk contract."""
+    from postgre_to_clickhouse_spark.operators import packing as PK
+    from postgre_to_clickhouse_spark.operators.text import token_count
+
+    d = _docs(spark).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n"))
+    out = PK.pack_sequences(d, "doc_id", "n", capacity=256, n_shards=4)
+    rows = out.collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.pack_shard, []).append(r)
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        at = 0
+        for r in rs:
+            assert r.pack_offset == at
+            assert r.pack_block_first == at // 256
+            assert r.pack_block_last == (at + r.n - 1) // 256
+            assert r.pack_n_blocks == r.pack_block_last - r.pack_block_first + 1
+            at += r.n
+        total = at
+        assert rs[-1].pack_block_last == (total - 1) // 256
+    stats = {r.pack_shard: r for r in
+             PK.pack_shard_stats(out, "n", 256).collect()}
+    for shard, rs in by_shard.items():
+        total = sum(r.n for r in rs)
+        s = stats[shard]
+        assert s.n_docs == len(rs) and s.n_tokens == total
+        assert s.n_blocks == -(-total // 256)
+        assert abs(s.fill_ratio - total / (s.n_blocks * 256)) < 1e-12
+
+
+def test_pack_sequences_layout_independent(spark):
+    from postgre_to_clickhouse_spark.operators import packing as PK
+    from postgre_to_clickhouse_spark.operators.text import token_count
+
+    d = _docs(spark).select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n"))
+    base = sorted(map(tuple, PK.pack_sequences(
+        d, "doc_id", "n", 256, 4).collect()))
+    moved = sorted(map(tuple, PK.pack_sequences(
+        d.repartition(13).orderBy(F.rand(7)), "doc_id", "n",
+        256, 4).collect()))
+    assert base == moved
+
+
+def test_pack_bins_nosplit_first_fit(spark):
+    """No-split first-fit: every bin fits the capacity, no document
+    splits, and the placement equals a local reference first-fit over
+    the same deterministic order."""
+    from postgre_to_clickhouse_spark.operators import packing as PK
+
+    d = _docs(spark).select(
+        "doc_id", (F.length("text") % 200 + 1).cast("long").alias("n"))
+    out = PK.pack_bins_nosplit(d, "doc_id", "n", capacity=256, n_shards=4)
+    rows = out.collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.pack_shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        # reference first-fit
+        remaining, want = [], []
+        for r in rs:
+            for b, space in enumerate(remaining):
+                if r.n <= space:
+                    remaining[b] = space - r.n
+                    want.append(b)
+                    break
+            else:
+                remaining.append(256 - r.n)
+                want.append(len(remaining) - 1)
+        assert [r.pack_bin for r in rs] == want
+        # capacity respected
+        fill: dict[int, int] = {}
+        for r in rs:
+            fill[r.pack_bin] = fill.get(r.pack_bin, 0) + r.n
+        assert all(v <= 256 for v in fill.values())
+    # layout independence
+    moved = sorted(map(tuple, PK.pack_bins_nosplit(
+        d.repartition(9).orderBy(F.rand(5)), "doc_id", "n",
+        256, 4).collect()))
+    assert sorted(map(tuple, rows)) == moved
+
+
+def test_pack_bins_nosplit_oversize_refuses(spark):
+    import pytest as _pytest
+
+    from postgre_to_clickhouse_spark.operators import packing as PK
+
+    d = spark.createDataFrame([(1, 10), (2, 500)], "doc_id long, n long")
+    with _pytest.raises(Exception, match="exceeds the no-split capacity"):
+        PK.pack_bins_nosplit(d, "doc_id", "n", capacity=256,
+                             n_shards=2).collect()
