@@ -593,3 +593,49 @@ def test_dsir_scoring_is_map_only_with_takeordered(spark):
     assert "Join" not in plan  # the model is a literal, not a join
     assert "Python" not in plan and "ArrowEval" not in plan
     assert not re.findall(r"\(\d+\) Exchange", plan), plan
+
+
+def test_pack_sequences_is_single_shard_exchange(spark):
+    """r13 s3: concat-and-chunk packing = ONE exchange (hash by the
+    content-addressed shard) feeding a shard-local window prefix sum;
+    the block-span arithmetic is map-side. No join, no Python, no
+    second shuffle."""
+    import re
+
+    from postgre_to_clickhouse_spark import catalog
+    from postgre_to_clickhouse_spark.operators.packing import pack_sequences
+    from postgre_to_clickhouse_spark.operators.text import token_count
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    d = catalog.load(spark, SF_SMALL, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n"))
+    out = pack_sequences(d, "doc_id", "n", capacity=256, n_shards=8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(pack_shard" in plan, plan
+    assert "Join" not in plan and "Python" not in plan, plan
+
+
+def test_pack_bins_nosplit_is_one_arrow_stage_per_shard(spark):
+    """r13 s3: no-split first-fit = one exchange by shard into ONE
+    Arrow grouped-map stage (FlatMapGroupsInPandas) — the sequential
+    first-fit runs once per shard, nothing else shuffles."""
+    import re
+
+    from postgre_to_clickhouse_spark import catalog
+    from postgre_to_clickhouse_spark.operators.packing import pack_bins_nosplit
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    d = catalog.load(spark, SF_SMALL, "documents").select(
+        "doc_id", (F.length("text") % 200 + 1).cast("long").alias("n"))
+    out = pack_bins_nosplit(d, "doc_id", "n", capacity=256, n_shards=8)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan
+    assert "Join" not in plan, plan

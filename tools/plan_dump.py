@@ -39,6 +39,7 @@ SHOWCASE = [
     ("ch_dialect_join", "r11: verbatim CH JOIN chain — dims broadcast, one fact shuffle for the agg (front end adds no nodes)"),
     ("dsir_select_documents", "r13: DSIR scoring — the fitted model is ONE literal array; map + TakeOrderedAndProject, zero exchanges, no join/window/Python"),
     ("ch_dialect_paste_qq", "r13: PASTE JOIN — two range-partitioned sorts + per-partition numbering + broadcast offsets; the zip is an index equi-join, no single-partition window"),
+    ("pack_training_sequences", "r13 s3: concat-and-chunk packing — ONE exchange by content-addressed shard into a shard-local prefix-sum window; block spans are map-side arithmetic"),
 ]
 
 STRIP = re.compile(r"#\d+L?|\[plan_id=\d+\]")
