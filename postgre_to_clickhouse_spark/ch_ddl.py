@@ -1419,6 +1419,70 @@ class ChDdlCatalog:
             batch_id=f"csv{seq}",
         )
 
+    def insert_native_blocks(self, spark: SparkSession, name: str,
+                             payload: bytes,
+                             cols: list[str] | None = None,
+                             max_rows: int | None = None) -> int:
+        """CH ``INSERT INTO t [(cols)] FORMAT Native`` body (r13 s3):
+        a concatenation of standalone Native blocks — CH-HTTP's bulk
+        upload format, the binary twin of the TCP endpoint's insert
+        dance. Each block binds BY ITS OWN HEADER NAMES (the Native
+        contract — the header travels with every block);
+        MATERIALIZED/ALIAS columns refuse, a ``cols`` list restricts
+        the allowed set. Values arrive TYPED (the block carries CH
+        type text per column), so they take the declared schema
+        through conform's cast without a text round-trip."""
+        from postgre_to_clickhouse_spark.ch_native import (
+            iter_blocks_bytes,
+            spark_type_for_ch_type,
+        )
+
+        spec = self.tables.get(name)
+        if spec is None:
+            raise ChSqlError(f"unknown table {name!r}")
+        declared = [f.name for f in spec.schema.fields]
+        allowed = set(cols) if cols is not None else set(declared)
+        unknown_cols = sorted(allowed - set(declared))
+        if unknown_cols:
+            raise ChSqlError(f"INSERT column(s) not declared: {unknown_cols}")
+        version = None
+        total = 0
+        for bi, (names, types, data) in enumerate(iter_blocks_bytes(payload)):
+            if not names:
+                continue  # an empty terminator block is legal
+            bad = sorted(set(names) - allowed)
+            if bad:
+                raise ChSqlError(
+                    f"Native block {bi + 1} carries undeclared/"
+                    f"unselected column(s) {bad}"
+                )
+            banned = [c for c in names
+                      if c in spec.materialized or c in spec.aliases]
+            if banned:
+                raise ChSqlError(
+                    f"MATERIALIZED/ALIAS column(s) are not insertable: "
+                    f"{banned}"
+                )
+            total += len(data[0]) if data else 0
+            if max_rows is not None and total > max_rows:
+                raise ChSqlError(
+                    f"Native body exceeds max_result_rows={max_rows} rows"
+                )
+            fields = []
+            for n_, t_ in zip(names, types):
+                st, _nullable = spark_type_for_ch_type(t_)
+                # always nullable on the build side — conform's cast
+                # applies the declared nullability contract
+                fields.append(T.StructField(n_, st, True))
+            df = spark.createDataFrame(
+                list(zip(*data)) if data else [], T.StructType(fields))
+            seq = self._insert_seq.get(name, 0)
+            self._insert_seq[name] = seq + 1
+            version = self.insert(spark, name, df, batch_id=f"nat{seq}")
+        if version is None:
+            raise ChSqlError("Native body carries no rows")
+        return version
+
     def insert_tsv_rows(self, spark: SparkSession, name: str,
                         lines: list[str],
                         cols: list[str] | None = None,

@@ -75,7 +75,7 @@ __all__ = ["ChHttpEndpoint", "serve_ch_http", "register_ch_global_view"]
 _FORMATS = ("TabSeparated", "TabSeparatedWithNames",
             "TabSeparatedWithNamesAndTypes", "JSONEachRow",
             "JSON", "JSONCompact", "JSONCompactEachRow", "CSV",
-            "CSVWithNames", "Pretty", "Parquet")
+            "CSVWithNames", "Pretty", "Parquet", "Native")
 
 # INSERT-with-data-body: query in the URL, rows in the POST body — the
 # CH HTTP upload split (`curl '...?query=INSERT INTO t FORMAT
@@ -84,7 +84,7 @@ _FORMATS = ("TabSeparated", "TabSeparatedWithNames",
 _INSERT_DATA = _re.compile(
     r"INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\))?\s*"
     r"FORMAT\s+(JSONEachRow|CSVWithNames|CSV|"
-    r"TabSeparatedWithNames|TabSeparated|TSV)\s*$",
+    r"TabSeparatedWithNames|TabSeparated|TSV|Native)\s*$",
     _re.IGNORECASE,
 )
 
@@ -209,6 +209,21 @@ def _ch_type_name(t, nullable: bool) -> str:
 
 
 def _serialize(df: DataFrame, fmt: str, max_rows: int) -> bytes:
+    if fmt == "Native":
+        # r13 s3: CH's own binary columnar format as an HTTP body —
+        # the standalone block layout (no TCP framing, no BlockInfo),
+        # reusing the wire endpoint's column codecs. Typed NULLs,
+        # timestamps and decimals travel natively.
+        from postgre_to_clickhouse_spark.ch_native import serialize_native
+
+        rows = df.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            raise ChSqlError(
+                f"result exceeds max_result_rows={max_rows} — add a "
+                "LIMIT (the endpoint materializes what it returns, like "
+                "CH's own max_result_rows guard)"
+            )
+        return serialize_native(df.schema.fields, rows)
     if fmt == "Parquet":
         # r13 (VERDICT r12 #6): CH-HTTP's standard bulk-export format
         # — the natural one for this engine. The bounded result
@@ -439,6 +454,7 @@ def serve_ch_http(
                 "CSVWithNames": "text/csv",
                 "Pretty": "text/plain; charset=UTF-8",
                 "Parquet": "application/octet-stream",
+                "Native": "application/octet-stream",
             }.get(fmt, "text/tab-separated-values")
             self._answer(200, body, ctype)
 
@@ -454,13 +470,15 @@ def serve_ch_http(
         def do_POST(self) -> None:
             u = urlparse(self.path)
             n = int(self.headers.get("Content-Length") or 0)
-            body = self.rfile.read(n).decode() if n else ""
+            raw = self.rfile.read(n) if n else b""
             params = parse_qs(u.query)
             q = params.get("query", [""])[0]
             # CH semantics: query in the URL OR in the body; BOTH set
             # is the INSERT-data split — the URL carries `INSERT INTO t
-            # FORMAT JSONEachRow`, the body the ndjson rows (r11)
-            if q and body.strip():
+            # FORMAT JSONEachRow`, the body the ndjson rows (r11).
+            # FORMAT Native bodies are BINARY — only the text-format
+            # paths decode.
+            if q and raw.strip():
                 m = _INSERT_DATA.match(q.strip().rstrip(";"))
                 if m is None or _execute is None:
                     self._answer(
@@ -468,7 +486,7 @@ def serve_ch_http(
                         b"query in both URL and body is the INSERT-data "
                         b"split: the URL must carry `INSERT INTO t "
                         b"[(cols)] FORMAT JSONEachRow|CSV[WithNames]|"
-                        b"TabSeparated[WithNames]` "
+                        b"TabSeparated[WithNames]|Native` "
                         b"and the endpoint must be catalog-backed\n",
                         "text/plain",
                     )
@@ -479,16 +497,25 @@ def serve_ch_http(
                     if m.group(2) else None
                 )
                 up_fmt = m.group(3).lower()
-                lines = body.splitlines()
-                if len(lines) > max_result_rows:
-                    self._answer(
-                        500,
-                        f"INSERT body exceeds max_result_rows="
-                        f"{max_result_rows} lines\n".encode(),
-                        "text/plain",
-                    )
-                    return
                 try:
+                    if up_fmt == "native":
+                        # binary body — row bound enforced inside
+                        # (blocks carry their own row counts)
+                        source.insert_native_blocks(
+                            spark, name, raw, cols,
+                            max_rows=max_result_rows,
+                        )
+                        self._answer(200, b"", "text/plain")
+                        return
+                    lines = raw.decode().splitlines()
+                    if len(lines) > max_result_rows:
+                        self._answer(
+                            500,
+                            f"INSERT body exceeds max_result_rows="
+                            f"{max_result_rows} lines\n".encode(),
+                            "text/plain",
+                        )
+                        return
                     if up_fmt == "jsoneachrow":
                         source.insert_json_rows(spark, name, lines, cols)
                     elif up_fmt in ("tabseparated", "tsv",
@@ -510,7 +537,7 @@ def serve_ch_http(
                     return
                 self._answer(200, b"", "text/plain")
                 return
-            self._serve_query(q or body, params)
+            self._serve_query(q or raw.decode(errors="replace"), params)
 
     srv = ThreadingHTTPServer((host, port), _Handler)
     srv.daemon_threads = True

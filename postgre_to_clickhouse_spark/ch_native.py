@@ -107,6 +107,10 @@ _EPOCH_DATE = _dt.date(1970, 1, 1)
 
 # -- primitives (native-protocol basics) -------------------------------
 def write_varint(n: int) -> bytes:
+    if n < 0:
+        # unsigned LEB128 only — a negative would loop forever on
+        # Python's arithmetic right shift
+        raise ValueError(f"varint is unsigned, got {n}")
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -151,6 +155,8 @@ class _Reader:
             if not b & 0x80:
                 return out
             shift += 7
+            if shift > 63:  # 10 continuation bytes = not a UInt64
+                raise ChSqlError("malformed varint on the native wire")
 
     def string(self) -> str:
         return self.read(self.varint()).decode()
@@ -242,32 +248,45 @@ def _date_codec() -> _Codec:  # legacy u16 Date, decode side only
     )
 
 
-def _ts_to_utc_epoch(v: _dt.datetime) -> float:
-    # naive datetimes are taken as UTC on the wire (the engine runs
-    # sessions in the default UTC timezone; ch_http renders the same
-    # naive values as text)
-    if v.tzinfo is None:
-        v = v.replace(tzinfo=_dt.timezone.utc)
-    return v.timestamp()
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
+
+
+def _ts_to_epoch_us(v: _dt.datetime) -> int:
+    """EXACT integer epoch microseconds. Naive datetimes are taken as
+    UTC on the wire (the engine runs sessions in the default UTC
+    timezone; ch_http renders the same naive values as text). Integer
+    arithmetic throughout — float ``timestamp()`` drifts by 1 µs at
+    far dates (caught by the hypothesis round-trip test)."""
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    d = v - _EPOCH_DT
+    return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
 
 
 def _datetime_codec() -> _Codec:
     return _fixed(
         "DateTime", "<I",
-        to_wire=lambda v: int(_ts_to_utc_epoch(v)),
-        from_wire=lambda n: _dt.datetime.fromtimestamp(
-            n, _dt.timezone.utc).replace(tzinfo=None),
+        to_wire=lambda v: _ts_to_epoch_us(v) // 1_000_000,
+        from_wire=lambda n: _EPOCH_DT + _dt.timedelta(seconds=n),
     )
 
 
 def _datetime64_codec(precision: int = 6) -> _Codec:
-    scale = 10 ** precision
-    return _fixed(
-        f"DateTime64({precision})", "<q",
-        to_wire=lambda v: round(_ts_to_utc_epoch(v) * scale),
-        from_wire=lambda n: _dt.datetime.fromtimestamp(
-            n / scale, _dt.timezone.utc).replace(tzinfo=None),
-    )
+    def to_wire(v):
+        us = _ts_to_epoch_us(v)
+        if precision >= 6:
+            return us * 10 ** (precision - 6)
+        return us // 10 ** (6 - precision)  # CH truncates sub-tick
+
+    def from_wire(n):
+        if precision >= 6:
+            us = n // 10 ** (precision - 6)  # python datetime is µs-grained
+        else:
+            us = n * 10 ** (6 - precision)
+        return _EPOCH_DT + _dt.timedelta(microseconds=us)
+
+    return _fixed(f"DateTime64({precision})", "<q",
+                  to_wire=to_wire, from_wire=from_wire)
 
 
 def _decimal_codec(precision: int, scale: int) -> _Codec:
@@ -918,3 +937,92 @@ class ChNativeClient:
     def ping(self) -> bool:
         self.sock.sendall(write_varint(C_PING))
         return self._recv()[0] == "pong"
+
+
+# -- the standalone Native FORMAT (HTTP bodies / files) ------------------
+# Outside the TCP protocol, ClickHouse's `FORMAT Native` is the same
+# block encoding WITHOUT packet framing or BlockInfo: a concatenation
+# of (n_cols varint, n_rows varint, then per column name + type +
+# data) until EOF. rev=0 in write_block/read_block produces exactly
+# that layout, so the HTTP endpoint reuses these codecs verbatim.
+
+class _BytesSock:
+    """recv()-compatible view over a bytes payload so _Reader can
+    parse standalone Native bodies."""
+
+    def __init__(self, payload: bytes):
+        self._mv = memoryview(payload)
+        self._at = 0
+
+    def recv(self, n: int) -> bytes:
+        out = bytes(self._mv[self._at:self._at + n])
+        self._at += len(out)
+        return out
+
+
+def iter_blocks_bytes(payload: bytes):
+    """Yield (names, types, columns) per block from a standalone
+    Native body until the payload is exhausted. Trailing garbage
+    raises (a truncated block surfaces as EOFError from the reader)."""
+    r = _Reader(_BytesSock(payload))
+    while True:
+        if r.eof_between_packets():
+            return
+        try:
+            yield read_block(r, rev=0)
+        except EOFError:
+            raise ChSqlError(
+                "truncated Native body — a block header or column ran "
+                "past the end of the payload"
+            ) from None
+
+
+def serialize_native(fields, rows) -> bytes:
+    """One standalone Native block from Spark schema fields + rows —
+    the FORMAT Native response body."""
+    cols = [
+        (f.name, codec_for(f.dataType, f.nullable),
+         [row[i] for row in rows])
+        for i, f in enumerate(fields)
+    ]
+    return write_block(cols, len(rows), rev=0)
+
+
+def spark_type_for_ch_type(s: str) -> tuple[T.DataType, bool]:
+    """CH wire type string → (Spark type, nullable) for building a
+    DataFrame from decoded Native blocks. UInt64 maps to LongType —
+    values above 2^63-1 would overflow and raise at build time rather
+    than wrap (documented narrowing; the engine's own tables never
+    emit them)."""
+    s = s.strip()
+    m = re.fullmatch(r"Nullable\((.*)\)", s)
+    if m:
+        inner, _ = spark_type_for_ch_type(m.group(1))
+        return inner, True
+    m = re.fullmatch(r"Array\((.*)\)", s)
+    if m:
+        inner, inner_null = spark_type_for_ch_type(m.group(1))
+        return T.ArrayType(inner, inner_null), True
+    m = re.fullmatch(r"DateTime64\(\s*\d+\s*(?:,\s*'[^']*'\s*)?\)", s)
+    if m:
+        return T.TimestampType(), False
+    m = re.fullmatch(r"Decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", s)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2))), False
+    m = re.fullmatch(r"Decimal(32|64|128)\(\s*(\d+)\s*\)", s)
+    if m:
+        prec = {"32": 9, "64": 18, "128": 38}[m.group(1)]
+        return T.DecimalType(prec, int(m.group(2))), False
+    base = {
+        "Int8": T.ByteType(), "Int16": T.ShortType(),
+        "Int32": T.IntegerType(), "Int64": T.LongType(),
+        "UInt8": T.ShortType(), "UInt16": T.IntegerType(),
+        "UInt32": T.LongType(), "UInt64": T.LongType(),
+        "Float32": T.FloatType(), "Float64": T.DoubleType(),
+        "String": T.StringType(), "Bool": T.BooleanType(),
+        "Date": T.DateType(), "Date32": T.DateType(),
+        "DateTime": T.TimestampType(),
+    }.get(s)
+    if base is None:
+        raise ChSqlError(f"native format: unsupported column type {s!r}")
+    return base, False

@@ -118,9 +118,9 @@ def test_wire_errors_are_loud(ep):
     assert code == 500 and "nope" in body
     code, body = _post(ep, "DROP TABLE users")
     assert code == 500 and "SELECT statements" in body
-    # r13: Parquet joined the subset; Native (CH's internal binary
-    # block format) remains a loud refusal
-    code, body = _post(ep, "SELECT 1 FORMAT Native")
+    # r13: Parquet and (s3) Native both joined the subset; a format
+    # the engine does not speak still refuses loudly
+    code, body = _post(ep, "SELECT user_id FROM users FORMAT Arrow")
     assert code == 500 and "outside the subset" in body
 
 
@@ -693,3 +693,100 @@ def test_tabseparated_with_names_and_types(spark, tmp_path):
                              "2\t\\N\t2024-03-02 11:00:00"]
     finally:
         ep9.stop()
+
+
+def test_format_native_roundtrip(spark, tmp_path):
+    """r13 s3: FORMAT Native both directions over HTTP — CH's binary
+    columnar body (the standalone block layout, no TCP framing). The
+    upload binds by the block's own header names; the response
+    carries typed NULLs, timestamps and decimals with no text
+    round-trip."""
+    import urllib.parse
+    import urllib.request
+
+    from pyspark.sql import types as T
+
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+    from postgre_to_clickhouse_spark.ch_native import (
+        iter_blocks_bytes,
+        serialize_native,
+    )
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_http(spark, cat)
+    try:
+        _post(ep, "CREATE TABLE t (id UInt64, name Nullable(String), "
+                  "ts DateTime, amount Decimal(10, 2)) "
+                  "ENGINE = MergeTree ORDER BY (id)")
+        fields = [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("amount", T.DecimalType(10, 2), False),
+        ]
+        import datetime as dt
+        from decimal import Decimal
+
+        body = serialize_native(
+            fields,
+            [(1, "ada", dt.datetime(2024, 3, 1, 10, 0, 0), Decimal("1.50")),
+             (2, None, dt.datetime(2024, 3, 2, 9, 30, 0), Decimal("2.25"))],
+        )
+        url = ep.url + "?query=" + urllib.parse.quote(
+            "INSERT INTO t FORMAT Native")
+        req = urllib.request.Request(url, data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+        url = ep.url + "?query=" + urllib.parse.quote(
+            "SELECT id, name, ts, amount FROM t ORDER BY id FORMAT Native")
+        with urllib.request.urlopen(url, timeout=120) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "application/octet-stream"
+            payload = r.read()
+        blocks = list(iter_blocks_bytes(payload))
+        assert len(blocks) == 1
+        names, types, cols = blocks[0]
+        assert names == ["id", "name", "ts", "amount"]
+        by = dict(zip(names, types))
+        # nullability mirrors the Spark result schema (stored parquet
+        # columns read back nullable)
+        assert by["amount"] in ("Decimal(10, 2)", "Nullable(Decimal(10, 2))")
+        assert by["name"] == "Nullable(String)"
+        rows = list(zip(*cols))
+        assert rows[0] == (1, "ada", dt.datetime(2024, 3, 1, 10, 0, 0),
+                           Decimal("1.50"))
+        assert rows[1][1] is None and rows[1][3] == Decimal("2.25")
+    finally:
+        ep.stop()
+
+
+def test_format_native_upload_refuses_bad_columns(spark, tmp_path):
+    import urllib.parse
+    import urllib.request
+
+    from pyspark.sql import types as T
+
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+    from postgre_to_clickhouse_spark.ch_native import serialize_native
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_http(spark, cat)
+    try:
+        _post(ep, "CREATE TABLE t (a Int64, m Int64 MATERIALIZED a + 1) "
+                  "ENGINE = MergeTree ORDER BY (a)")
+        body = serialize_native(
+            [T.StructField("a", T.LongType(), False),
+             T.StructField("m", T.LongType(), False)],
+            [(1, 2)],
+        )
+        url = ep.url + "?query=" + urllib.parse.quote(
+            "INSERT INTO t FORMAT Native")
+        req = urllib.request.Request(url, data=body, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                code, text = r.status, r.read().decode()
+        except urllib.error.HTTPError as e:
+            code, text = e.code, e.read().decode()
+        assert code == 500 and "not insertable" in text
+    finally:
+        ep.stop()

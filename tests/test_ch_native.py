@@ -441,3 +441,138 @@ def test_settings_accepted_as_strings(natep):
         assert kind == "rows" and rows == [(3,)]
     finally:
         c.close()
+
+
+# -- codec property tests (pure python, no Spark) -----------------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from postgre_to_clickhouse_spark.ch_native import (  # noqa: E402
+    _BytesSock,
+    _Reader,
+    codec_for_ch_type,
+    iter_blocks_bytes,
+    spark_type_for_ch_type,
+    write_block,
+)
+
+
+def _roundtrip(ch_type: str, values: list):
+    codec = codec_for_ch_type(ch_type)
+    raw = codec.enc(values)
+    r = _Reader(_BytesSock(raw))
+    return codec.dec(r, len(values))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1)))
+def test_int64_codec_roundtrip(vals):
+    assert _roundtrip("Int64", vals) == vals
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=40))))
+def test_nullable_string_codec_roundtrip(vals):
+    assert _roundtrip("Nullable(String)", vals) == vals
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.lists(
+    st.one_of(st.none(),
+              st.integers(min_value=-(2 ** 31), max_value=2 ** 31 - 1)),
+    max_size=8)))
+def test_array_nullable_int_codec_roundtrip(vals):
+    assert _roundtrip("Array(Nullable(Int32))", vals) == vals
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, width=64)))
+def test_float64_codec_roundtrip(vals):
+    assert _roundtrip("Float64", vals) == vals
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.decimals(
+    min_value=-(10 ** 8), max_value=10 ** 8, places=2)))
+def test_decimal_codec_roundtrip(vals):
+    from decimal import Decimal
+
+    got = _roundtrip("Decimal(10, 2)", vals)
+    assert got == [Decimal(v).quantize(Decimal("0.01")) for v in vals]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.datetimes(
+    min_value=dt.datetime(1970, 1, 2),
+    max_value=dt.datetime(2200, 1, 1))))
+def test_datetime64_codec_roundtrip(vals):
+    # DateTime64(6): microsecond ticks — exact for any datetime
+    assert _roundtrip("DateTime64(6)", vals) == vals
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.dates(
+    min_value=dt.date(1900, 1, 1), max_value=dt.date(2200, 1, 1))))
+def test_date32_codec_roundtrip(vals):
+    assert _roundtrip("Date32", vals) == vals
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    names=st.lists(
+        st.text(alphabet="abcdefgh_", min_size=1, max_size=8),
+        min_size=1, max_size=4, unique=True),
+    n_rows=st.integers(min_value=0, max_value=20),
+    data=st.data(),
+)
+def test_standalone_block_roundtrip(names, n_rows, data):
+    """Any block of Int64/Nullable(String) columns survives the
+    standalone Native body encoding byte-exactly."""
+    cols = []
+    for i, name in enumerate(names):
+        if i % 2 == 0:
+            vals = data.draw(st.lists(
+                st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+                min_size=n_rows, max_size=n_rows))
+            cols.append((name, codec_for_ch_type("Int64"), vals))
+        else:
+            vals = data.draw(st.lists(
+                st.one_of(st.none(), st.text(max_size=20)),
+                min_size=n_rows, max_size=n_rows))
+            cols.append((name, codec_for_ch_type("Nullable(String)"), vals))
+    payload = write_block(cols, n_rows, rev=0)
+    blocks = list(iter_blocks_bytes(payload))
+    assert len(blocks) == 1
+    got_names, _types, got_cols = blocks[0]
+    assert got_names == names
+    assert got_cols == [c[2] for c in cols]
+
+
+def test_spark_type_for_ch_type_refuses_unknown():
+    import pytest as _pytest
+
+    from postgre_to_clickhouse_spark.ch_select import ChSqlError
+
+    with _pytest.raises(ChSqlError, match="unsupported column type"):
+        spark_type_for_ch_type("Map(String, String)")
+    with _pytest.raises(ChSqlError, match="unsupported column type"):
+        codec_for_ch_type("LowCardinality(String)")
+
+
+def test_wire_guards():
+    """Negative varints refuse (would loop forever), over-long
+    varints refuse (max 10 bytes for UInt64), and a truncated Native
+    body raises the dialect error, not a raw EOF."""
+    import pytest as _pytest
+
+    from postgre_to_clickhouse_spark.ch_select import ChSqlError
+
+    with _pytest.raises(ValueError, match="unsigned"):
+        write_varint(-1)
+    r = _Reader(_BytesSock(b"\xff" * 11))
+    with _pytest.raises(ChSqlError, match="malformed varint"):
+        r.varint()
+    good = write_block(
+        [("a", codec_for_ch_type("Int64"), [1, 2, 3])], 3, rev=0)
+    with _pytest.raises(ChSqlError, match="truncated Native body"):
+        list(iter_blocks_bytes(good[:-4]))
