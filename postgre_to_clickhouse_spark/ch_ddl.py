@@ -59,6 +59,8 @@ ch_select.
 
 from __future__ import annotations
 
+import threading
+
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -631,6 +633,17 @@ class ChDdlCatalog:
         self.n_buckets = n_buckets
         self.storage: dict[str, object] = {}
         self._insert_seq: dict[str, int] = {}
+        # wire endpoints serve one thread per connection; batch-id
+        # allocation is the one piece of shared mutable state they
+        # race on (duplicate ids would break versionless-RMT arrival
+        # tie-breaking), so it takes a lock
+        self._seq_lock = threading.Lock()
+
+    def _next_seq(self, name: str) -> int:
+        with self._seq_lock:
+            seq = self._insert_seq.get(name, 0)
+            self._insert_seq[name] = seq + 1
+            return seq
 
     # -- parsing -----------------------------------------------------
     def execute(self, sql: str, spark: SparkSession | None = None) -> object:
@@ -1290,8 +1303,7 @@ class ChDdlCatalog:
             raise ChSqlError(
                 f"INSERT body must be VALUES or SELECT, got {rest[0]!r}"
             )
-        seq = self._insert_seq.get(name, 0)
-        self._insert_seq[name] = seq + 1
+        seq = self._next_seq(name)
         return self.insert(spark, name, df, batch_id=f"sql{seq}")
 
     def insert_json_rows(self, spark: SparkSession, name: str,
@@ -1350,8 +1362,7 @@ class ChDdlCatalog:
                 tuple(None if r[k] is None else str(r[k]) for k in ks)
                 for r in rs
             ]
-            seq = self._insert_seq.get(name, 0)
-            self._insert_seq[name] = seq + 1
+            seq = self._next_seq(name)
             version = self.insert(
                 spark, name, spark.createDataFrame(data, schema),
                 batch_id=f"json{seq}",
@@ -1412,8 +1423,7 @@ class ChDdlCatalog:
                 )
             data.append(tuple(None if v == "\\N" else v for v in r))
         schema = ", ".join(f"{k} string" for k in binding)
-        seq = self._insert_seq.get(name, 0)
-        self._insert_seq[name] = seq + 1
+        seq = self._next_seq(name)
         return self.insert(
             spark, name, spark.createDataFrame(data, schema),
             batch_id=f"csv{seq}",
@@ -1445,7 +1455,10 @@ class ChDdlCatalog:
         unknown_cols = sorted(allowed - set(declared))
         if unknown_cols:
             raise ChSqlError(f"INSERT column(s) not declared: {unknown_cols}")
-        version = None
+        # decode + validate EVERY block before inserting ANY — a
+        # mid-body failure must not leave a partial insert behind
+        # (the text upload paths pre-check the same way)
+        blocks: list[tuple[list[str], list[str], list[list]]] = []
         total = 0
         for bi, (names, types, data) in enumerate(iter_blocks_bytes(payload)):
             if not names:
@@ -1468,6 +1481,11 @@ class ChDdlCatalog:
                 raise ChSqlError(
                     f"Native body exceeds max_result_rows={max_rows} rows"
                 )
+            blocks.append((names, types, data))
+        if not blocks:
+            raise ChSqlError("Native body carries no rows")
+        version = None
+        for names, types, data in blocks:
             fields = []
             for n_, t_ in zip(names, types):
                 st, _nullable = spark_type_for_ch_type(t_)
@@ -1476,11 +1494,8 @@ class ChDdlCatalog:
                 fields.append(T.StructField(n_, st, True))
             df = spark.createDataFrame(
                 list(zip(*data)) if data else [], T.StructType(fields))
-            seq = self._insert_seq.get(name, 0)
-            self._insert_seq[name] = seq + 1
+            seq = self._next_seq(name)
             version = self.insert(spark, name, df, batch_id=f"nat{seq}")
-        if version is None:
-            raise ChSqlError("Native body carries no rows")
         return version
 
     def insert_tsv_rows(self, spark: SparkSession, name: str,
@@ -1547,8 +1562,7 @@ class ChDdlCatalog:
                 )
             data.append(tuple(_field(v) for v in r))
         schema = ", ".join(f"{k} string" for k in binding)
-        seq = self._insert_seq.get(name, 0)
-        self._insert_seq[name] = seq + 1
+        seq = self._next_seq(name)
         return self.insert(
             spark, name, spark.createDataFrame(data, schema),
             batch_id=f"tsv{seq}",

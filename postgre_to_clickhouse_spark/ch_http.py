@@ -215,15 +215,10 @@ def _serialize(df: DataFrame, fmt: str, max_rows: int) -> bytes:
         # reusing the wire endpoint's column codecs. Typed NULLs,
         # timestamps and decimals travel natively.
         from postgre_to_clickhouse_spark.ch_native import serialize_native
+        from postgre_to_clickhouse_spark.ch_select import collect_bounded
 
-        rows = df.limit(max_rows + 1).collect()
-        if len(rows) > max_rows:
-            raise ChSqlError(
-                f"result exceeds max_result_rows={max_rows} — add a "
-                "LIMIT (the endpoint materializes what it returns, like "
-                "CH's own max_result_rows guard)"
-            )
-        return serialize_native(df.schema.fields, rows)
+        return serialize_native(df.schema.fields,
+                                collect_bounded(df, max_rows))
     if fmt == "Parquet":
         # r13 (VERDICT r12 #6): CH-HTTP's standard bulk-export format
         # — the natural one for this engine. The bounded result
@@ -245,13 +240,9 @@ def _serialize(df: DataFrame, fmt: str, max_rows: int) -> bytes:
         buf = io.BytesIO()
         pq.write_table(table, buf)
         return buf.getvalue()
-    rows = df.limit(max_rows + 1).collect()
-    if len(rows) > max_rows:
-        raise ChSqlError(
-            f"result exceeds max_result_rows={max_rows} — add a LIMIT "
-            "(the endpoint materializes what it returns, like CH's own "
-            "max_result_rows guard)"
-        )
+    from postgre_to_clickhouse_spark.ch_select import collect_bounded
+
+    rows = collect_bounded(df, max_rows)
     cols = df.columns
     out: list[str] = []
     if fmt == "Pretty":

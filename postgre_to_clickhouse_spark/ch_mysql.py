@@ -237,11 +237,12 @@ class _Conn:
         return True
 
     def _answer_frame(self, df: DataFrame) -> None:
-        rows = df.limit(self.max_rows + 1).collect()
-        if len(rows) > self.max_rows:
-            self._send(self._err(
-                f"result exceeds max_result_rows={self.max_rows} — add "
-                "a LIMIT (same guard as the HTTP endpoint)"))
+        from postgre_to_clickhouse_spark.ch_select import collect_bounded
+
+        try:
+            rows = collect_bounded(df, self.max_rows)
+        except ChSqlError as exc:
+            self._send(self._err(str(exc)))
             return
         fields = df.schema.fields
         self._send(_lenenc_int(len(fields)))

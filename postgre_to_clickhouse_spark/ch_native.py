@@ -292,12 +292,18 @@ def _datetime64_codec(precision: int = 6) -> _Codec:
 def _decimal_codec(precision: int, scale: int) -> _Codec:
     size = 4 if precision <= 9 else 8 if precision <= 18 else 16
     q = _decimal.Decimal(1).scaleb(-scale)
+    # the DEFAULT decimal context (prec=28) silently rounds 38-digit
+    # values on scaleb and raises InvalidOperation on quantize — a
+    # Decimal128 carries up to 38 significant digits, so every
+    # arithmetic step runs under an explicit wide context
+    _ctx = _decimal.Context(prec=precision + scale + 4)
 
     def enc(vals):
         out = bytearray()
         for v in vals:
             n = 0 if v is None else int(
-                _decimal.Decimal(v).quantize(q).scaleb(scale))
+                _decimal.Decimal(v).quantize(q, context=_ctx)
+                .scaleb(scale, context=_ctx))
             out += n.to_bytes(size, "little", signed=True)
         return bytes(out)
 
@@ -307,7 +313,7 @@ def _decimal_codec(precision: int, scale: int) -> _Codec:
             _decimal.Decimal(
                 int.from_bytes(raw[i * size:(i + 1) * size], "little",
                                signed=True)
-            ).scaleb(-scale)
+            ).scaleb(-scale, context=_ctx)
             for i in range(n)
         ]
 
@@ -578,12 +584,9 @@ class _Conn:
         return True
 
     def _answer_frame(self, df: DataFrame) -> None:
-        rows = df.limit(self.max_rows + 1).collect()
-        if len(rows) > self.max_rows:
-            raise ChSqlError(
-                f"result exceeds max_result_rows={self.max_rows} — add "
-                "a LIMIT (same guard as the HTTP endpoint)"
-            )
+        from postgre_to_clickhouse_spark.ch_select import collect_bounded
+
+        rows = collect_bounded(df, self.max_rows)
         fields = df.schema.fields
         cols = [
             (f.name, codec_for(f.dataType, f.nullable),
@@ -593,9 +596,13 @@ class _Conn:
         self._send_block(cols, len(rows))
         self._send(write_varint(S_END_OF_STREAM))
 
-    def _insert_dance(self, name: str, col_list: list[str] | None) -> None:
+    def _insert_dance(self, name: str, col_list: list[str] | None,
+                      mid_dance: list[bool]) -> None:
         """The documented native INSERT flow: sample block out, data
-        blocks in, empty block terminates."""
+        blocks in, empty block terminates. ``mid_dance[0]`` flips once
+        the sample block is on the wire — an error after that point
+        means the client may still be streaming, so the caller closes
+        the connection (CH's own behavior) instead of trying to resync."""
         spec = self.catalog.tables.get(name)
         if spec is None:
             raise ChSqlError(f"unknown table {name!r}")
@@ -618,6 +625,7 @@ class _Conn:
             insertable = [by_name[c] for c in col_list]
         sample = [(f.name, codec_for(f.dataType, f.nullable), [])
                   for f in insertable]
+        mid_dance[0] = True
         self._send_block(sample, 0)
         rows: list[tuple] = []
         while True:
@@ -640,36 +648,79 @@ class _Conn:
                     f"sample block {[f.name for f in insertable]}"
                 )
             rows.extend(zip(*data))
+            if len(rows) > self.max_rows:
+                # the same bound every other ingest path enforces —
+                # the dance buffers before the part ingest
+                raise ChSqlError(
+                    f"INSERT exceeds max_result_rows={self.max_rows} "
+                    "rows per statement — split into smaller inserts"
+                )
         schema = T.StructType(
             [T.StructField(f.name, f.dataType, True) for f in insertable]
         )
         df = self.spark.createDataFrame(rows, schema)
-        seq = self.catalog._insert_seq.get(name, 0)
-        self.catalog._insert_seq[name] = seq + 1
+        seq = self.catalog._next_seq(name)
         self.catalog.insert(self.spark, name, df, batch_id=f"native{seq}")
         self._send(write_varint(S_END_OF_STREAM))
 
-    def _query(self) -> None:
-        self.r.string()  # query id
-        if self.rev >= REV_CLIENT_INFO:
-            _read_client_info(self.r, self.rev)
-        _read_settings(self.r, self.rev)
-        if self.rev >= REV_INTERSERVER_SECRET:
-            self.r.string()
-        self.r.varint()  # stage (Complete)
-        compression = self.r.varint()
-        sql = self.r.string().strip().rstrip(";")
+    def _read_external_tables(self) -> None:
+        """After Query, every real client sends the EXTERNAL-TABLES
+        section: zero or more named Data blocks, terminated by an
+        empty one (clickhouse-client and clickhouse-driver send the
+        terminator unconditionally). Consume it; a non-empty external
+        table refuses loudly (outside the subset)."""
+        while True:
+            ptype = self.r.varint()
+            if ptype != C_DATA:
+                raise ChSqlError(
+                    f"expected the external-tables terminator Data "
+                    f"block after Query, got packet {ptype}"
+                )
+            if self.rev >= REV_TEMPORARY_TABLES:
+                self.r.string()
+            names, _types, _data = read_block(self.r, self.rev)
+            if not names:
+                return
+            raise ChSqlError(
+                "external (temporary) tables are outside the subset — "
+                "stage the data with INSERT instead"
+            )
+
+    def _query(self) -> bool:
+        """Serve one Query packet. Returns True to keep the
+        connection, False when the stream can no longer be trusted
+        (header parse failure or a mid-INSERT error — the client may
+        still be streaming, so the server closes like CH does)."""
         try:
+            self.r.string()  # query id
+            if self.rev >= REV_CLIENT_INFO:
+                _read_client_info(self.r, self.rev)
+            _read_settings(self.r, self.rev)
+            if self.rev >= REV_INTERSERVER_SECRET:
+                self.r.string()
+            self.r.varint()  # stage (Complete)
+            compression = self.r.varint()
+            sql = self.r.string().strip().rstrip(";")
             if compression:
+                # refuse BEFORE touching the external-tables section —
+                # a compressing client frames its blocks differently,
+                # so the stream cannot be parsed further
                 raise ChSqlError(
                     "native wire: LZ4 compression is outside the subset — "
                     "connect with compression disabled (the clickhouse-"
                     "driver default)"
                 )
+            self._read_external_tables()
+        except EOFError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — header errors close
+            self._send(self._exception(exc))
+            return False
+        try:
             head = sql[:6].upper()
             if head.startswith(("SELECT", "WITH")):
                 self._answer_frame(self.run(sql))
-                return
+                return True
             if self.execute is None:
                 raise ChSqlError(
                     "this endpoint serves SELECT statements only (fixed "
@@ -682,8 +733,15 @@ class _Conn:
                 if m.group(3):
                     cols = [c.strip() for c in
                             m.group(3).strip("()").split(",")]
-                self._insert_dance(m.group(2), cols)
-                return
+                mid_dance = [False]
+                try:
+                    self._insert_dance(m.group(2), cols, mid_dance)
+                except Exception as exc:  # noqa: BLE001
+                    # the client may still be streaming blocks — the
+                    # stream position is untrustworthy, close like CH
+                    self._send(self._exception(exc))
+                    return not mid_dance[0]
+                return True
             res = self.execute(sql)
             if isinstance(res, DataFrame):
                 self._answer_frame(res)
@@ -691,6 +749,7 @@ class _Conn:
                 self._send(write_varint(S_END_OF_STREAM))
         except Exception as exc:  # noqa: BLE001 — wire errors are packets
             self._send(self._exception(exc))
+        return True
 
     def serve(self) -> None:
         if not self._hello():
@@ -702,7 +761,8 @@ class _Conn:
             if ptype == C_PING:
                 self._send(write_varint(S_PONG))
             elif ptype == C_QUERY:
-                self._query()
+                if not self._query():
+                    return
             elif ptype == C_CANCEL:
                 continue  # nothing running between queries
             elif ptype == C_TABLES_STATUS:
@@ -873,6 +933,12 @@ class ChNativeClient:
             w += write_str("")
         w += write_varint(2) + write_varint(0)  # Complete, no compression
         w += write_str(sql)
+        # the external-tables terminator every real client sends
+        # unconditionally after Query (an empty Data block)
+        w += write_varint(C_DATA)
+        if self.rev >= REV_TEMPORARY_TABLES:
+            w += write_str("")
+        w += write_block([], 0, self.rev)
         self.sock.sendall(w)
 
     def _recv(self):
@@ -933,6 +999,19 @@ class ChNativeClient:
         kind, _ = self._recv()
         if kind != "end":
             raise ChSqlError("native client: expected EndOfStream")
+
+    def insert_df(self, table: str, df: DataFrame,
+                  max_rows: int = 100_000) -> None:
+        """INSERT a DataFrame through the block dance. The collect is
+        bounded by ``max_rows`` (the shared collect_bounded guard) —
+        this is a CLIENT-side convenience for fixture-sized frames,
+        not a bulk-transfer path."""
+        from postgre_to_clickhouse_spark.ch_select import collect_bounded
+
+        rows = collect_bounded(df, max_rows)
+        fields = [(f.name, f.dataType, f.nullable)
+                  for f in df.schema.fields]
+        self.insert_rows(table, fields, [tuple(r) for r in rows])
 
     def ping(self) -> bool:
         self.sock.sendall(write_varint(C_PING))

@@ -2860,7 +2860,31 @@ def _syntax_select(p: "_Parsed", indent: int) -> list[str]:
         lines.append(f"{pad}WINDOW " + ", ".join(
             f"{name} AS ({spec})" for name, spec in p.windows))
     if p.order_by:
-        lines.append(f"{pad}ORDER BY {', '.join(p.order_by)}")
+        # WITH FILL modifiers are part of the statement's semantics —
+        # re-attach each fill key's spec so the rendering stays a
+        # reparseable fixed point (the fill keys sit in p.order_by,
+        # their specs in p.fill)
+        fills = {f.key: f for f in
+                 ([*p.fill.lead_fills, p.fill] if p.fill else [])}
+
+        def _with_fill(o: str) -> str:
+            f = fills.get(o)
+            if f is None:
+                return o
+            spec = o + " WITH FILL"
+            if f.frm is not None:
+                spec += f" FROM {f.frm}"
+            if f.to is not None:
+                spec += f" TO {f.to}"
+            spec += (f" STEP INTERVAL {f.step} {f.unit}" if f.unit
+                     else f" STEP {f.step}")
+            return spec
+
+        rendered = ", ".join(_with_fill(o) for o in p.order_by)
+        if p.fill is not None and p.fill.interpolate:
+            rendered += (" INTERPOLATE ("
+                         + ", ".join(p.fill.interpolate) + ")")
+        lines.append(f"{pad}ORDER BY {rendered}")
     if p.limit_by is not None:
         nn, cols = p.limit_by
         lines.append(f"{pad}LIMIT {nn} BY {', '.join(cols)}")
@@ -2872,3 +2896,18 @@ def _syntax_select(p: "_Parsed", indent: int) -> list[str]:
         if p.offset:
             lines.append(f"{pad}OFFSET {p.offset}")
     return lines
+
+
+def collect_bounded(df: DataFrame, max_rows: int) -> list:
+    """The wire endpoints' shared result guard: materialize at most
+    ``max_rows`` rows (a ``limit(max+1)`` probe, never a full
+    collect) or refuse loudly. One definition so the bound semantics
+    cannot drift between HTTP / native / MySQL serializers."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ChSqlError(
+            f"result exceeds max_result_rows={max_rows} — add a LIMIT "
+            "(the endpoint materializes what it returns, like CH's own "
+            "max_result_rows guard)"
+        )
+    return rows

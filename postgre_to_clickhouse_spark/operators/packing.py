@@ -93,7 +93,6 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(token_col)).over(w)
-    start = (cum - F.col(token_col)).alias("pack_offset")
     cap = F.lit(int(capacity))
     return (
         out.withColumn("pack_offset", cum - F.col(token_col))

@@ -1558,15 +1558,9 @@ def cdc_native_wire_pipeline(spark, sf_dir):
                 spark, "consumer__users",
                 {"kafka__users": src.filter(F.col("_offset") % 3 == b)},
             )
-            collected = mv_rows.collect()
-            if not collected:
-                continue
-            fields = [(f.name, f.dataType, f.nullable)
-                      for f in mv_rows.schema.fields]
-            cli.insert_rows(
-                "users", fields,
-                [tuple(r) for r in collected],
-            )
+            # the client's bounded insert_df runs the block dance
+            # (collect_bounded inside — fixture-sized by contract)
+            cli.insert_df("users", mv_rows)
 
         _names, _types, rows = cli.query(
             "SELECT user_id, username, account_type, updated_at "

@@ -105,6 +105,13 @@ class _Client:
         w += write_varint(2)  # stage Complete
         w += write_varint(compression)
         w += write_str(sql)
+        # the external-tables terminator (empty Data block) every real
+        # client sends unconditionally after Query — the server must
+        # consume it before answering
+        w += write_varint(2)
+        if self.rev >= 50264:
+            w += write_str("")
+        w += write_block([], 0, self.rev)
         self.sock.sendall(w)
 
     def recv_packet(self):
@@ -576,3 +583,88 @@ def test_wire_guards():
         [("a", codec_for_ch_type("Int64"), [1, 2, 3])], 3, rev=0)
     with _pytest.raises(ChSqlError, match="truncated Native body"):
         list(iter_blocks_bytes(good[:-4]))
+
+
+def test_header_parse_error_answers_exception_then_closes(natep):
+    """r13 s3 (review): a Query-header failure (e.g. a pre-54429
+    client sending a TYPED setting the subset refuses) must answer an
+    Exception packet — not kill the thread silently — and then close,
+    because the stream position is untrustworthy."""
+    c = _Client(natep.host, natep.port, revision=54058)
+    try:
+        # rev 54058 < 54429: any non-empty setting is the typed
+        # serialization the subset refuses
+        w = write_varint(1) + write_str("qid")
+        w += c._client_info()
+        w += write_str("max_threads")  # typed settings body would follow
+        c.sock.sendall(w)
+        kind, payload = c.recv_packet()
+        assert kind == "exception"
+        assert "typed" in payload[2] or "54429" in payload[2]
+        # server closes afterwards
+        import pytest as _pytest
+
+        with _pytest.raises(EOFError):
+            c.recv_packet()
+    finally:
+        c.close()
+
+
+def test_insert_dance_row_bound(spark, tmp_path):
+    """The dance enforces max_result_rows like every other ingest
+    path, and the connection closes after the mid-stream error."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+    from pyspark.sql import types as T
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_native(spark, cat, max_result_rows=5)
+    c = _Client(ep.host, ep.port)
+    try:
+        c.query("CREATE TABLE t (a Int64) ENGINE = MergeTree ORDER BY a")
+        c.send_query("INSERT INTO t VALUES")
+        kind, _payload = c.recv_packet()
+        assert kind == "data"  # the sample block
+        fields = [("a", T.LongType(), False)]
+        c.send_data_block(fields, [(i,) for i in range(6)])
+        kind, payload = c.recv_packet()
+        assert kind == "exception" and "max_result_rows" in payload[2]
+    finally:
+        c.close()
+        ep.stop()
+
+
+def test_external_tables_with_data_refuse(natep):
+    """A NON-empty external-tables block refuses loudly (outside the
+    subset) instead of being silently dropped."""
+    from pyspark.sql import types as T
+
+    c = _Client(natep.host, natep.port)
+    try:
+        # a Query whose external-tables section carries a real block
+        w = write_varint(1) + write_str("qid")
+        w += c._client_info()
+        w += write_str("")  # no settings
+        w += write_str("")  # interserver secret
+        w += write_varint(2) + write_varint(0)
+        w += write_str("SELECT count() AS n FROM users")
+        c.sock.sendall(w)
+        c.send_data_block([("x", T.LongType(), False)], [(1,)])
+        kind, payload = c.recv_packet()
+        assert kind == "exception" and "external" in payload[2]
+    finally:
+        c.close()
+
+
+def test_decimal128_high_precision_exact():
+    """r13 s3 (review): 38-significant-digit decimals cross the wire
+    exactly — the default decimal context (prec=28) would silently
+    round on decode and raise on encode."""
+    from postgre_to_clickhouse_spark.ch_native import codec_for_ch_type
+
+    v = Decimal("1234567890123456789012345678.1234567890")
+    codec = codec_for_ch_type("Decimal(38, 10)")
+    raw = codec.enc([v, -v])
+    from postgre_to_clickhouse_spark.ch_native import _BytesSock
+
+    got = codec.dec(_Reader(_BytesSock(raw)), 2)
+    assert got == [v, -v]

@@ -1747,3 +1747,17 @@ def test_explain_syntax_is_reparseable(spark, ctx):
     a = ch_select(spark, sql, ctx).collect()
     b = ch_select(spark, rendered, ctx).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_explain_syntax_renders_with_fill():
+    """r13 s3 (review): the SYNTAX rendering keeps WITH FILL
+    FROM/TO/STEP and INTERPOLATE — dropping them would render a
+    statement with different semantics than what executes."""
+    from postgre_to_clickhouse_spark.ch_select import explain_syntax
+
+    text = "\n".join(explain_syntax(
+        "SELECT d, v FROM t ORDER BY d WITH FILL FROM 1 TO 5 STEP 2 "
+        "INTERPOLATE (v)"
+    ))
+    assert "ORDER BY d WITH FILL FROM 1 TO 5 STEP 2 INTERPOLATE (v)" \
+        in text
