@@ -645,6 +645,13 @@ class ChDdlCatalog:
             self._insert_seq[name] = seq + 1
             return seq
 
+    def _database_names(self) -> list[str]:
+        """Declared database namespaces plus the two every CH server
+        exposes (one definition — SHOW DATABASES and system.databases
+        must never diverge)."""
+        return sorted({t.db for t in self.tables.values() if t.db}
+                      | {"default", "system"})
+
     # -- parsing -----------------------------------------------------
     def execute(self, sql: str, spark: SparkSession | None = None) -> object:
         for stmt in _split_statements(sql):
@@ -746,6 +753,25 @@ class ChDdlCatalog:
             # CREATE by construction).
             from postgre_to_clickhouse_spark.ch_select import _tokenize
 
+            # review fix: Spark auto-names computed columns
+            # ('(a + 1)'), which are not identifiers, and duplicate
+            # output names would declare a duplicate-column table —
+            # refuse BOTH with a CTAS-specific message
+            bad_names = [f.name for f in df.schema.fields
+                         if not _is_ident(f.name)]
+            if bad_names:
+                raise ChSqlError(
+                    f"CREATE ... AS SELECT: result column(s) "
+                    f"{bad_names} are auto-generated expression names "
+                    "— alias each computed column (AS name)"
+                )
+            dupes = sorted({n for n in df.columns
+                            if df.columns.count(n) > 1})
+            if dupes:
+                raise ChSqlError(
+                    f"CREATE ... AS SELECT: duplicate result column(s) "
+                    f"{dupes} — alias them apart"
+                )
             probe = ChTableSpec(None, "__probe", df.schema, "MergeTree",
                                 [], [], {})
             coldefs: list[str] = []
@@ -765,10 +791,19 @@ class ChDdlCatalog:
                 f"CREATE ... AS SELECT: ORDER BY column(s) {missing} "
                 "are not in the SELECT's output"
             )
-        self.tables[spec.name] = spec
         if spec.is_kafka_source:
             raise ChSqlError("CREATE ... AS SELECT into ENGINE = Kafka?")
-        self.insert(spark, spec.name, df, batch_id="ctas")
+        # register LAST and roll back if the initial insert fails — a
+        # failed CTAS must not leave the table declared (CH's own
+        # contract; review fix: the spec used to register before the
+        # Kafka refusal and before the insert)
+        self.tables[spec.name] = spec
+        try:
+            self.insert(spark, spec.name, df, batch_id="ctas")
+        except Exception:
+            self.tables.pop(spec.name, None)
+            self.storage.pop(spec.name, None)
+            raise
         return spec
 
     def _alter(self, tokens: list[str], spark: SparkSession | None):
@@ -1108,10 +1143,11 @@ class ChDdlCatalog:
             # metadata — never stored, so the table does not even
             # count as evolved.
             expr = _rewrite_all(toks[d_at + 1:])
-            {"DEFAULT": spec.defaults, "MATERIALIZED": spec.materialized,
-             "ALIAS": spec.aliases}[kind][col] = expr
         # r13 clause validations — the same contracts CREATE enforces,
-        # against the CURRENT declared schema
+        # against the CURRENT declared schema. NOTHING mutates spec
+        # until every check passes: a refused ALTER must leave no
+        # phantom expression/clause entry behind (a later plain retry
+        # of the same column would silently inherit it — review fix)
         if (add_codec is not None or add_cttl is not None) \
                 and kind == "ALIAS":
             raise ChSqlError(
@@ -1138,6 +1174,11 @@ class ChDdlCatalog:
                     "the column DEFAULT or NULL — declare it Nullable "
                     "or give it a DEFAULT"
                 )
+        # all checks passed — apply atomically
+        if kind is not None:
+            {"DEFAULT": spec.defaults, "MATERIALIZED": spec.materialized,
+             "ALIAS": spec.aliases}[kind][col] = expr
+        if add_cttl is not None:
             spec.column_ttl[col] = add_cttl
         if add_codec is not None:
             spec.codecs[col] = add_codec
@@ -1166,10 +1207,9 @@ class ChDdlCatalog:
                     else spark.createDataFrame([], schema)
             if len(tokens) >= 2 and _kw(tokens[1]) == "DATABASES":
                 # r13: BI clients enumerate databases first
-                dbs = sorted({s.db for s in self.tables.values() if s.db}
-                             | {"default", "system"})
                 return spark.createDataFrame(
-                    [(d,) for d in dbs], "name string")
+                    [(d,) for d in self._database_names()],
+                    "name string")
             if (len(tokens) >= 4 and _kw(tokens[1]) == "CREATE"
                     and _kw(tokens[2]) == "TABLE"):
                 name = self._table_ref(tokens, 3, "SHOW CREATE TABLE")
@@ -1387,22 +1427,43 @@ class ChDdlCatalog:
         import csv as _csv
         import io as _io
 
+        rows = list(_csv.reader(_io.StringIO("\n".join(
+            ln for ln in lines if ln.strip()))))
+        return self._insert_text_rows(
+            spark, name, rows, cols, with_names, "CSV",
+            lambda v: None if v == "\\N" else v, "csv",
+        )
+
+    def _insert_text_rows(self, spark: SparkSession, name: str,
+                          rows: list[list[str]],
+                          cols: list[str] | None, with_names: bool,
+                          fmt_label: str, field_fn, batch_prefix: str,
+                          with_types: bool = False) -> int:
+        """Shared scaffold for the text upload formats (review fix —
+        the CSV/TSV twins had copy-pasted it, and the r13 binding fix
+        had to be written twice): header pop, positional binding to
+        the USER-INSERTABLE columns (MATERIALIZED/ALIAS are never part
+        of CH's positional contract), declared check, width loop,
+        all-strings block through conform's declared-type cast."""
         spec = self.tables.get(name)
         if spec is None:
             raise ChSqlError(f"unknown table {name!r}")
         declared = [f.name for f in spec.schema.fields]
-        rows = list(_csv.reader(_io.StringIO("\n".join(
-            ln for ln in lines if ln.strip()))))
         if with_names:
             if not rows:
-                raise ChSqlError("CSVWithNames body carries no header")
+                raise ChSqlError(
+                    f"{fmt_label}WithNames body carries no header")
             cols = [c.strip() for c in rows[0]]
             rows = rows[1:]
-        # r13 (ADVICE): a header-less CSV binds positionally to the
-        # user-insertable columns only — MATERIALIZED/ALIAS columns are
-        # never part of CH's positional-binding contract (mirrors the
-        # r12 column-less VALUES fix; including them made every upload
-        # fail on width or conform's banned-column refusal).
+            if with_types:
+                # ...AndTypes: the second header row carries the CH
+                # type text — read and DISCARDED, the declared types
+                # rule (conform's cast applies them either way)
+                if not rows:
+                    raise ChSqlError(
+                        f"{fmt_label}WithNamesAndTypes body carries "
+                        "no types row")
+                rows = rows[1:]
         if cols is not None:
             binding = cols
         else:
@@ -1413,20 +1474,20 @@ class ChDdlCatalog:
         if bad:
             raise ChSqlError(f"INSERT column(s) not declared: {bad}")
         if not rows:
-            raise ChSqlError("CSV body carries no rows")
+            raise ChSqlError(f"{fmt_label} body carries no rows")
         data = []
         for i, r in enumerate(rows):
             if len(r) != len(binding):
                 raise ChSqlError(
-                    f"CSV row {i + 1} has {len(r)} fields, expected "
-                    f"{len(binding)} ({', '.join(binding)})"
+                    f"{fmt_label} row {i + 1} has {len(r)} fields, "
+                    f"expected {len(binding)} ({', '.join(binding)})"
                 )
-            data.append(tuple(None if v == "\\N" else v for v in r))
+            data.append(tuple(field_fn(v) for v in r))
         schema = ", ".join(f"{k} string" for k in binding)
         seq = self._next_seq(name)
         return self.insert(
             spark, name, spark.createDataFrame(data, schema),
-            batch_id=f"csv{seq}",
+            batch_id=f"{batch_prefix}{seq}",
         )
 
     def insert_native_blocks(self, spark: SparkSession, name: str,
@@ -1501,7 +1562,8 @@ class ChDdlCatalog:
     def insert_tsv_rows(self, spark: SparkSession, name: str,
                         lines: list[str],
                         cols: list[str] | None = None,
-                        with_names: bool = False) -> int:
+                        with_names: bool = False,
+                        with_types: bool = False) -> int:
         """CH ``INSERT INTO t [(cols)] FORMAT TabSeparated[WithNames]``
         data rows (r13, VERDICT r12 #6) — completes the upload matrix
         (JSONEachRow/CSV exist). One row per line, fields split on
@@ -1513,11 +1575,6 @@ class ChDdlCatalog:
         the first line names the columns; otherwise rows bind
         positionally to ``cols`` or the user-insertable declared list
         (MATERIALIZED/ALIAS excluded — the positional contract)."""
-        spec = self.tables.get(name)
-        if spec is None:
-            raise ChSqlError(f"unknown table {name!r}")
-        declared = [f.name for f in spec.schema.fields]
-
         esc = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f",
                "0": "\0", "'": "'", "\\": "\\"}
 
@@ -1535,37 +1592,14 @@ class ChDdlCatalog:
                     i += 1
             return "".join(out)
 
-        rows = [ln.split("\t") for ln in lines if ln != ""]
-        if with_names:
-            if not rows:
-                raise ChSqlError(
-                    "TabSeparatedWithNames body carries no header")
-            cols = [c.strip() for c in rows[0]]
-            rows = rows[1:]
-        if cols is not None:
-            binding = cols
-        else:
-            binding = [c for c in declared
-                       if c not in spec.materialized
-                       and c not in spec.aliases]
-        bad = sorted(set(binding) - set(declared))
-        if bad:
-            raise ChSqlError(f"INSERT column(s) not declared: {bad}")
-        if not rows:
-            raise ChSqlError("TabSeparated body carries no rows")
-        data = []
-        for i, r in enumerate(rows):
-            if len(r) != len(binding):
-                raise ChSqlError(
-                    f"TabSeparated row {i + 1} has {len(r)} fields, "
-                    f"expected {len(binding)} ({', '.join(binding)})"
-                )
-            data.append(tuple(_field(v) for v in r))
-        schema = ", ".join(f"{k} string" for k in binding)
-        seq = self._next_seq(name)
-        return self.insert(
-            spark, name, spark.createDataFrame(data, schema),
-            batch_id=f"tsv{seq}",
+        # NO empty-line filter (review fix): for a single-String-column
+        # table an empty line IS a legitimate row with the empty value
+        # (CH inserts it); for wider tables the width check errors,
+        # exactly like CH
+        rows = [ln.split("\t") for ln in lines]
+        return self._insert_text_rows(
+            spark, name, rows, cols, with_names, "TabSeparated",
+            _field, "tsv", with_types=with_types,
         )
 
     def _truncate(self, tokens: list[str], spark: SparkSession):
@@ -2043,8 +2077,7 @@ class ChDdlCatalog:
                     (f"CODEC({s.codecs[f.name]})"
                      if f.name in s.codecs else ""),
                 ))
-        dbs = sorted({s.db for s in self.tables.values() if s.db}
-                     | {"default", "system"})
+        dbs = self._database_names()
         out = {
             # r13: system.one (the 1-row dummy table clients probe with
             # `SELECT 1 FROM system.one`) and system.databases

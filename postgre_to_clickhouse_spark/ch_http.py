@@ -84,7 +84,8 @@ _FORMATS = ("TabSeparated", "TabSeparatedWithNames",
 _INSERT_DATA = _re.compile(
     r"INSERT\s+INTO\s+(\S+)\s*(?:\(([^)]*)\))?\s*"
     r"FORMAT\s+(JSONEachRow|CSVWithNames|CSV|"
-    r"TabSeparatedWithNames|TabSeparated|TSV|Native)\s*$",
+    r"TabSeparatedWithNamesAndTypes|TabSeparatedWithNames|"
+    r"TabSeparated|TSV|Native)\s*$",
     _re.IGNORECASE,
 )
 
@@ -510,10 +511,14 @@ def serve_ch_http(
                     if up_fmt == "jsoneachrow":
                         source.insert_json_rows(spark, name, lines, cols)
                     elif up_fmt in ("tabseparated", "tsv",
-                                    "tabseparatedwithnames"):
+                                    "tabseparatedwithnames",
+                                    "tabseparatedwithnamesandtypes"):
                         source.insert_tsv_rows(
                             spark, name, lines, cols,
-                            with_names=(up_fmt == "tabseparatedwithnames"),
+                            with_names=up_fmt.startswith(
+                                "tabseparatedwithnames"),
+                            with_types=(up_fmt
+                                        == "tabseparatedwithnamesandtypes"),
                         )
                     else:
                         source.insert_csv_rows(

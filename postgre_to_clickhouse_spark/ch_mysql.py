@@ -191,8 +191,11 @@ class _Conn:
 
     def _err(self, msg: str, code: int = 1064,
              state: str = "42000") -> bytes:
+        # truncate on CODEPOINTS, then encode — slicing the encoded
+        # bytes could cut a multi-byte character in half and ship an
+        # invalid-UTF-8 ERR payload (review fix)
         return (b"\xff" + struct.pack("<H", code) + b"#" + state.encode()
-                + msg.encode()[:480])
+                + msg[:480].encode())
 
     def _eof(self) -> bytes:
         return b"\xfe" + struct.pack("<H", 0) \

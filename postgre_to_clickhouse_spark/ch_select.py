@@ -2139,10 +2139,13 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
         )
     if p.limit_ties is not None:
         # r13: CH `LIMIT n WITH TIES` — keep every row whose ORDER BY
-        # key ties with the n-th row's. rank() over the final order is
-        # exactly that set; the window is one pass over the ALREADY
-        # ordered result (the same single-stream cost CH's own
-        # WITH TIES pays after its sort).
+        # key ties with the n-th row's. r13 s3 (review): the original
+        # rank()-over-global-order compile moved the ENTIRE pre-limit
+        # result through one window partition; this shape is fully
+        # distributed instead — TakeOrdered(n) finds the top-n, one
+        # more TakeOrdered(1) extracts the n-th row's key tuple, and a
+        # broadcast of that single row filters the result with a
+        # direction-aware lexicographic comparison.
         if p.limit is not None or p.offset or p.limit_by is not None \
                 or p.fill is not None:
             raise ChSqlError(
@@ -2154,15 +2157,67 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
                 "LIMIT WITH TIES requires ORDER BY — ties are defined "
                 "by the sort key (CH's rule too)"
             )
-        inner_df = spark.sql(sel)
-        inner = f"__ch_lt_{uuid.uuid4().hex[:12]}"
-        inner_df.createOrReplaceTempView(inner)
-        keep = ", ".join(f"`{c}`" for c in inner_df.columns)
-        order = ", ".join(p.order_by)
-        return spark.sql(
-            f"SELECT {keep} FROM (SELECT *, rank() OVER "
-            f"(ORDER BY {order}) AS __ch_rk FROM {inner}) "
-            f"WHERE __ch_rk <= {p.limit_ties} ORDER BY {order}"
+        from pyspark.sql import functions as F
+
+        items: list[tuple[str, bool]] = []
+        for o in p.order_by:
+            toks = o.split()
+            if len(toks) >= 2 and toks[-1].upper() in ("FIRST", "LAST") \
+                    and toks[-2].upper() == "NULLS":
+                raise ChSqlError(
+                    "LIMIT WITH TIES with explicit NULLS FIRST/LAST is "
+                    "outside the subset — drop the modifier (engine "
+                    "defaults apply) or use a rank() window explicitly"
+                )
+            desc = False
+            if toks and toks[-1].upper() in ("ASC", "DESC"):
+                desc = toks[-1].upper() == "DESC"
+                toks = toks[:-1]
+            items.append((" ".join(toks), desc))
+        work = spark.sql(sel)
+        keep = list(work.columns)
+        keys: list[tuple[str, bool]] = []
+        for i, (etext, desc) in enumerate(items):
+            kc = f"__ch_lt_k{i}"
+            work = work.withColumn(kc, F.expr(etext))
+            keys.append((kc, desc))
+        order_cols = [F.col(k).desc() if d else F.col(k).asc()
+                      for k, d in keys]
+        # the reverse of (ASC, nulls first) is (DESC, nulls last) and
+        # vice versa — Spark's own defaults, so a plain swap inverts
+        inv_cols = [F.col(k).asc() if d else F.col(k).desc()
+                    for k, d in keys]
+        nth = (
+            work.orderBy(*order_cols).limit(p.limit_ties)
+            .orderBy(*inv_cols).limit(1)
+            .select(
+                *[F.col(k).alias(f"__ch_lt_t{i}")
+                  for i, (k, _d) in enumerate(keys)],
+                F.lit(1).alias("__ch_lt_hit"),
+            )
+        )
+        joined = work.withColumn("__ch_lt_one", F.lit(1)).join(
+            F.broadcast(nth.withColumn("__ch_lt_one", F.lit(1))),
+            on="__ch_lt_one", how="left",
+        )
+        # lexicographic "row position <= threshold position" under
+        # Spark's null ordering (ASC nulls first / DESC nulls last)
+        le = None
+        for i in range(len(keys) - 1, -1, -1):
+            k, d = keys[i]
+            kc, tc = F.col(k), F.col(f"__ch_lt_t{i}")
+            if d:
+                lt = (tc.isNull() & kc.isNotNull()) | (kc > tc)
+            else:
+                lt = (kc.isNull() & tc.isNotNull()) | (kc < tc)
+            eq = kc.eqNullSafe(tc)
+            le = (lt | eq) if le is None else (lt | (eq & le))
+        cond = F.col("__ch_lt_hit").isNull() | F.coalesce(
+            le, F.lit(False))
+        return (
+            joined.filter(cond)
+            .orderBy(*order_cols)
+            .select(*keep)
         )
     if p.fill is not None:
         if p.limit_by is not None:

@@ -1372,3 +1372,94 @@ def test_create_table_as_select(spark, tmp_path):
     with pytest.raises(ChSqlError):
         c.execute("CREATE TABLE bad ENGINE = MergeTree ORDER BY (nope) "
                   "AS SELECT id FROM src", spark=spark)
+
+
+def test_refused_alter_add_leaves_no_phantom_state(spark, tmp_path):
+    """r13 s3 (review): a REFUSED ALTER ADD COLUMN must mutate nothing
+    — previously the DEFAULT/MATERIALIZED/ALIAS expression registered
+    before the clause validations, so a plain retry of the same column
+    silently inherited the refused clause."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog, ChSqlError
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE TABLE t (a Int64, y String) "
+                "ENGINE = MergeTree ORDER BY a")
+    with pytest.raises(ChSqlError, match="ALIAS is never stored"):
+        cat.execute(
+            "ALTER TABLE t ADD COLUMN x String ALIAS upper(y) CODEC(LZ4)")
+    spec = cat.tables["t"]
+    assert "x" not in spec.aliases and "x" not in spec.codecs
+    assert "x" not in {f.name for f in spec.schema.fields}
+    # the retry WITHOUT the refused clause declares a plain column
+    cat.execute("ALTER TABLE t ADD COLUMN x String")
+    spec = cat.tables["t"]
+    assert "x" not in spec.aliases  # no phantom ALIAS inherited
+    cat.execute("INSERT INTO t VALUES (1, 'a', 'stored')", spark=spark)
+    rows = cat.query(spark, "SELECT a, x FROM t").collect()
+    assert rows == [(1, "stored")]
+
+
+def test_failed_ctas_leaves_no_table(spark, tmp_path):
+    """r13 s3 (review): a refused/failed CTAS must not leave the table
+    declared (CH's contract)."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog, ChSqlError
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE TABLE src (a Int64) ENGINE = MergeTree ORDER BY a")
+    cat.execute("INSERT INTO src VALUES (1)", spark=spark)
+    with pytest.raises(ChSqlError, match="Kafka"):
+        cat.execute(
+            "CREATE TABLE k (a Int64) ENGINE = Kafka "
+            "SETTINGS kafka_broker_list = 'b:9092', "
+            "kafka_topic_list = 't', kafka_group_name = 'g', "
+            "kafka_format = 'AvroConfluent' AS SELECT a FROM src",
+            spark=spark)
+    assert "k" not in cat.tables
+    # auto-generated expression names refuse with a CTAS message
+    with pytest.raises(ChSqlError, match="alias each computed column"):
+        cat.execute(
+            "CREATE TABLE t2 ENGINE = MergeTree ORDER BY a "
+            "AS SELECT a, a + 1 FROM src", spark=spark)
+    assert "t2" not in cat.tables
+    # duplicate output names refuse
+    with pytest.raises(ChSqlError, match="duplicate result column"):
+        cat.execute(
+            "CREATE TABLE t3 ENGINE = MergeTree ORDER BY a "
+            "AS SELECT a, a FROM src", spark=spark)
+    assert "t3" not in cat.tables
+
+
+def test_tsv_empty_line_is_a_row_for_single_string_column(spark, tmp_path):
+    """r13 s3 (review): CH inserts an empty line as the empty-string
+    row for a one-String-column table; the old empty-line filter
+    silently dropped it."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog, ChSqlError
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE TABLE t (s String) ENGINE = MergeTree ORDER BY s")
+    cat.insert_tsv_rows(spark, "t", ["a", "", "b"])
+    got = sorted(r[0] for r in cat.query(spark, "SELECT s FROM t").collect())
+    assert got == ["", "a", "b"]
+    # for a wider table an empty line is a loud width error, like CH
+    cat.execute("CREATE TABLE t2 (a String, b String) "
+                "ENGINE = MergeTree ORDER BY a")
+    with pytest.raises(ChSqlError, match="1 fields, expected 2"):
+        cat.insert_tsv_rows(spark, "t2", ["x\ty", ""])
+
+
+def test_tsv_with_names_and_types_upload(spark, tmp_path):
+    """r13 s3 (review): TabSeparatedWithNamesAndTypes round-trips —
+    the download format can be POSTed straight back (the types row is
+    read and discarded; declared types rule)."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE TABLE t (id UInt32, v Float64) "
+                "ENGINE = MergeTree ORDER BY id")
+    cat.insert_tsv_rows(
+        spark, "t",
+        ["v\tid", "Float64\tUInt32", "2.5\t1", "3.5\t2"],
+        with_names=True, with_types=True,
+    )
+    rows = cat.query(spark, "SELECT id, v FROM t ORDER BY id").collect()
+    assert [tuple(r) for r in rows] == [(1, 2.5), (2, 3.5)]

@@ -790,3 +790,31 @@ def test_format_native_upload_refuses_bad_columns(spark, tmp_path):
         assert code == 500 and "not insertable" in text
     finally:
         ep.stop()
+
+
+def test_tsv_with_names_and_types_roundtrip_over_wire(spark, tmp_path):
+    """r13 s3 (review): the TabSeparatedWithNamesAndTypes DOWNLOAD can
+    be POSTed straight back as an INSERT body — the standard CH
+    round-trip the upload matrix was missing."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_http(spark, cat)
+    try:
+        _post(ep, "CREATE TABLE t (id UInt32, v Float64) "
+                  "ENGINE = MergeTree ORDER BY id")
+        _post(ep, "INSERT INTO t VALUES (1, 2.5), (2, 3.5)")
+        code, body = _post(
+            ep, "SELECT id, v FROM t ORDER BY id "
+                "FORMAT TabSeparatedWithNamesAndTypes")
+        assert code == 200 and body.splitlines()[0] == "id\tv"
+        _post(ep, "CREATE TABLE t2 (id UInt32, v Float64) "
+                  "ENGINE = MergeTree ORDER BY id")
+        code, _ = _post_data(
+            ep, "INSERT INTO t2 FORMAT TabSeparatedWithNamesAndTypes",
+            body)
+        assert code == 200
+        code, got = _post(ep, "SELECT id, v FROM t2 ORDER BY id")
+        assert code == 200 and got == "1\t2.5\n2\t3.5\n"
+    finally:
+        ep.stop()

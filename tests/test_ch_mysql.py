@@ -245,3 +245,15 @@ def test_max_result_rows_guard_over_mysql(spark):
     finally:
         c.close()
         ep.stop()
+
+
+def test_err_packet_never_splits_a_codepoint():
+    """r13 s3 (review): the ERR payload truncates on CODEPOINTS — a
+    byte-slice could cut a multi-byte UTF-8 character in half."""
+    from postgre_to_clickhouse_spark.ch_mysql import _Conn
+
+    conn = _Conn.__new__(_Conn)  # only _err is exercised
+    msg = "таблица" * 200  # Cyrillic: 2 bytes per letter
+    payload = conn._err(msg)
+    # header: 0xff + code(2) + '#' + state(5)
+    payload[9:].decode("utf-8")  # must not raise

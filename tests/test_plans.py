@@ -639,3 +639,19 @@ def test_pack_bins_nosplit_is_one_arrow_stage_per_shard(spark):
     exchanges = re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_limit_with_ties_has_no_window(spark):
+    """r13 s3 (review): LIMIT n WITH TIES compiles WITHOUT a global
+    window — TakeOrdered finds the n-th key, a 1-row broadcast filters
+    ties — so no single-partition pass over the pre-limit result."""
+    from postgre_to_clickhouse_spark.ch_select import ChContext, ch_select
+
+    df = spark.range(100).selectExpr("id % 7 AS k", "id AS v")
+    out = ch_select(
+        spark, "SELECT k, v FROM t ORDER BY k LIMIT 3 WITH TIES",
+        ChContext({"t": df}))
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
