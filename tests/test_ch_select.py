@@ -1761,3 +1761,46 @@ def test_explain_syntax_renders_with_fill():
     ))
     assert "ORDER BY d WITH FILL FROM 1 TO 5 STEP 2 INTERPOLATE (v)" \
         in text
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_limit_with_ties_matches_rank_reference(spark, seed):
+    """r13 s3: the distributed WITH TIES compile (TakeOrdered
+    threshold + broadcast lexicographic filter) returns EXACTLY the
+    rank()-window reference set on adversarial data — NULL keys,
+    heavy ties, DESC, multi-key — for several n."""
+    df = (
+        spark.range(200)
+        .selectExpr(
+            f"CASE WHEN id % 11 = {seed % 11} THEN NULL "
+            f"ELSE CAST(hash(id, {seed}) % 5 AS BIGINT) END AS k1",
+            f"CASE WHEN id % 7 = 0 THEN NULL "
+            f"ELSE CAST(hash(id, {seed + 1}) % 3 AS BIGINT) END AS k2",
+            "id AS v",
+        )
+    )
+    df.createOrReplaceTempView("lt_ref_src")
+    from postgre_to_clickhouse_spark.ch_select import ch_select
+
+    for order, spark_order in (
+        ("k1", "k1"),
+        ("k1 DESC", "k1 DESC"),
+        ("k1, k2 DESC", "k1, k2 DESC"),
+        ("k1 DESC, k2", "k1 DESC, k2"),
+    ):
+        def _key(t):
+            return tuple((x is None, x) for x in t)
+
+        for n in (1, 3, 10, 250):
+            got = sorted(map(tuple, ch_select(
+                spark,
+                f"SELECT k1, k2, v FROM t ORDER BY {order} "
+                f"LIMIT {n} WITH TIES",
+                ChContext({"t": df}),
+            ).collect()), key=_key)
+            want = sorted(map(tuple, spark.sql(
+                f"SELECT k1, k2, v FROM (SELECT *, rank() OVER "
+                f"(ORDER BY {spark_order}) AS rk FROM lt_ref_src) "
+                f"WHERE rk <= {n}"
+            ).collect()), key=_key)
+            assert got == want, (order, n)
