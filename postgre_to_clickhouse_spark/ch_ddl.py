@@ -650,7 +650,7 @@ class ChDdlCatalog:
         exposes (one definition — SHOW DATABASES and system.databases
         must never diverge)."""
         return sorted({t.db for t in self.tables.values() if t.db}
-                      | {"default", "system"})
+                      | set(self.databases) | {"default", "system"})
 
     # -- parsing -----------------------------------------------------
     def execute(self, sql: str, spark: SparkSession | None = None) -> object:
@@ -730,6 +730,15 @@ class ChDdlCatalog:
         rest = _strip_if_not_exists(ddl[2:])
         if not rest or not _is_ident(rest[0]):
             raise ChSqlError("CREATE TABLE needs a name")
+        ctas_name = rest[0].rsplit(".", 1)[-1]
+        if ctas_name in self.tables:
+            # review fix: without this, a FAILED CTAS's rollback would
+            # pop the PRE-EXISTING table of the same name (CH refuses
+            # CREATE over an existing name too)
+            raise ChSqlError(
+                f"CREATE ... AS SELECT: table {ctas_name!r} already "
+                "exists — DROP it first"
+            )
         df = self.query(spark, " ".join(sel))
         if rest[1:] and rest[1] == "(":
             spec = _parse_create_table(ddl)
@@ -1427,8 +1436,13 @@ class ChDdlCatalog:
         import csv as _csv
         import io as _io
 
-        rows = list(_csv.reader(_io.StringIO("\n".join(
-            ln for ln in lines if ln.strip()))))
+        # NO empty-line pre-filter (review fix, same contract as the
+        # TSV path): csv.reader yields [] for a blank line — CH treats
+        # it as the one-empty-field row (inserted for a single-column
+        # table, a loud width error for wider ones); a whitespace-only
+        # line is a legitimate field value
+        rows = [r if r else [""] for r in
+                _csv.reader(_io.StringIO("\n".join(lines)))]
         return self._insert_text_rows(
             spark, name, rows, cols, with_names, "CSV",
             lambda v: None if v == "\\N" else v, "csv",

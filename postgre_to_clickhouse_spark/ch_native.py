@@ -1006,9 +1006,14 @@ class ChNativeClient:
         bounded by ``max_rows`` (the shared collect_bounded guard) —
         this is a CLIENT-side convenience for fixture-sized frames,
         not a bulk-transfer path."""
-        from postgre_to_clickhouse_spark.ch_select import collect_bounded
-
-        rows = collect_bounded(df, max_rows)
+        rows = df.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            # insert-appropriate guidance (review fix: the shared
+            # SELECT-side guard told the user to "add a LIMIT")
+            raise ChSqlError(
+                f"insert_df exceeds max_rows={max_rows} rows — split "
+                "the DataFrame into smaller inserts"
+            )
         fields = [(f.name, f.dataType, f.nullable)
                   for f in df.schema.fields]
         self.insert_rows(table, fields, [tuple(r) for r in rows])

@@ -1097,6 +1097,19 @@ class _Fill:
         # explicit integer FROM/TO on EVERY fill key (checked at parse)
         self.lead_fills = lead_fills or []
 
+    def render_tail(self) -> str:
+        """The WITH FILL modifier text after the key — ONE renderer
+        shared by the EXPLAIN AST and EXPLAIN SYNTAX walkers (review
+        fix: they each hand-rendered it and could drift)."""
+        spec = " WITH FILL"
+        if self.frm is not None:
+            spec += f" FROM {self.frm}"
+        if self.to is not None:
+            spec += f" TO {self.to}"
+        spec += (f" STEP INTERVAL {self.step} {self.unit}" if self.unit
+                 else f" STEP {self.step}")
+        return spec
+
 
 class _Parsed:
     select: list[tuple[str, str | None]]  # (expr text, alias)
@@ -2159,6 +2172,11 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
             )
         from pyspark.sql import functions as F
 
+        if p.limit_ties == 0:
+            # CH: LIMIT 0 is zero rows; without this the empty
+            # threshold frame would read as "fewer rows than n" and
+            # admit EVERYTHING (review fix)
+            return spark.sql(sel).limit(0)
         items: list[tuple[str, bool]] = []
         for o in p.order_by:
             toks = o.split()
@@ -2807,14 +2825,10 @@ def _ast_select(p: "_Parsed", lines: list[str], depth: int) -> None:
             _ast(lines, d + 1, o)
         if p.fill is not None:
             for f in [*p.fill.lead_fills, p.fill]:
-                spec = f"WithFill {f.key}"
-                if f.frm is not None:
-                    spec += f" FROM {f.frm}"
-                if f.to is not None:
-                    spec += f" TO {f.to}"
-                spec += (f" STEP INTERVAL {f.step} {f.unit}" if f.unit
-                         else f" STEP {f.step}")
-                _ast(lines, d + 1, spec)
+                # render_tail starts with " WITH FILL"; the AST node
+                # label already says WithFill
+                tail = f.render_tail().removeprefix(" WITH FILL")
+                _ast(lines, d + 1, f"WithFill {f.key}{tail}")
             if p.fill.interpolate:
                 _ast(lines, d + 1,
                      f"Interpolate ({', '.join(p.fill.interpolate)})")
@@ -2924,16 +2938,7 @@ def _syntax_select(p: "_Parsed", indent: int) -> list[str]:
 
         def _with_fill(o: str) -> str:
             f = fills.get(o)
-            if f is None:
-                return o
-            spec = o + " WITH FILL"
-            if f.frm is not None:
-                spec += f" FROM {f.frm}"
-            if f.to is not None:
-                spec += f" TO {f.to}"
-            spec += (f" STEP INTERVAL {f.step} {f.unit}" if f.unit
-                     else f" STEP {f.step}")
-            return spec
+            return o if f is None else o + f.render_tail()
 
         rendered = ", ".join(_with_fill(o) for o in p.order_by)
         if p.fill is not None and p.fill.interpolate:

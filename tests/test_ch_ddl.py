@@ -1463,3 +1463,51 @@ def test_tsv_with_names_and_types_upload(spark, tmp_path):
     )
     rows = cat.query(spark, "SELECT id, v FROM t ORDER BY id").collect()
     assert [tuple(r) for r in rows] == [(1, 2.5), (2, 3.5)]
+
+
+def test_ctas_refuses_existing_table_and_preserves_it(spark, tmp_path):
+    """r13 s3 (review 2): CTAS over an existing name refuses — and
+    therefore a failed CTAS can never roll back a PRE-EXISTING table's
+    registration."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog, ChSqlError
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE TABLE t (a Int64) ENGINE = MergeTree ORDER BY a")
+    cat.execute("INSERT INTO t VALUES (7)", spark=spark)
+    with pytest.raises(ChSqlError, match="already exists"):
+        cat.execute("CREATE TABLE t ENGINE = MergeTree ORDER BY a "
+                    "AS SELECT a FROM t", spark=spark)
+    assert "t" in cat.tables
+    assert [r[0] for r in cat.query(spark, "SELECT a FROM t").collect()] \
+        == [7]
+
+
+def test_csv_empty_line_is_a_row_for_single_string_column(spark, tmp_path):
+    """r13 s3 (review 2): same contract as the TSV fix — CH inserts a
+    blank CSV line as the empty-string row for a one-String-column
+    table; a whitespace-only line is a legitimate value."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog, ChSqlError
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE TABLE t (s String) ENGINE = MergeTree ORDER BY s")
+    cat.insert_csv_rows(spark, "t", ["a", "", " ", "b"])
+    got = sorted(r[0] for r in cat.query(spark, "SELECT s FROM t").collect())
+    assert got == ["", " ", "a", "b"]
+    cat.execute("CREATE TABLE t2 (a String, b String) "
+                "ENGINE = MergeTree ORDER BY a")
+    # an INTERIOR blank line in a 2-column upload is a loud width
+    # error like CH (a trailing one reads as the final newline)
+    with pytest.raises(ChSqlError, match="1 fields, expected 2"):
+        cat.insert_csv_rows(spark, "t2", ["x,y", "", "p,q"])
+
+
+def test_show_databases_lists_declared_empty_database(spark, tmp_path):
+    """r13 s3 (review 2): a database created via CREATE DATABASE lists
+    immediately, before any table exists in it (BI clients enumerate
+    databases first — a real CH server lists empty ones)."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE DATABASE shop")
+    rows = cat.execute("SHOW DATABASES", spark=spark).collect()
+    assert "shop" in {r[0] for r in rows}

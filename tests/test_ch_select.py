@@ -1804,3 +1804,15 @@ def test_limit_with_ties_matches_rank_reference(spark, seed):
                 f"WHERE rk <= {n}"
             ).collect()), key=_key)
             assert got == want, (order, n)
+
+
+def test_limit_zero_with_ties_returns_no_rows(spark):
+    """r13 s3 (review 2): LIMIT 0 WITH TIES is zero rows (CH) — the
+    empty threshold frame must not read as 'fewer rows than n'."""
+    from postgre_to_clickhouse_spark.ch_select import ch_select
+
+    df = spark.range(10).selectExpr("id % 3 AS k", "id AS v")
+    out = ch_select(
+        spark, "SELECT k, v FROM t ORDER BY k LIMIT 0 WITH TIES",
+        ChContext({"t": df}))
+    assert out.count() == 0
