@@ -727,17 +727,25 @@ class ChDdlCatalog:
         schema mapped back to CH types — the same inverse map SHOW
         CREATE uses), and land the result as the first part. One
         SELECT job; the ingest is the ordinary O(batch) part write."""
-        rest = _strip_if_not_exists(ddl[2:])
+        stripped = _strip_if_not_exists(ddl[2:])
+        had_if_not_exists = len(stripped) != len(ddl[2:])
+        rest = stripped
         if not rest or not _is_ident(rest[0]):
             raise ChSqlError("CREATE TABLE needs a name")
         ctas_name = rest[0].rsplit(".", 1)[-1]
         if ctas_name in self.tables:
-            # review fix: without this, a FAILED CTAS's rollback would
-            # pop the PRE-EXISTING table of the same name (CH refuses
+            if had_if_not_exists:
+                # CH: CREATE TABLE IF NOT EXISTS ... AS SELECT over an
+                # existing table is a silent no-op — and the SELECT
+                # never runs (review fix)
+                return self.tables[ctas_name]
+            # without this refusal, a FAILED CTAS's rollback would pop
+            # the PRE-EXISTING table of the same name (CH refuses
             # CREATE over an existing name too)
             raise ChSqlError(
                 f"CREATE ... AS SELECT: table {ctas_name!r} already "
-                "exists — DROP it first"
+                "exists — DROP it first, or use IF NOT EXISTS for the "
+                "no-op"
             )
         df = self.query(spark, " ".join(sel))
         if rest[1:] and rest[1] == "(":
@@ -1559,7 +1567,7 @@ class ChDdlCatalog:
             blocks.append((names, types, data))
         if not blocks:
             raise ChSqlError("Native body carries no rows")
-        version = None
+        frames = []
         for names, types, data in blocks:
             fields = []
             for n_, t_ in zip(names, types):
@@ -1569,6 +1577,14 @@ class ChDdlCatalog:
                 fields.append(T.StructField(n_, st, True))
             df = spark.createDataFrame(
                 list(zip(*data)) if data else [], T.StructType(fields))
+            # dry-run conform NOW (its checks are eager plan-time
+            # python) so a later block that cannot bind — e.g. missing
+            # a non-DEFAULT column — aborts BEFORE any block commits
+            # (the all-or-nothing contract; review fix)
+            spec.conform(df)
+            frames.append(df)
+        version = None
+        for df in frames:
             seq = self._next_seq(name)
             version = self.insert(spark, name, df, batch_id=f"nat{seq}")
         return version

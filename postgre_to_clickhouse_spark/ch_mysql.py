@@ -160,11 +160,22 @@ class _Conn:
 
     # -- framing: 3-byte LE length + 1-byte sequence id ----------------
     def _send(self, payload: bytes) -> None:
-        self.sock.sendall(
-            struct.pack("<I", len(payload))[:3]
-            + bytes([self.seq & 0xFF]) + payload
-        )
-        self.seq += 1
+        # the mandatory >=16MB splitting rule: payloads are chunked at
+        # 0xFFFFFF bytes, and a payload that is an exact multiple ends
+        # with an EMPTY packet so the reader knows it is complete —
+        # without this a large row would wrap the 3-byte length and
+        # desync the wire (review fix)
+        at = 0
+        while True:
+            chunk = payload[at:at + 0xFFFFFF]
+            self.sock.sendall(
+                struct.pack("<I", len(chunk))[:3]
+                + bytes([self.seq & 0xFF]) + chunk
+            )
+            self.seq += 1
+            at += len(chunk)
+            if len(chunk) < 0xFFFFFF:
+                return
 
     def _recv(self) -> bytes | None:
         head = self._read_n(4)
@@ -267,7 +278,8 @@ class _Conn:
 
         body = sql.strip().rstrip(";")
         m = re.fullmatch(r"(?is)SELECT\s+(@@[\w.]+(?:\s+AS\s+\w+)?"
-                         r"(?:\s*,\s*@@[\w.]+(?:\s+AS\s+\w+)?)*)\s*",
+                         r"(?:\s*,\s*@@[\w.]+(?:\s+AS\s+\w+)?)*)"
+                         r"(?:\s+LIMIT\s+\d+)?\s*",
                          body)
         if not m:
             return False
@@ -398,6 +410,8 @@ def serve_ch_mysql(
     def _serve_conn(conn: socket.socket) -> None:
         try:
             _Conn(conn, _run, _execute, max_result_rows).serve()
+        except OSError:
+            pass  # routine client disconnect mid-stream
         finally:
             try:
                 conn.close()

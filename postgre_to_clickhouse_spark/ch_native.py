@@ -488,11 +488,18 @@ def _read_client_info(r: _Reader, rev: int) -> dict:
         r.u64()
     iface = r.u8()
     info["interface"] = iface
-    if iface == 1:  # TCP
-        info["os_user"] = r.string()
-        info["client_hostname"] = r.string()
-        info["client_name"] = r.string()
-        r.varint(), r.varint(), r.varint()  # client version triple
+    if iface != 1:
+        # the HTTP-interface ClientInfo carries a different field set
+        # (http method/user agent); guessing its layout would desync
+        # the stream — refuse loudly, the header handler closes
+        raise ChSqlError(
+            f"native wire: ClientInfo interface {iface} is outside the "
+            "subset (TCP clients only)"
+        )
+    info["os_user"] = r.string()
+    info["client_hostname"] = r.string()
+    info["client_name"] = r.string()
+    r.varint(), r.varint(), r.varint()  # client version triple
     if rev >= REV_QUOTA_KEY:
         info["quota_key"] = r.string()
     if rev >= REV_DISTRIBUTED_DEPTH:
@@ -832,8 +839,8 @@ def serve_ch_native(
         try:
             _Conn(conn, _run, _execute, catalog, spark,
                   max_result_rows).serve()
-        except EOFError:
-            pass
+        except (EOFError, OSError):
+            pass  # routine client disconnect mid-stream
         finally:
             try:
                 conn.close()
@@ -1089,6 +1096,9 @@ def spark_type_for_ch_type(s: str) -> tuple[T.DataType, bool]:
         return T.ArrayType(inner, inner_null), True
     m = re.fullmatch(r"DateTime64\(\s*\d+\s*(?:,\s*'[^']*'\s*)?\)", s)
     if m:
+        return T.TimestampType(), False
+    m = re.fullmatch(r"DateTime\(\s*'[^']*'\s*\)", s)
+    if m:  # the tz-argument spelling codec_for_ch_type also accepts
         return T.TimestampType(), False
     m = re.fullmatch(r"Decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)", s)
     if m:

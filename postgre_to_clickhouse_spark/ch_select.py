@@ -2197,7 +2197,19 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
         keys: list[tuple[str, bool]] = []
         for i, (etext, desc) in enumerate(items):
             kc = f"__ch_lt_k{i}"
-            work = work.withColumn(kc, F.expr(etext))
+            if etext.isdigit():
+                # positional ORDER BY (the SQL path resolves ordinals;
+                # F.expr would read the literal constant and make
+                # EVERY row tie — review fix)
+                pos = int(etext)
+                if not 1 <= pos <= len(keep):
+                    raise ChSqlError(
+                        f"ORDER BY position {pos} is out of range "
+                        f"(1..{len(keep)})"
+                    )
+                work = work.withColumn(kc, F.col(keep[pos - 1]))
+            else:
+                work = work.withColumn(kc, F.expr(etext))
             keys.append((kc, desc))
         order_cols = [F.col(k).desc() if d else F.col(k).asc()
                       for k, d in keys]

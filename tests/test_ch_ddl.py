@@ -1511,3 +1511,43 @@ def test_show_databases_lists_declared_empty_database(spark, tmp_path):
     cat.execute("CREATE DATABASE shop")
     rows = cat.execute("SHOW DATABASES", spark=spark).collect()
     assert "shop" in {r[0] for r in rows}
+
+
+def test_native_blocks_all_or_nothing_on_unbindable_block(spark, tmp_path):
+    """r13 s3 (review 3): a later Native block that cannot bind (e.g.
+    missing a non-DEFAULT column) aborts BEFORE any earlier block
+    commits — the all-or-nothing upload contract."""
+    from pyspark.sql import types as T
+
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog, ChSqlError
+    from postgre_to_clickhouse_spark.ch_native import serialize_native
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE TABLE t (a Int64, b Int64) "
+                "ENGINE = MergeTree ORDER BY a")
+    both = [T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.LongType(), False)]
+    only_a = [T.StructField("a", T.LongType(), False)]
+    payload = (serialize_native(both, [(1, 10), (2, 20)])
+               + serialize_native(only_a, [(3,)]))
+    with pytest.raises(ChSqlError):
+        cat.insert_native_blocks(spark, "t", payload)
+    assert cat.query(spark, "SELECT a FROM t").count() == 0
+
+
+def test_ctas_if_not_exists_is_a_silent_noop(spark, tmp_path):
+    """r13 s3 (review 3): CREATE TABLE IF NOT EXISTS ... AS SELECT
+    over an existing table is CH's silent no-op (and the SELECT never
+    runs) — idempotent provisioning scripts re-run cleanly."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE TABLE src (a Int64) ENGINE = MergeTree ORDER BY a")
+    cat.execute("INSERT INTO src VALUES (1), (2)", spark=spark)
+    stmt = ("CREATE TABLE IF NOT EXISTS summary ENGINE = MergeTree "
+            "ORDER BY a AS SELECT a FROM src")
+    cat.execute(stmt, spark=spark)
+    cat.execute("INSERT INTO src VALUES (3)", spark=spark)
+    cat.execute(stmt, spark=spark)  # second run: no-op, no error
+    # summary still carries only the FIRST run's snapshot
+    assert cat.query(spark, "SELECT a FROM summary").count() == 2

@@ -257,3 +257,48 @@ def test_err_packet_never_splits_a_codepoint():
     payload = conn._err(msg)
     # header: 0xff + code(2) + '#' + state(5)
     payload[9:].decode("utf-8")  # must not raise
+
+
+def test_version_comment_probe_with_limit(spark):
+    """r13 s3 (review 3): the stock mysql client's FIRST query is
+    `select @@version_comment limit 1` — the shim must answer it."""
+    ctx = ChContext({"t": spark.range(3).toDF("id")})
+    ep = serve_ch_mysql(spark, ctx)
+    c = _Client(ep.host, ep.port)
+    try:
+        c.handshake()
+        kind, cols, rows = c.query("select @@version_comment limit 1")
+        assert kind == "rows" and len(rows) == 1
+        assert "dialect" in rows[0][0]
+    finally:
+        c.close()
+        ep.stop()
+
+
+def test_send_splits_16mb_packets():
+    """r13 s3 (review 3): payloads >= 0xFFFFFF bytes split into
+    16MB-1 chunks (with the empty terminator on exact multiples) —
+    the mandatory MySQL framing rule."""
+    class _FakeSock:
+        def __init__(self):
+            self.sent = b""
+
+        def sendall(self, b):
+            self.sent += b
+
+    from postgre_to_clickhouse_spark.ch_mysql import _Conn
+
+    conn = _Conn.__new__(_Conn)
+    conn.sock = _FakeSock()
+    conn.seq = 0
+    conn._send(b"x" * 0xFFFFFF)  # exactly one full chunk
+    data = conn.sock.sent
+    # packet 1: len 0xFFFFFF seq 0; packet 2: len 0 seq 1 (terminator)
+    assert data[:3] == b"\xff\xff\xff" and data[3] == 0
+    tail = data[4 + 0xFFFFFF:]
+    assert tail == b"\x00\x00\x00\x01"
+    conn2 = _Conn.__new__(_Conn)
+    conn2.sock = _FakeSock()
+    conn2.seq = 0
+    conn2._send(b"ab")
+    assert conn2.sock.sent == b"\x02\x00\x00\x00ab"

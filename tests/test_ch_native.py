@@ -668,3 +668,37 @@ def test_decimal128_high_precision_exact():
 
     got = codec.dec(_Reader(_BytesSock(raw)), 2)
     assert got == [v, -v]
+
+
+def test_datetime_tz_spelling_accepted_by_both_parsers():
+    """r13 s3 (review 3): the two CH-type parsers stay aligned — the
+    DateTime('tz') spelling a tz-configured client emits decodes AND
+    maps to a Spark type."""
+    from pyspark.sql import types as T
+
+    from postgre_to_clickhouse_spark.ch_native import (
+        codec_for_ch_type,
+        spark_type_for_ch_type,
+    )
+
+    assert codec_for_ch_type("DateTime('UTC')").ch == "DateTime"
+    st, nullable = spark_type_for_ch_type("DateTime('UTC')")
+    assert isinstance(st, T.TimestampType) and not nullable
+
+
+def test_non_tcp_client_info_refuses(natep):
+    """r13 s3 (review 3): a ClientInfo with a non-TCP interface would
+    desync the parse — the server answers an Exception and closes
+    rather than guessing the HTTP field layout."""
+    c = _Client(natep.host, natep.port)
+    try:
+        w = write_varint(1) + write_str("qid")
+        # hand-build a ClientInfo with interface = 2 (HTTP)
+        ci = b"\x01" + write_str("") + write_str("") + write_str("0:0")
+        ci += __import__("struct").pack("<Q", 0)  # initial query start
+        ci += b"\x02"  # interface HTTP
+        c.sock.sendall(w + ci)
+        kind, payload = c.recv_packet()
+        assert kind == "exception" and "TCP clients only" in payload[2]
+    finally:
+        c.close()

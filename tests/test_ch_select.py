@@ -1816,3 +1816,19 @@ def test_limit_zero_with_ties_returns_no_rows(spark):
         spark, "SELECT k, v FROM t ORDER BY k LIMIT 0 WITH TIES",
         ChContext({"t": df}))
     assert out.count() == 0
+
+
+def test_limit_with_ties_positional_order_by(spark):
+    """r13 s3 (review 3): ORDER BY 1 is POSITIONAL — the WITH TIES
+    threshold path must resolve the ordinal, not evaluate the literal
+    (which would make every row tie)."""
+    from postgre_to_clickhouse_spark.ch_select import ch_select
+
+    df = spark.range(10).selectExpr("id % 3 AS k", "id AS v")
+    out = ch_select(
+        spark, "SELECT k, v FROM t ORDER BY 1 LIMIT 4 WITH TIES",
+        ChContext({"t": df}))
+    rows = out.collect()
+    # k=0 has 4 members (0,3,6,9); the 4th row's key is 0 → exactly
+    # the k=0 group survives (NOT all 10 rows)
+    assert len(rows) == 4 and all(r.k == 0 for r in rows)
