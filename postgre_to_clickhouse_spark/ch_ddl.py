@@ -634,9 +634,11 @@ class ChDdlCatalog:
         self.storage: dict[str, object] = {}
         self._insert_seq: dict[str, int] = {}
         # wire endpoints serve one thread per connection; batch-id
-        # allocation is the one piece of shared mutable state they
-        # race on (duplicate ids would break versionless-RMT arrival
-        # tie-breaking), so it takes a lock
+        # allocation takes a lock because duplicate ids would break
+        # versionless-RMT arrival tie-breaking. Concurrent DDL against
+        # the same table (e.g. ALTER ADD COLUMN racing an INSERT's
+        # spec.schema read) is NOT synchronized — the wire contract is
+        # one DDL author at a time, matching single-writer provisioning
         self._seq_lock = threading.Lock()
 
     def _next_seq(self, name: str) -> int:

@@ -470,6 +470,15 @@ def serve_ch_http(
             # FORMAT JSONEachRow`, the body the ndjson rows (r11).
             # FORMAT Native bodies are BINARY — only the text-format
             # paths decode.
+            if q and not raw.strip():
+                # An INSERT-data-split URL with an EMPTY body must not
+                # fall through to _serve_query (the INSERT ... FORMAT
+                # text would execute as a terminal statement and raise
+                # a misleading error) — diagnose the empty body.
+                if _INSERT_DATA.match(q.strip().rstrip(";")):
+                    self._answer(
+                        500, b"INSERT body carries no rows\n", "text/plain")
+                    return
             if q and raw.strip():
                 m = _INSERT_DATA.match(q.strip().rstrip(";"))
                 if m is None or _execute is None:

@@ -48,10 +48,17 @@ Scope (the uncompressed native protocol):
   Nullable(Array).
 - Ping→Pong; Cancel between queries is read and ignored (nothing is
   running); TablesStatusRequest answers an empty status map.
-- ``compression=1`` in Query refuses loudly with an Exception packet
-  (LZ4 framing is out of scope; connect with compression disabled —
-  the clickhouse-driver default). Exception packets carry code 62
-  (SYNTAX_ERROR) for ChSqlError and 1000 otherwise.
+- ``compression=1`` in Query (r14 — previously the one refusal
+  between this endpoint and a stock client's DEFAULT settings): Data
+  blocks in BOTH directions travel as ClickHouse compressed frames —
+  CityHash128(v1.0.2)-checksummed LZ4 blocks (`ch_compress.py`).
+  Packet type varints, table-name strings and every non-Data packet
+  stay plain, exactly the real server's framing; a client block may
+  span several frames, and bytes left over in a frame after its
+  block refuse loudly (a real client flushes its compressed buffer
+  before the next plain packet byte, so leftover means desync). ZSTD
+  frames refuse loudly naming the LZ4 alternative. Exception packets
+  carry code 62 (SYNTAX_ERROR) for ChSqlError and 1000 otherwise.
 
 No native client library exists in this container, so the pytest
 coverage (tests/test_ch_native.py) drives the endpoint with a minimal
@@ -182,6 +189,43 @@ class _Reader:
             return True
         self.buf, self.at = chunk, 0
         return False
+
+
+class _FrameReader(_Reader):
+    """Decompressed view of ONE compressed section (one Data block's
+    bytes): pulls CityHash128-checksummed LZ4/NONE frames from the
+    underlying reader on demand — a block may span several frames.
+    ``finish`` enforces that the block consumed the section exactly:
+    a real client flushes its compressed buffer before the next PLAIN
+    packet-type byte, so leftover decompressed bytes mean the stream
+    is desynced and cannot be trusted further."""
+
+    def __init__(self, base: _Reader):
+        self.base = base
+        self.buf = b""
+        self.at = 0
+
+    def read(self, n: int) -> bytes:
+        from postgre_to_clickhouse_spark.ch_compress import read_frame
+
+        while len(self.buf) - self.at < n:
+            try:
+                frame = read_frame(self.base)
+            except ValueError as exc:
+                raise ChSqlError(str(exc)) from exc
+            self.buf = self.buf[self.at:] + frame
+            self.at = 0
+        out = self.buf[self.at:self.at + n]
+        self.at += n
+        return out
+
+    def finish(self) -> None:
+        if self.at != len(self.buf):
+            raise ChSqlError(
+                f"compressed stream: {len(self.buf) - self.at} bytes left "
+                "over after the Data block — frames must align to block "
+                "boundaries before the next plain packet"
+            )
 
 
 # -- column codecs ------------------------------------------------------
@@ -551,9 +595,21 @@ class _Conn:
         self.spark = spark
         self.max_rows = max_rows
         self.rev = SERVER_REVISION
+        self.compress = False  # per-query, from the Query packet flag
 
     def _send(self, payload: bytes) -> None:
         self.sock.sendall(payload)
+
+    def _read_data_block(self):
+        """One block from the wire, honoring the query's compression
+        flag (Data packets are the ONLY compressed payloads; packet
+        types and table-name strings stay plain)."""
+        if self.compress:
+            fr = _FrameReader(self.r)
+            out = read_block(fr, self.rev)
+            fr.finish()
+            return out
+        return read_block(self.r, self.rev)
 
     def _exception(self, exc: Exception) -> bytes:
         code = 62 if isinstance(exc, ChSqlError) else 1000
@@ -563,10 +619,13 @@ class _Conn:
                 + write_str("") + b"\x00")
 
     def _send_block(self, cols, n_rows) -> None:
+        from postgre_to_clickhouse_spark.ch_compress import compress_frame
+
         pkt = write_varint(S_DATA)
         if self.rev >= REV_TEMPORARY_TABLES:
             pkt += write_str("")
-        pkt += write_block(cols, n_rows, self.rev)
+        blk = write_block(cols, n_rows, self.rev)
+        pkt += compress_frame(blk) if self.compress else blk
         self._send(pkt)
 
     def _hello(self) -> bool:
@@ -646,7 +705,7 @@ class _Conn:
                 )
             if self.rev >= REV_TEMPORARY_TABLES:
                 self.r.string()
-            names, _types, data = read_block(self.r, self.rev)
+            names, _types, data = self._read_data_block()
             if not names:
                 break
             if names != [f.name for f in insertable]:
@@ -685,7 +744,7 @@ class _Conn:
                 )
             if self.rev >= REV_TEMPORARY_TABLES:
                 self.r.string()
-            names, _types, _data = read_block(self.r, self.rev)
+            names, _types, _data = self._read_data_block()
             if not names:
                 return
             raise ChSqlError(
@@ -708,15 +767,13 @@ class _Conn:
             self.r.varint()  # stage (Complete)
             compression = self.r.varint()
             sql = self.r.string().strip().rstrip(";")
-            if compression:
-                # refuse BEFORE touching the external-tables section —
-                # a compressing client frames its blocks differently,
-                # so the stream cannot be parsed further
+            if compression not in (0, 1):
                 raise ChSqlError(
-                    "native wire: LZ4 compression is outside the subset — "
-                    "connect with compression disabled (the clickhouse-"
-                    "driver default)"
+                    f"native wire: unknown compression flag {compression}"
                 )
+            # set BEFORE the external-tables section — a compressing
+            # client frames the terminator block too (r14)
+            self.compress = bool(compression)
             self._read_external_tables()
         except EOFError:
             raise
@@ -773,10 +830,14 @@ class _Conn:
             elif ptype == C_CANCEL:
                 continue  # nothing running between queries
             elif ptype == C_TABLES_STATUS:
-                # TablesStatusRequest: varint count + names; answer an
-                # empty status map
+                # TablesStatusRequest: varint count, then a (database,
+                # table) string PAIR per entry — reading one string per
+                # entry would desync the stream on a non-empty probe
+                # (e.g. a Distributed-style replica-delay check).
+                # Answer an empty status map.
                 for _ in range(self.r.varint()):
-                    self.r.string()
+                    self.r.string()  # database
+                    self.r.string()  # table
                 self._send(write_varint(S_TABLES_STATUS) + write_varint(0))
             else:
                 self._send(self._exception(

@@ -382,3 +382,79 @@ def global_rank(
         .withColumn(out_col, (F.col("__rn") + F.col("__off")).cast("bigint"))
         .drop("__pid", "__rn", "__off")
     )
+
+
+def global_dense_rank(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    out_col: str = "dr",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global DENSE rank (equal keys share one rank,
+    ranks are 1..#distinct with no gaps) over a key ordering, without
+    the single-partition ``Window.orderBy`` cliff — the equality-
+    preserving sibling of :func:`global_rank`, and the per-round rank
+    flattener of the prefix-doubling suffix-array construction
+    (``operators/suffix_array.py``).
+
+    Shape: range-partition on the keys (a RangePartitioner assigns
+    EQUAL keys to the same partition — boundaries are key values — so
+    a key group never straddles two partitions), sort within each
+    partition, emit the within-partition dense rank in one Arrow pass
+    carrying the last key across record batches, pin the layout with
+    ``localCheckpoint`` (same reasoning as :func:`global_rank`), then
+    add broadcast cumulative per-partition GROUP counts. Driver-side
+    data is one (pid, group count) row per partition. Keys must be
+    non-null (range partitioning of nulls is engine-defined)."""
+    if partitions is None:
+        partitions = max(1, df.rdd.getNumPartitions())
+    names = list(key_cols)
+    out_fields = df.schema.fields
+    schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+    schema += ", __pid int, __dr long"
+
+    def add_dense(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        last = None  # last key row of the previous batch (group carry)
+        acc = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ks = pdf[names]
+            change = (ks != ks.shift()).any(axis=1)
+            change.iloc[0] = True if last is None else bool(
+                (ks.iloc[0] != last).any()
+            )
+            dense = change.cumsum() + acc
+            acc = int(dense.iloc[-1])
+            last = ks.iloc[-1]
+            pdf = pdf.copy()
+            pdf["__pid"] = pid
+            pdf["__dr"] = dense.astype("int64")
+            yield pdf
+
+    cols = [F.col(c) for c in names]
+    ranked = (
+        df.repartitionByRange(int(partitions), *cols)
+        .sortWithinPartitions(*cols)
+        .mapInPandas(add_dense, schema=schema)
+        .localCheckpoint()
+    )
+    gcounts = sorted(
+        (r["__pid"], r["g"])
+        for r in ranked.groupBy("__pid").agg(F.max("__dr").alias("g")).collect()
+    )  # bounded by partition count
+    offsets, acc = [], 0
+    for pid, g in gcounts:
+        offsets.append((pid, acc))
+        acc += g
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
+    )
+    return (
+        ranked.join(off, "__pid")
+        .withColumn(out_col, (F.col("__dr") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__dr", "__off")
+    )

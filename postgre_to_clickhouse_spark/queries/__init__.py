@@ -52,6 +52,7 @@ from postgre_to_clickhouse_spark.queries import tierb5  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierb6  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
+from postgre_to_clickhouse_spark.queries import tierc9  # noqa: E402,F401
 
 # The r13 window, per the policy above. Ledger at rotation time
 # (reconstructed from CORRECTNESS_r*.json): r8 ×47, r9 ×44, r10 ×38,

@@ -1,0 +1,96 @@
+"""Tier C round 14: EXACT suffix-array ExactSubstr (VERDICT r13
+"What's missing" #3 — the one public dedup primitive previously
+shipped only as the 8-gram approximation in ``operators/spans.py``).
+
+Two driver-gated queries over ``operators/suffix_array.py``:
+
+- ``exact_substr_spans`` — exact Lee et al. 2022 duplicated-span
+  detection over the whole documents corpus (char-level L = 40,
+  >= 2 occurrences anywhere). The DuckDB oracle recomputes the spans
+  from first principles (substr gram explosion + HAVING count >= 2 +
+  gaps-and-islands merge), so the prefix-doubling equality classes
+  are checked against literal string equality.
+- ``suffix_array_rank`` — the exact per-document suffix array itself
+  on a deterministic subset, checked against DuckDB's literal
+  ORDER BY-the-suffix ranking (binary collation both sides; the
+  corpus is ASCII).
+"""
+
+from __future__ import annotations
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.operators import suffix_array as SA
+from postgre_to_clickhouse_spark.queries.registry import register
+from postgre_to_clickhouse_spark.session import configure
+
+
+def _t(spark, sf_dir, name):
+    configure(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+@register(
+    "exact_substr_spans",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS p, text
+      FROM documents
+    ),
+    grams AS (SELECT doc_id, p, substr(text, p, 40) AS g FROM pos),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, p AS s, p + 39 AS e FROM grams JOIN dup USING (g)),
+    pe AS (SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_e
+           FROM hits),
+    isl AS (SELECT doc_id, s, e,
+             sum(CASE WHEN s > coalesce(prev_e, -2) + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS k
+            FROM pe)
+    SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+    FROM isl GROUP BY doc_id, k
+    """,
+)
+def exact_substr_spans(spark, sf_dir):
+    """EXACT ExactSubstr (Lee et al. 2022): merged character spans
+    covered by any 40-char substring occurring >= 2 times anywhere in
+    the corpus — within- and cross-document, exactly the semantics of
+    the paper's concatenated-corpus suffix array. No hashing anywhere:
+    prefix-doubling equality classes (two groupBy+join rounds over
+    fixed-width labels from an 8-char seed) make detection exact at
+    any corpus size, where the MinHash/SimHash families and the
+    shipped 8-gram span approximation carry collision/granularity
+    error. Scale shape: O(log L) co-partitioned shuffle rounds of
+    24-byte rows — never an L-fold gram blowup, never all-pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return SA.exact_substr_spans(
+        d, min_len=40, min_count=2, text_col="text", id_col="doc_id"
+    )
+
+
+@register(
+    "suffix_array_rank",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 3),
+    s AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+          FROM d),
+    suf AS (SELECT doc_id, pos, substr(text, pos) AS sfx FROM s)
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY doc_id ORDER BY sfx) AS sa_rank
+    FROM suf
+    """,
+)
+def suffix_array_rank(spark, sf_dir):
+    """The exact distributed suffix array itself (Manber–Myers prefix
+    doubling, Flick & Aluru SC'15 shape): for every position of every
+    document in a deterministic 1-in-11 subset, the 1-based rank of
+    its suffix in the document's lexicographic suffix order. The
+    oracle sorts the literal suffix strings — any rank error anywhere
+    breaks the hash match. Doubling stops early once every (doc, rank)
+    is unique (order decided inside the window); each round is one
+    co-partitioned self-join + one banded dense rank — no
+    single-partition stage at any width."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id % 11 = 3")
+    return SA.suffix_array(d, text_col="text", id_col="doc_id")

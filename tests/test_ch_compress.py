@@ -1,0 +1,184 @@
+"""ch_compress.py: LZ4 block codec, CityHash128 v1.0.2, ClickHouse
+compressed frames.
+
+Verification strategy (module docstring states the posture): the LZ4
+block codec has a REAL second implementation in this container —
+pyarrow's bundled ``lz4_raw`` — so both directions cross-check against
+it, plus hypothesis round-trips through the pure-Python pair.
+CityHash128 has no second implementation here; its tests pin golden
+self-vectors covering every branch of the algorithm (empty, <4, <8,
+<16, 16..127 CityMurmur short + long, and the >=128 state-machine
+with 0/partial/full tail chunks) so any regression to the arithmetic
+breaks loudly, and the frame tests prove the checksum path end-to-end.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from postgre_to_clickhouse_spark.ch_compress import (
+    METHOD_LZ4,
+    METHOD_NONE,
+    _py_compress,
+    _py_decompress,
+    cityhash128,
+    compress_frame,
+    lz4_compress_block,
+    lz4_decompress_block,
+    read_frame,
+)
+
+
+class _R:
+    def __init__(self, b: bytes):
+        self.b = io.BytesIO(b)
+
+    def read(self, n: int) -> bytes:
+        out = self.b.read(n)
+        if len(out) != n:
+            raise EOFError("short read")
+        return out
+
+
+# -- LZ4 block codec ----------------------------------------------------
+_CASES = [
+    b"",
+    b"a",
+    b"ab" * 7,          # 14 bytes: matches banned by the 12-byte end rule
+    b"x" * 13,
+    b"abc" * 100,
+    b"\x00" * 10000,
+    b"hello world, " * 500,
+    bytes(range(256)) * 40,
+    bytes((i * 131 + 7) % 256 for i in range(5000)),  # incompressible-ish
+]
+
+
+@pytest.mark.parametrize("s", _CASES, ids=[f"case{i}" for i in range(len(_CASES))])
+def test_lz4_cross_check_against_pyarrow(s):
+    import pyarrow as pa
+
+    codec = pa.Codec("lz4_raw")
+    # our decoder reads arrow's stream
+    assert _py_decompress(codec.compress(s, asbytes=True), len(s)) == s
+    # arrow's decoder reads our stream
+    ours = _py_compress(s)
+    assert codec.decompress(ours, decompressed_size=len(s), asbytes=True) == s
+    # and we read our own
+    assert _py_decompress(ours, len(s)) == s
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2000))
+def test_lz4_pure_python_roundtrip(s):
+    assert _py_decompress(_py_compress(s), len(s)) == s
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="ab ", max_size=3000).map(str.encode))
+def test_lz4_repetitive_roundtrip_both_ways(s):
+    import pyarrow as pa
+
+    codec = pa.Codec("lz4_raw")
+    assert _py_decompress(_py_compress(s), len(s)) == s
+    assert codec.decompress(
+        _py_compress(s), decompressed_size=len(s), asbytes=True
+    ) == s
+
+
+def test_lz4_bad_offset_refuses():
+    # token: 0 literals + match of 4 at offset 0 — invalid
+    with pytest.raises(ValueError, match="offset"):
+        _py_decompress(b"\x00" + struct.pack("<H", 0), 4)
+
+
+def test_lz4_wrong_size_refuses():
+    with pytest.raises(ValueError, match="decompressed"):
+        _py_decompress(_py_compress(b"abcdef"), 7)
+
+
+def test_module_entry_points_agree_with_pure_python():
+    for s in _CASES:
+        assert lz4_decompress_block(lz4_compress_block(s), len(s)) == s
+        assert lz4_decompress_block(_py_compress(s), len(s)) == s
+
+
+# -- CityHash128 v1.0.2 -------------------------------------------------
+# Golden SELF-vectors (bytes (i*131+7) % 256): no second CityHash
+# implementation exists in this container, so these pin the port
+# against regression; each length exercises a distinct branch.
+_CITY_GOLDENS = {
+    0: (0x3DF09DFC64C09A2B, 0x3CB540C392E51E29),     # empty
+    1: (0x8BE55B379CCE0E40, 0x05AB4744478B1CBA),     # len < 4
+    4: (0x87B5FD1E0939603F, 0xD7CD69F836435D60),     # 4 <= len <= 8
+    8: (0xDDCE5210A6604339, 0x1DB0CB571C6547AC),     # 8..15 seed branch
+    11: (0x68884FD3794F4AD7, 0x60BC05F04BA7C376),
+    16: (0x9FE64A51F1964B33, 0xDEB9D6910A9685C1),    # >=16 seed branch
+    31: (0x3C201FF7A7C26725, 0x1694F3DE7F95B294),    # murmur l <= 0
+    32: (0x609E40D051A1FD39, 0x078BA164EF1BBE3C),
+    63: (0x9063338A2677FE19, 0x0CA5515FADB9595F),    # murmur loop
+    127: (0xF00E82E948F8D91B, 0x87BA5D90252340EB),
+    128: (0x8B58CAAB8DD4B516, 0xED7AA45825894BEC),
+    129: (0x6C509BDCEEBD97C4, 0xBFA9CCD551E7CA43),
+    144: (0x59A8508D5560602C, 0xC616530B5EF0B526),   # exactly 128 + 16 tail
+    191: (0x9954CB92305E7F69, 0xFC007B6F4DA5F2DB),   # 128-loop + partial tail
+    192: (0xAF76F3ADC5C3FCA8, 0x8F7E5E9876784D9B),
+    255: (0x1731E467F655DB79, 0x7C10E709A6D9CFAE),
+    256: (0x531D43229A4CD706, 0x9E43C5025475EA1E),   # two 128 rounds
+    1000: (0x21DE6F2C25823E6B, 0x9B4C6654474DAFEB),  # long tail
+}
+
+
+@pytest.mark.parametrize("n", sorted(_CITY_GOLDENS))
+def test_cityhash128_golden_vectors(n):
+    s = bytes((i * 131 + 7) % 256 for i in range(n))
+    assert cityhash128(s) == _CITY_GOLDENS[n]
+
+
+def test_cityhash128_sensitivity():
+    s = bytes(200)
+    base = cityhash128(s)
+    for flip in (0, 1, 15, 16, 99, 199):
+        mutated = bytearray(s)
+        mutated[flip] ^= 1
+        assert cityhash128(bytes(mutated)) != base
+
+
+# -- frames -------------------------------------------------------------
+@pytest.mark.parametrize("method", [METHOD_LZ4, METHOD_NONE])
+@pytest.mark.parametrize("s", _CASES, ids=[f"case{i}" for i in range(len(_CASES))])
+def test_frame_roundtrip(method, s):
+    assert read_frame(_R(compress_frame(s, method))) == s
+
+
+def test_frame_checksum_mismatch_refuses():
+    f = bytearray(compress_frame(b"payload"))
+    f[3] ^= 0x40
+    with pytest.raises(ValueError, match="checksum"):
+        read_frame(_R(bytes(f)))
+
+
+def test_frame_corrupt_body_refuses():
+    f = bytearray(compress_frame(b"payload-payload-payload"))
+    f[-1] ^= 0x01  # body corruption -> checksum catches it first
+    with pytest.raises(ValueError, match="checksum"):
+        read_frame(_R(bytes(f)))
+
+
+def test_frame_unknown_method_refuses():
+    head = struct.pack("<BII", 0x7F, 9 + 2, 2)
+    lo, hi = cityhash128(head + b"xy")
+    with pytest.raises(ValueError, match="unknown compression method"):
+        read_frame(_R(struct.pack("<QQ", lo, hi) + head + b"xy"))
+
+
+def test_frame_implausible_size_refuses():
+    head = struct.pack("<BII", METHOD_LZ4, 3, 0)  # comp_size < 9
+    lo, hi = cityhash128(head)
+    with pytest.raises(ValueError, match="implausible"):
+        read_frame(_R(struct.pack("<QQ", lo, hi) + head))

@@ -818,3 +818,23 @@ def test_tsv_with_names_and_types_roundtrip_over_wire(spark, tmp_path):
         assert code == 200 and got == "1\t2.5\n2\t3.5\n"
     finally:
         ep.stop()
+
+
+def test_insert_upload_with_empty_body_diagnoses(spark, tmp_path):
+    """r14 (ADVICE r13): an INSERT-data-split URL with an EMPTY POST
+    body must answer an explicit no-rows diagnostic, not fall through
+    to executing the INSERT ... FORMAT text as a terminal statement."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_http(spark, cat)
+    try:
+        _post(ep, "CREATE TABLE te (user_id UInt32) "
+                  "ENGINE = MergeTree ORDER BY (user_id)")
+        code, body = _post_data(ep, "INSERT INTO te FORMAT JSONEachRow", "")
+        assert code == 500 and "INSERT body carries no rows" in body
+        # whitespace-only body is the same diagnosis
+        code, body = _post_data(ep, "INSERT INTO te FORMAT CSV", "  \n ")
+        assert code == 500 and "INSERT body carries no rows" in body
+    finally:
+        ep.stop()

@@ -50,6 +50,7 @@ class _Client:
         self.r = _Reader(self.sock)
         self.revision = revision
         self.rev = revision  # negotiated below
+        self.compression = 0
         self._hello()
 
     def close(self):
@@ -92,8 +93,18 @@ class _Client:
             w += write_varint(0) + write_varint(0) + write_varint(0)
         return w
 
+    def _frame_block(self, blk: bytes) -> bytes:
+        """Wrap block bytes in a compressed frame when this client
+        negotiated compression (the real client behavior)."""
+        if not self.compression:
+            return blk
+        from postgre_to_clickhouse_spark.ch_compress import compress_frame
+
+        return compress_frame(blk)
+
     def send_query(self, sql: str, compression: int = 0,
                    settings: dict[str, str] | None = None):
+        self.compression = compression
         w = write_varint(1) + write_str("test-query-id")
         if self.rev >= 54032:
             w += self._client_info()
@@ -107,11 +118,11 @@ class _Client:
         w += write_str(sql)
         # the external-tables terminator (empty Data block) every real
         # client sends unconditionally after Query — the server must
-        # consume it before answering
+        # consume it before answering (framed when compressing)
         w += write_varint(2)
         if self.rev >= 50264:
             w += write_str("")
-        w += write_block([], 0, self.rev)
+        w += self._frame_block(write_block([], 0, self.rev))
         self.sock.sendall(w)
 
     def recv_packet(self):
@@ -120,6 +131,13 @@ class _Client:
         if ptype == 1:  # Data
             if self.rev >= 50264:
                 self.r.string()
+            if getattr(self, "compression", 0):
+                from postgre_to_clickhouse_spark.ch_native import _FrameReader
+
+                fr = _FrameReader(self.r)
+                blk = read_block(fr, self.rev)
+                fr.finish()
+                return ("data", blk)
             return ("data", read_block(self.r, self.rev))
         if ptype == 2:  # Exception
             code = self.r.i32()
@@ -159,14 +177,14 @@ class _Client:
         w = write_varint(2)  # client Data
         if self.rev >= 50264:
             w += write_str("")
-        w += write_block(cols, len(rows), self.rev)
+        w += self._frame_block(write_block(cols, len(rows), self.rev))
         self.sock.sendall(w)
 
     def send_empty_block(self):
         w = write_varint(2)
         if self.rev >= 50264:
             w += write_str("")
-        w += write_block([], 0, self.rev)
+        w += self._frame_block(write_block([], 0, self.rev))
         self.sock.sendall(w)
 
     def ping(self):
@@ -391,11 +409,33 @@ def test_exception_packet(natep):
         c.close()
 
 
-def test_compression_refused(natep):
+def test_compressed_select_roundtrip(natep):
+    """r14: ``compression=1`` (the stock-client default) serves Data
+    blocks as CityHash128-checksummed LZ4 frames; the same connection
+    can then switch back to an uncompressed query (the flag is
+    per-query)."""
     c = _Client(natep.host, natep.port)
     try:
-        kind, code, msg = c.query("SELECT 1", compression=1)
-        assert kind == "exception" and "compression" in msg
+        kind, names, types, rows = c.query(
+            "SELECT user_id, username, count() AS n FROM users "
+            "GROUP BY user_id, username ORDER BY user_id, username",
+            compression=1,
+        )
+        assert kind == "rows"
+        assert {(r[0], r[1]): r[2] for r in rows} == {
+            (1, "john"): 2, (2, None): 1,
+        }
+        kind, *_ = c.query("SELECT count() AS n FROM users")
+        assert kind == "rows"
+    finally:
+        c.close()
+
+
+def test_unknown_compression_flag_refused(natep):
+    c = _Client(natep.host, natep.port)
+    try:
+        kind, code, msg = c.query("SELECT 1", compression=7)
+        assert kind == "exception" and "compression flag" in msg
     finally:
         c.close()
 
@@ -702,3 +742,114 @@ def test_non_tcp_client_info_refuses(natep):
         assert kind == "exception" and "TCP clients only" in payload[2]
     finally:
         c.close()
+
+
+def test_tables_status_reads_db_table_pairs(natep):
+    """r14 (ADVICE r13): TablesStatusRequest carries a (database,
+    table) string PAIR per entry — a non-empty probe followed by a
+    ping must not desync the stream."""
+    c = _Client(natep.host, natep.port)
+    try:
+        req = write_varint(5)  # C_TABLES_STATUS
+        req += write_varint(2)  # two entries
+        req += write_str("default") + write_str("users")
+        req += write_str("db2") + write_str("t2")
+        c.sock.sendall(req)
+        assert c.r.varint() == 9  # S_TABLES_STATUS
+        assert c.r.varint() == 0  # empty status map
+        assert c.ping() == "pong"  # stream still aligned
+        kind, *_ = c.query("SELECT count() AS n FROM users")
+        assert kind == "rows"
+    finally:
+        c.close()
+
+
+def test_compressed_insert_dance_roundtrip(spark, tmp_path):
+    """r14: the documented INSERT dance with ``compression=1`` — the
+    sample block arrives framed, the client streams framed blocks
+    (including one block split across TWO frames — the compressed
+    stream is a logical stream, not one-frame-per-block), and the
+    read-back over a compressed SELECT matches."""
+    from postgre_to_clickhouse_spark.ch_compress import compress_frame
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+    from pyspark.sql import types as T
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_native(spark, cat)
+    c = _Client(ep.host, ep.port)
+    try:
+        c.query("CREATE TABLE tc (a Int64, s String) "
+                "ENGINE = MergeTree ORDER BY a")
+        c.send_query("INSERT INTO tc VALUES", compression=1)
+        kind, (names, _types, _cols) = c.recv_packet()
+        assert kind == "data" and names == ["a", "s"]
+        fields = [("a", T.LongType(), False), ("s", T.StringType(), False)]
+        c.send_data_block(fields, [(1, "one"), (2, "two")])
+        # one block split across two frames by hand
+        cols = [("a", codec_for(T.LongType(), False), [3]),
+                ("s", codec_for(T.StringType(), False), ["three"])]
+        blk = write_block(cols, 1, c.rev)
+        w = write_varint(2) + write_str("")
+        w += compress_frame(blk[:7]) + compress_frame(blk[7:])
+        c.sock.sendall(w)
+        c.send_empty_block()
+        assert c.recv_packet()[0] == "end"
+        kind, _n, _t, rows = c.query(
+            "SELECT a, s FROM tc ORDER BY a", compression=1)
+        assert kind == "rows" and rows == [(1, "one"), (2, "two"),
+                                           (3, "three")]
+    finally:
+        c.close()
+        ep.stop()
+
+
+def test_compressed_leftover_bytes_refuse(spark, tmp_path):
+    """Bytes left in a frame AFTER the Data block mean the stream is
+    desynced — the server answers an exception instead of guessing."""
+    from postgre_to_clickhouse_spark.ch_compress import compress_frame
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_native(spark, cat)
+    c = _Client(ep.host, ep.port)
+    try:
+        c.query("CREATE TABLE tl (a Int64) ENGINE = MergeTree ORDER BY a")
+        c.send_query("INSERT INTO tl VALUES", compression=1)
+        assert c.recv_packet()[0] == "data"  # sample block
+        blk = write_block([], 0, c.rev)  # terminator...
+        w = write_varint(2) + write_str("")
+        w += compress_frame(blk + b"\x99")  # ...with trailing garbage
+        c.sock.sendall(w)
+        kind, payload = c.recv_packet()
+        assert kind == "exception" and "left over" in payload[2]
+    finally:
+        c.close()
+        ep.stop()
+
+
+def test_zstd_frame_refused_loudly(spark, tmp_path):
+    """A ZSTD method byte names the LZ4 alternative instead of
+    misreading the frame."""
+    import struct as _s
+
+    from postgre_to_clickhouse_spark.ch_compress import cityhash128
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_native(spark, cat)
+    c = _Client(ep.host, ep.port)
+    try:
+        c.query("CREATE TABLE tz (a Int64) ENGINE = MergeTree ORDER BY a")
+        c.send_query("INSERT INTO tz VALUES", compression=1)
+        assert c.recv_packet()[0] == "data"
+        head = _s.pack("<BII", 0x90, 9 + 3, 3)  # ZSTD method
+        body = b"abc"
+        lo, hi = cityhash128(head + body)
+        w = write_varint(2) + write_str("")
+        w += _s.pack("<QQ", lo, hi) + head + body
+        c.sock.sendall(w)
+        kind, payload = c.recv_packet()
+        assert kind == "exception" and "ZSTD" in payload[2]
+    finally:
+        c.close()
+        ep.stop()

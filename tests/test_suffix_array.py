@@ -1,0 +1,141 @@
+"""Exact distributed suffix arrays + ExactSubstr spans
+(operators/suffix_array.py) vs brute force.
+
+Brute force is the definition itself: sort the literal suffixes /
+count the literal L-grams. The seeded corpus mixes adversarial shapes:
+tiny alphabet (forces deep doubling before ranks separate), an
+injected shared passage (cross-document spans), self-repetition
+(within-document spans), documents shorter than the seed window,
+an empty document, and lengths straddling powers of two.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from postgre_to_clickhouse_spark.operators import suffix_array as SA
+
+
+def _corpus():
+    rng = random.Random(20260816)
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "sleeps in the sun all day long"
+    )
+    docs = []
+    for i in range(7):
+        t = "".join(rng.choice("abd ") for _ in range(rng.randint(3, 130)))
+        if i % 3 == 0:
+            t = t + " " + base[:47] + " " + t[:19]
+        if i == 5:
+            t = t[:20] * 3  # self-repetition
+        docs.append((i, t))
+    docs.append((100, base))
+    docs.append((101, "xyz " + base + " tail"))
+    docs.append((102, ""))
+    docs.append((103, "ab"))  # shorter than the 8-char seed window
+    return docs
+
+
+def _brute_sa(docs):
+    out = []
+    for did, t in docs:
+        order = sorted(range(1, len(t) + 1), key=lambda i: t[i - 1:])
+        out.extend((did, pos, rk + 1) for rk, pos in enumerate(order))
+    return sorted(out)
+
+
+def _brute_spans(docs, L, min_count):
+    grams = Counter()
+    for _, t in docs:
+        for i in range(1, len(t) - L + 2):
+            grams[t[i - 1:i - 1 + L]] += 1
+    out = []
+    for did, t in docs:
+        merged = []
+        for i in range(1, len(t) - L + 2):
+            if grams[t[i - 1:i - 1 + L]] >= min_count:
+                s, e = i, i + L - 1
+                if merged and s <= merged[-1][1] + 1:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+                else:
+                    merged.append((s, e))
+        out.extend((did, a, b) for a, b in merged)
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(_corpus(), "doc_id long, text string")
+
+
+def test_suffix_array_matches_brute_force(corpus_df):
+    got = sorted(tuple(r) for r in SA.suffix_array(corpus_df).collect())
+    assert got == _brute_sa(_corpus())
+
+
+@pytest.mark.parametrize(
+    "L,min_count",
+    [
+        (40, 2),   # the registered query's shape (off = 40 - 32 = 8)
+        (16, 2),   # L a power of two -> off == 0 branch
+        (7, 2),    # L below the 8-char seed window
+        (12, 3),   # higher multiplicity threshold
+    ],
+)
+def test_exact_substr_spans_match_brute_force(corpus_df, L, min_count):
+    got = sorted(
+        tuple(r)
+        for r in SA.exact_substr_spans(
+            corpus_df, min_len=L, min_count=min_count
+        ).collect()
+    )
+    assert got == _brute_spans(_corpus(), L, min_count)
+
+
+def test_spans_empty_when_nothing_repeats(spark):
+    df = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "klmnopqrst")], "doc_id long, text string"
+    )
+    assert SA.exact_substr_spans(df, min_len=5).count() == 0
+
+
+def test_min_len_guard():
+    with pytest.raises(ValueError):
+        SA.exact_substr_spans(None, min_len=1)
+
+
+def test_no_single_partition_exchange(spark):
+    """Neither entry point may plan an `Exchange SinglePartition` —
+    the doubling rounds use range partitioning + banded offsets, the
+    island merge a per-document Window."""
+    from postgre_to_clickhouse_spark.queries import QUERIES
+
+    for name in ("exact_substr_spans", "suffix_array_rank"):
+        df = QUERIES[name](spark, "/root/testdata/sf0.001")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "SinglePartition" not in plan, name
+
+
+def test_global_dense_rank_ties_and_density(spark):
+    """Equal keys share a rank; ranks are 1..#distinct with no gaps,
+    regardless of input partitioning."""
+    from postgre_to_clickhouse_spark.operators.sampling import global_dense_rank
+
+    rows = [(i, (i * 7) % 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k long").repartition(7)
+    got = global_dense_rank(df, ["k"], out_col="dr").collect()
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["k"], set()).add(r["dr"])
+    assert all(len(v) == 1 for v in by_key.values())
+    ranks = sorted(next(iter(v)) for v in by_key.values())
+    assert ranks == list(range(1, 6))
+    assert [k for k, _ in sorted(by_key.items())] == [
+        k for _, k in sorted((next(iter(v)), k) for k, v in by_key.items())
+    ]
