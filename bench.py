@@ -260,6 +260,18 @@ HEADLINE = [
     # over the same regexp token counts) is exactly what the benched
     # pack_sequences times; the additions are map-only block
     # arithmetic and the md5 shard column.
+    # exact_substr_spans (r14) benches: a NEW iterative heavy shape —
+    # prefix-doubling equality-class rounds (per-round co-partitioned
+    # self-join + min-label groupBy + lineage checkpoint) over every
+    # character position, then the overlapped-window pairing and the
+    # island merge; no benched family member times doubling rounds.
+    "exact_substr_spans",
+    # suffix_array_rank (r14) benches: the ORDERED doubling variant is
+    # a second distinct shape — per-round range-partitioned sorts with
+    # Arrow dense-rank passes and banded offsets (global_dense_rank),
+    # early-stopped by a distinctness agg; nothing else times repeated
+    # rangepartitioning+mapInPandas rounds.
+    "suffix_array_rank",
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

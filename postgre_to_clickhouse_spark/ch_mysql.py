@@ -22,8 +22,20 @@ Scope (the BI-client subset, like CH's own mysql_port):
   ``SET ...`` answers OK; ``SELECT @@var [AS alias][, ...]`` answers
   from a small session-variable table (version_comment etc.) —
   ClickHouse's mysql endpoint ships the same shims.
-- NO prepared-statement binary protocol (COM_STMT_*) — text protocol
-  only, like CH's first mysql_port generations; clients fall back.
+- Prepared-statement BINARY protocol (r14 — previously a named
+  text-only boundary): COM_STMT_PREPARE / EXECUTE / CLOSE / RESET
+  with ``?`` placeholders (counted outside string/backtick literals),
+  binary parameter decoding for the numeric / string / date-time
+  type families, and binary resultset rows (null bitmap at offset 2,
+  type-tagged cells). A param-free SELECT reports its exact column
+  metadata at prepare time (one Catalyst compile, no execution);
+  parameterized statements report 0 columns at prepare and full
+  metadata in the execute resultset — which every client reads
+  anyway, because the binary resultset always carries its own column
+  definitions. Parameters substitute as SQL literals ('' escaping)
+  into the verbatim CH text. Cursors (CURSOR_TYPE_READ_ONLY flags),
+  COM_STMT_SEND_LONG_DATA and parameter types outside the decoded
+  set refuse loudly naming the alternative.
 
 Values travel as MySQL text-protocol cells (lenenc strings, NULL =
 0xFB) rendered with the TabSeparated value conventions minus the
@@ -62,6 +74,8 @@ _CHARSET_UTF8 = 33  # utf8_general_ci
 _STATUS_AUTOCOMMIT = 0x0002
 
 COM_QUIT, COM_INIT_DB, COM_QUERY, COM_PING = 0x01, 0x02, 0x03, 0x0E
+COM_STMT_PREPARE, COM_STMT_SEND_LONG_DATA = 0x16, 0x18
+COM_STMT_EXECUTE, COM_STMT_CLOSE, COM_STMT_RESET = 0x17, 0x19, 0x1A
 
 # MySQL column type codes (text protocol still sends values as text;
 # the code tells the client how to interpret them)
@@ -148,6 +162,94 @@ def _mysql_type(dt) -> int:
     return _T_VARSTRING
 
 
+# binary-protocol parameter type codes (protocol docs, Resultset §types)
+_BT_DECIMAL, _BT_TINY, _BT_SHORT, _BT_LONG = 0x00, 0x01, 0x02, 0x03
+_BT_FLOAT, _BT_DOUBLE, _BT_NULL, _BT_TIMESTAMP = 0x04, 0x05, 0x06, 0x07
+_BT_LONGLONG, _BT_INT24, _BT_DATE, _BT_TIME = 0x08, 0x09, 0x0A, 0x0B
+_BT_DATETIME, _BT_VARCHAR, _BT_NEWDECIMAL = 0x0C, 0x0F, 0xF6
+_BT_BLOB, _BT_VARSTRING, _BT_STRING = 0xFC, 0xFD, 0xFE
+_BT_LENENC = {_BT_DECIMAL, _BT_NEWDECIMAL, _BT_VARCHAR, _BT_BLOB,
+              _BT_VARSTRING, _BT_STRING}
+
+
+def _count_params(sql: str) -> int:
+    """``?`` placeholders OUTSIDE '...' (with '' doubling) and `...`
+    spans — the same literal shapes the CH dialect lexes."""
+    import re
+
+    stripped = re.sub(r"'(?:[^']|'')*'|`[^`]*`", "", sql)
+    return stripped.count("?")
+
+
+def _sql_literal(v) -> str:
+    """One decoded binary parameter as a CH-dialect SQL literal
+    ('' doubling — the dialect's only string escape)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        if v.microsecond:
+            return f"'{v:%Y-%m-%d %H:%M:%S.%f}'"
+        return f"'{v:%Y-%m-%d %H:%M:%S}'"
+    if isinstance(v, _dt.date):
+        return f"'{v.isoformat()}'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _decode_bin_value(buf: bytes, at: int, type_code: int,
+                      unsigned: bool) -> tuple[object, int]:
+    """One binary-protocol parameter value → (python value, new at)."""
+    if type_code == _BT_NULL:
+        return None, at
+    if type_code == _BT_TINY:
+        v = buf[at]
+        return (v if unsigned else struct.unpack_from("<b", buf, at)[0]), at + 1
+    if type_code == _BT_SHORT:
+        fmt = "<H" if unsigned else "<h"
+        return struct.unpack_from(fmt, buf, at)[0], at + 2
+    if type_code in (_BT_LONG, _BT_INT24):  # INT24 travels as 4 bytes
+        fmt = "<I" if unsigned else "<i"
+        return struct.unpack_from(fmt, buf, at)[0], at + 4
+    if type_code == _BT_LONGLONG:
+        fmt = "<Q" if unsigned else "<q"
+        return struct.unpack_from(fmt, buf, at)[0], at + 8
+    if type_code == _BT_FLOAT:
+        return struct.unpack_from("<f", buf, at)[0], at + 4
+    if type_code == _BT_DOUBLE:
+        return struct.unpack_from("<d", buf, at)[0], at + 8
+    if type_code in _BT_LENENC:
+        n, at = _read_lenenc_int(buf, at)
+        raw = buf[at:at + n]
+        return raw.decode(errors="replace"), at + n
+    if type_code in (_BT_DATE, _BT_DATETIME, _BT_TIMESTAMP):
+        n = buf[at]
+        at += 1
+        if n == 0:
+            v = _dt.datetime(1970, 1, 1)
+        else:
+            y, mo, d = struct.unpack_from("<HBB", buf, at)
+            h = mi = s = us = 0
+            if n >= 7:
+                h, mi, s = buf[at + 4], buf[at + 5], buf[at + 6]
+            if n >= 11:
+                us = struct.unpack_from("<I", buf, at + 7)[0]
+            v = _dt.datetime(y, mo, d, h, mi, s, us)
+        at += n
+        if type_code == _BT_DATE:
+            return v.date(), at
+        return v, at
+    raise ChSqlError(
+        f"binary parameter type 0x{type_code:02x} is outside the subset "
+        "— bind numeric / string / date-time parameters, or send the "
+        "statement over COM_QUERY"
+    )
+
+
 class _Conn:
     """One client connection: framing + the two protocol phases."""
 
@@ -157,6 +259,8 @@ class _Conn:
         self.execute = execute
         self.max_rows = max_rows
         self.seq = 0
+        self.stmts: dict[int, dict] = {}
+        self.next_stmt_id = 1
 
     # -- framing: 3-byte LE length + 1-byte sequence id ----------------
     def _send(self, payload: bytes) -> None:
@@ -300,6 +404,159 @@ class _Conn:
         self._send(self._eof())
         return True
 
+    # -- the binary (prepared-statement) protocol -----------------------
+    def _bin_cell(self, dt, v) -> bytes:
+        """One binary-resultset cell, encoded per the column's declared
+        MySQL type (the same mapping _col_def advertises)."""
+        code = _mysql_type(dt)
+        if code == _T_LONGLONG:
+            return struct.pack("<q", int(v))
+        if code == _T_LONG:
+            return struct.pack("<i", int(v))
+        if code == _T_TINY:
+            return struct.pack("<b", int(v))
+        if code == _T_DOUBLE:
+            return struct.pack("<d", float(v))
+        if code == _T_DATETIME:
+            if v.microsecond:
+                return struct.pack("<BHBBBBBI", 11, v.year, v.month, v.day,
+                                   v.hour, v.minute, v.second, v.microsecond)
+            return struct.pack("<BHBBBBB", 7, v.year, v.month, v.day,
+                               v.hour, v.minute, v.second)
+        if code == _T_DATE:
+            return struct.pack("<BHBB", 4, v.year, v.month, v.day)
+        return _lenenc_str(_cell_text(v))
+
+    def _answer_frame_binary(self, df: DataFrame) -> None:
+        """Binary-protocol resultset: column defs, then 0x00-headed
+        rows with the null bitmap at offset 2."""
+        from postgre_to_clickhouse_spark.ch_select import collect_bounded
+
+        try:
+            rows = collect_bounded(df, self.max_rows)
+        except ChSqlError as exc:
+            self._send(self._err(str(exc)))
+            return
+        fields = df.schema.fields
+        self._send(_lenenc_int(len(fields)))
+        for f in fields:
+            self._send(self._col_def(f.name, _mysql_type(f.dataType)))
+        self._send(self._eof())
+        for r in rows:
+            bitmap = bytearray((len(fields) + 2 + 7) // 8)
+            body = b""
+            for i, (f, v) in enumerate(zip(fields, r)):
+                if v is None:
+                    bitmap[(i + 2) // 8] |= 1 << ((i + 2) % 8)
+                else:
+                    body += self._bin_cell(f.dataType, v)
+            self._send(b"\x00" + bytes(bitmap) + body)
+        self._send(self._eof())
+
+    def _stmt_prepare(self, sql: str) -> None:
+        n_params = _count_params(sql)
+        head = sql.lstrip().rstrip(";")[:6].upper()
+        fields = None
+        if n_params == 0 and head.startswith(("SELECT", "WITH")):
+            # exact metadata at prepare time: one Catalyst compile,
+            # nothing executes
+            fields = list(self.run(sql.rstrip(";")).schema.fields)
+        sid = self.next_stmt_id
+        self.next_stmt_id += 1
+        self.stmts[sid] = {"sql": sql, "n": n_params, "types": None,
+                           "poisoned": None}
+        ncols = 0 if fields is None else len(fields)
+        self._send(b"\x00" + struct.pack("<I", sid)
+                   + struct.pack("<H", ncols) + struct.pack("<H", n_params)
+                   + b"\x00" + struct.pack("<H", 0))
+        if n_params:
+            for i in range(n_params):
+                self._send(self._col_def(f"?{i + 1}", _T_VARSTRING))
+            self._send(self._eof())
+        if ncols:
+            for f in fields:
+                self._send(self._col_def(f.name, _mysql_type(f.dataType)))
+            self._send(self._eof())
+
+    def _stmt_execute(self, pkt: bytes) -> None:
+        if len(pkt) < 10:
+            self._send(self._err("malformed COM_STMT_EXECUTE"))
+            return
+        sid, flags, iters = struct.unpack_from("<IBI", pkt, 1)
+        st = self.stmts.get(sid)
+        if st is None:
+            self._send(self._err(
+                f"unknown prepared statement handler {sid}",
+                code=1243, state="HY000"))
+            return
+        if st["poisoned"]:
+            self._send(self._err(st["poisoned"]))
+            return
+        if flags:
+            self._send(self._err(
+                "cursor flags are outside the subset — execute without "
+                "CURSOR_TYPE_* (the resultset streams in full)"))
+            return
+        if iters != 1:
+            self._send(self._err("iteration_count must be 1"))
+            return
+        at = 10
+        params: list = []
+        n = st["n"]
+        if n:
+            nb = pkt[at:at + (n + 7) // 8]
+            at += (n + 7) // 8
+            if pkt[at]:  # new-params-bound flag
+                at += 1
+                st["types"] = [
+                    (pkt[at + 2 * i], bool(pkt[at + 2 * i + 1] & 0x80))
+                    for i in range(n)
+                ]
+                at += 2 * n
+            else:
+                at += 1
+            if st["types"] is None:
+                self._send(self._err(
+                    "parameters sent without types (no prior bound "
+                    "execution on this statement)"))
+                return
+            for i in range(n):
+                if nb[i // 8] & (1 << (i % 8)):
+                    params.append(None)
+                    continue
+                t, unsigned = st["types"][i]
+                v, at = _decode_bin_value(pkt, at, t, unsigned)
+                params.append(v)
+        sql = st["sql"]
+        if n:
+            import re
+
+            parts = re.split(r"('(?:[^']|'')*'|`[^`]*`)", sql)
+            it = iter(params)
+            sql = "".join(
+                p if i % 2 else
+                re.sub(r"\?", lambda _m: _sql_literal(next(it)), p)
+                for i, p in enumerate(parts)
+            )
+        head = sql.lstrip().rstrip(";")[:6].upper()
+        if head.startswith("SET"):
+            self._send(self._ok())
+            return
+        if head.startswith(("SELECT", "WITH")):
+            self._answer_frame_binary(self.run(sql.rstrip(";")))
+            return
+        if self.execute is None:
+            self._send(self._err(
+                "this endpoint serves SELECT statements only (fixed "
+                "table context); serve a ChDdlCatalog to accept "
+                "DDL/INSERT over the wire"))
+            return
+        res = self.execute(sql.rstrip(";"))
+        if isinstance(res, DataFrame):
+            self._answer_frame_binary(res)
+        else:
+            self._send(self._ok())
+
     def serve(self) -> None:
         if not self.handshake():
             return
@@ -316,10 +573,41 @@ class _Conn:
             if cmd == COM_INIT_DB:
                 self._send(self._ok())
                 continue
+            if cmd == COM_STMT_PREPARE:
+                try:
+                    self._stmt_prepare(pkt[1:].decode(errors="replace").strip())
+                except Exception as exc:  # noqa: BLE001 — wire errors are ERR
+                    self._send(self._err(f"{type(exc).__name__}: {exc}"))
+                continue
+            if cmd == COM_STMT_EXECUTE:
+                try:
+                    self._stmt_execute(pkt)
+                except Exception as exc:  # noqa: BLE001
+                    self._send(self._err(f"{type(exc).__name__}: {exc}"))
+                continue
+            if cmd == COM_STMT_CLOSE:
+                if len(pkt) >= 5:  # no response, per protocol
+                    self.stmts.pop(struct.unpack_from("<I", pkt, 1)[0], None)
+                continue
+            if cmd == COM_STMT_RESET:
+                self._send(self._ok())
+                continue
+            if cmd == COM_STMT_SEND_LONG_DATA:
+                # the protocol defines NO response to this command — an
+                # ERR here would desync the client, so poison the
+                # statement and refuse at the next EXECUTE instead
+                if len(pkt) >= 5:
+                    st = self.stmts.get(struct.unpack_from("<I", pkt, 1)[0])
+                    if st is not None:
+                        st["poisoned"] = (
+                            "COM_STMT_SEND_LONG_DATA is outside the subset "
+                            "— bind parameters inline in COM_STMT_EXECUTE"
+                        )
+                continue
             if cmd != COM_QUERY:
                 self._send(self._err(
                     f"unsupported command 0x{cmd:02x} — this endpoint "
-                    "speaks the text protocol (COM_QUERY/PING/INIT_DB)",
+                    "speaks COM_QUERY and the COM_STMT_* binary protocol",
                     code=1047, state="08S01"))
                 continue
             sql = pkt[1:].decode(errors="replace").strip()
