@@ -260,11 +260,11 @@ HEADLINE = [
     # over the same regexp token counts) is exactly what the benched
     # pack_sequences times; the additions are map-only block
     # arithmetic and the md5 shard column.
-    # exact_substr_spans (r14) benches: a NEW iterative heavy shape —
-    # prefix-doubling equality-class rounds (per-round co-partitioned
-    # self-join + min-label groupBy + lineage checkpoint) over every
-    # character position, then the overlapped-window pairing and the
-    # island merge; no benched family member times doubling rounds.
+    # exact_substr_spans (r14) benches: a NEW heavy shape — the exact
+    # filter-then-verify over every character position (seed-window
+    # count flags + per-doc multi-lead window + literal candidate
+    # verify + island merge); no benched family member times a
+    # per-character corpus pass.
     "exact_substr_spans",
     # suffix_array_rank (r14) benches: the ORDERED doubling variant is
     # a second distinct shape — per-round range-partitioned sorts with
@@ -341,6 +341,10 @@ FORCE_EVAL = {
     "max_intersections_users": "max_intersections >= 1",
     "ema_user_values": "ema_value IS NOT NULL",
     "interval_length_sum_users": "union_us >= 0",
+    # r14: the final per-doc row_number window is cardinality-neutral,
+    # so count() would prune it (the doubling rounds themselves run
+    # eagerly in the operator's driver loop either way)
+    "suffix_array_rank": "sa_rank >= 1",
 }
 
 # r7 (VERDICT r6 #8): one 112-query JVM session couples queries to GC

@@ -25,7 +25,11 @@ unchanged — into the engine's objects:
 - ``CREATE MATERIALIZED VIEW v TO target (cols) AS SELECT ...`` → the
   verbatim SELECT body compiled by :mod:`ch_select` when applied, plus
   a declared-schema conformance step (CH coerces inserted blocks to
-  the target table's types; ``conform`` mirrors that cast).
+  the target table's types; ``conform`` mirrors that cast);
+- ``CREATE VIEW v AS SELECT ...`` (r14) → the ordinary View engine: a
+  stored query expanded at READ time (views on views compose, cycles
+  refuse loudly at read; DROP VIEW / DROP TABLE both detach it, and
+  SHOW/DESCRIBE/EXISTS/system.tables answer like a CH server).
 
 Type map (CH → Spark): UInt8→smallint, UInt16→int, UInt32/UInt64→
 bigint (UInt64 values above 2^63-1 are outside the declared envelope —
@@ -59,6 +63,7 @@ ch_select.
 
 from __future__ import annotations
 
+import os
 import threading
 
 import re
@@ -296,6 +301,129 @@ def _parse_type(toks: list[str]) -> tuple[T.DataType, bool]:
             "sinks/agg_mv.py"
         )
     raise ChSqlError(f"unsupported ClickHouse type {head}(...)")
+
+
+def _estimate_literal(tok: str):
+    """One probe literal: number, 'string', toDateTime('ts') or
+    toDate('d'). Returns None when the token is not index-probeable."""
+    import datetime as _dt
+
+    tok = tok.strip()
+    m = re.fullmatch(r"(?is)toDateTime\(\s*'([^']*)'\s*\)", tok)
+    if m:
+        try:
+            return _dt.datetime.fromisoformat(m.group(1))
+        except ValueError:
+            return None
+    m = re.fullmatch(r"(?is)toDate\(\s*'([^']*)'\s*\)", tok)
+    if m:
+        try:
+            return _dt.date.fromisoformat(m.group(1))
+        except ValueError:
+            return None
+    if re.fullmatch(r"'(?:[^']|'')*'", tok):
+        return tok[1:-1].replace("''", "'")
+    if re.fullmatch(r"-?\d+", tok):
+        return int(tok)
+    if re.fullmatch(r"-?\d+\.\d+", tok):
+        return float(tok)
+    return None
+
+
+def _estimate_probes(text: str):
+    """Index probes for EXPLAIN ESTIMATE: from the WHERE/PREWHERE part
+    of a single-table SELECT, extract the top-level AND-ed conjuncts
+    the skip indexes can use — ``col <op> literal`` (either side),
+    BETWEEN, = and IN over literals. Returns (where_probes,
+    equals_probes) in the ManifestTable.files_for shapes. Conjuncts
+    that do not match contribute nothing (the estimate stays
+    conservative — CH's own ESTIMATE behavior for non-index
+    predicates). Strict < / > probe as their inclusive forms: an
+    estimate may overcount a boundary granule, never undercount."""
+    m = re.search(
+        r"(?is)\b(?:PREWHERE|WHERE)\b(.*?)(?:\b(?:GROUP|ORDER|LIMIT|"
+        r"SETTINGS|FORMAT|WHERE)\b|$)", text)
+    if not m:
+        return [], []
+    body = m.group(1)
+    # split on top-level AND (outside parens/quotes)
+    parts, depth, cur, i = [], 0, "", 0
+    up = body.upper()
+    while i < len(body):
+        c = body[i]
+        if c == "'":
+            j = i + 1
+            while j < len(body):
+                if body[j] == "'" and body[j:j + 2] != "''":
+                    break
+                j += 2 if body[j] == "'" else 1
+            cur += body[i:j + 1]
+            i = j + 1
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        if depth == 0 and up[i:i + 5] == " AND ":
+            # a BETWEEN's own AND is part of its conjunct: cur holds
+            # no other AND (we split at every one), so one unconsumed
+            # BETWEEN word means this AND belongs to it
+            n_btw = len(re.findall(r"(?i)\bBETWEEN\b", cur))
+            n_and = len(re.findall(r"(?i)\bAND\b", cur))
+            if n_btw > n_and:
+                cur += " AND "
+                i += 5
+                continue
+            parts.append(cur)
+            cur = ""
+            i += 5
+            continue
+        cur += c
+        i += 1
+    parts.append(cur)
+    lit = r"(?:toDateTime\(\s*'[^']*'\s*\)|toDate\(\s*'[^']*'\s*\)|'(?:[^']|'')*'|-?\d+(?:\.\d+)?)"
+    where, equals = [], []
+    for p in parts:
+        p = p.strip()
+        m = re.fullmatch(
+            rf"(?is)(\w+)\s*(=|==|<=|>=|<|>)\s*({lit})", p)
+        rev = re.fullmatch(
+            rf"(?is)({lit})\s*(=|==|<=|>=|<|>)\s*(\w+)", p)
+        btw = re.fullmatch(
+            rf"(?is)(\w+)\s+BETWEEN\s+({lit})\s+AND\s+({lit})", p)
+        inm = re.fullmatch(
+            rf"(?is)(\w+)\s+IN\s*\(\s*({lit}(?:\s*,\s*{lit})*)\s*\)", p)
+        if btw:
+            lo = _estimate_literal(btw.group(2))
+            hi = _estimate_literal(btw.group(3))
+            if lo is not None and hi is not None:
+                where.append((btw.group(1), lo, hi))
+            continue
+        if inm:
+            vals = [_estimate_literal(v) for v in
+                    re.findall(lit, inm.group(2), re.I | re.S)]
+            if vals and all(v is not None for v in vals):
+                where.append((inm.group(1), min(vals), max(vals)))
+            continue
+        col = op = v = None
+        if m:
+            col, op, v = m.group(1), m.group(2), _estimate_literal(m.group(3))
+        elif rev:
+            v = _estimate_literal(rev.group(1))
+            # mirror the operator around the literal-first form
+            op = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}.get(
+                rev.group(2), rev.group(2))
+            col = rev.group(3)
+        if col is None or v is None:
+            continue
+        if op in ("=", "=="):
+            where.append((col, v, v))
+            equals.append((col, v))
+        elif op in ("<", "<="):
+            where.append((col, None, v))
+        elif op in (">", ">="):
+            where.append((col, v, None))
+    return where, equals
 
 
 class ChTableSpec:
@@ -620,6 +748,9 @@ class ChDdlCatalog:
         self.databases: list[str] = []
         self.tables: dict[str, ChTableSpec] = {}
         self.mvs: dict[str, ChMvSpec] = {}
+        # r14: plain CREATE VIEW — name -> verbatim SELECT text,
+        # expanded at read time (CH's ordinary View engine)
+        self.views: dict[str, str] = {}
         # r11 (VERDICT r10 #3): storage-backed statements. When a
         # storage_root is given, each declared MergeTree-family table
         # lazily gets a ManifestTable under <root>/<name>, and the
@@ -720,7 +851,33 @@ class ChDdlCatalog:
             mv = _parse_create_mv(tokens)
             self.mvs[mv.name] = mv
             return mv
+        if kind == "VIEW":
+            return self._create_view(tokens)
         raise ChSqlError(f"unsupported CREATE {kind}")
+
+    def _create_view(self, tokens: list[str]) -> str:
+        """CH plain ``CREATE VIEW [IF NOT EXISTS] v AS SELECT ...``
+        (r14): the ordinary View engine — a stored query EXPANDED at
+        read time (nothing materializes; each read recompiles against
+        the tables' current contents, CH's own semantics). Views may
+        reference other views; cycles refuse at read time."""
+        rest = _strip_if_not_exists(tokens[2:])
+        had_if_not_exists = len(rest) != len(tokens[2:])
+        if not rest or not _is_ident(rest[0]):
+            raise ChSqlError("CREATE VIEW needs a name")
+        name = rest[0].rsplit(".", 1)[-1]
+        if name in self.tables or name in self.views:
+            if had_if_not_exists:
+                return name  # CH: silent no-op
+            raise ChSqlError(
+                f"CREATE VIEW: name {name!r} already exists — DROP it "
+                "first, or use IF NOT EXISTS for the no-op"
+            )
+        if len(rest) < 3 or _kw(rest[1]) != "AS" \
+                or _kw(rest[2]) not in ("SELECT", "WITH"):
+            raise ChSqlError("CREATE VIEW takes `name AS SELECT ...`")
+        self.views[name] = _render_toks(rest[2:])
+        return name
 
     def _create_table_as(self, ddl: list[str], sel: list[str],
                          spark: SparkSession):
@@ -885,9 +1042,9 @@ class ChDdlCatalog:
         parse tree in CH's indented node-per-line layout, and SYNTAX
         (r13) the statement re-rendered after the dialect's expression
         rewrites (the Spark-SQL-facing text the compiler emits) —
-        both pure parse-time walks, nothing executes. ESTIMATE is a
-        MergeTree-internals statistic with no analogue here and
-        refuses naming the alternatives."""
+        both pure parse-time walks, nothing executes. ESTIMATE (r14)
+        answers from the manifest's own part statistics — see
+        :meth:`_explain_estimate`."""
         i = 1
         mode = "PLAN"
         if (i < len(tokens) and _is_ident(tokens[i])
@@ -895,13 +1052,7 @@ class ChDdlCatalog:
                                        "SYNTAX", "ESTIMATE")):
             mode = _kw(tokens[i])
             if mode == "ESTIMATE":
-                raise ChSqlError(
-                    "EXPLAIN ESTIMATE reads ClickHouse part statistics "
-                    "with no analogue here — use EXPLAIN [PLAN|PIPELINE]"
-                    " for the executed Catalyst plan, EXPLAIN AST for "
-                    "the parse tree, EXPLAIN SYNTAX for the rewritten "
-                    "statement"
-                )
+                return self._explain_estimate(tokens[i + 1:], spark)
             i += 1
         if i >= len(tokens) or _kw(tokens[i]) not in ("SELECT", "WITH"):
             raise ChSqlError("EXPLAIN takes a SELECT statement")
@@ -920,6 +1071,63 @@ class ChDdlCatalog:
             df._jdf.queryExecution(), "formatted")
         return spark.createDataFrame(
             [(ln,) for ln in text.splitlines()], "explain string")
+
+    def _explain_estimate(self, tokens: list[str], spark: SparkSession):
+        """CH ``EXPLAIN ESTIMATE SELECT ...`` (r14 — previously a
+        refusal; this catalog DOES hold the part statistics CH reads):
+        one (database, table, parts, rows, marks) row estimating what a
+        storage-backed single-table SELECT would scan. Parts/files come
+        from the manifest after the SAME zone-map/bloom pruning the
+        read path runs (``choose_layout`` — a projection that prunes
+        better is chosen, like CH); rows and marks come from parquet
+        FOOTERS of the surviving files (no data pages read; a parquet
+        row group is the granule analogue of a CH mark). Only
+        top-level AND-ed ``col <op> literal`` / BETWEEN / IN conjuncts
+        contribute probes — exactly the predicates the skip indexes
+        can use; anything else leaves the estimate conservative, the
+        CH behavior. Nothing executes."""
+        import pyarrow.parquet as papq
+
+        if not tokens or _kw(tokens[0]) not in ("SELECT", "WITH"):
+            raise ChSqlError("EXPLAIN ESTIMATE takes a SELECT statement")
+        text = " ".join(tokens)
+        m = re.search(
+            r"(?is)\bFROM\s+((?:\w+\.)?\w+)(\s+FINAL)?\b", text)
+        if not m:
+            raise ChSqlError("EXPLAIN ESTIMATE: no FROM table found")
+        full = m.group(1)
+        name = full.rsplit(".", 1)[-1]
+        if name not in self.tables:
+            raise ChSqlError(f"EXPLAIN ESTIMATE: unknown table {name!r}")
+        if re.search(r"(?is)\b(JOIN|UNION|EXCEPT|INTERSECT)\b", text):
+            raise ChSqlError(
+                "EXPLAIN ESTIMATE covers single-table reads (the unit "
+                "part statistics describe) — estimate each side "
+                "separately"
+            )
+        if self.storage_root is None:
+            raise ChSqlError(
+                "EXPLAIN ESTIMATE needs a storage-backed catalog "
+                "(ChDdlCatalog(storage_root=...)) — without parts there "
+                "is nothing to estimate"
+            )
+        where, equals = _estimate_probes(text)
+        storage = self.storage_for(name)
+        layout, files = storage.choose_layout(
+            where=where or None, equals=equals or None)
+        rows = marks = 0
+        for f in files:
+            p = os.path.join(storage.path, "data", f["name"])
+            md = papq.ParquetFile(p).metadata
+            rows += int(md.num_rows)
+            marks += int(md.num_row_groups)
+        parts = len({f.get("part") or f["name"] for f in files})
+        spec = self.tables[name]
+        return spark.createDataFrame(
+            [(spec.db or "default", name, parts, rows, marks)],
+            "database string, table string, parts bigint, rows bigint, "
+            "marks bigint",
+        )
 
     def _modify_column(self, name: str, toks: list[str]):
         """CH ``ALTER TABLE t MODIFY COLUMN c NewType`` (r12) — in this
@@ -1221,7 +1429,8 @@ class ChDdlCatalog:
         if head == "SHOW":
             if len(tokens) >= 2 and _kw(tokens[1]) == "TABLES":
                 schema = "name string"
-                rows = [(n,) for n in sorted(self.tables)]
+                rows = [(n,) for n in
+                        sorted(set(self.tables) | set(self.views))]
                 return spark.createDataFrame(rows, schema) if rows \
                     else spark.createDataFrame([], schema)
             if len(tokens) >= 2 and _kw(tokens[1]) == "DATABASES":
@@ -1230,7 +1439,13 @@ class ChDdlCatalog:
                     [(d,) for d in self._database_names()],
                     "name string")
             if (len(tokens) >= 4 and _kw(tokens[1]) == "CREATE"
-                    and _kw(tokens[2]) == "TABLE"):
+                    and _kw(tokens[2]) in ("TABLE", "VIEW")):
+                bare = tokens[3].rsplit(".", 1)[-1] if _is_ident(tokens[3]) \
+                    else None
+                if bare in self.views:
+                    return spark.createDataFrame(
+                        [(f"CREATE VIEW {bare} AS {self.views[bare]}",)],
+                        "statement string")
                 name = self._table_ref(tokens, 3, "SHOW CREATE TABLE")
                 return spark.createDataFrame(
                     [(self.tables[name].show_create(),)],
@@ -1241,6 +1456,17 @@ class ChDdlCatalog:
             )
         if head in ("DESCRIBE", "DESC"):
             at = 2 if len(tokens) > 1 and _kw(tokens[1]) == "TABLE" else 1
+            bare = tokens[at].rsplit(".", 1)[-1] \
+                if at < len(tokens) and _is_ident(tokens[at]) else None
+            if bare in self.views:
+                # a view's columns come from compiling its SELECT
+                df = self.query(spark, self.views[bare])
+                return spark.createDataFrame(
+                    [(f.name, f.dataType.simpleString(), "", "", "", "",
+                      "") for f in df.schema.fields],
+                    "name string, type string, default_type string, "
+                    "default_expression string, comment string, "
+                    "codec_expression string, ttl_expression string")
             name = self._table_ref(tokens, at, "DESCRIBE")
             spec = self.tables[name]
 
@@ -1279,7 +1505,8 @@ class ChDdlCatalog:
             raise ChSqlError("EXISTS TABLE <name>?")
         nm = tokens[at].rsplit(".", 1)[-1]
         return spark.createDataFrame(
-            [(1 if nm in self.tables else 0,)], "result int")
+            [(1 if nm in self.tables or nm in self.views else 0,)],
+            "result int")
 
     @staticmethod
     def _need_spark(spark: SparkSession | None, what: str) -> SparkSession:
@@ -1646,23 +1873,40 @@ class ChDdlCatalog:
         return t._commit([], note="truncate")
 
     def _drop(self, tokens: list[str]):
-        """CH ``DROP TABLE [IF EXISTS] [db.]t``: forget the declaration
-        and detach the storage handle. The data directory is left on
-        disk for retained-version readers — the catalog never deletes
-        bytes implicitly (vacuum is the explicit reclaim)."""
-        if len(tokens) < 3 or _kw(tokens[1]) != "TABLE":
+        """CH ``DROP TABLE|VIEW [IF EXISTS] [db.]t``: forget the
+        declaration and detach the storage handle (DROP TABLE works on
+        views too, like CH; DROP VIEW requires a view). The data
+        directory is left on disk for retained-version readers — the
+        catalog never deletes bytes implicitly (vacuum is the explicit
+        reclaim)."""
+        if len(tokens) < 3 or _kw(tokens[1]) not in ("TABLE", "VIEW"):
             raise ChSqlError(f"unsupported DROP {' '.join(tokens[1:2])}")
+        what = _kw(tokens[1])
         at = 2
         if _kw(tokens[at]) == "IF" and len(tokens) > at + 1 \
                 and _kw(tokens[at + 1]) == "EXISTS":
             at += 2
             if at >= len(tokens):
-                raise ChSqlError("DROP TABLE IF EXISTS <name>?")
+                raise ChSqlError(f"DROP {what} IF EXISTS <name>?")
             name = tokens[at].rsplit(".", 1)[-1]
-            if name not in self.tables:
+            if name not in self.tables and name not in self.views:
                 return None
         else:
-            name = self._table_ref(tokens, at, "DROP TABLE")
+            if at >= len(tokens) or not _is_ident(tokens[at]):
+                raise ChSqlError(f"DROP {what} needs a name")
+            name = tokens[at].rsplit(".", 1)[-1]
+            if name not in self.tables and name not in self.views:
+                raise ChSqlError(
+                    f"DROP {what} references undeclared table {name!r} — "
+                    "CREATE it in this catalog first"
+                )
+        if what == "VIEW" and name not in self.views:
+            raise ChSqlError(
+                f"{name!r} is a table, not a view — use DROP TABLE"
+            )
+        if name in self.views:
+            self.views.pop(name)
+            return name
         self.tables.pop(name, None)
         self.storage.pop(name, None)
         self._insert_seq.pop(name, None)
@@ -2043,15 +2287,26 @@ class ChDdlCatalog:
             out = df if out is None else out.unionByName(df)
         return out
 
-    def query(self, spark: SparkSession, sql: str) -> DataFrame:
+    def query(self, spark: SparkSession, sql: str,
+              _visiting: frozenset = frozenset()) -> DataFrame:
         """Compile a CH-dialect SELECT against the catalog's STORED
         tables (each inserted table reads through its manifest; RMT
         version declarations contribute FINAL specs) — the terminal
         SELECT of the reference's own workflow, over the same catalog
         the DDL built. A declared table never inserted into answers
         with its empty declared-schema frame (CH: SELECT from an empty
-        table is 0 rows, not an error)."""
+        table is 0 rows, not an error). Plain views (r14) expand here:
+        a whole-word reference compiles the view's stored SELECT
+        recursively (``_visiting`` breaks reference cycles loudly)."""
         tables = {n: self._read_stored(spark, n) for n in self.storage}
+        for vname, vsql in self.views.items():
+            if re.search(rf"\b{re.escape(vname)}\b", sql):
+                if vname in _visiting:
+                    raise ChSqlError(
+                        f"view {vname!r} is part of a reference cycle"
+                    )
+                tables[vname] = self.query(
+                    spark, vsql, _visiting | {vname})
         if self.storage_root is not None:
             for n, spec in self.tables.items():
                 if n not in tables and not spec.is_kafka_source:
@@ -2088,6 +2343,10 @@ class ChDdlCatalog:
         count, never by rows (system.parts reads parquet FOOTERS via
         the manifest's describe_parts)."""
         t_rows, c_rows = [], []
+        for n in sorted(self.views):  # r14: plain views, CH engine name
+            t_rows.append(
+                (n, "View", "", "", None,
+                 f"CREATE VIEW {n} AS {self.views[n]}"))
         for n in sorted(self.tables):
             s = self.tables[n]
             t_rows.append((

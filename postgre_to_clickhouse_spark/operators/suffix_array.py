@@ -21,36 +21,38 @@ doubling rounds over MPI). This module is the Spark re-expression:
   over the ``(rank, shifted rank)`` pair (``sampling.global_dense_rank``
   — range-partitioned sort + banded offsets, NO single-partition
   Window anywhere);
-- ``ceil(log2(n))`` rounds yield the exact suffix array; ``floor(
-  log2(L))`` rounds + one overlapped-window pairing yield exact
-  L-gram equality classes (the sparse-table trick: the length-L prefix
-  is the OVERLAP of two width-2^j windows at ``pos`` and
-  ``pos + L - 2^j``), which is all ExactSubstr needs.
+- ``ceil(log2(n))`` rounds yield the exact suffix array
+  (:func:`suffix_array`, with early stop); ``floor(log2(L))`` rounds
+  give exact width-2^j window ranks (:func:`window_ranks` — two of
+  them overlap to decide arbitrary-L equality, the sparse-table
+  trick), the bounded-width primitive for corpora where almost
+  everything is duplicated.
 
-Why doubling instead of materializing length-L substrings: exploding
-L-character grams multiplies the corpus L-fold on the shuffle wire
-(L = 50..1000 in the paper's regimes); doubling rounds shuffle
-fixed-width ``(doc, pos, rank, rank2)`` rows ``log2(L)`` times —
-at L = 1000 that is ~10 passes of 24-byte rows versus a 1000x blowup,
-and each round's shuffle key is the same ``(doc, pos)`` layout, so a
-real cluster co-partitions round over round. Per-round
-``localCheckpoint`` truncates the iterative lineage (the same guard
-every iterative operator in this repo uses — pointer-jumping closure,
-PQ k-means).
+ExactSubstr span DETECTION (:func:`exact_substr_spans`) does not need
+the full ordering machinery: it runs filter-then-verify, both stages
+exact — duplicated width-8 seed windows are a PROVEN necessary
+condition at every offset of a duplicated L-window (flag + per-doc
+window leads, no self-joins), and the surviving candidates verify by
+grouping their literal L-grams. The L-fold gram blowup that makes
+naive L-gram explosion unshippable applies only to candidates.
 
-Exactness: every rank is an exact dense rank of exact window
-comparisons — no hashing anywhere in the detection path, so (unlike
-the MinHash/SimHash families) the output carries no collision
-probability at any corpus size. The pytest coverage cross-checks both
-entry points against brute-force Python on hypothesis-generated
-corpora; the driver oracle recomputes spans from first principles in
-DuckDB (substr gram explosion + HAVING count >= 2 + island merge).
+Exactness: dense ranks are exact window comparisons and the span
+verify stage is literal string equality — no hashing anywhere in
+either path, so (unlike the MinHash/SimHash families) the output
+carries no collision probability at any corpus size. The pytest
+coverage cross-checks both entry points against brute-force Python on
+seeded adversarial corpora; the driver oracle recomputes spans from
+first principles in DuckDB (substr gram explosion + HAVING count >= 2
++ island merge) and the suffix array against literally-sorted
+suffixes.
 
-Scale notes (100 TB): rounds are O(log L) corpus-wide sorts — the
-documented cost of distributed SA construction; there is no stage
-whose memory or driver footprint scales with corpus size (the banded
-rank's driver data is one row per partition). Positions are 1-based
-(``substr`` convention) so oracles read naturally.
+Scale notes (100 TB): doubling rounds are O(log) corpus-wide sorts —
+the documented cost of distributed SA construction — each pinned with
+``localCheckpoint`` so the iterative lineage never recomputes (the
+pointer-jumping closure's guard); there is no stage whose memory or
+driver footprint scales with corpus size (the banded rank's driver
+data is one row per partition). Positions are 1-based (``substr``
+convention) so oracles read naturally.
 """
 
 from __future__ import annotations
@@ -188,95 +190,6 @@ def suffix_array(
     )
 
 
-def _sentinel() -> F.Column:
-    """Label below every real class label (document ids are
-    non-negative) — the past-document-end marker."""
-    return F.struct(
-        F.lit(-1).cast("bigint").alias("a"),
-        F.lit(-1).cast("bigint").alias("b"),
-    )
-
-
-def _class_label(id_col: str) -> F.Column:
-    """Canonical label of an equality class: the MINIMUM (doc, pos)
-    struct over the class — globally unique, deterministic under any
-    partitioning (unlike monotonically_increasing_id) and exact
-    (unlike a hash, which collides with certainty at 100 TB gram
-    counts)."""
-    return F.min(F.struct(
-        F.col(id_col).cast("bigint").alias("a"),
-        F.col("pos").cast("bigint").alias("b"),
-    )).alias("__lab")
-
-
-def window_classes(
-    df: DataFrame,
-    min_window: int,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    base: int = 8,
-) -> tuple[DataFrame, int]:
-    """Equality-class labels (id, pos, l) for the LARGEST power-of-two
-    window w <= ``min_window``: two positions carry the same ``l`` iff
-    their width-min(w, chars-remaining) windows are equal strings of
-    equal length. ORDER-FREE sibling of :func:`window_ranks` — when
-    only window EQUALITY matters (duplicate detection), each doubling
-    round is a plain groupBy + join back (two co-partitioned shuffles,
-    no range sort, no Arrow pass, no lineage checkpoint), and the
-    seed window of width min(``base``, w) is built in ONE round by
-    grouping the literal substring (an 8-char key shuffles 8 bytes per
-    position once — far cheaper than three doubling rounds).
-
-    Exactness induction: seed labels group equal truncated substrings;
-    a width-2w pair (label at pos, label at pos+w, sentinel past the
-    document end) is equal iff both halves are equal, so FULL-window
-    label equality is exact string equality at every width (truncated
-    windows only arise within ``w`` of a document's end and are never
-    used as detection keys — the caller filters to full-length
-    starts)."""
-    w = 1
-    while w * 2 <= min(min_window, base):
-        w *= 2
-    pos = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("__t"),
-        F.explode(
-            F.when(
-                F.length(text_col) > 0,
-                F.sequence(F.lit(1), F.length(text_col)),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("pos"),
-    ).select(
-        id_col,
-        F.col("pos").cast("bigint").alias("pos"),
-        F.expr(f"substring(__t, pos, {w})").alias("__g"),
-    )
-    lab0 = pos.groupBy("__g").agg(_class_label(id_col))
-    cur = pos.join(lab0, "__g").select(id_col, "pos", F.col("__lab").alias("l"))
-    while w * 2 <= min_window:
-        # each round self-joins cur — pin it, or the iterative lineage
-        # recomputes every earlier round once per branch (2^rounds
-        # blowup; the same guard as every iterative operator here)
-        cur = cur.localCheckpoint()
-        shifted = cur.select(
-            F.col(id_col),
-            (F.col("pos") - F.lit(w)).alias("pos"),
-            F.col("l").alias("__l2"),
-        )
-        paired = cur.join(shifted, [id_col, "pos"], "left").select(
-            id_col,
-            "pos",
-            F.col("l").alias("__l1"),
-            F.coalesce("__l2", _sentinel()).alias("__l2"),
-        )
-        lab = paired.groupBy("__l1", "__l2").agg(_class_label(id_col))
-        cur = paired.join(lab, ["__l1", "__l2"]).select(
-            id_col, "pos", F.col("__lab").alias("l")
-        )
-        w *= 2
-    return cur, w
-
-
 def exact_substr_spans(
     df: DataFrame,
     min_len: int = 40,
@@ -290,44 +203,90 @@ def exact_substr_spans(
     ``min_count`` times across the whole corpus (within-document
     repeats count, as in Lee et al.'s single concatenated corpus).
 
-    Detection key: with w the largest power of two <= L, the length-L
-    window at ``pos`` equals another iff BOTH width-w window classes
-    at ``pos`` and at ``pos + L - w`` match (overlapped sparse-table
-    windows — exact for any L without materializing L-grams). A
-    position starts a duplicated L-gram iff its key group has >=
-    ``min_count`` members; island-merging the [pos, pos+L-1] intervals
-    per document yields maximal duplicated spans. One groupBy on the
-    two-label key + one join back — the same Zipf-head shape as the
-    approximate spans operator, but with exact semantics."""
+    Shape: filter-then-verify, both stages exact (the repo's
+    LSH->exact-verify pattern with the probabilistic stage replaced by
+    a PROVEN implication):
+
+    1. *seed flags* — group the width-w windows (w = largest power of
+       two <= min(L, 8)) by ``xxhash64`` of their text; a window is
+       ``dup`` when its group has >= ``min_count`` members. If the
+       L-window at p occurs >= k times, then for EVERY offset o the
+       w-window at p + o occurs >= k times, and equal windows ALWAYS
+       share a hash — so requiring ``dup`` at the stride-w offsets
+       {0, w, .., L-w} (plus the overlapped final L-w) is a NECESSARY
+       condition: no false negatives, by implication. Hashing here is
+       sound because a collision can only ADD a candidate (stage 3
+       kills it); the exactness-critical equality is never hashed.
+       8-byte int keys shuffle ~5x smaller than the literal windows.
+    2. *candidates* — the all-offsets-dup test is a handful of
+       ``lead``s over the per-document position order (one partitioned
+       window pass, no self-joins).
+    3. *verify* — only candidates materialize their literal L-gram
+       (join back to the document text, one ``substring``) and group
+       on it with HAVING count >= ``min_count``: false positives die
+       here, so the result is exact string equality — no hashing
+       anywhere, zero collision probability at any corpus size.
+
+    The L-fold gram blowup that makes naive L-gram explosion
+    unshippable applies only to CANDIDATES (the Zipf head of truly
+    duplicated text plus the rare coincidence of w-window
+    co-occurrence), not the corpus; for corpora that are mostly
+    duplicates the :func:`window_ranks` doubling machinery is the
+    bounded-width fallback. Island-merging the surviving [pos,
+    pos+L-1] intervals per document yields maximal duplicated spans."""
     if min_len < 2:
         raise ValueError("min_len must be >= 2")
-    ranks, w = window_classes(df, min_len, text_col, id_col)
-    off = min_len - w
-    lens = df.select(F.col(id_col), F.length(text_col).alias("__len"))
-    starts = (
-        ranks.join(lens, id_col)
-        .filter(F.col("pos") <= F.col("__len") - min_len + 1)
-        .select(id_col, "pos", F.col("l").alias("__k1"))
+    w = 1
+    while w * 2 <= min(min_len, 8):
+        w *= 2
+    pos = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.explode(
+            F.when(
+                F.length(text_col) > 0,
+                F.sequence(F.lit(1), F.length(text_col)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    ).select(
+        id_col,
+        F.col("pos").cast("bigint").alias("pos"),
+        F.xxhash64(F.expr(f"substring(__t, pos, {w})")).alias("__g"),
     )
-    if off:
-        second = ranks.select(
-            F.col(id_col),
-            (F.col("pos") - F.lit(off)).alias("pos"),
-            F.col("l").alias("__k2"),
-        )
-        # inner join is total on starts: pos + off <= len - w + 1 holds
-        # for every start position, so the second window always exists
-        keyed = starts.join(second, [id_col, "pos"])
-    else:
-        keyed = starts.select(id_col, "pos", "__k1",
-                              F.col("__k1").alias("__k2"))
+    dup8 = (
+        pos.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select("__g", (F.col("__n") >= min_count).alias("__dup"))
+    )
+    flags = pos.join(dup8, "__g").select(id_col, "pos", "__dup")
+    offsets = list(range(0, min_len - w + 1, w))
+    if (min_len - w) not in offsets:
+        offsets.append(min_len - w)
+    byp = Window.partitionBy(id_col).orderBy("pos")
+    cond = F.lit(True)
+    for o in offsets:
+        flag_at = F.col("__dup") if o == 0 else F.lead("__dup", o).over(byp)
+        cond = cond & F.coalesce(flag_at, F.lit(False))
+    lens = df.select(F.col(id_col), F.length(text_col).alias("__len"))
+    cand = (
+        flags.select(id_col, "pos", cond.alias("__cand"))
+        .filter("__cand")
+        .join(lens, id_col)
+        .filter(F.col("pos") <= F.col("__len") - min_len + 1)
+        .select(id_col, "pos")
+    )
+    grams = cand.join(
+        df.select(F.col(id_col), F.col(text_col).alias("__t")), id_col
+    ).select(
+        id_col, "pos", F.expr(f"substring(__t, pos, {min_len})").alias("__g")
+    )
     dup = (
-        keyed.groupBy("__k1", "__k2")
+        grams.groupBy("__g")
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= min_count)
-        .select("__k1", "__k2")
+        .select("__g")
     )
-    hits = keyed.join(dup, ["__k1", "__k2"]).select(
+    hits = grams.join(dup, "__g").select(
         F.col(id_col),
         F.col("pos").alias("s"),
         (F.col("pos") + F.lit(min_len - 1)).alias("e"),

@@ -57,13 +57,16 @@ def exact_substr_spans(spark, sf_dir):
     """EXACT ExactSubstr (Lee et al. 2022): merged character spans
     covered by any 40-char substring occurring >= 2 times anywhere in
     the corpus — within- and cross-document, exactly the semantics of
-    the paper's concatenated-corpus suffix array. No hashing anywhere:
-    prefix-doubling equality classes (two groupBy+join rounds over
-    fixed-width labels from an 8-char seed) make detection exact at
-    any corpus size, where the MinHash/SimHash families and the
-    shipped 8-gram span approximation carry collision/granularity
-    error. Scale shape: O(log L) co-partitioned shuffle rounds of
-    24-byte rows — never an L-fold gram blowup, never all-pairs."""
+    the paper's concatenated-corpus suffix array. Filter-then-verify,
+    both stages exact: duplicated seed-window flags at every stride-8
+    offset are a PROVEN necessary condition (per-doc window leads, no
+    self-joins), and candidates verify by grouping their LITERAL
+    L-grams — so unlike the MinHash/SimHash families and the shipped
+    8-gram span approximation, the result carries zero
+    collision/granularity error at any corpus size. Scale shape: one
+    hashed seed groupBy + one per-doc window pass over character
+    positions; the L-fold gram blowup applies only to candidates
+    (the Zipf head), never the corpus — and never all-pairs."""
     d = _t(spark, sf_dir, "documents")
     return SA.exact_substr_spans(
         d, min_len=40, min_count=2, text_col="text", id_col="doc_id"

@@ -216,7 +216,8 @@ def test_type_map_wrappers():
          "unsupported ClickHouse type"),
         ("CREATE TABLE t (a UInt32) ENGINE = MergeTree", "requires ORDER BY"),
         ("CREATE MATERIALIZED VIEW v AS SELECT 1 FROM t", "TO target"),
-        ("CREATE VIEW v AS SELECT 1", "unsupported CREATE"),
+        ("CREATE VIEW v SELECT 1", "AS SELECT"),  # plain VIEW needs AS
+        ("CREATE LIVE VIEW v AS SELECT 1", "unsupported CREATE"),
         ("RENAME TABLE t TO u", "only CREATE"),
     ],
 )
@@ -1551,3 +1552,129 @@ def test_ctas_if_not_exists_is_a_silent_noop(spark, tmp_path):
     cat.execute(stmt, spark=spark)  # second run: no-op, no error
     # summary still carries only the FIRST run's snapshot
     assert cat.query(spark, "SELECT a FROM summary").count() == 2
+
+
+def test_explain_estimate_prunes_parts(spark, tmp_path):
+    """r14 (VERDICT r13 boundary list): EXPLAIN ESTIMATE answers from
+    the manifest's own part statistics — the range probe must prune to
+    exactly the matching insert's files, and rows/marks must come from
+    the surviving parquet footers."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE TABLE te (user_id UInt64, v String) "
+                "ENGINE = MergeTree ORDER BY user_id", spark=spark)
+    for base in (0, 100, 200, 300):
+        vals = ", ".join(f"({base + i}, 'v{base + i}')" for i in range(50))
+        cat.execute(f"INSERT INTO te VALUES {vals}", spark=spark)
+    full = cat.execute("EXPLAIN ESTIMATE SELECT * FROM te",
+                       spark=spark).collect()[0]
+    assert (full["database"], full["table"]) == ("default", "te")
+    assert full["rows"] == 200
+    hit = cat.execute(
+        "EXPLAIN ESTIMATE SELECT v FROM te "
+        "WHERE user_id >= 200 AND user_id <= 220", spark=spark).collect()[0]
+    assert hit["rows"] == 50  # only the third insert's zone maps match
+    assert hit["parts"] < full["parts"]
+    btw = cat.execute(
+        "EXPLAIN ESTIMATE SELECT v FROM te "
+        "WHERE user_id BETWEEN 200 AND 220", spark=spark).collect()[0]
+    assert tuple(btw) == tuple(hit)  # BETWEEN's own AND must not split
+    import pytest as _pytest
+
+    from postgre_to_clickhouse_spark.ch_select import ChSqlError
+
+    with _pytest.raises(ChSqlError, match="single-table"):
+        cat.execute("EXPLAIN ESTIMATE SELECT * FROM te "
+                    "JOIN te USING (user_id)", spark=spark)
+    with _pytest.raises(ChSqlError, match="no FROM"):
+        cat.execute("EXPLAIN ESTIMATE SELECT 1", spark=spark)
+
+
+def test_estimate_probe_extraction():
+    """The conjunct extractor: index-usable shapes become probes, the
+    rest contribute nothing (conservative), BETWEEN survives the AND
+    split, literal-first comparisons mirror their operator."""
+    import datetime as dt
+
+    from postgre_to_clickhouse_spark.ch_ddl import _estimate_probes
+
+    w, e = _estimate_probes(
+        "SELECT * FROM t WHERE user_id >= 10 AND user_id < 20 "
+        "AND name = 'x' AND f(a) > 3 ORDER BY user_id")
+    assert ("user_id", 10, None) in w and ("user_id", None, 20) in w
+    assert ("name", "x", "x") in w and e == [("name", "x")]
+    assert not any(c == "a" for c, *_ in w)  # f(a) is not index-usable
+    w, e = _estimate_probes(
+        "SELECT * FROM t WHERE ts BETWEEN toDateTime('2024-03-01 00:00:00')"
+        " AND toDateTime('2024-03-02 00:00:00') AND v > 1")
+    assert w[0] == ("ts", dt.datetime(2024, 3, 1), dt.datetime(2024, 3, 2))
+    assert ("v", 1, None) in w
+    w, e = _estimate_probes(
+        "SELECT * FROM t WHERE user_id IN (3, 5, 7) AND 100 > user_id")
+    assert ("user_id", 3, 7) in w and ("user_id", None, 100) in w
+    assert _estimate_probes("SELECT * FROM t") == ([], [])
+
+
+def test_create_view_expands_at_read(spark, tmp_path):
+    """r14: plain CREATE VIEW — the ordinary CH View engine: a stored
+    query expanded at read time (later inserts are visible), views on
+    views compose, cycles refuse loudly, DROP VIEW/TABLE both work,
+    and the introspection surface answers like a CH server."""
+    import pytest as _pytest
+
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+    from postgre_to_clickhouse_spark.ch_select import ChSqlError
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE TABLE base (id UInt64, v Float64) "
+                "ENGINE = MergeTree ORDER BY id", spark=spark)
+    cat.execute("INSERT INTO base VALUES (1, 2.0), (2, 4.0)", spark=spark)
+    cat.execute("CREATE VIEW doubled AS SELECT id, v * 2 AS v2 FROM base",
+                spark=spark)
+    got = cat.query(spark, "SELECT id, v2 FROM doubled ORDER BY id")
+    assert [tuple(r) for r in got.collect()] == [(1, 4.0), (2, 8.0)]
+    # NOT materialized: a later insert is visible through the view
+    cat.execute("INSERT INTO base VALUES (3, 5.0)", spark=spark)
+    assert cat.query(spark, "SELECT count() AS n FROM doubled") \
+        .collect()[0]["n"] == 3
+    # view over view
+    cat.execute("CREATE VIEW big AS SELECT id FROM doubled WHERE v2 > 7",
+                spark=spark)
+    assert sorted(r["id"] for r in
+                  cat.query(spark, "SELECT id FROM big").collect()) == [2, 3]
+    # introspection
+    names = [r["name"] for r in cat.execute("SHOW TABLES", spark=spark)
+             .collect()]
+    assert "doubled" in names and "base" in names
+    stmt = cat.execute("SHOW CREATE VIEW doubled", spark=spark) \
+        .collect()[0]["statement"]
+    assert stmt.startswith("CREATE VIEW doubled AS SELECT")
+    d = cat.execute("DESCRIBE doubled", spark=spark).collect()
+    assert [(r["name"], r["type"]) for r in d] == [
+        ("id", "bigint"), ("v2", "double")]
+    assert cat.execute("EXISTS TABLE doubled", spark=spark) \
+        .collect()[0]["result"] == 1
+    eng = {r["name"]: r["engine"] for r in cat.query(
+        spark, "SELECT name, engine FROM system.tables").collect()}
+    assert eng["doubled"] == "View"
+    # duplicate name refuses; IF NOT EXISTS is the silent no-op
+    with _pytest.raises(ChSqlError, match="already exists"):
+        cat.execute("CREATE VIEW doubled AS SELECT 1 AS x", spark=spark)
+    cat.execute("CREATE VIEW IF NOT EXISTS doubled AS SELECT 1 AS x",
+                spark=spark)
+    assert cat.query(spark, "SELECT count() AS n FROM doubled") \
+        .collect()[0]["n"] == 3  # original body kept
+    # cycle refusal (mutual: rebuild 'doubled' to reference 'big')
+    cat.execute("DROP VIEW doubled", spark=spark)
+    cat.execute("CREATE VIEW doubled AS SELECT id, 0.0 AS v2 FROM big",
+                spark=spark)
+    with _pytest.raises(ChSqlError, match="cycle"):
+        cat.query(spark, "SELECT * FROM big")
+    # DROP guards
+    with _pytest.raises(ChSqlError, match="not a view"):
+        cat.execute("DROP VIEW base", spark=spark)
+    cat.execute("DROP TABLE big", spark=spark)  # DROP TABLE works on views
+    assert cat.execute("EXISTS TABLE big", spark=spark) \
+        .collect()[0]["result"] == 0
+    assert cat.execute("DROP VIEW IF EXISTS nope", spark=spark) is None

@@ -451,8 +451,10 @@ def test_explain_over_the_wire(spark, tmp_path):
     wire — the compiled Catalyst plan, the honest analogue of CH's
     EXPLAIN. r13: EXPLAIN AST answers the front end's own parse tree
     in CH's indented layout, EXPLAIN SYNTAX the statement after the
-    dialect's expression rewrites; ESTIMATE still refuses (MergeTree
-    part statistics have no analogue)."""
+    dialect's expression rewrites. r14: ESTIMATE answers (database,
+    table, parts, rows, marks) from the manifest's own part
+    statistics after the read path's zone-map pruning — no-FROM
+    statements still refuse."""
     from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
 
     cat = ChDdlCatalog(storage_root=str(tmp_path))
@@ -482,8 +484,15 @@ def test_explain_over_the_wire(spark, tmp_path):
         assert "date_trunc('DAY', ts) AS d" in body
         assert "approx_count_distinct(u)" in body
         assert body.startswith("SELECT")
+        code, body = _post(ep, "EXPLAIN ESTIMATE SELECT id FROM t "
+                               "WHERE id <= 1")
+        assert code == 200
+        db, tbl, parts, rows, marks = body.strip().split("\t")
+        assert (db, tbl) == ("default", "t")
+        assert int(rows) >= 1 and int(parts) >= 1 and int(marks) >= 1
+        # a statement with no FROM still refuses
         code, body = _post(ep, "EXPLAIN ESTIMATE SELECT 1")
-        assert code == 500 and "EXPLAIN AST" in body
+        assert code == 500 and "no FROM table" in body
     finally:
         ep.stop()
 

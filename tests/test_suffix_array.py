@@ -96,6 +96,31 @@ def test_exact_substr_spans_match_brute_force(corpus_df, L, min_count):
     assert got == _brute_spans(_corpus(), L, min_count)
 
 
+def test_window_ranks_sparse_table_equality(spark):
+    """The bounded-width primitive: two overlapped width-w ranks decide
+    arbitrary-L equality exactly (rank pair at pos and pos + L - w
+    equal <=> literal L-grams equal)."""
+    docs = _corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    L = 12
+    ranks, w = SA.window_ranks(df, L)
+    assert w == 8
+    r = {(x["doc_id"], x["pos"]): x["r"] for x in ranks.collect()}
+    texts = dict(docs)
+    keys = {}
+    for did, t in docs:
+        for p in range(1, len(t) - L + 2):
+            keys.setdefault(
+                (r[(did, p)], r[(did, p + L - w)]), set()
+            ).add(t[p - 1:p - 1 + L])
+    # every rank-pair class contains exactly ONE distinct L-gram, and
+    # equal L-grams never split across classes
+    assert all(len(g) == 1 for g in keys.values())
+    grams = [next(iter(g)) for g in keys.values()]
+    assert len(grams) == len(set(grams))
+    assert texts  # corpus non-trivial
+
+
 def test_spans_empty_when_nothing_repeats(spark):
     df = spark.createDataFrame(
         [(0, "abcdefghij"), (1, "klmnopqrst")], "doc_id long, text string"

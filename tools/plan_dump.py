@@ -40,6 +40,8 @@ SHOWCASE = [
     ("dsir_select_documents", "r13: DSIR scoring — the fitted model is ONE literal array; map + TakeOrderedAndProject, zero exchanges, no join/window/Python"),
     ("ch_dialect_paste_qq", "r13: PASTE JOIN — two range-partitioned sorts + per-partition numbering + broadcast offsets; the zip is an index equi-join, no single-partition window"),
     ("pack_training_sequences", "r13 s3: concat-and-chunk packing — ONE exchange by content-addressed shard into a shard-local prefix-sum window; block spans are map-side arithmetic"),
+    ("exact_substr_spans", "r14: exact ExactSubstr filter-then-verify — hashed seed-count join + ONE per-doc multi-lead window pass + literal candidate verify; no self-joins, no single-partition stage"),
+    ("suffix_array_rank", "r14: prefix-doubling suffix array — range-partitioned Arrow dense-rank rounds (banded offsets), early-stopped; final rank is a per-doc window"),
 ]
 
 STRIP = re.compile(r"#\d+L?|\[plan_id=\d+\]")
