@@ -272,6 +272,11 @@ HEADLINE = [
     # early-stopped by a distinctness agg; nothing else times repeated
     # rangepartitioning+mapInPandas rounds.
     "suffix_array_rank",
+    # suffix_lcp_rank (r14 s2) benches: the SA+LCP compound adds the
+    # LCP descent (two co-keyed left joins per kept level + the
+    # character-residual text join) on top of the doubling — a
+    # distinct join-ladder shape worth its own number.
+    "suffix_lcp_rank",
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the
@@ -343,8 +348,10 @@ FORCE_EVAL = {
     "interval_length_sum_users": "union_us >= 0",
     # r14: the final per-doc row_number window is cardinality-neutral,
     # so count() would prune it (the doubling rounds themselves run
-    # eagerly in the operator's driver loop either way)
+    # eagerly in the operator's driver loop either way); same for the
+    # LCP descent's join ladder behind a unique-key output
     "suffix_array_rank": "sa_rank >= 1",
+    "suffix_lcp_rank": "sa_rank >= 1 AND lcp >= 0",
 }
 
 # r7 (VERDICT r6 #8): one 112-query JVM session couples queries to GC

@@ -339,7 +339,12 @@ def _estimate_probes(text: str):
     that do not match contribute nothing (the estimate stays
     conservative — CH's own ESTIMATE behavior for non-index
     predicates). Strict < / > probe as their inclusive forms: an
-    estimate may overcount a boundary granule, never undercount."""
+    estimate may overcount a boundary granule, never undercount. A
+    statement carrying any subquery contributes NO probes at all —
+    a subquery's own WHERE must not prune the outer table's files
+    (overcounting is allowed, undercounting is not)."""
+    if re.search(r"(?is)\(\s*SELECT\b", text):
+        return [], []
     m = re.search(
         r"(?is)\b(?:PREWHERE|WHERE)\b(.*?)(?:\b(?:GROUP|ORDER|LIMIT|"
         r"SETTINGS|FORMAT|WHERE)\b|$)", text)
@@ -808,11 +813,13 @@ class ChDdlCatalog:
             return self._introspect(tokens, self._need_spark(spark, head))
         if head == "EXPLAIN":
             return self._explain(tokens, self._need_spark(spark, "EXPLAIN"))
+        if head == "RENAME":
+            return self._rename_table(tokens)
         if head != "CREATE":
             raise ChSqlError(
                 "only CREATE / ALTER TABLE / INSERT / TRUNCATE / "
-                "DROP TABLE / OPTIMIZE / EXPLAIN statements are "
-                "supported here"
+                "DROP TABLE / OPTIMIZE / RENAME TABLE / EXPLAIN "
+                "statements are supported here"
             )
         kind = _kw(tokens[1]) if len(tokens) > 1 else ""
         if kind == "DATABASE":
@@ -1911,6 +1918,59 @@ class ChDdlCatalog:
         self.storage.pop(name, None)
         self._insert_seq.pop(name, None)
         return name
+
+    def _rename_table(self, tokens: list[str]):
+        """CH ``RENAME TABLE a TO b[, c TO d]`` (r14): re-key the
+        declaration, storage handle and insert sequence under the new
+        name — metadata-only, like CH's atomic metadata move. The
+        PHYSICAL data directory keeps its original name (the manifest
+        path is internal, content-addressed state; CH's on-disk UUID
+        dirs behave the same way under Atomic databases). Views / MVs
+        referencing the OLD name fail loudly at their next use — the
+        CH behavior (they bind by name at read). Multi-pair renames
+        validate ALL pairs first, then apply atomically."""
+        if len(tokens) < 5 or _kw(tokens[1]) != "TABLE":
+            raise ChSqlError("RENAME TABLE a TO b[, c TO d]?")
+        # parse pairs: ident TO ident (, ident TO ident)*
+        pairs: list[tuple[str, str]] = []
+        at = 2
+        while at < len(tokens):
+            if (at + 2 >= len(tokens) or not _is_ident(tokens[at])
+                    or _kw(tokens[at + 1]) != "TO"
+                    or not _is_ident(tokens[at + 2])):
+                raise ChSqlError("RENAME TABLE a TO b[, c TO d]?")
+            pairs.append((tokens[at].rsplit(".", 1)[-1],
+                          tokens[at + 2].rsplit(".", 1)[-1]))
+            at += 3
+            if at < len(tokens):
+                if tokens[at] != ",":
+                    raise ChSqlError("RENAME TABLE a TO b[, c TO d]?")
+                at += 1
+        # validate over an EVOLVING simulated namespace so chained
+        # pairs compose (`b TO tmp, c TO b, tmp TO c` — the CH swap
+        # idiom: pair 3's source exists only because pair 1 made it)
+        sim = set(self.tables)
+        for old, new in pairs:
+            if old not in sim:
+                raise ChSqlError(
+                    f"RENAME TABLE references undeclared table {old!r} — "
+                    "CREATE it in this catalog first"
+                )
+            if new in sim or new in self.views:
+                raise ChSqlError(
+                    f"RENAME TABLE: target name {new!r} already exists"
+                )
+            sim.discard(old)
+            sim.add(new)
+        for old, new in pairs:
+            spec = self.tables.pop(old)
+            spec.name = new
+            self.tables[new] = spec
+            if old in self.storage:
+                self.storage[new] = self.storage.pop(old)
+            if old in self._insert_seq:
+                self._insert_seq[new] = self._insert_seq.pop(old)
+        return [new for _old, new in pairs]
 
     def _optimize_stmt(self, tokens: list[str], spark: SparkSession):
         """CH ``OPTIMIZE TABLE [db.]t [FINAL]`` (r11): without FINAL, a

@@ -68,6 +68,7 @@ __all__ = [
     "char_ranks",
     "window_ranks",
     "suffix_array",
+    "suffix_array_with_lcp",
     "exact_substr_spans",
 ]
 
@@ -84,8 +85,8 @@ def char_ranks(
     single characters). String order here is Spark's string
     comparison; for ASCII — the engine's corpora after the usual
     canonicalization — that equals UTF-8 byte order, i.e. the binary
-    collation DuckDB sorts with. Seeding at base 8 replaces the first
-    three doubling rounds with ONE ranked pass over 8-byte keys.
+    collation DuckDB sorts with. Seeding at base w replaces the first
+    log2(w) doubling rounds with ONE ranked pass over w-byte keys.
     Returns ``(ranks, base_window)``."""
     w = max(1, base)
     pos = df.select(
@@ -151,24 +152,31 @@ def window_ranks(
     return cur, w
 
 
-def suffix_array(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Exact per-document suffix array: (id, pos, sa_rank) where
-    ``sa_rank`` is the 1-based position of suffix ``text[pos:]`` in the
-    lexicographic order of all suffixes of that document.
+def _rank_levels(
+    df: DataFrame, text_col: str, id_col: str, base: int = 16
+) -> list[tuple[int, DataFrame]]:
+    """All doubling levels [(w, ranks)] from the 8-char seed up to the
+    early-stop window: doubling stops once every (doc, rank) pair is
+    unique — from that window on, within-document order is fully
+    decided (two suffixes with equal window-w ranks share their first
+    w characters; distinct ranks mean the order is already determined
+    inside the window). The cap ceil(log2(max doc length)) guarantees
+    termination because two distinct suffixes of one document can
+    never be equal strings. Cross-document rank ties are irrelevant to
+    the per-document order and do not delay the stop. Each level is
+    pinned by :func:`global_dense_rank`'s internal checkpoint, so
+    keeping them all is free — and the LCP descent needs them.
 
-    Doubling stops EARLY once every (doc, rank) pair is unique — from
-    that window on, within-document order is fully decided (two
-    suffixes with equal window-w ranks share their first w characters;
-    distinct ranks mean the order is already determined inside the
-    window). The cap ceil(log2(max doc length)) guarantees termination
-    because two distinct suffixes of one document can never be equal
-    strings. Cross-document rank ties are irrelevant to the
-    per-document order and do not delay the stop."""
-    cur, w = char_ranks(df, text_col, id_col, base=8)
+    ``base`` is the seed-window width: the seed rank is exact at ANY
+    width (a ranked sort of literal truncated windows), so a wider
+    seed trades shuffle bytes on ONE sort for whole doubling rounds
+    (each a join + range sort + Arrow pass) — the same k-mer-packing
+    lever the distributed-SA implementations tune. Measured at the
+    fixture subset: base 8 -> 6.9 s, 16 -> 4.5 s, 32 -> 2.0 s warm;
+    16 is the default (still exercises real doubling rounds, and
+    16 bytes/position is a modest wire cost at cluster scale)."""
+    cur, w = char_ranks(df, text_col, id_col, base=base)
+    levels = [(w, cur)]
     max_len = df.select(
         F.max(F.length(text_col)).alias("m")
     ).collect()[0]["m"] or 0
@@ -182,11 +190,144 @@ def suffix_array(
             break
         cur = _advance(cur, id_col, w)
         w *= 2
+        levels.append((w, cur))
+    return levels
+
+
+def suffix_array(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-document suffix array: (id, pos, sa_rank) where
+    ``sa_rank`` is the 1-based position of suffix ``text[pos:]`` in the
+    lexicographic order of all suffixes of that document (early-stopped
+    prefix doubling — see :func:`_rank_levels`)."""
+    _w, cur = _rank_levels(df, text_col, id_col)[-1]
     sa = Window.partitionBy(id_col).orderBy("r", "pos")
     return cur.select(
         F.col(id_col),
         "pos",
         F.row_number().over(sa).cast("bigint").alias("sa_rank"),
+    )
+
+
+def suffix_array_with_lcp(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "bounded",
+) -> DataFrame:
+    """Exact per-document suffix array WITH its LCP array: (id, pos,
+    sa_rank, lcp) where ``lcp`` is the longest-common-prefix length
+    between this suffix and the PREVIOUS one in the document's suffix
+    order (0 at sa_rank 1) — the SA+LCP pair is the complete primitive
+    of the distributed construction literature (Flick & Aluru SC'15
+    build both) and of ExactSubstr-style maximal-repeat mining.
+
+    Two exact strategies, same output:
+
+    - ``method="bounded"`` (default): the construction's own early
+      stop PROVES every lcp < the final window width w_stop (all
+      (doc, rank) pairs distinct at w_stop means adjacent suffixes
+      differ inside it), so the whole LCP array resolves in ONE
+      map-only pass — an ``aggregate`` higher-order fold comparing at
+      most w_stop characters of the two suffixes (one join back to
+      the document text, no further shuffles). Right whenever w_stop
+      is modest — the documents data model, where the longest
+      repeated prefix is bounded by document structure (measured
+      w_stop = 32..64 on the fixture corpora; 21.6 s -> ~4 s at
+      sf0.1 vs the descent).
+    - ``method="descent"``: the literature's level descent, highest
+      kept doubling level first — if the width-w window ranks at
+      (pos_prev + lcp) and (pos + lcp) match, the common prefix
+      extends by exactly w (rank equality of truncated windows can
+      only happen when both windows are full: two distinct suffixes
+      of one document cannot share an identical tail — the advance
+      never overcounts). Two co-keyed left joins per level + an
+      8-character residual. O(log) joins regardless of w_stop —
+      the scalable path when a single "document" is a concatenated
+      corpus and w_stop (= longest repeat + 1) can be megabytes."""
+    levels = _rank_levels(df, text_col, id_col)
+    w_stop, cur = levels[-1]
+    # ONE window pass: rank and predecessor share the same window spec
+    # (suffix order = rank order), so Catalyst evaluates both in a
+    # single Window node — no second sort
+    sa = Window.partitionBy(id_col).orderBy("r", "pos")
+    pairs = cur.select(
+        F.col(id_col), "pos",
+        F.row_number().over(sa).cast("bigint").alias("sa_rank"),
+        F.lag("pos").over(sa).alias("__pp"),
+    ).withColumn("lcp", F.lit(0).cast("bigint"))
+    if method == "bounded":
+        text = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+        out = pairs.join(text, id_col)
+        # fold over at most w_stop character positions; stops at the
+        # first mismatch or either suffix's end (substring past the
+        # end is '' and never equals a real character)
+        fold = (
+            "aggregate(sequence(1, {w}), "
+            "named_struct('n', 0L, 'stop', false), "
+            "(acc, i) -> IF(acc.stop "
+            "  OR substring(__t, cast(__pp as int) + i - 1, 1) = '' "
+            "  OR substring(__t, cast(__pp as int) + i - 1, 1) <> "
+            "     substring(__t, cast(pos as int) + i - 1, 1), "
+            " named_struct('n', acc.n, 'stop', true), "
+            " named_struct('n', acc.n + 1L, 'stop', false)), "
+            "acc -> acc.n)"
+        ).format(w=int(w_stop))
+        return out.select(
+            F.col(id_col), "pos", "sa_rank",
+            F.when(F.col("__pp").isNull(), F.lit(0).cast("bigint"))
+            .otherwise(F.expr(fold)).alias("lcp"),
+        )
+    if method != "descent":
+        raise ValueError(f"unknown lcp method {method!r}")
+    for w, ranks in sorted(levels, key=lambda t: -t[0]):
+        ra = ranks.select(
+            F.col(id_col), F.col("pos").alias("__qa"),
+            F.col("r").alias("__ra"),
+        )
+        rb = ranks.select(
+            F.col(id_col), F.col("pos").alias("__qb"),
+            F.col("r").alias("__rb"),
+        )
+        pairs = (
+            pairs.withColumn("__qa", F.col("__pp") + F.col("lcp"))
+            .withColumn("__qb", F.col("pos") + F.col("lcp"))
+            .join(ra, [id_col, "__qa"], "left")
+            .join(rb, [id_col, "__qb"], "left")
+            .withColumn(
+                "lcp",
+                F.when(
+                    F.col("__pp").isNotNull()
+                    & F.col("__ra").isNotNull()
+                    & (F.col("__ra") == F.col("__rb")),
+                    F.col("lcp") + w,
+                ).otherwise(F.col("lcp")),
+            )
+            .drop("__qa", "__qb", "__ra", "__rb")
+        )
+    # residual < the lowest kept level: direct character comparison
+    # of the two seed-width windows
+    seed_w = min(w for w, _r in levels)
+    text = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    out = pairs.join(text, id_col)
+    a = F.expr(f"substring(__t, cast(__pp + lcp as int), {seed_w})")
+    b = F.expr(f"substring(__t, cast(pos + lcp as int), {seed_w})")
+    run = F.lit(True)
+    cp = F.lit(0).cast("bigint")
+    for k in range(1, seed_w + 1):
+        ck = (
+            (F.substring(a, k, 1) == F.substring(b, k, 1))
+            & (F.substring(a, k, 1) != F.lit(""))
+        )
+        run = run & ck
+        cp = cp + F.when(run, 1).otherwise(0)
+    return out.select(
+        F.col(id_col), "pos", "sa_rank",
+        F.when(F.col("__pp").isNull(), F.lit(0).cast("bigint"))
+        .otherwise(F.col("lcp") + cp).alias("lcp"),
     )
 
 

@@ -97,3 +97,40 @@ def suffix_array_rank(spark, sf_dir):
     single-partition stage at any width."""
     d = _t(spark, sf_dir, "documents").filter("doc_id % 11 = 3")
     return SA.suffix_array(d, text_col="text", id_col="doc_id")
+
+
+@register(
+    "suffix_lcp_rank",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 3),
+    s AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+          FROM d),
+    suf AS (SELECT doc_id, pos, substr(text, pos) AS sfx FROM s),
+    ranked AS (SELECT doc_id, pos, sfx,
+               row_number() OVER (PARTITION BY doc_id ORDER BY sfx)
+                 AS sa_rank FROM suf),
+    pairs AS (SELECT doc_id, pos, sa_rank, sfx,
+              lag(sfx) OVER (PARTITION BY doc_id ORDER BY sa_rank) AS prev
+              FROM ranked)
+    SELECT doc_id, pos, sa_rank,
+           CASE WHEN prev IS NULL THEN 0
+                ELSE len(list_filter(
+                       generate_series(1, least(length(sfx), length(prev))),
+                       i -> substr(sfx, 1, i) = substr(prev, 1, i)))
+           END AS lcp
+    FROM pairs
+    """,
+)
+def suffix_lcp_rank(spark, sf_dir):
+    """The LCP array alongside the suffix array — the complete SA+LCP
+    primitive of the distributed construction literature (Flick &
+    Aluru SC'15 build both together) and of ExactSubstr-style
+    maximal-repeat mining: for each suffix, the exact common-prefix
+    length with its predecessor in the document's suffix order. LCP
+    descent reuses the doubling levels the construction already
+    computed (two co-keyed left joins per level, highest first; the
+    sub-seed residual resolves by direct character comparison) — the
+    oracle recomputes every lcp from the literal sorted suffixes, so
+    a single off-by-one anywhere breaks the hash match."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id % 11 = 3")
+    return SA.suffix_array_with_lcp(d, text_col="text", id_col="doc_id")

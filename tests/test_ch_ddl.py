@@ -218,7 +218,9 @@ def test_type_map_wrappers():
         ("CREATE MATERIALIZED VIEW v AS SELECT 1 FROM t", "TO target"),
         ("CREATE VIEW v SELECT 1", "AS SELECT"),  # plain VIEW needs AS
         ("CREATE LIVE VIEW v AS SELECT 1", "unsupported CREATE"),
-        ("RENAME TABLE t TO u", "only CREATE"),
+        ("RENAME TABLE t TO u", "undeclared table"),  # r14: RENAME parses
+        ("RENAME t TO u", "RENAME TABLE a TO b"),
+        ("ATTACH TABLE t", "only CREATE"),
     ],
 )
 def test_ddl_refusals(bad, frag):
@@ -1678,3 +1680,57 @@ def test_create_view_expands_at_read(spark, tmp_path):
     assert cat.execute("EXISTS TABLE big", spark=spark) \
         .collect()[0]["result"] == 0
     assert cat.execute("DROP VIEW IF EXISTS nope", spark=spark) is None
+
+
+def test_rename_table_rekeys_storage(spark, tmp_path):
+    """r14: RENAME TABLE — metadata-only re-key; data follows the
+    handle, multi-pair renames (incl. a name SWAP through a temp) are
+    validated all-pairs-first, and stale references fail loudly."""
+    import pytest as _pytest
+
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+    from postgre_to_clickhouse_spark.ch_select import ChSqlError
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE TABLE a (id UInt64, v String) "
+                "ENGINE = MergeTree ORDER BY id", spark=spark)
+    cat.execute("INSERT INTO a VALUES (1, 'x'), (2, 'y')", spark=spark)
+    cat.execute("RENAME TABLE a TO b", spark=spark)
+    assert cat.query(spark, "SELECT count() AS n FROM b") \
+        .collect()[0]["n"] == 2
+    with _pytest.raises(ChSqlError, match="unknown table"):
+        cat.query(spark, "SELECT count() AS n FROM a")
+    # SHOW CREATE renders the new name
+    stmt = cat.execute("SHOW CREATE TABLE b", spark=spark) \
+        .collect()[0]["statement"]
+    assert "CREATE TABLE b" in stmt
+    # inserts keep working under the new name (seq re-keyed)
+    cat.execute("INSERT INTO b VALUES (3, 'z')", spark=spark)
+    assert cat.query(spark, "SELECT count() AS n FROM b") \
+        .collect()[0]["n"] == 3
+    # multi-pair: swap via temp, CH style
+    cat.execute("CREATE TABLE c (id UInt64) ENGINE = MergeTree ORDER BY id",
+                spark=spark)
+    cat.execute("RENAME TABLE b TO tmp, c TO b, tmp TO c", spark=spark)
+    assert cat.query(spark, "SELECT count() AS n FROM c") \
+        .collect()[0]["n"] == 3
+    # guards: target exists / source missing — and NOTHING mutates
+    with _pytest.raises(ChSqlError, match="already exists"):
+        cat.execute("RENAME TABLE b TO c", spark=spark)
+    with _pytest.raises(ChSqlError, match="undeclared"):
+        cat.execute("RENAME TABLE nope TO d", spark=spark)
+    assert cat.query(spark, "SELECT count() AS n FROM c") \
+        .collect()[0]["n"] == 3
+
+
+def test_estimate_subquery_contributes_no_probes():
+    """A subquery's WHERE must never prune the OUTER table's files —
+    any statement with a subquery estimates conservatively."""
+    from postgre_to_clickhouse_spark.ch_ddl import _estimate_probes
+
+    w, e = _estimate_probes(
+        "SELECT (SELECT max(x) FROM u WHERE x < 5) AS m FROM t")
+    assert (w, e) == ([], [])
+    w, e = _estimate_probes(
+        "SELECT * FROM t WHERE id IN (SELECT id FROM u WHERE id > 3)")
+    assert (w, e) == ([], [])

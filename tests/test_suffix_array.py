@@ -134,17 +134,23 @@ def test_min_len_guard():
 
 
 def test_no_single_partition_exchange(spark):
-    """Neither entry point may plan an `Exchange SinglePartition` —
-    the doubling rounds use range partitioning + banded offsets, the
-    island merge a per-document Window."""
+    """No entry point may plan an `Exchange SinglePartition` in its
+    MAIN plan tree — the doubling rounds use range partitioning +
+    banded offsets, the island merge a per-document Window. The
+    subquery section is exempt: Spark's bloom-filter runtime join
+    filter builds its (bounded, bloom-sized) aggregate behind a
+    SinglePartition exchange on the broadcast side — an optimizer
+    gift, not a data-plane stage."""
     from postgre_to_clickhouse_spark.queries import QUERIES
 
-    for name in ("exact_substr_spans", "suffix_array_rank"):
+    for name in ("exact_substr_spans", "suffix_array_rank",
+                 "suffix_lcp_rank"):
         df = QUERIES[name](spark, "/root/testdata/sf0.001")
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        assert "SinglePartition" not in plan, name
+        main = plan.split("===== Subqueries =====")[0]
+        assert "SinglePartition" not in main, name
 
 
 def test_global_dense_rank_ties_and_density(spark):
@@ -164,3 +170,30 @@ def test_global_dense_rank_ties_and_density(spark):
     assert [k for k, _ in sorted(by_key.items())] == [
         k for _, k in sorted((next(iter(v)), k) for k, v in by_key.items())
     ]
+
+
+def _brute_lcp(docs):
+    out = []
+    for did, t in docs:
+        order = sorted(range(1, len(t) + 1), key=lambda i: t[i - 1:])
+        prev = None
+        for rk, p in enumerate(order, 1):
+            s = t[p - 1:]
+            lcp = 0
+            if prev is not None:
+                while lcp < min(len(s), len(prev)) and s[lcp] == prev[lcp]:
+                    lcp += 1
+            out.append((did, p, rk, lcp))
+            prev = s
+    return sorted(out)
+
+
+def test_suffix_array_with_lcp_matches_brute_force(spark):
+    """SA+LCP: the descent over kept doubling levels plus the sub-seed
+    character residual must reproduce every lcp exactly — including
+    the all-same-character chain (lcp = suffix length - 1 at every
+    step, deeper than any single level) and empty documents."""
+    docs = _corpus() + [(200, "a" * 33)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in SA.suffix_array_with_lcp(df).collect())
+    assert got == _brute_lcp(docs)

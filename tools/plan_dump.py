@@ -42,6 +42,7 @@ SHOWCASE = [
     ("pack_training_sequences", "r13 s3: concat-and-chunk packing — ONE exchange by content-addressed shard into a shard-local prefix-sum window; block spans are map-side arithmetic"),
     ("exact_substr_spans", "r14: exact ExactSubstr filter-then-verify — hashed seed-count join + ONE per-doc multi-lead window pass + literal candidate verify; no self-joins, no single-partition stage"),
     ("suffix_array_rank", "r14: prefix-doubling suffix array — range-partitioned Arrow dense-rank rounds (banded offsets), early-stopped; final rank is a per-doc window"),
+    ("suffix_lcp_rank", "r14 s2: SA+LCP — the doubling, then an LCP descent of two co-keyed left joins per kept level plus a character-residual text join; no single-partition stage"),
 ]
 
 STRIP = re.compile(r"#\d+L?|\[plan_id=\d+\]")

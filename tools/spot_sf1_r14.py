@@ -13,8 +13,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from postgre_to_clickhouse_spark.queries import QUERIES
 from postgre_to_clickhouse_spark.session import get_spark
 
-FORCE = {"suffix_array_rank": "sa_rank >= 1"}
-NAMES = ["exact_substr_spans", "suffix_array_rank"]
+FORCE = {"suffix_array_rank": "sa_rank >= 1",
+         "suffix_lcp_rank": "sa_rank >= 1 AND lcp >= 0"}
+NAMES = ["exact_substr_spans", "suffix_array_rank", "suffix_lcp_rank"]
 SFS = [("0.1", "/root/testdata/sf0.1"), ("1.0", "/tmp/sf1.0")]
 
 
