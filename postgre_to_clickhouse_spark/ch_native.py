@@ -165,8 +165,19 @@ class _Reader:
             if shift > 63:  # 10 continuation bytes = not a UInt64
                 raise ChSqlError("malformed varint on the native wire")
 
+    # a desynced or malicious peer can claim any string length; past
+    # this bound the read would block allocating gigabytes instead of
+    # failing loudly (no legitimate wire string approaches it)
+    MAX_STR = 64 * 1024 * 1024
+
     def string(self) -> str:
-        return self.read(self.varint()).decode()
+        n = self.varint()
+        if n > self.MAX_STR:
+            raise ChSqlError(
+                f"native wire: implausible string length {n} — stream "
+                "desynced or not the native protocol"
+            )
+        return self.read(n).decode()
 
     def u8(self) -> int:
         return self.read(1)[0]

@@ -853,3 +853,33 @@ def test_zstd_frame_refused_loudly(spark, tmp_path):
     finally:
         c.close()
         ep.stop()
+
+
+def test_implausible_string_length_refuses(natep):
+    """r14 hardening: a peer claiming a multi-gigabyte string (stream
+    desync, or a non-native client on the port) must fail loudly
+    instead of blocking on an allocation that never completes."""
+    import pytest as _pytest
+
+    from postgre_to_clickhouse_spark.ch_select import ChSqlError
+
+    c = _Client(natep.host, natep.port)
+    try:
+        # client-side reader enforces the same bound
+        r = _Reader.__new__(_Reader)
+        r.buf = write_varint(1 << 40)
+        r.at = 0
+        r.sock = None
+        with _pytest.raises(ChSqlError, match="implausible string"):
+            r.string()
+        # server side: a Hello whose name claims 2^40 bytes answers
+        # nothing and the connection closes (header trust is gone)
+        import socket as _s
+
+        s2 = _s.create_connection((natep.host, natep.port), 10)
+        s2.sendall(write_varint(0) + write_varint(1 << 40))
+        s2.settimeout(5)
+        assert s2.recv(1) == b""  # server closed
+        s2.close()
+    finally:
+        c.close()
