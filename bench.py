@@ -273,10 +273,14 @@ HEADLINE = [
     # rangepartitioning+mapInPandas rounds.
     "suffix_array_rank",
     # suffix_lcp_rank (r14 s2) benches: the SA+LCP compound adds the
-    # LCP descent (two co-keyed left joins per kept level + the
-    # character-residual text join) on top of the doubling — a
-    # distinct join-ladder shape worth its own number.
+    # LCP stage (bounded fold + text join) on top of the doubling — a
+    # distinct compound worth its own number.
     "suffix_lcp_rank",
+    # hard_negative_mining (r14 s2) stays EXEMPT under the stated
+    # rule: its plan skeleton (broadcast query side + scan-fused
+    # cosine + per-query window top-k) is exactly what the benched
+    # vector_cosine_topk times on the same table; the additions are
+    # two map-side filters.
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

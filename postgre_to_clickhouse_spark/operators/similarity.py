@@ -89,6 +89,56 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def mine_hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dup_ceiling: float = 0.95,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining for retrieval training (r14): per query,
+    the top-``k`` HIGHEST-cosine corpus vectors that are NOT relevant
+    — different ``label`` (the relevance class) — and NOT suspected
+    false negatives (cosine > ``dup_ceiling`` means the pair is a
+    near-duplicate mislabeled across classes; dense-retrieval pipelines
+    drop these before training, the RocketQA-style denoising step).
+    Output: (query_id, vec_id, cosine, rank), rank 1 = hardest.
+
+    Scale shape: identical to :func:`cosine_topk` — the query side is
+    broadcast, scoring fuses into the corpus scan, and the top-k is a
+    per-query window over the scored set (at real scale the scored set
+    is pre-pruned by an ANN index; this is the exact baseline the ANN
+    variant must reproduce)."""
+    q = F.broadcast(
+        queries.select(query_id_col, query_vec_col, query_label_col)
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        vectors.select(id_col, vec_col, label_col)
+        .crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .filter(F.col(label_col) != F.col(query_label_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine_similarity(vec_col, query_vec_col).alias("cosine"),
+        )
+        .filter(F.col("cosine") <= dup_ceiling)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def block_knn(
     vectors: DataFrame,
     block_col: str = "label",

@@ -61,13 +61,15 @@ from postgre_to_clickhouse_spark.queries import tierc9  # noqa: E402,F401
 # in-session oracle run per the registration rule — and additionally
 # green in this session's full 237/237 driver simulation at sf0.01).
 #
-# Rule 1 takes 3 seats: the three NEW queries — exact_substr_spans
+# Rule 1 takes 4 seats: the four NEW queries — exact_substr_spans
 # (EXACT suffix-array ExactSubstr span detection, VERDICT r13
 # "What's missing" #3), suffix_array_rank (the exact distributed
-# suffix array itself, oracle = DuckDB sorting literal suffixes) and
+# suffix array itself, oracle = DuckDB sorting literal suffixes),
 # suffix_lcp_rank (the LCP array alongside it — the complete SA+LCP
 # primitive; oracle recomputes every lcp from literal sorted
-# suffixes). Each landed with a passing in-session oracle run.
+# suffixes) and hard_negative_mining (retrieval-training negatives
+# with false-negative denoising, session 2). Each landed with a
+# passing in-session oracle run.
 #
 # No previously-registered query's compiled plan changed this round:
 # the r14 engine diffs are a NEW module (operators/suffix_array.py),
@@ -80,19 +82,22 @@ from postgre_to_clickhouse_spark.queries import tierc9  # noqa: E402,F401
 #
 # Rule 2 backfills oldest-green-first: the THREE r8 queries whose
 # deferral r13 promised in writing (agg_combinators_events,
-# approx_topk_by_lang, approx_topk_tokens) seat FIRST, then the
-# whole r9 cohort (44). Rule 1's third seat (suffix_lcp_rank, landed
-# in session 2) displaces the single r10 seat the session-1 rotation
-# had reached (array_manipulation — named here per the overflow
-# convention; it stays oracle-gated in pytest and defers to r15).
-# After this round no query's last driver-green is older than r10,
-# and the full r10 cohort (38) is the next reseat obligation.
+# approx_topk_by_lang, approx_topk_tokens) seat FIRST, then the r9
+# cohort. Rule 1's third seat (suffix_lcp_rank) displaces the single
+# r10 seat the session-1 rotation had reached (array_manipulation),
+# and its fourth (hard_negative_mining) takes the overflow from the
+# r9 cohort from the END of the alphabet per the overflow convention
+# — with_totals_status defers to r15, named here; both deferred
+# queries stay oracle-gated in pytest. After this round exactly ONE
+# query's last driver-green is r9 (with_totals_status), none older,
+# and the r10 cohort (38) is the next reseat obligation.
 _WINDOW = [
     # --- Rule 1: new in r14 (each landed with a passing in-session
     # oracle run) ---
     "exact_substr_spans",           # C2 exact ExactSubstr (Lee et al.)
     "suffix_array_rank",            # C2 the distributed SA itself
     "suffix_lcp_rank",              # C2 the LCP array (SA+LCP pair, s2)
+    "hard_negative_mining",         # C3 retrieval-training negatives (s2)
     # --- Rule 2: oldest-green-first. The r8 deferrals named by the
     # r13 window comment seat first ---
     "agg_combinators_events",
@@ -142,7 +147,6 @@ _WINDOW = [
     "tukey_outliers_events",
     "vector_lsh_topk",
     "welch_ttest_values",
-    "with_totals_status",
 ]
 
 

@@ -2,21 +2,28 @@
 "What's missing" #3 — the one public dedup primitive previously
 shipped only as the 8-gram approximation in ``operators/spans.py``).
 
-Two driver-gated queries over ``operators/suffix_array.py``:
+Driver-gated queries over ``operators/suffix_array.py`` (plus one
+retrieval-training mining op over ``operators/similarity.py``):
 
 - ``exact_substr_spans`` — exact Lee et al. 2022 duplicated-span
   detection over the whole documents corpus (char-level L = 40,
   >= 2 occurrences anywhere). The DuckDB oracle recomputes the spans
   from first principles (substr gram explosion + HAVING count >= 2 +
-  gaps-and-islands merge), so the prefix-doubling equality classes
-  are checked against literal string equality.
+  gaps-and-islands merge), so the filter-verify stages are checked
+  against literal string equality.
 - ``suffix_array_rank`` — the exact per-document suffix array itself
   on a deterministic subset, checked against DuckDB's literal
   ORDER BY-the-suffix ranking (binary collation both sides; the
   corpus is ASCII).
+- ``suffix_lcp_rank`` — the LCP array alongside it (SA+LCP, the
+  complete primitive).
+- ``hard_negative_mining`` — per-query top-5 cross-class cosine
+  neighbors with false-negative denoising (session 2).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
 
 from postgre_to_clickhouse_spark import catalog
 from postgre_to_clickhouse_spark.operators import suffix_array as SA
@@ -134,3 +141,54 @@ def suffix_lcp_rank(spark, sf_dir):
     a single off-by-one anywhere breaks the hash match."""
     d = _t(spark, sf_dir, "documents").filter("doc_id % 11 = 3")
     return SA.suffix_array_with_lcp(d, text_col="text", id_col="doc_id")
+
+
+@register(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec,
+                      label AS query_label
+               FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_sum(list_transform(list_zip(e.embedding, q.query_vec),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                              x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.query_vec,
+                              x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+             AS cosine
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id AND e.label <> q.query_label
+    )
+    SELECT query_id, vec_id, round(cosine, 9) AS cosine_r, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM scored WHERE cosine <= 0.95
+    ) WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for retrieval training (the dense-passage
+    pipeline step: per training query, the top-5 MOST similar corpus
+    vectors of a DIFFERENT relevance class, with suspected false
+    negatives — cross-class cosine > 0.95, i.e. mislabeled
+    near-duplicates — denoised away first, RocketQA-style). Exact
+    brute-force baseline: broadcast query side, scoring fused into the
+    corpus scan, per-query window top-k — the ANN variants (IVF/PQ)
+    must reproduce exactly this set at high recall. Oracle recomputes
+    every cosine with the identical sequential double fold."""
+    from postgre_to_clickhouse_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    out = mine_hard_negatives(e, q, k=5, dup_ceiling=0.95)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 9).alias("cosine_r"), "rank"
+    )
