@@ -281,6 +281,10 @@ HEADLINE = [
     # cosine + per-query window top-k) is exactly what the benched
     # vector_cosine_topk times on the same table; the additions are
     # two map-side filters.
+    # exact_substr_trim (r14 s2) stays EXEMPT under the stated rule:
+    # its plan is the benched exact_substr_spans detection plus one
+    # co-keyed join and a map-side fold — the cut adds no new heavy
+    # shape.
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

@@ -70,6 +70,7 @@ __all__ = [
     "suffix_array",
     "suffix_array_with_lcp",
     "exact_substr_spans",
+    "exact_substr_trim",
 ]
 
 
@@ -461,4 +462,57 @@ def exact_substr_spans(
             F.max("e").cast("bigint").alias("span_end"),
         )
         .drop("__isl")
+    )
+
+
+def exact_substr_trim(
+    df: DataFrame,
+    min_len: int = 40,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REMOVAL half of ExactSubstr (Lee et al. cut every byte
+    covered by a duplicated span — all occurrences, their released
+    tool's behavior): (id, n_chars, removed_chars, n_spans,
+    cleaned_text) with the detected spans cut from the text. Every
+    document appears (zero spans -> unchanged text), so the output
+    composes as a corpus-cleaning stage.
+
+    The cut itself is one ``aggregate`` fold per document over its
+    sorted span list (state = cursor + accumulated kept text) — spans
+    per doc are bounded by doc length / L, the fold is map-side after
+    one co-keyed join of spans onto documents, and
+    removed == sum of span widths by construction (asserted by the
+    oracle, which rebuilds the cleaned text from complement segments
+    in SQL)."""
+    spans = exact_substr_spans(df, min_len, min_count, text_col, id_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("__sp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(
+            F.col("span_end") - F.col("span_start") + 1
+        ).cast("bigint").alias("removed_chars"),
+    )
+    joined = df.select(
+        F.col(id_col), F.col(text_col).alias("__t")
+    ).join(per_doc, id_col, "left")
+    cut = (
+        "aggregate(__sp, named_struct('cur', 1L, 'acc', ''), "
+        "(st, sp) -> named_struct("
+        "  'cur', sp.span_end + 1L, "
+        "  'acc', st.acc || substring(__t, cast(st.cur as int), "
+        "                             cast(sp.span_start - st.cur as int))), "
+        "st -> st.acc || substring(__t, cast(st.cur as int), 1073741823))"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.length("__t").cast("bigint").alias("n_chars"),
+        F.coalesce("removed_chars", F.lit(0)).cast("bigint")
+        .alias("removed_chars"),
+        F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+        F.when(F.col("__sp").isNull(), F.col("__t"))
+        .otherwise(F.expr(cut)).alias("cleaned_text"),
     )

@@ -61,14 +61,16 @@ from postgre_to_clickhouse_spark.queries import tierc9  # noqa: E402,F401
 # in-session oracle run per the registration rule — and additionally
 # green in this session's full 237/237 driver simulation at sf0.01).
 #
-# Rule 1 takes 4 seats: the four NEW queries — exact_substr_spans
+# Rule 1 takes 5 seats: the five NEW queries — exact_substr_spans
 # (EXACT suffix-array ExactSubstr span detection, VERDICT r13
 # "What's missing" #3), suffix_array_rank (the exact distributed
 # suffix array itself, oracle = DuckDB sorting literal suffixes),
 # suffix_lcp_rank (the LCP array alongside it — the complete SA+LCP
 # primitive; oracle recomputes every lcp from literal sorted
-# suffixes) and hard_negative_mining (retrieval-training negatives
-# with false-negative denoising, session 2). Each landed with a
+# suffixes), hard_negative_mining (retrieval-training negatives with
+# false-negative denoising, session 2) and exact_substr_trim (the
+# REMOVAL half — cleaned corpus, oracle rebuilds every cleaned
+# string from complement segments; session 2). Each landed with a
 # passing in-session oracle run.
 #
 # No previously-registered query's compiled plan changed this round:
@@ -85,12 +87,13 @@ from postgre_to_clickhouse_spark.queries import tierc9  # noqa: E402,F401
 # approx_topk_by_lang, approx_topk_tokens) seat FIRST, then the r9
 # cohort. Rule 1's third seat (suffix_lcp_rank) displaces the single
 # r10 seat the session-1 rotation had reached (array_manipulation),
-# and its fourth (hard_negative_mining) takes the overflow from the
-# r9 cohort from the END of the alphabet per the overflow convention
-# — with_totals_status defers to r15, named here; both deferred
-# queries stay oracle-gated in pytest. After this round exactly ONE
-# query's last driver-green is r9 (with_totals_status), none older,
-# and the r10 cohort (38) is the next reseat obligation.
+# and its fourth and fifth (hard_negative_mining, exact_substr_trim)
+# take the overflow from the r9 cohort from the END of the alphabet
+# per the overflow convention — with_totals_status and
+# welch_ttest_values defer to r15, named here; all deferred queries
+# stay oracle-gated in pytest. After this round exactly TWO queries'
+# last driver-green is r9 (the two named), none older, and they plus
+# the r10 cohort (38) are the next reseat obligation.
 _WINDOW = [
     # --- Rule 1: new in r14 (each landed with a passing in-session
     # oracle run) ---
@@ -98,6 +101,7 @@ _WINDOW = [
     "suffix_array_rank",            # C2 the distributed SA itself
     "suffix_lcp_rank",              # C2 the LCP array (SA+LCP pair, s2)
     "hard_negative_mining",         # C3 retrieval-training negatives (s2)
+    "exact_substr_trim",            # C2/C4 the removal half (s2)
     # --- Rule 2: oldest-green-first. The r8 deferrals named by the
     # r13 window comment seat first ---
     "agg_combinators_events",
@@ -146,7 +150,6 @@ _WINDOW = [
     "topk_mv_incremental",
     "tukey_outliers_events",
     "vector_lsh_topk",
-    "welch_ttest_values",
 ]
 
 

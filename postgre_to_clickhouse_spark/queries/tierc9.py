@@ -192,3 +192,73 @@ def hard_negative_mining(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", F.round("cosine", 9).alias("cosine_r"), "rank"
     )
+
+
+@register(
+    "exact_substr_trim",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, unnest(generate_series(1, length(text) - 39)) AS p, text
+      FROM documents
+    ),
+    grams AS (SELECT doc_id, p, substr(text, p, 40) AS g FROM pos),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, p AS s, p + 39 AS e FROM grams JOIN dup USING (g)),
+    pe AS (SELECT doc_id, s, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_e
+           FROM hits),
+    isl AS (SELECT doc_id, s, e,
+             sum(CASE WHEN s > coalesce(prev_e, -2) + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS UNBOUNDED PRECEDING) AS k
+            FROM pe),
+    spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se
+              FROM isl GROUP BY doc_id, k),
+    segs AS (
+      SELECT doc_id,
+             coalesce(lag(se) OVER (PARTITION BY doc_id ORDER BY ss), 0) + 1
+               AS ks,
+             ss - 1 AS ke
+      FROM spans
+      UNION ALL
+      SELECT s.doc_id, max(s.se) + 1, length(d.text)
+      FROM spans s JOIN documents d USING (doc_id)
+      GROUP BY s.doc_id, length(d.text)
+    ),
+    agg AS (
+      SELECT s2.doc_id,
+             string_agg(substr(d.text, s2.ks, s2.ke - s2.ks + 1),
+                        '' ORDER BY s2.ks) AS ct
+      FROM segs s2 JOIN documents d USING (doc_id)
+      WHERE s2.ke >= s2.ks
+      GROUP BY s2.doc_id
+    ),
+    stat AS (
+      SELECT doc_id, count(*) AS n_spans, sum(se - ss + 1) AS removed
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id, length(d.text) AS n_chars,
+           CAST(coalesce(st.removed, 0) AS BIGINT) AS removed_chars,
+           CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+           CASE WHEN st.doc_id IS NULL THEN d.text
+                ELSE coalesce(a.ct, '') END AS cleaned_text
+    FROM documents d
+    LEFT JOIN stat st USING (doc_id)
+    LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def exact_substr_trim(spark, sf_dir):
+    """The REMOVAL half of exact ExactSubstr (Lee et al. cut every
+    character covered by a duplicated span — all occurrences, their
+    released tool's behavior): the cleaned corpus plus per-document
+    accounting. Detection is the exact filter-verify pass; the cut is
+    one per-document fold over the sorted span list after a single
+    co-keyed join (map-side — no extra shuffle beyond detection). The
+    oracle rebuilds every cleaned string from complement segments in
+    SQL, so a single off-by-one character anywhere breaks the hash."""
+    d = _t(spark, sf_dir, "documents")
+    return SA.exact_substr_trim(
+        d, min_len=40, min_count=2, text_col="text", id_col="doc_id"
+    )

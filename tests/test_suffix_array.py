@@ -197,3 +197,28 @@ def test_suffix_array_with_lcp_matches_brute_force(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = sorted(tuple(r) for r in SA.suffix_array_with_lcp(df).collect())
     assert got == _brute_lcp(docs)
+
+
+def test_exact_substr_trim_matches_brute_force(corpus_df):
+    """The removal half: cut text must equal the brute-force
+    complement of the brute-force spans, character for character."""
+    L, mc = 12, 2
+    spans = {}
+    for did, s, e in _brute_spans(_corpus(), L, mc):
+        spans.setdefault(did, []).append((s, e))
+    want = []
+    for did, t in _corpus():
+        kept, cur = [], 1
+        for s, e in spans.get(did, []):
+            kept.append(t[cur - 1:s - 1])
+            cur = e + 1
+        kept.append(t[cur - 1:])
+        removed = sum(e - s + 1 for s, e in spans.get(did, []))
+        want.append((did, len(t), removed, len(spans.get(did, [])),
+                     "".join(kept)))
+    got = sorted(
+        tuple(r)
+        for r in SA.exact_substr_trim(corpus_df, min_len=L, min_count=mc)
+        .collect()
+    )
+    assert got == sorted(want)
