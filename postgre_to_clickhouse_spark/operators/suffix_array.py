@@ -156,9 +156,9 @@ def window_ranks(
 def _rank_levels(
     df: DataFrame, text_col: str, id_col: str, base: int = 16
 ) -> list[tuple[int, DataFrame]]:
-    """All doubling levels [(w, ranks)] from the 8-char seed up to the
-    early-stop window: doubling stops once every (doc, rank) pair is
-    unique — from that window on, within-document order is fully
+    """All doubling levels [(w, ranks)] from the ``base``-char seed up
+    to the early-stop window: doubling stops once every (doc, rank)
+    pair is unique — from that window on, within-document order is fully
     decided (two suffixes with equal window-w ranks share their first
     w characters; distinct ranks mean the order is already determined
     inside the window). The cap ceil(log2(max doc length)) guarantees

@@ -133,12 +133,14 @@ def suffix_lcp_rank(spark, sf_dir):
     primitive of the distributed construction literature (Flick &
     Aluru SC'15 build both together) and of ExactSubstr-style
     maximal-repeat mining: for each suffix, the exact common-prefix
-    length with its predecessor in the document's suffix order. LCP
-    descent reuses the doubling levels the construction already
-    computed (two co-keyed left joins per level, highest first; the
-    sub-seed residual resolves by direct character comparison) — the
-    oracle recomputes every lcp from the literal sorted suffixes, so
-    a single off-by-one anywhere breaks the hash match."""
+    length with its predecessor in the document's suffix order. The
+    construction's early stop PROVES every lcp below the final window
+    width, so the whole LCP array resolves in one bounded map fold
+    (the default; the literature's level-descent over the kept
+    doubling ranks ships as method='descent' for concatenated-corpus
+    regimes) — the oracle recomputes every lcp from the literal
+    sorted suffixes, so a single off-by-one anywhere breaks the hash
+    match."""
     d = _t(spark, sf_dir, "documents").filter("doc_id % 11 = 3")
     return SA.suffix_array_with_lcp(d, text_col="text", id_col="doc_id")
 
