@@ -226,6 +226,12 @@ def test_full_terminal_over_mysql_wire(spark, tmp_path):
         # introspection answers resultsets like a CH server
         kind, cols, rows = c.query("SHOW TABLES")
         assert (cols, rows) == (["name"], [("u",)])
+        # r14: EXPLAIN ESTIMATE answers part statistics over this wire
+        kind, cols, rows = c.query(
+            "EXPLAIN ESTIMATE SELECT v FROM u WHERE user_id <= 1")
+        assert kind == "rows"
+        assert cols == ["database", "table", "parts", "rows", "marks"]
+        assert rows[0][1] == "u" and int(rows[0][3]) >= 1
     finally:
         c.close()
         ep.stop()

@@ -364,6 +364,13 @@ def test_ddl_catalog_and_insert_dance(spark, tmp_path):
         )
         assert kind == "rows"
         assert rows == [(1, "john", 99), (2, "jane", 20), (3, None, 30)]
+        # r14: EXPLAIN ESTIMATE answers part statistics over this wire
+        kind, names, _t, rows = c.query(
+            "EXPLAIN ESTIMATE SELECT username FROM users "
+            "WHERE user_id >= 2")
+        assert kind == "rows"
+        assert names == ["database", "table", "parts", "rows", "marks"]
+        assert rows[0][1] == "users" and rows[0][3] >= 1
     finally:
         c.close()
         ep.stop()
