@@ -144,6 +144,40 @@ def _unquote_str(tok: str) -> str:
     return "".join(out)
 
 
+def _table_refs(sql: str) -> set[str]:
+    """Bare names in TABLE-REFERENCE position — after FROM / JOIN /
+    IN, plus comma continuations of a FROM list. Token-based, so a
+    view's own name inside a string literal or as a SELECT alias
+    (``SELECT sum(x) AS totals`` in view ``totals``) never counts as
+    a reference — CH allows such views (ADVICE r14). ``ARRAY JOIN``
+    operands are expressions, not tables, and are skipped."""
+    try:
+        toks = _tokenize(sql)
+    except ChSqlError:
+        return set()
+    out: set[str] = set()
+    in_from = False
+    for i, t in enumerate(toks):
+        up = _kw(t)
+        if t == "(" or up in ("WHERE", "PREWHERE", "GROUP", "ORDER",
+                              "LIMIT", "HAVING", "SETTINGS", "FORMAT",
+                              "WINDOW", "QUALIFY", "SAMPLE", "ON",
+                              "USING", "SELECT"):
+            in_from = False
+        elif up in ("FROM", "JOIN") or (up == "IN" and in_from is False):
+            if up == "JOIN" and i and _kw(toks[i - 1]) == "ARRAY":
+                continue
+            nxt = toks[i + 1] if i + 1 < len(toks) else ""
+            if _is_ident(nxt) and _kw(nxt) not in ("SELECT",):
+                out.add(nxt.strip("`").split(".")[-1])
+            in_from = up == "FROM"
+        elif t == "," and in_from:
+            nxt = toks[i + 1] if i + 1 < len(toks) else ""
+            if _is_ident(nxt):
+                out.add(nxt.strip("`").split(".")[-1])
+    return out
+
+
 def _split_column_clauses(
     full_item: list[str],
 ) -> tuple[list[str], str | None, str | None,
@@ -1098,11 +1132,30 @@ class ChDdlCatalog:
         if not tokens or _kw(tokens[0]) not in ("SELECT", "WITH"):
             raise ChSqlError("EXPLAIN ESTIMATE takes a SELECT statement")
         text = " ".join(tokens)
-        m = re.search(
-            r"(?is)\bFROM\s+((?:\w+\.)?\w+)(\s+FINAL)?\b", text)
-        if not m:
+        # top-level FROM by paren depth (ADVICE r14): a WITH query's
+        # first textual FROM is the CTE's inner table — the estimate
+        # must name the table the OUTER query reads, so only a
+        # depth-0 FROM counts, and a depth-0 FROM over a subquery is
+        # a loud refusal rather than a wrong-table estimate.
+        full = None
+        depth = 0
+        for i, t in enumerate(tokens):
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            elif depth == 0 and _kw(t) == "FROM":
+                nxt = tokens[i + 1] if i + 1 < len(tokens) else ""
+                if not _is_ident(nxt):
+                    raise ChSqlError(
+                        "EXPLAIN ESTIMATE: the top-level FROM reads a "
+                        "subquery, not a stored table — estimate the "
+                        "inner SELECT directly"
+                    )
+                full = nxt.strip("`")
+                break
+        if full is None:
             raise ChSqlError("EXPLAIN ESTIMATE: no FROM table found")
-        full = m.group(1)
         name = full.rsplit(".", 1)[-1]
         if name not in self.tables:
             raise ChSqlError(f"EXPLAIN ESTIMATE: unknown table {name!r}")
@@ -2359,8 +2412,12 @@ class ChDdlCatalog:
         a whole-word reference compiles the view's stored SELECT
         recursively (``_visiting`` breaks reference cycles loudly)."""
         tables = {n: self._read_stored(spark, n) for n in self.storage}
+        # table-reference-position match (ADVICE r14): a view whose own
+        # SELECT mentions its name as an alias or inside a string
+        # literal is NOT self-referencing — only FROM/JOIN/IN counts.
+        refs = _table_refs(sql)
         for vname, vsql in self.views.items():
-            if re.search(rf"\b{re.escape(vname)}\b", sql):
+            if vname in refs:
                 if vname in _visiting:
                     raise ChSqlError(
                         f"view {vname!r} is part of a reference cycle"

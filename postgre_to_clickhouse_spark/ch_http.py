@@ -474,10 +474,12 @@ def serve_ch_http(
                 # An INSERT-data-split URL with an EMPTY body must not
                 # fall through to _serve_query (the INSERT ... FORMAT
                 # text would execute as a terminal statement and raise
-                # a misleading error) — diagnose the empty body.
+                # a misleading error). Real CH accepts an empty body
+                # for every recognized row/block format as a 0-row
+                # insert (clients legitimately flush empty batches) —
+                # answer 200 as a no-op commit (ADVICE r14).
                 if _INSERT_DATA.match(q.strip().rstrip(";")):
-                    self._answer(
-                        500, b"INSERT body carries no rows\n", "text/plain")
+                    self._answer(200, b"", "text/plain")
                     return
             if q and raw.strip():
                 m = _INSERT_DATA.match(q.strip().rstrip(";"))

@@ -173,17 +173,23 @@ _BT_LENENC = {_BT_DECIMAL, _BT_NEWDECIMAL, _BT_VARCHAR, _BT_BLOB,
 
 
 def _count_params(sql: str) -> int:
-    """``?`` placeholders OUTSIDE '...' (with '' doubling) and `...`
-    spans — the same literal shapes the CH dialect lexes."""
+    """``?`` placeholders OUTSIDE '...' (with '' doubling AND
+    backslash escapes) and `...` spans — the same literal shapes the
+    CH dialect lexes (``ch_select._TOKEN``'s ``str`` branch)."""
     import re
 
-    stripped = re.sub(r"'(?:[^']|'')*'|`[^`]*`", "", sql)
+    stripped = re.sub(r"'(?:[^'\\]|\\.|'')*'|`[^`]*`", "", sql)
     return stripped.count("?")
 
 
 def _sql_literal(v) -> str:
-    """One decoded binary parameter as a CH-dialect SQL literal
-    ('' doubling — the dialect's only string escape)."""
+    """One decoded binary parameter as a CH-dialect SQL literal.
+
+    The dialect lexer admits BOTH ``''`` doubling and backslash
+    escapes inside string tokens (``ch_ddl._unquote_str`` undoes
+    ``\\x`` → ``x``), so a literal must escape backslashes too —
+    otherwise a bound value ending in ``\\`` consumes the closing
+    quote and parameter content escapes into SQL structure."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -198,7 +204,9 @@ def _sql_literal(v) -> str:
         return f"'{v:%Y-%m-%d %H:%M:%S}'"
     if isinstance(v, _dt.date):
         return f"'{v.isoformat()}'"
-    return "'" + str(v).replace("'", "''") + "'"
+    return ("'"
+            + str(v).replace("\\", "\\\\").replace("'", "''")
+            + "'")
 
 
 def _decode_bin_value(buf: bytes, at: int, type_code: int,
@@ -531,7 +539,10 @@ class _Conn:
         if n:
             import re
 
-            parts = re.split(r"('(?:[^']|'')*'|`[^`]*`)", sql)
+            # literal-span split matches the lexer's string grammar
+            # (backslash escapes AND '' doubling) so a ? inside a
+            # prepared literal is never substituted
+            parts = re.split(r"('(?:[^'\\]|\\.|'')*'|`[^`]*`)", sql)
             it = iter(params)
             sql = "".join(
                 p if i % 2 else
@@ -590,6 +601,13 @@ class _Conn:
                     self.stmts.pop(struct.unpack_from("<I", pkt, 1)[0], None)
                 continue
             if cmd == COM_STMT_RESET:
+                # per protocol RESET discards accumulated long data —
+                # clear the SEND_LONG_DATA poison so a client that
+                # resets then executes with inline parameters succeeds
+                if len(pkt) >= 5:
+                    st = self.stmts.get(struct.unpack_from("<I", pkt, 1)[0])
+                    if st is not None:
+                        st["poisoned"] = None
                 self._send(self._ok())
                 continue
             if cmd == COM_STMT_SEND_LONG_DATA:

@@ -1734,3 +1734,68 @@ def test_estimate_subquery_contributes_no_probes():
     w, e = _estimate_probes(
         "SELECT * FROM t WHERE id IN (SELECT id FROM u WHERE id > 3)")
     assert (w, e) == ([], [])
+
+
+def test_view_self_name_alias_is_not_a_cycle(spark, tmp_path):
+    """r15 (ADVICE r14 medium): a view whose own SELECT mentions its
+    name as an output ALIAS or inside a string literal is NOT
+    self-referencing — CH allows such views. Only a table-reference-
+    position mention (FROM/JOIN) recurses."""
+    import pytest as _pytest
+
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+    from postgre_to_clickhouse_spark.ch_select import ChSqlError
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE TABLE t (x UInt64) ENGINE = MergeTree ORDER BY x",
+                spark=spark)
+    cat.execute("INSERT INTO t VALUES (1), (2), (3)", spark=spark)
+    # the ADVICE repro: output alias equals the view's own name
+    cat.execute("CREATE VIEW totals AS SELECT sum(x) AS totals FROM t",
+                spark=spark)
+    got = cat.query(spark, "SELECT totals FROM totals").collect()
+    assert [r["totals"] for r in got] == [6]
+    # name inside a string literal is data, not a reference
+    cat.execute("CREATE VIEW labeled AS "
+                "SELECT 'labeled' AS tag, count() AS n FROM t",
+                spark=spark)
+    r = cat.query(spark, "SELECT tag, n FROM labeled").collect()[0]
+    assert (r["tag"], r["n"]) == ("labeled", 3)
+    # a REAL self-reference still refuses loudly
+    cat.execute("CREATE VIEW selfy AS SELECT x FROM selfy", spark=spark)
+    with _pytest.raises(ChSqlError, match="cycle"):
+        cat.query(spark, "SELECT x FROM selfy")
+
+
+def test_explain_estimate_with_query_targets_top_level_from(spark, tmp_path):
+    """r15 (ADVICE r14 low): EXPLAIN ESTIMATE must resolve the table
+    the OUTER query reads — a WITH query whose first textual FROM is
+    the CTE's inner table must not silently estimate the wrong table,
+    and a top-level FROM over a subquery refuses loudly."""
+    import pytest as _pytest
+
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+    from postgre_to_clickhouse_spark.ch_select import ChSqlError
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE TABLE small (id UInt64) "
+                "ENGINE = MergeTree ORDER BY id", spark=spark)
+    cat.execute("CREATE TABLE big (id UInt64) "
+                "ENGINE = MergeTree ORDER BY id", spark=spark)
+    cat.execute("INSERT INTO small VALUES (1)", spark=spark)
+    cat.execute("INSERT INTO big VALUES (1), (2), (3), (4)", spark=spark)
+    # CTE reads `small`; the outer query reads `big` — the estimate
+    # must describe BIG (depth-0 FROM), not the CTE's inner table
+    got = cat.execute(
+        "EXPLAIN ESTIMATE WITH s AS (SELECT id FROM small) "
+        "SELECT * FROM big", spark=spark).collect()[0]
+    assert (got["table"], got["rows"]) == ("big", 4)
+    # outer query reading the CTE itself: loud unknown-table refusal,
+    # never a wrong-table estimate
+    with _pytest.raises(ChSqlError, match="unknown table"):
+        cat.execute("EXPLAIN ESTIMATE WITH s AS (SELECT id FROM small) "
+                    "SELECT * FROM s", spark=spark)
+    # top-level FROM over a subquery: loud refusal naming the move
+    with _pytest.raises(ChSqlError, match="subquery"):
+        cat.execute("EXPLAIN ESTIMATE SELECT * FROM "
+                    "(SELECT id FROM small)", spark=spark)

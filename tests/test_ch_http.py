@@ -829,10 +829,12 @@ def test_tsv_with_names_and_types_roundtrip_over_wire(spark, tmp_path):
         ep.stop()
 
 
-def test_insert_upload_with_empty_body_diagnoses(spark, tmp_path):
-    """r14 (ADVICE r13): an INSERT-data-split URL with an EMPTY POST
-    body must answer an explicit no-rows diagnostic, not fall through
-    to executing the INSERT ... FORMAT text as a terminal statement."""
+def test_insert_upload_with_empty_body_is_noop_commit(spark, tmp_path):
+    """r15 (ADVICE r14): an INSERT-data-split URL with an EMPTY POST
+    body is a successful 0-row insert (HTTP 200) — real CH accepts an
+    empty body for row formats, and clients legitimately flush empty
+    batches. It must still not fall through to executing the
+    INSERT ... FORMAT text as a terminal statement."""
     from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
 
     cat = ChDdlCatalog(storage_root=str(tmp_path))
@@ -840,10 +842,13 @@ def test_insert_upload_with_empty_body_diagnoses(spark, tmp_path):
     try:
         _post(ep, "CREATE TABLE te (user_id UInt32) "
                   "ENGINE = MergeTree ORDER BY (user_id)")
-        code, body = _post_data(ep, "INSERT INTO te FORMAT JSONEachRow", "")
-        assert code == 500 and "INSERT body carries no rows" in body
-        # whitespace-only body is the same diagnosis
-        code, body = _post_data(ep, "INSERT INTO te FORMAT CSV", "  \n ")
-        assert code == 500 and "INSERT body carries no rows" in body
+        code, _body = _post_data(ep, "INSERT INTO te FORMAT JSONEachRow", "")
+        assert code == 200
+        # whitespace-only body is the same no-op commit
+        code, _body = _post_data(ep, "INSERT INTO te FORMAT CSV", "  \n ")
+        assert code == 200
+        # the no-op really inserted nothing
+        code, got = _post(ep, "SELECT count() AS n FROM te")
+        assert code == 200 and got.strip() == "0"
     finally:
         ep.stop()

@@ -547,3 +547,57 @@ def test_stmt_guards(myep):
         assert res[0] == "err" and "SEND_LONG_DATA" in res[2]
     finally:
         c.close()
+
+
+def test_stmt_string_params_escape_backslashes(myep):
+    r"""r15 (ADVICE r14 high): a bound string containing backslashes
+    must round-trip as DATA. The dialect lexer treats backslash as an
+    escape inside string literals, so `_sql_literal` must escape it —
+    otherwise a value ending in '\' consumes the closing quote and
+    parameter content escapes into SQL structure (live OR 1=1)."""
+    c = _StmtClient(myep.host, myep.port)
+    try:
+        c.handshake()
+        kind, sid, _nc, np_, _ = c.stmt_prepare(
+            "SELECT count() AS n FROM users "
+            "WHERE account_type = ? AND username = ?")
+        assert (kind, np_) == ("ok", 2)
+        # the ADVICE repro: p1 ends in a backslash, p2 is an injection
+        # payload — without backslash escaping these lex as ONE string
+        # token followed by live SQL
+        kind, _names, rows = c.stmt_execute(sid, ["G\\", " OR 1=1 --"])
+        assert (kind, rows) == ("rows", [(0,)])
+        # backslash/quote combinations round-trip as data (count 0 —
+        # no such rows — but every execute must LEX, not error)
+        for a, b in (("G\\old", "jo\\"), ("G\\'", "\\'x"),
+                     ("\\", "\\\\"), ("a'b\\", "\\'")):
+            kind, _n, rows = c.stmt_execute(sid, [a, b])
+            assert (kind, rows) == ("rows", [(0,)]), (a, b)
+        # and a real match still matches
+        kind, _n, rows = c.stmt_execute(sid, ["Gold", "john"])
+        assert rows == [(1,)]
+    finally:
+        c.close()
+
+
+def test_stmt_reset_clears_long_data_poison(myep):
+    """r15 (ADVICE r14): per protocol COM_STMT_RESET discards
+    accumulated long data — a client that sends long data, resets,
+    then executes with inline parameters must succeed."""
+    c = _StmtClient(myep.host, myep.port)
+    try:
+        c.handshake()
+        kind, sid, *_ = c.stmt_prepare(
+            "SELECT count() AS n FROM users WHERE user_id = ?")
+        assert kind == "ok"
+        c.seq = 0  # SEND_LONG_DATA: no response, statement poisoned
+        c.send_packet(b"\x18" + struct.pack("<IH", sid, 0) + b"blob")
+        res = c.stmt_execute(sid, [1])
+        assert res[0] == "err" and "SEND_LONG_DATA" in res[2]
+        c.seq = 0  # RESET answers OK and clears the poison
+        c.send_packet(b"\x1a" + struct.pack("<I", sid))
+        assert c.recv_packet()[0] == 0x00
+        kind, _names, rows = c.stmt_execute(sid, [1])
+        assert (kind, rows) == ("rows", [(2,)])
+    finally:
+        c.close()
