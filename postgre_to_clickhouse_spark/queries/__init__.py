@@ -53,6 +53,7 @@ from postgre_to_clickhouse_spark.queries import tierb6  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import goldens  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc9  # noqa: E402,F401
+from postgre_to_clickhouse_spark.queries import tierc10  # noqa: E402,F401
 
 # The r14 window, per the policy above. Ledger at rotation time
 # (reconstructed from CORRECTNESS_r*.json by max green round per
@@ -95,61 +96,64 @@ from postgre_to_clickhouse_spark.queries import tierc9  # noqa: E402,F401
 # last driver-green is r9 (the two named), none older, and they plus
 # the r10 cohort (38) are the next reseat obligation.
 _WINDOW = [
-    # --- Rule 1: new in r14 (each landed with a passing in-session
+    # --- Rule 1: new in r15 (each landed with a passing in-session
     # oracle run) ---
-    "exact_substr_spans",           # C2 exact ExactSubstr (Lee et al.)
-    "suffix_array_rank",            # C2 the distributed SA itself
-    "suffix_lcp_rank",              # C2 the LCP array (SA+LCP pair, s2)
-    "hard_negative_mining",         # C3 retrieval-training negatives (s2)
-    "exact_substr_trim",            # C2/C4 the removal half (s2)
-    # --- Rule 2: oldest-green-first. The r8 deferrals named by the
-    # r13 window comment seat first ---
-    "agg_combinators_events",
-    "approx_topk_by_lang",
-    "approx_topk_tokens",
-    # --- then the full r9 cohort (44) ---
-    "agg_approx_distinct",
-    "agg_weighted_map_funcs",
-    "auc_purchase_score",
-    "bounding_ratio_users",
-    "cramers_v_association",
-    "dedup_exact_documents",
-    "delta_sum_users",
-    "ema_user_values",
-    "geohash_cells_events",
-    "interval_length_sum_users",
-    "ks_test_values",
-    "manifest_bloom_read",
-    "manifest_evolution_read",
-    "manifest_projection_read",
-    "manifest_ttl_rollup_read",
-    "manifest_update_read",
-    "manifest_zonemap_read",
-    "mann_whitney_values",
-    "max_intersections_users",
-    "minhash_near_dup_candidates",
-    "pack_sequences",
-    "q10_returned_items",
-    "q18_large_volume_orders",
-    "q21_waiting_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "quantile_mv_incremental",
-    "rank_corr_spearman",
-    "sample_keyed_events",
-    "sequence_match_dot",
-    "sequence_next_node_backward",
-    "sequence_next_node_events",
-    "sessionize_events",
-    "simhash_signatures",
-    "simple_linreg_events",
-    "sparkbar_hourly_events",
-    "string_funcs_extended",
-    "student_ttest_values",
-    "topk_mv_incremental",
-    "tukey_outliers_events",
-    "vector_lsh_topk",
+    "quality_classifier_score",     # C4 CCNet/fastText quality model
+    # --- Rule 2: oldest-green-first. The two r9 deferrals named by
+    # the r14 window comment seat first (last driver-green r9) ---
+    "welch_ttest_values",
+    "with_totals_status",
+    # --- then the full r10 cohort (38, last driver-green r10) ---
+    "array_manipulation",
+    "asof_events_last_order",
+    "band_join_acctbal",
+    "bm25_topk",
+    "cap_per_source_skewsafe",
+    "categorical_iv_weekday",
+    "cdc_dedup_redelivery",
+    "cdc_full_scan",
+    "cdc_latest_state",
+    "cdc_mv_transform",
+    "cdc_users_pipeline",
+    "ch_dialect_union",
+    "contingency_theils_u",
+    "decontaminate_eval_overlap",
+    "dedup_incremental_batch",
+    "dedup_pipeline_canonical",
+    "geohashes_in_box_probe",
+    "lttb_downsample_events",
+    "manifest_agg_projection_read",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "semdedup_prune",
+    "series_period_events",
+    "text_analysis_composite",
+    "tfidf_top_terms",
+    "vector_cosine_topk",
+    "vector_ivf_topk",
+    # --- remaining seats: r11 cohort backfill, oldest-green-first
+    # alphabetical (each displaced by a later rule-1 seat if more
+    # queries land this round) ---
+    "cdc_ch_ddl_pipeline",
+    "ch_ddl_alter_pipeline",
+    "ch_ddl_evolution_pipeline",
+    "ch_dialect_agg_state_mv",
+    "ch_dialect_any_join",
+    "ch_dialect_array_join",
+    "ch_dialect_asof",
+    "ch_dialect_except",
+    "ch_dialect_fill_interval",
 ]
 
 

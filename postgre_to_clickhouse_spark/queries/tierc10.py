@@ -1,0 +1,139 @@
+"""Tier C round 15: model-based quality scoring (VERDICT r13 #6 /
+r14 #3 — twice-ordered, the one major public LLM-data-curation stage
+the engine lacked end-to-end).
+
+``quality_classifier_score`` runs the full CCNet/fastText-style
+pipeline distributed: fit a hashed-bag-of-ngrams linear classifier
+(NB log-odds — the closed-form generative fit of the logistic model,
+computable from aggregated sufficient statistics) on labeled
+high/low-quality document slices, then score EVERY document map-only
+with the weight vector as a plan-embedded literal. The DuckDB oracle
+recomputes the ENTIRE model closed-form — hash, per-class counts,
+smoothed weights, document-prior bias, per-doc integer score, keep
+decision — value-for-value from the raw parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgre_to_clickhouse_spark import catalog
+from postgre_to_clickhouse_spark.queries.registry import register
+from postgre_to_clickhouse_spark.queries.tierc8 import _horner_int
+from postgre_to_clickhouse_spark.session import configure
+
+
+def _t(spark, sf_dir, name):
+    configure(spark)
+    return catalog.load(spark, sf_dir, name)
+
+
+_QCLF_POS = ("src0", "src1")
+_QCLF_NEG = ("src2", "src3")
+
+
+def _qclf_oracle() -> str:
+    """The whole classifier, closed-form in DuckDB: same md5 bucket
+    hash, same add-1-smoothed per-class log-odds quantized to integer
+    micro-nats, same document-prior bias, same integer score fold.
+    Buckets unseen in training still get the SMOOTHED weight (the lw
+    CTE spans every bucket any document produces, with per-class
+    counts coalesced to 0), matching the dense python-side vector."""
+    pos = ", ".join(f"'{s}'" for s in _QCLF_POS)
+    neg = ", ".join(f"'{s}'" for s in _QCLF_NEG)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, unnest(list_concat(toks,
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(len(toks) - 1),
+                      i -> toks[i + 1] || '_' || toks[i + 2])
+                 ELSE CAST([] AS VARCHAR[]) END)) AS gram
+      FROM w
+    ),
+    b AS (
+      SELECT doc_id, source, ({_horner_int("qclf-v1", "gram")}) % 1024 AS b
+      FROM g
+    ),
+    posc AS (SELECT b, count(*) AS c FROM b
+             WHERE source IN ({pos}) GROUP BY b),
+    negc AS (SELECT b, count(*) AS c FROM b
+             WHERE source IN ({neg}) GROUP BY b),
+    tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM posc) AS tp,
+                   (SELECT coalesce(sum(c), 0) FROM negc) AS tn,
+                   (SELECT count(*) FROM documents
+                    WHERE source IN ({pos})) AS np,
+                   (SELECT count(*) FROM documents
+                    WHERE source IN ({neg})) AS nn),
+    lw AS (
+      SELECT bb.b,
+             CAST(round((ln((coalesce(posc.c, 0) + 1.0)
+                             / (tot.tp + 1024.0))
+                       - ln((coalesce(negc.c, 0) + 1.0)
+                             / (tot.tn + 1024.0))) * 1e6)
+                  AS BIGINT) AS wq
+      FROM (SELECT DISTINCT b FROM b) bb
+      LEFT JOIN posc ON bb.b = posc.b
+      LEFT JOIN negc ON bb.b = negc.b, tot
+    ),
+    bias AS (
+      SELECT CAST(round((ln(CAST(np AS DOUBLE))
+                       - ln(CAST(nn AS DOUBLE))) * 1e6) AS BIGINT) AS bq
+      FROM tot
+    ),
+    sc AS (
+      SELECT b.doc_id, SUM(lw.wq) AS s
+      FROM b JOIN lw ON b.b = lw.b
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.s, 0) + bias.bq AS BIGINT) AS qclf_score_q,
+           CAST(CASE WHEN coalesce(sc.s, 0) + bias.bq > 0
+                THEN 1 ELSE 0 END AS INT) AS qclf_keep
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, bias
+    ORDER BY d.doc_id
+    """
+
+
+@register("quality_classifier_score", oracle=_qclf_oracle())
+def quality_classifier_score(spark, sf_dir):
+    """r15 (VERDICT r13 #6 / r14 #3): CCNet/fastText-style
+    model-based quality scoring, trained AND applied distributed
+    (arXiv:1911.00359 §4.4; arXiv:1607.01759). Positive class =
+    documents from sources {src0, src1} (the high-quality proxy
+    corpus — CCNet's Wikipedia role), negative = {src2, src3} (the
+    raw-crawl role); features are the repo's content-addressed
+    unigram+bigram md5 buckets (1024); the fit is the closed-form
+    NB-log-odds generative solution of the logistic model from ONE
+    (label, bucket)-bounded groupBy; weights and the document-prior
+    bias quantize to integer micro-nats so every per-doc score is an
+    order-independent exact integer; EVERY document then scores
+    map-only with the model as a plan-embedded literal array, and
+    keep = score > 0. The DuckDB oracle recomputes the entire model
+    closed-form, value-for-value.
+
+    Scale (see operators/quality_clf.py): the fit's only shuffle is
+    map-side-combined and ≤ 2·1024 keys post-combine; scoring has
+    ZERO exchanges/joins/Python (plan-gated,
+    tests/test_plans.py::test_qclf_scoring_is_map_only)."""
+    from postgre_to_clickhouse_spark.operators.quality_clf import (
+        quality_classifier_select,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = quality_classifier_select(
+        d,
+        d.filter(F.col("source").isin(*_QCLF_POS)),
+        d.filter(F.col("source").isin(*_QCLF_NEG)),
+        n_buckets=1024,
+        seed="qclf-v1",
+    )
+    return out.select(
+        "doc_id",
+        F.col("qclf_score_q").cast("bigint").alias("qclf_score_q"),
+        F.col("qclf_keep").cast("int").alias("qclf_keep"),
+    ).orderBy("doc_id")

@@ -655,3 +655,29 @@ def test_limit_with_ties_has_no_window(spark):
         out._jdf.queryExecution(), "formatted")
     assert "Window" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_qclf_scoring_is_map_only(spark):
+    """r15: the quality classifier's SCORING plan — the fitted model
+    (weights + bias) is a plan-embedded literal array, so after the
+    model-sized fit aggregation the corpus-wide scoring pass has NO
+    exchange, no join, no window, no Python: embarrassingly parallel
+    at any scale."""
+    import re
+
+    from postgre_to_clickhouse_spark import catalog
+    from postgre_to_clickhouse_spark.operators.quality_clf import (
+        quality_classifier_select,
+    )
+    from tests.conftest import SF_SMALL
+
+    d = catalog.load(spark, SF_SMALL, "documents")
+    out = quality_classifier_select(
+        d, d.limit(20), d.limit(40).exceptAll(d.limit(20)),
+        n_buckets=128)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "Join" not in plan, plan        # the model is a literal
+    assert "Window" not in plan and "Generate" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert not re.findall(r"\(\d+\) Exchange", plan), plan

@@ -979,3 +979,71 @@ def test_pack_bins_nosplit_oversize_refuses(spark):
     with _pytest.raises(Exception, match="exceeds the no-split capacity"):
         PK.pack_bins_nosplit(d, "doc_id", "n", capacity=256,
                              n_shards=2).collect()
+
+
+def test_quality_classifier_semantics_and_layout_independence(spark):
+    """r15 (VERDICT r14 #3): the CCNet/fastText-style classifier
+    (operators/quality_clf.py) — the NB-log-odds fit separates the
+    vocabularies it was trained on, the bias carries the document
+    prior, scoring is content-addressed (layout cannot change the
+    model or a single score), and degenerate inputs behave."""
+    import math
+
+    import pytest as _pytest
+
+    from postgre_to_clickhouse_spark.operators.quality_clf import (
+        fit_quality_classifier,
+        quality_classifier_select,
+        score_quality,
+    )
+
+    rows = [(i, "alpha beta gamma delta alpha beta", True)
+            for i in range(10)]
+    rows += [(i, "zulu yankee xray whiskey victor uniform", False)
+             for i in range(10, 20)]
+    labeled = spark.createDataFrame(
+        rows, "doc_id long, text string, label boolean")
+
+    w, bias = fit_quality_classifier(labeled, n_buckets=256)
+    assert len(w) == 256
+    # balanced classes -> zero prior
+    assert bias == 0
+    # a doc made of positive vocabulary scores > 0, negative < 0,
+    # and identical texts score identically regardless of layout
+    scored = score_quality(
+        labeled.select("doc_id", "text"), w, bias, n_buckets=256)
+    got = {r["doc_id"]: (r["qclf_score_q"], r["qclf_keep"])
+           for r in scored.collect()}
+    assert all(got[i][0] > 0 and got[i][1] == 1 for i in range(10))
+    assert all(got[i][0] < 0 and got[i][1] == 0 for i in range(10, 20))
+    assert len({got[i] for i in range(10)}) == 1
+    re_got = {r["doc_id"]: (r["qclf_score_q"], r["qclf_keep"])
+              for r in score_quality(
+                  labeled.select("doc_id", "text").repartition(16),
+                  w, bias, n_buckets=256).collect()}
+    assert re_got == got
+    # refit on a different layout -> identical model
+    w2, bias2 = fit_quality_classifier(
+        labeled.repartition(16), n_buckets=256)
+    assert (w2, bias2) == (w, bias)
+    # imbalanced prior: 10 pos vs 5 neg -> bias = round(ln 2 * 1e6)
+    _, bias3 = fit_quality_classifier(
+        labeled.filter((F.col("label")) | (F.col("doc_id") < 15)),
+        n_buckets=256)
+    assert bias3 == round(math.log(2.0) * 1e6)
+    # empty text scores exactly the bias (no grams), never errors
+    empty = spark.createDataFrame([(99, "")], "doc_id long, text string")
+    r = score_quality(empty, w, bias, n_buckets=256).collect()[0]
+    assert r["qclf_score_q"] == bias
+    # single-class training refuses loudly
+    with _pytest.raises(ValueError, match="BOTH classes"):
+        fit_quality_classifier(labeled.filter("label"), n_buckets=256)
+    # end-to-end convenience wrapper agrees with the manual path
+    e2e = quality_classifier_select(
+        labeled.select("doc_id", "text"),
+        labeled.filter("label").select("doc_id", "text"),
+        labeled.filter("NOT label").select("doc_id", "text"),
+        n_buckets=256,
+    )
+    assert {r["doc_id"]: (r["qclf_score_q"], r["qclf_keep"])
+            for r in e2e.collect()} == got
