@@ -23,7 +23,8 @@ Everything here is built from PUBLIC specifications only:
   where ``compressed_size`` counts the 9 header bytes after the
   checksum, ``checksum`` is CityHash128 of those 9 bytes + data
   (low u64 LE, then high u64 LE), and method is 0x82 (LZ4),
-  0x90 (ZSTD — outside this subset, refused loudly) or 0x02 (NONE).
+  0x90 (ZSTD — r15, served via a bundled codec; refused loudly with
+  the lz4 alternative when none is importable) or 0x02 (NONE).
 
 Verification posture: the LZ4 block codec is cross-checked in both
 directions against an INDEPENDENT implementation (pyarrow's bundled
@@ -53,10 +54,13 @@ __all__ = [
     "cityhash128",
     "lz4_compress_block",
     "lz4_decompress_block",
+    "zstd_compress_block",
+    "zstd_decompress_block",
     "compress_frame",
     "read_frame",
     "METHOD_LZ4",
     "METHOD_NONE",
+    "METHOD_ZSTD",
 ]
 
 METHOD_NONE = 0x02
@@ -232,6 +236,47 @@ try:  # Arrow's C kernels when present (it always is in this engine)
 except Exception:  # noqa: BLE001 — optional acceleration only
     _LZ4 = None
 
+# ZSTD (r15, VERDICT r14 #6): unlike LZ4 there is no hand-rollable
+# block format here — the zstd frame format is a full spec (RFC 8878)
+# with FSE/huffman entropy stages, so this engine uses a bundled
+# codec or refuses loudly. Python < 3.14 ships no stdlib zstd; pyarrow
+# bundles one (the same source the LZ4 path uses for acceleration).
+try:
+    import pyarrow as _pa_z
+
+    _ZSTD = (_pa_z.Codec("zstd")
+             if _pa_z.Codec.is_available("zstd") else None)
+except Exception:  # noqa: BLE001 — absence downgrades to refusal
+    _ZSTD = None
+
+_ZSTD_REFUSAL = (
+    "ZSTD frames need a bundled zstd codec (pyarrow) and none is "
+    "importable — connect with network_compression_method=lz4 (the "
+    "default)"
+)
+_ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"  # RFC 8878 frame magic, LE on wire
+
+
+def zstd_compress_block(src: bytes) -> bytes:
+    """One standard zstd frame (RFC 8878) — what CH carries inside a
+    method-0x90 compressed frame. Refuses loudly with the alternative
+    when no codec is importable."""
+    if _ZSTD is None:
+        raise ValueError(_ZSTD_REFUSAL)
+    return _ZSTD.compress(src, asbytes=True)
+
+
+def zstd_decompress_block(src: bytes, out_size: int) -> bytes:
+    if _ZSTD is None:
+        raise ValueError(_ZSTD_REFUSAL)
+    out = _ZSTD.decompress(src, out_size, asbytes=True)
+    if len(out) != out_size:
+        raise ValueError(
+            f"ZSTD frame: decompressed {len(out)} bytes, header "
+            f"promised {out_size}"
+        )
+    return out
+
 _MINMATCH = 4
 
 
@@ -349,6 +394,8 @@ def compress_frame(data: bytes, method: int = METHOD_LZ4) -> bytes:
     """One checksummed frame around ``data``."""
     if method == METHOD_LZ4:
         body = lz4_compress_block(data)
+    elif method == METHOD_ZSTD:
+        body = zstd_compress_block(data)
     elif method == METHOD_NONE:
         body = data
     else:
@@ -383,8 +430,8 @@ def read_frame(reader) -> bytes:
             raise ValueError("NONE frame: size fields disagree")
         return body
     if method == METHOD_ZSTD:
-        raise ValueError(
-            "ZSTD frames are outside the subset — connect with "
-            "network_compression_method=lz4 (the default)"
-        )
+        # r15 (VERDICT r14 #6): served when a codec is bundled; the
+        # no-codec refusal is retained (and stays loud, naming the
+        # alternative) rather than mis-reading the stream
+        return zstd_decompress_block(body, raw_size)
     raise ValueError(f"unknown compression method byte 0x{method:02x}")

@@ -57,7 +57,10 @@ Scope (the uncompressed native protocol):
   span several frames, and bytes left over in a frame after its
   block refuse loudly (a real client flushes its compressed buffer
   before the next plain packet byte, so leftover means desync). ZSTD
-  frames refuse loudly naming the LZ4 alternative. Exception packets
+  frames (r15): read in both directions and served when the query
+  pins ``network_compression_method=zstd`` (pyarrow's bundled codec;
+  when none is importable the refusal is retained, loud, naming the
+  lz4 alternative). Exception packets
   carry code 62 (SYNTAX_ERROR) for ChSqlError and 1000 otherwise.
 
 No native client library exists in this container, so the pytest
@@ -607,6 +610,10 @@ class _Conn:
         self.max_rows = max_rows
         self.rev = SERVER_REVISION
         self.compress = False  # per-query, from the Query packet flag
+        # server->client frame codec, from the query's
+        # network_compression_method setting (r15): lz4 default, zstd
+        # when pinned and a codec is bundled, none framed as 0x02
+        self.compress_method: int | None = None
 
     def _send(self, payload: bytes) -> None:
         self.sock.sendall(payload)
@@ -622,6 +629,32 @@ class _Conn:
             return out
         return read_block(self.r, self.rev)
 
+    @staticmethod
+    def _pick_method(name: str | None) -> int | None:
+        """The server->client frame codec for this query, from the CH
+        ``network_compression_method`` setting (r15, VERDICT r14 #6).
+        LZ4HC compresses TO the plain LZ4 block format (decode-
+        compatible), so it answers with the lz4 encoder; a zstd pin
+        with no bundled codec refuses loudly at query time rather
+        than desyncing mid-stream."""
+        from postgre_to_clickhouse_spark import ch_compress as cc
+
+        if name is None:
+            return None  # server default (lz4)
+        low = name.strip().lower()
+        if low in ("lz4", "lz4hc"):
+            return cc.METHOD_LZ4
+        if low == "none":
+            return cc.METHOD_NONE
+        if low == "zstd":
+            if cc._ZSTD is None:
+                raise ChSqlError(cc._ZSTD_REFUSAL)
+            return cc.METHOD_ZSTD
+        raise ChSqlError(
+            f"network_compression_method={name!r} is outside the "
+            "subset — lz4 (default), lz4hc, zstd, or none"
+        )
+
     def _exception(self, exc: Exception) -> bytes:
         code = 62 if isinstance(exc, ChSqlError) else 1000
         return (write_varint(S_EXCEPTION) + struct.pack("<i", code)
@@ -636,7 +669,17 @@ class _Conn:
         if self.rev >= REV_TEMPORARY_TABLES:
             pkt += write_str("")
         blk = write_block(cols, n_rows, self.rev)
-        pkt += compress_frame(blk) if self.compress else blk
+        if self.compress:
+            method = self.compress_method
+            if method is None:
+                from postgre_to_clickhouse_spark.ch_compress import (
+                    METHOD_LZ4,
+                )
+
+                method = METHOD_LZ4
+            pkt += compress_frame(blk, method)
+        else:
+            pkt += blk
         self._send(pkt)
 
     def _hello(self) -> bool:
@@ -772,7 +815,7 @@ class _Conn:
             self.r.string()  # query id
             if self.rev >= REV_CLIENT_INFO:
                 _read_client_info(self.r, self.rev)
-            _read_settings(self.r, self.rev)
+            settings = _read_settings(self.r, self.rev)
             if self.rev >= REV_INTERSERVER_SECRET:
                 self.r.string()
             self.r.varint()  # stage (Complete)
@@ -785,6 +828,8 @@ class _Conn:
             # set BEFORE the external-tables section — a compressing
             # client frames the terminator block too (r14)
             self.compress = bool(compression)
+            self.compress_method = self._pick_method(
+                settings.get("network_compression_method"))
             self._read_external_tables()
         except EOFError:
             raise

@@ -890,3 +890,76 @@ def test_implausible_string_length_refuses(natep):
         s2.close()
     finally:
         c.close()
+
+
+def test_zstd_wire_codec_served_when_pinned(natep, monkeypatch):
+    """r15 (VERDICT r14 #6): a query pinning
+    ``network_compression_method=zstd`` gets its Data blocks as
+    method-0x90 zstd frames (the last client-default-adjacent wire
+    gap after r14's LZ4); ``none`` frames as method 0x02; both decode
+    through the same checksummed read path."""
+    from postgre_to_clickhouse_spark import ch_compress as cc
+
+    if cc._ZSTD is None:
+        pytest.skip("no zstd codec bundled")
+    methods = []
+    real = cc.compress_frame
+
+    def spy(data, method=cc.METHOD_LZ4):
+        methods.append(method)
+        return real(data, method)
+
+    monkeypatch.setattr(cc, "compress_frame", spy)
+    c = _Client(natep.host, natep.port)
+    try:
+        kind, names, types, rows = c.query(
+            "SELECT user_id, username, count() AS n FROM users "
+            "GROUP BY user_id, username ORDER BY user_id, username",
+            compression=1,
+            settings={"network_compression_method": "zstd"},
+        )
+        assert kind == "rows"
+        assert {(r[0], r[1]): r[2] for r in rows} == {
+            (1, "john"): 2, (2, None): 1,
+        }
+        assert cc.METHOD_ZSTD in methods  # server frames really zstd
+        # `none` is still checksummed framing, method 0x02
+        methods.clear()
+        kind, *_rest = c.query(
+            "SELECT count() AS n FROM users", compression=1,
+            settings={"network_compression_method": "none"},
+        )
+        assert kind == "rows"
+        assert cc.METHOD_NONE in methods and cc.METHOD_ZSTD not in methods
+    finally:
+        c.close()
+
+
+def test_zstd_pin_refuses_loudly_without_codec(natep, monkeypatch):
+    """The pre-r15 refusal is retained when no codec is importable:
+    loud, at query time (never a mid-stream desync), naming lz4."""
+    from postgre_to_clickhouse_spark import ch_compress as cc
+
+    monkeypatch.setattr(cc, "_ZSTD", None)
+    c = _Client(natep.host, natep.port)
+    try:
+        kind, code, msg = c.query(
+            "SELECT 1", compression=1,
+            settings={"network_compression_method": "zstd"},
+        )
+        assert kind == "exception"
+        assert "network_compression_method=lz4" in msg
+    finally:
+        c.close()
+
+
+def test_unknown_compression_method_setting_refused(natep):
+    c = _Client(natep.host, natep.port)
+    try:
+        kind, code, msg = c.query(
+            "SELECT 1", compression=1,
+            settings={"network_compression_method": "snappy"},
+        )
+        assert kind == "exception" and "outside the subset" in msg
+    finally:
+        c.close()
