@@ -263,20 +263,37 @@ def suffix_array_with_lcp(
     if method == "bounded":
         text = df.select(F.col(id_col), F.col(text_col).alias("__t"))
         out = pairs.join(text, id_col)
-        # fold over at most w_stop character positions; stops at the
-        # first mismatch or either suffix's end (substring past the
-        # end is '' and never equals a real character)
+        # binary-search LCP (r15): the early stop proves
+        # lcp <= w_stop - 1, so log2(w_stop) substring-PAIR
+        # comparisons resolve it — O(log w_stop) work per row where
+        # the previous per-character fold was O(w_stop). At the
+        # driver corpus's w_stop = 32 the two measure IDENTICAL
+        # (8.07 s warm both — the query's lcp-over-sa delta is join +
+        # action overhead, not fold compute); the win is asymptotic,
+        # for the concatenated-corpus regime where w_stop is large.
+        # MUST stay an aggregate over the literal step array so the
+        # accumulator is evaluated once per step — a chained-Column
+        # variant embeds the running lcp expression three times per
+        # step (exponential tree: 61.8 s measured), and a
+        # transform+array_position per-char variant measured 19.7 s;
+        # both dead ends recorded in SCALE.md r15. Adding step s on
+        # window equality is exact: substring truncates at document
+        # end, and equal truncated windows would force the two
+        # suffixes to share their length — i.e. be the SAME suffix —
+        # so any equality of distinct suffixes' windows is a
+        # full-width match.
+        steps = []
+        s = int(w_stop) // 2
+        while s >= 1:
+            steps.append(s)
+            s //= 2
         fold = (
-            "aggregate(sequence(1, {w}), "
-            "named_struct('n', 0L, 'stop', false), "
-            "(acc, i) -> IF(acc.stop "
-            "  OR substring(__t, cast(__pp as int) + i - 1, 1) = '' "
-            "  OR substring(__t, cast(__pp as int) + i - 1, 1) <> "
-            "     substring(__t, cast(pos as int) + i - 1, 1), "
-            " named_struct('n', acc.n, 'stop', true), "
-            " named_struct('n', acc.n + 1L, 'stop', false)), "
-            "acc -> acc.n)"
-        ).format(w=int(w_stop))
+            "aggregate(array({steps}), 0L, (acc, s) -> acc + IF("
+            "substring(__t, cast(__pp + acc as int), s) <> '' AND "
+            "substring(__t, cast(__pp + acc as int), s) = "
+            "substring(__t, cast(pos + acc as int), s), "
+            "cast(s as bigint), 0L))"
+        ).format(steps=", ".join(map(str, steps)))
         return out.select(
             F.col(id_col), "pos", "sa_rank",
             F.when(F.col("__pp").isNull(), F.lit(0).cast("bigint"))
