@@ -137,3 +137,150 @@ def quality_classifier_score(spark, sf_dir):
         F.col("qclf_score_q").cast("bigint").alias("qclf_score_q"),
         F.col("qclf_keep").cast("int").alias("qclf_keep"),
     ).orderBy("doc_id")
+
+
+_QCLF_EVAL_POS = ("src4", "src5")
+_QCLF_EVAL_NEG = ("src6", "src7")
+
+
+def _qclf_eval_oracle() -> str:
+    """Same closed-form model as :func:`_qclf_oracle`, then the
+    held-out confusion matrix and the derived metrics as exact
+    integer ratios (IEEE double division of exact bigints — identical
+    bits on any engine; zero denominators answer NULL identically)."""
+    pos = ", ".join(f"'{s}'" for s in _QCLF_POS)
+    neg = ", ".join(f"'{s}'" for s in _QCLF_NEG)
+    epos = ", ".join(f"'{s}'" for s in _QCLF_EVAL_POS)
+    eneg = ", ".join(f"'{s}'" for s in _QCLF_EVAL_NEG)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, unnest(list_concat(toks,
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(len(toks) - 1),
+                      i -> toks[i + 1] || '_' || toks[i + 2])
+                 ELSE CAST([] AS VARCHAR[]) END)) AS gram
+      FROM w
+    ),
+    b AS (
+      SELECT doc_id, source, ({_horner_int("qclf-v1", "gram")}) % 1024 AS b
+      FROM g
+    ),
+    posc AS (SELECT b, count(*) AS c FROM b
+             WHERE source IN ({pos}) GROUP BY b),
+    negc AS (SELECT b, count(*) AS c FROM b
+             WHERE source IN ({neg}) GROUP BY b),
+    tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM posc) AS tp_,
+                   (SELECT coalesce(sum(c), 0) FROM negc) AS tn_,
+                   (SELECT count(*) FROM documents
+                    WHERE source IN ({pos})) AS np,
+                   (SELECT count(*) FROM documents
+                    WHERE source IN ({neg})) AS nn),
+    lw AS (
+      SELECT bb.b,
+             CAST(round((ln((coalesce(posc.c, 0) + 1.0)
+                             / (tot.tp_ + 1024.0))
+                       - ln((coalesce(negc.c, 0) + 1.0)
+                             / (tot.tn_ + 1024.0))) * 1e6)
+                  AS BIGINT) AS wq
+      FROM (SELECT DISTINCT b FROM b) bb
+      LEFT JOIN posc ON bb.b = posc.b
+      LEFT JOIN negc ON bb.b = negc.b, tot
+    ),
+    bias AS (
+      SELECT CAST(round((ln(CAST(np AS DOUBLE))
+                       - ln(CAST(nn AS DOUBLE))) * 1e6) AS BIGINT) AS bq
+      FROM tot
+    ),
+    sc AS (
+      SELECT b.doc_id, SUM(lw.wq) AS s
+      FROM b JOIN lw ON b.b = lw.b
+      WHERE b.source IN ({epos}, {eneg})
+      GROUP BY b.doc_id
+    ),
+    pred AS (
+      SELECT d.doc_id,
+             CASE WHEN d.source IN ({epos}) THEN 1 ELSE 0 END AS y,
+             CASE WHEN coalesce(sc.s, 0) + bias.bq > 0
+                  THEN 1 ELSE 0 END AS yhat
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, bias
+      WHERE d.source IN ({epos}, {eneg})
+    ),
+    cm AS (
+      SELECT CAST(sum(y * yhat) AS BIGINT) AS tp,
+             CAST(sum((1 - y) * yhat) AS BIGINT) AS fp,
+             CAST(sum(y * (1 - yhat)) AS BIGINT) AS fn,
+             CAST(sum((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+      FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp AS DOUBLE) / (tp + fp) END AS precision_,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp AS DOUBLE) / (tp + fn) END AS recall_,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN 2.0 * tp / (2 * tp + fp + fn) END AS f1,
+           CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy
+    FROM cm
+    """
+
+
+@register("quality_classifier_eval", oracle=_qclf_eval_oracle())
+def quality_classifier_eval(spark, sf_dir):
+    """r15 companion to ``quality_classifier_score``: the HELD-OUT
+    evaluation every deployed quality classifier ships with — train
+    on {src0,src1} vs {src2,src3}, predict on the disjoint labeled
+    slices {src4,src5} (positive truth) vs {src6,src7} (negative
+    truth), and answer the confusion matrix plus precision / recall /
+    F1 / accuracy in ONE row. Counts are exact integers; the derived
+    metrics are IEEE divisions of those integers, so the row hashes
+    identically on any engine; empty denominators answer NULL the
+    same way on both sides. (On this synthetic corpus the sources
+    share a generator, so the measured metrics hover near chance —
+    the deliverable is the exact distributed evaluation, not the
+    number.)
+
+    Scale: the fit is the classifier's own bounded groupBy; scoring
+    the eval slice is map-only against the literal weights; the
+    confusion matrix is one 4-integer aggregate. Nothing
+    data-proportional reaches the driver."""
+    from postgre_to_clickhouse_spark.operators.quality_clf import (
+        quality_classifier_select,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    eval_df = d.filter(
+        F.col("source").isin(*(_QCLF_EVAL_POS + _QCLF_EVAL_NEG)))
+    scored = quality_classifier_select(
+        eval_df,
+        d.filter(F.col("source").isin(*_QCLF_POS)),
+        d.filter(F.col("source").isin(*_QCLF_NEG)),
+        n_buckets=1024,
+        seed="qclf-v1",
+    ).select(
+        F.when(F.col("source").isin(*_QCLF_EVAL_POS), 1)
+        .otherwise(0).alias("y"),
+        F.col("qclf_keep").alias("yhat"),
+    )
+    cm = scored.agg(
+        F.sum(F.col("y") * F.col("yhat")).cast("bigint").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("bigint").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat")))
+        .cast("bigint").alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    return cm.select(
+        tp, fp, fn, tn,
+        F.when(tp + fp > 0, tp.cast("double") / (tp + fp))
+        .alias("precision_"),
+        F.when(tp + fn > 0, tp.cast("double") / (tp + fn))
+        .alias("recall_"),
+        F.when(2 * tp + fp + fn > 0,
+               F.lit(2.0) * tp / (2 * tp + fp + fn)).alias("f1"),
+        ((tp + tn).cast("double") / (tp + fp + fn + tn)).alias("accuracy"),
+    )
