@@ -33,9 +33,15 @@ Scope (the BI-client subset, like CH's own mysql_port):
   metadata in the execute resultset — which every client reads
   anyway, because the binary resultset always carries its own column
   definitions. Parameters substitute as SQL literals ('' escaping)
-  into the verbatim CH text. Cursors (CURSOR_TYPE_READ_ONLY flags),
-  COM_STMT_SEND_LONG_DATA and parameter types outside the decoded
-  set refuse loudly naming the alternative.
+  into the verbatim CH text. READ-ONLY cursors are served (r15):
+  COM_STMT_EXECUTE with CURSOR_TYPE_READ_ONLY answers column defs +
+  EOF(SERVER_STATUS_CURSOR_EXISTS) and COM_STMT_FETCH streams binary
+  rows in client-sized chunks until EOF(LAST_ROW_SENT) — the
+  resultset is bounded by ``max_result_rows`` like every other path,
+  so holding it for the fetch loop is bounded too; RESET discards
+  the cursor. CURSOR_TYPE_SCROLLABLE/FOR_UPDATE,
+  COM_STMT_SEND_LONG_DATA (until RESET) and parameter types outside
+  the decoded set refuse loudly naming the alternative.
 
 Values travel as MySQL text-protocol cells (lenenc strings, NULL =
 0xFB) rendered with the TabSeparated value conventions minus the
@@ -72,10 +78,17 @@ _SERVER_CAPS = (CLIENT_PROTOCOL_41 | CLIENT_SECURE_CONNECTION
                 | CLIENT_PLUGIN_AUTH | CLIENT_CONNECT_WITH_DB)
 _CHARSET_UTF8 = 33  # utf8_general_ci
 _STATUS_AUTOCOMMIT = 0x0002
+# r15 cursor support (COM_STMT_EXECUTE flag CURSOR_TYPE_READ_ONLY +
+# COM_STMT_FETCH): the documented server-status bits the client's
+# fetch loop keys on
+_STATUS_CURSOR_EXISTS = 0x0040
+_STATUS_LAST_ROW_SENT = 0x0080
+_CURSOR_TYPE_READ_ONLY = 0x01
 
 COM_QUIT, COM_INIT_DB, COM_QUERY, COM_PING = 0x01, 0x02, 0x03, 0x0E
 COM_STMT_PREPARE, COM_STMT_SEND_LONG_DATA = 0x16, 0x18
 COM_STMT_EXECUTE, COM_STMT_CLOSE, COM_STMT_RESET = 0x17, 0x19, 0x1A
+COM_STMT_FETCH = 0x1C
 
 # MySQL column type codes (text protocol still sends values as text;
 # the code tells the client how to interpret them)
@@ -320,9 +333,9 @@ class _Conn:
         return (b"\xff" + struct.pack("<H", code) + b"#" + state.encode()
                 + msg[:480].encode())
 
-    def _eof(self) -> bytes:
+    def _eof(self, extra_status: int = 0) -> bytes:
         return b"\xfe" + struct.pack("<H", 0) \
-            + struct.pack("<H", _STATUS_AUTOCOMMIT)
+            + struct.pack("<H", _STATUS_AUTOCOMMIT | extra_status)
 
     def _col_def(self, name: str, type_code: int) -> bytes:
         return (
@@ -451,15 +464,52 @@ class _Conn:
             self._send(self._col_def(f.name, _mysql_type(f.dataType)))
         self._send(self._eof())
         for r in rows:
-            bitmap = bytearray((len(fields) + 2 + 7) // 8)
-            body = b""
-            for i, (f, v) in enumerate(zip(fields, r)):
-                if v is None:
-                    bitmap[(i + 2) // 8] |= 1 << ((i + 2) % 8)
-                else:
-                    body += self._bin_cell(f.dataType, v)
-            self._send(b"\x00" + bytes(bitmap) + body)
+            self._send(self._bin_row(fields, r))
         self._send(self._eof())
+
+    def _bin_row(self, fields, r) -> bytes:
+        """One binary-protocol row: 0x00 header, null bitmap at
+        offset 2, then the typed cells."""
+        bitmap = bytearray((len(fields) + 2 + 7) // 8)
+        body = b""
+        for i, (f, v) in enumerate(zip(fields, r)):
+            if v is None:
+                bitmap[(i + 2) // 8] |= 1 << ((i + 2) % 8)
+            else:
+                body += self._bin_cell(f.dataType, v)
+        return b"\x00" + bytes(bitmap) + body
+
+    def _stmt_fetch(self, pkt: bytes) -> None:
+        """COM_STMT_FETCH (r15): stream up to num_rows binary rows
+        from the statement's open read-only cursor, then an EOF whose
+        status says whether the cursor still has rows
+        (CURSOR_EXISTS) or is exhausted (LAST_ROW_SENT — the bit the
+        client's fetch loop terminates on)."""
+        if len(pkt) < 9:
+            self._send(self._err("malformed COM_STMT_FETCH"))
+            return
+        sid, nreq = struct.unpack_from("<II", pkt, 1)
+        st = self.stmts.get(sid)
+        if st is None:
+            self._send(self._err(
+                f"unknown prepared statement handler {sid}",
+                code=1243, state="HY000"))
+            return
+        cur = st.get("cursor")
+        if cur is None:
+            self._send(self._err(
+                "no open cursor on this statement — execute with "
+                "CURSOR_TYPE_READ_ONLY first", code=1323, state="24000"))
+            return
+        at = cur["at"]
+        chunk = cur["rows"][at:at + max(0, nreq)]
+        cur["at"] = at + len(chunk)
+        for r in chunk:
+            self._send(self._bin_row(cur["fields"], r))
+        if cur["at"] >= len(cur["rows"]):
+            self._send(self._eof(_STATUS_LAST_ROW_SENT))
+        else:
+            self._send(self._eof(_STATUS_CURSOR_EXISTS))
 
     def _stmt_prepare(self, sql: str) -> None:
         n_params = _count_params(sql)
@@ -500,10 +550,16 @@ class _Conn:
         if st["poisoned"]:
             self._send(self._err(st["poisoned"]))
             return
-        if flags:
+        want_cursor = False
+        if flags == _CURSOR_TYPE_READ_ONLY:
+            # r15 (VERDICT r14 boundary list): a read-only cursor —
+            # the statement runs now, rows stream via COM_STMT_FETCH
+            want_cursor = True
+        elif flags:
             self._send(self._err(
-                "cursor flags are outside the subset — execute without "
-                "CURSOR_TYPE_* (the resultset streams in full)"))
+                "CURSOR_TYPE_SCROLLABLE/FOR_UPDATE are outside the "
+                "subset — use CURSOR_TYPE_READ_ONLY or execute without "
+                "cursor flags (the resultset streams in full)"))
             return
         if iters != 1:
             self._send(self._err("iteration_count must be 1"))
@@ -550,6 +606,31 @@ class _Conn:
                 for i, p in enumerate(parts)
             )
         head = sql.lstrip().rstrip(";")[:6].upper()
+        if want_cursor:
+            if not head.startswith(("SELECT", "WITH")):
+                self._send(self._err(
+                    "CURSOR_TYPE_READ_ONLY needs a resultset statement "
+                    "(SELECT/WITH)"))
+                return
+            from postgre_to_clickhouse_spark.ch_select import (
+                collect_bounded,
+            )
+
+            try:
+                df = self.run(sql.rstrip(";"))
+                rows = collect_bounded(df, self.max_rows)
+            except Exception as exc:  # noqa: BLE001 — wire errors are ERR
+                self._send(self._err(f"{type(exc).__name__}: {exc}"))
+                return
+            fields = list(df.schema.fields)
+            st["cursor"] = {"fields": fields, "rows": rows, "at": 0}
+            # cursor-open response: column defs only, EOF carrying
+            # SERVER_STATUS_CURSOR_EXISTS — rows travel via FETCH
+            self._send(_lenenc_int(len(fields)))
+            for f in fields:
+                self._send(self._col_def(f.name, _mysql_type(f.dataType)))
+            self._send(self._eof(_STATUS_CURSOR_EXISTS))
+            return
         if head.startswith("SET"):
             self._send(self._ok())
             return
@@ -601,14 +682,19 @@ class _Conn:
                     self.stmts.pop(struct.unpack_from("<I", pkt, 1)[0], None)
                 continue
             if cmd == COM_STMT_RESET:
-                # per protocol RESET discards accumulated long data —
-                # clear the SEND_LONG_DATA poison so a client that
-                # resets then executes with inline parameters succeeds
+                # per protocol RESET discards accumulated long data
+                # AND any open cursor — clear the SEND_LONG_DATA
+                # poison and the cursor so a client that resets then
+                # executes succeeds
                 if len(pkt) >= 5:
                     st = self.stmts.get(struct.unpack_from("<I", pkt, 1)[0])
                     if st is not None:
                         st["poisoned"] = None
+                        st.pop("cursor", None)
                 self._send(self._ok())
+                continue
+            if cmd == COM_STMT_FETCH:
+                self._stmt_fetch(pkt)
                 continue
             if cmd == COM_STMT_SEND_LONG_DATA:
                 # the protocol defines NO response to this command — an

@@ -528,8 +528,10 @@ def test_stmt_guards(myep):
         assert (kind, code) == ("err", 1243)
         kind, sid, *_ = c.stmt_prepare(
             "SELECT count() AS n FROM users WHERE user_id = ?")
-        res = c.stmt_execute(sid, [1], flags=1)
-        assert res[0] == "err" and "cursor" in res[2].lower()
+        # r15: READ_ONLY cursors are served (test_stmt_cursor_fetch);
+        # SCROLLABLE (0x04) stays a loud refusal
+        res = c.stmt_execute(sid, [1], flags=4)
+        assert res[0] == "err" and "CURSOR_TYPE_SCROLLABLE" in res[2]
         # unknown parameter type 0x0B (TIME) -> loud refusal... TIME is
         # actually decoded? No: TIME (0x0B) is NOT in the decoded set.
         self_pkt = b"\x17" + struct.pack("<IBI", sid, 0, 1)
@@ -599,5 +601,121 @@ def test_stmt_reset_clears_long_data_poison(myep):
         assert c.recv_packet()[0] == 0x00
         kind, _names, rows = c.stmt_execute(sid, [1])
         assert (kind, rows) == ("rows", [(2,)])
+    finally:
+        c.close()
+
+
+class _CursorClient(_StmtClient):
+    def stmt_execute_cursor(self, sid: int, params=()):
+        """EXECUTE with CURSOR_TYPE_READ_ONLY: expect column defs +
+        EOF carrying SERVER_STATUS_CURSOR_EXISTS, NO rows."""
+        self.seq = 0
+        pkt = b"\x17" + struct.pack("<IBI", sid, 1, 1)
+        if params:
+            n = len(params)
+            bitmap = bytearray((n + 7) // 8)
+            types = b""
+            vals = b""
+            for i, p in enumerate(params):
+                t, u, enc = _bt(p)
+                if p is None:
+                    bitmap[i // 8] |= 1 << (i % 8)
+                types += bytes([t, u])
+                vals += enc
+            pkt += bytes(bitmap) + b"\x01" + types + vals
+        self.send_packet(pkt)
+        first = self.recv_packet()
+        if first[0] == 0xFF:
+            return ("err", first[9:].decode())
+        ncols, _ = _read_lenenc_int(first, 0)
+        cols = []
+        for _i in range(ncols):
+            d = self.recv_packet()
+            at = 0
+            parts = []
+            for _f in range(6):
+                ln, at = _read_lenenc_int(d, at)
+                parts.append(d[at:at + ln].decode())
+                at += ln
+            cols.append((parts[4], d[at + 7]))
+        eof = self.recv_packet()
+        assert eof[0] == 0xFE
+        status = struct.unpack_from("<H", eof, 3)[0]
+        return ("cursor", cols, status)
+
+    def stmt_fetch(self, sid: int, n: int, cols):
+        self.seq = 0
+        self.send_packet(b"\x1c" + struct.pack("<II", sid, n))
+        rows = []
+        while True:
+            p = self.recv_packet()
+            if p[0] == 0xFE and len(p) < 9:
+                status = struct.unpack_from("<H", p, 3)[0]
+                return ("rows", rows, status)
+            if p[0] == 0xFF:
+                return ("err", p[9:].decode(), 0)
+            nb = p[1:1 + (len(cols) + 2 + 7) // 8]
+            at = 1 + len(nb)
+            row = []
+            for i, (_name, tcode) in enumerate(cols):
+                if nb[(i + 2) // 8] & (1 << ((i + 2) % 8)):
+                    row.append(None)
+                    continue
+                if tcode == 0x08:
+                    row.append(struct.unpack_from("<q", p, at)[0]); at += 8
+                else:
+                    ln, at = _read_lenenc_int(p, at)
+                    row.append(p[at:at + ln].decode()); at += ln
+            rows.append(tuple(row))
+
+
+def test_stmt_cursor_fetch(myep):
+    """r15 (VERDICT r14 boundary list): CURSOR_TYPE_READ_ONLY +
+    COM_STMT_FETCH — the execute answers column defs with
+    CURSOR_EXISTS and no rows; fetches stream binary rows in the
+    requested chunk sizes; the final EOF flips to LAST_ROW_SENT;
+    RESET discards the cursor."""
+    CURSOR_EXISTS, LAST_ROW_SENT = 0x0040, 0x0080
+    c = _CursorClient(myep.host, myep.port)
+    try:
+        c.handshake()
+        kind, sid, *_ = c.stmt_prepare(
+            "SELECT user_id, account_type FROM users "
+            "ORDER BY user_id, account_type")
+        assert kind == "ok"
+        kind, cols, status = c.stmt_execute_cursor(sid)
+        assert kind == "cursor" and [n for n, _t in cols] == [
+            "user_id", "account_type"]
+        assert status & CURSOR_EXISTS and not status & LAST_ROW_SENT
+        # fetch 2 of the 3 rows, then the rest
+        kind, rows, status = c.stmt_fetch(sid, 2, cols)
+        assert (kind, rows) == ("rows", [(1, "Gold"), (1, "Silver")])
+        assert status & CURSOR_EXISTS and not status & LAST_ROW_SENT
+        kind, rows, status = c.stmt_fetch(sid, 10, cols)
+        assert rows == [(2, "Bronze")]
+        assert status & LAST_ROW_SENT
+        # fetching past the end: zero rows, still LAST_ROW_SENT
+        kind, rows, status = c.stmt_fetch(sid, 5, cols)
+        assert rows == [] and status & LAST_ROW_SENT
+        # a PARAMETRIZED cursor re-executes with fresh rows
+        kind, sid2, *_ = c.stmt_prepare(
+            "SELECT account_type FROM users WHERE user_id = ? "
+            "ORDER BY account_type")
+        kind, cols2, status = c.stmt_execute_cursor(sid2, [1])
+        assert kind == "cursor"
+        kind, rows, status = c.stmt_fetch(sid2, 10, cols2)
+        assert [r[0] for r in rows] == ["Gold", "Silver"]
+        assert status & LAST_ROW_SENT
+        # RESET discards the cursor: the next fetch refuses loudly
+        c.seq = 0
+        c.send_packet(b"\x1a" + struct.pack("<I", sid))
+        assert c.recv_packet()[0] == 0x00
+        kind, msg, _ = c.stmt_fetch(sid, 1, cols)
+        assert kind == "err" and "no open cursor" in msg
+        # fetch on a never-opened statement refuses too
+        kind, sid3, *_ = c.stmt_prepare("SELECT count() AS x FROM users")
+        assert kind == "ok"
+        kind2, msg, _ = c.stmt_fetch(sid3, 1, [("x", 0x08)])
+        assert kind2 == "err" and "no open cursor" in msg
     finally:
         c.close()
