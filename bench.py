@@ -285,6 +285,21 @@ HEADLINE = [
     # its plan is the benched exact_substr_spans detection plus one
     # co-keyed join and a map-side fold — the cut adds no new heavy
     # shape.
+    # quality_classifier_score (r15) benches: the model-FIT shape — a
+    # corpus-wide (label, bucket) groupBy collected as a bounded model
+    # plus literal-array map-only scoring — is a new family (DSIR's
+    # benched dsir_select_documents times two single-key model
+    # groupBys; the classifier's labeled two-class fit + dense-vector
+    # scoring is its own compound).
+    "quality_classifier_score",
+    # quality_classifier_eval (r15) stays EXEMPT under the stated
+    # rule: its plan is the benched quality_classifier_score's fit +
+    # scoring restricted to a held-out slice, plus one 4-integer
+    # aggregate — no new heavy shape.
+    # longest_repeat_documents (r15) stays EXEMPT under the stated
+    # rule: its plan is the benched suffix_lcp_rank construction plus
+    # one struct-max groupBy and a co-keyed text join — the argmax
+    # consumption adds no new heavy shape.
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the
@@ -360,6 +375,10 @@ FORCE_EVAL = {
     # LCP descent's join ladder behind a unique-key output
     "suffix_array_rank": "sa_rank >= 1",
     "suffix_lcp_rank": "sa_rank >= 1 AND lcp >= 0",
+    # r15: the classifier FIT runs eagerly at query construction (two
+    # bounded collects), but count() would prune the map-only scoring
+    # expression — force the scored columns to evaluate
+    "quality_classifier_score": "qclf_score_q IS NOT NULL OR qclf_keep >= 0",
 }
 
 # r7 (VERDICT r6 #8): one 112-query JVM session couples queries to GC

@@ -100,6 +100,7 @@ _WINDOW = [
     # oracle run) ---
     "quality_classifier_score",     # C4 CCNet/fastText quality model
     "quality_classifier_eval",      # C4 its held-out confusion/P/R/F1
+    "longest_repeat_documents",     # C2 SA+LCP argmax consumption
     # --- Rule 2: oldest-green-first. The two r9 deferrals named by
     # the r14 window comment seat first (last driver-green r9) ---
     "welch_ttest_values",
@@ -153,7 +154,6 @@ _WINDOW = [
     "ch_dialect_any_join",
     "ch_dialect_array_join",
     "ch_dialect_asof",
-    "ch_dialect_except",
 ]
 
 

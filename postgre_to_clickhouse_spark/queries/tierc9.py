@@ -264,3 +264,90 @@ def exact_substr_trim(spark, sf_dir):
     return SA.exact_substr_trim(
         d, min_len=40, min_count=2, text_col="text", id_col="doc_id"
     )
+
+
+@register(
+    "longest_repeat_documents",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 3),
+    s AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS pos, text
+          FROM d),
+    suf AS (SELECT doc_id, pos, substr(text, pos) AS sfx FROM s),
+    ranked AS (SELECT doc_id, pos, sfx,
+               row_number() OVER (PARTITION BY doc_id ORDER BY sfx)
+                 AS sa_rank FROM suf),
+    pairs AS (SELECT doc_id, pos, sfx,
+              lag(sfx) OVER (PARTITION BY doc_id ORDER BY sa_rank) AS prev
+              FROM ranked),
+    lcps AS (
+      SELECT doc_id, pos,
+             CASE WHEN prev IS NULL THEN 0
+                  ELSE len(list_filter(
+                         generate_series(1,
+                           least(length(sfx), length(prev))),
+                         i -> substr(sfx, 1, i) = substr(prev, 1, i)))
+             END AS lcp
+      FROM pairs
+    ),
+    mx AS (SELECT doc_id, max(lcp) AS lrs_len FROM lcps GROUP BY doc_id),
+    best AS (
+      SELECT l.doc_id, m.lrs_len, min(l.pos) AS lrs_pos
+      FROM lcps l JOIN mx m ON l.doc_id = m.doc_id AND l.lcp = m.lrs_len
+      GROUP BY l.doc_id, m.lrs_len
+    )
+    SELECT d.doc_id,
+           CAST(best.lrs_len AS BIGINT) AS lrs_len,
+           CASE WHEN best.lrs_len > 0
+                THEN substr(d.text, best.lrs_pos, best.lrs_len)
+                ELSE '' END AS lrs
+    FROM d JOIN best ON d.doc_id = best.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def longest_repeat_documents(spark, sf_dir):
+    """r15: the LONGEST REPEATED SUBSTRING per document — the classic
+    consumption of the SA+LCP pair (the maximum LCP over adjacent
+    suffixes in suffix order IS the longest substring occurring at
+    least twice in the document; Gusfield 1997 §7.12). Answers
+    (doc_id, lrs_len, lrs) with the deterministic tie-break "smallest
+    starting position among the maximal repeats" so the literal
+    substring is well-defined. Documents with no repeated character
+    answer lrs_len = 0 and the empty string. The DuckDB oracle
+    recomputes everything from literally sorted suffixes, so the
+    whole construction — doubling ranks, LCPs, the argmax, the
+    extracted string — is hash-gated end to end.
+
+    Scale: one groupBy(struct-max) over the SA+LCP rows (partial
+    aggregation; the per-doc winner is a 1-row-per-doc frame) + one
+    co-keyed join back to the text. No new heavy machinery beyond
+    the suffix construction itself (bench-exempt as a skeleton
+    sibling of suffix_lcp_rank, per bench.py's exemption table)."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id % 11 = 3")
+    lcps = SA.suffix_array_with_lcp(d, text_col="text", id_col="doc_id")
+    best = (
+        lcps.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("lcp").alias("lcp"),
+                    (-F.col("pos")).alias("np"),
+                    F.col("pos").alias("pos"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            F.col("b.lcp").alias("lrs_len"),
+            F.col("b.pos").alias("lrs_pos"),
+        )
+    )
+    out = best.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.col("lrs_len").cast("bigint").alias("lrs_len"),
+        F.when(
+            F.col("lrs_len") > 0,
+            F.expr("substring(text, cast(lrs_pos as int), "
+                   "cast(lrs_len as int))"),
+        ).otherwise(F.lit("")).alias("lrs"),
+    )
+    return out.orderBy("doc_id")

@@ -282,3 +282,49 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination()
     got = sorted((r.view_id, r.click_id) for r in spark.table("ssjoin").collect())
     assert got == batch
+
+
+def test_quality_classifier_scores_stream_equals_batch(spark, tmp_path):
+    """r15, A27 unification for the new quality classifier: scoring
+    is MAP-ONLY against a literal weight vector, so the identical
+    column expression runs unchanged under Structured Streaming — fit
+    once on a labeled batch, score a stream, and every (doc, score,
+    keep) matches the batch scoring row-for-row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from postgre_to_clickhouse_spark.operators.quality_clf import (
+        fit_quality_classifier,
+        score_quality,
+    )
+
+    rows = [(i, "alpha beta gamma alpha", True) for i in range(8)]
+    rows += [(i, "zulu yankee xray victor", False) for i in range(8, 16)]
+    labeled = spark.createDataFrame(
+        rows, "doc_id long, text string, label boolean")
+    w, bias = fit_quality_classifier(labeled, n_buckets=128)
+
+    src = os.path.join(str(tmp_path), "docs")
+    docs = labeled.select("doc_id", "text")
+    docs.write.json(src)
+    batch = {r["doc_id"]: (r["qclf_score_q"], r["qclf_keep"])
+             for r in score_quality(docs, w, bias, n_buckets=128).collect()}
+
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = (
+        score_quality(stream, w, bias, n_buckets=128)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("qclf_stream")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"]: (r["qclf_score_q"], r["qclf_keep"])
+           for r in spark.sql("SELECT * FROM qclf_stream").collect()}
+    assert got == batch and len(got) == 16
+    assert all(got[i][1] == 1 for i in range(8))
+    assert all(got[i][1] == 0 for i in range(8, 16))

@@ -222,3 +222,62 @@ def test_exact_substr_trim_matches_brute_force(corpus_df):
         .collect()
     )
     assert got == sorted(want)
+
+
+def test_longest_repeat_argmax_matches_brute_force(spark):
+    """r15: the longest-repeated-substring consumption of SA+LCP
+    (queries/tierc9.py::longest_repeat_documents) — max adjacent-LCP
+    with the smallest-position tie-break must equal brute force over
+    every substring, including the no-repeat and empty-doc edges."""
+    docs = _corpus() + [(200, "a" * 33), (201, "abcdefg")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def brute(t):
+        # longest substring occurring >= 2 times; earliest at ties
+        best_len, best = 0, ""
+        n = len(t)
+        for length in range(n - 1, 0, -1):
+            seen = {}
+            hit = None
+            for i in range(n - length + 1):
+                s = t[i:i + length]
+                if s in seen:
+                    hit = seen[s] if hit is None else min(hit, seen[s])
+                else:
+                    seen[s] = i
+            if hit is not None:
+                return length, t[hit:hit + length]
+        return best_len, best
+
+    lcps = SA.suffix_array_with_lcp(df)
+    from pyspark.sql import functions as F
+
+    best = (
+        lcps.groupBy("doc_id")
+        .agg(F.max(F.struct(
+            F.col("lcp"), (-F.col("pos")).alias("np"),
+            F.col("pos"))).alias("b"))
+        .select("doc_id", F.col("b.lcp").alias("n"),
+                F.col("b.pos").alias("p"))
+        .collect()
+    )
+    got = {r["doc_id"]: (r["n"], r["p"]) for r in best}
+    texts = dict(docs)
+    for did, t in docs:
+        if not t:
+            assert did not in got or got[did][0] == 0
+            continue
+        want_len, _want_str = brute(t)
+        glen, gpos = got[did]
+        assert glen == want_len, (did, glen, want_len)
+        if want_len:
+            # the extracted string must itself be a maximal repeat:
+            # content may differ from brute's pick when several
+            # distinct strings tie at max length, but it must occur
+            # >= 2 times (overlaps count, as in suffixes)
+            s = texts[did][gpos - 1:gpos - 1 + glen]
+            occ = sum(
+                1 for i in range(len(t) - glen + 1)
+                if t[i:i + glen] == s
+            )
+            assert occ >= 2, (did, s, occ)
