@@ -43,6 +43,7 @@ SHOWCASE = [
     ("exact_substr_spans", "r14: exact ExactSubstr filter-then-verify — hashed seed-count join + ONE per-doc multi-lead window pass + literal candidate verify; no self-joins, no single-partition stage"),
     ("suffix_array_rank", "r14: prefix-doubling suffix array — range-partitioned Arrow dense-rank rounds (banded offsets), early-stopped; final rank is a per-doc window"),
     ("suffix_lcp_rank", "r14 s2: SA+LCP — the doubling, then an LCP descent of two co-keyed left joins per kept level plus a character-residual text join; no single-partition stage"),
+    ("quality_classifier_score", "r15: CCNet/fastText quality model — the fitted weights + bias ride as ONE literal array; corpus scoring is a map pass, zero exchanges beyond the scan"),
 ]
 
 STRIP = re.compile(r"#\d+L?|\[plan_id=\d+\]")
