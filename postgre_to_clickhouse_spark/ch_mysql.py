@@ -39,9 +39,12 @@ Scope (the BI-client subset, like CH's own mysql_port):
   rows in client-sized chunks until EOF(LAST_ROW_SENT) — the
   resultset is bounded by ``max_result_rows`` like every other path,
   so holding it for the fetch loop is bounded too; RESET discards
-  the cursor. CURSOR_TYPE_SCROLLABLE/FOR_UPDATE,
-  COM_STMT_SEND_LONG_DATA (until RESET) and parameter types outside
-  the decoded set refuse loudly naming the alternative.
+  the cursor. COM_STMT_SEND_LONG_DATA accumulates chunks per
+  parameter (r15) and the parameter binds as a string at the next
+  EXECUTE (its value is absent from the EXECUTE payload, per
+  protocol); RESET discards accumulated data.
+  CURSOR_TYPE_SCROLLABLE/FOR_UPDATE and parameter types outside the
+  decoded set refuse loudly naming the alternative.
 
 Values travel as MySQL text-protocol cells (lenenc strings, NULL =
 0xFB) rendered with the TabSeparated value conventions minus the
@@ -522,7 +525,7 @@ class _Conn:
         sid = self.next_stmt_id
         self.next_stmt_id += 1
         self.stmts[sid] = {"sql": sql, "n": n_params, "types": None,
-                           "poisoned": None}
+                           "poisoned": None, "long": {}}
         ncols = 0 if fields is None else len(fields)
         self._send(b"\x00" + struct.pack("<I", sid)
                    + struct.pack("<H", ncols) + struct.pack("<H", n_params)
@@ -585,6 +588,11 @@ class _Conn:
                     "execution on this statement)"))
                 return
             for i in range(n):
+                if i in st["long"]:
+                    # bound via SEND_LONG_DATA: the value is the
+                    # accumulated bytes and is NOT in the payload
+                    params.append(st["long"][i].decode(errors="replace"))
+                    continue
                 if nb[i // 8] & (1 << (i % 8)):
                     params.append(None)
                     continue
@@ -690,6 +698,7 @@ class _Conn:
                     st = self.stmts.get(struct.unpack_from("<I", pkt, 1)[0])
                     if st is not None:
                         st["poisoned"] = None
+                        st["long"] = {}
                         st.pop("cursor", None)
                 self._send(self._ok())
                 continue
@@ -697,16 +706,25 @@ class _Conn:
                 self._stmt_fetch(pkt)
                 continue
             if cmd == COM_STMT_SEND_LONG_DATA:
-                # the protocol defines NO response to this command — an
-                # ERR here would desync the client, so poison the
-                # statement and refuse at the next EXECUTE instead
-                if len(pkt) >= 5:
-                    st = self.stmts.get(struct.unpack_from("<I", pkt, 1)[0])
+                # r15 (the last protocol refusal on this wire): the
+                # command defines NO response — accumulate the chunk;
+                # the parameter binds as a string at the next EXECUTE.
+                # Out-of-range indexes poison (refusing at EXECUTE is
+                # the only loud channel the protocol leaves open).
+                if len(pkt) >= 7:
+                    sid_, pidx = struct.unpack_from("<IH", pkt, 1)
+                    st = self.stmts.get(sid_)
                     if st is not None:
-                        st["poisoned"] = (
-                            "COM_STMT_SEND_LONG_DATA is outside the subset "
-                            "— bind parameters inline in COM_STMT_EXECUTE"
-                        )
+                        if pidx >= st["n"]:
+                            st["poisoned"] = (
+                                f"COM_STMT_SEND_LONG_DATA parameter "
+                                f"index {pidx} out of range "
+                                f"(statement has {st['n']})"
+                            )
+                        else:
+                            st["long"][pidx] = (
+                                st["long"].get(pidx, b"") + pkt[7:]
+                            )
                 continue
             if cmd != COM_QUERY:
                 self._send(self._err(

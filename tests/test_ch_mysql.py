@@ -542,11 +542,12 @@ def test_stmt_guards(myep):
         c.send_packet(self_pkt)
         first = c.recv_packet()
         assert first[0] == 0xFF and b"outside the subset" in first
-        # SEND_LONG_DATA: no response; poison surfaces at next execute
+        # SEND_LONG_DATA with an OUT-OF-RANGE index: no response is
+        # defined, so the statement poisons and refuses at execute
         c.seq = 0
-        c.send_packet(b"\x18" + struct.pack("<IH", sid, 0) + b"blob")
+        c.send_packet(b"\x18" + struct.pack("<IH", sid, 5) + b"blob")
         res = c.stmt_execute(sid, [1])
-        assert res[0] == "err" and "SEND_LONG_DATA" in res[2]
+        assert res[0] == "err" and "out of range" in res[2]
     finally:
         c.close()
 
@@ -582,25 +583,44 @@ def test_stmt_string_params_escape_backslashes(myep):
         c.close()
 
 
-def test_stmt_reset_clears_long_data_poison(myep):
-    """r15 (ADVICE r14): per protocol COM_STMT_RESET discards
-    accumulated long data — a client that sends long data, resets,
-    then executes with inline parameters must succeed."""
+def test_stmt_send_long_data_binds_and_reset_discards(myep):
+    """r15: COM_STMT_SEND_LONG_DATA accumulates chunks per parameter
+    and the parameter binds as a string at EXECUTE (absent from the
+    EXECUTE payload, per protocol); RESET discards the accumulated
+    data so inline binding works again afterwards."""
     c = _StmtClient(myep.host, myep.port)
     try:
         c.handshake()
-        kind, sid, *_ = c.stmt_prepare(
-            "SELECT count() AS n FROM users WHERE user_id = ?")
-        assert kind == "ok"
-        c.seq = 0  # SEND_LONG_DATA: no response, statement poisoned
-        c.send_packet(b"\x18" + struct.pack("<IH", sid, 0) + b"blob")
-        res = c.stmt_execute(sid, [1])
-        assert res[0] == "err" and "SEND_LONG_DATA" in res[2]
-        c.seq = 0  # RESET answers OK and clears the poison
+        kind, sid, _nc, np_, _ = c.stmt_prepare(
+            "SELECT count() AS n FROM users WHERE account_type = ?")
+        assert (kind, np_) == ("ok", 1)
+        # two chunks: 'Go' + 'ld' -> the bound value is 'Gold'
+        c.seq = 0
+        c.send_packet(b"\x18" + struct.pack("<IH", sid, 0) + b"Go")
+        c.seq = 0
+        c.send_packet(b"\x18" + struct.pack("<IH", sid, 0) + b"ld")
+        # EXECUTE: null bitmap, new-params-bound=1, type BLOB, NO value
+        c.seq = 0
+        pkt = (b"\x17" + struct.pack("<IBI", sid, 0, 1)
+               + b"\x00" + b"\x01" + bytes([0xFC, 0]))
+        c.send_packet(pkt)
+        first = c.recv_packet()
+        assert first[0] not in (0x00, 0xFF), first
+        ncols, _ = _read_lenenc_int(first, 0)
+        for _i in range(ncols):
+            c.recv_packet()
+        assert c.recv_packet()[0] == 0xFE
+        row = c.recv_packet()
+        assert row[0] == 0x00
+        n = struct.unpack_from("<q", row, 2)[0]
+        assert n == 1  # exactly the Gold row
+        assert c.recv_packet()[0] == 0xFE
+        # RESET discards the accumulated data; inline binding works
+        c.seq = 0
         c.send_packet(b"\x1a" + struct.pack("<I", sid))
         assert c.recv_packet()[0] == 0x00
-        kind, _names, rows = c.stmt_execute(sid, [1])
-        assert (kind, rows) == ("rows", [(2,)])
+        kind, _names, rows = c.stmt_execute(sid, ["Silver"])
+        assert (kind, rows) == ("rows", [(1,)])
     finally:
         c.close()
 
