@@ -300,6 +300,12 @@ HEADLINE = [
     # rule: its plan is the benched suffix_lcp_rank construction plus
     # one struct-max groupBy and a co-keyed text join — the argmax
     # consumption adds no new heavy shape.
+    # kn_bigram_nll (r15 s2) stays EXEMPT under the stated rule: its
+    # plan skeleton (bigram-pair groupBy -> model joins -> per-doc
+    # reduce) is exactly what the benched lm_unigram_nll /
+    # lm_bigram_nll family times; the KN continuation statistics are
+    # two more reductions FROM the same type table, no new heavy
+    # shape.
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the
