@@ -58,21 +58,22 @@ from postgre_to_clickhouse_spark.queries import tierc10  # noqa: E402,F401
 # The r15 window, per the policy above. Ledger at rotation time
 # (reconstructed from CORRECTNESS_r*.json by max green round per
 # query): r9 ×2 (the deferrals r14 named in writing), r10 ×38,
-# r11 ×50, r12 ×50, r13 ×50, r14 ×50, never-green ×4 (the r15
+# r11 ×50, r12 ×50, r13 ×50, r14 ×50, never-green ×5 (the r15
 # queries, each committed with a passing in-session oracle run per
 # the registration rule — and additionally green in this session's
 # full driver simulations at sf0.01: 241/241, 242/242, 243/243 as
 # they landed).
 #
-# Rule 1 takes 4 seats: quality_classifier_score (CCNet/fastText
+# Rule 1 takes 5 seats: quality_classifier_score (CCNet/fastText
 # model-based quality scoring, VERDICT r13 #6 / r14 #3 — the
 # twice-ordered missing operator), quality_classifier_eval (its
 # held-out confusion matrix + precision/recall/F1/accuracy),
 # longest_repeat_documents (the classic SA+LCP argmax — longest
 # substring occurring twice per document, oracle from literally
-# sorted suffixes) and kn_bigram_nll (interpolated Kneser-Ney bigram
+# sorted suffixes), kn_bigram_nll (interpolated Kneser-Ney bigram
 # LM scoring, session 2 — the published smoothing behind CCNet's
-# KenLM stage).
+# KenLM stage) and quality_classifier_auc (the threshold-free
+# held-out ROC AUC via the exact tie-averaged-rank identity, s2).
 #
 # Engine diffs this round that touch previously-registered plans:
 # the suffix_array_with_lcp bounded fold became a binary-search
@@ -86,11 +87,11 @@ from postgre_to_clickhouse_spark.queries import tierc10  # noqa: E402,F401
 # promised (welch_ttest_values, with_totals_status) seat FIRST, then
 # the full r10 cohort (38), then the r11 cohort alphabetical. Each
 # rule-1 seat displaced one r11 backfill from the END of the list
-# per the overflow convention (ch_dialect_asof, ch_dialect_except,
-# ch_dialect_fill_interval displaced — named here; all stay
-# oracle-gated in pytest). After this round no query's last
-# driver-green is older than r10, and the remaining r11 cohort (~44)
-# is the next reseat obligation.
+# per the overflow convention (ch_dialect_array_join,
+# ch_dialect_asof, ch_dialect_except, ch_dialect_fill_interval
+# displaced — named here; all stay oracle-gated in pytest). After
+# this round no query's last driver-green is older than r10, and the
+# remaining r11 cohort (45) is the next reseat obligation.
 _WINDOW = [
     # --- Rule 1: new in r15 (each landed with a passing in-session
     # oracle run) ---
@@ -98,6 +99,7 @@ _WINDOW = [
     "quality_classifier_eval",      # C4 its held-out confusion/P/R/F1
     "longest_repeat_documents",     # C2 SA+LCP argmax consumption
     "kn_bigram_nll",                # C4 Kneser-Ney LM scoring (s2)
+    "quality_classifier_auc",       # C4 threshold-free held-out AUC (s2)
     # --- Rule 2: oldest-green-first. The two r9 deferrals named by
     # the r14 window comment seat first (last driver-green r9) ---
     "welch_ttest_values",
@@ -149,7 +151,6 @@ _WINDOW = [
     "ch_ddl_evolution_pipeline",
     "ch_dialect_agg_state_mv",
     "ch_dialect_any_join",
-    "ch_dialect_array_join",
 ]
 
 

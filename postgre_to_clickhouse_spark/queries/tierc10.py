@@ -353,3 +353,140 @@ def kn_bigram_nll(spark, sf_dir):
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         "kn_nll_q",
     )
+
+
+def _qclf_auc_oracle() -> str:
+    """The classifier model (same CTEs), held-out scores, then the
+    exact rank-identity AUC with tie-averaged ranks — the
+    `auc_purchase_score` oracle shape over the classifier's integer
+    scores."""
+    pos = ", ".join(f"'{s}'" for s in _QCLF_POS)
+    neg = ", ".join(f"'{s}'" for s in _QCLF_NEG)
+    epos = ", ".join(f"'{s}'" for s in _QCLF_EVAL_POS)
+    eneg = ", ".join(f"'{s}'" for s in _QCLF_EVAL_NEG)
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, unnest(list_concat(toks,
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(len(toks) - 1),
+                      i -> toks[i + 1] || '_' || toks[i + 2])
+                 ELSE CAST([] AS VARCHAR[]) END)) AS gram
+      FROM w
+    ),
+    b AS (
+      SELECT doc_id, source, ({_horner_int("qclf-v1", "gram")}) % 1024 AS b
+      FROM g
+    ),
+    posc AS (SELECT b, count(*) AS c FROM b
+             WHERE source IN ({pos}) GROUP BY b),
+    negc AS (SELECT b, count(*) AS c FROM b
+             WHERE source IN ({neg}) GROUP BY b),
+    tot AS (SELECT (SELECT coalesce(sum(c), 0) FROM posc) AS tp_,
+                   (SELECT coalesce(sum(c), 0) FROM negc) AS tn_,
+                   (SELECT count(*) FROM documents
+                    WHERE source IN ({pos})) AS np_,
+                   (SELECT count(*) FROM documents
+                    WHERE source IN ({neg})) AS nn_),
+    lw AS (
+      SELECT bb.b,
+             CAST(round((ln((coalesce(posc.c, 0) + 1.0)
+                             / (tot.tp_ + 1024.0))
+                       - ln((coalesce(negc.c, 0) + 1.0)
+                             / (tot.tn_ + 1024.0))) * 1e6)
+                  AS BIGINT) AS wq
+      FROM (SELECT DISTINCT b FROM b) bb
+      LEFT JOIN posc ON bb.b = posc.b
+      LEFT JOIN negc ON bb.b = negc.b, tot
+    ),
+    bias AS (
+      SELECT CAST(round((ln(CAST(np_ AS DOUBLE))
+                       - ln(CAST(nn_ AS DOUBLE))) * 1e6) AS BIGINT) AS bq
+      FROM tot
+    ),
+    sc AS (
+      SELECT b.doc_id, SUM(lw.wq) AS s
+      FROM b JOIN lw ON b.b = lw.b
+      WHERE b.source IN ({epos}, {eneg})
+      GROUP BY b.doc_id
+    ),
+    scored AS (
+      SELECT CASE WHEN d.source IN ({epos}) THEN 1 ELSE 0 END AS y,
+             coalesce(sc.s, 0) + bias.bq AS score
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, bias
+      WHERE d.source IN ({epos}, {eneg})
+    ),
+    r AS (
+      SELECT y,
+             RANK() OVER (ORDER BY score) AS rk,
+             COUNT(*) OVER (PARTITION BY score) AS c
+      FROM scored
+    ),
+    agg AS (
+      SELECT SUM(y) AS np,
+             SUM(1 - y) AS nn,
+             SUM(CASE WHEN y = 1 THEN rk + (c - 1) / 2.0 ELSE 0 END) AS rp
+      FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           (rp - np * (np + 1) / 2.0) / (CAST(np AS DOUBLE) * nn) AS auc
+    FROM agg
+    """
+
+
+@register("quality_classifier_auc", oracle=_qclf_auc_oracle())
+def quality_classifier_auc(spark, sf_dir):
+    """r15 s2: the THRESHOLD-FREE companion to
+    ``quality_classifier_eval`` — the ROC AUC of the classifier's
+    integer score over the held-out labeled slices, via the exact
+    rank identity AUC = (R+ − n+(n+1)/2) / (n+ · n−) with
+    tie-averaged ranks (the `auc_purchase_score` / CH ``arrayAUC``
+    machinery, `operators/ranks.py`). Scores are exact integers, tie
+    ranks exact half-integers, so the AUC is one bit-exact division.
+
+    Scale: the fit is bounded as before; ranks come from the
+    distinct-score-bounded two-phase prefix sum; one scan of the
+    held-out slice."""
+    from postgre_to_clickhouse_spark.operators.quality_clf import (
+        quality_classifier_select,
+    )
+    from postgre_to_clickhouse_spark.operators.ranks import (
+        tie_averaged_ranks,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    eval_df = d.filter(
+        F.col("source").isin(*(_QCLF_EVAL_POS + _QCLF_EVAL_NEG)))
+    scored = quality_classifier_select(
+        eval_df,
+        d.filter(F.col("source").isin(*_QCLF_POS)),
+        d.filter(F.col("source").isin(*_QCLF_NEG)),
+        n_buckets=1024,
+        seed="qclf-v1",
+    ).select(
+        F.when(F.col("source").isin(*_QCLF_EVAL_POS), 1)
+        .otherwise(0).alias("y"),
+        F.col("qclf_score_q").alias("score"),
+    )
+    vc = scored.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    ranked = tie_averaged_ranks(vc, "score", "c")
+    rows = scored.join(F.broadcast(ranked.select("score", "avg_rank")),
+                       "score")
+    agg = rows.agg(
+        F.sum("y").alias("np"),
+        F.sum(1 - F.col("y")).alias("nn"),
+        F.sum(F.when(F.col("y") == 1, F.col("avg_rank"))
+              .otherwise(0.0)).alias("rp"),
+    )
+    return agg.select(
+        F.col("np").cast("bigint").alias("n_pos"),
+        F.col("nn").cast("bigint").alias("n_neg"),
+        (
+            (F.col("rp") - F.col("np") * (F.col("np") + 1) / F.lit(2.0))
+            / (F.col("np").cast("double") * F.col("nn"))
+        ).alias("auc"),
+    )
