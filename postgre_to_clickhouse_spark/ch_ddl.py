@@ -150,19 +150,38 @@ def _table_refs(sql: str) -> set[str]:
     view's own name inside a string literal or as a SELECT alias
     (``SELECT sum(x) AS totals`` in view ``totals``) never counts as
     a reference — CH allows such views (ADVICE r14). ``ARRAY JOIN``
-    operands are expressions, not tables, and are skipped."""
+    operands are expressions, not tables, and are skipped. A
+    parenthesized derived table in FROM position suspends the FROM
+    list only until its matching ``)`` (ADVICE r15): in
+    ``FROM (SELECT 1) t, myview`` the comma continuation still
+    counts, so ``myview`` expands."""
     try:
         toks = _tokenize(sql)
     except ChSqlError:
         return set()
     out: set[str] = set()
     in_from = False
+    depth = 0
+    # depths at which an open paren interrupted an active FROM list;
+    # the matching close paren restores in_from (stack: FROM-position
+    # subqueries nest, e.g. FROM (SELECT x FROM (SELECT 1) u) t, v).
+    restore_at: list[int] = []
     for i, t in enumerate(toks):
         up = _kw(t)
-        if t == "(" or up in ("WHERE", "PREWHERE", "GROUP", "ORDER",
-                              "LIMIT", "HAVING", "SETTINGS", "FORMAT",
-                              "WINDOW", "QUALIFY", "SAMPLE", "ON",
-                              "USING", "SELECT"):
+        if t == "(":
+            if in_from:
+                restore_at.append(depth)
+            depth += 1
+            in_from = False
+        elif t == ")":
+            depth -= 1
+            if restore_at and restore_at[-1] == depth:
+                restore_at.pop()
+                in_from = True
+        elif up in ("WHERE", "PREWHERE", "GROUP", "ORDER",
+                    "LIMIT", "HAVING", "SETTINGS", "FORMAT",
+                    "WINDOW", "QUALIFY", "SAMPLE", "ON",
+                    "USING", "SELECT"):
             in_from = False
         elif up in ("FROM", "JOIN") or (up == "IN" and in_from is False):
             if up == "JOIN" and i and _kw(toks[i - 1]) == "ARRAY":

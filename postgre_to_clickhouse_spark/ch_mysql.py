@@ -590,8 +590,21 @@ class _Conn:
             for i in range(n):
                 if i in st["long"]:
                     # bound via SEND_LONG_DATA: the value is the
-                    # accumulated bytes and is NOT in the payload
-                    params.append(st["long"][i].decode(errors="replace"))
+                    # accumulated bytes and is NOT in the payload.
+                    # Strict decode (ADVICE r15): non-UTF-8 long data
+                    # refuses loudly instead of silently mangling
+                    # bytes to U+FFFD — this wire binds long data as
+                    # text only, like the other out-of-subset shapes.
+                    try:
+                        params.append(st["long"][i].decode())
+                    except UnicodeDecodeError:
+                        self._send(self._err(
+                            f"COM_STMT_SEND_LONG_DATA for parameter "
+                            f"{i} is not valid UTF-8 — binary "
+                            "long-data parameters are outside the "
+                            "subset (this wire binds long data as "
+                            "text); send text or bind inline"))
+                        return
                     continue
                 if nb[i // 8] & (1 << (i % 8)):
                     params.append(None)

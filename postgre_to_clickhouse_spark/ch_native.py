@@ -828,8 +828,15 @@ class _Conn:
             # set BEFORE the external-tables section — a compressing
             # client frames the terminator block too (r14)
             self.compress = bool(compression)
-            self.compress_method = self._pick_method(
-                settings.get("network_compression_method"))
+            # resolve/validate the codec only when frames will
+            # actually be compressed (ADVICE r15): a client pinning
+            # zstd WITHOUT wire compression never touches the codec,
+            # so a codec-less build still serves the query — real CH
+            # behavior.
+            self.compress_method = (
+                self._pick_method(
+                    settings.get("network_compression_method"))
+                if self.compress else None)
             self._read_external_tables()
         except EOFError:
             raise

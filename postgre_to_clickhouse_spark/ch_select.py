@@ -1354,7 +1354,28 @@ def _parse_from_body(
     """The FROM body: a table ref followed by a (possibly empty) join
     chain OR one CH ``[LEFT] ARRAY JOIN item [AS alias], ...`` clause.
     Join boundaries are depth-0 ``JOIN`` tokens with their backward run
-    of modifier words."""
+    of modifier words.
+
+    Comma cross-join sugar (r16, ADVICE r15): ``FROM t1, t2 [, ...]``
+    is the classic comma list — CH compiles it to CROSS JOIN and lets
+    WHERE do the filtering. Depth-0 commas BEFORE the first depth-0
+    JOIN token rewrite to ``CROSS JOIN`` here, so derived tables
+    participate too (``FROM (SELECT 1) d, t``); commas after a JOIN
+    belong to ARRAY JOIN item lists and stay."""
+    rewritten, depth = [], 0
+    seen_join = False
+    for t in body:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and _is_ident(t) and _kw(t) == "JOIN":
+            seen_join = True
+        if t == "," and depth == 0 and not seen_join:
+            rewritten.extend(["CROSS", "JOIN"])
+        else:
+            rewritten.append(t)
+    body = rewritten
     starts, depth = [], 0
     for i, t in enumerate(body):
         if t == "(":

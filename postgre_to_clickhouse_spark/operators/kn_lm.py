@@ -91,6 +91,16 @@ def kn_bigram_model(
     C(a.) and continuation fan-outs N1+(a.) in one groupBy(a),
     left-context counts N1+(.b) in one groupBy(b), N1+(..) as a single
     scalar."""
+    # ADVICE r15: D outside (0, 1) can drive the interpolated
+    # probability to 0 or negative for singleton bigrams in
+    # single-continuation contexts — ln() then yields NaN/-inf and
+    # lp_q silently becomes garbage. Refuse loudly; the estimator is
+    # only defined for an absolute discount strictly inside (0, 1).
+    if not (0.0 < discount < 1.0):
+        raise ValueError(
+            f"Kneser-Ney absolute discount must satisfy 0 < D < 1, "
+            f"got {discount!r}"
+        )
     cab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
     cab = cab.localCheckpoint(eager=True)  # 3 consumers + a count
     ca = cab.groupBy("a").agg(

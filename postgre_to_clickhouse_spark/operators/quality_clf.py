@@ -94,15 +94,29 @@ def fit_quality_classifier(
     prior ``round((ln n_pos − ln n_neg) · 1e6)``.
 
     Distributed cost: ONE map-side-combinable groupBy over a key
-    space of at most ``2 · n_buckets`` values + one 2-row label
-    count — both collects are bounded by the MODEL, never the data.
+    space of at most ``2 · (n_buckets + 1)`` values — the single
+    collect is bounded by the MODEL, never the data. The per-class
+    document counts ride the SAME aggregation as a sentinel bucket
+    (-1, one per document), so the whole fit is ONE Spark action over
+    ONE evaluation of ``labeled`` — a non-deterministic input
+    (sample()/limit() without cache) can never hand the bias counts
+    from a different evaluation than the bucket counts (ADVICE r15).
     """
     y = F.when(F.col(label_col).cast("boolean"), 1).otherwise(0)
     rows = (
         labeled.select(
             y.alias("y"),
-            F.explode(hashed_gram_buckets(text_col, n_buckets, seed))
-            .alias("b"),
+            F.explode(
+                F.concat(
+                    # coalesce: a NULL text has no grams but is still
+                    # a document — it must reach the sentinel count
+                    F.coalesce(
+                        hashed_gram_buckets(text_col, n_buckets, seed),
+                        F.array().cast("array<bigint>"),
+                    ),
+                    F.array(F.lit(-1)),  # one doc-count sentinel/row
+                )
+            ).alias("b"),
         )
         .groupBy("y", "b")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -110,12 +124,15 @@ def fit_quality_classifier(
     )
     pos = [0] * n_buckets
     neg = [0] * n_buckets
+    n_pos = n_neg = 0
     for r in rows:
-        (pos if r["y"] else neg)[r["b"]] = r["c"]
-    ndocs = {r["y"]: r["n"] for r in
-             labeled.groupBy(y.alias("y"))
-             .agg(F.count(F.lit(1)).alias("n")).collect()}
-    n_pos, n_neg = ndocs.get(1, 0), ndocs.get(0, 0)
+        if r["b"] == -1:
+            if r["y"]:
+                n_pos = r["c"]
+            else:
+                n_neg = r["c"]
+        else:
+            (pos if r["y"] else neg)[r["b"]] = r["c"]
     if n_pos == 0 or n_neg == 0:
         raise ValueError(
             "fit_quality_classifier needs BOTH classes in the labeled "

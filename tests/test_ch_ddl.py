@@ -1767,6 +1767,42 @@ def test_view_self_name_alias_is_not_a_cycle(spark, tmp_path):
         cat.query(spark, "SELECT x FROM selfy")
 
 
+def test_view_after_from_subquery_comma_expands(spark, tmp_path):
+    """ADVICE r15: a view referenced as a comma continuation AFTER a
+    parenthesized derived table in FROM position must still expand —
+    the subquery suspends the FROM list only until its matching ')'.
+    Unit-level: _table_refs sees through (nested) FROM subqueries."""
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog, _table_refs
+
+    assert _table_refs(
+        "SELECT * FROM (SELECT 1) t, myview") == {"myview"}
+    assert _table_refs(
+        "SELECT * FROM (SELECT x FROM (SELECT 1) u) t, v") == {"v"}
+    assert _table_refs(
+        "SELECT * FROM (SELECT x FROM inner_t) t, myview"
+    ) == {"inner_t", "myview"}
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    cat.execute("CREATE TABLE t (x UInt64) ENGINE = MergeTree ORDER BY x",
+                spark=spark)
+    cat.execute("INSERT INTO t VALUES (1), (2), (3)", spark=spark)
+    cat.execute("CREATE VIEW sums AS SELECT sum(x) AS s FROM t",
+                spark=spark)
+    got = cat.query(
+        spark,
+        "SELECT d.k, sums.s FROM "
+        "(SELECT number + 1 AS k FROM numbers(1)) d, sums",
+    ).collect()
+    assert [tuple(r) for r in got] == [(1, 6)]
+    # plain comma list over base tables = CROSS JOIN + WHERE filtering
+    got2 = cat.query(
+        spark,
+        "SELECT a.x AS ax, b.x AS bx FROM t AS a, t AS b "
+        "WHERE a.x < b.x ORDER BY ax, bx",
+    ).collect()
+    assert [tuple(r) for r in got2] == [(1, 2), (1, 3), (2, 3)]
+
+
 def test_explain_estimate_with_query_targets_top_level_from(spark, tmp_path):
     """r15 (ADVICE r14 low): EXPLAIN ESTIMATE must resolve the table
     the OUTER query reads — a WITH query whose first textual FROM is

@@ -625,6 +625,36 @@ def test_stmt_send_long_data_binds_and_reset_discards(myep):
         c.close()
 
 
+def test_stmt_send_long_data_non_utf8_refuses(myep):
+    """ADVICE r15: a binary (non-UTF-8) SEND_LONG_DATA payload must
+    refuse loudly at EXECUTE instead of silently mangling bytes to
+    U+FFFD; RESET clears it and the statement serves again."""
+    c = _StmtClient(myep.host, myep.port)
+    try:
+        c.handshake()
+        kind, sid, _nc, np_, _ = c.stmt_prepare(
+            "SELECT count() AS n FROM users WHERE account_type = ?")
+        assert (kind, np_) == ("ok", 1)
+        c.seq = 0
+        c.send_packet(b"\x18" + struct.pack("<IH", sid, 0)
+                      + b"\xff\xfe\x80Gold")
+        c.seq = 0
+        pkt = (b"\x17" + struct.pack("<IBI", sid, 0, 1)
+               + b"\x00" + b"\x01" + bytes([0xFC, 0]))
+        c.send_packet(pkt)
+        err = c.recv_packet()
+        assert err[0] == 0xFF
+        assert b"not valid UTF-8" in err
+        # RESET discards the poisoned bytes; inline binding works
+        c.seq = 0
+        c.send_packet(b"\x1a" + struct.pack("<I", sid))
+        assert c.recv_packet()[0] == 0x00
+        kind, _names, rows = c.stmt_execute(sid, ["Gold"])
+        assert (kind, rows) == ("rows", [(1,)])
+    finally:
+        c.close()
+
+
 class _CursorClient(_StmtClient):
     def stmt_execute_cursor(self, sid: int, params=()):
         """EXECUTE with CURSOR_TYPE_READ_ONLY: expect column defs +

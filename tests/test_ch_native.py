@@ -963,3 +963,23 @@ def test_unknown_compression_method_setting_refused(natep):
         assert kind == "exception" and "outside the subset" in msg
     finally:
         c.close()
+
+
+def test_zstd_pin_without_wire_compression_still_serves(natep,
+                                                        monkeypatch):
+    """ADVICE r15: a client pinning network_compression_method=zstd
+    with the wire compression flag OFF never uses the codec — the
+    query must serve (real CH behavior) even when no codec is
+    bundled, and the method setting must not be resolved at all."""
+    from postgre_to_clickhouse_spark import ch_compress as cc
+
+    monkeypatch.setattr(cc, "_ZSTD", None)
+    c = _Client(natep.host, natep.port)
+    try:
+        kind, names, types, rows = c.query(
+            "SELECT count() AS n FROM users", compression=0,
+            settings={"network_compression_method": "zstd"},
+        )
+        assert kind == "rows" and rows == [(3,)]
+    finally:
+        c.close()

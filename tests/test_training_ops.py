@@ -1038,6 +1038,12 @@ def test_quality_classifier_semantics_and_layout_independence(spark):
     # single-class training refuses loudly
     with _pytest.raises(ValueError, match="BOTH classes"):
         fit_quality_classifier(labeled.filter("label"), n_buckets=256)
+    # ADVICE r15 (single-pass fit): a NULL-text document still counts
+    # toward the class prior — the sentinel row rides coalesce()
+    with_null = labeled.unionByName(spark.createDataFrame(
+        [(98, None, False)], "doc_id long, text string, label boolean"))
+    _, bias4 = fit_quality_classifier(with_null, n_buckets=256)
+    assert bias4 == round(math.log(10.0 / 11.0) * 1e6)
     # end-to-end convenience wrapper agrees with the manual path
     e2e = quality_classifier_select(
         labeled.select("doc_id", "text"),
@@ -1107,3 +1113,11 @@ def test_kneser_ney_bigram_model_properties(spark):
     assert set(s1) == {0, 1, 2}
     assert s1[0][0] == 5 and s1[1][0] == 5 and s1[2][0] == 3
     assert all(isinstance(v[1], int) for v in s1.values())
+    # ADVICE r15: the discount must satisfy 0 < D < 1 — anything else
+    # can drive P to 0/negative for singleton bigrams and ln() to
+    # NaN/Inf; refuse loudly instead of quantizing garbage
+    import pytest as _pytest
+
+    for bad in (0.0, 1.0, 1.5, -0.5):
+        with _pytest.raises(ValueError, match="0 < D < 1"):
+            kn_bigram_model(pairs, discount=bad)
