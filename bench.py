@@ -306,6 +306,23 @@ HEADLINE = [
     # lm_bigram_nll family times; the KN continuation statistics are
     # two more reductions FROM the same type table, no new heavy
     # shape.
+    # r16: modified-KN trigram — a NEW compound (trigram-type groupBy
+    # + adjusted-count table + FOUR model-assembly hash joins + two
+    # count-of-counts collects), one order and one join deeper than
+    # the exempt kn_bigram_nll skeleton. 3.6 s warm at sf0.1 when
+    # seated.
+    "kn_trigram_nll",
+    # r16: the end-to-end CCNet composite (dedup -> lang-id -> LM
+    # buckets -> classifier) — a NEW compound chaining four stage
+    # shapes with per-doc joins; the end-to-end wall IS the number a
+    # pipeline owner needs (the Tier-C cdc_wire_terminal_pipeline
+    # analogue). 4.5 s warm at sf0.1 when seated.
+    "ccnet_pipeline_documents",
+    # ch_dialect_any_full_join (r16) stays EXEMPT under the stated
+    # rule: both-side-dedup + FULL OUTER is the benched
+    # ch_dialect_any_join skeleton (dedup groupBy doubling as the
+    # join-side shuffle + hash join) applied symmetrically — no new
+    # heavy shape (measured 1.4 s warm at sf0.1 anyway).
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

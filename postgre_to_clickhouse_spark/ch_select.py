@@ -1129,6 +1129,7 @@ class _Parsed:
     offset: int | None = None
     limit_by: tuple[int, list[str]] | None = None
     limit_ties: int | None = None  # LIMIT n WITH TIES (r13)
+    settings: dict[str, str] | None = None  # SETTINGS k = v, ... (r16)
 
 
 def _parse_with(tokens: list[str]):
@@ -1432,12 +1433,21 @@ def _parse_from_body(
                 # r12: ANY RIGHT JOIN — at most one LEFT row per right
                 # row, i.e. the LEFT side dedups per join key
                 any_side = "left"
+            elif mods in (["FULL"], ["FULL", "OUTER"]):
+                # r16 (VERDICT r15 #7): ANY FULL JOIN — BOTH sides
+                # dedup per join key (each to its deterministic
+                # min-struct row), then FULL OUTER join: the
+                # deterministic instance of CH's documented
+                # any_join_distinct_right_table_keys=1 variant (the
+                # ONLY mode in which CH itself serves ANY FULL — the
+                # compile refuses an explicit =0 pin, CH's own
+                # "ANY FULL JOINs are disabled" behavior).
+                any_side = "both"
+                mods = ["FULL"]
             elif mods not in ([], ["INNER"], ["LEFT"]):
                 raise ChSqlError(
-                    "ANY JOIN is supported as ANY [INNER|LEFT|RIGHT] "
-                    "JOIN — ANY FULL is outside the subset (its "
-                    "both-side dedup semantics vary across CH versions "
-                    "via any_join_distinct_right_table_keys)"
+                    "ANY JOIN is supported as ANY [INNER|LEFT|RIGHT|"
+                    "FULL] JOIN — anything else is outside the subset"
                 )
         if "PASTE" in mods:
             # r13: CH 23.11+ PASTE JOIN — positional row gluing. This
@@ -1812,8 +1822,16 @@ def _parse(tokens: list[str]) -> _Parsed:
 
     st = clause("SETTINGS")
     if st is not None:
-        # performance knobs only — semantics never depend on them here
-        pass
+        # performance knobs — captured (r16) so the few settings with
+        # SEMANTIC weight (any_join_distinct_right_table_keys) can
+        # gate compilation; everything else is accepted and ignored
+        p.settings = {}
+        for item in _split_commas(st[1:]):
+            if len(item) == 3 and item[1] == "=" and _is_ident(item[0]):
+                p.settings[_kw(item[0]).lower()] = item[2].strip("'")
+            elif item:
+                raise ChSqlError(
+                    f"SETTINGS items are `name = value`: {' '.join(item)!r}")
     fmt = clause("FORMAT")
     if fmt is not None:
         # FORMAT names an output SERIALIZATION (Pretty, JSONEachRow, …)
@@ -2085,19 +2103,31 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
         from_text = view
     else:
         left_any = [jn for jn in p.joins
-                    if jn.any_dedup and jn.any_side == "left"]
+                    if jn.any_dedup and jn.any_side in ("left", "both")]
         if left_any:
             # ANY RIGHT JOIN (r12): the LEFT side dedups per join key
-            # — the mirror of the right-dedup below. Restricted to a
-            # single-join FROM: in a longer chain "the left side" is
-            # an intermediate join result, whose dedup would need a
-            # materialization this front end deliberately avoids.
+            # — the mirror of the right-dedup below. ANY FULL (r16)
+            # dedups BOTH sides (this branch + the right-dedup below).
+            # Restricted to a single-join FROM: in a longer chain "the
+            # left side" is an intermediate join result, whose dedup
+            # would need a materialization this front end deliberately
+            # avoids.
             if len(p.joins) != 1:
                 raise ChSqlError(
-                    "ANY RIGHT JOIN is supported as the single join of "
-                    "the FROM clause — chain further joins via a CTE"
+                    "ANY RIGHT/FULL JOIN is supported as the single "
+                    "join of the FROM clause — chain further joins "
+                    "via a CTE"
                 )
             jn = p.joins[0]
+            if jn.any_side == "both" and (p.settings or {}).get(
+                    "any_join_distinct_right_table_keys") == "0":
+                raise ChSqlError(
+                    "ANY FULL JOIN is served only in its deterministic "
+                    "any_join_distinct_right_table_keys=1 variant "
+                    "(both sides dedup per key); with the setting "
+                    "pinned to 0 ClickHouse itself disables ANY FULL — "
+                    "drop the pin or use FULL JOIN"
+                )
             ldf = _resolve(p.from_ref)
             la = p.from_ref.alias or p.from_ref.name
             keys = _any_side_keys(jn, ldf, la)
@@ -2107,7 +2137,7 @@ def _compile(spark: SparkSession, tokens: list[str], ctx: ChContext) -> DataFram
         else:
             from_text = _register(p.from_ref)
         for jn in p.joins:
-            if jn.any_dedup and jn.any_side == "right":
+            if jn.any_dedup and jn.any_side in ("right", "both"):
                 rdf = _resolve(jn.ref)
                 keys = _any_right_keys(jn, rdf)
                 view = f"__ch_src_{uuid.uuid4().hex[:12]}"

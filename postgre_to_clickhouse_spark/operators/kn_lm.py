@@ -46,7 +46,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kneser_ney_bigram_scores", "kn_bigram_model"]
+__all__ = [
+    "kneser_ney_bigram_scores",
+    "kn_bigram_model",
+    "kn_modified_discounts",
+    "kn_modified_trigram_model",
+    "kn_modified_trigram_scores",
+    "KN_MOD_LOGPROB_Q_EXPR",
+]
 
 # ONE canonical textual form of the interpolated-KN probability —
 # evaluated verbatim by Spark (F.expr) and mirrored verbatim in the
@@ -60,6 +67,86 @@ KN_LOGPROB_Q_EXPR = (
     " * (CAST(n1b AS DOUBLE) / CAST({nbi} AS DOUBLE)))"
     ") * 1e6) AS BIGINT)"
 )
+
+
+# Modified Kneser-Ney, trigram order (r16, VERDICT r15 #3) — the
+# Chen & Goodman (1999) three-discount estimator at BOTH n-gram
+# levels, i.e. exactly KenLM's estimator (the scorer CCNet ships,
+# arXiv:1911.00359 §4.3) restricted to order 3 with a closed
+# continuation vocabulary. ONE canonical textual form again: the
+# {t*} discounts apply at the trigram level by count class, the {b*}
+# discounts at the (continuation-count) bigram level, {U} is the
+# adjusted-bigram-type scalar. Columns: c3/ctx/f1/f2/f3 from the
+# trigram tables, ac/bctx/g1/g2/g3 from the adjusted-count tables,
+# u the unigram continuation count.
+KN_MOD_LOGPROB_Q_EXPR = (
+    "CAST(round(-ln("
+    "(greatest(CAST(c3 AS DOUBLE) - (CASE WHEN c3 = 1 THEN {t1} "
+    "WHEN c3 = 2 THEN {t2} ELSE {t3} END), 0.0) / CAST(ctx AS DOUBLE))"
+    " + ((({t1} * CAST(f1 AS DOUBLE) + {t2} * CAST(f2 AS DOUBLE)"
+    " + {t3} * CAST(f3 AS DOUBLE)) / CAST(ctx AS DOUBLE))"
+    " * ("
+    "(greatest(CAST(ac AS DOUBLE) - (CASE WHEN ac = 1 THEN {b1} "
+    "WHEN ac = 2 THEN {b2} ELSE {b3} END), 0.0) / CAST(bctx AS DOUBLE))"
+    " + ((({b1} * CAST(g1 AS DOUBLE) + {b2} * CAST(g2 AS DOUBLE)"
+    " + {b3} * CAST(g3 AS DOUBLE)) / CAST(bctx AS DOUBLE))"
+    " * (CAST(u AS DOUBLE) / CAST({U} AS DOUBLE)))"
+    "))"
+    ") * 1e6) AS BIGINT)"
+)
+
+
+# KenLM's --discount_fallback default: the discounts used when a
+# level's count-of-counts makes the closed form undefined/out-of-range
+KN_FALLBACK_DISCOUNTS = (0.5, 1.0, 1.5)
+
+
+def kn_modified_discounts(
+    n1: int, n2: int, n3: int, n4: int,
+    fallback: tuple[float, float, float] | None = None,
+) -> tuple[float, float, float]:
+    """Chen & Goodman's closed-form three-discount estimator from the
+    count-of-counts table of one n-gram order:
+
+        Y  = n1 / (n1 + 2·n2)
+        D1 = 1 − 2·Y·(n2/n1),  D2 = 2 − 3·Y·(n3/n2),
+        D3+ = 3 − 4·Y·(n4/n3)
+
+    The op SEQUENCE here is the canonical one — the DuckDB oracle
+    recomputes the same doubles with the identical left-associated
+    expression text, so the values are bit-equal across engines.
+
+    The estimate FAILS when it is undefined (any of n1..n3 zero) or a
+    discount leaves its sane range 0 ≤ Dk ≤ k (which would let a
+    discounted count go negative) — a repetitive corpus whose
+    singleton tail has collapsed does this (the sf0.1 synthetic
+    corpus is one). With ``fallback=None`` a failure refuses loudly —
+    KenLM's own "could not calculate Kneser-Ney discounts" behavior;
+    passing :data:`KN_FALLBACK_DISCOUNTS` mirrors KenLM's documented
+    ``--discount_fallback`` flag (defaults 0.5/1.0/1.5): the WHOLE
+    level falls back together, per order, like KenLM's."""
+    if n1 > 0 and n2 > 0 and n3 > 0:
+        y = n1 / (n1 + 2 * n2)
+        d1 = 1.0 - 2.0 * y * (n2 / n1)
+        d2 = 2.0 - 3.0 * y * (n3 / n2)
+        d3 = 3.0 - 4.0 * y * (n4 / n3)
+        if (0.0 <= d1 <= 1.0 and 0.0 <= d2 <= 2.0
+                and 0.0 <= d3 <= 3.0):
+            return d1, d2, d3
+        reason = (f"discounts ({d1!r}, {d2!r}, {d3!r}) outside their "
+                  "[0, k] ranges — the count-of-counts table is too "
+                  "irregular for the closed-form estimator")
+    else:
+        reason = (f"count-of-counts n1..n3 must be non-zero (got "
+                  f"n1={n1}, n2={n2}, n3={n3}) — the corpus is too "
+                  "small/uniform for this order")
+    if fallback is not None:
+        return fallback
+    raise ValueError(
+        f"modified Kneser-Ney: {reason} (KenLM refuses these corpora "
+        "too unless --discount_fallback is given; pass "
+        "fallback=KN_FALLBACK_DISCOUNTS for that behavior)"
+    )
 
 
 def _bigram_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -117,6 +204,138 @@ def kn_bigram_model(
         )
     )
     return model, nbi
+
+
+def _trigram_triples(df: DataFrame, text_col: str, id_col: str
+                     ) -> DataFrame:
+    """(id, a, b, c) per trigram OCCURRENCE — tokens zipped with their
+    two tails; docs with fewer than three tokens produce none."""
+    toks = F.filter(
+        F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    n = F.greatest(F.size(toks) - 2, F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n),
+                F.slice(toks, 2, n),
+                F.slice(toks, 3, n),
+            )
+        ).alias("tg"),
+    ).select(id_col, F.col("tg.0").alias("a"), F.col("tg.1").alias("b"),
+             F.col("tg.2").alias("c"))
+
+
+def _count_classes(cnt) -> list:
+    """Aggregates for one count-of-counts row: n1..n4 = #types with
+    count exactly k (the discount estimator's whole input)."""
+    return [
+        F.sum(F.when(cnt == k, 1).otherwise(0)).alias(f"n{k}")
+        for k in (1, 2, 3, 4)
+    ]
+
+
+def _fanouts(cnt, names=("f1", "f2", "f3")) -> list:
+    """Per-context fan-outs by count class: #continuations whose count
+    is exactly 1, exactly 2, and ≥ 3 — the γ numerator terms."""
+    return [
+        F.sum(F.when(cnt == 1, 1).otherwise(0)).alias(names[0]),
+        F.sum(F.when(cnt == 2, 1).otherwise(0)).alias(names[1]),
+        F.sum(F.when(cnt >= 3, 1).otherwise(0)).alias(names[2]),
+    ]
+
+
+def kn_modified_trigram_model(
+    triples: DataFrame,
+    discount_fallback: bool = False,
+) -> tuple[DataFrame, dict]:
+    """Fit the MODIFIED-KN trigram chain (KenLM's estimator at order
+    3) from an occurrence table ``(.., a, b, c)``. Returns
+    ``(model, stats)``: model = one row per trigram TYPE carrying
+    every statistic the canonical expression reads (c3, ctx, f1..f3,
+    ac, bctx, g1..g3, u) plus the quantized micro-nat ``lp_q``;
+    stats = the 8 count-of-counts integers, the 6 fitted discounts
+    and the adjusted-type scalar U (for property tests / audits).
+
+    The chain, per Chen & Goodman (1999) eq. 18 / KenLM:
+
+        P(c|ab) = (C(abc) − D₃(C))/C(ab·) + γ(ab)·P'(c|b)
+        P'(c|b) = (N₊(·bc) − D₂(N₊))/N₊(·b·) + γ'(b)·N₊(·c)/N₊(··)
+
+    with per-count-class discounts D(1)=D1, D(2)=D2, D(≥3)=D3+ at
+    each level, estimated from that level's count-of-counts; the
+    middle order uses CONTINUATION (adjusted) counts N₊(·bc), KN's
+    insight applied recursively; the closed continuation vocabulary
+    ends the chain (no <unk>: the model scores the corpus it was fit
+    on, the CCNet self-scoring regime).
+
+    Scale shape (100 TB): trigram counts are ONE map-side-combinable
+    groupBy over the Zipf-bounded triple space; every other statistic
+    (context totals, fan-outs, adjusted counts, count-of-counts,
+    continuation counts) reduces FROM type tables, never rescanning
+    the corpus; the two count-of-counts collects are 4 integers each
+    and U is one scalar; the model assembly is hash joins on type
+    keys."""
+    t3 = triples.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("c3"))
+    t3 = t3.localCheckpoint(eager=True)  # 3 consumers + an agg
+    coc3 = t3.agg(*_count_classes(F.col("c3"))).collect()[0]
+    ctx2 = t3.groupBy("a", "b").agg(
+        F.sum("c3").alias("ctx"), *_fanouts(F.col("c3")))
+    a2 = t3.groupBy("b", "c").agg(F.count(F.lit(1)).alias("ac"))
+    a2 = a2.localCheckpoint(eager=True)  # 3 consumers + agg + count
+    coc2 = a2.agg(*_count_classes(F.col("ac"))).collect()[0]
+    bctx = a2.groupBy("b").agg(
+        F.sum("ac").alias("bctx"),
+        *_fanouts(F.col("ac"), ("g1", "g2", "g3")))
+    u1 = a2.groupBy("c").agg(F.count(F.lit(1)).alias("u"))
+    big_u = a2.count()
+    fb = KN_FALLBACK_DISCOUNTS if discount_fallback else None
+    t_d = kn_modified_discounts(coc3["n1"], coc3["n2"],
+                                coc3["n3"], coc3["n4"], fallback=fb)
+    b_d = kn_modified_discounts(coc2["n1"], coc2["n2"],
+                                coc2["n3"], coc2["n4"], fallback=fb)
+    model = (
+        t3.join(ctx2, ["a", "b"])
+        .join(a2, ["b", "c"])
+        .join(bctx, "b")
+        .join(u1, "c")
+        .withColumn(
+            "lp_q",
+            F.expr(KN_MOD_LOGPROB_Q_EXPR.format(
+                t1=repr(t_d[0]), t2=repr(t_d[1]), t3=repr(t_d[2]),
+                b1=repr(b_d[0]), b2=repr(b_d[1]), b3=repr(b_d[2]),
+                U=big_u,
+            )),
+        )
+    )
+    stats = {
+        "coc3": tuple(coc3), "coc2": tuple(coc2),
+        "t_discounts": t_d, "b_discounts": b_d, "U": big_u,
+    }
+    return model, stats
+
+
+def kn_modified_trigram_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount_fallback: bool = False,
+) -> DataFrame:
+    """Per-document modified-KN trigram NLL over a model fit on the
+    corpus itself. Output: (id, n_trigrams, kn3_nll_q) — exact
+    integer micro-nat sums, order-independent. Docs with fewer than
+    three tokens drop out; every scored trigram is in the model by
+    construction, so the attach join is total."""
+    triples = _trigram_triples(df, text_col, id_col)
+    model, _stats = kn_modified_trigram_model(triples, discount_fallback)
+    scored = triples.join(model.select("a", "b", "c", "lp_q"),
+                          ["a", "b", "c"])
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("lp_q").cast("bigint").alias("kn3_nll_q"),
+    )
 
 
 def kneser_ney_bigram_scores(

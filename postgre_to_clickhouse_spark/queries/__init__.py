@@ -55,102 +55,96 @@ from postgre_to_clickhouse_spark.queries import ch_dialect  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc9  # noqa: E402,F401
 from postgre_to_clickhouse_spark.queries import tierc10  # noqa: E402,F401
 
-# The r15 window, per the policy above. Ledger at rotation time
+# The r16 window, per the policy above. Ledger at rotation time
 # (reconstructed from CORRECTNESS_r*.json by max green round per
-# query): r9 ×2 (the deferrals r14 named in writing), r10 ×38,
-# r11 ×50, r12 ×50, r13 ×50, r14 ×50, never-green ×5 (the r15
-# queries, each committed with a passing in-session oracle run per
-# the registration rule — and additionally green in this session's
-# full driver simulations at sf0.01: 241/241, 242/242, 243/243 as
-# they landed).
+# query): r11 ×45 (the reseat obligation the r15 window comment
+# named), r12 ×50, r13 ×50, r14 ×50, r15 ×50, never-green ×3 (the
+# r16 queries, each committed with a passing in-session oracle run
+# per the registration rule — kn_trigram_nll additionally green in
+# this session's 246/246 driver simulation at sf0.01).
 #
-# Rule 1 takes 5 seats: quality_classifier_score (CCNet/fastText
-# model-based quality scoring, VERDICT r13 #6 / r14 #3 — the
-# twice-ordered missing operator), quality_classifier_eval (its
-# held-out confusion matrix + precision/recall/F1/accuracy),
-# longest_repeat_documents (the classic SA+LCP argmax — longest
-# substring occurring twice per document, oracle from literally
-# sorted suffixes), kn_bigram_nll (interpolated Kneser-Ney bigram
-# LM scoring, session 2 — the published smoothing behind CCNet's
-# KenLM stage) and quality_classifier_auc (the threshold-free
-# held-out ROC AUC via the exact tie-averaged-rank identity, s2).
+# Rule 1 takes 7 seats. NEW: kn_trigram_nll (modified Kneser-Ney,
+# trigram order — VERDICT r15 #3), ccnet_pipeline_documents (the
+# full CCNet pipeline composed end-to-end — VERDICT r15 #2),
+# ch_dialect_any_full_join (ANY FULL JOIN — VERDICT r15 #7).
+# CHANGED INTERNALS: quality_classifier_score/_eval/_auc (the fit's
+# label counts now ride the same single aggregation pass as the
+# bucket counts — ADVICE r15; same model values, different fit plan)
+# and kn_bigram_nll (kn_lm.py gained discount validation + the
+# modified-KN machinery in the same module).
 #
-# Engine diffs this round that touch previously-registered plans:
-# the suffix_array_with_lcp bounded fold became a binary-search
-# aggregate (suffix_lcp_rank re-ran its oracle in-session, green);
-# quality/longest queries dropped their trailing orderBy (both
-# re-ran green). Everything else is wire-only (ZSTD frames, MySQL
-# cursors + SEND_LONG_DATA, the five r14-ADVICE fixes in
-# ch_mysql/ch_ddl/ch_http) which no registered query transits.
+# Other engine diffs this round that transit previously-registered
+# plans: ch_select._parse_from_body gained the comma-cross-join
+# rewrite (a token-level identity for every FROM body without a
+# depth-0 comma before the first JOIN — which is every previously
+# registered query, since such commas refused loudly before) and the
+# SETTINGS clause is now captured instead of dropped (no registered
+# query carries a SETTINGS clause). Both verified by this session's
+# full driver simulations (245/245 pre-change, 246/246 post). The
+# ADVICE wire fixes (mysql long-data, native zstd-pin, http gzip)
+# touch no registered query.
 #
-# Rule 2 backfills oldest-green-first: the two r9 deferrals r14
-# promised (welch_ttest_values, with_totals_status) seat FIRST, then
-# the full r10 cohort (38), then the r11 cohort alphabetical. Each
-# rule-1 seat displaced one r11 backfill from the END of the list
-# per the overflow convention (ch_dialect_array_join,
-# ch_dialect_asof, ch_dialect_except, ch_dialect_fill_interval
-# displaced — named here; all stay oracle-gated in pytest). After
-# this round no query's last driver-green is older than r10, and the
-# remaining r11 cohort (45) is the next reseat obligation.
+# Rule 2 backfills oldest-green-first: the r11 cohort (45,
+# alphabetical). The 7 rule-1 seats displace the LAST TWO
+# (vocabulary_top_terms, window_rank_family — named here; both stay
+# oracle-gated in pytest and are the r17 backfill obligation
+# together with the r12 cohort).
 _WINDOW = [
-    # --- Rule 1: new in r15 (each landed with a passing in-session
+    # --- Rule 1: new in r16 (each landed with a passing in-session
     # oracle run) ---
-    "quality_classifier_score",     # C4 CCNet/fastText quality model
-    "quality_classifier_eval",      # C4 its held-out confusion/P/R/F1
-    "longest_repeat_documents",     # C2 SA+LCP argmax consumption
-    "kn_bigram_nll",                # C4 Kneser-Ney LM scoring (s2)
-    "quality_classifier_auc",       # C4 threshold-free held-out AUC (s2)
-    # --- Rule 2: oldest-green-first. The two r9 deferrals named by
-    # the r14 window comment seat first (last driver-green r9) ---
-    "welch_ttest_values",
-    "with_totals_status",
-    # --- then the full r10 cohort (38, last driver-green r10) ---
-    "array_manipulation",
-    "asof_events_last_order",
-    "band_join_acctbal",
-    "bm25_topk",
-    "cap_per_source_skewsafe",
-    "categorical_iv_weekday",
-    "cdc_dedup_redelivery",
-    "cdc_full_scan",
-    "cdc_latest_state",
-    "cdc_mv_transform",
-    "cdc_users_pipeline",
-    "ch_dialect_union",
-    "contingency_theils_u",
-    "decontaminate_eval_overlap",
-    "dedup_incremental_batch",
-    "dedup_pipeline_canonical",
-    "geohashes_in_box_probe",
-    "lttb_downsample_events",
-    "manifest_agg_projection_read",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    "q22_global_sales_opportunity",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "semdedup_prune",
-    "series_period_events",
-    "text_analysis_composite",
-    "tfidf_top_terms",
-    "vector_cosine_topk",
-    "vector_ivf_topk",
-    # --- remaining seats: r11 cohort backfill, oldest-green-first
-    # alphabetical (each displaced by a later rule-1 seat if more
-    # queries land this round) ---
-    "cdc_ch_ddl_pipeline",
-    "ch_ddl_alter_pipeline",
-    "ch_ddl_evolution_pipeline",
-    "ch_dialect_agg_state_mv",
-    "ch_dialect_any_join",
+    "kn_trigram_nll",               # C4 modified-KN trigram (KenLM)
+    "ccnet_pipeline_documents",     # C4 CCNet end-to-end composite
+    "ch_dialect_any_full_join",     # B3/A22 ANY FULL JOIN
+    # --- Rule 1: internals changed in r16 ---
+    "quality_classifier_score",     # single-pass fit (ADVICE r15)
+    "quality_classifier_eval",
+    "quality_classifier_auc",
+    "kn_bigram_nll",                # kn_lm.py validation + growth
+    # --- Rule 2: oldest-green-first — the full r11 cohort minus the
+    # two displaced seats (last driver-green r11) ---
+    "ch_dialect_array_join",
+    "ch_dialect_asof",
+    "ch_dialect_except",
+    "ch_dialect_fill_interval",
+    "ch_dialect_hourly",
+    "ch_dialect_join",
+    "ch_dialect_subquery",
+    "ch_dialect_top_events",
+    "ch_dialect_window",
+    "ch_dialect_with_fill",
+    "document_chunks",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "funnel_strict_modes",
+    "funnel_view_click_purchase",
+    "grouping_sets_sql",
+    "histogram_event_values",
+    "json_typed_extraction",
+    "lm_unigram_nll",
+    "mix_rebalance_lang",
+    "multimodal_audio_stats",
+    "multimodal_video_frames",
+    "pandas_udf_zscore",
+    "percentiles_quantity",
+    "q1_pricing_summary",
+    "q4_order_priority",
+    "q9_product_profit",
+    "quality_filter_documents",
+    "retention_view_cohorts",
+    "safe_cast_funcs",
+    "scalar_funcs_composite",
+    "sequence_match_3step",
+    "sequence_match_view_purchase",
+    "session_window_native",
+    "setop_nation_presence",
+    "shuffle_training_order",
+    "skew_salted_agg_events",
+    "split_train_val_test",
+    "stratified_sample_documents",
+    "text_clean_documents",
+    "text_repetition_stats",
+    "token_budget_per_lang",
+    "vector_int8_topk",
 ]
 
 

@@ -548,6 +548,48 @@ def ch_dialect_any_join(spark, sf_dir):
     return ch_select(spark, _ANY_JOIN_CH, ctx)
 
 
+_ANY_FULL_JOIN_CH = """
+WITH op AS (SELECT o_custkey AS k, o_totalprice FROM orders),
+     cs AS (SELECT c_custkey AS k, c_acctbal
+            FROM customer WHERE c_custkey % 3 != 0)
+SELECT k, op.o_totalprice AS min_price, cs.c_acctbal AS acctbal
+FROM op ANY FULL JOIN cs USING (k)
+"""
+
+
+@register(
+    "ch_dialect_any_full_join",
+    oracle="""
+    SELECT coalesce(o.k, c.k) AS k, o.min_price, c.acctbal
+    FROM (SELECT o_custkey AS k, MIN(o_totalprice) AS min_price
+          FROM orders GROUP BY 1) o
+    FULL JOIN (SELECT c_custkey AS k, c_acctbal AS acctbal
+               FROM customer WHERE c_custkey % 3 <> 0) c
+      ON o.k = c.k
+    """,
+)
+def ch_dialect_any_full_join(spark, sf_dir):
+    """r16 (VERDICT r15 #7), A22+/B3: ClickHouse ``ANY FULL JOIN``
+    through the dialect front end — BOTH sides dedup per join key
+    (each to its deterministic min-struct row), then FULL OUTER join:
+    the any_join_distinct_right_table_keys=1 variant, the only mode
+    real CH serves ANY FULL in (an explicit =0 pin refuses loudly
+    naming the setting). With each side projecting a single payload
+    column the kept rows are provably the per-key minima, which is
+    exactly what the independent DuckDB oracle computes with GROUP BY
+    + MIN on the many side and the filter on the unique side. The
+    customer filter manufactures BOTH unmatched-left (order keys
+    filtered out of customer) and unmatched-right (customers with no
+    orders) rows, so all three FULL-join row classes are exercised.
+    Plan: each dedup is one partial-aggregable groupBy whose shuffle
+    doubles as its join-side shuffle — no extra exchange, never a row
+    explosion."""
+    from postgre_to_clickhouse_spark.ch_select import ChContext, ch_select
+
+    ctx = ChContext.from_sf_dir(spark, sf_dir)
+    return ch_select(spark, _ANY_FULL_JOIN_CH, ctx)
+
+
 # The reference's own DDL, verbatim (README.md:163-230) — parsed by
 # ch_ddl.ChDdlCatalog into engine objects in cdc_ch_ddl_pipeline.
 _REF_DDL = """

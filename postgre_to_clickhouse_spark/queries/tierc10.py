@@ -355,6 +355,448 @@ def kn_bigram_nll(spark, sf_dir):
     )
 
 
+def _lang_structs(col: str) -> str:
+    """The lang-id argmax struct list over an arbitrary text column —
+    generated from the SAME ``_LANG_MARKERS`` table as the operator
+    (the `_lang_id_oracle` construction, parameterized)."""
+    from postgre_to_clickhouse_spark.operators import text as X
+
+    structs = []
+    for i, (lang, words) in enumerate(sorted(X._LANG_MARKERS.items())):
+        if not words:
+            continue
+        pat = " (" + "|".join(words) + ") "
+        structs.append(
+            f"{{'score': len(regexp_extract_all(' ' || lower({col}) "
+            f"|| ' ', '{pat}')), 'nb': {-i}, 'lang': '{lang}'}}"
+        )
+    return "[" + ", ".join(structs) + "]"
+
+
+def _ccnet_oracle() -> str:
+    """The WHOLE CCNet pipeline closed-form in DuckDB: global
+    paragraph keep-first dedup (the `line_dedup_corpus` CTEs), lang-id
+    argmax over the CLEANED text (the `_lang_id_oracle` construction),
+    unigram-LM perplexity + per-predicted-language ntile(3) buckets
+    over the cleaned text (the `ccnet_perplexity_buckets` CTEs), and
+    the NB-log-odds classifier fit on the RAW labeled slices scoring
+    the cleaned text (the `_qclf_oracle` CTEs) — composed exactly as
+    the Spark pipeline composes the operators.
+
+    The lw bucket span is raw grams UNION cleaned-text grams:
+    paragraph dedup manufactures NEW line-boundary bigrams whose
+    buckets may appear in NO raw document, and the dense python-side
+    vector scores those with the smoothed weight too (surfaced at
+    sf0.01 — sf0.001 has no such bucket). NB: the registry collapses
+    this SQL to one line, so no `--` comments in the text."""
+    pos = ", ".join(f"'{s}'" for s in _QCLF_POS)
+    neg = ", ".join(f"'{s}'" for s in _QCLF_NEG)
+    return f"""
+    WITH lined AS (
+      SELECT doc_id,
+             regexp_replace(text, ' (batch|join) ', chr(10), 'g') AS t
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS idx, l[i] AS line
+      FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM lined),
+           LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)
+    ),
+    keepf AS (
+      SELECT line, count(*) AS cnt,
+             min(struct_pack(i := doc_id, x := idx)) AS kk
+      FROM occ GROUP BY line
+    ),
+    marked AS (
+      SELECT o.doc_id, o.idx, o.line,
+             (k.cnt = 1 OR (k.kk.i = o.doc_id AND k.kk.x = o.idx)) AS kp
+      FROM occ o JOIN keepf k USING (line)
+    ),
+    cleaned AS (
+      SELECT doc_id,
+             CAST(count(CASE WHEN kp THEN 1 END) AS BIGINT) AS kept_lines,
+             CAST(count(CASE WHEN NOT kp THEN 1 END) AS BIGINT)
+               AS removed_lines,
+             coalesce(array_to_string(list(line ORDER BY idx)
+                      FILTER (WHERE kp), ' | '), '') AS ct
+      FROM marked GROUP BY doc_id
+    ),
+    li AS (
+      SELECT doc_id, kept_lines, removed_lines, ct,
+             CASE WHEN len(regexp_extract_all(ct, '[一-鿿]')) > 0
+                    THEN 'zh'
+                  WHEN best.score > 0 THEN best.lang
+                  ELSE 'und' END AS pred_lang
+      FROM (SELECT *, list_reverse_sort({_lang_structs("ct")})[1] AS best
+            FROM cleaned)
+    ),
+    ctoks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(ct), '[a-z0-9]+'))
+             AS tok
+      FROM li
+    ),
+    vcounts AS (SELECT tok, count(*) AS c FROM ctoks GROUP BY tok),
+    vtot AS (SELECT count(*) AS total FROM ctoks),
+    nll AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(round(-ln(CAST(c.c AS DOUBLE)
+                  / CAST((SELECT total FROM vtot) AS DOUBLE)) * 1e6)
+                  AS BIGINT)) AS BIGINT) AS nll_q
+      FROM ctoks t JOIN vcounts c USING (tok) GROUP BY t.doc_id
+    ),
+    tw AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, source, unnest(list_concat(toks,
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(len(toks) - 1),
+                      i -> toks[i + 1] || '_' || toks[i + 2])
+                 ELSE CAST([] AS VARCHAR[]) END)) AS gram
+      FROM tw
+    ),
+    tb AS (
+      SELECT doc_id, source, ({_horner_int("qclf-v1", "gram")}) % 1024
+             AS b
+      FROM tg
+    ),
+    posc AS (SELECT b, count(*) AS c FROM tb
+             WHERE source IN ({pos}) GROUP BY b),
+    negc AS (SELECT b, count(*) AS c FROM tb
+             WHERE source IN ({neg}) GROUP BY b),
+    ctot AS (SELECT (SELECT coalesce(sum(c), 0) FROM posc) AS tp_,
+                    (SELECT coalesce(sum(c), 0) FROM negc) AS tn_,
+                    (SELECT count(*) FROM documents
+                     WHERE source IN ({pos})) AS np_,
+                    (SELECT count(*) FROM documents
+                     WHERE source IN ({neg})) AS nn_),
+    cg AS (
+      SELECT doc_id, unnest(list_concat(toks,
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(range(len(toks) - 1),
+                      i -> toks[i + 1] || '_' || toks[i + 2])
+                 ELSE CAST([] AS VARCHAR[]) END)) AS gram
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(ct), '[a-z0-9]+') AS toks
+            FROM li)
+    ),
+    cb AS (SELECT doc_id, ({_horner_int("qclf-v1", "gram")}) % 1024 AS b
+           FROM cg),
+    lw AS (
+      SELECT bb.b,
+             CAST(round((ln((coalesce(posc.c, 0) + 1.0)
+                             / (ctot.tp_ + 1024.0))
+                       - ln((coalesce(negc.c, 0) + 1.0)
+                             / (ctot.tn_ + 1024.0))) * 1e6)
+                  AS BIGINT) AS wq
+      FROM (SELECT b FROM tb UNION SELECT b FROM cb) bb
+      LEFT JOIN posc ON bb.b = posc.b
+      LEFT JOIN negc ON bb.b = negc.b, ctot
+    ),
+    bias AS (
+      SELECT CAST(round((ln(CAST(np_ AS DOUBLE))
+                       - ln(CAST(nn_ AS DOUBLE))) * 1e6) AS BIGINT) AS bq
+      FROM ctot
+    ),
+    sc AS (SELECT cb.doc_id, SUM(lw.wq) AS s
+           FROM cb JOIN lw ON cb.b = lw.b GROUP BY cb.doc_id),
+    assembled AS (
+      SELECT li.doc_id, li.pred_lang, li.kept_lines, li.removed_lines,
+             nll.n_tokens, nll.nll_q,
+             CASE ntile(3) OVER (PARTITION BY li.pred_lang
+                                 ORDER BY CAST(nll.nll_q AS DOUBLE)
+                                          / CAST(nll.n_tokens AS DOUBLE),
+                                          li.doc_id)
+               WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+             END AS ppl_bucket,
+             CAST(coalesce(sc.s, 0) + bias.bq AS BIGINT) AS qclf_score_q,
+             CAST(CASE WHEN coalesce(sc.s, 0) + bias.bq > 0
+                  THEN 1 ELSE 0 END AS INT) AS qclf_keep
+      FROM li JOIN nll USING (doc_id)
+           LEFT JOIN sc USING (doc_id), bias
+    )
+    SELECT doc_id, pred_lang, kept_lines, removed_lines, n_tokens,
+           nll_q, ppl_bucket, qclf_score_q, qclf_keep,
+           CAST(CASE WHEN ppl_bucket <> 'tail' AND qclf_keep = 1
+                THEN 1 ELSE 0 END AS INT) AS ccnet_keep
+    FROM assembled
+    """
+
+
+@register("ccnet_pipeline_documents", oracle=_ccnet_oracle())
+def ccnet_pipeline_documents(spark, sf_dir):
+    """r16 (VERDICT r15 #2): the FULL CCNet pipeline composed
+    end-to-end (Wenzek et al. 2020, arXiv:1911.00359 Fig. 1 — dedup →
+    lang-id → LM bucketing → classifier filter) as ONE driver query,
+    the Tier-C analogue of `cdc_wire_terminal_pipeline`: the proof the
+    stages INTEROPERATE, not just exist.
+
+    1. **Paragraph dedup** — global keep-first line dedup
+       (`text_clean.line_dedup_keep_first`, the `line_dedup_corpus`
+       machinery incl. its deterministic line-break rewrite).
+    2. **Lang-id** — the stopword-argmax heuristic over the CLEANED
+       text (`text.lang_id`).
+    3. **LM bucketing** — unigram-LM NLL over the cleaned text with
+       the repo's integer micro-nat discipline (per-TOKEN-TYPE
+       quantized −ln p, per-doc EXACT integer sums — a float avg()
+       here is summation-order-dependent and flaked a driver sim at a
+       round-6 boundary before this quantization), then ntile(3) per
+       PREDICTED language ordered by the bit-exact integer-ratio mean
+       → head/middle/tail (`ccnet_perplexity_buckets` mechanics; docs
+       whose cleaned text has no tokens drop out, CCNet drops empty
+       docs too).
+    4. **Classifier filter** — the NB-log-odds quality classifier fit
+       on the RAW labeled slices ({src0,src1} vs {src2,src3}),
+       scoring the cleaned text map-only (`quality_clf`).
+
+    ``ccnet_keep`` = not-tail AND classifier-keep — the paper's
+    "head+middle, classifier-positive" retention rule. The DuckDB
+    oracle recomputes every stage closed-form over the same parquet.
+
+    Scale: no new shape — each stage is the already-measured operator
+    (dedup: two bounded-width shuffles; lang-id/classifier scoring:
+    map-only; LM: vocab-bounded shuffles; bucketing: one per-language
+    window, two-pass percentile cut at 100 TB per the
+    `ccnet_perplexity_buckets` note); the composite chains them
+    without adding exchanges between stages beyond the per-doc joins
+    on doc_id."""
+    from pyspark.sql import Window
+
+    from postgre_to_clickhouse_spark.operators import text as X
+    from postgre_to_clickhouse_spark.operators.quality_clf import (
+        quality_classifier_select,
+    )
+    from postgre_to_clickhouse_spark.operators.text_clean import (
+        line_dedup_keep_first,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lined = d.select(
+        "doc_id",
+        F.regexp_replace("text", r" (batch|join) ", "\n").alias("t"),
+    )
+    cleaned = line_dedup_keep_first(lined, text_col="t",
+                                    id_col="doc_id").select(
+        "doc_id", "kept_lines", "removed_lines", "cleaned_text")
+    li = X.lang_id(cleaned, text_col="cleaned_text")
+    # unigram LM with per-token-TYPE integer micro-nat quantization
+    # (the `unigram_lm_scores` construction, sums exact — see class
+    # docstring): one canonical expression text on both engines
+    toks = li.select(
+        "doc_id",
+        F.explode(F.filter(
+            F.split(F.lower("cleaned_text"), r"[^a-z0-9]+"),
+            lambda t: t != "")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    lm = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("lp_q", F.expr(
+            "CAST(round(-ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))"
+            " * 1e6) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum("lp_q").cast("bigint").alias("nll_q"))
+    )
+    scored = quality_classifier_select(
+        li,
+        d.filter(F.col("source").isin(*_QCLF_POS))
+        .select(F.col("text").alias("cleaned_text")),
+        d.filter(F.col("source").isin(*_QCLF_NEG))
+        .select(F.col("text").alias("cleaned_text")),
+        text_col="cleaned_text",
+        n_buckets=1024,
+        seed="qclf-v1",
+    )
+    j = scored.join(lm.select("doc_id", "n_tokens", "nll_q"), "doc_id")
+    mean = (F.col("nll_q").cast("double")
+            / F.col("n_tokens").cast("double"))
+    w = Window.partitionBy("pred_lang").orderBy(
+        mean.asc(), F.col("doc_id").asc())
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.ntile(3).over(w))
+    out = j.select(
+        "doc_id",
+        "pred_lang",
+        F.col("kept_lines").cast("bigint").alias("kept_lines"),
+        F.col("removed_lines").cast("bigint").alias("removed_lines"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "nll_q",
+        bucket.alias("ppl_bucket"),
+        F.col("qclf_score_q").cast("bigint").alias("qclf_score_q"),
+        F.col("qclf_keep").cast("int").alias("qclf_keep"),
+    )
+    return out.withColumn(
+        "ccnet_keep",
+        ((F.col("ppl_bucket") != "tail") & (F.col("qclf_keep") == 1))
+        .cast("int"),
+    )
+
+
+def _kn3_oracle() -> str:
+    """The ENTIRE modified-KN trigram estimator, closed-form in
+    DuckDB: trigram/adjusted-count tables, count-of-counts, the Chen
+    & Goodman three-discount closed form at both levels (the same
+    left-associated op sequence the python fit runs, so the doubles
+    are bit-equal), and the per-type log-probability from the SAME
+    canonical expression text the Spark plan evaluates
+    (operators/kn_lm.py::KN_MOD_LOGPROB_Q_EXPR, formatted here with
+    column references instead of literals — identical arithmetic
+    structure, identical values)."""
+    from postgre_to_clickhouse_spark.operators.kn_lm import (
+        KN_MOD_LOGPROB_Q_EXPR,
+    )
+
+    lp = KN_MOD_LOGPROB_Q_EXPR.format(
+        t1="td.t1", t2="td.t2", t3="td.t3",
+        b1="bd.b1", b2="bd.b2", b3="bd.b3", U="uu.nbt",
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id, p[1] AS a, p[2] AS b, p[3] AS c
+      FROM (SELECT doc_id,
+                   unnest(list_zip(l[1:len(l)-2], l[2:len(l)-1],
+                                   l[3:len(l)])) AS p
+            FROM tk)
+    ),
+    t3 AS (SELECT a, b, c, count(*) AS c3 FROM tri GROUP BY a, b, c),
+    coc3 AS (SELECT
+        sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS n2,
+        sum(CASE WHEN c3 = 3 THEN 1 ELSE 0 END) AS n3,
+        sum(CASE WHEN c3 = 4 THEN 1 ELSE 0 END) AS n4 FROM t3),
+    tdy AS (SELECT CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE)
+                   / CAST(n1 + 2 * n2 AS DOUBLE) END AS y,
+                   n1, n2, n3, n4 FROM coc3),
+    tdc AS (SELECT
+        CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 THEN
+          1.0 - 2.0 * y * (CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        END AS c1,
+        CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 THEN
+          2.0 - 3.0 * y * (CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        END AS c2,
+        CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 THEN
+          3.0 - 4.0 * y * (CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE))
+        END AS c3
+      FROM tdy),
+    td AS (SELECT
+        CASE WHEN c1 >= 0.0 AND c1 <= 1.0 AND c2 >= 0.0 AND c2 <= 2.0
+                  AND c3 >= 0.0 AND c3 <= 3.0
+             THEN c1 ELSE 0.5 END AS t1,
+        CASE WHEN c1 >= 0.0 AND c1 <= 1.0 AND c2 >= 0.0 AND c2 <= 2.0
+                  AND c3 >= 0.0 AND c3 <= 3.0
+             THEN c2 ELSE 1.0 END AS t2,
+        CASE WHEN c1 >= 0.0 AND c1 <= 1.0 AND c2 >= 0.0 AND c2 <= 2.0
+                  AND c3 >= 0.0 AND c3 <= 3.0
+             THEN c3 ELSE 1.5 END AS t3
+      FROM tdc),
+    ctx2 AS (SELECT a, b, sum(c3) AS ctx,
+        sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS f1,
+        sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END) AS f2,
+        sum(CASE WHEN c3 >= 3 THEN 1 ELSE 0 END) AS f3
+      FROM t3 GROUP BY a, b),
+    a2 AS (SELECT b, c, count(*) AS ac FROM t3 GROUP BY b, c),
+    coc2 AS (SELECT
+        sum(CASE WHEN ac = 1 THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN ac = 2 THEN 1 ELSE 0 END) AS n2,
+        sum(CASE WHEN ac = 3 THEN 1 ELSE 0 END) AS n3,
+        sum(CASE WHEN ac = 4 THEN 1 ELSE 0 END) AS n4 FROM a2),
+    bdy AS (SELECT CASE WHEN n1 > 0 THEN CAST(n1 AS DOUBLE)
+                   / CAST(n1 + 2 * n2 AS DOUBLE) END AS y,
+                   n1, n2, n3, n4 FROM coc2),
+    bdc AS (SELECT
+        CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 THEN
+          1.0 - 2.0 * y * (CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        END AS c1,
+        CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 THEN
+          2.0 - 3.0 * y * (CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        END AS c2,
+        CASE WHEN n1 > 0 AND n2 > 0 AND n3 > 0 THEN
+          3.0 - 4.0 * y * (CAST(n4 AS DOUBLE) / CAST(n3 AS DOUBLE))
+        END AS c3
+      FROM bdy),
+    bd AS (SELECT
+        CASE WHEN c1 >= 0.0 AND c1 <= 1.0 AND c2 >= 0.0 AND c2 <= 2.0
+                  AND c3 >= 0.0 AND c3 <= 3.0
+             THEN c1 ELSE 0.5 END AS b1,
+        CASE WHEN c1 >= 0.0 AND c1 <= 1.0 AND c2 >= 0.0 AND c2 <= 2.0
+                  AND c3 >= 0.0 AND c3 <= 3.0
+             THEN c2 ELSE 1.0 END AS b2,
+        CASE WHEN c1 >= 0.0 AND c1 <= 1.0 AND c2 >= 0.0 AND c2 <= 2.0
+                  AND c3 >= 0.0 AND c3 <= 3.0
+             THEN c3 ELSE 1.5 END AS b3
+      FROM bdc),
+    bctx AS (SELECT b, sum(ac) AS bctx,
+        sum(CASE WHEN ac = 1 THEN 1 ELSE 0 END) AS g1,
+        sum(CASE WHEN ac = 2 THEN 1 ELSE 0 END) AS g2,
+        sum(CASE WHEN ac >= 3 THEN 1 ELSE 0 END) AS g3
+      FROM a2 GROUP BY b),
+    u1 AS (SELECT c, count(*) AS u FROM a2 GROUP BY c),
+    uu AS (SELECT count(*) AS nbt FROM a2),
+    model AS (
+      SELECT t3.a, t3.b, t3.c, {lp} AS lp_q
+      FROM t3 JOIN ctx2 USING (a, b) JOIN a2 USING (b, c)
+           JOIN bctx USING (b) JOIN u1 USING (c), td, bd, uu
+    )
+    SELECT tri.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(m.lp_q) AS BIGINT) AS kn3_nll_q
+    FROM tri JOIN model m
+      ON tri.a = m.a AND tri.b = m.b AND tri.c = m.c
+    GROUP BY tri.doc_id
+    """
+
+
+@register("kn_trigram_nll", oracle=_kn3_oracle())
+def kn_trigram_nll(spark, sf_dir):
+    """r16 (VERDICT r15 #3): MODIFIED Kneser-Ney, trigram order — the
+    Chen & Goodman (1999) three-discount estimator (D1/D2/D3+ from the
+    count-of-counts closed form) applied at BOTH n-gram levels with
+    continuation (adjusted) counts at the middle order: exactly
+    KenLM's estimator (the scorer CCNet ships, arXiv:1911.00359 §4.3)
+    restricted to order 3 over a closed continuation vocabulary.
+    Every per-trigram log-probability quantizes to integer micro-nats
+    from ONE canonical expression text evaluated by BOTH engines
+    (operators/kn_lm.py::KN_MOD_LOGPROB_Q_EXPR), with the discounts
+    computed by the identical left-associated double sequence (python
+    fit / DuckDB CTE), so each document's NLL is an order-independent
+    exact integer sum. The oracle recomputes the WHOLE estimator from
+    the raw parquet — including the per-level FALLBACK: when a level's
+    count-of-counts makes the closed form undefined or out-of-range
+    (the repetitive sf0.1 synthetic corpus collapses the singleton
+    tail and does exactly this), the level falls back to KenLM's
+    documented --discount_fallback defaults (0.5/1.0/1.5), mirrored
+    by the same validity CASE in both engines.
+
+    Scale (see operators/kn_lm.py): trigram counts are one map-side-
+    combinable groupBy over the Zipf-bounded triple space; all other
+    statistics reduce from TYPE tables; the driver sees two 4-integer
+    count-of-counts rows and one scalar; the attach is a hash join
+    and the per-doc reduce one groupBy."""
+    from postgre_to_clickhouse_spark.operators.kn_lm import (
+        kn_modified_trigram_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return kn_modified_trigram_scores(
+        d, text_col="text", id_col="doc_id", discount_fallback=True
+    ).select(
+        "doc_id",
+        F.col("n_trigrams").cast("bigint").alias("n_trigrams"),
+        "kn3_nll_q",
+    )
+
+
 def _qclf_auc_oracle() -> str:
     """The classifier model (same CTEs), held-out scores, then the
     exact rank-identity AUC with tie-averaged ranks — the

@@ -852,3 +852,122 @@ def test_insert_upload_with_empty_body_is_noop_commit(spark, tmp_path):
         assert code == 200 and got.strip() == "0"
     finally:
         ep.stop()
+
+
+def _get_raw(ep, query: str, headers=None, params: str = ""):
+    """GET returning (status, headers, raw bytes) — for compression
+    tests that must see Content-Encoding and the undecoded body."""
+    url = ep.url + "?query=" + urllib.parse.quote(query) + params
+    req = urllib.request.Request(url, headers=headers or {})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, dict(r.headers), r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers), e.read()
+
+
+def test_http_response_compression_negotiated(ep):
+    """r16 (VERDICT r15 #4): CH HTTP compression semantics — a
+    response compresses ONLY under enable_http_compression=1 AND a
+    client Accept-Encoding; gzip preferred, zstd served when pinned
+    alone, identity otherwise; Content-Encoding names the codec."""
+    import gzip
+
+    plain_q = "SELECT user_id, username FROM users ORDER BY user_id, " \
+              "username, updated_at"
+    # no setting -> identity even WITH Accept-Encoding
+    code, hdr, body = _get_raw(ep, plain_q,
+                               headers={"Accept-Encoding": "gzip"})
+    assert code == 200 and "Content-Encoding" not in hdr
+    plain = body
+    # setting on + gzip accepted -> gzip'd, decodes to the same bytes
+    code, hdr, body = _get_raw(
+        ep, plain_q, headers={"Accept-Encoding": "gzip"},
+        params="&enable_http_compression=1")
+    assert code == 200 and hdr.get("Content-Encoding") == "gzip"
+    assert gzip.decompress(body) == plain
+    # setting on, NO Accept-Encoding -> identity
+    code, hdr, body = _get_raw(ep, plain_q,
+                               params="&enable_http_compression=1")
+    assert code == 200 and "Content-Encoding" not in hdr
+    assert body == plain
+    # q=0 excludes a codec; deflate falls through
+    import zlib
+
+    code, hdr, body = _get_raw(
+        ep, plain_q,
+        headers={"Accept-Encoding": "gzip;q=0, deflate"},
+        params="&enable_http_compression=1")
+    assert code == 200 and hdr.get("Content-Encoding") == "deflate"
+    assert zlib.decompress(body) == plain
+    # zstd pinned alone -> zstd frame (pyarrow codec bundled here)
+    from postgre_to_clickhouse_spark import ch_compress as cc
+
+    if cc._ZSTD is not None:
+        code, hdr, body = _get_raw(
+            ep, plain_q, headers={"Accept-Encoding": "zstd"},
+            params="&enable_http_compression=1")
+        assert code == 200 and hdr.get("Content-Encoding") == "zstd"
+        assert body[:4] == cc._ZSTD_MAGIC
+        assert cc.zstd_decompress_block(body, len(plain)) == plain
+    # errors compress too when negotiated (the whole response surface
+    # honors the negotiation, never a mid-stream switch)
+    code, hdr, body = _get_raw(
+        ep, "SELECT nope FROM users",
+        headers={"Accept-Encoding": "gzip"},
+        params="&enable_http_compression=1")
+    assert code == 500 and hdr.get("Content-Encoding") == "gzip"
+    assert b"nope" in gzip.decompress(body) or b"Error" in gzip.decompress(body)
+
+
+def test_http_gzip_request_body(spark, tmp_path):
+    """r16: a gzip'd POST body (query or INSERT rows) decompresses per
+    Content-Encoding — no setting gates the request side; a zstd
+    request body refuses loudly naming gzip; a corrupt gzip body is a
+    400, not a stack trace."""
+    import gzip
+
+    from postgre_to_clickhouse_spark.ch_ddl import ChDdlCatalog
+
+    cat = ChDdlCatalog(storage_root=str(tmp_path))
+    ep = serve_ch_http(spark, cat)
+    try:
+        _post(ep, "CREATE TABLE tz (id UInt32, v Float64) "
+                  "ENGINE = MergeTree ORDER BY (id)")
+        # gzip'd INSERT data body
+        url = ep.url + "?query=" + urllib.parse.quote(
+            "INSERT INTO tz FORMAT JSONEachRow")
+        rows = '{"id": 1, "v": 2.5}\n{"id": 2, "v": 3.5}\n'
+        req = urllib.request.Request(
+            url, data=gzip.compress(rows.encode()), method="POST",
+            headers={"Content-Encoding": "gzip"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+        code, got = _post(ep, "SELECT id, v FROM tz ORDER BY id")
+        assert code == 200 and got == "1\t2.5\n2\t3.5\n"
+        # gzip'd query-in-body
+        req = urllib.request.Request(
+            ep.url, data=gzip.compress(b"SELECT count() AS n FROM tz"),
+            method="POST", headers={"Content-Encoding": "gzip"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200 and r.read().strip() == b"2"
+        # zstd request body refuses loudly, naming the alternative
+        req = urllib.request.Request(
+            ep.url, data=b"\x28\xb5\x2f\xfdxxxx", method="POST",
+            headers={"Content-Encoding": "zstd"})
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            raise AssertionError("zstd request body must refuse")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"gzip" in e.read()
+        # corrupt gzip is a loud 400
+        req = urllib.request.Request(
+            ep.url, data=b"\x1f\x8bgarbage", method="POST",
+            headers={"Content-Encoding": "gzip"})
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            raise AssertionError("corrupt gzip must refuse")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"gzip" in e.read()
+    finally:
+        ep.stop()

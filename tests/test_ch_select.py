@@ -154,11 +154,12 @@ def test_array_join_explodes(spark, ctx):
     "bad, frag",
     [
         ("SELECT 1 FROM events UNION SELECT 1 FROM orders", "bare UNION"),
-        # ANY RIGHT joined the subset in r12 — non-column ON terms and
-        # ANY FULL mark the boundary now
+        # ANY RIGHT joined the subset in r12, ANY FULL in r16 — the
+        # boundary is now non-column ON terms and the legacy-off pin
         ("SELECT 1 FROM events ANY RIGHT JOIN orders ON 1=1", "plain columns"),
-        ("SELECT 1 FROM events ANY FULL JOIN orders USING (o_custkey)",
-         "ANY FULL"),
+        ("SELECT 1 FROM events ANY FULL JOIN orders USING (o_custkey) "
+         "SETTINGS any_join_distinct_right_table_keys = 0",
+         "drop the pin"),
         ("SELECT 1 FROM events PASTE JOIN orders", "PASTE"),
         ("SELECT 1 FROM events ANY LEFT JOIN orders ON 1=1", "plain columns"),
         ("SELECT 1 FROM events ASOF JOIN orders ON 1=1", "one equality and one inequality"),
@@ -1186,9 +1187,57 @@ def test_any_right_join_dedups_left_side(spark, ctx):
             "INNER JOIN r AS r2 ON r2.k = l.k",
             ctx2,
         )
-    with pytest.raises(ChSqlError, match="ANY FULL"):
+
+
+def test_any_full_join_dedups_both_sides(spark, ctx):
+    """r16 (VERDICT r15 #7): ANY FULL JOIN — BOTH sides dedup per key
+    (deterministic min-struct rows), then FULL OUTER join: the
+    any_join_distinct_right_table_keys=1 variant, the only mode real
+    CH serves ANY FULL in. An explicit =0 pin refuses loudly naming
+    the setting (CH's own "disabled" behavior); an explicit =1 pin is
+    the served default."""
+    spark.createDataFrame(
+        [(1, "a"), (1, "a0"), (2, "b")], "k int, lv string"
+    ).createOrReplaceTempView("__anyf_l")
+    spark.createDataFrame(
+        [(1, 30), (1, 10), (3, 5)], "k int, rv int"
+    ).createOrReplaceTempView("__anyf_r")
+    ctx2 = ChContext(
+        {"l": spark.table("__anyf_l"), "r": spark.table("__anyf_r")})
+    got = ch_select(
+        spark,
+        "SELECT l.k AS lk, r.k AS rk, l.lv AS lv, r.rv AS rv "
+        "FROM l ANY FULL JOIN r ON l.k = r.k "
+        "ORDER BY coalesce(l.k, r.k)",
+        ctx2,
+    ).collect()
+    assert [(r["lk"], r["rk"], r["lv"], r["rv"]) for r in got] == [
+        (1, 1, "a", 10), (2, None, "b", None), (None, 3, None, 5),
+    ]
+    # USING form coalesces the key; =1 pin is explicitly accepted
+    got2 = ch_select(
+        spark,
+        "SELECT k, lv, rv FROM l ANY FULL JOIN r USING (k) ORDER BY k "
+        "SETTINGS any_join_distinct_right_table_keys = 1",
+        ctx2,
+    ).collect()
+    assert [(r["k"], r["lv"], r["rv"]) for r in got2] == [
+        (1, "a", 10), (2, "b", None), (3, None, 5),
+    ]
+    with pytest.raises(ChSqlError, match="drop the pin"):
         ch_select(
-            spark, "SELECT 1 FROM l ANY FULL JOIN r USING (k)", ctx2)
+            spark,
+            "SELECT 1 FROM l ANY FULL JOIN r USING (k) "
+            "SETTINGS any_join_distinct_right_table_keys = 0",
+            ctx2,
+        )
+    with pytest.raises(ChSqlError, match="single join"):
+        ch_select(
+            spark,
+            "SELECT 1 FROM l ANY FULL JOIN r USING (k) "
+            "INNER JOIN r AS r2 ON r2.k = r.k",
+            ctx2,
+        )
 
 
 def test_interpolate_preserves_real_null_values(spark, ctx):

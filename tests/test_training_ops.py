@@ -1121,3 +1121,131 @@ def test_kneser_ney_bigram_model_properties(spark):
     for bad in (0.0, 1.0, 1.5, -0.5):
         with _pytest.raises(ValueError, match="0 < D < 1"):
             kn_bigram_model(pairs, discount=bad)
+
+
+def test_kn_modified_trigram_model_properties(spark):
+    """r16 (VERDICT r15 #3): the MODIFIED-KN trigram chain
+    (operators/kn_lm.py) — Chen & Goodman's three-discount estimator
+    at both n-gram levels (KenLM's estimator at order 3). The per-
+    context probability mass sums to EXACTLY 1 over the closed
+    continuation vocabulary (seen trigram rows + the backoff mass
+    through the adjusted-count bigram chain), scores are layout-
+    independent exact integers, the discounts come from the
+    count-of-counts closed form, and degenerate corpora refuse
+    loudly like KenLM does."""
+    import math
+    import random
+
+    import pytest as _pytest
+
+    from postgre_to_clickhouse_spark.operators.kn_lm import (
+        _trigram_triples,
+        kn_modified_discounts,
+        kn_modified_trigram_model,
+        kn_modified_trigram_scores,
+    )
+
+    rng = random.Random(7)
+    # Zipf draws over a 30-word vocab: both count-of-counts tables
+    # get n1..n4 > 0 AND in-range discounts (checked empirically —
+    # tiny vocabularies make counts cluster and push D2 negative)
+    vocab = [f"w{i}" for i in range(30)]
+    weights = [1.0 / (k + 1) for k in range(30)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, weights=weights, k=20)))
+        for i in range(80)
+    ]
+    rows += [(97, "one two"), (98, "one"), (99, "")]  # <3 tokens: out
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    triples = _trigram_triples(df, "text", "doc_id")
+    model, stats = kn_modified_trigram_model(triples)
+    # the fitted discounts ARE the closed form of the count-of-counts
+    assert stats["t_discounts"] == kn_modified_discounts(*stats["coc3"])
+    assert stats["b_discounts"] == kn_modified_discounts(*stats["coc2"])
+    t1, t2, t3 = stats["t_discounts"]
+    b1, b2, b3 = stats["b_discounts"]
+    big_u = stats["U"]
+    m = model.collect()
+    # rebuild the chain's tables from the model rows (every adjusted
+    # (b,c) pair and every continuation token appears in >=1 row)
+    a2 = {(r["b"], r["c"]): r["ac"] for r in m}
+    bstat = {r["b"]: (r["bctx"], r["g1"], r["g2"], r["g3"]) for r in m}
+    u = {r["c"]: r["u"] for r in m}
+    assert sum(u.values()) == big_u  # unigram continuation closes
+
+    def dt(x):
+        return t1 if x == 1 else t2 if x == 2 else t3
+
+    def db(x):
+        return b1 if x == 1 else b2 if x == 2 else b3
+
+    def pbg(b, c):
+        bctx, g1, g2, g3 = bstat[b]
+        ac = a2.get((b, c), 0)
+        disc = max(ac - db(ac), 0.0) / bctx if ac else 0.0
+        gamma2 = (b1 * g1 + b2 * g2 + b3 * g3) / bctx
+        return disc + gamma2 * (u[c] / big_u)
+
+    by_ctx = {}
+    for r in m:
+        by_ctx.setdefault((r["a"], r["b"]), []).append(r)
+    for (a, b), rows_ab in by_ctx.items():
+        ctx, f1, f2, f3 = (rows_ab[0][k] for k in
+                           ("ctx", "f1", "f2", "f3"))
+        gamma3 = (t1 * f1 + t2 * f2 + t3 * f3) / ctx
+        seen = {r["c"] for r in rows_ab}
+        p_seen = sum(math.exp(-r["lp_q"] / 1e6) for r in rows_ab)
+        p_unseen = gamma3 * sum(pbg(b, c) for c in u if c not in seen)
+        assert abs(p_seen + p_unseen - 1.0) < 1e-4, (a, b)
+    # per-doc scores: exact ints, layout-independent, <3-token docs out
+    s1 = {r["doc_id"]: (r["n_trigrams"], r["kn3_nll_q"])
+          for r in kn_modified_trigram_scores(df).collect()}
+    s2 = {r["doc_id"]: (r["n_trigrams"], r["kn3_nll_q"])
+          for r in kn_modified_trigram_scores(
+              df.repartition(16)).collect()}
+    assert s1 == s2
+    assert set(s1) == set(range(80))
+    assert all(v[0] == 18 and isinstance(v[1], int) for v in s1.values())
+    # degenerate corpus (every trigram unique -> n2 = 0) refuses like
+    # KenLM ("could not calculate discounts")
+    tiny = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="count-of-counts"):
+        kn_modified_trigram_model(_trigram_triples(tiny, "text", "doc_id"))
+    with _pytest.raises(ValueError, match="count-of-counts"):
+        kn_modified_discounts(5, 0, 1, 1)
+    # KenLM's --discount_fallback: the level falls back WHOLE to
+    # (0.5, 1.0, 1.5) — undefined AND out-of-range cases both
+    from postgre_to_clickhouse_spark.operators.kn_lm import (
+        KN_FALLBACK_DISCOUNTS,
+    )
+
+    assert kn_modified_discounts(
+        5, 0, 1, 1, fallback=KN_FALLBACK_DISCOUNTS
+    ) == (0.5, 1.0, 1.5)
+    assert kn_modified_discounts(
+        207, 121, 354, 700, fallback=KN_FALLBACK_DISCOUNTS
+    ) == (0.5, 1.0, 1.5)  # the sf0.1 trigram table: D2 < 0 closed-form
+    with _pytest.raises(ValueError, match="outside their"):
+        kn_modified_discounts(207, 121, 354, 700)
+    # a valid table ignores the fallback
+    assert kn_modified_discounts(
+        *stats["coc3"], fallback=KN_FALLBACK_DISCOUNTS
+    ) == stats["t_discounts"]
+    # fallback model still sums to 1 per context (discounts in range):
+    # the degenerate single-doc corpus now fits instead of refusing
+    m2, st2 = kn_modified_trigram_model(
+        _trigram_triples(tiny, "text", "doc_id"), discount_fallback=True)
+    assert st2["t_discounts"] == (0.5, 1.0, 1.5)
+    rows2 = m2.collect()
+    u2 = {r["c"]: r["u"] for r in rows2}
+    big_u2 = st2["U"]
+    for r in rows2:  # every context has exactly 1 continuation here
+        gamma3 = 0.5 * r["f1"] / r["ctx"]
+        p_seen = math.exp(-r["lp_q"] / 1e6)
+        others = sum(
+            (0.5 * r["g1"] / r["bctx"]) * (u2[c] / big_u2)
+            for c in u2 if c != r["c"]
+        )
+        # unseen-after-(a,b) mass: every other c backs off twice
+        assert abs(p_seen + gamma3 * others - 1.0) < 1e-4
