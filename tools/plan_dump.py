@@ -44,6 +44,8 @@ SHOWCASE = [
     ("suffix_array_rank", "r14: prefix-doubling suffix array — range-partitioned Arrow dense-rank rounds (banded offsets), early-stopped; final rank is a per-doc window"),
     ("suffix_lcp_rank", "r14 s2: SA+LCP — the doubling, then an LCP descent of two co-keyed left joins per kept level plus a character-residual text join; no single-partition stage"),
     ("quality_classifier_score", "r15: CCNet/fastText quality model — the fitted weights + bias ride as ONE literal array; corpus scoring is a map pass, zero exchanges beyond the scan"),
+    ("kn_trigram_nll", "r16: modified-KN trigram — one corpus-proportional trigram groupBy; every other statistic reduces FROM the type table; model assembly is hash joins on type keys, discounts are plan literals"),
+    ("ccnet_pipeline_documents", "r16: the CCNet composite — four stage shapes chained by per-doc hash joins; classifier weights ride as a literal, the only window is the per-language ntile"),
 ]
 
 STRIP = re.compile(r"#\d+L?|\[plan_id=\d+\]")
