@@ -178,6 +178,14 @@ def _table_refs(sql: str) -> set[str]:
             if restore_at and restore_at[-1] == depth:
                 restore_at.pop()
                 in_from = True
+            else:
+                # a ')' that closes anything OTHER than a FROM-position
+                # subquery (e.g. a scalar subquery in the SELECT list
+                # whose inner FROM set in_from) must NOT leave in_from
+                # dangling — `SELECT (SELECT max(x) FROM t) AS m, v
+                # FROM base` would otherwise misread `, v` as a
+                # FROM-list continuation (r16 review)
+                in_from = False
         elif up in ("WHERE", "PREWHERE", "GROUP", "ORDER",
                     "LIMIT", "HAVING", "SETTINGS", "FORMAT",
                     "WINDOW", "QUALIFY", "SAMPLE", "ON",

@@ -109,7 +109,11 @@ _INSERT_DATA = _re.compile(
 
 def _accept_encodings(header: str) -> dict[str, float]:
     """Parse an Accept-Encoding header into {codec: q} (q=0 means the
-    client explicitly excludes the codec)."""
+    client explicitly excludes the codec). Each entry may carry
+    several ';'-separated parameters and the q name is
+    case-insensitive per RFC 9110 (r16 review: a one-partition parse
+    silently read 'gzip;q=0;x=y' as q=1 and served an excluded
+    codec)."""
     out: dict[str, float] = {}
     for part in (header or "").split(","):
         part = part.strip()
@@ -117,14 +121,23 @@ def _accept_encodings(header: str) -> dict[str, float]:
             continue
         name, _, rest = part.partition(";")
         q = 1.0
-        rest = rest.strip()
-        if rest.startswith("q="):
-            try:
-                q = float(rest[2:])
-            except ValueError:
-                q = 1.0
+        for param in rest.split(";"):
+            param = param.strip()
+            if param[:2].lower() == "q=":
+                try:
+                    q = float(param[2:].strip())
+                except ValueError:
+                    q = 1.0
+                break
         out[name.strip().lower()] = q
     return out
+
+
+# Decompressed-request-body cap (r16 review): without it a ~1 MB gzip
+# bomb inflates to ~1 GB in driver memory BEFORE any row-count guard
+# runs, defeating the endpoint's stated OOM posture. 64 MiB is far
+# above any max_result_rows-legal text body.
+_MAX_REQUEST_BODY = 64 * 1024 * 1024
 
 
 def _http_compress(body: bytes, encoding: str, level: int) -> bytes:
@@ -144,24 +157,53 @@ def _http_compress(body: bytes, encoding: str, level: int) -> bytes:
     raise ChSqlError(f"unsupported response encoding {encoding!r}")
 
 
+def _bounded_inflate(raw: bytes, wbits: int, what: str) -> bytes:
+    """zlib-family decompression with a hard output cap — the
+    decompressobj max_length loop, so a compression bomb refuses
+    loudly at the cap instead of materializing in driver memory."""
+    import zlib
+
+    d = zlib.decompressobj(wbits)
+    out = d.decompress(raw, _MAX_REQUEST_BODY + 1)
+    if len(out) > _MAX_REQUEST_BODY or d.unconsumed_tail:
+        raise ChSqlError(
+            f"decompressed {what} request body exceeds "
+            f"{_MAX_REQUEST_BODY} bytes — split the upload"
+        )
+    if not d.eof:
+        raise ChSqlError(f"bad {what} request body: truncated stream")
+    if d.unused_data:
+        raise ChSqlError(
+            f"bad {what} request body: trailing bytes after the "
+            "stream (multi-member bodies are outside the subset)"
+        )
+    return out
+
+
 def _http_decompress(raw: bytes, encoding: str) -> bytes:
     """Decode a Content-Encoding'd request body. gzip/deflate via
     stdlib (deflate accepts both zlib-wrapped and raw streams — both
-    occur in the wild); anything else refuses loudly naming gzip."""
-    import gzip
+    occur in the wild), both behind the bounded-inflate cap; anything
+    else refuses loudly naming gzip."""
     import zlib
 
     if encoding == "gzip":
         try:
-            return gzip.decompress(raw)
+            return _bounded_inflate(raw, 16 + zlib.MAX_WBITS, "gzip")
+        except ChSqlError:
+            raise
         except Exception as exc:  # noqa: BLE001 — wire errors answer 400
             raise ChSqlError(f"bad gzip request body: {exc}") from None
     if encoding == "deflate":
         try:
-            return zlib.decompress(raw)
+            return _bounded_inflate(raw, zlib.MAX_WBITS, "deflate")
+        except ChSqlError:
+            raise
         except zlib.error:
             try:
-                return zlib.decompress(raw, -15)  # raw deflate
+                return _bounded_inflate(raw, -zlib.MAX_WBITS, "deflate")
+            except ChSqlError:
+                raise
             except zlib.error as exc:
                 raise ChSqlError(
                     f"bad deflate request body: {exc}") from None

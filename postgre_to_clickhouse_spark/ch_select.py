@@ -1827,8 +1827,12 @@ def _parse(tokens: list[str]) -> _Parsed:
         # gate compilation; everything else is accepted and ignored
         p.settings = {}
         for item in _split_commas(st[1:]):
-            if len(item) == 3 and item[1] == "=" and _is_ident(item[0]):
-                p.settings[_kw(item[0]).lower()] = item[2].strip("'")
+            # value may be several tokens (the tokenizer splits a
+            # negative number into '-', '1' — r16 review: refusing
+            # those would regress clauses r15 accepted-and-ignored)
+            if len(item) >= 3 and item[1] == "=" and _is_ident(item[0]):
+                p.settings[_kw(item[0]).lower()] = \
+                    "".join(item[2:]).strip("'")
             elif item:
                 raise ChSqlError(
                     f"SETTINGS items are `name = value`: {' '.join(item)!r}")

@@ -125,6 +125,9 @@ def kn_modified_discounts(
     passing :data:`KN_FALLBACK_DISCOUNTS` mirrors KenLM's documented
     ``--discount_fallback`` flag (defaults 0.5/1.0/1.5): the WHOLE
     level falls back together, per order, like KenLM's."""
+    # None from an empty-aggregate caller behaves as 0 (r16 review:
+    # comparing None > 0 would TypeError before the loud refusal)
+    n1, n2, n3, n4 = (n1 or 0), (n2 or 0), (n3 or 0), (n4 or 0)
     if n1 > 0 and n2 > 0 and n3 > 0:
         y = n1 / (n1 + 2 * n2)
         d1 = 1.0 - 2.0 * y * (n2 / n1)
@@ -229,9 +232,13 @@ def _trigram_triples(df: DataFrame, text_col: str, id_col: str
 
 def _count_classes(cnt) -> list:
     """Aggregates for one count-of-counts row: n1..n4 = #types with
-    count exactly k (the discount estimator's whole input)."""
+    count exactly k (the discount estimator's whole input). Coalesced
+    to 0 so an EMPTY type table (a corpus with no n-grams at this
+    order) reaches the estimator's loud refusal / fallback instead of
+    a TypeError on None (r16 review)."""
     return [
-        F.sum(F.when(cnt == k, 1).otherwise(0)).alias(f"n{k}")
+        F.coalesce(F.sum(F.when(cnt == k, 1).otherwise(0)), F.lit(0))
+        .alias(f"n{k}")
         for k in (1, 2, 3, 4)
     ]
 

@@ -1781,6 +1781,11 @@ def test_view_after_from_subquery_comma_expands(spark, tmp_path):
     assert _table_refs(
         "SELECT * FROM (SELECT x FROM inner_t) t, myview"
     ) == {"inner_t", "myview"}
+    # r16 review: a scalar subquery in the SELECT list must not leave
+    # in_from dangling — 'v' here is a select column, not a table
+    assert _table_refs(
+        "SELECT (SELECT max(x) FROM t) AS m, v FROM base"
+    ) == {"t", "base"}
 
     cat = ChDdlCatalog(storage_root=str(tmp_path))
     cat.execute("CREATE TABLE t (x UInt64) ENGINE = MergeTree ORDER BY x",

@@ -900,6 +900,19 @@ def test_http_response_compression_negotiated(ep):
         params="&enable_http_compression=1")
     assert code == 200 and hdr.get("Content-Encoding") == "deflate"
     assert zlib.decompress(body) == plain
+    # r16 review: q=0 with EXTRA parameters / uppercase Q still
+    # excludes — a one-partition parse served gzip to a client that
+    # refused it
+    code, hdr, body = _get_raw(
+        ep, plain_q,
+        headers={"Accept-Encoding": "gzip;q=0;x=y, deflate"},
+        params="&enable_http_compression=1")
+    assert code == 200 and hdr.get("Content-Encoding") == "deflate"
+    code, hdr, body = _get_raw(
+        ep, plain_q,
+        headers={"Accept-Encoding": "gzip;Q=0, deflate;Q=0.5"},
+        params="&enable_http_compression=1")
+    assert code == 200 and hdr.get("Content-Encoding") == "deflate"
     # zstd pinned alone -> zstd frame (pyarrow codec bundled here)
     from postgre_to_clickhouse_spark import ch_compress as cc
 
@@ -969,5 +982,27 @@ def test_http_gzip_request_body(spark, tmp_path):
             raise AssertionError("corrupt gzip must refuse")
         except urllib.error.HTTPError as e:
             assert e.code == 400 and b"gzip" in e.read()
+        # r16 review: a compression BOMB refuses at the output cap —
+        # a ~70 KiB gzip of 70 MiB of zeros must never materialize
+        bomb = gzip.compress(b"\x00" * (70 * 1024 * 1024), 9)
+        assert len(bomb) < 1024 * 1024
+        req = urllib.request.Request(
+            ep.url, data=bomb, method="POST",
+            headers={"Content-Encoding": "gzip"})
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            raise AssertionError("gzip bomb must refuse")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"exceeds" in e.read()
+        # truncated stream refuses loudly too
+        half = gzip.compress(b"SELECT 1")[:-4]
+        req = urllib.request.Request(
+            ep.url, data=half, method="POST",
+            headers={"Content-Encoding": "gzip"})
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            raise AssertionError("truncated gzip must refuse")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400 and b"truncated" in e.read()
     finally:
         ep.stop()

@@ -1214,11 +1214,15 @@ def test_any_full_join_dedups_both_sides(spark, ctx):
     assert [(r["lk"], r["rk"], r["lv"], r["rv"]) for r in got] == [
         (1, 1, "a", 10), (2, None, "b", None), (None, 3, None, 5),
     ]
-    # USING form coalesces the key; =1 pin is explicitly accepted
+    # USING form coalesces the key; =1 pin is explicitly accepted.
+    # The extra settings exercise multi-token values (r16 review: a
+    # negative number tokenizes as '-', '1' and must not refuse —
+    # r15 accepted-and-ignored every SETTINGS clause)
     got2 = ch_select(
         spark,
         "SELECT k, lv, rv FROM l ANY FULL JOIN r USING (k) ORDER BY k "
-        "SETTINGS any_join_distinct_right_table_keys = 1",
+        "SETTINGS any_join_distinct_right_table_keys = 1, "
+        "os_thread_priority = -1, max_memory_usage = 10000000000",
         ctx2,
     ).collect()
     assert [(r["k"], r["lv"], r["rv"]) for r in got2] == [

@@ -1232,6 +1232,18 @@ def test_kn_modified_trigram_model_properties(spark):
     assert kn_modified_discounts(
         *stats["coc3"], fallback=KN_FALLBACK_DISCOUNTS
     ) == stats["t_discounts"]
+    # r16 review: a corpus with ZERO n-grams at this order reaches the
+    # LOUD refusal (not a TypeError on None counts), and the fallback
+    # path yields an empty (not crashed) model
+    no_tri = spark.createDataFrame(
+        [(0, "one two"), (1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="count-of-counts"):
+        kn_modified_trigram_model(
+            _trigram_triples(no_tri, "text", "doc_id"))
+    m0, st0 = kn_modified_trigram_model(
+        _trigram_triples(no_tri, "text", "doc_id"),
+        discount_fallback=True)
+    assert st0["t_discounts"] == (0.5, 1.0, 1.5) and m0.count() == 0
     # fallback model still sums to 1 per context (discounts in range):
     # the degenerate single-doc corpus now fits instead of refusing
     m2, st2 = kn_modified_trigram_model(
