@@ -323,6 +323,11 @@ HEADLINE = [
     # ch_dialect_any_join skeleton (dedup groupBy doubling as the
     # join-side shuffle + hash join) applied symmetrically — no new
     # heavy shape (measured 1.4 s warm at sf0.1 anyway).
+    # min_k_prob_documents (r16) stays EXEMPT under the stated rule:
+    # its skeleton is the benched lm_unigram_nll (vocab groupBy +
+    # token join) plus a per-doc collect_list aggregation — the list
+    # aggregation shape line_dedup_corpus already times; the sort +
+    # slice fold is map-side (measured 2.4 s warm at sf0.1 anyway).
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

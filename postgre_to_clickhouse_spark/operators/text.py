@@ -95,6 +95,70 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def min_k_nll_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_frac: float = 0.2,
+) -> DataFrame:
+    """Min-K% prob (Shi et al. 2023, "Detecting Pretraining Data from
+    Large Language Models", arXiv:2310.16789): per document, the mean
+    negative log-likelihood of its k% LEAST-probable tokens under an
+    LM — the published membership/contamination signal (a document
+    the model has memorized has no low-probability outlier tokens, so
+    its Min-K% score is anomalously low). Here the LM is the corpus
+    unigram model (:func:`unigram_lm_scores`), the engine-checkable
+    stand-in with the same mechanics as the paper's.
+
+    Output: (id, n_tokens, k_tokens, mink_nll_q, mink_mean_nll) —
+    k = max(1, ceil(k_frac·n)), mink_nll_q the EXACT integer
+    micro-nat sum of the top-k per-token NLLs (per-TYPE quantization,
+    order-independent; ties in the sort cannot change a sum of
+    integers), mink_mean_nll the bit-exact integer-ratio division.
+
+    Scale shape: vocabulary counts are one groupBy on the token
+    (Zipf-bounded); the per-document state is the document's OWN
+    token list (bounded by document length, the same bound every
+    per-doc text op carries) sorted once; nothing data-proportional
+    reaches the driver."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"),
+                           lambda t: t != "")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__c"))
+    total = counts.agg(F.sum("__c").alias("__total"))
+    lp = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("lp_q", F.expr(
+            "CAST(round(-ln(CAST(__c AS DOUBLE) / CAST(__total AS "
+            "DOUBLE)) * 1e6) AS BIGINT)"))
+    )
+    per = lp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sort_array(F.collect_list("lp_q"), asc=False).alias("__ls"),
+    )
+    k = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.ceil(F.col("n_tokens") * F.lit(k_frac)).cast("bigint"),
+    )
+    per = per.withColumn("k_tokens", k)
+    s = F.aggregate(
+        F.slice("__ls", F.lit(1), F.col("k_tokens").cast("int")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return per.select(
+        id_col,
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "k_tokens",
+        s.cast("bigint").alias("mink_nll_q"),
+        (s.cast("double") / F.col("k_tokens").cast("double"))
+        .alias("mink_mean_nll"),
+    )
+
+
 def unigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",

@@ -58,15 +58,18 @@ from postgre_to_clickhouse_spark.queries import tierc10  # noqa: E402,F401
 # The r16 window, per the policy above. Ledger at rotation time
 # (reconstructed from CORRECTNESS_r*.json by max green round per
 # query): r11 ×45 (the reseat obligation the r15 window comment
-# named), r12 ×50, r13 ×50, r14 ×50, r15 ×50, never-green ×3 (the
+# named), r12 ×50, r13 ×50, r14 ×50, r15 ×50, never-green ×4 (the
 # r16 queries, each committed with a passing in-session oracle run
-# per the registration rule — kn_trigram_nll additionally green in
-# this session's 246/246 driver simulation at sf0.01).
+# per the registration rule — all four additionally green in this
+# session's full driver simulations at sf0.01: 246/246, 248/248,
+# 248/248, 249/249 as they landed).
 #
-# Rule 1 takes 7 seats. NEW: kn_trigram_nll (modified Kneser-Ney,
+# Rule 1 takes 8 seats. NEW: kn_trigram_nll (modified Kneser-Ney,
 # trigram order — VERDICT r15 #3), ccnet_pipeline_documents (the
 # full CCNet pipeline composed end-to-end — VERDICT r15 #2),
-# ch_dialect_any_full_join (ANY FULL JOIN — VERDICT r15 #7).
+# ch_dialect_any_full_join (ANY FULL JOIN — VERDICT r15 #7),
+# min_k_prob_documents (Min-K% prob, arXiv:2310.16789 — the
+# pretraining-data membership/contamination signal, session 2).
 # CHANGED INTERNALS: quality_classifier_score/_eval/_auc (the fit's
 # label counts now ride the same single aggregation pass as the
 # bucket counts — ADVICE r15; same model values, different fit plan)
@@ -85,16 +88,18 @@ from postgre_to_clickhouse_spark.queries import tierc10  # noqa: E402,F401
 # touch no registered query.
 #
 # Rule 2 backfills oldest-green-first: the r11 cohort (45,
-# alphabetical). The 7 rule-1 seats displace the LAST TWO
-# (vocabulary_top_terms, window_rank_family — named here; both stay
-# oracle-gated in pytest and are the r17 backfill obligation
-# together with the r12 cohort).
+# alphabetical). The 8 rule-1 seats displace the LAST THREE
+# (vector_int8_topk, vocabulary_top_terms, window_rank_family —
+# named here; all stay oracle-gated in pytest and are the r17
+# backfill obligation together with the r12 cohort).
 _WINDOW = [
     # --- Rule 1: new in r16 (each landed with a passing in-session
-    # oracle run) ---
+    # oracle run; min_k_prob additionally verified at sf0.01 AND
+    # sf0.1 via the harness compare in-session) ---
     "kn_trigram_nll",               # C4 modified-KN trigram (KenLM)
     "ccnet_pipeline_documents",     # C4 CCNet end-to-end composite
     "ch_dialect_any_full_join",     # B3/A22 ANY FULL JOIN
+    "min_k_prob_documents",         # C4 Min-K% prob (arXiv:2310.16789)
     # --- Rule 1: internals changed in r16 ---
     "quality_classifier_score",     # single-pass fit (ADVICE r15)
     "quality_classifier_eval",
@@ -144,7 +149,6 @@ _WINDOW = [
     "text_clean_documents",
     "text_repetition_stats",
     "token_budget_per_lang",
-    "vector_int8_topk",
 ]
 
 

@@ -797,6 +797,72 @@ def kn_trigram_nll(spark, sf_dir):
     )
 
 
+@register(
+    "min_k_prob_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT count(*) AS total FROM toks),
+    lp AS (
+      SELECT t.doc_id,
+             CAST(round(-ln(CAST(c.c AS DOUBLE)
+                  / CAST((SELECT total FROM tot) AS DOUBLE)) * 1e6)
+                  AS BIGINT) AS lp_q
+      FROM toks t JOIN counts c USING (tok)
+    ),
+    per AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             list_sort(list(lp_q), 'DESC') AS ls
+      FROM lp GROUP BY doc_id
+    ),
+    kk AS (
+      SELECT doc_id, n_tokens,
+             greatest(CAST(1 AS BIGINT),
+                      CAST(ceil(CAST(n_tokens AS DOUBLE) * 0.2)
+                           AS BIGINT)) AS k_tokens,
+             ls
+      FROM per
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           k_tokens,
+           CAST(list_aggregate(ls[1:k_tokens], 'sum') AS BIGINT)
+             AS mink_nll_q,
+           CAST(list_aggregate(ls[1:k_tokens], 'sum') AS DOUBLE)
+             / CAST(k_tokens AS DOUBLE) AS mink_mean_nll
+    FROM kk
+    """,
+)
+def min_k_prob_documents(spark, sf_dir):
+    """r16, C4 growth: MIN-K% PROB (Shi et al. 2023, "Detecting
+    Pretraining Data from Large Language Models", arXiv:2310.16789) —
+    per document, the mean NLL of its 20% least-probable tokens under
+    the corpus LM: the published membership-inference /
+    contamination-audit signal (a memorized document has no
+    low-probability outlier tokens, so its Min-K% score is
+    anomalously low). The LM is the corpus unigram model with the
+    repo's per-TYPE integer micro-nat quantization, so the top-k sum
+    is an exact order-independent integer (sort ties cannot change an
+    integer sum) and the mean is one bit-exact division; k's ceil
+    runs on DOUBLE in both engines (DuckDB would otherwise evaluate
+    0.2 as DECIMAL and round the 5-multiple boundaries differently).
+
+    Scale (see operators/text.py::min_k_nll_scores): vocab-bounded
+    shuffles; per-doc state = the document's own token list, the
+    bound every per-doc text op carries."""
+    from postgre_to_clickhouse_spark.operators.text import (
+        min_k_nll_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return min_k_nll_scores(d, text_col="text", id_col="doc_id",
+                            k_frac=0.2)
+
+
 def _qclf_auc_oracle() -> str:
     """The classifier model (same CTEs), held-out scores, then the
     exact rank-identity AUC with tie-averaged ranks — the

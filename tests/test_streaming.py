@@ -328,3 +328,66 @@ def test_quality_classifier_scores_stream_equals_batch(spark, tmp_path):
     assert got == batch and len(got) == 16
     assert all(got[i][1] == 1 for i in range(8))
     assert all(got[i][1] == 0 for i in range(8, 16))
+
+
+def test_kn_trigram_scores_stream_equals_batch(spark, tmp_path):
+    """r16, A27 unification for the modified-KN trigram scorer: the
+    model is a TYPE table fit batch-side; scoring a stream is the
+    stream-static inner join plus a per-doc aggregation, so the same
+    construction the batch operator uses runs under Structured
+    Streaming (complete mode) and every (doc, n_trigrams, nll)
+    matches the batch scores row-for-row."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from postgre_to_clickhouse_spark.operators.kn_lm import (
+        _trigram_triples,
+        kn_modified_trigram_model,
+        kn_modified_trigram_scores,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    weights = [1.0 / (k + 1) for k in range(30)]
+    rows = [(i, " ".join(rng.choices(vocab, weights=weights, k=15)))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model, _stats = kn_modified_trigram_model(
+        _trigram_triples(docs, "text", "doc_id"), discount_fallback=True)
+    model = model.select("a", "b", "c", "lp_q").localCheckpoint(eager=True)
+    batch = {r["doc_id"]: (r["n_trigrams"], r["kn3_nll_q"])
+             for r in _trigram_triples(docs, "text", "doc_id")
+             .join(model, ["a", "b", "c"])
+             .groupBy("doc_id")
+             .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                  F.sum("lp_q").cast("bigint").alias("kn3_nll_q"))
+             .collect()}
+    # sanity: the composed construction IS the operator's
+    op = {r["doc_id"]: (r["n_trigrams"], r["kn3_nll_q"])
+          for r in kn_modified_trigram_scores(
+              docs, discount_fallback=True).collect()}
+    assert batch == op
+
+    src = os.path.join(str(tmp_path), "kn_docs")
+    docs.write.json(src)
+    stream = spark.readStream.schema("doc_id long, text string").json(src)
+    q = (
+        _trigram_triples(stream, "text", "doc_id")
+        .join(model, ["a", "b", "c"])  # stream-static inner join
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_trigrams"),
+             F.sum("lp_q").cast("bigint").alias("kn3_nll_q"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("kn_stream")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "kn_ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"]: (r["n_trigrams"], r["kn3_nll_q"])
+           for r in spark.sql("SELECT * FROM kn_stream").collect()}
+    assert got == batch and len(got) == 40

@@ -1261,3 +1261,48 @@ def test_kn_modified_trigram_model_properties(spark):
         )
         # unseen-after-(a,b) mass: every other c backs off twice
         assert abs(p_seen + gamma3 * others - 1.0) < 1e-4
+
+
+def test_min_k_nll_scores_properties(spark):
+    """r16: Min-K% prob (arXiv:2310.16789) — the top-k selection takes
+    exactly the k least-probable (highest-NLL) tokens, k = max(1,
+    ceil(0.2 n)), sums are exact integers, the mean is their division,
+    and layout cannot change a single row."""
+    import math
+
+    from postgre_to_clickhouse_spark.operators.text import (
+        min_k_nll_scores,
+    )
+
+    rows = [
+        (0, "common common common common rare"),   # 5 toks -> k=1
+        (1, "common rare common"),                 # 3 toks -> k=1
+        (2, "common " * 10 + "rare epsilon"),      # 12 toks -> k=3
+        (3, ""),                                   # no tokens: drops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in min_k_nll_scores(df).collect()}
+    assert set(got) == {0, 1, 2}
+    # corpus: common x16, rare x3, epsilon x1; total 20
+    total = 20
+
+    def q(c):
+        return round(-math.log(c / total) * 1e6)
+
+    # doc0: k = ceil(1.0) = 1 -> the single 'rare' token
+    assert (got[0]["n_tokens"], got[0]["k_tokens"]) == (5, 1)
+    assert got[0]["mink_nll_q"] == q(3)
+    # doc1: k = ceil(0.6) = 1 -> 'rare'
+    assert (got[1]["n_tokens"], got[1]["k_tokens"]) == (3, 1)
+    assert got[1]["mink_nll_q"] == q(3)
+    # doc2: k = ceil(2.4) = 3 -> epsilon + rare + one 'common'
+    assert (got[2]["n_tokens"], got[2]["k_tokens"]) == (12, 3)
+    assert got[2]["mink_nll_q"] == q(1) + q(3) + q(16)
+    assert got[2]["mink_mean_nll"] == got[2]["mink_nll_q"] / 3
+    # a memorized-looking doc (all high-probability tokens) scores
+    # LOWER than an outlier-bearing one — the paper's signal direction
+    assert got[0]["mink_mean_nll"] > q(16)
+    # layout independence
+    re_got = {r["doc_id"]: r.asDict()
+              for r in min_k_nll_scores(df.repartition(16)).collect()}
+    assert re_got == got
