@@ -328,6 +328,10 @@ HEADLINE = [
     # token join) plus a per-doc collect_list aggregation — the list
     # aggregation shape line_dedup_corpus already times; the sort +
     # slice fold is map-side (measured 2.4 s warm at sf0.1 anyway).
+    # zipf_law_fit (r16 s2) stays EXEMPT under the stated rule: its
+    # plan is the benched vocabulary_top_terms skeleton (token
+    # explode -> vocab groupBy -> TakeOrdered) plus a constant-size
+    # (<=1000-row) window + moment fold — no new heavy shape.
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

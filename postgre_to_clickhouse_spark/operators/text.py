@@ -242,3 +242,87 @@ def bigram_lm_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.avg(-F.log(p)).alias("mean_nll"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf rank-frequency fit (Zipf 1949; Piantadosi 2014's review is
+    the modern treatment): OLS of ln(frequency) on ln(rank) over the
+    corpus's ``top_n`` most frequent terms. A natural-language corpus
+    sits near slope -1 with r² ≈ 1; boilerplate-heavy or
+    template-generated text bends the curve, so the (slope, r²) pair is
+    the standard one-look corpus-health audit a pretraining pipeline
+    runs next to its quality filters.
+
+    Output: ONE row — (n_terms, zipf_slope, zipf_intercept, zipf_r2),
+    intercept in ln-count units.
+
+    Exactness: ln(rank) and ln(count) are quantized to integer
+    micro-nats (the repo's per-TYPE discipline), so the five OLS
+    moments are EXACT integer sums (order-independent; bounded by
+    top_n·(ln 1000·1e6)·(ln N·1e6) ≪ 2⁶³); the closing slope /
+    intercept / r² arithmetic runs on DOUBLE casts of those integers
+    in a fixed literal order, so any engine recomputes them
+    bit-for-bit.
+
+    Scale shape: term counting is the vocabulary aggregate
+    (Heaps-bounded, map-side partials); the top-n cut is TakeOrdered
+    (per-partition heaps, no global sort); the rank window and the
+    moment fold run on ≤ top_n rows — a constant. Nothing
+    data-proportional reaches the driver or a single partition.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(
+            F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"),
+                     lambda t: t != "")
+        ).alias("term")
+    )
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    top = tf.orderBy(F.col("c").desc(), "term").limit(int(top_n))
+    # row_number over the ≤ top_n-row cut (constant-bounded window;
+    # the tie-break by term makes the total order strict, so the cut
+    # IS the rank ≤ top_n set).
+    ranked = top.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "term"))
+        .alias("r"),
+    )
+    q = ranked.select(
+        F.expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT)")
+        .alias("xq"),
+        F.expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)")
+        .alias("yq"),
+    )
+    a = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").cast("double").alias("sx"),
+        F.sum("yq").cast("double").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("double").alias("sxx"),
+        F.sum(F.col("xq") * F.col("yq")).cast("double").alias("sxy"),
+        F.sum(F.col("yq") * F.col("yq")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den
+    # den/dy are Cauchy-Schwarz-nonnegative; > 0 guards the degenerate
+    # corpora (n <= 1, or constant ranks/counts) under ANSI division —
+    # NULL is the honest answer for an unfittable line. Lazy CASE
+    # branches, so the guarded division never executes when 0.
+    return a.select(
+        n.cast("bigint").alias("n_terms"),
+        F.when(den > F.lit(0.0), F.round(slope, 6)).alias("zipf_slope"),
+        F.when(
+            den > F.lit(0.0),
+            F.round((F.col("sy") - slope * F.col("sx")) / n / F.lit(1e6), 6),
+        ).alias("zipf_intercept"),
+        F.when(den * dy > F.lit(0.0), F.round((num * num) / (den * dy), 6))
+        .alias("zipf_r2"),
+    )

@@ -998,3 +998,69 @@ def quality_classifier_auc(spark, sf_dir):
             / (F.col("np").cast("double") * F.col("nn"))
         ).alias("auc"),
     )
+
+
+@register(
+    "zipf_law_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    top_ AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r
+      FROM tf
+    ),
+    q AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS xq,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS yq
+      FROM top_ WHERE r <= 1000
+    ),
+    a AS (
+      SELECT count(*) AS n,
+             CAST(sum(xq) AS DOUBLE) AS sx,
+             CAST(sum(yq) AS DOUBLE) AS sy,
+             CAST(sum(xq * xq) AS DOUBLE) AS sxx,
+             CAST(sum(xq * yq) AS DOUBLE) AS sxy,
+             CAST(sum(yq * yq) AS DOUBLE) AS syy
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           CASE WHEN (n * sxx - sx * sx) > 0 THEN
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS zipf_slope,
+           CASE WHEN (n * sxx - sx * sx) > 0 THEN
+             ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                   / n / 1e6, 6)
+           END AS zipf_intercept,
+           CASE WHEN ((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0 THEN
+             ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS zipf_r2
+    FROM a
+    """,
+)
+def zipf_law_fit(spark, sf_dir):
+    """r16 s2, C4 growth: ZIPF RANK-FREQUENCY FIT (Zipf 1949) — OLS of
+    ln(term frequency) on ln(rank) over the corpus's top-1000 terms,
+    returning (n_terms, slope, intercept, r²). The one-look
+    corpus-health audit: natural text sits near slope -1 / r² ≈ 1,
+    while boilerplate- or template-dominated corpora bend the line —
+    the cheap companion signal to the Gopher/C4 per-document filters
+    (a per-CORPUS statistic, where everything else in the tier is
+    per-document).
+
+    Cross-engine exactness: both engines quantize ln(rank)/ln(count)
+    to integer micro-nats, so the five OLS moments are exact integer
+    sums; slope/intercept/r² re-derive every subexpression in the
+    same literal operand order on DOUBLE casts (the
+    `simple_linreg_events` discipline), so the division is the only
+    inexact step and runs on identical operands.
+
+    Scale (see operators/text.py::zipf_fit): vocab agg with map-side
+    partials, TakeOrdered top-1000, constant-size window + fold."""
+    from postgre_to_clickhouse_spark.operators.text import zipf_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d, text_col="text", top_n=1000)

@@ -1306,3 +1306,35 @@ def test_min_k_nll_scores_properties(spark):
     re_got = {r["doc_id"]: r.asDict()
               for r in min_k_nll_scores(df.repartition(16)).collect()}
     assert re_got == got
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    """r16 s2: Zipf rank-frequency fit — on a corpus whose term
+    frequencies are an EXACT power law c(r) = round(1000·r^-1), the
+    OLS over (ln r, ln c) must recover slope ≈ -1 with r² ≈ 1; on a
+    uniform-frequency corpus the slope is ≈ 0. Layout (partitioning)
+    cannot change any output value (integer-moment exactness)."""
+    from postgre_to_clickhouse_spark.operators.text import zipf_fit
+
+    rows = []
+    for r in range(1, 51):
+        c = max(1, round(1000.0 / r))
+        rows.append((r, (f"term{r:03d} " * c).strip()))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = zipf_fit(df, text_col="text", top_n=1000).collect()[0]
+    assert got["n_terms"] == 50
+    assert abs(got["zipf_slope"] + 1.0) < 0.05
+    assert got["zipf_r2"] > 0.99
+    # layout independence: exact same row under a different partitioning
+    got2 = zipf_fit(df.repartition(16), text_col="text",
+                    top_n=1000).collect()[0]
+    assert got.asDict() == got2.asDict()
+
+    flat = spark.createDataFrame(
+        [(r, (f"w{r:03d} " * 20).strip()) for r in range(1, 31)],
+        ["doc_id", "text"],
+    )
+    gotf = zipf_fit(flat, text_col="text", top_n=1000).collect()[0]
+    assert abs(gotf["zipf_slope"]) < 1e-9
+    assert gotf["zipf_r2"] is None  # constant counts: unfittable, NULL
