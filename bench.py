@@ -332,6 +332,10 @@ HEADLINE = [
     # plan is the benched vocabulary_top_terms skeleton (token
     # explode -> vocab groupBy -> TakeOrdered) plus a constant-size
     # (<=1000-row) window + moment fold — no new heavy shape.
+    # heaps_law_fit (r16 s2) stays EXEMPT under the stated rule: the
+    # same token-explode/vocab-groupBy skeleton (term min-bucket in
+    # place of term count) plus a 64-key groupBy and a <=64-row
+    # window/fold — no new heavy shape.
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

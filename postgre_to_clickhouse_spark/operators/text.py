@@ -299,6 +299,23 @@ def zipf_fit(
         F.expr("CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)")
         .alias("yq"),
     )
+    return _ols_loglog(q, "n_terms", "zipf_slope", "zipf_intercept",
+                       "zipf_r2")
+
+
+def _ols_loglog(
+    q: DataFrame,
+    n_alias: str,
+    slope_alias: str,
+    intercept_alias: str,
+    r2_alias: str,
+) -> DataFrame:
+    """Shared log-log OLS closer for the corpus-law fits: ``q`` carries
+    integer micro-nat columns (xq, yq); the five moments are EXACT
+    integer sums, and slope/intercept/r² run on DOUBLE casts of those
+    integers in a fixed literal order (the `simple_linreg_events`
+    discipline), so any engine recomputes them bit-for-bit. Intercept
+    is rescaled back to ln units (÷1e6)."""
     a = q.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("xq").cast("double").alias("sx"),
@@ -313,16 +330,88 @@ def zipf_fit(
     dy = n * F.col("syy") - F.col("sy") * F.col("sy")
     slope = num / den
     # den/dy are Cauchy-Schwarz-nonnegative; > 0 guards the degenerate
-    # corpora (n <= 1, or constant ranks/counts) under ANSI division —
-    # NULL is the honest answer for an unfittable line. Lazy CASE
-    # branches, so the guarded division never executes when 0.
+    # corpora (n <= 1, or constant x/y) under ANSI division — NULL is
+    # the honest answer for an unfittable line. Lazy CASE branches, so
+    # the guarded division never executes when 0.
     return a.select(
-        n.cast("bigint").alias("n_terms"),
-        F.when(den > F.lit(0.0), F.round(slope, 6)).alias("zipf_slope"),
+        n.cast("bigint").alias(n_alias),
+        F.when(den > F.lit(0.0), F.round(slope, 6)).alias(slope_alias),
         F.when(
             den > F.lit(0.0),
             F.round((F.col("sy") - slope * F.col("sx")) / n / F.lit(1e6), 6),
-        ).alias("zipf_intercept"),
+        ).alias(intercept_alias),
         F.when(den * dy > F.lit(0.0), F.round((num * num) / (den * dy), 6))
-        .alias("zipf_r2"),
+        .alias(r2_alias),
     )
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Heaps'-law fit (Heaps 1978; Herdan 1960): OLS of ln(vocabulary
+    size) on ln(tokens seen) over ``n_buckets`` cumulative corpus
+    prefixes in ``id_col`` order — the vocabulary-GROWTH exponent β
+    (V ≈ K·N^β, ~0.4-0.6 for natural language). The companion audit
+    to :func:`zipf_fit`: a template-generated or closed-vocabulary
+    corpus flattens toward β = 0, while scrapes polluted with random
+    identifiers push β toward 1. Together the pair is the standard
+    two-number corpus-health readout.
+
+    Output: ONE row — (n_points, heaps_beta, heaps_intercept,
+    heaps_r2), intercept in ln units.
+
+    Mechanics: documents are ranged into ``n_buckets`` by integer
+    arithmetic on the id span (monotone in id, so a term's first
+    bucket = bucket of its min id); per-bucket token totals and
+    first-occurrence counts are ordinary map-side-combinable groupBys;
+    the cumulative (N_b, V_b) prefix sums and the fit run on
+    ≤ n_buckets rows — a constant. Same integer micro-nat / fixed
+    literal-order discipline as :func:`zipf_fit` via the shared
+    closer.
+
+    Scale shape: the only data-proportional exchanges are the term
+    min-id aggregate (vocab-bounded, Heaps-bounded by this very law)
+    and the bucket token counts (n_buckets keys); the window is
+    constant-bounded. Bucketing by id VALUE range assumes ids spread
+    roughly evenly across their span (true for dense ids; at 100 TB
+    with sparse ids, pre-rank or hash-bucket the ids first)."""
+    from pyspark.sql import Window
+
+    b = int(n_buckets)
+    bounds = df.agg(
+        F.min(F.col(id_col).cast("bigint")).alias("lo"),
+        F.max(F.col(id_col).cast("bigint")).alias("hi"),
+    )
+    toks = df.select(
+        F.col(id_col).cast("bigint").alias("__d"),
+        F.explode(
+            F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"),
+                     lambda t: t != "")
+        ).alias("term"),
+    )
+    tb = toks.crossJoin(F.broadcast(bounds)).withColumn(
+        "bkt",
+        F.expr(f"CAST(((__d - lo) * {b}) DIV (hi - lo + 1) AS BIGINT)"),
+    )
+    tok_b = tb.groupBy("bkt").agg(F.count(F.lit(1)).alias("ntok"))
+    new_b = (
+        tb.groupBy("term").agg(F.min("bkt").alias("bkt"))
+        .groupBy("bkt").agg(F.count(F.lit(1)).alias("nnew"))
+    )
+    # constant-bounded window: ≤ n_buckets rows after the groupBys.
+    w = Window.orderBy("bkt")
+    cum = tok_b.join(new_b, "bkt", "left").select(
+        F.sum("ntok").over(w).alias("n_cum"),
+        F.sum(F.coalesce(F.col("nnew"), F.lit(0))).over(w).alias("v_cum"),
+    )
+    q = cum.filter((F.col("n_cum") > 0) & (F.col("v_cum") > 0)).select(
+        F.expr("CAST(round(ln(CAST(n_cum AS DOUBLE)) * 1e6) AS BIGINT)")
+        .alias("xq"),
+        F.expr("CAST(round(ln(CAST(v_cum AS DOUBLE)) * 1e6) AS BIGINT)")
+        .alias("yq"),
+    )
+    return _ols_loglog(q, "n_points", "heaps_beta", "heaps_intercept",
+                       "heaps_r2")

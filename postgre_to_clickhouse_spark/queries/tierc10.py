@@ -1064,3 +1064,93 @@ def zipf_law_fit(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return zipf_fit(d, text_col="text", top_n=1000)
+
+
+@register(
+    "heaps_law_fit",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+             CAST(max(doc_id) AS BIGINT) AS hi
+      FROM documents
+    ),
+    toks AS (
+      SELECT CAST(doc_id AS BIGINT) AS d,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tb AS (
+      SELECT t.term,
+             CAST(((t.d - b.lo) * 64) // (b.hi - b.lo + 1) AS BIGINT)
+               AS bkt
+      FROM toks t, bounds b
+    ),
+    tok_b AS (SELECT bkt, count(*) AS ntok FROM tb GROUP BY bkt),
+    new_b AS (
+      SELECT bkt, count(*) AS nnew FROM (
+        SELECT term, min(bkt) AS bkt FROM tb GROUP BY term
+      ) GROUP BY bkt
+    ),
+    cum AS (
+      SELECT SUM(tok_b.ntok) OVER (ORDER BY tok_b.bkt) AS n_cum,
+             SUM(coalesce(new_b.nnew, 0)) OVER (ORDER BY tok_b.bkt)
+               AS v_cum
+      FROM tok_b LEFT JOIN new_b ON tok_b.bkt = new_b.bkt
+    ),
+    q AS (
+      SELECT CAST(round(ln(CAST(n_cum AS DOUBLE)) * 1e6) AS BIGINT)
+               AS xq,
+             CAST(round(ln(CAST(v_cum AS DOUBLE)) * 1e6) AS BIGINT)
+               AS yq
+      FROM cum WHERE n_cum > 0 AND v_cum > 0
+    ),
+    a AS (
+      SELECT count(*) AS n,
+             CAST(sum(xq) AS DOUBLE) AS sx,
+             CAST(sum(yq) AS DOUBLE) AS sy,
+             CAST(sum(xq * xq) AS DOUBLE) AS sxx,
+             CAST(sum(xq * yq) AS DOUBLE) AS sxy,
+             CAST(sum(yq * yq) AS DOUBLE) AS syy
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CASE WHEN (n * sxx - sx * sx) > 0 THEN
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS heaps_beta,
+           CASE WHEN (n * sxx - sx * sx) > 0 THEN
+             ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                   / n / 1e6, 6)
+           END AS heaps_intercept,
+           CASE WHEN ((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0 THEN
+             ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS heaps_r2
+    FROM a
+    """,
+)
+def heaps_law_fit(spark, sf_dir):
+    """r16 s2, C4 growth: HEAPS'-LAW FIT (Heaps 1978; Herdan 1960) —
+    OLS of ln(cumulative vocabulary) on ln(cumulative tokens) over 64
+    ranged corpus prefixes, returning (n_points, β, intercept, r²).
+    The vocabulary-GROWTH exponent is the companion number to
+    `zipf_law_fit`'s rank-frequency slope: natural text grows V ≈
+    K·N^β with β ≈ 0.4-0.6; a closed-vocabulary/template corpus
+    flattens to β ≈ 0 and an identifier-polluted scrape pushes β
+    toward 1. Together they are the standard two-number corpus-health
+    readout a pretraining pipeline runs beside its per-document
+    filters.
+
+    Cross-engine exactness: the prefix points are exact integer
+    (token, vocab) counts; both engines quantize their lns to integer
+    micro-nats and close the fit with the shared fixed-literal-order
+    OLS (the `simple_linreg_events` discipline), Cauchy-Schwarz
+    guards returning NULL on unfittable corpora.
+
+    Scale (see operators/text.py::heaps_fit): the only
+    data-proportional exchanges are the vocab-bounded term min-bucket
+    aggregate and the 64-key token counts; prefix sums + fit run on a
+    constant ≤ 64 rows."""
+    from postgre_to_clickhouse_spark.operators.text import heaps_fit
+
+    d = _t(spark, sf_dir, "documents")
+    return heaps_fit(d, text_col="text", id_col="doc_id", n_buckets=64)

@@ -1338,3 +1338,29 @@ def test_zipf_fit_recovers_power_law(spark):
     gotf = zipf_fit(flat, text_col="text", top_n=1000).collect()[0]
     assert abs(gotf["zipf_slope"]) < 1e-9
     assert gotf["zipf_r2"] is None  # constant counts: unfittable, NULL
+
+
+def test_heaps_fit_recovers_growth_exponents(spark):
+    """r16 s2: Heaps'-law fit — on a corpus where every document
+    introduces only fresh terms, V = N exactly so beta = 1 and
+    r² = 1; on a single-term corpus V is constant so beta = 0.
+    Layout (partitioning) cannot change any output value."""
+    from postgre_to_clickhouse_spark.operators.text import heaps_fit
+
+    fresh = spark.createDataFrame(
+        [(d, " ".join(f"w{d:03d}x{i}" for i in range(10)))
+         for d in range(1, 65)],
+        ["doc_id", "text"],
+    )
+    got = heaps_fit(fresh, n_buckets=64).collect()[0]
+    assert got["n_points"] == 64
+    assert abs(got["heaps_beta"] - 1.0) < 1e-9
+    assert abs(got["heaps_r2"] - 1.0) < 1e-9
+    got2 = heaps_fit(fresh.repartition(16), n_buckets=64).collect()[0]
+    assert got.asDict() == got2.asDict()
+
+    closed = spark.createDataFrame(
+        [(d, "same " * 10) for d in range(1, 65)], ["doc_id", "text"]
+    )
+    gotc = heaps_fit(closed, n_buckets=64).collect()[0]
+    assert abs(gotc["heaps_beta"]) < 1e-9  # V constant at 1
