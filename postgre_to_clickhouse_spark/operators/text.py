@@ -372,33 +372,53 @@ def heaps_fit(
     literal-order discipline as :func:`zipf_fit` via the shared
     closer.
 
-    Scale shape: the only data-proportional exchanges are the term
-    min-id aggregate (vocab-bounded, Heaps-bounded by this very law)
-    and the bucket token counts (n_buckets keys); the window is
-    constant-bounded. Bucketing by id VALUE range assumes ids spread
-    roughly evenly across their span (true for dense ids; at 100 TB
-    with sparse ids, pre-rank or hash-bucket the ids first)."""
+    Scale shape: the tokenization runs ONCE per purpose — per-doc
+    token COUNTS feed the bucket totals without exploding (size of
+    the filtered split), and the explode feeds only the term
+    min-bucket aggregate (vocab-bounded, Heaps-bounded by this very
+    law); the bucket counts shuffle n_buckets keys and the window is
+    constant-bounded. Bucketing is by id VALUE range — width =
+    span DIV n_buckets + 1 (division before any multiply, so a full
+    64-bit id span cannot overflow; the last bucket index stays
+    < n_buckets by construction) — which assumes ids spread roughly
+    evenly across their span (true for dense ids; at 100 TB with
+    sparse ids, pre-rank or hash-bucket the ids first). NULL ids are
+    dropped (the two engines order NULL buckets differently, and a
+    document with no id has no position in the corpus order)."""
     from pyspark.sql import Window
 
     b = int(n_buckets)
-    bounds = df.agg(
+    docs = df.filter(F.col(id_col).isNotNull())
+    bounds = docs.agg(
         F.min(F.col(id_col).cast("bigint")).alias("lo"),
         F.max(F.col(id_col).cast("bigint")).alias("hi"),
     )
-    toks = df.select(
+    bkt = F.expr(
+        f"CAST((__d - lo) DIV ((hi - lo) DIV {b} + 1) AS BIGINT)"
+    )
+    toks = docs.select(
         F.col(id_col).cast("bigint").alias("__d"),
         F.explode(
             F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"),
                      lambda t: t != "")
         ).alias("term"),
     )
-    tb = toks.crossJoin(F.broadcast(bounds)).withColumn(
-        "bkt",
-        F.expr(f"CAST(((__d - lo) * {b}) DIV (hi - lo + 1) AS BIGINT)"),
+    tok_b = (
+        docs.select(
+            F.col(id_col).cast("bigint").alias("__d"),
+            F.size(
+                F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"),
+                         lambda t: t != "")
+            ).alias("__nt"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bkt.alias("bkt"))
+        .agg(F.sum("__nt").alias("ntok"))
+        .filter(F.col("ntok") > 0)
     )
-    tok_b = tb.groupBy("bkt").agg(F.count(F.lit(1)).alias("ntok"))
     new_b = (
-        tb.groupBy("term").agg(F.min("bkt").alias("bkt"))
+        toks.crossJoin(F.broadcast(bounds))
+        .groupBy("term").agg(F.min(bkt).alias("bkt"))
         .groupBy("bkt").agg(F.count(F.lit(1)).alias("nnew"))
     )
     # constant-bounded window: ≤ n_buckets rows after the groupBys.

@@ -1072,16 +1072,16 @@ def zipf_law_fit(spark, sf_dir):
     WITH bounds AS (
       SELECT CAST(min(doc_id) AS BIGINT) AS lo,
              CAST(max(doc_id) AS BIGINT) AS hi
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ),
     toks AS (
       SELECT CAST(doc_id AS BIGINT) AS d,
              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ),
     tb AS (
       SELECT t.term,
-             CAST(((t.d - b.lo) * 64) // (b.hi - b.lo + 1) AS BIGINT)
+             CAST((t.d - b.lo) // ((b.hi - b.lo) // 64 + 1) AS BIGINT)
                AS bkt
       FROM toks t, bounds b
     ),
