@@ -336,6 +336,11 @@ HEADLINE = [
     # same token-explode/vocab-groupBy skeleton (term min-bucket in
     # place of term count) plus a 64-key groupBy and a <=64-row
     # window/fold — no new heavy shape.
+    # tokenizer_fertility_by_lang (r16 s2) stays EXEMPT under the
+    # stated rule: its plan is the benched bpe_tokenize_documents
+    # skeleton (distributed word-freq train + one Arrow encode
+    # crossing) plus a doc-keyed join and a languages-bounded groupBy
+    # — no new heavy shape (and FEWER merges than the benched query).
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

@@ -35,6 +35,7 @@ _SF_GUARDS = {"sf0_001": 1000, "sf0_01": 10000}
 
 GOLDEN_QUERIES = [
     "bpe_tokenize_documents",
+    "tokenizer_fertility_by_lang",
     "vector_pq_topk",
     "vector_ivfpq_topk",
     "agg_approx_distinct",

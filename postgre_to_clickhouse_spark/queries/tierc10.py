@@ -1154,3 +1154,64 @@ def heaps_law_fit(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return heaps_fit(d, text_col="text", id_col="doc_id", n_buckets=64)
+
+
+@register("tokenizer_fertility_by_lang")  # golden oracle (queries/goldens.py)
+def tokenizer_fertility_by_lang(spark, sf_dir):
+    """r16 s2, C4 growth: TOKENIZER FERTILITY per language (Ács 2019;
+    Rust et al. 2021, "How Good is Your Tokenizer?") — subword tokens
+    per word, the standard audit of how well a trained tokenizer fits
+    each language slice of a corpus (fertility ≈ 1 = near-word-level;
+    high fertility = the language is over-fragmented and will consume
+    disproportionate sequence length at training time), with
+    chars-per-token as the companion compression number.
+
+    Composes the repo's REAL distributed BPE (train 30 merges on the
+    corpus — deliberately FEWER than `bpe_tokenize_documents`'s 200,
+    which fully merges the fixture's small vocabulary and would make
+    every fertility exactly 1.0; at 30 the encoding is genuinely
+    subword and the per-language numbers spread — Arrow-batched
+    greedy encode) with exact per-doc word/char counts (single-regex JVM built-ins), then per-language exact
+    integer sums and one guarded double division each. Deterministic
+    end-to-end, so the exact output is committed-golden-checked like
+    the other non-SQL-expressible operators.
+
+    Scale: BPE train = distributed word-frequency count + bounded
+    driver merge loop; encode = one Arrow crossing; the rest is a
+    doc-keyed join and a languages-bounded groupBy."""
+    from postgre_to_clickhouse_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=30)
+    enc = bpe_encode(d, merges).select("doc_id", "n_bpe_tokens")
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(F.lower("text"), F.lit(r"[a-z0-9]+"))
+        .alias("__w"),
+        F.length(F.regexp_replace(F.lower("text"), r"[^a-z0-9]+", ""))
+        .alias("__c"),
+    )
+    agg = base.join(enc, "doc_id").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").cast("bigint").alias("n_words"),
+        F.sum("__c").cast("bigint").alias("n_chars"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_bpe_tokens").cast("double")
+            / F.col("n_words").cast("double"),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.col("n_chars").cast("double")
+            / F.col("n_bpe_tokens").cast("double"),
+        ).alias("chars_per_token"),
+    )

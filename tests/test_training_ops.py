@@ -1364,3 +1364,23 @@ def test_heaps_fit_recovers_growth_exponents(spark):
     )
     gotc = heaps_fit(closed, n_buckets=64).collect()[0]
     assert abs(gotc["heaps_beta"]) < 1e-9  # V constant at 1
+
+
+def test_tokenizer_fertility_consistency(spark):
+    """r16 s2: tokenizer fertility — per-language invariants on the
+    fixture corpus: every word is at least one BPE token (fertility
+    >= 1), at 30 merges the fixture vocabulary is genuinely subword
+    (fertility > 1), the ratios are the exact divisions of their
+    integer columns, and chars/token is positive and at most the
+    chars/word bound."""
+    from postgre_to_clickhouse_spark.queries import QUERIES
+
+    rows = QUERIES["tokenizer_fertility_by_lang"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no language rows"
+    for r in rows:
+        assert r["n_bpe_tokens"] >= r["n_words"] > 0
+        assert r["fertility"] == r["n_bpe_tokens"] / r["n_words"]
+        assert r["fertility"] > 1.0  # genuinely subword at 30 merges
+        assert r["chars_per_token"] == r["n_chars"] / r["n_bpe_tokens"]
+        assert 0 < r["chars_per_token"] <= r["n_chars"] / r["n_words"]
