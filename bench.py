@@ -341,6 +341,11 @@ HEADLINE = [
     # skeleton (distributed word-freq train + one Arrow encode
     # crossing) plus a doc-keyed join and a languages-bounded groupBy
     # — no new heavy shape (and FEWER merges than the benched query).
+    # source_ngram_overlap_matrix (r16 s2) stays EXEMPT under the
+    # stated rule: shingle explode + distinct + co-keyed self-join is
+    # the benched ngram/dup-gram family skeleton (gopher_ngram_
+    # repetition, dup_span_coverage) with a source-bounded fan-out —
+    # no new heavy shape.
 ]
 
 # r9 (VERDICT r8 #7): the headline set's INCLUSION RULE, stated so the

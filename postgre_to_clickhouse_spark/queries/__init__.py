@@ -58,13 +58,13 @@ from postgre_to_clickhouse_spark.queries import tierc10  # noqa: E402,F401
 # The r16 window, per the policy above. Ledger at rotation time
 # (reconstructed from CORRECTNESS_r*.json by max green round per
 # query): r11 ×45 (the reseat obligation the r15 window comment
-# named), r12 ×50, r13 ×50, r14 ×50, r15 ×50, never-green ×7 (the
+# named), r12 ×50, r13 ×50, r14 ×50, r15 ×50, never-green ×8 (the
 # r16 queries, each committed with a passing in-session oracle run
 # per the registration rule — additionally green in this round's
 # full driver simulations at sf0.01: 246/246, 248/248, 248/248,
-# 249/249, 250/250, 251/251, 252/252 as they landed).
+# 249/249, 250/250, 251/251, 252/252, 253/253 as they landed).
 #
-# Rule 1 takes 11 seats. NEW: kn_trigram_nll (modified Kneser-Ney,
+# Rule 1 takes 12 seats. NEW: kn_trigram_nll (modified Kneser-Ney,
 # trigram order — VERDICT r15 #3), ccnet_pipeline_documents (the
 # full CCNet pipeline composed end-to-end — VERDICT r15 #2),
 # ch_dialect_any_full_join (ANY FULL JOIN — VERDICT r15 #7),
@@ -76,7 +76,10 @@ from postgre_to_clickhouse_spark.queries import tierc10  # noqa: E402,F401
 # second number of the corpus-health readout, session 2), and
 # tokenizer_fertility_by_lang (subword fertility + chars/token per
 # language over the real BPE — the tokenizer-quality audit,
-# session 2, committed-golden oracle).
+# session 2, committed-golden oracle), and
+# source_ngram_overlap_matrix (cross-source distinct-5-gram overlap
+# + exact Jaccard — the Dodge et al. 2021 slice-leakage audit,
+# session 2).
 # CHANGED INTERNALS: quality_classifier_score/_eval/_auc (the fit's
 # label counts now ride the same single aggregation pass as the
 # bucket counts — ADVICE r15; same model values, different fit plan)
@@ -95,11 +98,12 @@ from postgre_to_clickhouse_spark.queries import tierc10  # noqa: E402,F401
 # touch no registered query.
 #
 # Rule 2 backfills oldest-green-first: the r11 cohort (45,
-# alphabetical). The 11 rule-1 seats displace the LAST SIX
-# (text_clean_documents, text_repetition_stats, token_budget_per_lang,
-# vector_int8_topk, vocabulary_top_terms, window_rank_family — named
-# here; all stay oracle-gated in pytest and are the r17 backfill
-# obligation together with the r12 cohort).
+# alphabetical). The 12 rule-1 seats displace the LAST SEVEN
+# (stratified_sample_documents, text_clean_documents,
+# text_repetition_stats, token_budget_per_lang, vector_int8_topk,
+# vocabulary_top_terms, window_rank_family — named here; all stay
+# oracle-gated in pytest and are the r17 backfill obligation together
+# with the r12 cohort).
 _WINDOW = [
     # --- Rule 1: new in r16 (each landed with a passing in-session
     # oracle run; min_k_prob additionally verified at sf0.01 AND
@@ -111,6 +115,7 @@ _WINDOW = [
     "zipf_law_fit",                 # C4 corpus Zipf fit (session 2)
     "heaps_law_fit",                # C4 Heaps'-law companion (s2)
     "tokenizer_fertility_by_lang",  # C4 tokenizer fertility (s2)
+    "source_ngram_overlap_matrix",  # C4 slice-leakage audit (s2)
     # --- Rule 1: internals changed in r16 ---
     "quality_classifier_score",     # single-pass fit (ADVICE r15)
     "quality_classifier_eval",
@@ -156,7 +161,6 @@ _WINDOW = [
     "shuffle_training_order",
     "skew_salted_agg_events",
     "split_train_val_test",
-    "stratified_sample_documents",
 ]
 
 

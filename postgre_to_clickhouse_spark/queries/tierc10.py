@@ -1215,3 +1215,105 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
             / F.col("n_bpe_tokens").cast("double"),
         ).alias("chars_per_token"),
     )
+
+
+@register(
+    "source_ngram_overlap_matrix",
+    oracle="""
+    WITH g0 AS (
+      SELECT source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(regexp_extract_all(lower(text),
+                                     '[a-z0-9]+')) - 4, 0) + 1),
+               i -> array_to_string(list_slice(
+                      regexp_extract_all(lower(text), '[a-z0-9]+'),
+                      i, i + 4), ' ')
+             ))) AS gram
+      FROM documents
+    ),
+    gs AS (SELECT DISTINCT source, gram FROM g0),
+    tot AS (SELECT source, count(*) AS n_grams FROM gs GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             count(*) AS n_common
+      FROM gs a JOIN gs b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.src_a, p.src_b,
+           CAST(ta.n_grams AS BIGINT) AS grams_a,
+           CAST(tb.n_grams AS BIGINT) AS grams_b,
+           CAST(p.n_common AS BIGINT) AS n_common,
+           CAST(p.n_common AS DOUBLE)
+             / CAST(ta.n_grams + tb.n_grams - p.n_common AS DOUBLE)
+             AS jaccard
+    FROM pairs p
+    JOIN tot ta ON p.src_a = ta.source
+    JOIN tot tb ON p.src_b = tb.source
+    """,
+)
+def source_ngram_overlap_matrix(spark, sf_dir):
+    """r16 s2, C4 growth: CROSS-SOURCE N-GRAM CONTAMINATION MATRIX
+    (the slice-leakage audit of Dodge et al. 2021, arXiv:2104.08758,
+    which measured exactly this overlap inside C4) — for every pair of
+    corpus sources, the count of distinct 5-gram shingles they share
+    and the exact Jaccard over their distinct-shingle sets. The
+    between-SLICES companion to `decontaminate_eval_overlap` (corpus
+    vs eval suite) and `ngram_jaccard_same_source` (doc vs doc):
+    training mixtures are weighted per source, so undisclosed overlap
+    BETWEEN sources silently double-counts data and leaks one slice's
+    held-out split into another's training split.
+
+    Cross-engine exactness: distinct-shingle counts are exact
+    integers; the Jaccard is one IEEE division of exact BIGINTs
+    (|a∪b| = |a|+|b|-|a∩b|), bit-identical on any engine. Pairs with
+    ZERO shared shingles are absent in both engines (inner join on
+    the shingle).
+
+    Scale: one (source, gram) distinct shuffle; the gram self-join
+    fans out k(k-1)/2 rows per shingle for a shingle in k sources —
+    bounded by the SOURCE count (a catalog constant, 20 here), not
+    the corpus; the pair aggregate is map-side combinable down to
+    ≤ C(n_sources, 2) rows. Nothing data-proportional reaches the
+    driver."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
+                    lambda t: t != "")
+    grams = F.array_distinct(
+        F.when(
+            F.size(toks) >= 5,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 4),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    gs = (
+        d.select("source", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    tot = gs.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = gs.select(F.col("source").alias("src_a"), "gram")
+    b_ = gs.select(F.col("source").alias("src_b"), "gram")
+    pairs = (
+        a.join(b_, "gram")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"),
+                    F.col("n_grams").alias("grams_a"))
+    tb = tot.select(F.col("source").alias("src_b"),
+                    F.col("n_grams").alias("grams_b"))
+    out = pairs.join(F.broadcast(ta), "src_a").join(F.broadcast(tb), "src_b")
+    return out.select(
+        "src_a",
+        "src_b",
+        F.col("grams_a").cast("bigint").alias("grams_a"),
+        F.col("grams_b").cast("bigint").alias("grams_b"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        (
+            F.col("n_common").cast("double")
+            / (F.col("grams_a") + F.col("grams_b") - F.col("n_common"))
+            .cast("double")
+        ).alias("jaccard"),
+    )
