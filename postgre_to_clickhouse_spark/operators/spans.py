@@ -43,8 +43,9 @@ def positioned_grams(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 8,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, pos, gram) rows for every FULL n-token gram.
+    """(id, *carry, pos, gram) rows for every FULL n-token gram.
 
     Same lead-window formulation as ``dedup.shingle_rows`` (no per-gram
     array slicing); unlike the MinHash path, the token position is kept
@@ -53,9 +54,13 @@ def positioned_grams(
     oracles' ``[a-z0-9]+`` extraction on ANY corpus, not just
     underscore-free ASCII), and partial grams at
     the tail are dropped (they are sub-spans of the last full gram).
+    ``carry`` names extra per-document columns to pass through (r16 s2
+    — the source-overlap audit needs the gram stream keyed by source
+    without a second doc-keyed join).
     """
     toks = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.posexplode(
             F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != "")
         ).alias("pos", "tok"),
@@ -65,6 +70,7 @@ def positioned_grams(
     return (
         toks.select(
             F.col(id_col),
+            *[F.col(c) for c in carry],
             F.col("pos"),
             F.concat_ws(" ", *leads).alias("g"),
             F.lead("tok", n - 1).over(w).isNotNull().alias("__full"),

@@ -1176,6 +1176,14 @@ def tokenizer_fertility_by_lang(spark, sf_dir):
     end-to-end, so the exact output is committed-golden-checked like
     the other non-SQL-expressible operators.
 
+    Scope note (review pass): both the word counter and the BPE
+    share the repo-wide ``[a-z0-9]+`` tokenizer, so a language slice
+    written in a NON-Latin script (real CJK/Cyrillic text rather
+    than this fixture's romanized ASCII) counts zero words and zero
+    tokens and answers NULL fertility — the guarded-division NULL is
+    the loud signal that the audit needs a script-aware tokenizer
+    for that slice, not a silently wrong ratio.
+
     Scale: BPE train = distributed word-frequency count + bounded
     driver merge loop; encode = one Arrow crossing; the rest is a
     doc-keyed join and a languages-bounded groupBy."""
@@ -1275,20 +1283,18 @@ def source_ngram_overlap_matrix(spark, sf_dir):
     the corpus; the pair aggregate is map-side combinable down to
     ≤ C(n_sources, 2) rows. Nothing data-proportional reaches the
     driver."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), r"[^a-z0-9]+"),
-                    lambda t: t != "")
-    grams = F.array_distinct(
-        F.when(
-            F.size(toks) >= 5,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 4),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    from postgre_to_clickhouse_spark.operators.spans import (
+        positioned_grams,
     )
+
+    d = _t(spark, sf_dir, "documents")
+    # lead-window shingling (the primitive the repo measured at ~3x
+    # the per-row array-slice path's speed — see dedup.shingle_rows);
+    # the global distinct subsumes the per-doc one
     gs = (
-        d.select("source", F.explode(grams).alias("gram"))
+        positioned_grams(d, text_col="text", id_col="doc_id", n=5,
+                         carry=("source",))
+        .select("source", F.col("g").alias("gram"))
         .distinct()
     )
     tot = gs.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
