@@ -46,6 +46,8 @@ SHOWCASE = [
     ("quality_classifier_score", "r15: CCNet/fastText quality model — the fitted weights + bias ride as ONE literal array; corpus scoring is a map pass, zero exchanges beyond the scan"),
     ("kn_trigram_nll", "r16: modified-KN trigram — one corpus-proportional trigram groupBy; every other statistic reduces FROM the type table; model assembly is hash joins on type keys, discounts are plan literals"),
     ("ccnet_pipeline_documents", "r16: the CCNet composite — four stage shapes chained by per-doc hash joins; classifier weights ride as a literal, the only window is the per-language ntile"),
+    ("zipf_law_fit", "r16 s2: corpus Zipf fit — vocab groupBy with map-side partials, TakeOrderedAndProject cut; the rank window and OLS moment fold run on <= 1000 rows"),
+    ("source_ngram_overlap_matrix", "r16 s2: cross-source 5-gram leakage — lead-window shingles into ONE per-gram source-set aggregate; totals AND pair counts explode from the same sets (a gram self-join would recompute the pipeline per side — probed, zero ReusedExchange); assembly is broadcast joins over a checkpointed <=C(n,2)+n-row frame"),
 ]
 
 STRIP = re.compile(r"#\d+L?|\[plan_id=\d+\]")
