@@ -1277,88 +1277,16 @@ def source_ngram_overlap_matrix(spark, sf_dir):
     ZERO shared shingles are absent in both engines (inner join on
     the shingle).
 
-    Scale: one (source, gram) distinct shuffle; the gram self-join
-    fans out k(k-1)/2 rows per shingle for a shingle in k sources —
-    bounded by the SOURCE count (a catalog constant, 20 here), not
-    the corpus; the pair aggregate is map-side combinable down to
-    ≤ C(n_sources, 2) rows. Nothing data-proportional reaches the
-    driver."""
-    from postgre_to_clickhouse_spark.operators.spans import (
-        positioned_grams,
+    Scale (see operators/dedup.py::source_overlap_matrix): lead-window
+    shingles into ONE per-gram source-set aggregate (set size bounded
+    by the source count — 20 here, a catalog constant); totals and
+    pair counts explode from the same sets in one pass, and the
+    ≤ C(n,2)+n count rows checkpoint once before the broadcast
+    assembly. Nothing data-proportional reaches the driver."""
+    from postgre_to_clickhouse_spark.operators.dedup import (
+        source_overlap_matrix,
     )
 
     d = _t(spark, sf_dir, "documents")
-    # lead-window shingling (the primitive the repo measured at ~3x
-    # the per-row array-slice path's speed — see dedup.shingle_rows),
-    # then ONE pass: per-gram sorted source-SET (collect_set dedups,
-    # bounded by the source count), each set exploded into its
-    # singleton items (per-source distinct-gram totals) and ordered
-    # pairs (co-occurrence counts) in the SAME aggregate — a gram
-    # self-join would recompute this whole pipeline per side (probed:
-    # zero ReusedExchange in the executed plan).
-    sets = (
-        positioned_grams(d, text_col="text", id_col="doc_id", n=5,
-                         carry=("source",))
-        .select("source", F.col("g").alias("gram"))
-        .groupBy("gram")
-        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
-    )
-    items = F.concat(
-        F.transform(
-            F.col("ss"),
-            lambda s: F.struct(
-                s.alias("src_a"),
-                F.lit(None).cast("string").alias("src_b"),
-            ),
-        ),
-        F.flatten(
-            F.transform(
-                F.col("ss"),
-                lambda a, i: F.transform(
-                    F.slice(
-                        F.col("ss"),
-                        i + 2,
-                        F.greatest(
-                            F.size(F.col("ss")) - i - 1, F.lit(0)
-                        ),
-                    ),
-                    lambda b: F.struct(
-                        a.alias("src_a"), b.alias("src_b")
-                    ),
-                ),
-            )
-        ),
-    )
-    # <= C(n_sources,2) + n_sources rows; localCheckpoint materializes
-    # them ONCE so the totals/pairs split cannot re-run the corpus
-    # pipeline per branch (the suffix-array precedent).
-    counts = (
-        sets.select(F.explode(items).alias("p"))
-        .groupBy(
-            F.col("p.src_a").alias("src_a"),
-            F.col("p.src_b").alias("src_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .localCheckpoint()
-    )
-    tot = counts.filter(F.col("src_b").isNull()).select(
-        F.col("src_a").alias("s"), F.col("n_common").alias("n_grams")
-    )
-    pairs = counts.filter(F.col("src_b").isNotNull())
-    ta = tot.select(F.col("s").alias("src_a"),
-                    F.col("n_grams").alias("grams_a"))
-    tb = tot.select(F.col("s").alias("src_b"),
-                    F.col("n_grams").alias("grams_b"))
-    out = pairs.join(F.broadcast(ta), "src_a").join(F.broadcast(tb), "src_b")
-    return out.select(
-        "src_a",
-        "src_b",
-        F.col("grams_a").cast("bigint").alias("grams_a"),
-        F.col("grams_b").cast("bigint").alias("grams_b"),
-        F.col("n_common").cast("bigint").alias("n_common"),
-        (
-            F.col("n_common").cast("double")
-            / (F.col("grams_a") + F.col("grams_b") - F.col("n_common"))
-            .cast("double")
-        ).alias("jaccard"),
-    )
+    return source_overlap_matrix(d, text_col="text", id_col="doc_id",
+                                 source_col="source", n=5)

@@ -1384,3 +1384,35 @@ def test_tokenizer_fertility_consistency(spark):
         assert r["fertility"] > 1.0  # genuinely subword at 30 merges
         assert r["chars_per_token"] == r["n_chars"] / r["n_bpe_tokens"]
         assert 0 < r["chars_per_token"] <= r["n_chars"] / r["n_words"]
+
+
+def test_source_overlap_matrix_exact(spark):
+    """r16 s2: cross-source overlap matrix — on a constructed corpus
+    with known distinct-5-gram sets, every count and Jaccard is
+    exact, zero-overlap pairs are absent, src_a < src_b, and layout
+    cannot change a row."""
+    from postgre_to_clickhouse_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    w = [f"w{i}" for i in range(12)]
+    # srcA: tokens w0..w7  -> grams at positions 0..3  (4 distinct)
+    # srcB: tokens w2..w9  -> grams at positions 2..5  (4 distinct,
+    #        shares positions 2..3 with A -> 2 common)
+    # srcC: tokens w20.. distinct -> no overlap with anyone
+    rows = [
+        (1, "srcA", " ".join(w[0:8])),
+        (2, "srcB", " ".join(w[2:10])),
+        (3, "srcC", " ".join(f"z{i}" for i in range(8))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {(r["src_a"], r["src_b"]): r.asDict()
+           for r in source_overlap_matrix(df, n=5).collect()}
+    assert set(got) == {("srcA", "srcB")}
+    r = got[("srcA", "srcB")]
+    assert (r["grams_a"], r["grams_b"], r["n_common"]) == (4, 4, 2)
+    assert r["jaccard"] == 2 / 6
+    got2 = {(r["src_a"], r["src_b"]): r.asDict()
+            for r in source_overlap_matrix(df.repartition(16),
+                                           n=5).collect()}
+    assert got == got2
