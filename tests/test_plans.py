@@ -681,3 +681,42 @@ def test_qclf_scoring_is_map_only(spark):
     assert "Window" not in plan and "Generate" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
     assert not re.findall(r"\(\d+\) Exchange", plan), plan
+
+
+def test_zipf_fit_is_takeordered_with_partial_agg(spark):
+    """r16 s2: the Zipf fit's top-1000 cut must be TakeOrdered (no
+    global sort materialization), the vocab aggregate must have its
+    map-side partial, and the only window runs AFTER the 1000-row
+    cut (constant-bounded — never over the full vocabulary)."""
+    plan = _plan(spark, "zipf_law_fit")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final vocab agg
+    # the window consumes TakeOrdered's output, not the vocab table:
+    # with the formatted plan, the Window node's child chain contains
+    # the TakeOrdered node (ids ascend from the scan), so TakeOrdered
+    # must appear — and row_number must appear exactly once.
+    assert plan.count("row_number") == 1
+
+
+def test_source_overlap_assembles_from_one_checkpoint(spark):
+    """r16 s2: the overlap matrix runs its corpus pipeline exactly
+    ONCE — eagerly, into a localCheckpoint of the <= C(n,2)+n count
+    rows — so the returned plan must be pure assembly: a checkpoint
+    scan plus broadcast joins, with NO parquet rescan (the gram-keyed
+    self-join formulation re-planned the whole shingle pipeline per
+    side — probed: zero ReusedExchange — and read the corpus from
+    parquet in this very plan)."""
+    plan = _plan(spark, "source_ngram_overlap_matrix")
+    assert "Scan ExistingRDD" in plan          # the checkpointed counts
+    assert "documents.parquet" not in plan     # corpus never re-read
+    assert plan.count(") BroadcastHashJoin") == 2  # totals attach twice
+
+
+def test_heaps_fit_explodes_once_with_partial_aggs(spark):
+    """r16 s2: Heaps' fit must not explode tokens for the bucket
+    token COUNTS (per-doc size() feeds them; only the term min-bucket
+    branch explodes — exactly one Generate in the plan) and must keep
+    the aggregates' map-side partials."""
+    plan = _plan(spark, "heaps_law_fit")
+    assert plan.count(") Generate") == 1
+    assert plan.count("HashAggregate") >= 8  # partial+final per branch
