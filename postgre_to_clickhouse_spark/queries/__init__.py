@@ -122,7 +122,7 @@ _WINDOW = [
     "quality_classifier_auc",
     "kn_bigram_nll",                # kn_lm.py validation + growth
     # --- Rule 2: oldest-green-first — the full r11 cohort minus the
-    # five displaced seats named above (last driver-green r11) ---
+    # seven displaced seats named above (last driver-green r11) ---
     "ch_dialect_array_join",
     "ch_dialect_asof",
     "ch_dialect_except",
