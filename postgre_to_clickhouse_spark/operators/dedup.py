@@ -596,11 +596,9 @@ def source_overlap_matrix(
             F.transform(
                 F.col("ss"),
                 lambda a, i: F.transform(
-                    F.slice(
-                        F.col("ss"),
-                        i + 2,
-                        F.greatest(F.size(F.col("ss")) - i - 1, F.lit(0)),
-                    ),
+                    # size-i-1 >= 0 for every i the outer transform
+                    # produces (i = size-1 gives a length-0 slice)
+                    F.slice(F.col("ss"), i + 2, F.size(F.col("ss")) - i - 1),
                     lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
                 ),
             )

@@ -691,11 +691,11 @@ def test_zipf_fit_is_takeordered_with_partial_agg(spark):
     plan = _plan(spark, "zipf_law_fit")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final vocab agg
-    # the window consumes TakeOrdered's output, not the vocab table:
-    # with the formatted plan, the Window node's child chain contains
-    # the TakeOrdered node (ids ascend from the scan), so TakeOrdered
-    # must appear — and row_number must appear exactly once.
     assert plan.count("row_number") == 1
+    # the window must CONSUME TakeOrdered's output (parent prints
+    # above child in the formatted tree) — a regression windowing the
+    # full vocabulary and limiting afterwards would flip this order
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
 
 
 def test_source_overlap_assembles_from_one_checkpoint(spark):
