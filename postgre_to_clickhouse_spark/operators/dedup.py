@@ -400,6 +400,14 @@ def edit_distance_pairs(
     m = tau + 1
     text = text_col if isinstance(text_col, Column) else F.col(text_col)
 
+    # r16: the probe side fans every row out to ~tau^2*(tau+1) segment
+    # triples and the index side to m segments — both evaluated in the
+    # SCAN stage, which on a single-file input is ONE task doing all
+    # the substring fan-out. Spread first (identity at real scale).
+    from postgre_to_clickhouse_spark.operators.sampling import spread_small_input
+
+    df = spread_small_input(df)
+
     alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
     hist = F.transform(
         F.array(*[F.lit(c) for c in alphabet]),

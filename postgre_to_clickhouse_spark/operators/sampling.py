@@ -313,6 +313,37 @@ def mixture_sample(
     )
 
 
+def compute_parallelism(df: DataFrame) -> int:
+    """Partition width for a COMPUTE-heavy stage over ``df``: the
+    input's own partition count, floored at the cluster's core count.
+
+    The default input-following width is right when per-row work is
+    scan-shaped (the bytes predict the cost), but per-CHARACTER
+    operators (suffix doubling, candidate verifies) put orders of
+    magnitude more CPU behind each input byte — on a small or
+    single-file input the scan yields 1-3 splits and the whole stage
+    serializes onto as many cores. Flooring at ``defaultParallelism``
+    is scale-adaptive: at cluster scale inputs arrive many-split and
+    the floor never binds (r16 optimization, measured in
+    OPTIMIZATION_r16.md)."""
+    sc = df.sparkSession.sparkContext
+    return max(sc.defaultParallelism, df.rdd.getNumPartitions())
+
+
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin ``df`` across the cores IFF its scan provides fewer
+    splits than the cluster has cores — the guard that lets a
+    compute-heavy map stage (per-character explode, candidate probe
+    fan-out) parallelize on a single-file fixture input WITHOUT adding
+    a corpus shuffle at real scale, where inputs are many-split and
+    this is an identity. Row placement only; every value is unchanged
+    (r16 optimization)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism)
+
+
 def global_rank(
     df: DataFrame,
     order_cols: Sequence[Column | str],
@@ -389,6 +420,8 @@ def global_dense_rank(
     key_cols: Sequence[str],
     out_col: str = "dr",
     partitions: int | None = None,
+    with_stats: bool = False,
+    pin_input: bool = False,
 ) -> DataFrame:
     """Exact 1-based global DENSE rank (equal keys share one rank,
     ranks are 1..#distinct with no gaps) over a key ordering, without
@@ -405,7 +438,25 @@ def global_dense_rank(
     ``localCheckpoint`` (same reasoning as :func:`global_rank`), then
     add broadcast cumulative per-partition GROUP counts. Driver-side
     data is one (pid, group count) row per partition. Keys must be
-    non-null (range partitioning of nulls is engine-defined)."""
+    non-null (range partitioning of nulls is engine-defined).
+
+    ``with_stats=True`` returns ``(ranked, n_rows, n_groups)`` — the
+    row count and the number of DISTINCT key tuples, both read from
+    the per-partition counts the offsets collect already gathers
+    (equal keys never straddle partitions, so the global group count
+    is the sum of per-partition group counts). The prefix-doubling
+    early-stop check consumes these for free instead of running its
+    own corpus-wide count/countDistinct aggregate per round (r16
+    optimization).
+
+    ``pin_input=True`` materializes ``df`` (localCheckpoint) BEFORE the
+    range partitioning: the RangePartitioner's boundary-sampling pass
+    and the shuffle map pass each execute the input subtree, so a
+    non-trivial child (the doubling round's self-join) otherwise runs
+    TWICE per rank (r16 optimization — measured ~1 s/round at sf0.1).
+    Leave False when the input is a cheap scan."""
+    if pin_input:
+        df = df.localCheckpoint()
     if partitions is None:
         partitions = max(1, df.rdd.getNumPartitions())
     names = list(key_cols)
@@ -443,18 +494,24 @@ def global_dense_rank(
         .localCheckpoint()
     )
     gcounts = sorted(
-        (r["__pid"], r["g"])
-        for r in ranked.groupBy("__pid").agg(F.max("__dr").alias("g")).collect()
+        (r["__pid"], r["g"], r["n"])
+        for r in ranked.groupBy("__pid")
+        .agg(F.max("__dr").alias("g"), F.count(F.lit(1)).alias("n"))
+        .collect()
     )  # bounded by partition count
-    offsets, acc = [], 0
-    for pid, g in gcounts:
+    offsets, acc, n_rows = [], 0, 0
+    for pid, g, n in gcounts:
         offsets.append((pid, acc))
         acc += g
+        n_rows += n
     off = F.broadcast(
         df.sparkSession.createDataFrame(offsets or [(0, 0)], "__pid int, __off long")
     )
-    return (
+    out = (
         ranked.join(off, "__pid")
         .withColumn(out_col, (F.col("__dr") + F.col("__off")).cast("bigint"))
         .drop("__pid", "__dr", "__off")
     )
+    if with_stats:
+        return out, n_rows, acc
+    return out

@@ -62,7 +62,11 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from postgre_to_clickhouse_spark.operators.sampling import global_dense_rank
+from postgre_to_clickhouse_spark.operators.sampling import (
+    compute_parallelism,
+    global_dense_rank,
+    spread_small_input,
+)
 
 __all__ = [
     "char_ranks",
@@ -79,7 +83,9 @@ def char_ranks(
     text_col: str = "text",
     id_col: str = "doc_id",
     base: int = 1,
-) -> tuple[DataFrame, int]:
+    scoped: bool = False,
+    with_stats: bool = False,
+) -> tuple:
     """Seed rank rows ``(id, pos, r)``, one per character, ``pos``
     1-based: ``r`` is the exact dense rank of the width-``base``
     truncated window ``substring(text, pos, base)`` (base = 1 ranks
@@ -88,8 +94,24 @@ def char_ranks(
     canonicalization — that equals UTF-8 byte order, i.e. the binary
     collation DuckDB sorts with. Seeding at base w replaces the first
     log2(w) doubling rounds with ONE ranked pass over w-byte keys.
-    Returns ``(ranks, base_window)``."""
+    Returns ``(ranks, base_window)``.
+
+    ``scoped=True`` prepends ``id_col`` to the rank keys (per-DOCUMENT
+    dense ranks): rank equality then means "same window within the
+    same document" — exactly what the per-document suffix-array
+    consumers compare, while the cross-document duplicate detectors
+    (:func:`window_ranks`) keep the global key. ``with_stats=True``
+    appends ``(n_rows, n_groups)`` from the rank pass's own offsets
+    collect (r16: feeds the doubling early stop without a separate
+    corpus-wide aggregate; n_groups counts distinct (id, window) when
+    scoped — the early stop's countDistinct(id, r) by construction)."""
     w = max(1, base)
+    # r16: the per-character explode multiplies row count ~1000x, so a
+    # single-file input would compute it (and the range-partitioner's
+    # sampling pass over it) on ONE task; spread first, and rank at
+    # core-floored width instead of the 1-3 partitions the tiny
+    # shuffled BYTES would otherwise get.
+    df = spread_small_input(df)
     pos = df.select(
         F.col(id_col),
         F.col(text_col).alias("__t"),
@@ -104,15 +126,33 @@ def char_ranks(
         F.col("pos").cast("bigint").alias("pos"),
         F.expr(f"substring(__t, pos, {w})").alias("__g"),
     )
-    ranked = global_dense_rank(pos, ["__g"], out_col="r")
-    return ranked.select(id_col, "pos", "r"), w
+    keys = [id_col, "__g"] if scoped else ["__g"]
+    res = global_dense_rank(
+        pos,
+        keys,
+        out_col="r",
+        partitions=compute_parallelism(pos),
+        with_stats=with_stats,
+    )
+    if with_stats:
+        ranked, n_rows, n_groups = res
+        return ranked.select(id_col, "pos", "r"), w, n_rows, n_groups
+    return res.select(id_col, "pos", "r"), w
 
 
-def _advance(cur: DataFrame, id_col: str, w: int) -> DataFrame:
+def _advance(
+    cur: DataFrame,
+    id_col: str,
+    w: int,
+    scoped: bool = False,
+    with_stats: bool = False,
+):
     """One doubling round: window ``w`` -> ``2w``. The pair key is
     (rank at pos, rank at pos+w, -1 past document end — the sentinel
     below every real rank implements the shorter-suffix-sorts-first
-    prefix rule)."""
+    prefix rule). ``scoped``/``with_stats`` as in :func:`char_ranks`
+    (a doc-scoped input rank composes: within one document, pair-key
+    equality is the same relation under global and scoped ranks)."""
     shifted = cur.select(
         F.col(id_col),
         (F.col("pos") - F.lit(w)).alias("pos"),
@@ -127,10 +167,19 @@ def _advance(cur: DataFrame, id_col: str, w: int) -> DataFrame:
             F.coalesce("__r2", F.lit(-1)).alias("__k2"),
         )
     )
-    return (
-        global_dense_rank(paired, ["__k1", "__k2"], out_col="r")
-        .select(id_col, "pos", "r")
+    keys = [id_col, "__k1", "__k2"] if scoped else ["__k1", "__k2"]
+    res = global_dense_rank(
+        paired,
+        keys,
+        out_col="r",
+        partitions=compute_parallelism(paired),
+        with_stats=with_stats,
+        pin_input=True,  # the self-join must not run twice per rank
     )
+    if with_stats:
+        ranked, n_rows, n_groups = res
+        return ranked.select(id_col, "pos", "r"), n_rows, n_groups
+    return res.select(id_col, "pos", "r")
 
 
 def window_ranks(
@@ -175,21 +224,30 @@ def _rank_levels(
     lever the distributed-SA implementations tune. Measured at the
     fixture subset: base 8 -> 6.9 s, 16 -> 4.5 s, 32 -> 2.0 s warm;
     16 is the default (still exercises real doubling rounds, and
-    16 bytes/position is a modest wire cost at cluster scale)."""
-    cur, w = char_ranks(df, text_col, id_col, base=base)
-    levels = [(w, cur)]
+    16 bytes/position is a modest wire cost at cluster scale).
+
+    r16 optimization: the per-document levels rank with ``scoped=True``
+    (keys carry ``id_col``) so each round's offsets collect doubles as
+    the early-stop statistic — n_groups = #distinct (doc, window) =
+    the old ``countDistinct(id_col, r)`` — deleting one corpus-wide
+    aggregate job per level. Within a document the rank-equality
+    relation is identical under global and scoped keys, so every
+    consumer (the per-doc SA window, the LCP descent's within-doc rank
+    compares) is unchanged."""
     max_len = df.select(
         F.max(F.length(text_col)).alias("m")
     ).collect()[0]["m"] or 0
+    cur, w, n_all, n_distinct = char_ranks(
+        df, text_col, id_col, base=base, scoped=True, with_stats=True
+    )
+    levels = [(w, cur)]
     rounds = max(1, math.ceil(math.log2(max(2, max_len))))
     for _ in range(rounds):
-        n_all, n_distinct = cur.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.countDistinct(id_col, "r").alias("d"),
-        ).collect()[0]
         if n_all == n_distinct:
             break
-        cur = _advance(cur, id_col, w)
+        cur, n_all, n_distinct = _advance(
+            cur, id_col, w, scoped=True, with_stats=True
+        )
         w *= 2
         levels.append((w, cur))
     return levels
@@ -262,6 +320,15 @@ def suffix_array_with_lcp(
     ).withColumn("lcp", F.lit(0).cast("bigint"))
     if method == "bounded":
         text = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+        # r16: the window above shuffles only (id, pos, rank) rows, so
+        # AQE coalesces it to 1-3 partitions — and the fold below then
+        # runs the per-row substring compare chain (and carries the
+        # joined full text) on as many cores. One cheap explicit
+        # repartition of the narrow rows restores core-width
+        # parallelism for the expensive stage (measured 2.7 s -> <1 s
+        # at sf0.1; at scale the window output is already wide and
+        # this shuffles the same narrow rows once).
+        pairs = pairs.repartition(compute_parallelism(pairs))
         out = pairs.join(text, id_col)
         # binary-search LCP (r15): the early stop proves
         # lcp <= w_stop - 1, so log2(w_stop) substring-PAIR
@@ -398,7 +465,12 @@ def exact_substr_spans(
     w = 1
     while w * 2 <= min(min_len, 8):
         w *= 2
-    pos = df.select(
+    # r16: the per-character explode + seed hash below is the query's
+    # heaviest map work and is evaluated in the SCAN stage — on a
+    # single-file input that is ONE task; spread first (identity at
+    # real scale, see spread_small_input).
+    src = spread_small_input(df)
+    pos = src.select(
         F.col(id_col),
         F.col(text_col).alias("__t"),
         F.explode(

@@ -41,6 +41,16 @@ _RUNTIME_CONF: dict[str, str] = {
     # answer bare MIN/MAX/COUNT from parquet footers instead of scanning
     # row groups (no effect on filtered/grouped aggs; exact semantics)
     "spark.sql.parquet.aggregatePushdown": "true",
+    # r16 optimization: AQE partition coalescing floors post-shuffle
+    # partitions at 1 MB by default, which serializes CPU-bound text
+    # stages (per-character folds, candidate verifies) onto 2-3 tasks
+    # whenever the shuffled BYTES are small but the per-byte compute is
+    # not. 256k keeps tiny-stage parallelism on small inputs; at
+    # cluster scale any non-trivial stage carries >= cores x 1 MB and
+    # the floor never binds, so coalescing behaves exactly as before.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_MIN_COALESCE", "256k"
+    ),
 }
 
 
