@@ -54,6 +54,31 @@ _RUNTIME_CONF: dict[str, str] = {
 }
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def no_aqe(spark: SparkSession):
+    """Run one micro-batch lifecycle ACTION without adaptive execution
+    (r16 optimization). AQE materializes every exchange of a query as
+    its own stage-submission JOB, so a small fixed-shape action (a
+    bucket write, a part-sized index read-back, an MV partial-state
+    append) pays one scheduling+planning round per exchange where a
+    non-adaptive plan pays one total — and re-planning has nothing to
+    decide for these: widths are explicit or micro-batch-bounded and
+    there is no join strategy to revisit. Restores the session's
+    setting on exit; everything analytical keeps AQE."""
+    try:
+        old = spark.conf.get("spark.sql.adaptive.enabled")
+    except Exception:  # pragma: no cover - conf always readable in practice
+        old = "true"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (driver-owned or ours)."""
     for k, v in _RUNTIME_CONF.items():

@@ -92,6 +92,12 @@ class AggregateMV:
             return False
         staging = os.path.join(self.path, f"_staging.{uuid.uuid4().hex[:12]}")
         try:
+            # r16: measured and deliberately NOT wrapped in
+            # session.no_aqe — the state partials shuffle so few bytes
+            # that AQE's runtime coalescing (1-2 reduce tasks) beats
+            # the extra stage-job planning it costs; with AQE off the
+            # fixed 32-partition exchanges regressed
+            # topk_mv_incremental 3.2 -> 5.9 s at sf0.1.
             self._partial(batch_df).coalesce(1).write.mode("overwrite").parquet(staging)
             os.replace(staging, final_dir)  # atomic publish
         finally:

@@ -43,8 +43,10 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as _T
 
 from postgre_to_clickhouse_spark.cdc import dedup_redelivery, latest
+from postgre_to_clickhouse_spark.session import no_aqe as _no_aqe
 
 _LATEST = "_latest"
 _MANIFESTS = "_manifests"
@@ -227,42 +229,6 @@ class ManifestTable:
             return padded
         return raw
 
-    def _attach_stats(
-        self, spark: SparkSession, files: list[dict], cols: tuple[str, ...] | None = None
-    ) -> list[dict]:
-        """Per-file [min, max] for ``cols`` (default ``stats_cols``),
-        read back from the just-written parquet in ONE job grouped by
-        file name. Cost is one scan of the NEW files only (batch-sized,
-        never table-sized)."""
-        cols = self.stats_cols if cols is None else cols
-        if not cols or not files:
-            return files
-        paths = [os.path.join(self.path, _DATA, f["name"]) for f in files]
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        present = [c for c in cols if c in df.columns]
-        if not present:
-            return files
-        aggs = []
-        for c in present:
-            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
-        rows = (
-            df.select(F.input_file_name().alias("__f"), *present)
-            .groupBy("__f")
-            .agg(*aggs)
-            .collect()
-        )  # one row per file — bounded by file count
-        by_name = {}
-        for r in rows:
-            by_name[os.path.basename(r["__f"])] = {
-                c: [self._stat_val(r[f"__lo_{c}"]), self._stat_val(r[f"__hi_{c}"])]
-                for c in present
-            }
-        out = []
-        for f in files:
-            st = by_name.get(f["name"])
-            out.append({**f, "stats": st} if st else dict(f))
-        return out
-
     # -- bloom-filter skip indexes -------------------------------------------
     # Fixed geometry, shared by write and probe sides. The hash is
     # sha256 of the value's UTF-8 string form — computed JVM-side at
@@ -331,58 +297,105 @@ class ManifestTable:
         bits = bytes.fromhex(hexset)
         return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
 
-    def _attach_blooms(self, spark: SparkSession, files: list[dict]) -> list[dict]:
-        """Per-file bloom bitsets for ``bloom_cols`` / ``token_bloom_cols``,
-        built in ONE distributed job over the just-written files: hash
-        positions are computed per row JVM-side, exploded, and
-        collect_set-aggregated per file (partial aggregation map-side;
-        per-file state is bounded by the bitset geometry, never by row
-        count). The driver only packs position sets into bitsets —
-        O(files × bits), batch-sized."""
-        if not (self.bloom_cols or self.token_bloom_cols) or not files:
+    def _attach_indexes(
+        self,
+        df: DataFrame,
+        files: list[dict],
+        stats_cols: tuple[str, ...] | None = None,
+        blooms: bool = True,
+    ) -> list[dict]:
+        """Zone-map stats AND bloom bitsets for just-written ``files``
+        in ONE Spark action (r16 optimization; the write path formerly
+        ran two separate read-back actions, each behind its own
+        mergeSchema inference pass). ``df`` is the frame the files were
+        written from:
+        they all share its schema, so the read passes it explicitly —
+        the mergeSchema footer-inference job disappears. The two
+        aggregates (per-file min/max; per-file bloom position sets)
+        are unioned and collected together; per-file state stays
+        bounded by the stats/bitset geometry exactly as before."""
+        if not files:
             return files
-        paths = [os.path.join(self.path, _DATA, f["name"]) for f in files]
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        vcols = [c for c in self.bloom_cols if c in df.columns]
-        tcols = [c for c in self.token_bloom_cols if c in df.columns]
-        if not vcols and not tcols:
-            return files
-        pos_structs = [
-            F.struct(
-                F.lit(f"b:{c}").alias("idx"),
-                self._bloom_pos_expr(c, self._BLOOM_BITS).alias("pos"),
-            )
-            for c in vcols
-        ] + [
-            F.struct(
-                F.lit(f"t:{c}").alias("idx"),
-                self._token_pos_expr(c, self._TBLOOM_BITS).alias("pos"),
-            )
-            for c in tcols
+        schema = _T.StructType(
+            [f for f in df.schema.fields if f.name != "__bucket"]
+        )
+        names = {f.name for f in schema.fields}
+        scols = [
+            c
+            for c in (self.stats_cols if stats_cols is None else stats_cols)
+            if c in names
         ]
-        rows = (
-            df.select(
-                F.input_file_name().alias("__f"),
-                F.explode(F.array(*pos_structs)).alias("s"),
+        vcols = [c for c in self.bloom_cols if c in names] if blooms else []
+        tcols = [c for c in self.token_bloom_cols if c in names] if blooms else []
+        if not (scols or vcols or tcols):
+            return files
+        spark = df.sparkSession
+        paths = [os.path.join(self.path, _DATA, f["name"]) for f in files]
+        src = spark.read.schema(schema).parquet(*paths)
+        branches = []
+        if scols:
+            aggs = []
+            for c in scols:
+                aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+            branches.append(
+                src.select(F.input_file_name().alias("__f"), *scols)
+                .groupBy("__f")
+                .agg(*aggs)
+                .withColumn("__idx", F.lit(None).cast("string"))
+                .withColumn("__ps", F.lit(None).cast("array<int>"))
             )
-            .select("__f", F.col("s.idx").alias("idx"), F.explode("s.pos").alias("p"))
-            .groupBy("__f", "idx")
-            .agg(F.collect_set("p").alias("ps"))
-            .collect()
-        )  # ≤ files × index-count rows, each bounded by the bitset size
-        packed: dict[str, dict[str, dict[str, str]]] = {}
+        if vcols or tcols:
+            pos_structs = [
+                F.struct(
+                    F.lit(f"b:{c}").alias("idx"),
+                    self._bloom_pos_expr(c, self._BLOOM_BITS).alias("pos"),
+                )
+                for c in vcols
+            ] + [
+                F.struct(
+                    F.lit(f"t:{c}").alias("idx"),
+                    self._token_pos_expr(c, self._TBLOOM_BITS).alias("pos"),
+                )
+                for c in tcols
+            ]
+            branches.append(
+                src.select(
+                    F.input_file_name().alias("__f"),
+                    F.explode(F.array(*pos_structs)).alias("s"),
+                )
+                .select("__f", F.col("s.idx").alias("__idx"), F.explode("s.pos").alias("p"))
+                .groupBy("__f", "__idx")
+                .agg(F.collect_set("p").alias("__ps"))
+            )
+        merged = branches[0]
+        for b in branches[1:]:
+            merged = merged.unionByName(b, allowMissingColumns=True)
+        with _no_aqe(spark):
+            rows = merged.collect()  # ≤ files × (1 + index count) rows
+        stats_by, packed = {}, {}
         for r in rows:
             name = os.path.basename(r["__f"])
-            kind, col = r["idx"].split(":", 1)
-            m = self._BLOOM_BITS if kind == "b" else self._TBLOOM_BITS
-            key = "bloom" if kind == "b" else "tbloom"
-            packed.setdefault(name, {}).setdefault(key, {})[col] = self._bitset_hex(
-                r["ps"], m
-            )
-        return [
-            {**f, **packed[f["name"]]} if f["name"] in packed else dict(f)
-            for f in files
-        ]
+            if r["__idx"] is None:
+                stats_by[name] = {
+                    c: [self._stat_val(r[f"__lo_{c}"]), self._stat_val(r[f"__hi_{c}"])]
+                    for c in scols
+                }
+            else:
+                kind, col = r["__idx"].split(":", 1)
+                m = self._BLOOM_BITS if kind == "b" else self._TBLOOM_BITS
+                key = "bloom" if kind == "b" else "tbloom"
+                packed.setdefault(name, {}).setdefault(key, {})[col] = (
+                    self._bitset_hex(r["__ps"], m)
+                )
+        out = []
+        for f in files:
+            e = dict(f)
+            if f["name"] in stats_by:
+                e["stats"] = stats_by[f["name"]]
+            if f["name"] in packed:
+                e.update(packed[f["name"]])
+            out.append(e)
+        return out
 
     # -- table projections ---------------------------------------------------
     def _save_projections(self) -> None:
@@ -626,15 +639,23 @@ class ManifestTable:
             staging = os.path.join(self.path, f"_staging.{uuid.uuid4().hex[:12]}")
             if spec.get("kind", "sort") == "agg":
                 # aggregate projection: the part's rows pre-grouped to
-                # partial states (map-side-combinable; group-bounded)
+                # partial states (map-side-combinable; group-bounded).
+                # Stays under AQE: the post-agg partition count (hence
+                # the projection's FILE count) comes from runtime
+                # coalescing of the group-bounded output — with AQE
+                # off this wrote one near-empty file per shuffle
+                # partition (measured 5.0 -> 8.2 s on
+                # manifest_agg_projection_read before this guard).
                 writer = df.groupBy(*spec["group_by"]).agg(
                     *self._agg_partial_exprs(spec, dict(df.dtypes))
                 )
+                writer.write.mode("overwrite").parquet(staging)
             else:
                 writer = df.repartitionByRange(
                     spec["n_files"], F.col(spec["sort_col"])
                 ).sortWithinPartitions(spec["sort_col"])
-            writer.write.mode("overwrite").parquet(staging)
+                with _no_aqe(df.sparkSession):
+                    writer.write.mode("overwrite").parquet(staging)
             try:
                 for i, part in enumerate(
                     sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
@@ -668,7 +689,9 @@ class ManifestTable:
                     }
                     | set(self.stats_cols)
                 )
-                sort_out = self._attach_stats(df.sparkSession, sort_out, cols=cols)
+                sort_out = self._attach_indexes(
+                    df, sort_out, stats_cols=cols, blooms=False
+                )
             out = sort_out + agg_out
         return out
 
@@ -858,21 +881,29 @@ class ManifestTable:
     def _bucket_of(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
 
-    def _write_bucket_files(self, df: DataFrame, buckets: list[int]) -> list[dict]:
+    def _write_bucket_files(
+        self, df: DataFrame, buckets: list[int] | None
+    ) -> list[dict]:
         """One new immutable file per touched bucket. Buckets write in a
         single Spark job (repartition by bucket), then the part files are
-        renamed into content-addressed names under data/."""
+        renamed into content-addressed names under data/. ``buckets``
+        may be None (r16): the repartition width falls back to
+        ``n_buckets`` — an empty hash partition writes no file, so the
+        produced file set is identical and the caller saves the
+        touched-bucket discovery pass."""
         import glob
         import shutil
 
+        width = len(buckets) if buckets else self.n_buckets
         staging = os.path.join(self.path, f"_staging.{uuid.uuid4().hex[:12]}")
-        (
-            df.withColumn("__bucket", self._bucket_of(F.col(self.key_col)))
-            .repartition(max(len(buckets), 1), F.col("__bucket"))
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(staging)
-        )
+        with _no_aqe(df.sparkSession):
+            (
+                df.withColumn("__bucket", self._bucket_of(F.col(self.key_col)))
+                .repartition(max(width, 1), F.col("__bucket"))
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(staging)
+            )
         out = []
         try:
             for bdir in glob.glob(os.path.join(staging, "__bucket=*")):
@@ -885,21 +916,29 @@ class ManifestTable:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         # every write path funnels through here, so zone maps and bloom
-        # indexes stay attached across merge/append/compact/delete rewrites
-        return self._attach_blooms(
-            df.sparkSession, self._attach_stats(df.sparkSession, out)
-        )
+        # indexes stay attached across merge/append/compact/delete
+        # rewrites (one fused action — see _attach_indexes)
+        return self._attach_indexes(df, out)
 
-    def _write_part(self, df: DataFrame, buckets: list[int]) -> list[dict]:
+    def _write_part(self, df: DataFrame, buckets: list[int] | None) -> list[dict]:
         """One PART's files: the base bucket files plus every
         projection's alternate-sorted copy of the same rows, all tagged
         with a shared part id — the unit projection maintenance tracks
-        (a CH part carries its projections inside the part directory)."""
-        base = self._write_bucket_files(df, buckets)
+        (a CH part carries its projections inside the part directory).
+        With projections the rows are written 1 + #projections times,
+        so ``df`` is pinned for the duration (r16: the base write, each
+        projection's range-sampling pass AND its write used to
+        re-evaluate the input lineage independently)."""
         if not self.projections:
-            return base
-        pid = uuid.uuid4().hex[:12]
-        return [{**f, "part": pid} for f in base] + self._write_projection_files(df, pid)
+            return self._write_bucket_files(df, buckets)
+        df = df.persist()
+        try:
+            base = self._write_bucket_files(df, buckets)
+            pid = uuid.uuid4().hex[:12]
+            proj = self._write_projection_files(df, pid)
+        finally:
+            df.unpersist()
+        return [{**f, "part": pid} for f in base] + proj
 
     def merge_upsert(self, sort_key=("user_id", "updated_at"), arrival=("kafka_offset",)):
         """foreachBatch body: transactional last-wins MERGE.
@@ -922,7 +961,9 @@ class ManifestTable:
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             spark = batch_df.sparkSession
-            batch = dedup_redelivery(batch_df, sort_key, arrival)
+            # the deduped batch feeds BOTH the touched-bucket discovery
+            # and the merged write — pin it once (r16)
+            batch = dedup_redelivery(batch_df, sort_key, arrival).persist()
             with_bucket = batch.withColumn("__bucket", self._bucket_of(F.col(self.key_col)))
             touched = sorted(
                 r["__bucket"] for r in with_bucket.select("__bucket").distinct().collect()
@@ -941,7 +982,10 @@ class ManifestTable:
             else:
                 merged = batch
             merged = dedup_redelivery(merged, sort_key, arrival)
-            new_files = self._write_bucket_files(merged, touched)
+            try:
+                new_files = self._write_bucket_files(merged, touched)
+            finally:
+                batch.unpersist()
             self._commit(kept_files + new_files, note=f"merge batch_id={batch_id}")
 
         return _apply
@@ -963,11 +1007,12 @@ class ManifestTable:
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             batch = dedup_redelivery(batch_df, sort_key, arrival)
-            with_bucket = batch.withColumn("__bucket", self._bucket_of(F.col(self.key_col)))
-            touched = sorted(
-                r["__bucket"] for r in with_bucket.select("__bucket").distinct().collect()
-            )
-            new_files = self._write_part(batch, touched)
+            # r16: no touched-bucket discovery pass — an append never
+            # reads existing data, so which buckets a batch touches is
+            # fully decided by the write itself (empty hash partitions
+            # write no file); the old distinct().collect() was one
+            # whole extra scan+shuffle of every batch.
+            new_files = self._write_part(batch, None)
             self._commit(
                 self.current_manifest()["files"] + new_files,
                 note=f"append batch_id={batch_id}",
