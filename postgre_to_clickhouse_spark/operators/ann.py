@@ -122,12 +122,27 @@ def fit_ivf_centroids_deterministic(
             break
         cents = new
     out = [(i, [float(v) for v in c]) for i, c in enumerate(cents)]
-    return vectors.sparkSession.createDataFrame(out, "list_id int, centroid array<double>")
+    cdf = vectors.sparkSession.createDataFrame(
+        out, "list_id int, centroid array<double>"
+    )
+    # r16: the model was just built driver-side — remember the rows so
+    # downstream _centroid_rows calls (assignment expression, probe
+    # expression) don't pay a createDataFrame->collect round-trip EACH
+    # (two ~0.5 s 32-task jobs at sf0.1 for an 8-row model table).
+    # Within-query model memoization, not cross-run caching: a fresh
+    # fit builds fresh rows.
+    cdf._p2c_centroid_rows = out
+    return cdf
 
 
 def _centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
     """Materialize the centroid table (bounded: n_lists rows — a model
-    constant, not data). Sorted by list_id for a stable literal order."""
+    constant, not data). Sorted by list_id for a stable literal order.
+    A frame built by :func:`fit_ivf_centroids_deterministic` carries
+    its rows already (r16) — same values, no collect."""
+    rows = getattr(centroids, "_p2c_centroid_rows", None)
+    if rows is not None:
+        return sorted(((i, list(c)) for i, c in rows), key=lambda t: t[0])
     return sorted(
         ((r["list_id"], list(r["centroid"])) for r in centroids.collect()), key=lambda t: t[0]
     )

@@ -57,6 +57,11 @@ def shingle_rows(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     signature stage at sf0.1). Semantics identical to :func:`shingles`:
     full n-token grams, plus the single partial gram for docs shorter
     than n (concat_ws skips the null leads at pos 0)."""
+    # r16: measured and deliberately NOT spread_small_input'd — the
+    # next op is the per-id lead window (a shuffle either way), so
+    # spreading only parallelizes a ~0.3 s scan-stage explode at the
+    # cost of a whole extra shuffle (A/B at sf0.1: minhash candidates
+    # 1.4 s without vs 1.8+ s with).
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.filter(F.split(F.lower(text_col), r"\W+"), lambda t: t != "")).alias("pos", "tok"),
@@ -170,6 +175,9 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     detection = hamming distance on the signature (see
     :func:`hamming64`).
     """
+    # r16: measured and deliberately NOT spread_small_input'd — same
+    # reading as shingle_rows (the groupBy shuffles anyway; A/B 1.85 s
+    # without vs 2.4+ s with at sf0.1).
     toks = df.select(
         F.col(id_col),
         F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: t != "")).alias("tok"),

@@ -152,8 +152,27 @@ def dsir_select(
     selection key (both integer micro-nats, so the result hashes
     identically on any engine/layout).
     """
-    tgt_counts = dsir_bucket_counts(target, text_col, n_buckets, seed)
-    raw_counts = dsir_bucket_counts(raw, text_col, n_buckets, seed)
+    # r16: both distributions' bucket counts in ONE action (a tagged
+    # union of the two model-bounded groupBys — they were two driver
+    # round-trips over the same machinery; counts unchanged)
+    rows = (
+        target.select(
+            F.lit(0).alias("__side"),
+            F.explode(hashed_gram_buckets(text_col, n_buckets, seed)).alias("b"),
+        )
+        .unionByName(
+            raw.select(
+                F.lit(1).alias("__side"),
+                F.explode(hashed_gram_buckets(text_col, n_buckets, seed)).alias("b"),
+            )
+        )
+        .groupBy("__side", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    tgt_counts, raw_counts = [0] * n_buckets, [0] * n_buckets
+    for r in rows:
+        (tgt_counts if r["__side"] == 0 else raw_counts)[r["b"]] = r["c"]
     lw = _quantized_log_weights(tgt_counts, raw_counts)
 
     buckets = hashed_gram_buckets(text_col, n_buckets, seed)

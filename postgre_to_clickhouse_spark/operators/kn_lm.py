@@ -287,22 +287,32 @@ def kn_modified_trigram_model(
     t3 = triples.groupBy("a", "b", "c").agg(
         F.count(F.lit(1)).alias("c3"))
     t3 = t3.localCheckpoint(eager=True)  # 3 consumers + an agg
-    coc3 = t3.agg(*_count_classes(F.col("c3"))).collect()[0]
-    ctx2 = t3.groupBy("a", "b").agg(
-        F.sum("c3").alias("ctx"), *_fanouts(F.col("c3")))
     a2 = t3.groupBy("b", "c").agg(F.count(F.lit(1)).alias("ac"))
     a2 = a2.localCheckpoint(eager=True)  # 3 consumers + agg + count
-    coc2 = a2.agg(*_count_classes(F.col("ac"))).collect()[0]
+    # r16: both count-of-counts rows AND the continuation-vocabulary
+    # scalar in ONE action (they were three driver round-trips; the
+    # aggregates are unchanged, read from the same pinned type tables)
+    coc_rows = (
+        t3.agg(F.lit("t3").alias("__lvl"), *_count_classes(F.col("c3")),
+               F.lit(None).cast("long").alias("__u"))
+        .unionByName(
+            a2.agg(F.lit("a2").alias("__lvl"), *_count_classes(F.col("ac")),
+                   F.count(F.lit(1)).alias("__u")))
+        .collect()
+    )
+    by_lvl = {r["__lvl"]: r for r in coc_rows}
+    big_u = by_lvl["a2"]["__u"]
+    coc3 = tuple(by_lvl["t3"][f"n{k}"] for k in (1, 2, 3, 4))
+    coc2 = tuple(by_lvl["a2"][f"n{k}"] for k in (1, 2, 3, 4))
+    ctx2 = t3.groupBy("a", "b").agg(
+        F.sum("c3").alias("ctx"), *_fanouts(F.col("c3")))
     bctx = a2.groupBy("b").agg(
         F.sum("ac").alias("bctx"),
         *_fanouts(F.col("ac"), ("g1", "g2", "g3")))
     u1 = a2.groupBy("c").agg(F.count(F.lit(1)).alias("u"))
-    big_u = a2.count()
     fb = KN_FALLBACK_DISCOUNTS if discount_fallback else None
-    t_d = kn_modified_discounts(coc3["n1"], coc3["n2"],
-                                coc3["n3"], coc3["n4"], fallback=fb)
-    b_d = kn_modified_discounts(coc2["n1"], coc2["n2"],
-                                coc2["n3"], coc2["n4"], fallback=fb)
+    t_d = kn_modified_discounts(*coc3, fallback=fb)
+    b_d = kn_modified_discounts(*coc2, fallback=fb)
     model = (
         t3.join(ctx2, ["a", "b"])
         .join(a2, ["b", "c"])

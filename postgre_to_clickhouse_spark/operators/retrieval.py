@@ -94,6 +94,10 @@ def bm25_scores(
     # bm25 — a top-level import would be circular
     from postgre_to_clickhouse_spark.queries.registry import dsum
 
+    # r16: measured and deliberately NOT spread_small_input'd — the
+    # plain tokenize+explode is cheap enough that the extra round-robin
+    # shuffle cost more than the parallelism bought (A/B at sf0.1:
+    # 1.95 s with vs 1.6 s without).
     toks = docs.select(id_col, tokenize(text_col).alias("__tk"))
     lens = toks.select(id_col, F.size("__tk").alias("__dl"))
     # global stats: one scalar row, broadcast into the scoring join

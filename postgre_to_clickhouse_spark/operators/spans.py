@@ -58,6 +58,11 @@ def positioned_grams(
     — the source-overlap audit needs the gram stream keyed by source
     without a second doc-keyed join).
     """
+    # r16: measured and deliberately NOT spread_small_input'd — the
+    # per-id lead window shuffles right after the explode anyway, so
+    # the extra round-robin shuffle cost more than the parallel
+    # explode bought (A/B with the bench's forced evaluation at sf0.1:
+    # dup_span_coverage 1.04 s without vs 1.69 s with).
     toks = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
