@@ -2369,13 +2369,12 @@ class ChDdlCatalog:
             else:
                 t.append_parts(sort_key=key, arrival=key)(batch, batch_id)
                 return t.current_version()
-        with_bucket = batch.withColumn(
-            "__bucket", t._bucket_of(F.col(t.key_col)))
-        touched = sorted(
-            r["__bucket"]
-            for r in with_bucket.select("__bucket").distinct().collect()
-        )
-        new_files = t._write_part(batch, touched)
+        # r16: no touched-bucket discovery pass — an INSERT never reads
+        # existing data, so which buckets the batch lands in is decided
+        # by the hash write itself (empty partitions write no file),
+        # exactly the append_parts funnel. One scan+shuffle per insert
+        # deleted; the produced file set is identical.
+        new_files = t._write_part(batch, None)
         t._commit(
             t.current_manifest()["files"] + new_files,
             note=f"append batch_id={batch_id}",

@@ -345,7 +345,15 @@ def kn_modified_trigram_scores(
     integer micro-nat sums, order-independent. Docs with fewer than
     three tokens drop out; every scored trigram is in the model by
     construction, so the attach join is total."""
-    triples = _trigram_triples(df, text_col, id_col)
+    # r16: the trigram explode is a HEAVY map (~1000 output rows per
+    # doc) evaluated twice (type counts + the attach probe); on a
+    # single-file fixture both ran as ONE task (0.76 s + 0.81 s jobs).
+    # Spreading the doc rows first is an identity at real scale
+    # (many-split inputs) and costs one tiny text shuffle here.
+    from postgre_to_clickhouse_spark.operators.sampling import spread_small_input
+
+    docs = spread_small_input(df.select(id_col, text_col))
+    triples = _trigram_triples(docs, text_col, id_col)
     model, _stats = kn_modified_trigram_model(triples, discount_fallback)
     scored = triples.join(model.select("a", "b", "c", "lp_q"),
                           ["a", "b", "c"])
@@ -370,7 +378,12 @@ def kneser_ney_bigram_scores(
     Docs with fewer than two tokens have no bigrams and drop out (the
     `bigram_lm_scores` contract). Every scored bigram is in the model
     by construction, so the attach join is total."""
-    pairs = _bigram_pairs(df, text_col, id_col)
+    # r16: same single-task heavy-explode reading as the trigram
+    # scorer — spread is an identity on many-split real inputs.
+    from postgre_to_clickhouse_spark.operators.sampling import spread_small_input
+
+    docs = spread_small_input(df.select(id_col, text_col))
+    pairs = _bigram_pairs(docs, text_col, id_col)
     model, _nbi = kn_bigram_model(pairs, discount)
     scored = pairs.join(model.select("a", "b", "lp_q"), ["a", "b"])
     return scored.groupBy(id_col).agg(

@@ -215,6 +215,12 @@ def bigram_lm_scores(
     FROM the bigram table (never rescan); V is a one-row broadcast.
     Docs with fewer than two tokens have no bigrams and drop out.
     """
+    # r16: measured and deliberately NOT spread_small_input'd — the
+    # three ~0.65 s single-task explode maps looked like the KN-scorer
+    # shape, but two alternating same-session A/Bs came out a WASH
+    # (first favored spread by ~0.1 s, second favored no-spread by
+    # ~0.3 s): the bigram explode is light enough that the extra text
+    # exchange buys back what the parallelism saves.
     toks = F.filter(F.split(F.lower(text_col), r"[^a-z0-9]+"), lambda t: t != "")
     pairs = df.select(
         F.col(id_col),

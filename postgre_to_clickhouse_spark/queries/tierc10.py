@@ -125,6 +125,11 @@ def quality_classifier_score(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
+    # r16: spreading the raw side before the map-only scoring pass was
+    # A/B-measured a WASH (OFF 2.17-2.46 s vs ON 2.26-2.65 s warm,
+    # alternating same-session): the 1.07 s single-task score map is
+    # bought back by the text exchange + extra stage it costs. Left
+    # unspread; the zero-exchange scoring plan gate stays literal.
     out = quality_classifier_select(
         d,
         d.filter(F.col("source").isin(*_QCLF_POS)),
@@ -574,6 +579,10 @@ def ccnet_pipeline_documents(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
+    # r16: a head spread was A/B-measured at 3.15-3.84 s vs 2.60-3.31 s
+    # WITHOUT it (alternating, same session) — the head maps are cheap
+    # per row and the line-dedup shuffle re-distributes right after, so
+    # the extra exchange only costs (the batch-3 spread rule).
     lined = d.select(
         "doc_id",
         F.regexp_replace("text", r" (batch|join) ", "\n").alias("t"),

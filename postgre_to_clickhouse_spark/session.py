@@ -79,6 +79,32 @@ def no_aqe(spark: SparkSession):
         spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
+@contextmanager
+def micro_shape(spark: SparkSession, width: int | None = None):
+    """Run one micro-batch-bounded ACTION non-adaptively at a narrow,
+    cluster-derived shuffle width (r16 optimization). The MV sinks'
+    partial-state appends shuffle state rows bounded by the GROUPS a
+    batch touches — kilobytes — yet each exchange under AQE costs a
+    stage-submission job (~50-100 ms of driver gap apiece), and under
+    plain no_aqe costs ``shuffle.partitions`` near-empty tasks (the
+    measured 3.2 -> 5.9 s regression recorded in agg_mv.apply_batch).
+    Pinning BOTH — AQE off and width max(2, defaultParallelism/8) —
+    takes one planning round AND a task count matched to the state's
+    size. Width scales with the cluster, not a local constant; at any
+    scale the shuffled bytes stay batch-group-bounded by construction."""
+    if width is None:
+        width = max(2, spark.sparkContext.defaultParallelism // 8)
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (driver-owned or ours)."""
     for k, v in _RUNTIME_CONF.items():

@@ -92,13 +92,19 @@ class AggregateMV:
             return False
         staging = os.path.join(self.path, f"_staging.{uuid.uuid4().hex[:12]}")
         try:
-            # r16: measured and deliberately NOT wrapped in
-            # session.no_aqe — the state partials shuffle so few bytes
-            # that AQE's runtime coalescing (1-2 reduce tasks) beats
-            # the extra stage-job planning it costs; with AQE off the
-            # fixed 32-partition exchanges regressed
-            # topk_mv_incremental 3.2 -> 5.9 s at sf0.1.
-            self._partial(batch_df).coalesce(1).write.mode("overwrite").parquet(staging)
+            # r16: plain session.no_aqe regressed here (AQE's 1-2
+            # coalesced reduce tasks beat 32 fixed ones: topk_mv 3.2 ->
+            # 5.9 s at sf0.1), but micro_shape — AQE off AND the width
+            # pinned to a cluster-derived handful — beats both: one
+            # planning round per append instead of one per exchange,
+            # with a task count matched to the batch-group-bounded
+            # state bytes.
+            from postgre_to_clickhouse_spark.session import micro_shape
+
+            with micro_shape(batch_df.sparkSession):
+                self._partial(batch_df).coalesce(1).write.mode("overwrite").parquet(
+                    staging
+                )
             os.replace(staging, final_dir)  # atomic publish
         finally:
             shutil.rmtree(staging, ignore_errors=True)
@@ -160,7 +166,10 @@ class AggregateMV:
             return len(parts)
         merged = self._merge(spark.read.parquet(*parts))
         staging = os.path.join(self.path, f"_staging.{uuid.uuid4().hex[:12]}")
-        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        from postgre_to_clickhouse_spark.session import micro_shape
+
+        with micro_shape(spark):  # same batch-bounded shape as apply_batch
+            merged.coalesce(1).write.mode("overwrite").parquet(staging)
         # The folded part carries the list of inputs it replaces
         # (underscore-prefixed so Spark's reader ignores it); readers
         # exclude replaced inputs, so the single atomic rename below is
