@@ -106,8 +106,13 @@ def minhash_signatures(
     # (hashpartitioning on the id), leaving ONE corpus-proportional
     # exchange in the whole signature stage.
     sh_rows = grams if grams is not None else shingle_rows(df, text_col, id_col, n_shingle)
+    # r16: aggregates as SQL expression strings (one parser round each)
+    # — the int literal seed column parses to the same IntegerType
+    # literal F.lit produced, so hashes are bit-identical; only the
+    # ~4·num_hashes py4j construction calls go away (the simhash
+    # rewrite's measured pattern).
     return sh_rows.groupBy(id_col).agg(
-        *[F.min(F.xxhash64("g", F.lit(seed + i))).alias(f"mh{i}") for i in range(num_hashes)]
+        *[F.expr(f"min(xxhash64(g, {seed + i})) AS mh{i}") for i in range(num_hashes)]
     )
 
 
@@ -183,20 +188,29 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         F.explode(F.filter(F.split(F.lower(F.col(text_col)), r"\W+"), lambda t: t != "")).alias("tok"),
     ).select(id_col, F.xxhash64("tok").alias("h"))
 
-    def _bit(i: int):  # bit 63 = sign bit: 1<<63 overflows a py4j long literal
-        return F.lit(1 << i if i < 63 else -(2**63)).cast("long")
+    # r16: the 64 per-bit aggregates and the 64-term signature fold are
+    # built as SQL expression STRINGS (one parser round each) instead of
+    # ~700 py4j Column calls — construction of this frame dropped
+    # 1.6-2.9 s -> 0.2-0.4 s with bit-identical signatures (the parsed
+    # tree is the same arithmetic; a DRIVER-side cost, not a plan
+    # change). Bit 63 is the sign bit: 1<<63 overflows a long literal
+    # in SQL exactly as in py4j, so it rides in as the casted min-long.
+    def _bitlit(i: int) -> str:
+        return f"{1 << i}L" if i < 63 else "CAST(-9223372036854775808 AS BIGINT)"
 
     # bit i contribution: +1 if set, -1 otherwise
     agg = toks.groupBy(id_col).agg(
         *[
-            F.sum(F.when(F.col("h").bitwiseAND(_bit(i)) != 0, 1).otherwise(-1)).alias(f"s{i}")
+            F.expr(
+                f"sum(CASE WHEN (h & {_bitlit(i)}) != 0 THEN 1 ELSE -1 END) AS s{i}"
+            )
             for i in range(bits)
         ]
     )
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig + F.when(F.col(f"s{i}") > 0, _bit(i)).otherwise(F.lit(0).cast("long"))
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    terms = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {_bitlit(i)} ELSE 0L END)" for i in range(bits)
+    )
+    return agg.select(F.col(id_col), F.expr(f"({terms}) AS simhash"))
 
 
 def hamming64(a: Column | str, b: Column | str) -> Column:

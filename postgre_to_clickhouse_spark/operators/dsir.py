@@ -154,14 +154,21 @@ def dsir_select(
     """
     # r16: both distributions' bucket counts in ONE action (a tagged
     # union of the two model-bounded groupBys — they were two driver
-    # round-trips over the same machinery; counts unchanged)
+    # round-trips over the same machinery; counts unchanged). The md5
+    # gram hashing is a HEAVY map (1.12 s single-task on the 1-split
+    # fixture), so both sides spread first — identity at real scale
+    # (the KN-scorer pattern; the groupBy it feeds is model-bounded,
+    # not corpus-bounded, so no corpus shuffle is added).
+    from postgre_to_clickhouse_spark.operators.sampling import spread_small_input
+
     rows = (
-        target.select(
+        spread_small_input(target.select(text_col))
+        .select(
             F.lit(0).alias("__side"),
             F.explode(hashed_gram_buckets(text_col, n_buckets, seed)).alias("b"),
         )
         .unionByName(
-            raw.select(
+            spread_small_input(raw.select(text_col)).select(
                 F.lit(1).alias("__side"),
                 F.explode(hashed_gram_buckets(text_col, n_buckets, seed)).alias("b"),
             )

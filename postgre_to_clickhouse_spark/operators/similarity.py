@@ -41,6 +41,19 @@ def _dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
     ``zip_with``/``aggregate`` lambdas are interpreted per element with
     boxing. ~5-10× faster in dot-product-bound stages; use whenever the
     embedding dimension is known (it always is in a real pipeline)."""
+    # r16: for NAME inputs the flat sum is built as ONE SQL expression
+    # string (a single parser round) instead of ~4·dim py4j Column
+    # calls — the parsed tree is the identical left-associated chain of
+    # CAST/multiply/add nodes, so values are bit-equal; only the
+    # DRIVER-side construction cost changes (measured with simhash's
+    # analogous rewrite: 1.6-2.9 s -> 0.2-0.4 s per build).
+    if isinstance(a, str) and isinstance(b, str):
+        t = " + ".join(
+            f"(CAST(element_at(`{a}`, {i}) AS DOUBLE)"
+            f" * CAST(element_at(`{b}`, {i}) AS DOUBLE))"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(t)
     acc = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
     for i in range(2, dim + 1):
         acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
@@ -48,6 +61,13 @@ def _dot_unrolled(a: Column | str, b: Column | str, dim: int) -> Column:
 
 
 def _norm_unrolled(a: Column | str, dim: int) -> Column:
+    if isinstance(a, str):  # r16: same single-parse construction as _dot_unrolled
+        t = " + ".join(
+            f"(CAST(element_at(`{a}`, {i}) AS DOUBLE)"
+            f" * CAST(element_at(`{a}`, {i}) AS DOUBLE))"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(f"sqrt({t})")
     x = F.element_at(a, 1).cast("double")
     acc = x * x
     for i in range(2, dim + 1):
