@@ -40,6 +40,11 @@ _PARTS = "parts"
 class AggregateMV:
     """Keyed sum/count/min/max/avg view over a value column."""
 
+    # r16: subclasses whose _partial needs runtime join planning (TopK's
+    # kept-join-dropped) keep AQE for the append; join-free partials run
+    # under session.micro_shape (see apply_batch).
+    _adaptive_partial = False
+
     def __init__(self, path: str, keys: tuple[str, ...], value_col: str, scale: int = 2):
         self.path = path
         self.keys = list(keys)
@@ -95,16 +100,28 @@ class AggregateMV:
             # r16: plain session.no_aqe regressed here (AQE's 1-2
             # coalesced reduce tasks beat 32 fixed ones: topk_mv 3.2 ->
             # 5.9 s at sf0.1), but micro_shape — AQE off AND the width
-            # pinned to a cluster-derived handful — beats both: one
-            # planning round per append instead of one per exchange,
-            # with a task count matched to the batch-group-bounded
-            # state bytes.
-            from postgre_to_clickhouse_spark.session import micro_shape
+            # pinned to a cluster-derived handful — beats both for the
+            # JOIN-FREE partials: one planning round per append instead
+            # of one per exchange, with a task count matched to the
+            # batch-group-bounded state bytes (alternating A/B warm
+            # minima: quantile 2.57 vs 3.29, agg 1.84 vs 1.96, uniq
+            # 1.32 vs 1.44). TopKMV opts out via _adaptive_partial: its
+            # partial contains the kept⋈dropped join, and without AQE's
+            # runtime join planning the closing record regressed
+            # 3.76 -> 4.35 s while the others improved.
+            write = lambda: (  # noqa: E731 - two-branch write body
+                self._partial(batch_df)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            if self._adaptive_partial:
+                write()
+            else:
+                from postgre_to_clickhouse_spark.session import micro_shape
 
-            with micro_shape(batch_df.sparkSession):
-                self._partial(batch_df).coalesce(1).write.mode("overwrite").parquet(
-                    staging
-                )
+                with micro_shape(batch_df.sparkSession):
+                    write()
             os.replace(staging, final_dir)  # atomic publish
         finally:
             shutil.rmtree(staging, ignore_errors=True)
@@ -166,10 +183,13 @@ class AggregateMV:
             return len(parts)
         merged = self._merge(spark.read.parquet(*parts))
         staging = os.path.join(self.path, f"_staging.{uuid.uuid4().hex[:12]}")
-        from postgre_to_clickhouse_spark.session import micro_shape
-
-        with micro_shape(spark):  # same batch-bounded shape as apply_batch
+        if self._adaptive_partial:  # join-bearing merge keeps AQE too
             merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        else:
+            from postgre_to_clickhouse_spark.session import micro_shape
+
+            with micro_shape(spark):  # same batch-bounded shape as apply_batch
+                merged.coalesce(1).write.mode("overwrite").parquet(staging)
         # The folded part carries the list of inputs it replaces
         # (underscore-prefixed so Spark's reader ignores it); readers
         # exclude replaced inputs, so the single atomic rename below is
@@ -342,6 +362,8 @@ class TopKMV(AggregateMV):
 
     Scale: state is groups × capacity rows regardless of history;
     ingest is one partial-agg + per-group top-capacity per batch."""
+
+    _adaptive_partial = True  # the kept/dropped join wants AQE (see apply_batch)
 
     def __init__(self, path: str, keys: tuple[str, ...], value_col: str, capacity: int = 4096):
         super().__init__(path, keys, value_col)
