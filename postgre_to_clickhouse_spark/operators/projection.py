@@ -47,8 +47,25 @@ def project_expr(vec_col: str | Column, out_dim: int, in_dim: int, seed: str = "
     bit-reproducible with the oracle's list_sum. Sequential left fold
     per output dim (same evaluation order as the DuckDB oracle's
     ``list_sum(list_transform(list_zip(...)))``)."""
-    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    mat = F.array(*[F.lit(row) for row in sign_matrix(out_dim, in_dim, seed)])
+    m = sign_matrix(out_dim, in_dim, seed)
+    if isinstance(vec_col, str):
+        # r16: the whole matrix-fold as ONE SQL expression string — the
+        # out_dim F.lit(list) py4j conversions plus the three
+        # higher-order lambdas cost ~0.7 s of driver construction per
+        # build; the parsed tree is the identical transform/aggregate/
+        # zip_with chain with the same double literals and the same
+        # left-fold order, so values are bit-equal (the batch-5
+        # expr-string pattern).
+        rows = ", ".join(
+            "array(" + ", ".join(f"{x:.1f}D" for x in row) + ")" for row in m
+        )
+        return F.expr(
+            f"transform(array({rows}), s -> aggregate("
+            f"zip_with(`{vec_col}`, s, (a, b) -> CAST(a AS DOUBLE) * b), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+        )
+    vec = vec_col
+    mat = F.array(*[F.lit(row) for row in m])
     return F.transform(
         mat,
         lambda s: F.aggregate(
