@@ -40,10 +40,13 @@ _PARTS = "parts"
 class AggregateMV:
     """Keyed sum/count/min/max/avg view over a value column."""
 
-    # r16: subclasses whose _partial needs runtime join planning (TopK's
-    # kept-join-dropped) keep AQE for the append; join-free partials run
-    # under session.micro_shape (see apply_batch).
+    # r16: a subclass whose _partial/_merge needs runtime JOIN planning
+    # keeps AQE for that action; join-free shapes run under
+    # session.micro_shape (see apply_batch/compact). After the
+    # NULL-skipping fold removed TopK's partial join, only its _merge
+    # (the items⋈group-total join) still wants AQE.
     _adaptive_partial = False
+    _adaptive_merge = False
 
     def __init__(self, path: str, keys: tuple[str, ...], value_col: str, scale: int = 2):
         self.path = path
@@ -105,10 +108,12 @@ class AggregateMV:
             # of one per exchange, with a task count matched to the
             # batch-group-bounded state bytes (alternating A/B warm
             # minima: quantile 2.57 vs 3.29, agg 1.84 vs 1.96, uniq
-            # 1.32 vs 1.44). TopKMV opts out via _adaptive_partial: its
-            # partial contains the kept⋈dropped join, and without AQE's
-            # runtime join planning the closing record regressed
-            # 3.76 -> 4.35 s while the others improved.
+            # 1.32 vs 1.44). _adaptive_partial opts a join-bearing
+            # partial out: when TopK's partial carried the kept⋈dropped
+            # join, micro_shape regressed its closing record 3.76 ->
+            # 4.35 s while the join-free MVs improved; the fold below
+            # (one-aggregation kept/dropped) removed that join, and the
+            # A/B re-ran in TopK's favor before re-enabling.
             write = lambda: (  # noqa: E731 - two-branch write body
                 self._partial(batch_df)
                 .coalesce(1)
@@ -183,7 +188,7 @@ class AggregateMV:
             return len(parts)
         merged = self._merge(spark.read.parquet(*parts))
         staging = os.path.join(self.path, f"_staging.{uuid.uuid4().hex[:12]}")
-        if self._adaptive_partial:  # join-bearing merge keeps AQE too
+        if self._adaptive_merge:  # join-bearing merge keeps AQE
             merged.coalesce(1).write.mode("overwrite").parquet(staging)
         else:
             from postgre_to_clickhouse_spark.session import micro_shape
@@ -363,7 +368,7 @@ class TopKMV(AggregateMV):
     Scale: state is groups × capacity rows regardless of history;
     ingest is one partial-agg + per-group top-capacity per batch."""
 
-    _adaptive_partial = True  # the kept/dropped join wants AQE (see apply_batch)
+    _adaptive_merge = True  # _merge's items⋈group-total join wants AQE
 
     def __init__(self, path: str, keys: tuple[str, ...], value_col: str, capacity: int = 4096):
         super().__init__(path, keys, value_col)
@@ -379,26 +384,22 @@ class TopKMV(AggregateMV):
             F.col("ub").desc(), F.col(self.value_col).asc()
         )
         ranked = counts.withColumn("__r", F.row_number().over(w))
-        kept = ranked.filter(F.col("__r") <= self.capacity)
-        dropped = (
-            ranked.filter(F.col("__r") > self.capacity)
-            .groupBy(*self.keys)
-            .agg(F.max("ub").alias("s_d"))
+        # r16: kept list and dropped floor in ONE aggregation — aggregate
+        # functions skip NULLs, so the conditional struct/ub collapse the
+        # old kept/dropped split (two groupBys + a left join) into a
+        # single pass with bit-identical state: same kept set (sort_array
+        # normalizes), same max-dropped floor, 0 when nothing dropped.
+        kept_item = F.when(
+            F.col("__r") <= self.capacity,
+            F.struct(
+                F.col(self.value_col).cast("string").alias("item"),
+                F.col("ub").alias("ub"),
+            ),
         )
-        return (
-            kept.groupBy(*self.keys)
-            .agg(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            F.col(self.value_col).cast("string").alias("item"),
-                            F.col("ub").alias("ub"),
-                        )
-                    )
-                ).alias("s_tk")
-            )
-            .join(dropped, list(self.keys), "left")
-            .withColumn("s_d", F.coalesce("s_d", F.lit(0)).cast("long"))
+        dropped_ub = F.when(F.col("__r") > self.capacity, F.col("ub"))
+        return ranked.groupBy(*self.keys).agg(
+            F.sort_array(F.collect_list(kept_item)).alias("s_tk"),
+            F.coalesce(F.max(dropped_ub), F.lit(0)).cast("long").alias("s_d"),
         )
 
     def _merge(self, states: DataFrame) -> DataFrame:
@@ -416,36 +417,32 @@ class TopKMV(AggregateMV):
             items.groupBy(*self.keys, "item")
             .agg(F.sum("adj").alias("adj"))
             .join(gd, list(self.keys))
-            .select(*self.keys, "item", (F.col("__D") + F.col("adj")).alias("ub"))
+            .select(
+                *self.keys,
+                "item",
+                (F.col("__D") + F.col("adj")).alias("ub"),
+                "__D",  # group-constant; rides to the final agg so the
+                # old kept⋈gd re-join is unnecessary (r16)
+            )
         )
         w = Window.partitionBy(*self.keys).orderBy(
             F.col("ub").desc(), F.col("item").asc()
         )
         ranked = merged.withColumn("__r", F.row_number().over(w))
-        kept = (
-            ranked.filter(F.col("__r") <= self.capacity)
-            .groupBy(*self.keys)
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("item"), F.col("ub")))
-                ).alias("s_tk")
-            )
+        # r16: kept list, eviction floor and __D in ONE aggregation (the
+        # same NULL-skipping fold as _partial) — deletes two groupBys and
+        # two joins per merge with bit-identical state.
+        kept_item = F.when(
+            F.col("__r") <= self.capacity, F.struct(F.col("item"), F.col("ub"))
         )
-        evicted = (
-            ranked.filter(F.col("__r") > self.capacity)
-            .groupBy(*self.keys)
-            .agg(F.max("ub").alias("__evict"))
-        )
-        return (
-            kept.join(gd, list(self.keys))
-            .join(evicted, list(self.keys), "left")
-            .withColumn(
-                "s_d",
-                F.greatest(F.col("__D"), F.coalesce("__evict", F.lit(0))).cast(
-                    "long"
-                ),
+        evicted_ub = F.when(F.col("__r") > self.capacity, F.col("ub"))
+        return ranked.groupBy(*self.keys).agg(
+            F.sort_array(F.collect_list(kept_item)).alias("s_tk"),
+            F.greatest(
+                F.max("__D"), F.coalesce(F.max(evicted_ub), F.lit(0))
             )
-            .select(*self.keys, "s_tk", "s_d")
+            .cast("long")
+            .alias("s_d"),
         )
 
     def read_final(self, spark: SparkSession, k: int = 10) -> DataFrame:
