@@ -461,7 +461,33 @@ OUTLIER_S = 2.0
 # one-round raw-time step-down for those queries is methodology, not
 # code. Compare per-query times across rounds only after dividing by
 # env_factor.
-CALIB_R6_RECORDED = {
+# r17 (VERDICT r16 #2): the r16 optimization round sped up two calib
+# members (minhash_near_dup_candidates: expr-string construction;
+# vector_ivf_topk: centroid memo), so the r6-recorded constants no
+# longer measured the ENVIRONMENT alone — env_factor conflated machine
+# speed with code improvements. All seven constants are therefore
+# RE-PINNED at r17 HEAD (commit 6dda7ba's code for these queries; none
+# of the seven is touched by r17) from a dedicated quiet-machine
+# session: per-query MEDIAN of three warm passes after one cold pass —
+# the same warm steady state the bench's start passes converge to.
+# Consequences: (a) env_factor values from r17 on are on a NEW scale
+# (≈ median_start / 8.867; a machine matching the r17 pinning session
+# reads ~1.0-1.3 because median_start still carries one semi-cold
+# pass), and are NOT numerically comparable to the r6-scale factors in
+# BENCH_r07..r16 (those divided by 33.157 of r6-era single-shot
+# times); (b) within-r17-and-later comparisons are clean again — the
+# set's code is frozen as of this pinning. The r6 constants are kept
+# below for reading historical records.
+CALIB_R17_RECORDED = {
+    "q1_pricing_summary": 0.505,
+    "q9_product_profit": 1.184,
+    "q13_customer_distribution": 0.674,
+    "vector_ivf_topk": 1.923,
+    "minhash_near_dup_candidates": 1.677,
+    "bm25_topk": 2.308,
+    "sessionize_events": 0.596,
+}
+CALIB_R6_RECORDED = {  # historical — superseded by CALIB_R17_RECORDED
     "q1_pricing_summary": 1.906,
     "q9_product_profit": 9.688,
     "q13_customer_distribution": 4.819,
@@ -504,7 +530,7 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     def calib_pass() -> float:
-        return round(sum(run_once(n) for n in CALIB_R6_RECORDED), 3)
+        return round(sum(run_once(n) for n in CALIB_R17_RECORDED), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     calib_start: list[float] = []
@@ -541,6 +567,17 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # r17 (VERDICT r16 #1): the scaling contract, verifiable from
+        # the record — the master string actually used, the env var as
+        # read, and the session's REAL parallelism. A low-core driver
+        # re-run can now prove the core count was honored instead of
+        # inferring it from flat ratios (at sf0.1 the bench is
+        # substantially driver-bound, so 8-vs-32-core ratios near 1.0
+        # are expected for most queries — see SCALE.md r17 for the
+        # compute-bound counter-proof at sf1.0).
+        "master": spark.sparkContext.master,
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
     }
     # same-machine calibration (r11 protocol — see the CALIB comment):
     # median of three session-start passes over the pinned set, plus
@@ -548,18 +585,18 @@ def main() -> None:
     if sf == "0.1":
         calib_end = calib_pass()
         med = sorted(calib_start)[len(calib_start) // 2]
-        calib_ref = round(sum(CALIB_R6_RECORDED.values()), 3)
+        calib_ref = round(sum(CALIB_R17_RECORDED.values()), 3)
         drift = round(calib_end / med, 3) if med else None
         flagged = bool(drift and not 0.8 <= drift <= 1.2)
         out["calib"] = {
             "start_pass_totals": calib_start,
             "end_pass_total": calib_end,
             "median_start": med,
-            "set_r6_recorded": calib_ref,
+            "set_r17_recorded": calib_ref,  # r17 re-pin — see CALIB note
             "env_factor": round(med / calib_ref, 3) if calib_ref else None,
             "start_end_drift": drift,
             "flagged": flagged,
-            "warms": sorted(CALIB_R6_RECORDED),
+            "warms": sorted(CALIB_R17_RECORDED),
         }
         # r12 (VERDICT r11 #1/#2): a flagged session self-heals by
         # RETRYING once instead of shipping unnormalizable numbers —

@@ -20,10 +20,23 @@ itself is pyspark.ml (seeded, deterministic).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from postgre_to_clickhouse_spark.operators.similarity import _norm, cosine_similarity
+
+# r17 (ADVICE r16): within-query centroid-row memo, keyed WEAKLY by the
+# exact DataFrame object the fit returned — a module-level map instead
+# of a monkey-attribute on the DataFrame (which any transformation,
+# checkpoint or serialization silently drops, and which Connect-style
+# proxies may not carry). Lifetime equals the frame object's: a fresh
+# fit builds fresh rows, a transformed frame is a MISS (falls back to
+# the collect, which returns the same values) — never cross-run caching.
+_CENTROID_ROWS: "weakref.WeakKeyDictionary[DataFrame, list]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _to_ml_vector(df: DataFrame, vec_col: str, out: str = "__mlvec") -> DataFrame:
@@ -130,8 +143,8 @@ def fit_ivf_centroids_deterministic(
     # expression) don't pay a createDataFrame->collect round-trip EACH
     # (two ~0.5 s 32-task jobs at sf0.1 for an 8-row model table).
     # Within-query model memoization, not cross-run caching: a fresh
-    # fit builds fresh rows.
-    cdf._p2c_centroid_rows = out
+    # fit builds fresh rows (weak-keyed map — see _CENTROID_ROWS).
+    _CENTROID_ROWS[cdf] = out
     return cdf
 
 
@@ -139,8 +152,12 @@ def _centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
     """Materialize the centroid table (bounded: n_lists rows — a model
     constant, not data). Sorted by list_id for a stable literal order.
     A frame built by :func:`fit_ivf_centroids_deterministic` carries
-    its rows already (r16) — same values, no collect."""
-    rows = getattr(centroids, "_p2c_centroid_rows", None)
+    its rows already (r16; r17: weak-keyed module map) — same values,
+    no collect."""
+    try:
+        rows = _CENTROID_ROWS.get(centroids)
+    except TypeError:  # unhashable/proxy frame — fall back to collect
+        rows = None
     if rows is not None:
         return sorted(((i, list(c)) for i, c in rows), key=lambda t: t[0])
     return sorted(

@@ -56,6 +56,17 @@ def project_expr(vec_col: str | Column, out_dim: int, in_dim: int, seed: str = "
         # zip_with chain with the same double literals and the same
         # left-fold order, so values are bit-equal (the batch-5
         # expr-string pattern).
+        # the {x:.1f} rendering is exact ONLY because sign_matrix
+        # returns exactly ±1.0 — guard it so a future generator change
+        # (e.g. Gaussian entries) fails loudly instead of silently
+        # rounding this branch to one decimal while the Column branch
+        # below stays full-precision (r17, ADVICE r16)
+        if any(x not in (1.0, -1.0) for row in m for x in row):
+            raise AssertionError(
+                "project_expr's SQL-string branch assumes a ±1.0 sign "
+                "matrix; got non-sign entries — render with full "
+                "precision (repr) before relaxing this"
+            )
         rows = ", ".join(
             "array(" + ", ".join(f"{x:.1f}D" for x in row) + ")" for row in m
         )
