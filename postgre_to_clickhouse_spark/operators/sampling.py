@@ -325,23 +325,39 @@ def compute_parallelism(df: DataFrame) -> int:
     serializes onto as many cores. Flooring at ``defaultParallelism``
     is scale-adaptive: at cluster scale inputs arrive many-split and
     the floor never binds (r16 optimization, measured in
-    OPTIMIZATION_r16.md)."""
+    OPTIMIZATION_r16.md).
+
+    DRIVER COST NOTE (r17, ADVICE r16): ``df.rdd.getNumPartitions()``
+    physically plans the whole subtree — call this on cheap frames
+    (scans, checkpointed frames), not per loop round on a join tree;
+    iterative callers should derive the width once and pass it through
+    (see :func:`spread_small_input`'s ``with_width`` and
+    :func:`global_dense_rank`'s ``min_partitions``)."""
     sc = df.sparkSession.sparkContext
     return max(sc.defaultParallelism, df.rdd.getNumPartitions())
 
 
-def spread_small_input(df: DataFrame) -> DataFrame:
+def spread_small_input(df: DataFrame, with_width: bool = False):
     """Round-robin ``df`` across the cores IFF its scan provides fewer
     splits than the cluster has cores — the guard that lets a
     compute-heavy map stage (per-character explode, candidate probe
     fan-out) parallelize on a single-file fixture input WITHOUT adding
     a corpus shuffle at real scale, where inputs are many-split and
     this is an identity. Row placement only; every value is unchanged
-    (r16 optimization)."""
+    (r16 optimization).
+
+    ``with_width=True`` returns ``(df, width)`` where ``width`` is the
+    spread frame's partition count — already known from the one
+    ``getNumPartitions`` call this function makes, so callers that
+    need a downstream stage width (e.g. the seed rank) stop re-planning
+    the derived subtree just to re-learn it (r17, ADVICE r16: every
+    ``df.rdd.getNumPartitions()`` plans the full subtree)."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
-        return df
-    return df.repartition(sc.defaultParallelism)
+    n_in = df.rdd.getNumPartitions()
+    width = max(sc.defaultParallelism, n_in)
+    if n_in < sc.defaultParallelism:
+        df = df.repartition(width)
+    return (df, width) if with_width else df
 
 
 def global_rank(
@@ -422,6 +438,7 @@ def global_dense_rank(
     partitions: int | None = None,
     with_stats: bool = False,
     pin_input: bool = False,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Exact 1-based global DENSE rank (equal keys share one rank,
     ranks are 1..#distinct with no gaps) over a key ordering, without
@@ -454,11 +471,17 @@ def global_dense_rank(
     and the shuffle map pass each execute the input subtree, so a
     non-trivial child (the doubling round's self-join) otherwise runs
     TWICE per rank (r16 optimization — measured ~1 s/round at sf0.1).
-    Leave False when the input is a cheap scan."""
+    Leave False when the input is a cheap scan.
+
+    ``min_partitions`` floors the derived width (the
+    :func:`compute_parallelism` floor) — with ``pin_input`` the count
+    is read from the CHECKPOINTED RDD, so iterative callers stop
+    paying a full physical-planning pass of the un-pinned subtree per
+    round just to learn its width (r17, ADVICE r16)."""
     if pin_input:
         df = df.localCheckpoint()
     if partitions is None:
-        partitions = max(1, df.rdd.getNumPartitions())
+        partitions = max(min_partitions or 1, 1, df.rdd.getNumPartitions())
     names = list(key_cols)
     out_fields = df.schema.fields
     schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)

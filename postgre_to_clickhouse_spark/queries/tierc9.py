@@ -65,7 +65,7 @@ def exact_substr_spans(spark, sf_dir):
     covered by any 40-char substring occurring >= 2 times anywhere in
     the corpus — within- and cross-document, exactly the semantics of
     the paper's concatenated-corpus suffix array. Filter-then-verify,
-    both stages exact: duplicated seed-window flags at every stride-8
+    both stages exact: duplicated seed-window flags at every stride-w
     offset are a PROVEN necessary condition (per-doc window leads, no
     self-joins), and candidates verify by grouping their LITERAL
     L-grams — so unlike the MinHash/SimHash families and the shipped
