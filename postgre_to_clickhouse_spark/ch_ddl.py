@@ -2407,22 +2407,44 @@ class ChDdlCatalog:
             # conform projection (a metadata-only plan node — parts
             # are physically untouched, like CH)
             return spec.read_conform(df) if spec.aliases else df
+        import json as _json
+
         m = t.current_manifest()
         base = [f for f in m["files"] if not f.get("proj")]
         if not base:
             return spark.createDataFrame([], spec.schema)
+        # r17: the manifest records each file's written schema (see
+        # ManifestTable._register_schema), so the per-part grouping
+        # resolves from MANIFEST metadata — the per-file footer read
+        # below survives only for pre-r17 entries.
+        schemas_m = m.get("schemas") or {}
         groups: dict[tuple, list[str]] = {}
+        group_sjs: dict[tuple, set] = {}
         for f in base:
             p = os.path.join(t.path, "data", f["name"])
-            sch = spark.read.parquet(p).schema
+            sj = schemas_m.get(f.get("sch")) if f.get("sch") else None
+            if sj is not None:
+                sch = T.StructType.fromJson(_json.loads(sj))
+            else:
+                sch = spark.read.parquet(p).schema
             # group by (name, type): after MODIFY COLUMN (r12), parts
             # share names but differ in physical type — a name-only
             # group would hand one parquet read conflicting types
             key = tuple((g.name, g.dataType.simpleString()) for g in sch)
             groups.setdefault(key, []).append(p)
+            group_sjs.setdefault(key, set()).add(sj)
         out = None
-        for _cols, ps in sorted(groups.items()):
-            df = spec.read_conform(spark.read.parquet(*ps))
+        for cols, ps in sorted(groups.items()):
+            sjs = group_sjs[cols]
+            if len(sjs) == 1 and None not in sjs:
+                # every file in the group carries the same recorded
+                # schema — pass it explicitly, no footer inference
+                reader = spark.read.schema(
+                    T.StructType.fromJson(_json.loads(next(iter(sjs))))
+                )
+            else:
+                reader = spark.read
+            df = spec.read_conform(reader.parquet(*ps))
             out = df if out is None else out.unionByName(df)
         return out
 
