@@ -1075,7 +1075,15 @@ class ManifestTable:
         VERDICT r16 #3)."""
         if not self.projections:
             return self._write_bucket_files(df, buckets)
-        df = df.persist()
+        # r17: the cached subtree's physical plan (the batch dedup
+        # window) is compiled at persist() REGISTRATION with the
+        # session's current confs — register it under micro_shape so
+        # the micro-batch-bounded exchange runs narrow; the projection
+        # writers downstream of the cache still plan their own
+        # exchanges per action (the agg-kind writer keeps AQE for its
+        # file-count coalescing — the r16 guard).
+        with _micro_shape(df.sparkSession):
+            df = df.persist()
         try:
             base = self._write_bucket_files(df, buckets, attach=False)
             pid = uuid.uuid4().hex[:12]
@@ -1119,8 +1127,11 @@ class ManifestTable:
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
             spark = batch_df.sparkSession
             # the deduped batch feeds BOTH the touched-bucket discovery
-            # and the merged write — pin it once (r16)
-            batch = dedup_redelivery(batch_df, sort_key, arrival).persist()
+            # and the merged write — pin it once (r16). r17: register
+            # the cache under micro_shape (see _write_part) so the
+            # batch-bounded dedup exchange is compiled narrow.
+            with _micro_shape(spark):
+                batch = dedup_redelivery(batch_df, sort_key, arrival).persist()
             with_bucket = batch.withColumn("__bucket", self._bucket_of(F.col(self.key_col)))
             touched = sorted(
                 r["__bucket"] for r in with_bucket.select("__bucket").distinct().collect()
