@@ -20,8 +20,12 @@ def _t(spark, sf_dir, name):
 
 def _pin(out):
     """Executor-pinned materialization for tempdir-backed lifecycle
-    results — see queries/tierc3.py:_pin (r8, VERDICT r7 #1)."""
-    return out.localCheckpoint(eager=True)
+    results — see queries/tierc3.py:_pin (r8, VERDICT r7 #1; r17:
+    micro_shape'd for one planning round, A/B numbers there)."""
+    from postgre_to_clickhouse_spark.session import micro_shape
+
+    with micro_shape(out.sparkSession):
+        return out.localCheckpoint(eager=True)
 
 
 @register(
