@@ -463,7 +463,12 @@ class ManifestTable:
         merged = branches[0]
         for b in branches[1:]:
             merged = merged.unionByName(b, allowMissingColumns=True)
-        with _no_aqe(spark):
+        # r17: micro_shape (was no_aqe) — the per-file aggregates are
+        # batch-file-bounded, so the fixed-shape collect runs its agg
+        # exchange at the cluster-derived narrow width instead of the
+        # session's full static shuffle.partitions (probe: 40 -> ~12
+        # tasks per attach)
+        with _micro_shape(spark):
             rows = merged.collect()  # ≤ files × (1 + index count) rows
         stats_by, packed = {}, {}
         for r in rows:
